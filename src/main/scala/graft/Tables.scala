@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Loaders for the graft test tables (see TESTDATA.md).
+  *
+  * At cluster scale the same API points at a directory of partitioned
+  * parquet; locally each table is a single file. All reads are plain
+  * `spark.read.parquet` so Catalyst predicate pushdown / column pruning
+  * apply to every downstream query.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  def events: DataFrame     = t("events")
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
+
+/** Determinism helpers shared by every query that must hash-match a
+  * DuckDB oracle (SURVEY.md §6).
+  *
+  * Floating-point SUMs are order-dependent, and Spark's partial
+  * aggregation order differs run-to-run and engine-to-engine. `sumD`
+  * rounds each addend to a fixed-scale decimal first, making the
+  * accumulation integer-exact and therefore order-independent — the
+  * result is bit-identical to DuckDB's
+  * `CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)`.
+  */
+object Exact {
+  def sumD(c: Column, scale: Int = 2, prec: Int = 28): Column =
+    sum(c.cast(DecimalType(prec, scale))).cast("double")
+
+  /** Windowed variant of [[sumD]] is just `sumD(c, s, p).over(w)` at the
+    * call site; kept here for discoverability. */
+
+  /** AVG / STDDEV have O(1/n)-scaled error, so a 4-dp round absorbs
+    * engine jitter with negligible boundary risk. */
+  def avgD(c: Column): Column = round(avg(c), 4)
+}

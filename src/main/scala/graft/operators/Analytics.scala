@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.Exact
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's run-report analytics re-expressed over the `events`
+  * table (SURVEY.md §2, q05–q11 + q18).
+  *
+  * Origin: /root/reference/Athena.sql (daily summary, failure filter,
+  * duration stats, correlation join) and
+  * /root/reference/metrics-app/analyze_metrics.py (percentiles, hourly
+  * velocity, peak hour).
+  *
+  * All of these are single-shuffle partial aggregations; the failure
+  * filter pushes its predicate into the parquet scan.
+  */
+object Analytics {
+
+  /** q05: daily processing summary — Athena.sql "Daily summary" shape. */
+  def dailySummary(events: DataFrame): DataFrame =
+    events.groupBy(to_date(col("ts")).as("event_date"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Exact.sumD(col("value")).as("total_value"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"))
+      .orderBy("event_date")
+
+  /** q06: failure filter + order — predicate reaches the parquet scan
+    * (PushedFilters), projection prunes to 4 columns. */
+  def failedEvents(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "error")
+      .select("event_id", "ts", "user_id", "value")
+      .orderBy("event_id")
+
+  /** q07: per-day duration statistics — Athena.sql "Average Lambda
+    * duration" shape (value plays duration_seconds). */
+  def durationStats(events: DataFrame): DataFrame =
+    events.groupBy(to_date(col("ts")).as("event_date"))
+      .agg(
+        Exact.avgD(col("value")).as("avg_duration"),
+        max(col("value")).as("max_duration"),
+        min(col("value")).as("min_duration"),
+        count(lit(1)).as("n_runs"))
+      .orderBy("event_date")
+
+  /** q08: correlation join — Athena.sql "End-to-end" shape: extract a
+    * key from a semi-structured payload, aggregate one side, equi-join
+    * back. The aggregated dimension is broadcast (bounded key space). */
+  def correlationJoin(events: DataFrame): DataFrame = {
+    val withK = events.withColumn("k",
+      regexp_extract(col("props"), "[0-9]+", 0).cast("int"))
+    val dim = withK.groupBy("k").agg(
+      count(lit(1)).as("k_events"),
+      countDistinct(col("user_id")).as("k_users"))
+    withK.filter(col("event_type") === "error")
+      .select("event_id", "k")
+      .join(broadcast(dim), Seq("k"))
+      .select("event_id", "k", "k_events", "k_users")
+      .orderBy("event_id")
+  }
+
+  /** q09: exact percentiles + moments per event type —
+    * analyze_metrics.py:95-110. Exact `percentile` is sort-heavy; at
+    * 100 TB swap in `approx_percentile` (same API shape, mergeable
+    * sketch) — both provided. */
+  def valueStats(events: DataFrame, exact: Boolean = true): DataFrame = {
+    def pct(p: Double) =
+      if (exact) expr(s"percentile(value, $p)") else expr(s"approx_percentile(value, $p)")
+    events.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        Exact.avgD(col("value")).as("avg_value"),
+        round(stddev_samp(col("value")), 4).as("stdev_value"),
+        round(pct(0.5), 4).as("p50"),
+        round(pct(0.95), 4).as("p95"),
+        round(pct(0.99), 4).as("p99"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("event_type")
+  }
+
+  /** q10: hourly velocity breakdown — analyze_metrics.py:150-163. */
+  def hourlyVelocity(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Exact.sumD(col("value")).as("volume"),
+        round(count(lit(1)) / 3600.0, 6).as("events_per_sec"))
+      .orderBy("hour")
+
+  /** q11: peak-hour top-k — agg → TakeOrderedAndProject (no full sort:
+    * Spark plans `orderBy.limit(k)` as a top-k heap per partition). */
+  def peakHours(events: DataFrame, k: Int = 3): DataFrame =
+    events.groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("hour"))
+      .limit(k)
+
+  /** q18: size-targeted output planning — glue_batch_job.py:186-191
+    * computes output partition counts from record counts; here per day,
+    * feeding ParquetSink.repartition. Unlike the reference this is a
+    * single agg pass (the reference does cache+count, a full extra scan). */
+  def outputSizing(events: DataFrame, recordsPerFile: Int = 500): DataFrame =
+    events.groupBy(to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("n_records"))
+      .withColumn("target_files",
+        greatest(ceil(col("n_records") / lit(recordsPerFile.toDouble)).cast("int"), lit(1)))
+      .orderBy("event_date")
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** The reference's Lambda-side file lifecycle re-expressed as DataFrame
+  * transforms (SURVEY.md §2, q01–q04 + q19).
+  *
+  * The reference tracks files one-at-a-time in DynamoDB with conditional
+  * writes, sharded status rows, and a distributed lock
+  * (lambda_manifest_builder.py). On Spark the whole lifecycle is a pure
+  * function of the input file set — batching needs no lock because it is
+  * deterministic, and "shards" are subsumed by partitioning; q04 keeps
+  * the shard bookkeeping shape for observability parity.
+  */
+object Etl {
+
+  /** q01: schema-on-read normalize — all columns cast to string
+    * (glue_batch_job.py:161-168). The ts/value formatting pins an
+    * explicit render so the result is engine-independent. */
+  def ingestNormalize(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id").cast(StringType).as("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+      col("user_id").cast(StringType).as("user_id"),
+      col("event_type").as("event_type"),
+      col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        .cast(StringType).as("value"),
+      col("props").as("props"))
+      .orderBy(col("event_id").cast("long"))
+
+  /** Validation rule from lambda_manifest_builder.py:542-566: a size
+    * tolerance band around an expected size; out-of-band → quarantined
+    * with a reason. Documents play the role of files, n_chars of bytes. */
+  def validate(documents: DataFrame, expected: Double = 300.0,
+               tolerancePct: Double = 50.0): DataFrame = {
+    val lo = expected * (1 - tolerancePct / 100)
+    val hi = expected * (1 + tolerancePct / 100)
+    documents
+      .withColumn("status",
+        when(col("n_chars") >= lo && col("n_chars") <= hi, "valid")
+          .otherwise("quarantined"))
+      .withColumn("reason",
+        when(col("n_chars") < lo, "below_min_size")
+          .when(col("n_chars") > hi, "above_max_size")
+          .otherwise("ok"))
+  }
+
+  /** q02: validation/quarantine routing summary. */
+  def validateSummary(documents: DataFrame): DataFrame =
+    validate(documents)
+      .groupBy("status", "reason")
+      .agg(
+        count(lit(1)).as("n_files"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy("status", "reason")
+
+  /** q03: deterministic manifest batching — files grouped by prefix
+    * (lang plays date_prefix), ordered, chunked into batches of
+    * `maxPerManifest` (reference default 10). Pure window function: no
+    * DynamoDB claim/lock needed because the assignment is a
+    * deterministic function of the input set. One shuffle, partitioned
+    * by prefix; a hot prefix is split by AQE or an optional salt. */
+  def manifestBatches(documents: DataFrame, maxPerManifest: Int = 10): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    documents
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_id",
+        floor((col("rn") - 1) / maxPerManifest.toDouble).cast("int"))
+      .groupBy("lang", "batch_id")
+      .agg(
+        count(lit(1)).as("n_files"),
+        min(col("doc_id")).as("first_file"),
+        max(col("doc_id")).as("last_file"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang", "batch_id")
+  }
+
+  /** q04: sharded status bookkeeping
+    * (lambda_manifest_builder.py:97-122): 10-way shard on the file key
+    * crossed with validation status. */
+  def statusShards(documents: DataFrame, shards: Int = 10): DataFrame =
+    validate(documents)
+      .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("int"))
+      .groupBy("status", "shard")
+      .agg(count(lit(1)).as("n_files"))
+      .orderBy("status", "shard")
+
+  /** q19: schema-drift union — heterogeneous NDJSON days land with
+    * different column sets; `unionByName(allowMissingColumns)` aligns
+    * them with nulls, the Spark-native version of the Glue read's
+    * permissive merge. */
+  def schemaDriftUnion(events: DataFrame): DataFrame = {
+    val a = events.filter(col("event_id") < 5000)
+      .select("event_id", "event_type", "value")
+    val b = events.filter(col("event_id") >= 5000)
+      .select("event_id", "user_id", "value")
+    a.unionByName(b, allowMissingColumns = true)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("event_type")).as("n_with_type"),
+        count(col("user_id")).as("n_with_user"),
+        graft.Exact.sumD(col("value")).as("total_value"))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.Exact
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The analytical-engine surface (SURVEY.md §2, q12–q17): the reference's
+  * Athena SQL layer generalized to TPC-H-shaped plans.
+  *
+  * Every function is a pure LogicalPlan builder — no actions, no
+  * collect — so Catalyst applies pushdown/pruning and AQE picks join
+  * strategies at runtime. Dimension tables are explicitly
+  * `broadcast()`-hinted where they are guaranteed small relative to the
+  * fact table at any scale factor.
+  */
+object Relational {
+
+  /** q12: single-scan multi-aggregate (TPC-H Q1 shape). One shuffle;
+    * all aggregates partial-agg map-side; whole expression tree stays in
+    * WholeStageCodegen. */
+  def pricingSummary(lineitem: DataFrame, cutoff: String = "2000-09-02 00:00:00"): DataFrame = {
+    val disc   = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = disc * (lit(1.0) + col("l_tax"))
+    lineitem
+      .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Exact.sumD(col("l_quantity")).as("sum_qty"),
+        Exact.sumD(col("l_extendedprice")).as("sum_base_price"),
+        Exact.sumD(disc, scale = 10).as("sum_disc_price"),
+        Exact.sumD(charge, scale = 10).as("sum_charge"),
+        Exact.avgD(col("l_quantity")).as("avg_qty"),
+        Exact.avgD(col("l_extendedprice")).as("avg_price"),
+        Exact.avgD(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** q13: fact-dim-dim join + agg + top-k (TPC-H Q3 shape). customer is
+    * broadcast (1.5k rows/SF-0.01, bounded at scale by the segment
+    * filter); orders⋈lineitem shuffles on orderkey. Revenue is an exact
+    * decimal sum, so the ORDER BY on it is engine-stable. */
+  def shippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                       segment: String = "BUILDING", cutoff: String = "1998-03-15 00:00:00"): DataFrame = {
+    val c = customer.filter(col("c_mktsegment") === segment).select("c_custkey")
+    val o = orders.filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = lineitem.filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(Exact.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")), scale = 10).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q14: star join through small dims — supplier/nation/region all
+    * broadcast, so the only shuffle is the final aggregation. */
+  def regionRevenue(lineitem: DataFrame, supplier: DataFrame,
+                    nation: DataFrame, region: DataFrame): DataFrame = {
+    lineitem.select("l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select("r_regionkey", "r_name")),
+            col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        Exact.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")), scale = 10).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** q15: per-group top-k via window row_number. The window shuffle
+    * partitions by customer, so skew is bounded by orders-per-customer;
+    * rank filter happens before any further processing. */
+  def topOrdersPerCustomer(orders: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** q16: running total per customer — cumulative window sum over an
+    * exact decimal so the running values are order-independent-exact. */
+  def runningTotal(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+          .over(w).cast("double"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q17: gap-based sessionization (30-min inactivity). Classic
+    * lag → flag → cumulative-sum; one shuffle partitioned by user_id.
+    * At 100 TB the per-user partition is small (events/user ≪ memory);
+    * a skewed power-user key would be handled by AQE skew splitting on
+    * the window shuffle. */
+  def sessionize(events: DataFrame, gapSeconds: Double = 1800.0): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val flagged = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             (col("ts").cast("double") - col("prev_ts").cast("double")) > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy("user_id", "session_seq")
+  }
+}

