@@ -22,7 +22,19 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+
+  /** `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS),
+    * which Spark 4.x rejects at scan time (PARQUET_TYPE_ILLEGAL) unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — then the column reads
+    * as a long nanos-since-epoch, which we convert back to a (micros)
+    * timestamp here. Set defensively on this session so any caller-built
+    * session works; conversion is a narrow codegen'd projection. */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `div` (integral division) — `/` would go through double and lose
+    // sub-us precision at 2^60-scale nanos values.
+    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

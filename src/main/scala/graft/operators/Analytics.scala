@@ -32,7 +32,6 @@ object Analytics {
   def failedEvents(events: DataFrame): DataFrame =
     events.filter(col("event_type") === "error")
       .select("event_id", "ts", "user_id", "value")
-      .orderBy("event_id")
 
   /** q07: per-day duration statistics — Athena.sql "Average Lambda
     * duration" shape (value plays duration_seconds). */
@@ -58,7 +57,6 @@ object Analytics {
       .select("event_id", "k")
       .join(broadcast(dim), Seq("k"))
       .select("event_id", "k", "k_events", "k_users")
-      .orderBy("event_id")
   }
 
   /** q09: exact percentiles + moments per event type —

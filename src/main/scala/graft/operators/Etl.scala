@@ -29,7 +29,6 @@ object Etl {
       col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
         .cast(StringType).as("value"),
       col("props").as("props"))
-      .orderBy(col("event_id").cast("long"))
 
   /** Validation rule from lambda_manifest_builder.py:542-566: a size
     * tolerance band around an expected size; out-of-band → quarantined
@@ -77,7 +76,6 @@ object Etl {
         min(col("doc_id")).as("first_file"),
         max(col("doc_id")).as("last_file"),
         sum(col("n_chars")).as("total_chars"))
-      .orderBy("lang", "batch_id")
   }
 
   /** q04: sharded status bookkeeping

@@ -54,6 +54,9 @@ object Relational {
       .agg(Exact.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")), scale = 10).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
+      // top-k selection uses the exact decimal sum (engine-stable);
+      // only the rendered double is rounded
+      .withColumn("revenue", round(col("revenue"), 4))
   }
 
   /** q14: star join through small dims — supplier/nation/region all
@@ -69,7 +72,9 @@ object Relational {
             col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(
-        Exact.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")), scale = 10).as("revenue"),
+        // round(·,4) at the final projection absorbs the last-ulp jitter
+        // of the decimal→double conversion differing across engines
+        round(Exact.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")), scale = 10), 4).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
@@ -83,7 +88,6 @@ object Relational {
     orders.select("o_custkey", "o_orderkey", "o_totalprice")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .orderBy("o_custkey", "rn")
   }
 
   /** q16: running total per customer — cumulative window sum over an
@@ -96,7 +100,7 @@ object Relational {
       .withColumn("running_total",
         sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
           .over(w).cast("double"))
-      .orderBy("o_custkey", "o_orderkey")
+      .drop("o_totalprice")
   }
 
   /** q17: gap-based sessionization (30-min inactivity). Classic
@@ -119,6 +123,5 @@ object Relational {
         count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"))
-      .orderBy("user_id", "session_seq")
   }
 }

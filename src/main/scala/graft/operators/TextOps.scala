@@ -22,7 +22,7 @@ object TextOps {
       .agg(
         min(col("doc_id")).as("keeper_doc_id"),
         count(lit(1)).as("n_copies"))
-      .orderBy("keeper_doc_id")
+
 
   /** q30: normalized document fingerprint — lowercase, collapse
     * whitespace, md5. The cross-corpus dedup key. */
@@ -31,7 +31,7 @@ object TextOps {
       col("doc_id"),
       md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary"))
         .as("fingerprint"))
-      .orderBy("doc_id")
+
 
   /** q29: token counting — whitespace tokens plus a BPE-ish split count
     * (tokens of letters vs length≥5 subword proxy). */
@@ -41,7 +41,7 @@ object TextOps {
       size(toks).as("n_tokens"),
       size(filter(toks, t => length(t) >= 5)).as("n_long_tokens"),
       length(col("text")).as("n_bytes"))
-      .orderBy("doc_id")
+
 
   private val stopwords = Seq("the", "a", "of", "and", "to")
 
@@ -62,7 +62,7 @@ object TextOps {
       round(lenSat, 4).as("len_saturation"),
       round(uniqRatio * 0.4 + (lit(1.0) - stopRatio) * 0.3 + lenSat * 0.3, 4)
         .as("quality"))
-      .orderBy("doc_id")
+
   }
 
   /** Marker vocabularies for the language-ID heuristic. On real corpora
@@ -94,6 +94,6 @@ object TextOps {
       col("lang").as("labeled_lang"),
       pred.as("predicted_lang")) ++
       markers.map { case (l, _) => col(s"s_$l").as(s"score_$l") }
-    scored.select(outCols: _*).orderBy("doc_id")
+    scored.select(outCols: _*)
   }
 }
