@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Etl, Relational, TextOps}
+import graft.operators.{Analytics, Dedup, Etl, Relational, Similarity, TextOps}
 
 /** Driver contract — see SURVEY.md §2 for the capability each key
   * covers. Every query has a matching DuckDB oracle in [[oracleSql]]
@@ -39,6 +39,12 @@ object SparkEntry {
     "q17_sessionization"     -> ((s, d) => Relational.sessionize(Tables(s, d).events)),
     // LLM-training-data operators
     "q20_dedup_exact"        -> ((s, d) => TextOps.dedupExact(Tables(s, d).documents)),
+    "q21_dedup_ngram"        -> ((s, d) => Dedup.ngramJaccardPairs(Tables(s, d).documents)),
+    "q22_dedup_minhash"      -> ((s, d) => Dedup.minhashLshPairs(Tables(s, d).documents)),
+    "q23_dedup_simhash"      -> ((s, d) => Dedup.simhashPairs(Tables(s, d).documents)),
+    "q24_dedup_embedding"    -> ((s, d) => Similarity.embeddingNearDups(Tables(s, d).embeddings)),
+    "q25_ann_bruteforce"     -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
+    "q26_ann_lsh"            -> ((s, d) => Similarity.annLsh(Tables(s, d).embeddings)),
     "q27_lang_id"            -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
     "q28_quality_score"      -> ((s, d) => TextOps.qualityScore(Tables(s, d).documents)),
     "q29_token_count"        -> ((s, d) => TextOps.tokenCounts(Tables(s, d).documents)),
@@ -139,25 +145,29 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
-        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
-        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,10))) AS DOUBLE) AS sum_charge,
+        |       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_disc_price,
+        |       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_charge,
         |       ROUND(AVG(l_quantity), 4) AS avg_qty,
         |       ROUND(AVG(l_extendedprice), 4) AS avg_price,
         |       ROUND(AVG(l_discount), 4) AS avg_disc,
         |       COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // top-10 selection orders by the UNROUNDED revenue (mirroring the
+    // Spark plan, which rounds only in the final projection) so both
+    // engines pick the same rows when two revenues round equal.
     "q13_join_agg" ->
-      """SELECT l.l_orderkey AS l_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
-        |       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue
-        |FROM lineitem l
-        |JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |JOIN customer c ON o.o_custkey = c.c_custkey
-        |WHERE c.c_mktsegment = 'BUILDING'
-        |  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-        |  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-        |GROUP BY l.l_orderkey, o.o_orderdate
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+      """SELECT l_orderkey, o_orderdate, ROUND(revenue, 4) AS revenue FROM (
+        |  SELECT l.l_orderkey AS l_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+        |         CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment = 'BUILDING'
+        |    AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |    AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |  GROUP BY l.l_orderkey, o.o_orderdate
+        |  ORDER BY revenue DESC, l_orderkey LIMIT 10) t""".stripMargin,
     "q14_broadcast_dims" ->
       """SELECT r_name, n_name,
         |       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue,
@@ -222,10 +232,10 @@ object SparkEntry {
         |        CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE) AS n_stop,
         |        LEAST(n_chars / 500.0, 1.0) AS len_sat
         |      FROM t)
-        |SELECT doc_id, ROUND(n_uniq / n_tok, 4) AS uniq_ratio,
-        |       ROUND(n_stop / n_tok, 4) AS stop_ratio,
-        |       ROUND(len_sat, 4) AS len_saturation,
-        |       ROUND(n_uniq / n_tok * 0.4 + (1.0 - n_stop / n_tok) * 0.3 + len_sat * 0.3, 4) AS quality
+        |SELECT doc_id, FLOOR(n_uniq / n_tok * 10000.0 + 0.5) / 10000.0 AS uniq_ratio,
+        |       FLOOR(n_stop / n_tok * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+        |       FLOOR(len_sat * 10000.0 + 0.5) / 10000.0 AS len_saturation,
+        |       FLOOR((n_uniq / n_tok * 0.4 + (1.0 - n_stop / n_tok) * 0.3 + len_sat * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
     "q29_token_count" ->
       """SELECT doc_id,
@@ -236,5 +246,138 @@ object SparkEntry {
     "q30_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q21_dedup_ngram"     -> ngramOracle,
+    "q22_dedup_minhash"   -> minhashOracle,
+    "q23_dedup_simhash"   -> simhashOracle,
+    "q24_dedup_embedding" -> embeddingDedupOracle,
+    "q25_ann_bruteforce"  -> annBruteOracle,
+    "q26_ann_lsh"         -> annLshOracle,
   )
+
+  // ---------------------------------------------------------------------
+  // Generated DuckDB oracles for the dedup/similarity operators.
+  //
+  // Determinism strategy (SURVEY.md §6): every hash is md5 over the same
+  // UTF-8 bytes on both engines; Jaccard/Hamming are integer-derived
+  // (bit-identical); dot products/norms are generated as EXPLICIT
+  // per-dimension chains (v[1]*w[1] + v[2]*w[2] + …) in the SAME
+  // left-to-right order as the Spark expression chain, so raw doubles are
+  // bit-identical and threshold filters can never diverge.
+  // ---------------------------------------------------------------------
+
+  /** Shared shingle CTE: distinct word 3-grams, 1-based positions —
+    * mirrors Dedup.shingleSet(3). (`greatest(…, 2)` ≡ Spark's
+    * `greatest(size-2, 1)` upper bound for every token count.) */
+  private val shingleCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 1, 2)),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t)""".stripMargin
+
+  private def ngramOracle: String =
+    s"""WITH $shingleCtes,
+       |x AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |      FROM x a JOIN x b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |z AS (SELECT doc_id, len(sh) AS n_sh FROM s)
+       |SELECT * FROM (
+       |  SELECT p.doc_a, p.doc_b,
+       |         CAST(inter AS DOUBLE) / (CAST(za.n_sh + zb.n_sh AS DOUBLE) - CAST(inter AS DOUBLE)) AS jaccard
+       |  FROM p JOIN z za ON p.doc_a = za.doc_id JOIN z zb ON p.doc_b = zb.doc_id) j
+       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  private def minhashOracle: String = {
+    val k = 16; val bands = 4; val r = k / bands
+    val mhs = (0 until k).map(i =>
+      s"list_min(list_transform(sh, x -> md5('$i|' || x))) AS mh$i").mkString(", ")
+    val bks = (0 until bands).map { b =>
+      val parts = (0 until r).map(j => s"mh${b * r + j}").mkString(" || '|' || ")
+      s"md5('$b|' || $parts)"
+    }.mkString(", ")
+    s"""WITH $shingleCtes,
+       |m AS (SELECT doc_id, $mhs FROM s),
+       |b AS (SELECT doc_id, unnest([$bks]) AS bk FROM m),
+       |c AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |      FROM b a JOIN b b2 ON a.bk = b2.bk AND a.doc_id < b2.doc_id),
+       |j AS (SELECT c.doc_a, c.doc_b, len(list_intersect(sa.sh, sb.sh)) AS inter,
+       |             len(sa.sh) AS la, len(sb.sh) AS lb
+       |      FROM c JOIN s sa ON c.doc_a = sa.doc_id JOIN s sb ON c.doc_b = sb.doc_id)
+       |SELECT * FROM (
+       |  SELECT doc_a, doc_b,
+       |         CAST(inter AS DOUBLE) / (CAST(la + lb AS DOUBLE) - CAST(inter AS DOUBLE)) AS jaccard
+       |  FROM j) q
+       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private def simhashOracle: String = {
+    val width = 64; val bands = 4; val bw = width / bands
+    val bitSums = (0 until width).map { i =>
+      val pos = i / 4 + 1; val p = 1 << (3 - i % 4)
+      s"list_sum(list_transform(hs, h -> ((strpos('0123456789abcdef', h[$pos]) - 1) // $p) % 2 * 2 - 1)) AS s$i"
+    }.mkString(", ")
+    val fp = (0 until width).map(i => s"CASE WHEN s$i >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    val bks = (0 until bands).map(b => s"'$b|' || substr(fp, ${b * bw + 1}, $bw)").mkString(", ")
+    val hamming = (1 to width).map(i => s"CASE WHEN fa[$i] <> fb[$i] THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, list_transform(string_split(text, ' '), x -> md5(x)) AS hs FROM documents),
+       |u AS (SELECT doc_id, $bitSums FROM t),
+       |f AS (SELECT doc_id, $fp AS fp FROM u),
+       |b AS (SELECT doc_id, unnest([$bks]) AS bk FROM f),
+       |c AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |      FROM b a JOIN b b2 ON a.bk = b2.bk AND a.doc_id < b2.doc_id),
+       |h AS (SELECT c.doc_a, c.doc_b, pa.fp AS fa, pb.fp AS fb
+       |      FROM c JOIN f pa ON c.doc_a = pa.doc_id JOIN f pb ON c.doc_b = pb.doc_id)
+       |SELECT * FROM (SELECT doc_a, doc_b, $hamming AS hamming FROM h) q
+       |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Explicit 64-term chains mirroring Similarity.dot/norm term order. */
+  private def sqlDot(a: String, b: String): String =
+    (1 to 64).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+
+  private val vecCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e)""".stripMargin
+
+  private def embeddingDedupOracle: String =
+    s"""WITH $vecCtes,
+       |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |        (${sqlDot("a.v", "b.v")}) / (a.nrm * b.nrm) AS cos_raw
+       |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, ROUND(cos_raw, 4) AS cos_sim FROM p
+       |WHERE cos_raw >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
+  private def annBruteOracle: String =
+    s"""WITH $vecCtes,
+       |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        ROUND((${sqlDot("q.v", "c.v")}) / (q.nrm * c.nrm), 4) AS cos_sim
+       |      FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cos_sim,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS "rank"
+       |      FROM s)
+       |SELECT * FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+
+  private def annLshOracle: String = {
+    val bits = 4; val tables = 16
+    val signs = Similarity.planeSigns(tables, bits)
+    val rows = (for (t <- 0 until tables; p <- 0 until bits) yield {
+      val ws = signs(t * bits + p).map(x => if (x > 0) "1.0" else "-1.0").mkString(",")
+      s"($t, $p, CAST([$ws] AS DOUBLE[]))"
+    }).mkString(", ")
+    s"""WITH planes AS (SELECT * FROM (VALUES $rows) pl(tbl, pl_idx, w)),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sb AS (SELECT e.vec_id,
+       |         CAST(p.tbl AS VARCHAR) || '|' ||
+       |         string_agg(CASE WHEN (${sqlDot("e.v", "p.w")}) >= 0 THEN '1' ELSE '0' END, '' ORDER BY p.pl_idx) AS bk
+       |       FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.tbl),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, s2.vec_id AS neighbor_id
+       |         FROM sb q JOIN sb s2 ON q.bk = s2.bk AND q.vec_id < 10 AND s2.vec_id <> q.vec_id),
+       |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e),
+       |s AS (SELECT c.query_id, c.neighbor_id,
+       |        ROUND((${sqlDot("a.v", "b.v")}) / (a.nrm * b.nrm), 4) AS cos_sim
+       |      FROM cand c JOIN n a ON c.query_id = a.vec_id JOIN n b ON c.neighbor_id = b.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cos_sim,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS "rank"
+       |      FROM s)
+       |SELECT * FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+  }
 }

@@ -32,7 +32,10 @@ final case class Tables(spark: SparkSession, dir: String) {
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // `div` (integral division) — `/` would go through double and lose
-    // sub-us precision at 2^60-scale nanos values.
+    // sub-us precision at 2^60-scale nanos values. `div` truncates toward
+    // zero, matching DuckDB's ns→us conversion only for post-epoch
+    // (positive) nanos — true for all test data; pre-1970 events would
+    // need floor-division here.
     t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents: DataFrame  = t("documents")
@@ -59,4 +62,20 @@ object Exact {
   /** AVG / STDDEV have O(1/n)-scaled error, so a 4-dp round absorbs
     * engine jitter with negligible boundary risk. */
   def avgD(c: Column): Column = round(avg(c), 4)
+
+  /** Deterministic rounding as pure double ops — floor(x·10ᵈᵖ+0.5)/10ᵈᵖ,
+    * written identically in the DuckDB oracle, so both engines execute
+    * the same IEEE operations and the result is bit-identical.
+    *
+    * Needed where the raw value is a small-denominator rational (token
+    * ratios, score blends): those frequently land a shortest-decimal
+    * repr of "x.xxxx5", where Spark's round() (BigDecimal HALF_UP on the
+    * decimal repr) and an engine rounding the binary double (e.g.
+    * 0.69705 → 0.6971 vs 0.697) disagree. Entropy-rich aggregates don't
+    * hit that boundary, so round() stays fine for them. Positive inputs
+    * only (floor+0.5 is not half-away-from-zero for negatives). */
+  def dround(c: Column, dp: Int = 4): Column = {
+    val f = math.pow(10, dp)
+    floor(c * f + 0.5) / f
+  }
 }

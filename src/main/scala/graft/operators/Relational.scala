@@ -28,8 +28,11 @@ object Relational {
       .agg(
         Exact.sumD(col("l_quantity")).as("sum_qty"),
         Exact.sumD(col("l_extendedprice")).as("sum_base_price"),
-        Exact.sumD(disc, scale = 10).as("sum_disc_price"),
-        Exact.sumD(charge, scale = 10).as("sum_charge"),
+        // scale-10 decimal sums are exact, but the decimal→double
+        // conversion itself differs by 1 ulp across engines at some
+        // magnitudes; round(·,4) absorbs it (r1 verdict, q14 note)
+        round(Exact.sumD(disc, scale = 10), 4).as("sum_disc_price"),
+        round(Exact.sumD(charge, scale = 10), 4).as("sum_charge"),
         Exact.avgD(col("l_quantity")).as("avg_qty"),
         Exact.avgD(col("l_extendedprice")).as("avg_price"),
         Exact.avgD(col("l_discount")).as("avg_disc"),

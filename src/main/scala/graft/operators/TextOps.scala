@@ -55,12 +55,15 @@ object TextOps {
     val uniqRatio = nUniq / nTok
     val stopRatio = nStop / nTok
     val lenSat    = least(col("n_chars") / lit(500.0), lit(1.0))
+    // dround, not round: these are small-denominator rationals that land
+    // exactly on 4-dp half-boundaries (e.g. quality = 0.69705), where
+    // Spark round() and DuckDB ROUND() disagree — see Exact.dround.
     documents.select(
       col("doc_id"),
-      round(uniqRatio, 4).as("uniq_ratio"),
-      round(stopRatio, 4).as("stop_ratio"),
-      round(lenSat, 4).as("len_saturation"),
-      round(uniqRatio * 0.4 + (lit(1.0) - stopRatio) * 0.3 + lenSat * 0.3, 4)
+      graft.Exact.dround(uniqRatio).as("uniq_ratio"),
+      graft.Exact.dround(stopRatio).as("stop_ratio"),
+      graft.Exact.dround(lenSat).as("len_saturation"),
+      graft.Exact.dround(uniqRatio * 0.4 + (lit(1.0) - stopRatio) * 0.3 + lenSat * 0.3)
         .as("quality"))
 
   }
