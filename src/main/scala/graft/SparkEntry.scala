@@ -1,7 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, Etl, Relational, Similarity, TextOps}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.{Analytics, Dedup, Etl, Multimodal, Relational, Similarity, TextOps}
+import graft.streaming.Streams
 
 /** Driver contract — see SURVEY.md §2 for the capability each key
   * covers. Every query has a matching DuckDB oracle in [[oracleSql]]
@@ -45,6 +48,33 @@ object SparkEntry {
     "q24_dedup_embedding"    -> ((s, d) => Similarity.embeddingNearDups(Tables(s, d).embeddings)),
     "q25_ann_bruteforce"     -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
     "q26_ann_lsh"            -> ((s, d) => Similarity.annLsh(Tables(s, d).embeddings)),
+    // Streaming — executed through the real micro-batch engine
+    // (Trigger.AvailableNow + memory sink), then compared to batch
+    // oracles: streaming/batch parity is the correctness contract.
+    "s01_stream_ingest"      -> ((s, d) =>
+      Streams.runToMemory(
+        Etl.ingestNormalize(Streams.readEventStream(s, s"$d/events.parquet")),
+        "s01_stream_ingest")),
+    "s02_stream_window"      -> ((s, d) =>
+      Streams.runToMemory(
+        Streams.hourlyWindow(Streams.readEventStream(s, s"$d/events.parquet")),
+        "s02_stream_window", OutputMode.Complete())),
+    "s03_stream_batcher"     -> ((s, d) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val files = s.readStream.schema(schema)
+        .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
+        .select(col("lang").as("prefix"), col("doc_id").as("fileKey"),
+          col("n_chars").as("size")).as[Streams.FileEvent]
+      // timeout off (<=0): finite drain — see Streams.manifestBatcher
+      Streams.runToMemory(
+        Streams.manifestBatcher(files, partialTimeoutMs = 0).toDF, "s03_stream_batcher")
+    }),
+    // Multimodal plumbing — m01 is fully oracle-checked (struct fields +
+    // payload md5 parity); m02's decode stub is rows-only here and
+    // behavior-verified in MultimodalSpec.
+    "m01_binary_meta"        -> ((s, d) => Multimodal.binaryMetaSummary(Tables(s, d).documents)),
+    "m02_decode_stub"        -> ((s, d) => Multimodal.decodeSummary(Tables(s, d).documents)),
     "q27_lang_id"            -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
     "q28_quality_score"      -> ((s, d) => TextOps.qualityScore(Tables(s, d).documents)),
     "q29_token_count"        -> ((s, d) => TextOps.tokenCounts(Tables(s, d).documents)),
@@ -245,6 +275,48 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q30_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Streaming batch-parity oracles: the streaming result must equal
+    // the equivalent batch query. s01 ≡ q01; s02 ≡ hourly agg (window
+    // starts are hour-aligned, so window.start ≡ date_trunc('hour'));
+    // s03 ≡ q03 restricted to FULL manifests (partial batches hold back
+    // awaiting the flush timeout, which never fires under AvailableNow).
+    "s01_stream_ingest" ->
+      """SELECT * FROM (
+        |  SELECT CAST(event_id AS VARCHAR) AS event_id,
+        |         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |         CAST(user_id AS VARCHAR) AS user_id,
+        |         event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value,
+        |         props
+        |  FROM events) t
+        |ORDER BY CAST(event_id AS BIGINT)""".stripMargin,
+    "s02_stream_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS volume
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s03_stream_batcher" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) - 1) / 10.0) AS INTEGER) AS batch_id
+        |  FROM documents)
+        |SELECT lang, batch_id, COUNT(*) AS n_files,
+        |       MIN(doc_id) AS first_file, MAX(doc_id) AS last_file,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM b GROUP BY lang, batch_id
+        |HAVING COUNT(*) = 10 ORDER BY lang, batch_id""".stripMargin,
+    // m01: strlen() is DuckDB's byte length — matches Spark's
+    // length(binary) over the same UTF-8 bytes; md5 likewise.
+    "m01_binary_meta" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |            ELSE 'video/mp4' END AS mime,
+        |       CAST((n_chars % 64) * 16 AS INTEGER) AS width,
+        |       CAST((n_chars % 48) * 16 AS INTEGER) AS height,
+        |       CAST(strlen(text) AS INTEGER) AS n_bytes,
+        |       md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q21_dedup_ngram"     -> ngramOracle,
     "q22_dedup_minhash"   -> minhashOracle,

@@ -1,0 +1,163 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.LongType
+
+/** Structured-Streaming re-expression of the reference's event-driven
+  * half (SURVEY.md §2, s01–s03): the S3→SQS→Lambda→Glue loop becomes
+  * one continuous query per concern.
+  *
+  *  - s01: continuous ingest+normalize → parquet sink (the
+  *    lambda_manifest_builder → glue_batch_job loop as one query).
+  *  - s02: watermarked hourly windowed aggregation (the metrics app's
+  *    hourly breakdown, incremental).
+  *  - s03: stateful manifest batcher — flatMapGroupsWithState keyed by
+  *    prefix replaces the DynamoDB conditional-write claim logic
+  *    (lambda_stream_manifest_creator.py:126-161 semantics: full
+  *    batches flush on arrival, partial batches hold back until a
+  *    flush timeout).
+  *
+  * Scale: state per key is O(maxPerManifest) file entries; keys
+  * (date prefixes) are few — state store stays tiny. Watermarks bound
+  * s02's window state. Sinks are exactly-once via checkpoint + file
+  * sink manifest, replacing the reference's SQS at-least-once +
+  * DynamoDB dedup.
+  */
+object Streams {
+
+  /** Streaming read of the events table (parquet file source — at
+    * production this is `format("json")` over a landing dir; same
+    * plan shape). Schema comes from a batch peek: streaming sources
+    * require explicit schemas, and inference over 100 TB is a full
+    * extra pass. Converts the nanos-long `ts` like Tables.events. */
+  /** The streaming file source only accepts a directory or a glob — a
+    * literal file path is rejected ("Option 'basePath' must be a
+    * directory"). Production points at a landing directory; for a
+    * single-file test table, rewrite the last char as a one-char glob
+    * class so the same file routes through glob resolution. */
+  private[graft] def asStreamPath(path: String): String =
+    if (new java.io.File(path).isFile) s"${path.init}[${path.last}]" else path
+
+  def readEventStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema).parquet(asStreamPath(path))
+    if (schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** s01: the continuous form — normalized stream → parquet + checkpoint.
+    * (Verify exercises the same plan via [[runToMemory]]; this is the
+    * production entry point.) */
+  def ingestToParquet(normalized: DataFrame, outDir: String,
+                      checkpointDir: String): StreamingQuery =
+    normalized.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** s02: watermarked hourly tumbling-window aggregation. In append
+    * mode the watermark finalizes (and evicts) windows 1h behind the
+    * max event time — bounded state at any corpus size. */
+  def hourlyWindow(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), graft.Exact.sumD(col("value")).as("volume"))
+      .select(col("window.start").as("hour"), col("n_events"), col("volume"))
+
+  // ----- s03: stateful manifest batcher -------------------------------
+
+  /** One tracked file: prefix plays the reference's date_prefix, key its
+    * object key (ordered), size its byte count. */
+  case class FileEvent(prefix: String, fileKey: Long, size: Long)
+
+  /** Emitted manifest — same shape as Etl.manifestBatches (q03) so the
+    * batch and streaming paths are directly comparable. */
+  case class Manifest(lang: String, batch_id: Int, n_files: Long,
+                      first_file: Long, last_file: Long, total_chars: Long)
+
+  /** Per-prefix batcher state: files awaiting a full manifest + the
+    * next manifest ordinal. */
+  case class BatcherState(pending: Seq[(Long, Long)], nextBatchId: Int)
+
+  /** s03: group files by prefix; every `maxPerManifest` files flush a
+    * manifest immediately; a trailing partial batch holds back until
+    * `partialTimeoutMs` of processing-time inactivity (the reference's
+    * MIN_FILES_FOR_PARTIAL_BATCH/orphan-flush behavior). Batch ids are
+    * per-prefix ordinals in emission order — deterministic for a
+    * deterministic input order, no distributed lock needed.
+    *
+    * `partialTimeoutMs <= 0` disables the orphan flush (NoTimeout):
+    * partials hold in state indefinitely. This is also what makes the
+    * query usable under Trigger.AvailableNow — with a processing-time
+    * timeout registered, the micro-batch engine keeps scheduling
+    * batches waiting for the timer and never reaches termination, so
+    * finite drains (Verify/Bench) run with the timeout off and the
+    * timeout path is verified at the unit level (StreamingSpec). */
+  def manifestBatcher(files: Dataset[FileEvent], maxPerManifest: Int = 10,
+                      partialTimeoutMs: Long = 30000L): Dataset[Manifest] = {
+    import files.sparkSession.implicits._
+    val conf = if (partialTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
+    files.groupByKey(_.prefix)
+      .flatMapGroupsWithState(OutputMode.Append, conf) {
+        (prefix: String, it: Iterator[FileEvent], state: GroupState[BatcherState]) =>
+          step(prefix, it, state, maxPerManifest, partialTimeoutMs)
+      }
+  }
+
+  private def emit(prefix: String, id: Int, files: Seq[(Long, Long)]): Manifest =
+    Manifest(prefix, id, files.size.toLong, files.map(_._1).min,
+      files.map(_._1).max, files.map(_._2).sum)
+
+  private[graft] def step(prefix: String, it: Iterator[FileEvent],
+                   state: GroupState[BatcherState], max: Int,
+                   timeoutMs: Long): Iterator[Manifest] = {
+    val st = state.getOption.getOrElse(BatcherState(Nil, 0))
+    if (state.hasTimedOut) {
+      // orphan flush: the partial batch waited long enough
+      val out = if (st.pending.nonEmpty) Seq(emit(prefix, st.nextBatchId, st.pending)) else Nil
+      state.remove()
+      out.iterator
+    } else {
+      // sort within the micro-batch for deterministic assignment; files
+      // arriving in later batches append after already-claimed ones,
+      // matching the reference's arrival-order claiming
+      val incoming = it.toSeq.sortBy(_.fileKey).map(f => (f.fileKey, f.size))
+      var pending = st.pending ++ incoming
+      var nextId = st.nextBatchId
+      val out = Seq.newBuilder[Manifest]
+      while (pending.size >= max) {
+        val (full, rest) = pending.splitAt(max)
+        out += emit(prefix, nextId, full)
+        nextId += 1
+        pending = rest
+      }
+      state.update(BatcherState(pending, nextId))
+      if (pending.nonEmpty && timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+      out.result().iterator
+    }
+  }
+
+  // ----- Verify/Bench harness -----------------------------------------
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Run a streaming DataFrame to completion (Trigger.AvailableNow)
+    * into a memory sink and return the materialized result — this is
+    * how Verify/Bench execute s01–s03 through the REAL streaming
+    * engine (micro-batch planner, state store, watermarks) rather than
+    * a batch rewrite. */
+  def runToMemory(df: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Append): DataFrame = {
+    val qname = s"${name}_${runCounter.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(qname)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(qname)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F} // full import clashes with Matchers.size
+
+/** q20–q23 semantics on hand-built corpora where ground truth is known
+  * by construction (identical docs, one-word edits, disjoint docs). */
+class DedupSpec extends SparkSpec {
+
+  private def docs(texts: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    texts.toDF("doc_id", "text")
+  }
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+  test("shingleSet: n tokens -> n-2 distinct 3-gram shingles") {
+    val df = docs((1L, "a b c d e"))
+      .select(F.size(Dedup.shingleSet(3)).as("n"))
+    df.collect().head.getInt(0) shouldBe 3 // "a b c","b c d","c d e"
+  }
+
+  test("q21 ngram-Jaccard: identical docs score 1.0; disjoint docs never pair") {
+    val d = docs((1L, base), (2L, base), (3L, "one two three four five six"))
+    val rows = Dedup.ngramJaccardPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows shouldBe Array((1L, 2L, 1.0))
+  }
+
+  test("q21 one-word edit scores between 0 and 1") {
+    val edited = base.replace("epsilon", "EDITED")
+    val rows = Dedup.ngramJaccardPairs(docs((1L, base), (2L, edited)), tau = 0.1).collect()
+    rows.length shouldBe 1
+    val j = rows.head.getDouble(2)
+    j should (be > 0.3 and be < 1.0)
+  }
+
+  test("q22 minhash-LSH finds identical docs with exact jaccard 1.0") {
+    val d = docs((1L, base), (2L, base), (3L, "one two three four five six"))
+    val rows = Dedup.minhashLshPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows shouldBe Array((1L, 2L, 1.0))
+  }
+
+  test("q22 candidates are verified with TRUE jaccard (no false positives kept)") {
+    // same shingle inventory in both docs but tau high enough that only
+    // the exact pair survives verification
+    val d = docs((1L, base), (2L, base), (3L, base + " extra tail words here now"))
+    val rows = Dedup.minhashLshPairs(d, tau = 0.99).collect()
+    rows.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((1L, 2L))
+  }
+
+  test("q23 simhash: identical docs at hamming 0; disjoint docs never pair") {
+    val d = docs((1L, base), (2L, base), (3L, "one two three four five six"))
+    val rows = Dedup.simhashPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    rows shouldBe Array((1L, 2L, 0))
+  }
+
+  test("q23 fingerprint is 64 '0'/'1' chars") {
+    val fp = docs((1L, base))
+      .select(Dedup.simhashFingerprint(64).as("fp")).collect().head.getString(0)
+    fp.length shouldBe 64
+    fp.forall(c => c == '0' || c == '1') shouldBe true
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.Ingest
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.types.StringType
+
+/** NDJSON→Parquet round trip — the reference's core Glue job shape
+  * (read file list, stamp lineage, cast-to-string armor, size-targeted
+  * parquet write). */
+class IngestSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def writeNdjson(dir: String, name: String, lines: Seq[String]): String = {
+    val p = Paths.get(dir, name)
+    Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("readNdjson stamps lineage columns and keeps all records") {
+    val dir = tmpDir("graft_ndjson")
+    val f1 = writeNdjson(dir, "a.ndjson", Seq(
+      """{"id": 1, "size": 100}""", """{"id": 2, "size": 200}"""))
+    val f2 = writeNdjson(dir, "b.ndjson", Seq("""{"id": 3, "size": 300}"""))
+    val df = Ingest.readNdjson(spark, Seq(f1, f2))
+    df.count() shouldBe 3
+    df.columns should contain allOf ("_source_file", "_processing_timestamp")
+    val sources = df.select("_source_file").distinct().collect().map(_.getString(0))
+    sources.length shouldBe 2
+    sources.foreach(s => s should (include ("a.ndjson") or include ("b.ndjson")))
+  }
+
+  test("castAllToString makes every column a string (schema-drift armor)") {
+    val dir = tmpDir("graft_cast")
+    val f = writeNdjson(dir, "c.ndjson", Seq("""{"id": 7, "w": 1.5, "tag": "x"}"""))
+    val df = Ingest.castAllToString(Ingest.readNdjson(spark, Seq(f)))
+    df.schema.fields.foreach(_.dataType shouldBe StringType)
+    val row = df.select("id", "w", "tag").collect().head
+    (row.getString(0), row.getString(1), row.getString(2)) shouldBe (("7", "1.5", "x"))
+  }
+
+  test("drifting schemas across files merge permissively (missing cols -> null)") {
+    val dir = tmpDir("graft_drift")
+    val f1 = writeNdjson(dir, "d1.ndjson", Seq("""{"id": 1, "old_col": "a"}"""))
+    val f2 = writeNdjson(dir, "d2.ndjson", Seq("""{"id": 2, "new_col": "b"}"""))
+    val df = Ingest.readNdjson(spark, Seq(f1, f2))
+    df.columns should contain allOf ("id", "old_col", "new_col")
+    df.where("old_col IS NULL").count() shouldBe 1
+    df.where("new_col IS NULL").count() shouldBe 1
+  }
+
+  test("writeParquet honors the size-targeted partition count") {
+    val out = tmpDir("graft_out") + "/sized"
+    val df = spark.range(1000).toDF("id")
+    Ingest.writeParquet(df, out, targetPartitions = 3, mode = SaveMode.Overwrite)
+    val parts = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    parts shouldBe 3
+    spark.read.parquet(out).count() shouldBe 1000
+  }
+
+  test("writeParquet partitionBy produces the date-partitioned layout") {
+    val out = tmpDir("graft_out") + "/bydate"
+    val df = spark.sql(
+      "SELECT id, CASE WHEN id < 5 THEN '2026-01-01' ELSE '2026-01-02' END AS day FROM range(10)")
+    Ingest.writeParquet(df, out, targetPartitions = 1,
+      partitionCol = Some("day"), mode = SaveMode.Overwrite)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    dirs shouldBe Array("day=2026-01-01", "day=2026-01-02")
+    spark.read.parquet(out).count() shouldBe 10
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.{Analytics, Dedup, Etl, Relational, Similarity}
+
+/** Plan-shape assertions: the properties that make each operator
+  * scale-safe (broadcasts present, pushdown reaching the scan, top-k
+  * instead of global sort, bucketed joins instead of cross products)
+  * are pinned here so a refactor can't silently regress them. */
+class PlanSpec extends SparkSpec {
+
+  test("q14 star join broadcasts every dim — no sort-merge join") {
+    val t = tables
+    val plan = planOf(Relational.regionRevenue(t.lineitem, t.supplier, t.nation, t.region))
+    plan.split("BroadcastHashJoin").length - 1 should be >= 3
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q06 failure filter is pushed into the parquet scan and prunes columns") {
+    val plan = planOf(Analytics.failedEvents(tables.events))
+    plan should include regex "PushedFilters: \\[.*EqualTo\\(event_type,error\\)"
+    // projection pruning: the untouched props column never leaves the scan
+    plan should not include "props"
+  }
+
+  test("q11 peak top-k plans as TakeOrderedAndProject, not a global sort") {
+    planOf(Analytics.peakHours(tables.events)) should include ("TakeOrderedAndProject")
+  }
+
+  test("q01 normalize is a pure narrow projection — no shuffle, no sort") {
+    val plan = planOf(Etl.ingestNormalize(tables.events))
+    plan should not include "Exchange"
+    plan should not include "Sort"
+  }
+
+  test("q13 broadcasts the filtered customer dim") {
+    val t = tables
+    val plan = planOf(Relational.shippingPriority(t.customer, t.orders, t.lineitem))
+    plan should include ("BroadcastHashJoin")
+    plan should include ("TakeOrderedAndProject")
+  }
+
+  test("q22 minhash candidate join is bucket-keyed — never a cross product") {
+    val plan = planOf(Dedup.minhashLshPairs(tables.documents))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q23 simhash candidate join is bucket-keyed — never a cross product") {
+    val plan = planOf(Dedup.simhashPairs(tables.documents))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q26 ANN-LSH candidate join is bucket-keyed — never a cross product") {
+    val plan = planOf(Similarity.annLsh(tables.embeddings))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q25 exact ANN is the explicitly-chosen broadcast nested loop") {
+    // the one place an n·m compare is intended: queries are broadcast
+    planOf(Similarity.annBruteForce(tables.embeddings)) should include ("BroadcastNestedLoopJoin")
+  }
+}

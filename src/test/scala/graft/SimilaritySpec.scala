@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** q24–q26 semantics on constructed vectors with known cosines, plus
+  * LSH recall against the exact brute-force reference. */
+class SimilaritySpec extends SparkSpec {
+
+  /** 64-dim float vectors from (id, sparse spec). */
+  private def vecs(rows: (Long, Map[Int, Float])*): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, m) =>
+      (id, Array.tabulate(64)(i => m.getOrElse(i, 0.0f)))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("q24 exact pairs: identical vectors cos 1.0, orthogonal vectors excluded") {
+    val d = vecs(
+      (1L, Map(0 -> 1.0f, 1 -> 1.0f)),
+      (2L, Map(0 -> 2.0f, 1 -> 2.0f)),  // same direction as 1
+      (3L, Map(5 -> 3.0f)))             // orthogonal to both
+    val rows = Similarity.embeddingNearDups(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows shouldBe Array((1L, 2L, 1.0))
+  }
+
+  test("q25 brute-force ranks neighbors by cosine") {
+    val d = vecs(
+      (0L, Map(0 -> 1.0f)),                 // query
+      (10L, Map(0 -> 1.0f, 1 -> 0.1f)),     // nearest
+      (11L, Map(0 -> 1.0f, 1 -> 1.0f)),     // cos ~0.707
+      (12L, Map(1 -> 1.0f)))                // orthogonal
+    val rows = Similarity.annBruteForce(d, nQueries = 1, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    rows shouldBe Array((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
+  }
+
+  test("q26 LSH recall@5 vs brute force on the real test corpus") {
+    val e = tables.embeddings
+    def keyset(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keyset(Similarity.annBruteForce(e, nQueries = 10, k = 5))
+    val approx = keyset(Similarity.annLsh(e, nQueries = 10, k = 5))
+    val recall = (exact & approx).size.toDouble / exact.size
+    // defaults are tuned for >= ~0.9 on the driver-generated corpus;
+    // anything below signals a broken bucketing, not noise
+    recall should be >= 0.8
+  }
+
+  test("q26 identical vectors always share every bucket (recall 1 on dups)") {
+    val d = vecs(
+      (0L, Map(0 -> 1.0f, 3 -> 2.0f)),
+      (20L, Map(0 -> 1.0f, 3 -> 2.0f)),
+      (21L, Map(7 -> 1.0f)))
+    val rows = Similarity.annLsh(d, nQueries = 1, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows shouldBe Array((0L, 20L, 1.0))
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{BatcherState, FileEvent}
+import org.apache.spark.api.java.Optional
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, TestGroupState, Trigger}
+
+/** s01–s03 behavior: the stateful batcher's flush semantics (unit-level
+  * via TestGroupState — deterministic, including the timeout path the
+  * micro-batch harness can't trigger reliably) plus end-to-end
+  * micro-batch runs through MemoryStream, and streaming/batch parity
+  * for the windowed aggregation. */
+class StreamingSpec extends SparkSpec {
+
+  private def files(prefix: String, n: Int, sz: Long = 10): Iterator[FileEvent] =
+    (1 to n).map(i => FileEvent(prefix, i.toLong, sz)).iterator
+
+  private def freshState(st: Option[BatcherState] = None): TestGroupState[BatcherState] =
+    TestGroupState.create[BatcherState](
+      Optional.fromNullable(st.orNull),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long](), hasTimedOut = false)
+
+  test("batcher flushes every full manifest immediately, holds the partial") {
+    val state = freshState()
+    val out = Streams.step("p", files("p", 25), state, max = 10, timeoutMs = 1000).toSeq
+    out.map(_.batch_id) shouldBe Seq(0, 1)
+    out.map(_.n_files) shouldBe Seq(10L, 10L)
+    out.head.first_file shouldBe 1L
+    out.head.last_file shouldBe 10L
+    out.head.total_chars shouldBe 100L
+    state.get.pending.map(_._1) shouldBe (21L to 25L)
+    state.get.nextBatchId shouldBe 2
+  }
+
+  test("later micro-batches append after already-claimed files") {
+    val state = freshState()
+    Streams.step("p", files("p", 7), state, 10, 1000).toSeq shouldBe empty
+    // second batch: 8 more files — one manifest fills (7 held + 3 new)
+    val more = (8 to 15).map(i => FileEvent("p", i.toLong, 10)).iterator
+    val out = Streams.step("p", more, state, 10, 1000).toSeq
+    out.map(_.batch_id) shouldBe Seq(0)
+    out.head.first_file shouldBe 1L
+    out.head.last_file shouldBe 10L
+    state.get.pending.map(_._1) shouldBe (11L to 15L)
+  }
+
+  test("timeout flushes the orphaned partial batch and clears state") {
+    val pending = BatcherState(Seq((1L, 5L), (2L, 7L)), nextBatchId = 3)
+    val state = TestGroupState.create[BatcherState](
+      Optional.of(pending), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long](), hasTimedOut = true)
+    val out = Streams.step("p", Iterator.empty, state, 10, 1000).toSeq
+    out.map(m => (m.batch_id, m.n_files, m.total_chars)) shouldBe Seq((3, 2L, 12L))
+    state.isRemoved shouldBe true
+  }
+
+  test("batcher end-to-end through the micro-batch engine (MemoryStream)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[FileEvent]
+    in.addData((1 to 12).map(i => FileEvent("d1", i.toLong, 100)))
+    in.addData((1 to 4).map(i => FileEvent("d2", i.toLong, 50)))
+    val q = Streams.manifestBatcher(in.toDS(), maxPerManifest = 10, partialTimeoutMs = 0).toDF
+      .writeStream.format("memory").queryName("batcher_e2e")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("batcher_e2e")
+      .select("lang", "batch_id", "n_files").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // d1: one full manifest; d1's 2 leftovers + d2's 4 hold for timeout
+    rows.toSet shouldBe Set(("d1", 0, 10L))
+  }
+
+  test("s02 streaming hourly window equals the batch aggregation") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ts = (0 until 120).map(i =>
+      (java.sql.Timestamp.valueOf(f"2026-01-01 ${i / 60}%02d:${i % 60}%02d:00"), i.toDouble))
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    in.addData(ts)
+    val stream = Streams.hourlyWindow(in.toDF().toDF("ts", "value"))
+    val q = stream.writeStream.format("memory").queryName("s02_parity")
+      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("s02_parity")
+      .select("hour", "n_events", "volume").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).toSet
+    val batch = ts.toDF("ts", "value")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"), Exact.sumD(col("value")).as("volume"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).toSet
+    streamed shouldBe batch
+    streamed.size shouldBe 2
+  }
+}
