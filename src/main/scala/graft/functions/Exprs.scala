@@ -1,0 +1,314 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compact native Catalyst expressions for the dedup/similarity hot
+  * paths (SURVEY.md §2, q21–q26).
+  *
+  * Why these exist: the same semantics are expressible with
+  * `functions._` alone, but only as enormous expression trees — a
+  * 64-term `element_at` chain per dot product, a 64-wide
+  * `aggregate(zip_with(...))` per SimHash, 4096 multiply terms per LSH
+  * signature row. Those trees either blow janino's 64 KB method limit
+  * (whole-stage codegen fails and the stage silently falls back to
+  * interpreted mode) or run as CodegenFallback higher-order functions
+  * with per-row array allocation. On the candidate-pair joins that is
+  * the difference between a fused loop and an allocation storm —
+  * round-3 bench spent 173 s of 205 s in these five queries.
+  *
+  * Each expression here generates (or evaluates) a small fixed loop
+  * instead, and reproduces the reference semantics bit-for-bit:
+  * md5-only hashing, left-to-right float summation (matching the
+  * DuckDB oracles' explicit `v[1]*w[1] + v[2]*w[2] + …` chains), and
+  * DuckDB `list_distinct` null handling (nulls removed).
+  */
+object Exprs {
+
+  /** Exact dot product of two array<double> columns — codegen'd loop,
+    * left-to-right accumulation (bit-identical to an explicit
+    * `a[1]*b[1] + a[2]*b[2] + …` chain in Spark or DuckDB). */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Distinct word n-gram (shingle) set of a token array. Replicates
+    * the DuckDB oracle pipeline `list_distinct(list_transform(
+    * range(1, greatest(len-(n-1), 1) + 1), i -> toks[i] || ' ' || …))`:
+    * 1-based positions 1 .. max(len-(n-1), 1); a position whose window
+    * runs past the end yields NULL in DuckDB, and `list_distinct`
+    * removes NULLs — so short docs (<n tokens) produce an EMPTY set
+    * here (not an error; fixes the round-3 ADVICE ANSI element_at
+    * crash). First-occurrence order, like Spark's array_distinct. */
+  case class Shingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_shingles"
+
+    override def nullSafeEval(in: Any): Any = {
+      val toks = in.asInstanceOf[ArrayData]
+      val len = toks.numElements()
+      val m = math.max(len - (n - 1), 1)
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var i = 0
+      while (i < m) {
+        if (i + n <= len) {
+          val parts = new Array[UTF8String](2 * n - 1)
+          var j = 0
+          while (j < n) {
+            if (j > 0) parts(2 * j - 1) = Shingles.Space
+            parts(2 * j) = toks.getUTF8String(i + j)
+            j += 1
+          }
+          seen.add(UTF8String.concat(parts: _*))
+        }
+        i += 1
+      }
+      val out = new Array[AnyRef](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object Shingles { private val Space = UTF8String.fromString(" ") }
+
+  /** k salted MinHashes of a shingle set: element i = minₛ md5("i|" ++ s)
+    * as a lowercase hex string (lexicographic min over hex ==
+    * lexicographic min over VARCHAR in DuckDB). Empty input → array of
+    * k NULLs, matching `list_min([]) = NULL`. One MessageDigest pass
+    * per (salt, shingle) — identical digests to Spark's/DuckDB's `md5`,
+    * computed in a tight loop instead of k separate HOF trees. */
+  case class MinHashSig(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = true)
+    override def prettyName: String = "graft_minhash"
+
+    @transient private lazy val md = MessageDigest.getInstance("MD5")
+    @transient private lazy val salts: Array[Array[Byte]] =
+      Array.tabulate(k)(i => s"$i|".getBytes("UTF-8"))
+
+    override def nullSafeEval(in: Any): Any = {
+      val sh = in.asInstanceOf[ArrayData]
+      val nSh = sh.numElements()
+      val mins = new Array[String](k)
+      var s = 0
+      while (s < nSh) {
+        val bytes = sh.getUTF8String(s).getBytes
+        var i = 0
+        while (i < k) {
+          md.reset()
+          md.update(salts(i))
+          md.update(bytes)
+          val hex = Exprs.toHex(md.digest())
+          if (mins(i) == null || hex.compareTo(mins(i)) < 0) mins(i) = hex
+          i += 1
+        }
+        s += 1
+      }
+      new GenericArrayData(mins.map(m =>
+        if (m == null) null else UTF8String.fromString(m): AnyRef))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** 64-bit SimHash of a token array as a '0'/'1' string. Per token
+    * occurrence: bit i of md5(token) (MSB-first over the 16 digest
+    * bytes — identical to "bit (3 - i%4) of hex digit i/4") contributes
+    * +1/-1 to accumulator i; output bit = sign (s >= 0 → '1'). Integer
+    * accumulation → order-independent → bit-exact oracle parity. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_simhash"
+
+    @transient private lazy val md = MessageDigest.getInstance("MD5")
+
+    override def nullSafeEval(in: Any): Any = {
+      val toks = in.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val acc = new Array[Int](64)
+      var t = 0
+      while (t < n) {
+        md.reset()
+        val digest = md.digest(toks.getUTF8String(t).getBytes)
+        var i = 0
+        while (i < 64) {
+          val bit = (digest(i >> 3) >> (7 - (i & 7))) & 1
+          acc(i) += (bit << 1) - 1
+          i += 1
+        }
+        t += 1
+      }
+      val out = new Array[Byte](64)
+      var i = 0
+      while (i < 64) {
+        out(i) = if (acc(i) >= 0) '1' else '0'
+        i += 1
+      }
+      UTF8String.fromBytes(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Hamming distance between two equal-length ASCII bitstrings —
+    * codegen'd byte loop (the strings are '0'/'1' so bytes == chars). */
+  case class HammingDist(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_hamming"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[UTF8String]
+      val y = b.asInstanceOf[UTF8String]
+      val n = math.min(x.numBytes(), y.numBytes())
+      var c = 0
+      var i = 0
+      while (i < n) { if (x.getByte(i) != y.getByte(i)) c += 1; i += 1 }
+      c
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val c = ctx.freshName("c")
+        s"""
+           |int $n = java.lang.Math.min($a.numBytes(), $b.numBytes());
+           |int $c = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.getByte($i) != $b.getByte($i)) $c++;
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Sign-random-projection LSH bucket keys for one vector: for each
+    * table t, "t|" ++ one '0'/'1' char per plane, bit = (v · w ≥ 0)
+    * with the dot accumulated left-to-right (bit-identical to the
+    * oracle's explicit chain). `planes` is the deterministic ±1 matrix
+    * (row t*bits+p) — see Similarity.planeSigns. */
+  case class LshBuckets(child: Expression, planes: Array[Array[Double]],
+                        tables: Int, bits: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_lsh_buckets"
+
+    override def nullSafeEval(in: Any): Any = {
+      val v = in.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      val vals = new Array[Double](dim)
+      var d = 0
+      while (d < dim) { vals(d) = v.getDouble(d); d += 1 }
+      val out = new Array[AnyRef](tables)
+      var t = 0
+      while (t < tables) {
+        val sb = new java.lang.StringBuilder(bits + 4)
+        sb.append(t).append('|')
+        var p = 0
+        while (p < bits) {
+          val w = planes(t * bits + p)
+          val n = math.min(dim, w.length)
+          var s = 0.0
+          var i = 0
+          while (i < n) { s += vals(i) * w(i); i += 1 }
+          sb.append(if (s >= 0) '1' else '0')
+          p += 1
+        }
+        out(t) = UTF8String.fromString(sb.toString)
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  private[functions] def toHex(bytes: Array[Byte]): String = {
+    val hexChars = "0123456789abcdef"
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = hexChars((bytes(i) >> 4) & 0xF)
+      out(2 * i + 1) = hexChars(bytes(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
+  // ----- Column-level wrappers ----------------------------------------
+
+  def dot(a: Column, b: Column): Column =
+    GraftShim.column(DotProduct(
+      GraftShim.expression(a), GraftShim.expression(b)))
+
+  def shingles(tokens: Column, n: Int): Column =
+    GraftShim.column(Shingles(GraftShim.expression(tokens), n))
+
+  def minhashSig(shingles: Column, k: Int): Column =
+    GraftShim.column(MinHashSig(GraftShim.expression(shingles), k))
+
+  def simhash64(tokens: Column): Column =
+    GraftShim.column(SimHash64(GraftShim.expression(tokens)))
+
+  def hammingDist(a: Column, b: Column): Column =
+    GraftShim.column(HammingDist(
+      GraftShim.expression(a), GraftShim.expression(b)))
+
+  def lshBuckets(v: Column, planes: Array[Array[Double]],
+                 tables: Int, bits: Int): Column =
+    GraftShim.column(LshBuckets(
+      GraftShim.expression(v), planes, tables, bits))
+}

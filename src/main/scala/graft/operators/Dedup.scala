@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Exprs
+
 /** Near-duplicate detection for LLM training-data pipelines
   * (SURVEY.md §2, q21–q23). Three independent mechanisms over the
   * `documents` table, all bucketed — no all-pairs self-join anywhere:
@@ -17,20 +19,20 @@ import org.apache.spark.sql.functions._
   * in Spark and DuckDB), min-hashes are lexicographic minima of hex
   * strings, and Jaccard/Hamming are integer-derived, so every output
   * value is bit-identical across engines (SURVEY.md §6).
+  *
+  * The per-document kernels (shingling, k-minhash, simhash) are native
+  * Catalyst expressions ([[graft.functions.Exprs]]) — tight loops over
+  * one scan instead of interpreted higher-order-function trees; see
+  * Exprs' scaladoc for the round-3 bench numbers that motivated them.
+  * Short documents (< n tokens) yield an empty shingle set (DuckDB
+  * `list_distinct` semantics) rather than tripping ANSI element_at.
   */
 object Dedup {
 
-  /** Distinct word n-gram (shingle) set of `text`. Mirrors the oracle's
-    * `list_distinct(list_transform(range(...), i -> toks[i] || ' ' ||
-    * ...))` exactly: 1-based positions i = 1 .. len-n+1. */
-  private[operators] def shingleSet(n: Int = 3): Column = {
-    val toks = split(col("text"), " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat((0 until n).flatMap(j =>
-        if (j == 0) Seq(element_at(toks, i))
-        else Seq(lit(" "), element_at(toks, i + j))): _*)))
-  }
+  /** Distinct word n-gram (shingle) set of `text` — see
+    * [[graft.functions.Exprs.Shingles]] for the exact semantics. */
+  private[operators] def shingleSet(n: Int = 3): Column =
+    Exprs.shingles(split(col("text"), " "), n)
 
   /** Shared: identical-formula Jaccard so Spark and DuckDB divide the
     * same integers — bit-identical doubles. */
@@ -39,28 +41,28 @@ object Dedup {
 
   /** q21: exact shingle-Jaccard near-dup pairs via inverted index.
     *
-    * Plan shape: explode shingles → self-equi-join on the shingle →
-    * count per pair → join per-doc set sizes. Shuffles are keyed by
-    * shingle then by doc pair — never an unbucketed cross join. At
-    * 100 TB the one skew hazard is a ubiquitous shingle (df ~ corpus
-    * size); production runs cap document frequency (drop shingles with
-    * df > ~10⁴ — they carry no near-dup signal), which bounds the join
-    * fan-out to df²·#shingles. The cap is a no-op at test SF so the
-    * declared query keeps the pure-exact semantics the oracle checks.
+    * Plan shape: explode shingles (carrying each doc's set size, so no
+    * extra per-doc join later) → self-equi-join on the shingle → count
+    * per pair. Shuffles are keyed by shingle then by doc pair — never
+    * an unbucketed cross join. At 100 TB the one skew hazard is a
+    * ubiquitous shingle (df ~ corpus size); production runs cap
+    * document frequency (drop shingles with df > ~10⁴ — they carry no
+    * near-dup signal), which bounds the join fan-out to df²·#shingles.
+    * The cap is a no-op at test SF so the declared query keeps the
+    * pure-exact semantics the oracle checks.
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3,
                         tau: Double = 0.5): DataFrame = {
-    val docs  = documents.select(col("doc_id"), shingleSet(n).as("sh"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val idx   = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val pairs = idx.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(idx.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+    val docs = documents.select(col("doc_id"), shingleSet(n).as("sh"))
+    val idx  = docs.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val pairs = idx.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shingle"))
+      .join(idx.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shingle")),
+        Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("inter"), min("n_a").as("n_a"), min("n_b").as("n_b"))
     pairs
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("inter"), col("n_a"), col("n_b")).as("jaccard"))
       .filter(col("jaccard") >= tau)
@@ -86,14 +88,11 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val docs = documents.select(col("doc_id"), shingleSet(n).as("sh"))
-    val mh = (0 until numHashes).map { i =>
-      array_min(transform(col("sh"),
-        s => md5(concat(lit(s"$i|"), s).cast("binary")))).as(s"mh$i")
-    }
-    val withMh = docs.select(col("doc_id") +: mh: _*)
+    val withMh = docs.select(col("doc_id"),
+      Exprs.minhashSig(col("sh"), numHashes).as("mhs"))
     val bandKeys = array((0 until bands).map { b =>
       md5(concat(lit(b.toString) +:
-        (0 until r).flatMap(j => Seq(lit("|"), col(s"mh${b * r + j}"))): _*)
+        (0 until r).flatMap(j => Seq(lit("|"), element_at(col("mhs"), b * r + j + 1))): _*)
         .cast("binary"))
     }: _*)
     val buckets = withMh.select(col("doc_id"), explode(bandKeys).as("bk"))
@@ -112,26 +111,12 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
-  /** 64-bit SimHash fingerprint of `text` as a '0'/'1' string.
-    *
-    * Per token: md5 → 64 bits; each bit contributes ±1 (occurrence-
-    * weighted) to its position's accumulator; fingerprint bit = sign.
-    * One `aggregate` pass over the token list with a 64-wide int
-    * accumulator — O(tokens · 64) per document, single scan, no shuffle.
-    */
-  private[operators] def simhashFingerprint(width: Int = 64): Column = {
-    val hashes = transform(split(col("text"), " "), t => md5(t.cast("binary")))
-    // ±1 contributions of one md5 hex string, bit i = bit (3 - i%4) of
-    // hex digit i/4 (matching the oracle's strpos-based digit lookup).
-    def contributions(h: Column): Column = array((0 until width).map { i =>
-      ((shiftright(conv(substring(h, i / 4 + 1, 1), 16, 10).cast("int"),
-        3 - i % 4) % 2) * 2) - 1
-    }: _*)
-    val zero = typedLit(Array.fill(width)(0))
-    val sums = aggregate(hashes, zero,
-      (acc, h) => zip_with(acc, contributions(h), (a, b) => a + b))
-    array_join(transform(sums, s => when(s >= 0, "1").otherwise("0")), "")
-  }
+  /** 64-bit SimHash fingerprint of `text` as a '0'/'1' string — one
+    * native-expression pass over the token list
+    * ([[graft.functions.Exprs.SimHash64]]): O(tokens · 64) integer ops
+    * per document, single scan, no shuffle. */
+  private[operators] def simhashFingerprint(): Column =
+    Exprs.simhash64(split(col("text"), " "))
 
   /** q23: SimHash near-dup pairs — fingerprint, band into 4×16-bit
     * buckets, Hamming-filter candidates.
@@ -148,7 +133,7 @@ object Dedup {
                    bands: Int = 4): DataFrame = {
     val width = 64
     val bandWidth = width / bands
-    val fps = documents.select(col("doc_id"), simhashFingerprint(width).as("fp"))
+    val fps = documents.select(col("doc_id"), simhashFingerprint().as("fp"))
     val bandKeys = array((0 until bands).map(b =>
       concat(lit(s"$b|"), substring(col("fp"), b * bandWidth + 1, bandWidth))): _*)
     val buckets = fps.select(col("doc_id"), explode(bandKeys).as("bk"))
@@ -160,11 +145,9 @@ object Dedup {
     val withFps = cands
       .join(fps.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), Seq("doc_a"))
       .join(fps.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), Seq("doc_b"))
-    val hamming = (0 until width).map(i =>
-      when(substring(col("fp_a"), i + 1, 1) =!= substring(col("fp_b"), i + 1, 1), 1)
-        .otherwise(0)).reduce(_ + _)
     withFps
-      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+      .select(col("doc_a"), col("doc_b"),
+        Exprs.hammingDist(col("fp_a"), col("fp_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -4,35 +4,30 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Exprs
+
 /** Embedding similarity search for LLM training-data pipelines
   * (SURVEY.md §2, q24–q26) over the `embeddings` table
   * (64-dim float vectors).
   *
-  * Dot products are generated as explicit per-dimension expression
-  * chains (`v[1]*w[1] + v[2]*w[2] + …`) rather than
-  * `aggregate(zip_with(...))`: higher-order functions are
-  * CodegenFallback (interpreted, per-row array allocation), while the
-  * explicit chain stays inside WholeStageCodegen — at 12.5M candidate
-  * pairs that is the difference between a tight fused loop and an
-  * allocation storm. The chain also fixes the summation order
-  * (left-to-right, matching DuckDB's sequential list_dot_product), so
-  * raw cosines agree across engines to ~1 ulp and the 4-dp rounded
-  * outputs are identical.
+  * Dot products run through the native [[graft.functions.Exprs.DotProduct]]
+  * expression — a codegen'd fused loop that accumulates left-to-right,
+  * exactly like DuckDB's explicit `v[1]*w[1] + v[2]*w[2] + …` oracle
+  * chains, so raw cosines agree across engines to the last bit and the
+  * 4-dp rounded outputs are identical. (The previous 64-term
+  * `element_at` chains computed the same value but overflowed janino's
+  * 64 KB method limit on the join stages, silently dropping the whole
+  * stage to interpreted mode — q24 alone cost 85 s at sf0.1; see
+  * Exprs' scaladoc.)
   */
 object Similarity {
 
-  private val Dim = 64
-
   private def vecD(c: Column): Column = c.cast("array<double>")
 
-  /** Explicit codegen'd dot product of two array<double> columns. */
-  private[operators] def dot(a: Column, b: Column, dim: Int = Dim): Column =
-    (0 until dim).map(i => element_at(a, i + 1) * element_at(b, i + 1))
-      .reduce(_ + _)
+  /** Codegen'd exact dot product (left-to-right accumulation). */
+  private[operators] def dot(a: Column, b: Column): Column = Exprs.dot(a, b)
 
-  private def norm(v: Column, dim: Int = Dim): Column =
-    sqrt((0 until dim).map(i => element_at(v, i + 1) * element_at(v, i + 1))
-      .reduce(_ + _))
+  private def norm(v: Column): Column = sqrt(Exprs.dot(v, v))
 
   /** vec_id, v (double), nrm — shared scan shape. */
   private def prepared(embeddings: DataFrame): DataFrame =
@@ -78,7 +73,7 @@ object Similarity {
     * md5("h{t}_{p}_{d}"). Pure public construction (sign-random-
     * projection LSH, Charikar 2002) with md5 as the PRNG so the same
     * literal matrix can be embedded in the DuckDB oracle. */
-  private[graft] def planeSigns(tables: Int, bits: Int, dim: Int = Dim): Array[Array[Double]] = {
+  private[graft] def planeSigns(tables: Int, bits: Int, dim: Int = 64): Array[Array[Double]] = {
     val mdf = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(tables * bits) { tp =>
       val t = tp / bits; val p = tp % bits
@@ -95,8 +90,9 @@ object Similarity {
     * "t|b₀b₁…"; query candidates = union over tables of same-bucket
     * vectors; exact cosine + top-k only within candidates.
     *
-    * Scale: signature computation is one narrow codegen'd pass
-    * (tables·bits·dim multiplies per row); the candidate join is keyed
+    * Scale: signature computation is one narrow native-expression pass
+    * (tables·bits·dim multiply-adds per row,
+    * [[graft.functions.Exprs.LshBuckets]]); the candidate join is keyed
     * on the bucket string — cost Σ bucket², never n². Collision
     * probability per bit is 1 - θ/π, so `bits` tunes bucket granularity
     * (≈ log₂(n / target-bucket-size)) and `tables` recall; the defaults
@@ -107,14 +103,8 @@ object Similarity {
              nQueries: Int = 10, k: Int = 5): DataFrame = {
     val signs = planeSigns(tables, bits)
     val e = embeddings.select(col("vec_id"), vecD(col("embedding")).as("v"))
-    def sig(t: Int): Column = concat((0 until bits).map { p =>
-      val w = signs(t * bits + p)
-      val d = (0 until Dim).map(i => element_at(col("v"), i + 1) * lit(w(i)))
-        .reduce(_ + _)
-      when(d >= 0, lit("1")).otherwise(lit("0"))
-    }: _*)
-    val bucketArr = array((0 until tables).map(t => concat(lit(s"$t|"), sig(t))): _*)
-    val buckets = e.select(col("vec_id"), explode(bucketArr).as("bk"))
+    val buckets = e.select(col("vec_id"),
+      explode(Exprs.lshBuckets(col("v"), signs, tables, bits)).as("bk"))
     val qb = buckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("bk"))
     val cands = qb

@@ -21,6 +21,23 @@ class DedupSpec extends SparkSpec {
     df.collect().head.getInt(0) shouldBe 3 // "a b c","b c d","c d e"
   }
 
+  test("shingleSet: short docs (<n tokens) yield an EMPTY set, not an ANSI error") {
+    // DuckDB list_distinct drops the NULL produced by the out-of-range
+    // window — the Spark side must match (round-3 ADVICE: ANSI
+    // element_at crashed here before Exprs.Shingles).
+    val ns = docs((1L, "solo"), (2L, "two words"), (3L, ""))
+      .select(F.size(Dedup.shingleSet(3)).as("n")).collect().map(_.getInt(0))
+    ns shouldBe Array(0, 0, 0)
+  }
+
+  test("q21/q22 tolerate short docs in the corpus (no pairs, no crash)") {
+    val d = docs((1L, base), (2L, base), (3L, "solo"), (4L, ""))
+    Dedup.ngramJaccardPairs(d).collect().map(r => (r.getLong(0), r.getLong(1))) shouldBe
+      Array((1L, 2L))
+    Dedup.minhashLshPairs(d).collect().map(r => (r.getLong(0), r.getLong(1))) shouldBe
+      Array((1L, 2L))
+  }
+
   test("q21 ngram-Jaccard: identical docs score 1.0; disjoint docs never pair") {
     val d = docs((1L, base), (2L, base), (3L, "one two three four five six"))
     val rows = Dedup.ngramJaccardPairs(d).collect()
@@ -60,7 +77,7 @@ class DedupSpec extends SparkSpec {
 
   test("q23 fingerprint is 64 '0'/'1' chars") {
     val fp = docs((1L, base))
-      .select(Dedup.simhashFingerprint(64).as("fp")).collect().head.getString(0)
+      .select(Dedup.simhashFingerprint().as("fp")).collect().head.getString(0)
     fp.length shouldBe 64
     fp.forall(c => c == '0' || c == '1') shouldBe true
   }
