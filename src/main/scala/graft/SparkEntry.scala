@@ -31,6 +31,9 @@ object SparkEntry {
     "q11_peak_topk"          -> ((s, d) => Analytics.peakHours(Tables(s, d).events)),
     "q18_output_sizing"      -> ((s, d) => Analytics.outputSizing(Tables(s, d).events)),
     "q19_schema_drift"       -> ((s, d) => Etl.schemaDriftUnion(Tables(s, d).events)),
+    "q31_status_latest"      -> ((s, d) => Etl.statusLatest(Tables(s, d).events)),
+    "q32_velocity_projection"-> ((s, d) => Analytics.velocityProjection(Tables(s, d).events)),
+    "q33_extension_validate" -> ((s, d) => Etl.validateWithExtension(Tables(s, d).documents)),
     // Analytical engine
     "q12_pricing_summary"    -> ((s, d) => Relational.pricingSummary(Tables(s, d).lineitem)),
     "q13_join_agg"           -> ((s, d) => { val t = Tables(s, d)
@@ -171,6 +174,45 @@ object SparkEntry {
         |      UNION ALL
         |      SELECT event_id, CAST(NULL AS VARCHAR), value, user_id
         |      FROM events WHERE event_id >= 5000) t""".stripMargin,
+    // q31: latest-update-wins status resolution; (ts, event_id) unique
+    // per user so the window pick is deterministic.
+    "q31_status_latest" ->
+      """SELECT user_id, last_ts, last_status, n_updates FROM (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts, event_type AS last_status,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS n_updates
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // q32: rates as identical IEEE expressions on both engines —
+    // integer-microsecond span (epoch_us ≡ unix_micros), floor-rounding.
+    "q32_velocity_projection" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n_events,
+        |         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value,
+        |         epoch_us(MAX(CAST(ts AS TIMESTAMP))) - epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS span_us
+        |  FROM events)
+        |SELECT n_events, total_value,
+        |       FLOOR((span_us / 1000000.0) * 100.0 + 0.5) / 100.0 AS elapsed_sec,
+        |       FLOOR(n_events / (span_us / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS events_per_sec,
+        |       FLOOR(total_value / ((span_us / 1000000.0) / 3600.0) * 10000.0 + 0.5) / 10000.0 AS value_per_hour,
+        |       FLOOR(total_value / ((span_us / 1000000.0) / 3600.0) * 24.0 * 10000.0 + 0.5) / 10000.0 AS projected_value_per_day
+        |FROM a""".stripMargin,
+    // q33: extension check precedes the size band, as in the reference
+    // validator; extension is doc_id-derived (test tables carry no
+    // file names).
+    "q33_extension_validate" ->
+      """SELECT CASE WHEN reason = 'ok' THEN 'valid' ELSE 'quarantined' END AS status,
+        |       reason, ext, COUNT(*) AS n_files,
+        |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM (SELECT n_chars, ext,
+        |        CASE WHEN ext NOT IN ('ndjson','json') THEN 'invalid_extension'
+        |             WHEN n_chars < 150 THEN 'below_min_size'
+        |             WHEN n_chars > 450 THEN 'above_max_size'
+        |             ELSE 'ok' END AS reason
+        |      FROM (SELECT n_chars,
+        |              (['ndjson','json','csv','tmp'])[CAST(doc_id % 4 AS INTEGER) + 1] AS ext
+        |            FROM documents) i) t
+        |GROUP BY status, reason, ext ORDER BY status, reason, ext""".stripMargin,
     "q12_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,

@@ -96,6 +96,29 @@ object Analytics {
       .orderBy(col("n_events").desc, col("hour"))
       .limit(k)
 
+  /** q32: throughput projection — analyze_metrics.py:101-104 projects
+    * GB/hour and TB/day from the observed window (value plays bytes).
+    * Single global partial agg; the elapsed span is computed in integer
+    * microseconds (`unix_micros`, DuckDB `epoch_us`) so both engines
+    * divide identical operands and the floor-rounded rates are
+    * bit-identical (see Exact.dround). */
+  def velocityProjection(events: DataFrame): DataFrame = {
+    val agg = events.agg(
+      count(lit(1)).as("n_events"),
+      Exact.sumD(col("value")).as("total_value"),
+      unix_micros(min(col("ts"))).as("min_us"),
+      unix_micros(max(col("ts"))).as("max_us"))
+    val elapsedSec = (col("max_us") - col("min_us")) / 1000000.0
+    val perHour = col("total_value") / (elapsedSec / 3600.0)
+    agg.select(
+      col("n_events"),
+      col("total_value"),
+      Exact.dround(elapsedSec, 2).as("elapsed_sec"),
+      Exact.dround(col("n_events") / elapsedSec, 6).as("events_per_sec"),
+      Exact.dround(perHour, 4).as("value_per_hour"),
+      Exact.dround(perHour * 24.0, 4).as("projected_value_per_day"))
+  }
+
   /** q18: size-targeted output planning — glue_batch_job.py:186-191
     * computes output partition counts from record counts; here per day,
     * feeding ParquetSink.repartition. Unlike the reference this is a

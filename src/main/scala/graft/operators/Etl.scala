@@ -88,6 +88,56 @@ object Etl {
       .agg(count(lit(1)).as("n_files"))
       .orderBy("status", "shard")
 
+  /** q31: status-lifecycle resolution — the reference's
+    * `pending → processing → completed/failed` transitions
+    * (lambda_batch_status_updater.py) land as an update stream; the
+    * current status of each key is the value at its latest update.
+    * One `max(struct(ts, id, status))` partial aggregation — map-side
+    * combine keeps the shuffle at one row per key, where a window
+    * (`row_number … rn=1`) would shuffle every update. Deterministic:
+    * (ts, event_id) is unique per key. */
+  def statusLatest(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(
+        max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"),
+        count(lit(1)).as("n_updates"))
+      .select(
+        col("user_id"),
+        col("m.ts").as("last_ts"),
+        col("m.event_type").as("last_status"),
+        col("n_updates"))
+
+  /** q33: full validation routing with extension checking —
+    * lambda_manifest_builder.py validates extension BEFORE the size
+    * band (:549-550); the reason precedence here mirrors that. The
+    * test tables carry no file names, so the extension derives
+    * deterministically from doc_id (same device as m01's mime column);
+    * in production this is `regexp_extract(file_key, '\\.([^.]+)$')`. */
+  def validateWithExtension(documents: DataFrame,
+                            allowed: Seq[String] = Seq("ndjson", "json"),
+                            expected: Double = 300.0,
+                            tolerancePct: Double = 50.0): DataFrame = {
+    val lo = expected * (1 - tolerancePct / 100)
+    val hi = expected * (1 + tolerancePct / 100)
+    val ext = element_at(typedLit(Seq("ndjson", "json", "csv", "tmp")),
+      pmod(col("doc_id"), lit(4)).cast("int") + 1)
+    val extOk = ext.isin(allowed.map(s => s: Any): _*)
+    documents
+      .withColumn("ext", ext)
+      .withColumn("reason",
+        when(!extOk, "invalid_extension")
+          .when(col("n_chars") < lo, "below_min_size")
+          .when(col("n_chars") > hi, "above_max_size")
+          .otherwise("ok"))
+      .withColumn("status",
+        when(col("reason") === "ok", "valid").otherwise("quarantined"))
+      .groupBy("status", "reason", "ext")
+      .agg(count(lit(1)).as("n_files"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("status", "reason", "ext")
+  }
+
   /** q19: schema-drift union — heterogeneous NDJSON days land with
     * different column sets; `unionByName(allowMissingColumns)` aligns
     * them with nulls, the Spark-native version of the Glue read's

@@ -91,6 +91,16 @@ object Streams {
     * per-prefix ordinals in emission order — deterministic for a
     * deterministic input order, no distributed lock needed.
     *
+    * Batch-id determinism across micro-batches: ids are assigned in
+    * arrival order, sorting by fileKey only WITHIN each micro-batch.
+    * The s03 oracle (global ROW_NUMBER by doc_id) therefore matches
+    * exactly when the source delivers one micro-batch per key-ordered
+    * file — true for the single-file test tables under AvailableNow.
+    * A multi-file source with interleaved keys is still deterministic
+    * for a fixed file order but numbers batches differently from the
+    * global-sort oracle; compare manifests by `first_file` (content
+    * key) instead of `batch_id` (ordinal) in that setup.
+    *
     * `partialTimeoutMs <= 0` disables the orphan flush (NoTimeout):
     * partials hold in state indefinitely. This is also what makes the
     * query usable under Trigger.AvailableNow — with a processing-time
@@ -151,13 +161,23 @@ object Streams {
     * into a memory sink and return the materialized result — this is
     * how Verify/Bench execute s01–s03 through the REAL streaming
     * engine (micro-batch planner, state store, watermarks) rather than
-    * a batch rewrite. */
+    * a batch rewrite.
+    *
+    * The returned DataFrame is resolved against the sink BEFORE the
+    * temp view is dropped, so repeated invocations (Bench loops, test
+    * suites) don't accumulate catalog entries / sink references in
+    * driver memory for the session lifetime; the resolved plan keeps
+    * the one live reference until the caller is done with it. */
   def runToMemory(df: DataFrame, name: String,
                   mode: OutputMode = OutputMode.Append): DataFrame = {
     val qname = s"${name}_${runCounter.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(qname)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    df.sparkSession.table(qname)
+    q.stop() // idempotent after AvailableNow termination; frees query state
+    val spark = df.sparkSession
+    val out = spark.table(qname) // analysis binds the sink relation now
+    spark.catalog.dropTempView(qname)
+    out
   }
 }

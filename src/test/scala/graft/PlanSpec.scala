@@ -61,4 +61,17 @@ class PlanSpec extends SparkSpec {
     // the one place an n·m compare is intended: queries are broadcast
     planOf(Similarity.annBruteForce(tables.embeddings)) should include ("BroadcastNestedLoopJoin")
   }
+
+  test("q31 status resolution is a partial agg — one shuffle, no window sort") {
+    val plan = planOf(Etl.statusLatest(tables.events))
+    plan should not include "Window"
+    plan.split("Exchange").length - 1 shouldBe 1
+  }
+
+  test("q24/q25/q26 dot products are the compact native expression (no 64-term chains)") {
+    // the janino 64 KB regression guard: a graft_dot node in the plan
+    // means the fused-loop expression is in use, not an element_at chain
+    planOf(Similarity.embeddingNearDups(tables.embeddings)) should include ("graft_dot")
+    planOf(Similarity.annBruteForce(tables.embeddings)) should include ("graft_dot")
+  }
 }
