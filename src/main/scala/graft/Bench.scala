@@ -19,6 +19,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Warmup (untimed): first query execution otherwise pays JVM/JIT +
+    // codegen-compiler + parquet-footer costs that belong to the
+    // session, not the query — standard steady-state benchmarking. One
+    // tiny agg exercises codegen; one scan per table warms footers.
+    spark.range(1000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
+    try {
+      val t = Tables(spark, sfDir)
+      Seq(t.region, t.documents, t.embeddings, t.events, t.lineitem, t.orders)
+        .foreach(df => df.limit(1).write.mode("overwrite").format("noop").save())
+    } catch { case _: Throwable => () }
+
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{GraftShim, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.Exprs
+
+/** Registers graft's native expressions as SQL functions, so the same
+  * kernels the DataFrame operators use are reachable from `spark.sql`:
+  *
+  * {{{
+  * val spark = SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)  // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   .getOrCreate()
+  * spark.sql("SELECT graft_dot(a.v, b.v) FROM ...")
+  *
+  * GraftExtensions.register(spark)  // for an already-built session
+  * }}}
+  *
+  * | SQL | maps to |
+  * |---|---|
+  * | `graft_dot(a, b)`            | [[graft.functions.Exprs.DotProduct]] |
+  * | `graft_shingles(toks, n)`    | [[graft.functions.Exprs.Shingles]] |
+  * | `graft_minhash(shingles, k)` | [[graft.functions.Exprs.MinHashSig]] |
+  * | `graft_simhash(toks)`        | [[graft.functions.Exprs.SimHash64]] |
+  * | `graft_hamming(a, b)`        | [[graft.functions.Exprs.HammingDist]] |
+  *
+  * (LshBuckets is deliberately not SQL-exposed — its plane matrix is a
+  * constructor argument, not a column; use Similarity.annLsh.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[Exprs.type].getName, name, usage)
+
+  private[graft] val functions: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - exact dot product of two array<double>"),
+      (args: Seq[Expression]) => Exprs.DotProduct(args(0), args(1))),
+    (FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "graft_shingles(tokens, n) - distinct word n-gram shingles"),
+      (args: Seq[Expression]) =>
+        Exprs.Shingles(args(0), litInt(args(1), "shingle width n"))),
+    (FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(shingles, k) - k salted md5 min-hashes"),
+      (args: Seq[Expression]) =>
+        Exprs.MinHashSig(args(0), litInt(args(1), "signature size k"))),
+    (FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash as a '0'/'1' string"),
+      (args: Seq[Expression]) => Exprs.SimHash64(args(0))),
+    (FunctionIdentifier("graft_hamming"),
+      info("graft_hamming", "graft_hamming(a, b) - Hamming distance between bitstrings"),
+      (args: Seq[Expression]) => Exprs.HammingDist(args(0), args(1))))
+
+  /** Register into an already-built session (extensions normally apply
+    * only at build time). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, inf, builder) =>
+      GraftShim.registerFunction(spark, name, inf, builder)
+    }
+}

@@ -1,0 +1,49 @@
+package graft
+
+/** The SQL surface of the native expressions — registered via
+  * GraftExtensions (the SparkSessionExtensions route for new sessions,
+  * `register` for existing ones, both driving the same function list). */
+class ExtensionsSpec extends SparkSpec {
+
+  override def withFixture(test: NoArgTest) = {
+    GraftExtensions.register(spark)
+    super.withFixture(test)
+  }
+
+  test("graft_dot computes an exact dot product from SQL") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect().head.getDouble(0)
+    r shouldBe 32.0
+  }
+
+  test("graft_shingles / graft_minhash / graft_simhash compose in SQL") {
+    val row = spark.sql(
+      """SELECT graft_shingles(split('a b c d', ' '), 3) AS sh,
+        |       graft_minhash(graft_shingles(split('a b c d', ' '), 3), 4) AS mh,
+        |       graft_simhash(split('a b c d', ' ')) AS fp""".stripMargin)
+      .collect().head
+    row.getSeq[String](0) shouldBe Seq("a b c", "b c d")
+    row.getSeq[String](1).length shouldBe 4
+    row.getSeq[String](1).foreach(_ should fullyMatch regex "[0-9a-f]{32}")
+    row.getString(2) should fullyMatch regex "[01]{64}"
+  }
+
+  test("graft_hamming counts differing bit positions") {
+    spark.sql("SELECT graft_hamming('1100', '1010') AS h")
+      .collect().head.getInt(0) shouldBe 2
+  }
+
+  test("SQL graft_simhash agrees with the DataFrame-side operator") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT graft_simhash(split(text, ' ')) AS fp FROM ext_docs")
+      .collect().head.getString(0)
+    val viaDf = df.select(graft.functions.Exprs.simhash64(
+      org.apache.spark.sql.functions.split($"text", " ")).as("fp"))
+      .collect().head.getString(0)
+    viaSql shouldBe viaDf
+  }
+}
