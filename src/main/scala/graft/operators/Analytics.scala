@@ -44,12 +44,20 @@ object Analytics {
         count(lit(1)).as("n_runs"))
       .orderBy("event_date")
 
-  /** q08: correlation join — Athena.sql "End-to-end" shape: extract a
-    * key from a semi-structured payload, aggregate one side, equi-join
-    * back. The aggregated dimension is broadcast (bounded key space). */
+  /** q08: correlation join — Athena.sql "End-to-end" shape
+    * (Athena.sql:168-176): UNNEST a semi-structured payload, aggregate
+    * one side, equi-join back. The payload is parsed with `from_json`
+    * and exploded (a real Generate node, like the reference's
+    * `CROSS JOIN UNNEST(manifests)`), not regexp-scraped; the
+    * aggregated dimension is broadcast (bounded key space). The DuckDB
+    * oracle extracts the same key with a regexp to stay
+    * extension-free — values agree on any well-formed payload. */
   def correlationJoin(events: DataFrame): DataFrame = {
-    val withK = events.withColumn("k",
-      regexp_extract(col("props"), "[0-9]+", 0).cast("int"))
+    val kv = events.select(
+      col("event_id"), col("event_type"), col("user_id"),
+      explode(from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,int>"))))
+    val withK = kv.filter(col("key") === "k").withColumn("k", col("value"))
     val dim = withK.groupBy("k").agg(
       count(lit(1)).as("k_events"),
       countDistinct(col("user_id")).as("k_users"))

@@ -22,6 +22,12 @@ class PlanSpec extends SparkSpec {
     plan should not include "props"
   }
 
+  test("q08 unnest-joins through a real Generate (explode), Athena CROSS JOIN UNNEST shape") {
+    val plan = planOf(Analytics.correlationJoin(tables.events))
+    plan should include ("Generate")
+    plan should include ("BroadcastHashJoin")
+  }
+
   test("q11 peak top-k plans as TakeOrderedAndProject, not a global sort") {
     planOf(Analytics.peakHours(tables.events)) should include ("TakeOrderedAndProject")
   }
