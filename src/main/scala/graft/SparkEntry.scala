@@ -213,36 +213,36 @@ object SparkEntry {
         |              (['ndjson','json','csv','tmp'])[CAST(doc_id % 4 AS INTEGER) + 1] AS ext
         |            FROM documents) i) t
         |GROUP BY status, reason, ext ORDER BY status, reason, ext""".stripMargin,
+    // Fixed-point sums (Exact.sumFixed): each addend quantized with
+    // floor(x·10^dp + 0.5) — identical IEEE ops on both engines, every
+    // addend an integer-exact double, so sums are order-independent and
+    // bit-identical with no decimal conversion anywhere.
     "q12_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
-        |       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_disc_price,
-        |       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_charge,
+        |       SUM(FLOOR(l_quantity * 100.0 + 0.5)) / 100.0 AS sum_qty,
+        |       SUM(FLOOR(l_extendedprice * 100.0 + 0.5)) / 100.0 AS sum_base_price,
+        |       SUM(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5)) / 10000.0 AS sum_disc_price,
+        |       SUM(FLOOR(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 10000.0 + 0.5)) / 10000.0 AS sum_charge,
         |       ROUND(AVG(l_quantity), 4) AS avg_qty,
         |       ROUND(AVG(l_extendedprice), 4) AS avg_price,
         |       ROUND(AVG(l_discount), 4) AS avg_disc,
         |       COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    // top-10 selection orders by the UNROUNDED revenue (mirroring the
-    // Spark plan, which rounds only in the final projection) so both
-    // engines pick the same rows when two revenues round equal.
     "q13_join_agg" ->
-      """SELECT l_orderkey, o_orderdate, ROUND(revenue, 4) AS revenue FROM (
-        |  SELECT l.l_orderkey AS l_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
-        |         CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
-        |  FROM lineitem l
-        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |  JOIN customer c ON o.o_custkey = c.c_custkey
-        |  WHERE c.c_mktsegment = 'BUILDING'
-        |    AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-        |    AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-        |  GROUP BY l.l_orderkey, o.o_orderdate
-        |  ORDER BY revenue DESC, l_orderkey LIMIT 10) t""".stripMargin,
+      """SELECT l.l_orderkey AS l_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+        |       SUM(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0 + 0.5)) / 10000.0 AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l.l_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q14_broadcast_dims" ->
       """SELECT r_name, n_name,
-        |       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue,
+        |       SUM(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5)) / 10000.0 AS revenue,
         |       COUNT(*) AS n_items
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
