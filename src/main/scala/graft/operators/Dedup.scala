@@ -54,8 +54,13 @@ object Dedup {
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3,
                         tau: Double = 0.5): DataFrame = {
     val docs = documents.select(col("doc_id"), shingleSet(n).as("sh"))
+    // join on the 16-byte digest, not the shingle text: same equality
+    // (md5 collisions are negligible at any corpus size), roughly half
+    // the shuffle bytes for word 3-grams
     val idx  = docs.select(col("doc_id"), size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("shingle"))
+        explode(col("sh")).as("shingle_txt"))
+      .select(col("doc_id"), col("n_sh"),
+        md5(col("shingle_txt").cast("binary")).as("shingle"))
     val pairs = idx.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shingle"))
       .join(idx.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shingle")),
         Seq("shingle"))
