@@ -73,9 +73,10 @@ object SparkEntry {
       Streams.runToMemory(
         Streams.manifestBatcher(files, partialTimeoutMs = 0).toDF, "s03_stream_batcher")
     }),
-    // Multimodal plumbing — m01 is fully oracle-checked (struct fields +
-    // payload md5 parity); m02's decode stub is rows-only here and
-    // behavior-verified in MultimodalSpec.
+    // Multimodal plumbing — both fully oracle-checked: m01 via struct
+    // fields + payload md5 parity, m02 by recomputing the deterministic
+    // stub decode from the same bytes in SQL; partition/batch behavior
+    // is additionally verified in MultimodalSpec.
     "m01_binary_meta"        -> ((s, d) => Multimodal.binaryMetaSummary(Tables(s, d).documents)),
     "m02_decode_stub"        -> ((s, d) => Multimodal.decodeSummary(Tables(s, d).documents)),
     "q27_lang_id"            -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
@@ -360,6 +361,24 @@ object SparkEntry {
         |       CAST(strlen(text) AS INTEGER) AS n_bytes,
         |       md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // m02: the stub decode is a pure function of the payload bytes —
+    // recompute it from ord() over the same ASCII text (bytes ≡
+    // codepoints; m01's md5 parity already pins the byte identity).
+    // Bucket b of the byte histogram = count(ord // 32 = b) / len.
+    "m02_decode_stub" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |              ELSE 'video/mp4' END AS mime,
+        |         list_transform(range(1, strlen(text) + 1), i -> ord(substr(text, i, 1))) AS bs
+        |  FROM documents)
+        |SELECT doc_id, mime,
+        |       CAST(len(bs) AS INTEGER) AS n_bytes,
+        |       CAST(list_sum(bs[1:16]) AS INTEGER) AS header_sum,
+        |       FLOOR(len(list_filter(bs, x -> x // 32 = 0)) / CAST(len(bs) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS f0,
+        |       FLOOR(len(list_filter(bs, x -> x // 32 = 3)) / CAST(len(bs) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS f3
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q21_dedup_ngram"     -> ngramOracle,
     "q22_dedup_minhash"   -> minhashOracle,
     "q23_dedup_simhash"   -> simhashOracle,

@@ -82,8 +82,12 @@ object Multimodal {
     }
   }
 
-  /** m02 as a flat verification frame (rows-only driver check; the
-    * ScalaTest spec asserts shape/determinism/partition behavior). */
+  /** m02 as a flat verification frame. The stub decode is a pure
+    * function of the payload bytes, so it IS oracle-checkable: the
+    * DuckDB side recomputes the header checksum and histogram buckets
+    * from `ord()` over the same (ASCII) text. Ratios go through
+    * Exact.dround — they are small-denominator rationals, the exact
+    * case where engine round() implementations disagree. */
   def decodeSummary(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
     val media = binaryWithMeta(documents)
@@ -91,7 +95,7 @@ object Multimodal {
       .as[MediaRow]
     decodeStub(media).toDF()
       .select(col("doc_id"), col("mime"), col("n_bytes"), col("header_sum"),
-        round(element_at(col("features"), 1), 4).as("f0"),
-        round(element_at(col("features"), 4), 4).as("f3"))
+        graft.Exact.dround(element_at(col("features"), 1)).as("f0"),
+        graft.Exact.dround(element_at(col("features"), 4)).as("f3"))
   }
 }
