@@ -62,14 +62,31 @@ object Etl {
     * (lang plays date_prefix), ordered, chunked into batches of
     * `maxPerManifest` (reference default 10). Pure window function: no
     * DynamoDB claim/lock needed because the assignment is a
-    * deterministic function of the input set. One shuffle, partitioned
-    * by prefix; a hot prefix is split by AQE or an optional salt. */
-  def manifestBatches(documents: DataFrame, maxPerManifest: Int = 10): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
+    * deterministic function of the input set.
+    *
+    * One shuffle, partitioned by prefix. A hot prefix (one date
+    * holding most of the corpus — the reference's normal case at 338K
+    * files/day) serializes its window on one task; `salt > 1` splits
+    * each prefix into `salt` deterministic shards (`doc_id % salt`)
+    * batched independently, with disjoint batch-id ranges
+    * (`shard-local id · salt + shard`). Batches remain deterministic
+    * and ≤ maxPerManifest, but differ from the unsalted numbering —
+    * the declared q03/oracle semantics keep salt = 1; up to salt-1
+    * extra partial batches per prefix can result. */
+  def manifestBatches(documents: DataFrame, maxPerManifest: Int = 10,
+                      salt: Int = 1): DataFrame = {
+    val (partCols, shard) =
+      if (salt <= 1) (Seq(col("lang")), lit(0))
+      else {
+        val s = pmod(col("doc_id"), lit(salt)).cast("int")
+        (Seq(col("lang"), s), s)
+      }
+    val w = Window.partitionBy(partCols: _*).orderBy("doc_id")
     documents
       .withColumn("rn", row_number().over(w))
       .withColumn("batch_id",
-        floor((col("rn") - 1) / maxPerManifest.toDouble).cast("int"))
+        (floor((col("rn") - 1) / maxPerManifest.toDouble).cast("int") * salt
+          + shard).cast("int"))
       .groupBy("lang", "batch_id")
       .agg(
         count(lit(1)).as("n_files"),

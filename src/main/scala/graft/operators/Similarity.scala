@@ -84,6 +84,14 @@ object Similarity {
     }
   }
 
+  /** Bucket-granularity sizing for [[annLsh]]: `bits` such that the
+    * expected bucket size n/2^bits lands near `targetBucket` — the
+    * "grow bits with log n" rule as code. At n=2k/target=128 → 4 bits
+    * (the test default); at n=10⁹ → 23 bits. Recall lost to narrower
+    * buckets is bought back with more `tables`. */
+  def suggestBits(n: Long, targetBucket: Int = 128): Int =
+    math.max(1, math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
+
   /** q26: LSH-bucketed approximate nearest neighbors — the 100 TB
     * similarity path. `tables` independent hash tables of `bits`
     * sign-random-projection bits each; a vector's bucket in table t is

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.{functions => F}
+
+/** Batching semantics, including the skew-salt variant (SURVEY §5). */
+class EtlSpec extends SparkSpec {
+
+  private def docs(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, if (i % 2 == 0) "en" else "de", 100L + i))
+      .toDF("doc_id", "lang", "n_chars")
+  }
+
+  test("q03 unsalted: batches of <=10, contiguous ids per lang") {
+    val out = Etl.manifestBatches(docs(53)).collect()
+    out.map(_.getLong(2)).max should be <= 10L
+    // 27 en docs -> 3 batches; 26 de docs -> 3 batches
+    out.length shouldBe 6
+  }
+
+  test("q03 salted: same coverage, batches of <=10, disjoint batch ids per shard") {
+    val plain = Etl.manifestBatches(docs(103))
+    val salted = Etl.manifestBatches(docs(103), salt = 4)
+    // every file still batched exactly once
+    val nPlain = plain.agg(F.sum("n_files")).collect().head.getLong(0)
+    val nSalted = salted.agg(F.sum("n_files")).collect().head.getLong(0)
+    nSalted shouldBe nPlain
+    salted.collect().map(_.getLong(2)).max should be <= 10L
+    // deterministic: re-running yields identical assignments
+    val again = Etl.manifestBatches(docs(103), salt = 4).collect().toSet
+    salted.collect().toSet shouldBe again
+    // (lang, batch_id) stays unique — shard offsets cannot collide
+    val keys = salted.select("lang", "batch_id").collect()
+    keys.toSet.size shouldBe keys.length
+  }
+
+  test("annLsh bits sizing follows log2(n / target)") {
+    Similarity.suggestBits(2000, 128) shouldBe 4
+    Similarity.suggestBits(1L << 30, 128) shouldBe 23
+    Similarity.suggestBits(100, 128) shouldBe 1 // floor at 1 bit
+  }
+}
