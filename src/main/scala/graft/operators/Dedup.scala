@@ -85,8 +85,11 @@ object Dedup {
     * Σ bucket², never n². With k=16, b=4 (r=4), P(candidate | j) =
     * 1-(1-j⁴)⁴: ≈0.88 at j=0.8, ≈1 at j≥0.95, ≈0.04 at j=0.5 — tune
     * (k, bands) per corpus similarity profile. Signature computation is
-    * one narrow pass; candidate verification re-joins the shingle sets
-    * by doc_id rather than carrying arrays through the band explode.
+    * one narrow pass; candidate verification joins raw token arrays by
+    * doc_id (not the shingle arrays — those would n-fold every word
+    * through the shuffle) and re-shingles ONLY the surviving candidate
+    * rows, so the second Shingles pass is proportional to candidate
+    * volume, not corpus size.
     */
   def minhashLshPairs(documents: DataFrame, n: Int = 3, numHashes: Int = 16,
                       bands: Int = 4, tau: Double = 0.5): DataFrame = {
@@ -101,14 +104,26 @@ object Dedup {
         .cast("binary"))
     }: _*)
     val buckets = withMh.select(col("doc_id"), explode(bandKeys).as("bk"))
-    val cands = buckets.select(col("doc_id").as("doc_a"), col("bk"))
-      .join(buckets.select(col("doc_id").as("doc_b"), col("bk")), Seq("bk"))
+    // bucket-local pair expansion (see simhashPairs): one signature
+    // pass, same Σ bucket² candidates as a bucket self-join. NULL band
+    // keys (short docs: empty shingle set → NULL min-hashes) must be
+    // dropped explicitly — a join never matches NULLs, but groupBy
+    // would collect them into one bucket.
+    val cands = buckets.filter(col("bk").isNotNull).groupBy("bk")
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+    val toks = documents.select(col("doc_id"), split(col("text"), " ").as("toks"))
     val withSets = cands
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Exprs.shingles(col("toks_a"), n).as("sh_a"),
+        Exprs.shingles(col("toks_b"), n).as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     withSets
       .select(col("doc_a"), col("doc_b"),
@@ -141,18 +156,25 @@ object Dedup {
     val fps = documents.select(col("doc_id"), simhashFingerprint().as("fp"))
     val bandKeys = array((0 until bands).map(b =>
       concat(lit(s"$b|"), substring(col("fp"), b * bandWidth + 1, bandWidth))): _*)
-    val buckets = fps.select(col("doc_id"), explode(bandKeys).as("bk"))
-    val cands = buckets.select(col("doc_id").as("doc_a"), col("bk"))
-      .join(buckets.select(col("doc_id").as("doc_b"), col("bk")), Seq("bk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+    // Bucket-local pair expansion instead of a bucket self-join: a
+    // self-join would evaluate the whole fingerprint pipeline once per
+    // join side (and twice more to fetch fp_a/fp_b). Grouping each
+    // bucket's (doc_id, fp) members and double-exploding generates the
+    // same Σ bucket² candidate pairs from ONE fingerprint pass, with
+    // the fingerprints already in hand. Assumes banding keeps buckets
+    // bounded (the same assumption the join's Σ bucket² cost makes).
+    val buckets = fps.select(col("doc_id"), col("fp"), explode(bandKeys).as("bk"))
+    // NULL buckets dropped for join parity (see minhashLshPairs)
+    val grouped = buckets.filter(col("bk").isNotNull).groupBy("bk")
+      .agg(collect_list(struct(col("doc_id"), col("fp"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    grouped
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        Exprs.hammingDist(col("a.fp"), col("b.fp")).as("hamming"))
       .distinct()
-    val withFps = cands
-      .join(fps.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), Seq("doc_a"))
-      .join(fps.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), Seq("doc_b"))
-    withFps
-      .select(col("doc_a"), col("doc_b"),
-        Exprs.hammingDist(col("fp_a"), col("fp_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

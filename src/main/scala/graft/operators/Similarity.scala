@@ -113,12 +113,14 @@ object Similarity {
     val e = embeddings.select(col("vec_id"), vecD(col("embedding")).as("v"))
     val buckets = e.select(col("vec_id"),
       explode(Exprs.lshBuckets(col("v"), signs, tables, bits)).as("bk"))
-    val qb = buckets.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("bk"))
-    val cands = qb
-      .join(buckets.select(col("vec_id").as("neighbor_id"), col("bk")), Seq("bk"))
+    // bucket-local pair expansion (see Dedup.simhashPairs): one
+    // signature pass; per bucket, candidates = resident queries × all
+    // members — identical to the bucket self-join's output
+    val cands = buckets.filter(col("bk").isNotNull).groupBy("bk")
+      .agg(collect_list(col("vec_id")).as("vs"))
+      .select(explode(filter(col("vs"), v => v < nQueries)).as("query_id"), col("vs"))
+      .select(col("query_id"), explode(col("vs")).as("neighbor_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id")
       .distinct()
     val en = prepared(embeddings)
     val scored = cands
