@@ -54,19 +54,24 @@ object Dedup {
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3,
                         tau: Double = 0.5): DataFrame = {
     val docs = documents.select(col("doc_id"), shingleSet(n).as("sh"))
-    // join on the 16-byte digest, not the shingle text: same equality
-    // (md5 collisions are negligible at any corpus size), roughly half
-    // the shuffle bytes for word 3-grams
-    val idx  = docs.select(col("doc_id"), size(col("sh")).as("n_sh"),
-        explode(col("sh")).as("shingle_txt"))
-      .select(col("doc_id"), col("n_sh"),
-        md5(col("shingle_txt").cast("binary")).as("shingle"))
-    val pairs = idx.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shingle"))
-      .join(idx.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shingle")),
-        Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"), min("n_a").as("n_a"), min("n_b").as("n_b"))
+    // index key = xxhash64 of the shingle, not its text: an 8-byte
+    // shuffle key with the same equality (collisions ~n²/2⁶⁵ — noise
+    // far below the df-cap approximation above at any realistic n).
+    // Pair generation is shingle-local expansion (see simhashPairs):
+    // one Shingles pass, one index shuffle, Σ df² expanded rows.
+    val idx = docs
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("shingle"))
+    val grouped = idx.groupBy("shingle")
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairs = grouped
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("a.n_sh")).as("n_a"), min(col("b.n_sh")).as("n_b"))
     pairs
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("inter"), col("n_a"), col("n_b")).as("jaccard"))
