@@ -133,7 +133,13 @@ object Exprs {
     override def nullSafeEval(in: Any): Any = {
       val sh = in.asInstanceOf[ArrayData]
       val nSh = sh.numElements()
-      val mins = new Array[String](k)
+      // track minima as raw digests: unsigned byte order == lexicographic
+      // order of the lowercase hex rendering, so only the k winners are
+      // hex-encoded (vs one string per (salt, shingle) — the allocation
+      // dominated the signature pass before)
+      val mins = Array.ofDim[Byte](k, 16)
+      val seen = new Array[Boolean](k)
+      val tmp = new Array[Byte](16)
       var s = 0
       while (s < nSh) {
         val bytes = sh.getUTF8String(s).getBytes
@@ -142,14 +148,22 @@ object Exprs {
           md.reset()
           md.update(salts(i))
           md.update(bytes)
-          val hex = Exprs.toHex(md.digest())
-          if (mins(i) == null || hex.compareTo(mins(i)) < 0) mins(i) = hex
+          md.digest(tmp, 0, 16)
+          if (!seen(i) || Exprs.unsignedLess(tmp, mins(i))) {
+            System.arraycopy(tmp, 0, mins(i), 0, 16)
+            seen(i) = true
+          }
           i += 1
         }
         s += 1
       }
-      new GenericArrayData(mins.map(m =>
-        if (m == null) null else UTF8String.fromString(m): AnyRef))
+      val out = new Array[AnyRef](k)
+      var i = 0
+      while (i < k) {
+        out(i) = if (seen(i)) UTF8String.fromString(Exprs.toHex(mins(i))) else null
+        i += 1
+      }
+      new GenericArrayData(out)
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -274,6 +288,17 @@ object Exprs {
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  private[functions] def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
   }
 
   private[functions] def toHex(bytes: Array[Byte]): String = {
