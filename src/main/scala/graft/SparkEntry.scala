@@ -51,6 +51,7 @@ object SparkEntry {
     "q24_dedup_embedding"    -> ((s, d) => Similarity.embeddingNearDups(Tables(s, d).embeddings)),
     "q25_ann_bruteforce"     -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
     "q26_ann_lsh"            -> ((s, d) => Similarity.annLsh(Tables(s, d).embeddings)),
+    "q34_dedup_embedding_lsh"-> ((s, d) => Similarity.embeddingNearDupsBucketed(Tables(s, d).embeddings)),
     // Streaming — executed through the real micro-batch engine
     // (Trigger.AvailableNow + memory sink), then compared to batch
     // oracles: streaming/batch parity is the correctness contract.
@@ -385,6 +386,7 @@ object SparkEntry {
     "q24_dedup_embedding" -> embeddingDedupOracle,
     "q25_ann_bruteforce"  -> annBruteOracle,
     "q26_ann_lsh"         -> annLshOracle,
+    "q34_dedup_embedding_lsh" -> embeddingDedupLshOracle,
   )
 
   // ---------------------------------------------------------------------
@@ -489,19 +491,38 @@ object SparkEntry {
        |      FROM s)
        |SELECT * FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
 
-  private def annLshOracle: String = {
-    val bits = 4; val tables = 16
+  /** Shared plane/bucket CTE prefix for the sign-random-projection
+    * oracles (q26/q34): the ±1 plane matrix as literal VALUES rows +
+    * per-(vector, table) bucket strings. */
+  private def lshBucketCtes(bits: Int = 4, tables: Int = 16): String = {
     val signs = Similarity.planeSigns(tables, bits)
     val rows = (for (t <- 0 until tables; p <- 0 until bits) yield {
       val ws = signs(t * bits + p).map(x => if (x > 0) "1.0" else "-1.0").mkString(",")
       s"($t, $p, CAST([$ws] AS DOUBLE[]))"
     }).mkString(", ")
-    s"""WITH planes AS (SELECT * FROM (VALUES $rows) pl(tbl, pl_idx, w)),
+    s"""planes AS (SELECT * FROM (VALUES $rows) pl(tbl, pl_idx, w)),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sb AS (SELECT e.vec_id,
        |         CAST(p.tbl AS VARCHAR) || '|' ||
        |         string_agg(CASE WHEN (${sqlDot("e.v", "p.w")}) >= 0 THEN '1' ELSE '0' END, '' ORDER BY p.pl_idx) AS bk
-       |       FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.tbl),
+       |       FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.tbl)""".stripMargin
+  }
+
+  /** q34: bucketed near-dup — candidates = distinct pairs sharing any
+    * bucket, then the SAME exact cosine filter as q24. */
+  private def embeddingDedupLshOracle: String =
+    s"""WITH ${lshBucketCtes()},
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM sb a JOIN sb b ON a.bk = b.bk AND a.vec_id < b.vec_id),
+       |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e),
+       |p AS (SELECT c.vec_a, c.vec_b,
+       |        (${sqlDot("a.v", "b.v")}) / (a.nrm * b.nrm) AS cos_raw
+       |      FROM cand c JOIN n a ON c.vec_a = a.vec_id JOIN n b ON c.vec_b = b.vec_id)
+       |SELECT vec_a, vec_b, ROUND(cos_raw, 4) AS cos_sim FROM p
+       |WHERE cos_raw >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
+  private def annLshOracle: String =
+    s"""WITH ${lshBucketCtes()},
        |cand AS (SELECT DISTINCT q.vec_id AS query_id, s2.vec_id AS neighbor_id
        |         FROM sb q JOIN sb s2 ON q.bk = s2.bk AND q.vec_id < 10 AND s2.vec_id <> q.vec_id),
        |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e),
@@ -512,5 +533,4 @@ object SparkEntry {
        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS "rank"
        |      FROM s)
        |SELECT * FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
-  }
 }

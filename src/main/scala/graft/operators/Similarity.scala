@@ -84,6 +84,38 @@ object Similarity {
     }
   }
 
+  /** q34: embedding near-dup pairs AT SCALE — the composition q24's
+    * scaladoc prescribes, as a first-class operator: sign-random-
+    * projection buckets generate candidates (bucket-local expansion,
+    * one signature pass), exact cosine verifies only within buckets.
+    * Cost is Σ bucket² instead of n²; recall at the default geometry
+    * is 1-(1-(1-θ(τ)/π)^bits)^tables ≈ 0.94 at cos = 0.4 and ≈ 1 for
+    * genuinely-near pairs (cos ≥ 0.8) — the approximation is the
+    * candidate set only; every emitted cosine is exact. */
+  def embeddingNearDupsBucketed(embeddings: DataFrame, tau: Double = 0.4,
+                                bits: Int = 4, tables: Int = 16): DataFrame = {
+    val signs = planeSigns(tables, bits)
+    val e = embeddings.select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val buckets = e.select(col("vec_id"),
+      explode(Exprs.lshBuckets(col("v"), signs, tables, bits)).as("bk"))
+    val cands = buckets.filter(col("bk").isNotNull).groupBy("bk")
+      .agg(collect_list(col("vec_id")).as("vs"))
+      .filter(size(col("vs")) > 1)
+      .select(explode(col("vs")).as("vec_a"), col("vs"))
+      .select(col("vec_a"), explode(col("vs")).as("vec_b"))
+      .filter(col("vec_a") < col("vec_b"))
+      .distinct()
+    val en = prepared(embeddings)
+    cands
+      .join(en.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")),
+        Seq("vec_a"))
+      .join(en.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")),
+        Seq("vec_b"))
+      .withColumn("cos_raw", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos_raw") >= tau)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
   /** Bucket-granularity sizing for [[annLsh]]: `bits` such that the
     * expected bucket size n/2^bits lands near `targetBucket` — the
     * "grow bits with log n" rule as code. At n=2k/target=128 → 4 bits

@@ -48,6 +48,19 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.8
   }
 
+  test("q34 bucketed near-dup is a subset of q24 with identical cosines") {
+    val e = tables.embeddings
+    def byPair(df: DataFrame): Map[(Long, Long), Double] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = byPair(Similarity.embeddingNearDups(e))
+    val bucketed = byPair(Similarity.embeddingNearDupsBucketed(e))
+    // approximation affects WHICH pairs are found, never their values
+    bucketed.keySet subsetOf exact.keySet shouldBe true
+    bucketed.foreach { case (k, cos) => exact(k) shouldBe cos }
+    // recall on the real corpus: the default geometry keeps most pairs
+    bucketed.size.toDouble / exact.size should be >= 0.8
+  }
+
   test("q26 identical vectors always share every bucket (recall 1 on dups)") {
     val d = vecs(
       (0L, Map(0 -> 1.0f, 3 -> 2.0f)),
