@@ -91,7 +91,13 @@ object Similarity {
     * Cost is Σ bucket² instead of n²; recall at the default geometry
     * is 1-(1-(1-θ(τ)/π)^bits)^tables ≈ 0.94 at cos = 0.4 and ≈ 1 for
     * genuinely-near pairs (cos ≥ 0.8) — the approximation is the
-    * candidate set only; every emitted cosine is exact. */
+    * candidate set only; every emitted cosine is exact.
+    *
+    * `bits` MUST grow with corpus size ([[suggestBits]]): Σ bucket² ≈
+    * tables·n²/2^bits, so stale geometry degrades quadratically.
+    * Measured on the 10× probe corpus (20k vectors): bits=4 (sized for
+    * the 500–2k test tables) takes 301 s — worse than exact q24 —
+    * while suggestBits(20k)=8 takes 14 s at the same recall target. */
   def embeddingNearDupsBucketed(embeddings: DataFrame, tau: Double = 0.4,
                                 bits: Int = 4, tables: Int = 16): DataFrame = {
     val signs = planeSigns(tables, bits)
