@@ -84,6 +84,14 @@ object SparkEntry {
     "q28_quality_score"      -> ((s, d) => TextOps.qualityScore(Tables(s, d).documents)),
     "q29_token_count"        -> ((s, d) => TextOps.tokenCounts(Tables(s, d).documents)),
     "q30_fingerprint"        -> ((s, d) => TextOps.fingerprint(Tables(s, d).documents)),
+    // q35: every seventh doc plays the reference (eval) corpus drawn
+    // from the candidate pool — the corpus has no cross-doc exact
+    // duplicates, so overlap-by-construction is what exercises the
+    // semi-join and fingerprint parity with a non-empty result
+    "q35_decontaminate"      -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      TextOps.decontaminate(docs, docs.filter(col("doc_id") % 7 === 0))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -380,6 +388,13 @@ object SparkEntry {
         |       FLOOR(len(list_filter(bs, x -> x // 32 = 0)) / CAST(len(bs) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS f0,
         |       FLOOR(len(list_filter(bs, x -> x // 32 = 3)) / CAST(len(bs) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS f3
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q35_decontaminate" ->
+      """WITH fp AS (SELECT doc_id,
+        |              md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        |            FROM documents)
+        |SELECT doc_id, fingerprint FROM fp
+        |WHERE fingerprint IN (SELECT fingerprint FROM fp WHERE doc_id % 7 = 0)
+        |ORDER BY doc_id""".stripMargin,
     "q21_dedup_ngram"     -> ngramOracle,
     "q22_dedup_minhash"   -> minhashOracle,
     "q23_dedup_simhash"   -> simhashOracle,

@@ -24,13 +24,31 @@ object TextOps {
         count(lit(1)).as("n_copies"))
 
 
+  private def fingerprintCol =
+    md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary"))
+
   /** q30: normalized document fingerprint — lowercase, collapse
     * whitespace, md5. The cross-corpus dedup key. */
   def fingerprint(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id"),
-      md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary"))
-        .as("fingerprint"))
+    documents.select(col("doc_id"), fingerprintCol.as("fingerprint"))
+
+  /** q35: decontamination — flag candidate docs whose normalized
+    * fingerprint appears in a reference corpus (the train-vs-eval
+    * dedup every LLM data pipeline runs before training).
+    *
+    * Plan: distinct reference fingerprints (16-byte digests — eval/
+    * benchmark sets are tiny next to a training corpus) broadcast into
+    * a LEFT SEMI join: the 100 TB side streams through one codegen'd
+    * stage, no shuffle of the training corpus at all. If the reference
+    * ever outgrows broadcast, drop the hint and the same plan becomes
+    * a digest-keyed shuffle join — semantics unchanged. */
+  def decontaminate(candidates: DataFrame, reference: DataFrame): DataFrame = {
+    val refFp = reference.select(fingerprintCol.as("fingerprint")).distinct()
+    candidates
+      .withColumn("fingerprint", fingerprintCol)
+      .join(broadcast(refFp), Seq("fingerprint"), "left_semi")
+      .select("doc_id", "fingerprint")
+  }
 
 
   /** q29: token counting — whitespace tokens plus a BPE-ish split count

@@ -75,6 +75,19 @@ class DedupSpec extends SparkSpec {
     rows shouldBe Array((1L, 2L, 0))
   }
 
+  test("q35 decontamination flags normalized matches, case/whitespace-insensitively") {
+    val train = docs(
+      (1L, "The Quick   Brown Fox"),   // matches ref 100 after normalize
+      (2L, "totally novel content"),
+      (3L, "shared exact text"))       // matches ref 101 exactly
+    val ref = docs(
+      (100L, "the quick brown fox"),
+      (101L, "shared exact text"))
+    val flagged = TextOps.decontaminate(train, ref)
+      .collect().map(_.getLong(0)).sorted
+    flagged shouldBe Array(1L, 3L)
+  }
+
   test("q23 fingerprint is 64 '0'/'1' chars") {
     val fp = docs((1L, base))
       .select(Dedup.simhashFingerprint().as("fp")).collect().head.getString(0)
