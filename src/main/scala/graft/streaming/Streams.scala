@@ -40,6 +40,18 @@ object Streams {
   private[graft] def asStreamPath(path: String): String =
     if (new java.io.File(path).isFile) s"${path.init}[${path.last}]" else path
 
+  /** Continuous form of [[graft.sources.Ingest.readNdjson]]: stream a
+    * landing directory of NDJSON files with lineage stamping — the
+    * reference's S3-landing → Glue loop as one source
+    * (glue_batch_job.py:147-168, event-driven). Schema is explicit:
+    * streaming sources require it, and inference over a 100 TB landing
+    * zone would be a full extra pass — sample with a batch
+    * `Ingest.readNdjson` over a few files instead. */
+  def readNdjsonStream(spark: SparkSession, landingDir: String,
+                       schema: org.apache.spark.sql.types.StructType): DataFrame =
+    graft.sources.Ingest.stampLineage(
+      spark.readStream.schema(schema).option("multiLine", "false").json(landingDir))
+
   def readEventStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema

@@ -92,6 +92,27 @@ class StreamingSpec extends SparkSpec {
     written.exceptAll(expected).count() shouldBe 0L
   }
 
+  test("s01 continuous NDJSON loop: landing dir -> normalize -> parquet") {
+    val landing = java.nio.file.Files.createTempDirectory("s01_landing")
+    java.nio.file.Files.write(landing.resolve("a.ndjson"),
+      "{\"id\": 1, \"size\": 100}\n{\"id\": 2, \"size\": 200}".getBytes("UTF-8"))
+    java.nio.file.Files.write(landing.resolve("b.ndjson"),
+      "{\"id\": 3, \"size\": 300}".getBytes("UTF-8"))
+    val outDir = java.nio.file.Files.createTempDirectory("s01_ndj_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("s01_ndj_ck").toString
+    // schema from a batch sample, as the scaladoc prescribes
+    val schema = spark.read.json(landing.toString).schema
+    val stream = sources.Ingest.castAllToString(
+      Streams.readNdjsonStream(spark, landing.toString, schema))
+    val q = Streams.ingestToParquet(stream, outDir, ckDir)
+    q.processAllAvailable()
+    q.stop()
+    val written = spark.read.parquet(outDir)
+    written.count() shouldBe 3
+    written.schema.fields.foreach(_.dataType.typeName shouldBe "string")
+    written.select("_source_file").distinct().count() shouldBe 2
+  }
+
   test("s02 streaming hourly window equals the batch aggregation") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
