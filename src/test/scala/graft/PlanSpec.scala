@@ -45,6 +45,12 @@ class PlanSpec extends SparkSpec {
     plan should include ("TakeOrderedAndProject")
   }
 
+  test("q21 inverted index is join-free — group + local pair expansion only") {
+    val plan = planOf(Dedup.ngramJaccardPairs(tables.documents))
+    plan should not include "Join"
+    plan should include ("Generate")
+  }
+
   test("q22 minhash candidate join is bucket-keyed — never a cross product") {
     val plan = planOf(Dedup.minhashLshPairs(tables.documents))
     plan should not include "CartesianProduct"
