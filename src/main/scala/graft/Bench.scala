@@ -24,11 +24,17 @@ object Bench {
     // session, not the query — standard steady-state benchmarking. One
     // tiny agg exercises codegen; one scan per table warms footers.
     spark.range(1000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
+    // NonFatal only: a failed warmup means cold tables/codegen for the
+    // first timed query — visible on stderr, never silently swallowed
+    // (and fatal errors like OOM/linkage must propagate).
     try {
       val t = Tables(spark, sfDir)
       Seq(t.region, t.documents, t.embeddings, t.events, t.lineitem, t.orders)
         .foreach(df => df.limit(1).write.mode("overwrite").format("noop").save())
-    } catch { case _: Throwable => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warmup failed (timings may be cold): $e")
+    }
 
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""

@@ -145,12 +145,17 @@ object SparkEntry {
         |       MAX(value) AS max_duration, MIN(value) AS min_duration,
         |       COUNT(*) AS n_runs
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q08 oracle extracts the SAME key the Spark side does (json_valid
+    // guard ≡ from_json null on malformed; TRY_CAST ≡ map<string,int>
+    // value coercion; k IS NOT NULL ≡ explode dropping null maps), so
+    // multi-key or malformed payloads cannot diverge the two engines.
     "q08_correlation_join" ->
       """WITH e AS (SELECT event_id, event_type, user_id,
-        |                  CAST(regexp_extract(props, '[0-9]+') AS INTEGER) AS k
+        |                  TRY_CAST(CASE WHEN json_valid(props)
+        |                                THEN json_extract_string(props, '$.k') END AS INTEGER) AS k
         |           FROM events),
         |     d AS (SELECT k, COUNT(*) AS k_events, COUNT(DISTINCT user_id) AS k_users
-        |           FROM e GROUP BY k)
+        |           FROM e WHERE k IS NOT NULL GROUP BY k)
         |SELECT e.event_id, e.k, d.k_events, d.k_users
         |FROM e JOIN d USING (k) WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin,
     "q09_percentiles" ->
@@ -224,15 +229,16 @@ object SparkEntry {
         |            FROM documents) i) t
         |GROUP BY status, reason, ext ORDER BY status, reason, ext""".stripMargin,
     // Fixed-point sums (Exact.sumFixed): each addend quantized with
-    // floor(x·10^dp + 0.5) — identical IEEE ops on both engines, every
-    // addend an integer-exact double, so sums are order-independent and
+    // floor(|x|·10^dp + 0.5)·sign(x) — half-away-from-zero for both
+    // signs, identical IEEE ops on both engines, every addend an
+    // integer-exact double, so sums are order-independent and
     // bit-identical with no decimal conversion anywhere.
     "q12_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       SUM(FLOOR(l_quantity * 100.0 + 0.5)) / 100.0 AS sum_qty,
-        |       SUM(FLOOR(l_extendedprice * 100.0 + 0.5)) / 100.0 AS sum_base_price,
-        |       SUM(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5)) / 10000.0 AS sum_disc_price,
-        |       SUM(FLOOR(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 10000.0 + 0.5)) / 10000.0 AS sum_charge,
+        |       SUM(FLOOR(ABS(l_quantity) * 100.0 + 0.5) * SIGN(l_quantity)) / 100.0 AS sum_qty,
+        |       SUM(FLOOR(ABS(l_extendedprice) * 100.0 + 0.5) * SIGN(l_extendedprice)) / 100.0 AS sum_base_price,
+        |       SUM(FLOOR(ABS(l_extendedprice * (1.0 - l_discount)) * 10000.0 + 0.5) * SIGN(l_extendedprice * (1.0 - l_discount))) / 10000.0 AS sum_disc_price,
+        |       SUM(FLOOR(ABS(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) * 10000.0 + 0.5) * SIGN(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))) / 10000.0 AS sum_charge,
         |       ROUND(AVG(l_quantity), 4) AS avg_qty,
         |       ROUND(AVG(l_extendedprice), 4) AS avg_price,
         |       ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -241,7 +247,7 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q13_join_agg" ->
       """SELECT l.l_orderkey AS l_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
-        |       SUM(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0 + 0.5)) / 10000.0 AS revenue
+        |       SUM(FLOOR(ABS(l.l_extendedprice * (1.0 - l.l_discount)) * 10000.0 + 0.5) * SIGN(l.l_extendedprice * (1.0 - l.l_discount))) / 10000.0 AS revenue
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -252,7 +258,7 @@ object SparkEntry {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q14_broadcast_dims" ->
       """SELECT r_name, n_name,
-        |       SUM(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5)) / 10000.0 AS revenue,
+        |       SUM(FLOOR(ABS(l_extendedprice * (1.0 - l_discount)) * 10000.0 + 0.5) * SIGN(l_extendedprice * (1.0 - l_discount))) / 10000.0 AS revenue,
         |       COUNT(*) AS n_items
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey

@@ -58,18 +58,19 @@ object Exact {
 
   /** Fixed-point sum in pure double arithmetic — the fast path for the
     * hot TPC-H-shaped aggregates. Each addend is quantized to `dp`
-    * decimals as `floor(x·10^dp + 0.5)` (identical IEEE ops in Spark
-    * and DuckDB — no engine-specific double→decimal conversion at all),
-    * making every addend an integer-exact double; their sum is then
+    * decimals as `floor(|x|·10^dp + 0.5)·sign(x)` — half-away-from-zero
+    * for BOTH signs, and identical IEEE ops in Spark and DuckDB
+    * (`SUM(FLOOR(ABS(x)·10^dp + 0.5) * SIGN(x)) / 10^dp` — no
+    * engine-specific double→decimal conversion at all) — making every
+    * addend an integer-exact double; their sum is then
     * order-independent and bit-identical across engines while the
     * running total stays under 2^53 (≈ 9·10¹⁵ scaled units — e.g.
     * 4-dp money up to ~10⁵ summed over ~10⁸ rows per group). Beyond
-    * that bound, or for negative values (floor+0.5 is not
-    * half-away-from-zero there), use [[sumD]] — the decimal
-    * accumulator costs ~3× but never saturates. */
+    * that bound, use [[sumD]] — the decimal accumulator costs ~3× but
+    * never saturates. */
   def sumFixed(c: Column, dp: Int = 2): Column = {
     val f = math.pow(10, dp)
-    sum(floor(c * f + lit(0.5)).cast("double")) / f
+    sum((floor(abs(c) * f + lit(0.5)) * signum(c)).cast("double")) / f
   }
 
   /** Windowed variant of [[sumD]] is just `sumD(c, s, p).over(w)` at the

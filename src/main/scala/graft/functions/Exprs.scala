@@ -4,6 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -32,6 +33,39 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Exprs {
 
+  /** Manual input-type validation shared by the expressions below.
+    *
+    * These expressions are SQL-exposed (see [[graft.GraftExtensions]]),
+    * so they can be fed arbitrary column types; without a check,
+    * `graft_dot` over the embeddings table's raw `array<float>` would
+    * read 8-byte doubles over 4-byte float storage and return silently
+    * wrong numbers. Spark 4 hides `ExpectsInputTypes`' AbstractDataType
+    * behind private[sql], so the check is a hand-rolled match on the
+    * children's resolved types, surfaced at analysis time. */
+  private def expectTypes(name: String,
+                          expected: Seq[(String, DataType => Boolean)],
+                          actual: Seq[DataType]): TypeCheckResult = {
+    val bad = expected.zip(actual).collectFirst {
+      case ((want, ok), got) if !ok(got) => (want, got)
+    }
+    bad match {
+      case Some((want, got)) => TypeCheckResult.TypeCheckFailure(
+        s"$name requires ${expected.map(_._1).mkString(", ")}; " +
+          s"argument of type ${got.catalogString} does not match $want")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  private val isDoubleArray: DataType => Boolean = {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private val isStringArray: DataType => Boolean = {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+  private val isString: DataType => Boolean = _ == StringType
+
   /** Exact dot product of two array<double> columns — codegen'd loop,
     * left-to-right accumulation (bit-identical to an explicit
     * `a[1]*b[1] + a[2]*b[2] + …` chain in Spark or DuckDB). */
@@ -39,6 +73,11 @@ object Exprs {
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_dot"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectTypes(prettyName,
+        Seq("array<double>" -> isDoubleArray, "array<double>" -> isDoubleArray),
+        Seq(left.dataType, right.dataType))
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -77,11 +116,19 @@ object Exprs {
     * runs past the end yields NULL in DuckDB, and `list_distinct`
     * removes NULLs — so short docs (<n tokens) produce an EMPTY set
     * here (not an error; fixes the round-3 ADVICE ANSI element_at
-    * crash). First-occurrence order, like Spark's array_distinct. */
+    * crash). A window containing a NULL token is skipped for the same
+    * reason (`tok || ' ' || NULL → NULL`, removed by list_distinct) —
+    * unreachable from split()-based call sites but live via SQL
+    * `graft_shingles`, and it keeps the declared containsNull=false
+    * contract honest. First-occurrence order, like array_distinct. */
   case class Shingles(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "graft_shingles"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectTypes(prettyName, Seq("array<string>" -> isStringArray),
+        Seq(child.dataType))
 
     override def nullSafeEval(in: Any): Any = {
       val toks = in.asInstanceOf[ArrayData]
@@ -92,13 +139,15 @@ object Exprs {
       while (i < m) {
         if (i + n <= len) {
           val parts = new Array[UTF8String](2 * n - 1)
+          var nullTok = false
           var j = 0
           while (j < n) {
             if (j > 0) parts(2 * j - 1) = Shingles.Space
-            parts(2 * j) = toks.getUTF8String(i + j)
+            if (toks.isNullAt(i + j)) nullTok = true
+            else parts(2 * j) = toks.getUTF8String(i + j)
             j += 1
           }
-          seen.add(UTF8String.concat(parts: _*))
+          if (!nullTok) seen.add(UTF8String.concat(parts: _*))
         }
         i += 1
       }
@@ -120,11 +169,17 @@ object Exprs {
     * lexicographic min over VARCHAR in DuckDB). Empty input → array of
     * k NULLs, matching `list_min([]) = NULL`. One MessageDigest pass
     * per (salt, shingle) — identical digests to Spark's/DuckDB's `md5`,
-    * computed in a tight loop instead of k separate HOF trees. */
+    * computed in a tight loop instead of k separate HOF trees. NULL
+    * shingles are skipped (`md5(NULL) = NULL`, and DuckDB `list_min`
+    * ignores NULLs) — unreachable from Shingles output, live via SQL. */
   case class MinHashSig(child: Expression, k: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(StringType, containsNull = true)
     override def prettyName: String = "graft_minhash"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectTypes(prettyName, Seq("array<string>" -> isStringArray),
+        Seq(child.dataType))
 
     @transient private lazy val md = MessageDigest.getInstance("MD5")
     @transient private lazy val salts: Array[Array[Byte]] =
@@ -142,6 +197,8 @@ object Exprs {
       val tmp = new Array[Byte](16)
       var s = 0
       while (s < nSh) {
+        if (sh.isNullAt(s)) { s += 1 }
+        else {
         val bytes = sh.getUTF8String(s).getBytes
         var i = 0
         while (i < k) {
@@ -156,6 +213,7 @@ object Exprs {
           i += 1
         }
         s += 1
+        }
       }
       val out = new Array[AnyRef](k)
       var i = 0
@@ -174,11 +232,17 @@ object Exprs {
     * occurrence: bit i of md5(token) (MSB-first over the 16 digest
     * bytes — identical to "bit (3 - i%4) of hex digit i/4") contributes
     * +1/-1 to accumulator i; output bit = sign (s >= 0 → '1'). Integer
-    * accumulation → order-independent → bit-exact oracle parity. */
+    * accumulation → order-independent → bit-exact oracle parity. NULL
+    * tokens contribute nothing (`md5(NULL) = NULL`; DuckDB `list_sum`
+    * ignores NULLs) — unreachable via split(), live via SQL. */
   case class SimHash64(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType
     override def prettyName: String = "graft_simhash"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectTypes(prettyName, Seq("array<string>" -> isStringArray),
+        Seq(child.dataType))
 
     @transient private lazy val md = MessageDigest.getInstance("MD5")
 
@@ -188,13 +252,15 @@ object Exprs {
       val acc = new Array[Int](64)
       var t = 0
       while (t < n) {
-        md.reset()
-        val digest = md.digest(toks.getUTF8String(t).getBytes)
-        var i = 0
-        while (i < 64) {
-          val bit = (digest(i >> 3) >> (7 - (i & 7))) & 1
-          acc(i) += (bit << 1) - 1
-          i += 1
+        if (!toks.isNullAt(t)) {
+          md.reset()
+          val digest = md.digest(toks.getUTF8String(t).getBytes)
+          var i = 0
+          while (i < 64) {
+            val bit = (digest(i >> 3) >> (7 - (i & 7))) & 1
+            acc(i) += (bit << 1) - 1
+            i += 1
+          }
         }
         t += 1
       }
@@ -217,6 +283,10 @@ object Exprs {
       extends BinaryExpression {
     override def dataType: DataType = IntegerType
     override def prettyName: String = "graft_hamming"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectTypes(prettyName, Seq("string" -> isString, "string" -> isString),
+        Seq(left.dataType, right.dataType))
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[UTF8String]
@@ -258,6 +328,10 @@ object Exprs {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "graft_lsh_buckets"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectTypes(prettyName, Seq("array<double>" -> isDoubleArray),
+        Seq(child.dataType))
 
     override def nullSafeEval(in: Any): Any = {
       val v = in.asInstanceOf[ArrayData]

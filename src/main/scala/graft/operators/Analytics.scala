@@ -50,8 +50,9 @@ object Analytics {
     * and exploded (a real Generate node, like the reference's
     * `CROSS JOIN UNNEST(manifests)`), not regexp-scraped; the
     * aggregated dimension is broadcast (bounded key space). The DuckDB
-    * oracle extracts the same key with a regexp to stay
-    * extension-free — values agree on any well-formed payload. */
+    * oracle extracts the same key via json_extract_string with a
+    * json_valid guard, so multi-key or malformed payloads keep the two
+    * engines row-for-row aligned. */
   def correlationJoin(events: DataFrame): DataFrame = {
     val kv = events.select(
       col("event_id"), col("event_type"), col("user_id"),
