@@ -47,6 +47,7 @@ object SparkEntry {
     "q20_dedup_exact"        -> ((s, d) => TextOps.dedupExact(Tables(s, d).documents)),
     "q21_dedup_ngram"        -> ((s, d) => Dedup.ngramJaccardPairs(Tables(s, d).documents)),
     "q22_dedup_minhash"      -> ((s, d) => Dedup.minhashLshPairs(Tables(s, d).documents)),
+    "q36_dedup_clusters"     -> ((s, d) => Dedup.dedupClusters(Tables(s, d).documents)),
     "q23_dedup_simhash"      -> ((s, d) => Dedup.simhashPairs(Tables(s, d).documents)),
     "q24_dedup_embedding"    -> ((s, d) => Similarity.embeddingNearDups(Tables(s, d).embeddings)),
     "q25_ann_bruteforce"     -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
@@ -403,6 +404,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q21_dedup_ngram"     -> ngramOracle,
     "q22_dedup_minhash"   -> minhashOracle,
+    "q36_dedup_clusters"  -> clustersOracle,
     "q23_dedup_simhash"   -> simhashOracle,
     "q24_dedup_embedding" -> embeddingDedupOracle,
     "q25_ann_bruteforce"  -> annBruteOracle,
@@ -442,7 +444,9 @@ object SparkEntry {
        |  FROM p JOIN z za ON p.doc_a = za.doc_id JOIN z zb ON p.doc_b = zb.doc_id) j
        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
-  private def minhashOracle: String = {
+  /** The q22 pair set as a self-contained SELECT (no trailing ORDER BY)
+    * so the clustering oracle (q36) can embed it as a CTE body. */
+  private def minhashPairsQuery: String = {
     val k = 16; val bands = 4; val r = k / bands
     val mhs = (0 until k).map(i =>
       s"list_min(list_transform(sh, x -> md5('$i|' || x))) AS mh$i").mkString(", ")
@@ -462,8 +466,30 @@ object SparkEntry {
        |  SELECT doc_a, doc_b,
        |         CAST(inter AS DOUBLE) / (CAST(la + lb AS DOUBLE) - CAST(inter AS DOUBLE)) AS jaccard
        |  FROM j) q
-       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+       |WHERE jaccard >= 0.5""".stripMargin
   }
+
+  private def minhashOracle: String =
+    minhashPairsQuery + "\nORDER BY doc_a, doc_b"
+
+  /** q36: connected components over the q22 pair set via a recursive
+    * reachability CTE (component label = MIN reachable doc_id; the
+    * UNION dedupe bounds the recursion). Component sizes are tiny, so
+    * the O(Σ component²) reach set is no hazard for the oracle. */
+  private def clustersOracle: String =
+    s"""WITH RECURSIVE p AS ($minhashPairsQuery),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM p
+       |          UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(doc, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.doc),
+       |lab AS (SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc)
+       |SELECT l.doc_id, l.cluster_id, c.cluster_size
+       |FROM lab l
+       |JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1) c
+       |  USING (cluster_id)
+       |ORDER BY l.doc_id""".stripMargin
 
   private def simhashOracle: String = {
     val width = 64; val bands = 4; val bw = width / bands

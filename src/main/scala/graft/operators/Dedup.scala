@@ -182,4 +182,68 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** q36: near-dup cluster resolution — the step that turns pairwise
+    * near-dup hits into an actionable dedup decision (one keeper per
+    * duplicate GROUP, not per pair: pairs alone over-delete when dups
+    * chain A~B~C without A~C).
+    *
+    * Pipeline: MinHash-LSH pairs ([[minhashLshPairs]]) → connected
+    * components → every involved doc labeled with its component's
+    * minimum doc_id (`cluster_id` — the canonical keeper) + the
+    * component size.
+    *
+    * Components are computed by iterative min-label propagation: each
+    * round every node adopts the minimum label among itself and its
+    * neighbors (one hash-join + partial-agg shuffle per round — no
+    * windows, no driver-side graph). Rounds needed = max graph distance
+    * from a component's minimum node: near-dup clusters are
+    * quasi-cliques (diameter ≲ 3 — LSH hits most pairs directly), so
+    * this converges in 2–4 rounds; at 100 TB with adversarial chain
+    * topologies, swap in alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce", SoCC'14) —
+    * same shuffle shape, O(log²) round bound. Each round ends in
+    * `localCheckpoint` to truncate the lineage the loop would otherwise
+    * stack (a round's plan would re-run every prior round), and
+    * convergence is an O(|V|) anti-join count on 8-byte keys.
+    */
+  def dedupClusters(documents: DataFrame, n: Int = 3, numHashes: Int = 16,
+                    bands: Int = 4, tau: Double = 0.5,
+                    maxRounds: Int = 50): DataFrame = {
+    val pairs = minhashLshPairs(documents, n, numHashes, bands, tau)
+      .select("doc_a", "doc_b")
+    connectedComponents(pairs, maxRounds)
+  }
+
+  /** Min-label-propagation connected components over an undirected edge
+    * list `(doc_a, doc_b)` → `(doc_id, cluster_id, cluster_size)` for
+    * every vertex. See [[dedupClusters]] for the scale analysis. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
+      .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+      .localCheckpoint()
+    var labels = edges.select(col("s").as("doc_id"), col("s").as("label"))
+      .distinct()
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val propagated = edges
+        .join(labels.select(col("doc_id").as("s"), col("label")), Seq("s"))
+        .select(col("d").as("doc_id"), col("label"))
+      val next = labels.union(propagated)
+        .groupBy("doc_id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("doc_id"), col("label").as("prev")), Seq("doc_id"))
+        .filter(col("label") =!= col("prev"))
+        .count()
+      labels = next
+      round += 1
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
 }

@@ -88,6 +88,24 @@ class DedupSpec extends SparkSpec {
     flagged shouldBe Array(1L, 3L)
   }
 
+  test("q36 connected components: a chain A~B~C is ONE cluster labeled by its min") {
+    import spark.implicits._
+    // chain topology — exactly the case where pairwise dedup over-deletes
+    val pairs = Seq((5L, 9L), (9L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val rows = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    rows shouldBe Array(
+      (5L, 5L, 3L), (9L, 5L, 3L), (12L, 5L, 3L),
+      (20L, 20L, 2L), (21L, 20L, 2L))
+  }
+
+  test("q36 end-to-end: two identical docs cluster together; unique doc is absent") {
+    val d = docs((1L, base), (2L, base), (3L, "one two three four five six"))
+    val rows = Dedup.dedupClusters(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    rows shouldBe Array((1L, 1L, 2L), (2L, 1L, 2L))
+  }
+
   test("q23 fingerprint is 64 '0'/'1' chars") {
     val fp = docs((1L, base))
       .select(Dedup.simhashFingerprint().as("fp")).collect().head.getString(0)
