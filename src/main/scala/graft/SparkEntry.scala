@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
-import graft.operators.{Analytics, Dedup, Etl, Multimodal, Relational, Similarity, TextOps}
+import graft.operators.{Analytics, Corpus, Dedup, Etl, Multimodal, Relational, Similarity, TextOps}
 import graft.streaming.Streams
 
 /** Driver contract — see SURVEY.md §2 for the capability each key
@@ -43,11 +43,15 @@ object SparkEntry {
     "q15_window_rank"        -> ((s, d) => Relational.topOrdersPerCustomer(Tables(s, d).orders)),
     "q16_running_total"      -> ((s, d) => Relational.runningTotal(Tables(s, d).orders)),
     "q17_sessionization"     -> ((s, d) => Relational.sessionize(Tables(s, d).events)),
+    "q39_asof_join"          -> ((s, d) => Relational.asofJoin(Tables(s, d).events)),
     // LLM-training-data operators
     "q20_dedup_exact"        -> ((s, d) => TextOps.dedupExact(Tables(s, d).documents)),
     "q21_dedup_ngram"        -> ((s, d) => Dedup.ngramJaccardPairs(Tables(s, d).documents)),
     "q22_dedup_minhash"      -> ((s, d) => Dedup.minhashLshPairs(Tables(s, d).documents)),
     "q36_dedup_clusters"     -> ((s, d) => Dedup.dedupClusters(Tables(s, d).documents)),
+    "q37_pii_redact"         -> ((s, d) => Corpus.piiRedact(Tables(s, d).documents)),
+    "q38_sample_stratified"  -> ((s, d) => Corpus.sampleStratified(Tables(s, d).documents)),
+    "q40_pack_sequences"     -> ((s, d) => Corpus.packSequences(Tables(s, d).documents)),
     "q23_dedup_simhash"      -> ((s, d) => Dedup.simhashPairs(Tables(s, d).documents)),
     "q24_dedup_embedding"    -> ((s, d) => Similarity.embeddingNearDups(Tables(s, d).embeddings)),
     "q25_ann_bruteforce"     -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
@@ -395,6 +399,65 @@ object SparkEntry {
         |       FLOOR(len(list_filter(bs, x -> x // 32 = 0)) / CAST(len(bs) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS f0,
         |       FLOOR(len(list_filter(bs, x -> x // 32 = 3)) / CAST(len(bs) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS f3
         |FROM b ORDER BY doc_id""".stripMargin,
+    // q37: both engines build the SAME deterministic salted input from
+    // doc_id (the synthetic corpus carries no organic PII), then verify
+    // the redaction machinery: global regex replace + match counts.
+    "q37_pii_redact" ->
+      """WITH s AS (SELECT doc_id,
+        |        text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |             || '@example.com or call +1-555-'
+        |             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS salted
+        |      FROM documents),
+        |r AS (SELECT doc_id, salted,
+        |        regexp_replace(
+        |          regexp_replace(salted, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |          '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
+        |      FROM s)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(salted, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+        |       CAST(len(regexp_extract_all(salted, '\+1-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+        |       md5(red) AS redacted_hash,
+        |       CAST(len(red) AS INTEGER) AS n_chars_redacted
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // q38: sampling gate = first 16 bits of md5(doc_id) vs per-lang
+    // threshold floor(rate·65536) — pure function of the row, so both
+    // engines keep exactly the same docs.
+    "q38_sample_stratified" ->
+      """SELECT doc_id, lang, bucket FROM (
+        |  SELECT doc_id, lang,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS bucket
+        |  FROM documents) b
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 19660 ELSE 65536 END
+        |ORDER BY doc_id""".stripMargin,
+    // q39: the oracle is DuckDB's NATIVE ASOF JOIN — an independent
+    // first-class implementation checking graft's union-and-sweep
+    // encoding. Actions deduped per (user, ts) by MAX(event_id) so ties
+    // resolve identically; strict `>` = strictly-earlier semantics.
+    "q39_asof_join" ->
+      """WITH a AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS action_id
+        |           FROM events WHERE event_type <> 'error' GROUP BY 1, 2),
+        |     p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'error')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |       a.action_id AS prior_action_id, a.ts AS prior_ts,
+        |       epoch_us(p.ts) - epoch_us(a.ts) AS gap_us
+        |FROM p ASOF JOIN a ON p.user_id = a.user_id AND p.ts > a.ts
+        |ORDER BY p.event_id""".stripMargin,
+    // q40: chunk = floor(tokens-before-doc / budget) over a per-lang
+    // running sum — integer token counts, so the cumsum and the
+    // floor-divide are bit-identical on both engines.
+    "q40_pack_sequences" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT lang, CAST(FLOOR((cum - n_tokens) / 2048.0) AS INTEGER) AS chunk_id,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin,
     "q35_decontaminate" ->
       """WITH fp AS (SELECT doc_id,
         |              md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint

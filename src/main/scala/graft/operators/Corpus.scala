@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus assembly operators (SURVEY.md §2, q37–q40): the
+  * steps between "documents scored and deduped" and "token stream on
+  * disk" — PII scrubbing, deterministic downsampling, token-budget
+  * packing. All single-scan expression trees (q37/q38) or one
+  * window-sort per stratum (q40); content hashing and sampling hashes
+  * are md5-only so DuckDB oracles replicate bit-for-bit.
+  */
+object Corpus {
+
+  /** Patterns kept to syntax shared by Java regex (Spark) and RE2
+    * (DuckDB): character classes, bounded repetition — no lookarounds,
+    * no backrefs. */
+  private val EmailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+
+  /** q37: PII redaction — replace emails/phone numbers with typed
+    * placeholder tags and count what was scrubbed (the audit trail a
+    * compliance pipeline keeps).
+    *
+    * The test corpus is synthetic wordlists with no PII, so each doc is
+    * first salted with PII derived deterministically from `doc_id` —
+    * the SAME construction the DuckDB oracle performs — and the
+    * redaction logic (global regex replace + match counting) is what's
+    * verified. On real data, drop `salted` and scan `text` directly.
+    *
+    * Scale: narrow projection, no shuffle; regexes are codegen'd
+    * `regexp_replace`/`regexp_count` (RE2-compatible syntax, see
+    * [[EmailRe]]). Output carries `md5(redacted)` rather than the
+    * redacted body so the verification payload stays 16 bytes/doc.
+    */
+  def piiRedact(documents: DataFrame): DataFrame = {
+    val salted = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or call +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val redacted = regexp_replace(
+      regexp_replace(salted, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+    documents.select(
+      col("doc_id"),
+      regexp_count(salted, lit(EmailRe)).as("n_emails"),
+      regexp_count(salted, lit(PhoneRe)).as("n_phones"),
+      md5(redacted.cast("binary")).as("redacted_hash"),
+      length(redacted).as("n_chars_redacted"))
+  }
+
+  /** Per-language keep rates for [[sampleStratified]] — en is
+    * deliberately majority-downsampled (the classic rebalancing move
+    * when one language dominates a crawl). */
+  private val DefaultRates: Seq[(String, Double)] =
+    Seq("en" -> 0.3, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0)
+
+  /** q38: deterministic stratified sampling — keep a doc iff the first
+    * 16 bits of `md5(doc_id)` fall under its language's rate threshold.
+    *
+    * Hash-gated sampling beats `DataFrame.sample` for a training
+    * pipeline because membership is a pure function of the row: re-runs
+    * reproduce the same corpus (no RNG state), adding data never flips
+    * previously-kept rows, and the DuckDB oracle can verify row-for-row
+    * (rand()-based sampling is oracle-uncheckable). Single scan, no
+    * shuffle, no per-partition state; the rate map arrives as a literal
+    * CASE chain (broadcast-free — it's in the plan).
+    */
+  def sampleStratified(documents: DataFrame,
+                       rates: Seq[(String, Double)] = DefaultRates): DataFrame = {
+    val bucket = conv(
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4),
+      16, 10).cast("int")
+    val threshold = rates.foldRight(lit(0)) { case ((lang, rate), acc) =>
+      when(col("lang") === lang, lit(math.floor(rate * 65536).toInt)).otherwise(acc)
+    }
+    documents
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < threshold)
+      .select("doc_id", "lang", "bucket")
+  }
+
+  /** q40: token-budget sequence packing — assign documents to fixed
+    * token-budget chunks (the planning step before concatenating docs
+    * into training context windows), per language, in doc_id order.
+    *
+    * `chunk_id = floor(tokens_before_this_doc / budget)`: a document
+    * starts in the chunk its running offset lands in (documents may
+    * straddle a boundary — this is offset planning, not bin packing;
+    * the writer splits straddlers). One cumulative-sum window per
+    * language + one partial agg. At 100 TB a per-language running sum
+    * serializes each stratum through a range-sort; production packs
+    * per shard (doc_id range) first, then offsets shards by the shard
+    * totals — same output, full parallelism. The declared query keeps
+    * the direct form the oracle can replicate.
+    */
+  def packSequences(documents: DataFrame, budget: Int = 2048): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withChunk = documents
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("chunk_id",
+        floor((col("cum_tokens") - col("n_tokens")) / lit(budget.toDouble)).cast("int"))
+    withChunk.groupBy("lang", "chunk_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("chunk_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+/** q37–q40 semantics on hand-built inputs with known ground truth. */
+class CorpusSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  test("q37 redacts the salted email and phone, and counts one of each") {
+    val d = docs((42L, "plain words only", "en"))
+    val r = Corpus.piiRedact(d).collect().head
+    r.getAs[Int]("n_emails") shouldBe 1
+    r.getAs[Int]("n_phones") shouldBe 1
+    // redacted text = original + both placeholders; length is stable
+    // " contact <EMAIL> or call <PHONE>" after replacing user42@… / +1-555-0042
+    r.getAs[Int]("n_chars_redacted") shouldBe
+      "plain words only contact <EMAIL> or call <PHONE>".length
+  }
+
+  test("q37 leaves PII-free text untouched apart from the salt") {
+    // organic email inside the body is ALSO redacted (global replace)
+    val d = docs((7L, "reach me at someone@corp.io today", "en"))
+    val r = Corpus.piiRedact(d).collect().head
+    r.getAs[Int]("n_emails") shouldBe 2 // body + salt
+  }
+
+  test("q38 sampling is a pure row function: same input, same sample") {
+    val d = tables.documents
+    val a = Corpus.sampleStratified(d).collect().map(_.getLong(0)).sorted
+    val b = Corpus.sampleStratified(d).collect().map(_.getLong(0)).sorted
+    a shouldBe b
+    a.length should be > 0
+  }
+
+  test("q38 non-en strata pass through whole; en is downsampled") {
+    val d = tables.documents
+    val kept = Corpus.sampleStratified(d)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (total.keySet - "en").foreach { l => byLang(l) shouldBe total(l) }
+    byLang("en").toDouble / total("en") should (be > 0.15 and be < 0.45)
+  }
+
+  test("q40 chunking: a doc starts in the chunk its running offset lands in") {
+    // three docs of 5 tokens each, budget 8:
+    // offsets 0, 5, 10 -> chunks 0, 0, 1
+    val five = "a b c d e"
+    val d = docs((1L, five, "en"), (2L, five, "en"), (3L, five, "en"))
+    val rows = Corpus.packSequences(d, budget = 8).collect()
+      .map(r => (r.getAs[Int]("chunk_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("chunk_tokens"))).sortBy(_._1)
+    rows shouldBe Array((0, 2L, 10L), (1, 1L, 5L))
+  }
+
+  test("q40 packs per language independently") {
+    val five = "a b c d e"
+    val d = docs((1L, five, "en"), (2L, five, "fr"))
+    val rows = Corpus.packSequences(d, budget = 8).collect()
+    rows.length shouldBe 2 // one chunk 0 per lang
+    rows.map(_.getAs[Int]("chunk_id")).toSet shouldBe Set(0)
+  }
+
+  test("q37/q38 are single-scan: no shuffle (Exchange) in the plan") {
+    val p1 = planOf(Corpus.piiRedact(tables.documents))
+    val p2 = planOf(Corpus.sampleStratified(tables.documents))
+    p1 should not include "Exchange"
+    p2 should not include "Exchange"
+  }
+}
+
+/** q39 as-of join semantics on a hand-built timeline. */
+class AsofSpec extends SparkSpec {
+
+  private def events(rows: (Long, String, Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts_s", "user_id", "event_type")
+      .select(F.col("event_id"), F.to_timestamp(F.col("ts_s")).as("ts"),
+        F.col("user_id"), F.col("event_type"))
+  }
+
+  test("q39 picks the latest STRICTLY-earlier action; equal-ts action excluded") {
+    val d = events(
+      (1L, "2024-01-01 10:00:00", 1L, "click"),
+      (2L, "2024-01-01 10:05:00", 1L, "view"),
+      (3L, "2024-01-01 10:05:00", 1L, "error"), // ties with action 2: excluded
+      (4L, "2024-01-01 10:10:00", 1L, "error")) // sees action 2
+    val rows = Relational.asofJoin(d).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("prior_action_id")))
+      .sortBy(_._1)
+    rows shouldBe Array((3L, 1L), (4L, 2L))
+  }
+
+  test("q39 error with no prior action is dropped; ts ties dedupe by max event_id") {
+    val d = events(
+      (9L, "2024-01-01 09:00:00", 2L, "error"),  // nothing earlier -> dropped
+      (10L, "2024-01-01 10:00:00", 2L, "view"),
+      (11L, "2024-01-01 10:00:00", 2L, "click"), // same ts: 11 wins
+      (12L, "2024-01-01 11:00:00", 2L, "error"))
+    val rows = Relational.asofJoin(d).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("prior_action_id"),
+        r.getAs[Long]("gap_us")))
+    rows shouldBe Array((12L, 11L, 3600L * 1000000L))
+  }
+
+  test("q39 never crosses users") {
+    val d = events(
+      (1L, "2024-01-01 10:00:00", 1L, "click"),
+      (2L, "2024-01-01 11:00:00", 2L, "error")) // user 2 has no actions
+    Relational.asofJoin(d).collect() shouldBe empty
+  }
+
+  test("q39 plan: ONE exchange keyed by user (union-and-sweep, no range join)") {
+    val plan = planOf(Relational.asofJoin(tables.events))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+}
