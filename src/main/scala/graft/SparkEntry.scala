@@ -49,7 +49,7 @@ object SparkEntry {
     "q21_dedup_ngram"        -> ((s, d) => Dedup.ngramJaccardPairs(Tables(s, d).documents)),
     "q22_dedup_minhash"      -> ((s, d) => Dedup.minhashLshPairs(Tables(s, d).documents)),
     "q36_dedup_clusters"     -> ((s, d) => Dedup.dedupClusters(Tables(s, d).documents)),
-    "q37_pii_redact"         -> ((s, d) => Corpus.piiRedact(Tables(s, d).documents)),
+    "q37_pii_redact"         -> ((s, d) => Corpus.piiRedactVerification(Tables(s, d).documents)),
     "q38_sample_stratified"  -> ((s, d) => Corpus.sampleStratified(Tables(s, d).documents)),
     "q40_pack_sequences"     -> ((s, d) => Corpus.packSequences(Tables(s, d).documents)),
     "q23_dedup_simhash"      -> ((s, d) => Dedup.simhashPairs(Tables(s, d).documents)),
@@ -150,10 +150,11 @@ object SparkEntry {
         |       MAX(value) AS max_duration, MIN(value) AS min_duration,
         |       COUNT(*) AS n_runs
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    // q08 oracle extracts the SAME key the Spark side does (json_valid
-    // guard ≡ from_json null on malformed; TRY_CAST ≡ map<string,int>
-    // value coercion; k IS NOT NULL ≡ explode dropping null maps), so
-    // multi-key or malformed payloads cannot diverge the two engines.
+    // q08 oracle extracts the SAME key the Spark side does: json_valid
+    // guard ≡ from_json(map<string,string>) nulling malformed payloads;
+    // TRY_CAST over the string value on BOTH engines (so {"k":"5"}
+    // coerces to 5 and {"k":"x"} nulls only k, identically); the final
+    // inner join drops null-k rows on both sides.
     "q08_correlation_join" ->
       """WITH e AS (SELECT event_id, event_type, user_id,
         |                  TRY_CAST(CASE WHEN json_valid(props)

@@ -45,8 +45,12 @@ object Exprs {
   private def expectTypes(name: String,
                           expected: Seq[(String, DataType => Boolean)],
                           actual: Seq[DataType]): TypeCheckResult = {
+    // NullType (an untyped NULL literal, e.g. `graft_hamming(NULL, fp)`)
+    // is always acceptable: nullSafeEval/nullable codegen short-circuits
+    // to NULL before the typed code runs, matching built-ins' implicit
+    // null-literal ergonomics.
     val bad = expected.zip(actual).collectFirst {
-      case ((want, ok), got) if !ok(got) => (want, got)
+      case ((want, ok), got) if got != NullType && !ok(got) => (want, got)
     }
     bad match {
       case Some((want, got)) => TypeCheckResult.TypeCheckFailure(
@@ -79,6 +83,7 @@ object Exprs {
         Seq("array<double>" -> isDoubleArray, "array<double>" -> isDoubleArray),
         Seq(left.dataType, right.dataType))
 
+    override def nullIntolerant: Boolean = true
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
@@ -130,6 +135,7 @@ object Exprs {
       expectTypes(prettyName, Seq("array<string>" -> isStringArray),
         Seq(child.dataType))
 
+    override def nullIntolerant: Boolean = true
     override def nullSafeEval(in: Any): Any = {
       val toks = in.asInstanceOf[ArrayData]
       val len = toks.numElements()
@@ -185,6 +191,7 @@ object Exprs {
     @transient private lazy val salts: Array[Array[Byte]] =
       Array.tabulate(k)(i => s"$i|".getBytes("UTF-8"))
 
+    override def nullIntolerant: Boolean = true
     override def nullSafeEval(in: Any): Any = {
       val sh = in.asInstanceOf[ArrayData]
       val nSh = sh.numElements()
@@ -246,6 +253,7 @@ object Exprs {
 
     @transient private lazy val md = MessageDigest.getInstance("MD5")
 
+    override def nullIntolerant: Boolean = true
     override def nullSafeEval(in: Any): Any = {
       val toks = in.asInstanceOf[ArrayData]
       val n = toks.numElements()
@@ -288,6 +296,7 @@ object Exprs {
       expectTypes(prettyName, Seq("string" -> isString, "string" -> isString),
         Seq(left.dataType, right.dataType))
 
+    override def nullIntolerant: Boolean = true
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[UTF8String]
       val y = b.asInstanceOf[UTF8String]
@@ -333,6 +342,7 @@ object Exprs {
       expectTypes(prettyName, Seq("array<double>" -> isDoubleArray),
         Seq(child.dataType))
 
+    override def nullIntolerant: Boolean = true
     override def nullSafeEval(in: Any): Any = {
       val v = in.asInstanceOf[ArrayData]
       val dim = v.numElements()

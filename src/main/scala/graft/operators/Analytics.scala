@@ -50,15 +50,20 @@ object Analytics {
     * and exploded (a real Generate node, like the reference's
     * `CROSS JOIN UNNEST(manifests)`), not regexp-scraped; the
     * aggregated dimension is broadcast (bounded key space). The DuckDB
-    * oracle extracts the same key via json_extract_string with a
-    * json_valid guard, so multi-key or malformed payloads keep the two
-    * engines row-for-row aligned. */
+    * oracle extracts the same key via json_extract_string + TRY_CAST
+    * with a json_valid guard; to match its coercion exactly the map is
+    * parsed with STRING values and the key try_cast to int afterwards —
+    * `{"k":"5"}` coerces to 5 on both engines (a map<string,int> schema
+    * would instead null the whole map on the Spark side), and a
+    * non-numeric value nulls only `k`, dropping the row at the join on
+    * both sides. */
   def correlationJoin(events: DataFrame): DataFrame = {
     val kv = events.select(
       col("event_id"), col("event_type"), col("user_id"),
       explode(from_json(col("props"),
-        org.apache.spark.sql.types.DataType.fromDDL("map<string,int>"))))
-    val withK = kv.filter(col("key") === "k").withColumn("k", col("value"))
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,string>"))))
+    val withK = kv.filter(col("key") === "k")
+      .withColumn("k", expr("try_cast(value AS int)"))
     val dim = withK.groupBy("k").agg(
       count(lit(1)).as("k_events"),
       countDistinct(col("user_id")).as("k_users"))

@@ -21,35 +21,48 @@ object Corpus {
 
   /** q37: PII redaction — replace emails/phone numbers with typed
     * placeholder tags and count what was scrubbed (the audit trail a
-    * compliance pipeline keeps).
+    * compliance pipeline keeps). Returns the REDACTED TEXT plus audit
+    * counts — this is the real production operator.
     *
-    * The test corpus is synthetic wordlists with no PII, so each doc is
-    * first salted with PII derived deterministically from `doc_id` —
-    * the SAME construction the DuckDB oracle performs — and the
-    * redaction logic (global regex replace + match counting) is what's
-    * verified. On real data, drop `salted` and scan `text` directly.
+    * `saltForVerification` (default OFF) deterministically appends
+    * synthetic PII derived from `doc_id` before scanning — the SAME
+    * construction the DuckDB oracle performs — because the synthetic
+    * test corpus carries no organic PII and would otherwise exercise
+    * nothing. Production callers leave it off and scan `text` as-is.
     *
     * Scale: narrow projection, no shuffle; regexes are codegen'd
     * `regexp_replace`/`regexp_count` (RE2-compatible syntax, see
-    * [[EmailRe]]). Output carries `md5(redacted)` rather than the
-    * redacted body so the verification payload stays 16 bytes/doc.
+    * [[EmailRe]]).
     */
-  def piiRedact(documents: DataFrame): DataFrame = {
-    val salted = concat(
-      col("text"),
-      lit(" contact user"), col("doc_id").cast("string"),
-      lit("@example.com or call +1-555-"),
-      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+  def piiRedact(documents: DataFrame,
+                saltForVerification: Boolean = false): DataFrame = {
+    val input =
+      if (saltForVerification)
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      else col("text")
     val redacted = regexp_replace(
-      regexp_replace(salted, EmailRe, "<EMAIL>"),
+      regexp_replace(input, EmailRe, "<EMAIL>"),
       PhoneRe, "<PHONE>")
     documents.select(
       col("doc_id"),
-      regexp_count(salted, lit(EmailRe)).as("n_emails"),
-      regexp_count(salted, lit(PhoneRe)).as("n_phones"),
-      md5(redacted.cast("binary")).as("redacted_hash"),
-      length(redacted).as("n_chars_redacted"))
+      regexp_count(input, lit(EmailRe)).as("n_emails"),
+      regexp_count(input, lit(PhoneRe)).as("n_phones"),
+      redacted.as("redacted"))
   }
+
+  /** The q37 verification projection: salted [[piiRedact]] with the
+    * redacted body compressed to `md5` + length so the oracle payload
+    * stays 16 bytes/doc. The hash lives HERE (harness side), not in the
+    * operator — callers of [[piiRedact]] get real redacted text. */
+  def piiRedactVerification(documents: DataFrame): DataFrame =
+    piiRedact(documents, saltForVerification = true).select(
+      col("doc_id"), col("n_emails"), col("n_phones"),
+      md5(col("redacted").cast("binary")).as("redacted_hash"),
+      length(col("redacted")).as("n_chars_redacted"))
 
   /** Per-language keep rates for [[sampleStratified]] — en is
     * deliberately majority-downsampled (the classic rebalancing move
@@ -73,7 +86,11 @@ object Corpus {
     val bucket = conv(
       substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4),
       16, 10).cast("int")
-    val threshold = rates.foldRight(lit(0)) { case ((lang, rate), acc) =>
+    // Unlisted (or NULL) languages default to KEEP, matching the
+    // oracle's `ELSE 65536`: a sampling step must never silently drop a
+    // stratum nobody configured a rate for — downsampling is an explicit
+    // per-language decision, absence means "pass through".
+    val threshold = rates.foldRight(lit(65536)) { case ((lang, rate), acc) =>
       when(col("lang") === lang, lit(math.floor(rate * 65536).toInt)).otherwise(acc)
     }
     documents

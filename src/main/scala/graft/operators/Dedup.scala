@@ -241,6 +241,16 @@ object Dedup {
       labels = next
       round += 1
     }
+    // Exiting via the round cap with labels still moving means the
+    // output is NOT a fixed point — wrong cluster_ids. Fail loudly
+    // rather than return them as if converged (round-5 ADVICE): a
+    // caller hitting this has a graph far outside the quasi-clique
+    // regime and should switch to large-star/small-star rounds.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxRounds rounds " +
+          s"($changed labels still changing); raise maxRounds or use " +
+          "alternating star rounds for long-chain graphs")
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels
       .join(sizes, Seq("label"))

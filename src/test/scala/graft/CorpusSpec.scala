@@ -12,9 +12,9 @@ class CorpusSpec extends SparkSpec {
     rows.toDF("doc_id", "text", "lang")
   }
 
-  test("q37 redacts the salted email and phone, and counts one of each") {
+  test("q37 verification mode redacts the salted email and phone, one of each") {
     val d = docs((42L, "plain words only", "en"))
-    val r = Corpus.piiRedact(d).collect().head
+    val r = Corpus.piiRedactVerification(d).collect().head
     r.getAs[Int]("n_emails") shouldBe 1
     r.getAs[Int]("n_phones") shouldBe 1
     // redacted text = original + both placeholders; length is stable
@@ -23,11 +23,19 @@ class CorpusSpec extends SparkSpec {
       "plain words only contact <EMAIL> or call <PHONE>".length
   }
 
-  test("q37 leaves PII-free text untouched apart from the salt") {
-    // organic email inside the body is ALSO redacted (global replace)
+  test("q37 default (no salt) returns real redacted text; organic PII scrubbed") {
     val d = docs((7L, "reach me at someone@corp.io today", "en"))
     val r = Corpus.piiRedact(d).collect().head
-    r.getAs[Int]("n_emails") shouldBe 2 // body + salt
+    r.getAs[Int]("n_emails") shouldBe 1
+    r.getAs[Int]("n_phones") shouldBe 0
+    r.getAs[String]("redacted") shouldBe "reach me at <EMAIL> today"
+  }
+
+  test("q37 PII-free text passes through byte-identical with zero counts") {
+    val d = docs((8L, "no personal data here", "en"))
+    val r = Corpus.piiRedact(d).collect().head
+    r.getAs[Int]("n_emails") shouldBe 0
+    r.getAs[String]("redacted") shouldBe "no personal data here"
   }
 
   test("q38 sampling is a pure row function: same input, same sample") {
@@ -47,6 +55,14 @@ class CorpusSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     (total.keySet - "en").foreach { l => byLang(l) shouldBe total(l) }
     byLang("en").toDouble / total("en") should (be > 0.15 and be < 0.45)
+  }
+
+  test("q38 unlisted and NULL languages default to KEEP, not drop") {
+    import spark.implicits._
+    val d = Seq((1L, "t", Some("xx")), (2L, "t", None), (3L, "t", Some("tlh")))
+      .toDF("doc_id", "text", "lang")
+    val kept = Corpus.sampleStratified(d).collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(1L, 2L, 3L)
   }
 
   test("q40 chunking: a doc starts in the chunk its running offset lands in") {

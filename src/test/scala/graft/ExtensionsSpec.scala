@@ -34,6 +34,17 @@ class ExtensionsSpec extends SparkSpec {
       .collect().head.getInt(0) shouldBe 2
   }
 
+  test("NULL literals are accepted and yield NULL, like built-ins") {
+    val row = spark.sql(
+      """SELECT graft_hamming(NULL, '1010') AS h,
+        |       graft_simhash(NULL) AS fp,
+        |       graft_dot(NULL, array(1.0d)) AS d""".stripMargin)
+      .collect().head
+    row.isNullAt(0) shouldBe true
+    row.isNullAt(1) shouldBe true
+    row.isNullAt(2) shouldBe true
+  }
+
   test("SQL graft_simhash agrees with the DataFrame-side operator") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
