@@ -30,6 +30,8 @@ object SparkEntry {
     "q10_hourly_velocity"    -> ((s, d) => Analytics.hourlyVelocity(Tables(s, d).events)),
     "q11_peak_topk"          -> ((s, d) => Analytics.peakHours(Tables(s, d).events)),
     "q18_output_sizing"      -> ((s, d) => Analytics.outputSizing(Tables(s, d).events)),
+    "q42_rollup_report"      -> ((s, d) => Analytics.rollupReport(Tables(s, d).events)),
+    "q43_event_pivot"        -> ((s, d) => Analytics.eventPivot(Tables(s, d).events)),
     "q19_schema_drift"       -> ((s, d) => Etl.schemaDriftUnion(Tables(s, d).events)),
     "q31_status_latest"      -> ((s, d) => Etl.statusLatest(Tables(s, d).events)),
     "q32_velocity_projection"-> ((s, d) => Analytics.velocityProjection(Tables(s, d).events)),
@@ -52,6 +54,17 @@ object SparkEntry {
     "q37_pii_redact"         -> ((s, d) => Corpus.piiRedactVerification(Tables(s, d).documents)),
     "q38_sample_stratified"  -> ((s, d) => Corpus.sampleStratified(Tables(s, d).documents)),
     "q40_pack_sequences"     -> ((s, d) => Corpus.packSequences(Tables(s, d).documents)),
+    "q41_repetition"         -> ((s, d) => TextOps.repetitionSignals(Tables(s, d).documents)),
+    "q44_tfidf_terms"        -> ((s, d) => TextOps.tfidfTopTerms(Tables(s, d).documents)),
+    // q45: every doc_id ≡ 9 (mod 10) plays the incoming intake batch;
+    // the rest is the already-deduped corpus contributing only its
+    // band index — the persisted-index production pattern.
+    "q45_dedup_incremental"  -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      Dedup.incrementalMinhashPairs(
+        docs.filter(col("doc_id") % 10 =!= 9),
+        docs.filter(col("doc_id") % 10 === 9))
+    }),
     "q23_dedup_simhash"      -> ((s, d) => Dedup.simhashPairs(Tables(s, d).documents)),
     "q24_dedup_embedding"    -> ((s, d) => Similarity.embeddingNearDups(Tables(s, d).embeddings)),
     "q25_ann_bruteforce"     -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
@@ -78,6 +91,15 @@ object SparkEntry {
       // timeout off (<=0): finite drain — see Streams.manifestBatcher
       Streams.runToMemory(
         Streams.manifestBatcher(files, partialTimeoutMs = 0).toDF, "s03_stream_batcher")
+    }),
+    "s04_stream_dedup"       -> ((s, d) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
+        .select(TextOps.fingerprintCol.as("fingerprint"), col("doc_id"))
+        .as[Streams.DocFp]
+      Streams.runToMemory(Streams.streamDedup(docs).toDF, "s04_stream_dedup")
     }),
     // Multimodal plumbing — both fully oracle-checked: m01 via struct
     // fields + payload md5 parity, m02 by recomputing the deterministic
@@ -370,6 +392,12 @@ object SparkEntry {
         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM b GROUP BY lang, batch_id
         |HAVING COUNT(*) = 10 ORDER BY lang, batch_id""".stripMargin,
+    // s04: single-drain streaming dedup ≡ batch GROUP BY fingerprint →
+    // MIN(doc_id) (see Streams.streamDedup's determinism note).
+    "s04_stream_dedup" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+        |       MIN(doc_id) AS doc_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // m01: strlen() is DuckDB's byte length — matches Spark's
     // length(binary) over the same UTF-8 bytes; md5 likewise.
     "m01_binary_meta" ->
@@ -459,6 +487,60 @@ object SparkEntry {
         |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin,
+    // q41: all counts are integers and each ratio is ONE IEEE division
+    // (no rounding step needed for parity). Out-of-bounds list index →
+    // NULL in DuckDB ≡ try_element_at → NULL in Spark: both produce
+    // exactly len-1 2-grams.
+    "q41_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, tk,
+        |        list_filter(list_transform(range(1, len(tk) + 1), i -> tk[i] || ' ' || tk[i+1]),
+        |                    x -> x IS NOT NULL) AS gr
+        |      FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN len(tk) > 0 THEN CAST(list_max(list_transform(list_distinct(tk),
+        |       u -> len(list_filter(tk, x -> x = u)))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+        |       ELSE 0.0 END AS top_tok_frac,
+        |  CASE WHEN len(gr) > 0 THEN CAST(list_max(list_transform(list_distinct(gr),
+        |       u -> len(list_filter(gr, x -> x = u)))) AS DOUBLE) / CAST(len(gr) AS DOUBLE)
+        |       ELSE 0.0 END AS top_2gram_frac,
+        |  CASE WHEN len(gr) > 0 THEN CAST(len(gr) - len(list_distinct(gr)) AS DOUBLE)
+        |       / CAST(len(gr) AS DOUBLE)
+        |       ELSE 0.0 END AS dup_2gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q42_rollup_report" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |       COUNT(*) AS n_events,
+        |       SUM(FLOOR(ABS(value) * 10000.0 + 0.5) * SIGN(value)) / 10000.0 AS total_value,
+        |       CAST(GROUPING(CAST(ts AS DATE)) AS INTEGER) AS g_date,
+        |       CAST(GROUPING(event_type) AS INTEGER) AS g_type
+        |FROM events
+        |GROUP BY ROLLUP(CAST(ts AS DATE), event_type)
+        |ORDER BY g_date, g_type, event_date, event_type""".stripMargin,
+    "q43_event_pivot" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |       COUNT(*) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q44: score = tf/df — two integer counts in one IEEE division
+    // (ln-based idf is NOT bit-stable across engines; a rational is,
+    // and preserves ordering for a fixed language count). Ties rank
+    // deterministically by term.
+    "q44_tfidf_terms" ->
+      """WITH tf AS (SELECT lang, t.term AS term, COUNT(*) AS tf
+        |            FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        |            GROUP BY 1, 2),
+        |d AS (SELECT lang, term, tf, COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
+        |s AS (SELECT lang, term, tf, df,
+        |        CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |          ORDER BY CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) DESC, term) AS INTEGER) AS rnk
+        |      FROM d)
+        |SELECT lang, term, tf, df, score, rnk FROM s
+        |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
     "q35_decontaminate" ->
       """WITH fp AS (SELECT doc_id,
         |              md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
@@ -469,6 +551,7 @@ object SparkEntry {
     "q21_dedup_ngram"     -> ngramOracle,
     "q22_dedup_minhash"   -> minhashOracle,
     "q36_dedup_clusters"  -> clustersOracle,
+    "q45_dedup_incremental" -> incrementalOracle,
     "q23_dedup_simhash"   -> simhashOracle,
     "q24_dedup_embedding" -> embeddingDedupOracle,
     "q25_ann_bruteforce"  -> annBruteOracle,
@@ -554,6 +637,21 @@ object SparkEntry {
        |JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1) c
        |  USING (cluster_id)
        |ORDER BY l.doc_id""".stripMargin
+
+  /** q45: an incremental probe against the persisted band index finds
+    * exactly the full-pipeline pairs with one endpoint in the incoming
+    * batch (doc_id ≡ 9 mod 10) and one in the corpus — candidate
+    * generation is "shares ≥1 band bucket" in both formulations, and
+    * the Jaccard verification is identical. Both-new and both-old
+    * pairs are excluded (XOR). */
+  private def incrementalOracle: String =
+    s"""WITH p AS ($minhashPairsQuery)
+       |SELECT CASE WHEN doc_a % 10 = 9 THEN doc_a ELSE doc_b END AS new_doc,
+       |       CASE WHEN doc_a % 10 = 9 THEN doc_b ELSE doc_a END AS dup_of,
+       |       jaccard
+       |FROM p
+       |WHERE (doc_a % 10 = 9) <> (doc_b % 10 = 9)
+       |ORDER BY new_doc, dup_of""".stripMargin
 
   private def simhashOracle: String = {
     val width = 64; val bands = 4; val bw = width / bands

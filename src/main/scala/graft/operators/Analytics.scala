@@ -27,6 +27,45 @@ object Analytics {
         count(when(col("event_type") === "error", 1)).as("n_errors"))
       .orderBy("event_date")
 
+  /** q42: hierarchical rollup report — the daily summary with subtotal
+    * rows per day and a grand total (the shape a run-report dashboard
+    * reads in one query instead of three). `ROLLUP(event_date,
+    * event_type)` plans as ONE Expand + one aggregation: each input row
+    * is replicated once per grouping set and partially aggregated
+    * map-side, so the cost is 3× the single-level agg's map work with
+    * the SAME single shuffle — far cheaper than three separate scans at
+    * any scale. `grouping()` flags disambiguate rolled-up NULLs from
+    * (hypothetical) organic NULL keys, same as GROUPING() in the
+    * oracle. Money sums use the fixed-point formula (Exact.sumFixed)
+    * for engine-exact doubles. */
+  def rollupReport(events: DataFrame): DataFrame =
+    events
+      .select(to_date(col("ts")).as("event_date"), col("event_type"), col("value"))
+      .rollup(col("event_date"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Exact.sumFixed(col("value"), 4).as("total_value"),
+        grouping(col("event_date")).cast("int").as("g_date"),
+        grouping(col("event_type")).cast("int").as("g_type"))
+
+  /** q43: event-type × day pivot matrix (the wide-format report the
+    * metrics app renders as a table). The pivot VALUES ARE DECLARED,
+    * not discovered — `pivot(col)` without values runs a full
+    * distinct-collect pass to the driver before planning, which at
+    * 100 TB is an extra corpus scan; a declared bounded event-type
+    * vocabulary keeps it one single-shuffle aggregation (pivot lowers
+    * to count(CASE WHEN …) per declared value). Absent combinations
+    * yield 0, matching COUNT(*) FILTER in the oracle. */
+  def eventPivot(events: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events
+      .select(to_date(col("ts")).as("event_date"), col("event_type"))
+      .groupBy("event_date")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+  }
+
   /** q06: failure filter + order — predicate reaches the parquet scan
     * (PushedFilters), projection prunes to 4 columns. */
   def failedEvents(events: DataFrame): DataFrame =

@@ -96,8 +96,16 @@ object Dedup {
     * rows, so the second Shingles pass is proportional to candidate
     * volume, not corpus size.
     */
-  def minhashLshPairs(documents: DataFrame, n: Int = 3, numHashes: Int = 16,
-                      bands: Int = 4, tau: Double = 0.5): DataFrame = {
+  /** The LSH band index of a corpus: one `(doc_id, bk)` row per band,
+    * `bk` = md5 digest of the band's minhash rows. This is the
+    * structure a production pipeline PERSISTS (partitioned by bk) so
+    * later batches probe it without re-signaturing the corpus — see
+    * [[incrementalMinhashPairs]]. NULL band keys (short docs: empty
+    * shingle set → NULL min-hashes) are dropped here once, for every
+    * consumer: a join never matches NULLs, but groupBy would collect
+    * them into one giant bucket. */
+  private[operators] def minhashBandIndex(documents: DataFrame, n: Int,
+                                          numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val docs = documents.select(col("doc_id"), shingleSet(n).as("sh"))
@@ -108,20 +116,16 @@ object Dedup {
         (0 until r).flatMap(j => Seq(lit("|"), element_at(col("mhs"), b * r + j + 1))): _*)
         .cast("binary"))
     }: _*)
-    val buckets = withMh.select(col("doc_id"), explode(bandKeys).as("bk"))
-    // bucket-local pair expansion (see simhashPairs): one signature
-    // pass, same Σ bucket² candidates as a bucket self-join. NULL band
-    // keys (short docs: empty shingle set → NULL min-hashes) must be
-    // dropped explicitly — a join never matches NULLs, but groupBy
-    // would collect them into one bucket.
-    val cands = buckets.filter(col("bk").isNotNull).groupBy("bk")
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(col("ds")).as("doc_a"), col("ds"))
-      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
+    withMh.select(col("doc_id"), explode(bandKeys).as("bk"))
+      .filter(col("bk").isNotNull)
+  }
+
+  /** Exact shingle-Jaccard verification of candidate `(doc_a, doc_b)`
+    * pairs: join raw token arrays by doc_id (not shingle arrays — those
+    * would n-fold every word through the shuffle), re-shingle only the
+    * candidate rows, keep pairs with Jaccard ≥ tau. */
+  private def verifyJaccard(cands: DataFrame, documents: DataFrame,
+                            n: Int, tau: Double): DataFrame = {
     val toks = documents.select(col("doc_id"), split(col("text"), " ").as("toks"))
     val withSets = cands
       .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
@@ -134,6 +138,57 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         jaccard(inter, size(col("sh_a")), size(col("sh_b"))).as("jaccard"))
       .filter(col("jaccard") >= tau)
+  }
+
+  def minhashLshPairs(documents: DataFrame, n: Int = 3, numHashes: Int = 16,
+                      bands: Int = 4, tau: Double = 0.5): DataFrame = {
+    val buckets = minhashBandIndex(documents, n, numHashes, bands)
+    // bucket-local pair expansion (see simhashPairs): one signature
+    // pass, same Σ bucket² candidates as a bucket self-join.
+    val cands = buckets.groupBy("bk")
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    verifyJaccard(cands, documents, n, tau)
+  }
+
+  /** q45: INCREMENTAL near-dup detection — the production shape of
+    * minhash dedup. A corpus is deduped once; every later intake batch
+    * must answer "which incoming docs duplicate something we already
+    * hold?" WITHOUT re-pairing the whole corpus against itself.
+    *
+    * The existing corpus contributes only its band index
+    * ([[minhashBandIndex]] — persisted in production, rebuilt inline
+    * here); the incoming batch is signatured and equi-joined against it
+    * on the band key. Cost: signature pass over the BATCH + one join
+    * keyed by bk whose fan-out is batch-bucket × corpus-bucket — never
+    * corpus², never batch×corpus. Candidates are exact-verified with
+    * true Jaccard, like q22. Incoming-vs-incoming duplicates are out of
+    * scope by design (run plain [[minhashLshPairs]] over the batch for
+    * those — it's batch-sized, cheap).
+    *
+    * Output: one row per (new_doc, dup_of) hit with its Jaccard —
+    * the delete/keep decision feed. */
+  def incrementalMinhashPairs(existing: DataFrame, incoming: DataFrame,
+                              n: Int = 3, numHashes: Int = 16,
+                              bands: Int = 4, tau: Double = 0.5): DataFrame = {
+    val idx = minhashBandIndex(existing, n, numHashes, bands)
+      .withColumnRenamed("doc_id", "dup_of")
+    val probes = minhashBandIndex(incoming, n, numHashes, bands)
+      .withColumnRenamed("doc_id", "new_doc")
+    val cands = probes.join(idx, Seq("bk"))
+      .select(col("new_doc"), col("dup_of"))
+      .distinct()
+    // verify against the union'd corpus (token arrays are fetched by
+    // doc_id, so each side resolves from its own source)
+    verifyJaccard(
+      cands.select(col("new_doc").as("doc_a"), col("dup_of").as("doc_b")),
+      existing.unionByName(incoming), n, tau)
+      .select(col("doc_a").as("new_doc"), col("doc_b").as("dup_of"), col("jaccard"))
   }
 
   /** 64-bit SimHash fingerprint of `text` as a '0'/'1' string — one

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines
@@ -24,7 +25,9 @@ object TextOps {
         count(lit(1)).as("n_copies"))
 
 
-  private def fingerprintCol =
+  /** Normalized content fingerprint (lowercase, collapse whitespace,
+    * md5) — shared by q30/q35 and the s04 streaming dedup. */
+  private[graft] def fingerprintCol =
     md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary"))
 
   /** q30: normalized document fingerprint — lowercase, collapse
@@ -84,6 +87,76 @@ object TextOps {
       graft.Exact.dround(uniqRatio * 0.4 + (lit(1.0) - stopRatio) * 0.3 + lenSat * 0.3)
         .as("quality"))
 
+  }
+
+  /** q41: repetition signals (the Gopher-style "repetitive document"
+    * quality filters): fraction of tokens accounted for by the single
+    * most frequent token, same for word 2-grams, and the fraction of
+    * 2-gram slots occupied by a repeated 2-gram. High values flag
+    * boilerplate / keyword-stuffed / looping documents that poison
+    * training corpora.
+    *
+    * All counts are integers and each ratio is ONE IEEE division, so
+    * the doubles are bit-identical across engines with no rounding
+    * step. Per-document cost is O(distinct · len) in the mode search —
+    * a tight bound for natural-language documents (len ≤ context
+    * window) — and the whole operator is a single scan with no
+    * shuffle: the per-doc arrays never leave their partition.
+    */
+  def repetitionSignals(documents: DataFrame): DataFrame = {
+    // 2-gram multiset (NOT a set — counts need multiplicity, so
+    // Exprs.Shingles, which dedups, does not apply). Element i pairs
+    // with its successor; the last slot's try_element_at overruns to
+    // NULL, concat nulls the gram, filter drops it: exactly len-1
+    // grams, matching the oracle's out-of-bounds list index → NULL.
+    val grams = filter(
+      transform(toks, (t, i) => concat(t, lit(" "), try_element_at(toks, i + lit(2)))),
+      g => g.isNotNull)
+    def modeCount(xs: Column): Column =
+      array_max(transform(array_distinct(xs), u =>
+        size(filter(xs, x => x === u))))
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    documents
+      .select(col("doc_id"), toks.as("tk"), grams.as("gr"))
+      .select(
+        col("doc_id"),
+        frac(modeCount(col("tk")), size(col("tk"))).as("top_tok_frac"),
+        frac(modeCount(col("gr")), size(col("gr"))).as("top_2gram_frac"),
+        frac(size(col("gr")) - size(array_distinct(col("gr"))), size(col("gr")))
+          .as("dup_2gram_frac"))
+  }
+
+  /** q44: per-language top-k distinctive terms — the corpus-statistics
+    * report every dataset card carries. `tf` = term count within the
+    * language, `df` = number of languages containing the term, score =
+    * tf/df (a TF-IDF with the idf log dropped: ln() is not bit-stable
+    * across engines, a rational of two integer counts is — same
+    * ordering for fixed |langs|).
+    *
+    * Plan: explode→wordcount (map-side partial agg, one shuffle keyed
+    * by (lang, term)), df via a count window keyed by term (second
+    * shuffle over the VOCABULARY, not the corpus — each (lang, term)
+    * row is unique so COUNT(*) = languages containing the term), then
+    * a per-language top-k window. The top-k partitions by `lang`
+    * (bounded cardinality): fine while vocab ≪ corpus, which is the
+    * point of running it after the wordcount reduction; a 1000-way
+    * cluster would salt the rank key or take per-partition top-k first
+    * if vocabularies ever ballooned. */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 10): DataFrame = {
+    val tf = documents
+      .select(col("lang"), explode(toks).as("term"))
+      .groupBy("lang", "term")
+      .agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("term")))
+    val score = col("tf").cast("double") / col("df").cast("double")
+    withDf
+      .withColumn("score", score)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("score").desc, col("term"))))
+      .filter(col("rnk") <= k)
+      .select("lang", "term", "tf", "df", "score", "rnk")
   }
 
   /** Marker vocabularies for the language-ID heuristic. On real corpora

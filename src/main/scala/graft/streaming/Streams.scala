@@ -165,6 +165,45 @@ object Streams {
     }
   }
 
+  // ----- s04: streaming exact dedup -----------------------------------
+
+  /** One fingerprinted document on the intake stream. */
+  case class DocFp(fingerprint: String, doc_id: Long)
+
+  /** s04: continuous exact dedup — the streaming form of q20/q30: an
+    * intake stream is fingerprinted and only the FIRST document per
+    * fingerprint passes; re-deliveries and exact dups are dropped
+    * forever after. This replaces the reference's DynamoDB
+    * conditional-write dedup of at-least-once SQS deliveries
+    * (lambda_manifest_builder's claim semantics) with state-store
+    * state keyed by content, not object key.
+    *
+    * Determinism: within a micro-batch all carriers of a new
+    * fingerprint are grouped, and the MIN doc_id is emitted — so the
+    * survivor does not depend on partition race order, and a
+    * single-drain run (Trigger.AvailableNow over one source file)
+    * equals the batch oracle `GROUP BY fingerprint → MIN(doc_id)`
+    * exactly. Across micro-batches, first-batch-wins (arrival order —
+    * the production contract for an intake stream).
+    *
+    * Scale: state is one boolean per DISTINCT fingerprint — the
+    * streaming-dedup floor. At 100 TB that means a RocksDB state store
+    * and, if the intake contract allows it, a watermark-TTL'd variant
+    * (dropDuplicatesWithinWatermark) that forgets fingerprints older
+    * than the re-delivery horizon instead of remembering forever. */
+  def streamDedup(docs: Dataset[DocFp]): Dataset[DocFp] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.fingerprint)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: String, it: Iterator[DocFp], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(DocFp(fp, it.map(_.doc_id).min))
+          }
+      }
+  }
+
   // ----- Verify/Bench harness -----------------------------------------
 
   private val runCounter = new java.util.concurrent.atomic.AtomicLong(0)

@@ -106,6 +106,34 @@ class DedupSpec extends SparkSpec {
     rows shouldBe Array((1L, 1L, 2L), (2L, 1L, 2L))
   }
 
+  test("q45 incremental: incoming dup of the corpus is found; incoming-vs-incoming is not") {
+    val d = docs(
+      (1L, base),                                      // existing corpus
+      (2L, "one two three four five six seven eight"), // existing, unrelated
+      (9L, base),                                      // incoming: dup of 1
+      (19L, "unrelated brand new content here today"), // incoming: novel vs corpus...
+      (29L, "unrelated brand new content here today")) // ...but dup of 19 (both incoming)
+    val existing = d.filter(F.col("doc_id") < 9)
+    val incoming = d.filter(F.col("doc_id") >= 9)
+    val hits = Dedup.incrementalMinhashPairs(existing, incoming).collect()
+      .map(r => (r.getAs[Long]("new_doc"), r.getAs[Long]("dup_of"),
+        r.getAs[Double]("jaccard")))
+    hits.map(h => (h._1, h._2)) shouldBe Array((9L, 1L))
+    hits.head._3 shouldBe 1.0
+  }
+
+  test("q45 agrees with the full pairwise pipeline restricted to cross-batch pairs") {
+    val d = tables.documents
+    val isNew = F.col("doc_id") % 10 === 9
+    val incremental = Dedup.incrementalMinhashPairs(d.filter(!isNew), d.filter(isNew))
+      .collect().map(r => (r.getAs[Long]("new_doc"), r.getAs[Long]("dup_of"))).toSet
+    val full = Dedup.minhashLshPairs(d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .filter { case (a, b) => (a % 10 == 9) != (b % 10 == 9) }
+      .map { case (a, b) => if (a % 10 == 9) (a, b) else (b, a) }.toSet
+    incremental shouldBe full
+  }
+
   test("q23 fingerprint is 64 '0'/'1' chars") {
     val fp = docs((1L, base))
       .select(Dedup.simhashFingerprint().as("fp")).collect().head.getString(0)

@@ -74,6 +74,38 @@ class StreamingSpec extends SparkSpec {
     rows.toSet shouldBe Set(("d1", 0, 10L))
   }
 
+  test("s04 stream dedup: first batch wins, min doc_id within a batch, re-delivery dropped") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Streams.DocFp]
+    // batch 1: fp A carried by docs 5 and 3 (min wins), fp B by doc 7
+    in.addData(Streams.DocFp("A", 5L), Streams.DocFp("A", 3L), Streams.DocFp("B", 7L))
+    // batch 2: fp A re-delivered (dropped), fp C is new
+    in.addData(Streams.DocFp("A", 9L), Streams.DocFp("C", 1L))
+    val q = Streams.streamDedup(in.toDS()).toDF
+      .writeStream.format("memory").queryName("s04_e2e")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("s04_e2e").collect()
+      .map(r => (r.getAs[String]("fingerprint"), r.getAs[Long]("doc_id"))).toSet
+    rows shouldBe Set(("A", 3L), ("B", 7L), ("C", 1L))
+  }
+
+  test("s04 streaming/batch parity on the real documents table") {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"${SparkSpec.sfDir}/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(Streams.asStreamPath(s"${SparkSpec.sfDir}/documents.parquet"))
+      .select(operators.TextOps.fingerprintCol.as("fingerprint"), col("doc_id"))
+      .as[Streams.DocFp]
+    val streamed = Streams.runToMemory(Streams.streamDedup(stream).toDF, "s04_parity")
+    val batch = tables.documents
+      .select(operators.TextOps.fingerprintCol.as("fingerprint"), col("doc_id"))
+      .groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
+    streamed.exceptAll(batch).count() shouldBe 0L
+    batch.exceptAll(streamed).count() shouldBe 0L
+  }
+
   test("s01 production path: stream -> normalize -> parquet sink round-trips") {
     val outDir = java.nio.file.Files.createTempDirectory("s01_sink").toString
     val ckDir = java.nio.file.Files.createTempDirectory("s01_ck").toString

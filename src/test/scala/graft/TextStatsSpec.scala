@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** q41 repetition signals, q44 TF-IDF top terms, and the q42/q43
+  * report shapes on hand-built inputs with known ground truth. */
+class TextStatsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  test("q41 repetition ratios on a known document") {
+    // tokens: [a, a, a, b] -> top token 3/4
+    // 2-grams: ["a a", "a a", "a b"] -> top 2/3, dup slots (3-2)/3
+    val r = TextOps.repetitionSignals(docs((1L, "a a a b", "en"))).collect().head
+    r.getAs[Double]("top_tok_frac") shouldBe 3.0 / 4.0
+    r.getAs[Double]("top_2gram_frac") shouldBe 2.0 / 3.0
+    r.getAs[Double]("dup_2gram_frac") shouldBe 1.0 / 3.0
+  }
+
+  test("q41 no repetition -> top fractions are 1/n, dup fraction 0") {
+    val r = TextOps.repetitionSignals(docs((1L, "w x y z", "en"))).collect().head
+    r.getAs[Double]("top_tok_frac") shouldBe 0.25
+    r.getAs[Double]("top_2gram_frac") shouldBe 1.0 / 3.0
+    r.getAs[Double]("dup_2gram_frac") shouldBe 0.0
+  }
+
+  test("q41 single-token document: no 2-gram slots, zero fractions") {
+    val r = TextOps.repetitionSignals(docs((1L, "solo", "en"))).collect().head
+    r.getAs[Double]("top_tok_frac") shouldBe 1.0
+    r.getAs[Double]("top_2gram_frac") shouldBe 0.0
+    r.getAs[Double]("dup_2gram_frac") shouldBe 0.0
+  }
+
+  test("q44 scores shared terms down by cross-language spread") {
+    // "common" appears in both langs (df=2); "only" in one (df=1)
+    val d = docs(
+      (1L, "common common only", "en"),
+      (2L, "common stuff", "fr"))
+    val rows = TextOps.tfidfTopTerms(d, k = 10).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("term"),
+        r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Double]("score")))
+    val en = rows.filter(_._1 == "en").sortBy(_._2)
+    // en: common tf=2 df=2 score=1.0; only tf=1 df=1 score=1.0
+    en should contain(("en", "common", 2L, 2L, 1.0))
+    en should contain(("en", "only", 1L, 1L, 1.0))
+    val fr = rows.filter(_._1 == "fr")
+    fr should contain(("fr", "stuff", 1L, 1L, 1.0))
+    fr should contain(("fr", "common", 1L, 2L, 0.5))
+  }
+
+  test("q44 keeps at most k terms per language, ranked score desc then term") {
+    val rows = TextOps.tfidfTopTerms(tables.documents, k = 5).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.values.foreach { rs =>
+      rs.length should be <= 5
+      val ranked = rs.sortBy(_.getAs[Int]("rnk"))
+      ranked.map(_.getAs[Int]("rnk")).toSeq shouldBe (1 to rs.length)
+      // scores never increase as rank grows
+      val scores = ranked.map(_.getAs[Double]("score")).toSeq
+      scores.zip(scores.tail).foreach { case (a, b) => a should be >= b }
+    }
+  }
+
+  test("q42 rollup emits detail, per-day subtotal, and grand total levels") {
+    val rows = Analytics.rollupReport(tables.events).collect()
+    val grand = rows.filter(r => r.getAs[Int]("g_date") == 1 && r.getAs[Int]("g_type") == 1)
+    grand.length shouldBe 1
+    val total = rows.filter(r => r.getAs[Int]("g_date") == 0 && r.getAs[Int]("g_type") == 0)
+      .map(_.getAs[Long]("n_events")).sum
+    grand.head.getAs[Long]("n_events") shouldBe total
+    // per-day subtotals equal the sum of that day's detail rows
+    val subtotals = rows.filter(r => r.getAs[Int]("g_date") == 0 && r.getAs[Int]("g_type") == 1)
+    subtotals.foreach { st =>
+      val day = st.getAs[java.sql.Date]("event_date")
+      val detail = rows.filter(r => r.getAs[Int]("g_type") == 0 &&
+        r.getAs[java.sql.Date]("event_date") == day)
+      st.getAs[Long]("n_events") shouldBe detail.map(_.getAs[Long]("n_events")).sum
+    }
+  }
+
+  test("q43 pivot cells sum to the day's event count; absent combos are 0") {
+    val pivoted = Analytics.eventPivot(tables.events).collect()
+    val daily = Analytics.dailySummary(tables.events).collect()
+      .map(r => r.getAs[java.sql.Date]("event_date") -> r.getAs[Long]("n_events")).toMap
+    pivoted.foreach { r =>
+      val cells = Seq("click", "error", "purchase", "signup", "view")
+        .map(c => r.getAs[Long](c))
+      cells.foreach(_ should be >= 0L)
+      cells.sum shouldBe daily(r.getAs[java.sql.Date]("event_date"))
+    }
+  }
+
+  test("q41 is single-scan (no Exchange); q43 reads the source once") {
+    planOf(TextOps.repetitionSignals(tables.documents)) should not include "Exchange"
+    // declared pivot values -> no driver-side distinct-collect pass:
+    // ONE scan of events feeding the standard two-phase aggregation
+    // ((date, type) partial -> date pivot), never a second read.
+    val p = planOf(Analytics.eventPivot(tables.events))
+    "Scan parquet".r.findAllIn(p).length shouldBe 1
+    "Exchange".r.findAllIn(p).length should be <= 2
+  }
+}
