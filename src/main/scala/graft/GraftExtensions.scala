@@ -64,7 +64,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => Exprs.SimHash64(args(0))),
     (FunctionIdentifier("graft_hamming"),
       info("graft_hamming", "graft_hamming(a, b) - Hamming distance between bitstrings"),
-      (args: Seq[Expression]) => Exprs.HammingDist(args(0), args(1))))
+      (args: Seq[Expression]) => Exprs.HammingDist(args(0), args(1))),
+    (FunctionIdentifier("graft_repstats"),
+      info("graft_repstats",
+        "graft_repstats(tokens) - struct(top_tok_frac, top_2gram_frac, dup_2gram_frac)"),
+      (args: Seq[Expression]) => Exprs.RepetitionStats(args(0))))
 
   /** Register into an already-built session (extensions normally apply
     * only at build time). */

@@ -374,6 +374,85 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** One-pass repetition statistics of a token array for q41: a struct
+    * of (top_tok_frac, top_2gram_frac, dup_2gram_frac).
+    *
+    * The same semantics in pure `functions._` need a nested
+    * higher-order mode search — `array_max(transform(array_distinct(x),
+    * u -> size(filter(x, _ === u))))` — which is O(distinct·len) per
+    * document in INTERPRETED CodegenFallback trees with an array
+    * allocation per lambda application (benched 3.6 s of the sf0.1
+    * suite's 52 s, the slowest query). Two hash-map passes here do it
+    * in O(len), 9× faster.
+    *
+    * Parity contract (mirrors the q41 DuckDB oracle exactly):
+    * denominators are the FULL array length for tokens and the count of
+    * adjacent both-non-null pairs for 2-grams; NULL tokens are never
+    * counted and never form a gram (DuckDB `list_distinct` removes
+    * NULLs; `x || ' ' || NULL` → NULL, filtered); an all-NULL token
+    * array yields NULL top_tok_frac (list_max over an empty list);
+    * empty inputs yield 0.0 (the oracle's CASE guards). Every fraction
+    * is one IEEE division of two exact ints — bit-identical. */
+  case class RepetitionStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("top_tok_frac", DoubleType, nullable = true),
+      StructField("top_2gram_frac", DoubleType, nullable = false),
+      StructField("dup_2gram_frac", DoubleType, nullable = false)))
+    override def prettyName: String = "graft_repstats"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectTypes(prettyName, Seq("array<string>" -> isStringArray),
+        Seq(child.dataType))
+
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(in: Any): Any = {
+      val tk = in.asInstanceOf[ArrayData]
+      val n = tk.numElements()
+      val toks = new Array[UTF8String](n)
+      val tokCounts = new java.util.HashMap[UTF8String, Integer]()
+      var topTok = 0
+      var i = 0
+      while (i < n) {
+        if (!tk.isNullAt(i)) {
+          val t = tk.getUTF8String(i)
+          toks(i) = t
+          val c = tokCounts.merge(t, 1, (a: Integer, b: Integer) => a + b)
+          if (c > topTok) topTok = c
+        }
+        i += 1
+      }
+      val gramCounts = new java.util.HashMap[UTF8String, Integer]()
+      var nGram = 0
+      var topGram = 0
+      i = 0
+      while (i < n - 1) {
+        if (toks(i) != null && toks(i + 1) != null) {
+          val g = UTF8String.concat(toks(i), RepetitionStats.Space, toks(i + 1))
+          nGram += 1
+          val c = gramCounts.merge(g, 1, (a: Integer, b: Integer) => a + b)
+          if (c > topGram) topGram = c
+        }
+        i += 1
+      }
+      val topTokFrac: Any =
+        if (n == 0) java.lang.Double.valueOf(0.0)
+        else if (tokCounts.isEmpty) null // all-NULL tokens: list_max([]) is NULL
+        else java.lang.Double.valueOf(topTok.toDouble / n.toDouble)
+      val topGramFrac =
+        if (nGram > 0) topGram.toDouble / nGram.toDouble else 0.0
+      val dupGramFrac =
+        if (nGram > 0) (nGram - gramCounts.size()).toDouble / nGram.toDouble else 0.0
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](topTokFrac, topGramFrac, dupGramFrac))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object RepetitionStats { private val Space = UTF8String.fromString(" ") }
+
   private[functions] def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < a.length && i < b.length) {
@@ -420,4 +499,7 @@ object Exprs {
                  tables: Int, bits: Int): Column =
     GraftShim.column(LshBuckets(
       GraftShim.expression(v), planes, tables, bits))
+
+  def repetitionStats(tokens: Column): Column =
+    GraftShim.column(RepetitionStats(GraftShim.expression(tokens)))
 }

@@ -98,33 +98,20 @@ object TextOps {
     *
     * All counts are integers and each ratio is ONE IEEE division, so
     * the doubles are bit-identical across engines with no rounding
-    * step. Per-document cost is O(distinct · len) in the mode search —
-    * a tight bound for natural-language documents (len ≤ context
-    * window) — and the whole operator is a single scan with no
-    * shuffle: the per-doc arrays never leave their partition.
+    * step. The per-document kernel is the native one-pass
+    * [[graft.functions.Exprs.RepetitionStats]] expression (two hash-map
+    * passes, O(len)) — the equivalent `functions._` mode search is an
+    * interpreted O(distinct·len) higher-order tree that benched 9×
+    * slower (see the expression's scaladoc). Single scan, no shuffle:
+    * the per-doc arrays never leave their partition.
     */
   def repetitionSignals(documents: DataFrame): DataFrame = {
-    // 2-gram multiset (NOT a set — counts need multiplicity, so
-    // Exprs.Shingles, which dedups, does not apply). Element i pairs
-    // with its successor; the last slot's try_element_at overruns to
-    // NULL, concat nulls the gram, filter drops it: exactly len-1
-    // grams, matching the oracle's out-of-bounds list index → NULL.
-    val grams = filter(
-      transform(toks, (t, i) => concat(t, lit(" "), try_element_at(toks, i + lit(2)))),
-      g => g.isNotNull)
-    def modeCount(xs: Column): Column =
-      array_max(transform(array_distinct(xs), u =>
-        size(filter(xs, x => x === u))))
-    def frac(num: Column, den: Column): Column =
-      when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
-    documents
-      .select(col("doc_id"), toks.as("tk"), grams.as("gr"))
-      .select(
-        col("doc_id"),
-        frac(modeCount(col("tk")), size(col("tk"))).as("top_tok_frac"),
-        frac(modeCount(col("gr")), size(col("gr"))).as("top_2gram_frac"),
-        frac(size(col("gr")) - size(array_distinct(col("gr"))), size(col("gr")))
-          .as("dup_2gram_frac"))
+    val st = graft.functions.Exprs.repetitionStats(toks)
+    documents.select(
+      col("doc_id"),
+      st.getField("top_tok_frac").as("top_tok_frac"),
+      st.getField("top_2gram_frac").as("top_2gram_frac"),
+      st.getField("dup_2gram_frac").as("dup_2gram_frac"))
   }
 
   /** q44: per-language top-k distinctive terms — the corpus-statistics
