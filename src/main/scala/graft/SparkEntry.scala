@@ -70,6 +70,7 @@ object SparkEntry {
     "q25_ann_bruteforce"     -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
     "q26_ann_lsh"            -> ((s, d) => Similarity.annLsh(Tables(s, d).embeddings)),
     "q34_dedup_embedding_lsh"-> ((s, d) => Similarity.embeddingNearDupsBucketed(Tables(s, d).embeddings)),
+    "q46_ann_ivf"            -> ((s, d) => Similarity.annIvf(Tables(s, d).embeddings)),
     // Streaming — executed through the real micro-batch engine
     // (Trigger.AvailableNow + memory sink), then compared to batch
     // oracles: streaming/batch parity is the correctness contract.
@@ -556,6 +557,7 @@ object SparkEntry {
     "q24_dedup_embedding" -> embeddingDedupOracle,
     "q25_ann_bruteforce"  -> annBruteOracle,
     "q26_ann_lsh"         -> annLshOracle,
+    "q46_ann_ivf"         -> annIvfOracle,
     "q34_dedup_embedding_lsh" -> embeddingDedupLshOracle,
   )
 
@@ -729,6 +731,34 @@ object SparkEntry {
        |      FROM cand c JOIN n a ON c.vec_a = a.vec_id JOIN n b ON c.vec_b = b.vec_id)
        |SELECT vec_a, vec_b, ROUND(cos_raw, 4) AS cos_sim FROM p
        |WHERE cos_raw >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
+  /** q46: IVF with the deterministic quantizer — centroids are the 16
+    * lowest-vec_id vectors; assignment and probe ranking both order by
+    * (score DESC, cell), matching the Spark side's first-max argmax
+    * and row_number ties exactly. */
+  private def annIvfOracle: String =
+    s"""WITH $vecCtes,
+       |cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < 16),
+       |sc AS (SELECT x.vec_id, c.cell, (${sqlDot("x.v", "c.v")}) / c.nrm AS score
+       |       FROM n x CROSS JOIN cent c),
+       |asg AS (SELECT vec_id AS neighbor_id, cell FROM (
+       |          SELECT vec_id, cell,
+       |                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+       |          FROM sc) t WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM (
+       |          SELECT vec_id, cell,
+       |                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+       |          FROM sc WHERE vec_id < 10) t WHERE rn <= 4),
+       |s AS (SELECT p.query_id, a.neighbor_id,
+       |        ROUND((${sqlDot("q.v", "c.v")}) / (q.nrm * c.nrm), 4) AS cos_sim
+       |      FROM probes p JOIN asg a USING (cell)
+       |      JOIN n q ON q.vec_id = p.query_id
+       |      JOIN n c ON c.vec_id = a.neighbor_id
+       |      WHERE a.neighbor_id <> p.query_id),
+       |r AS (SELECT query_id, neighbor_id, cos_sim,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS "rank"
+       |      FROM s)
+       |SELECT * FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
 
   private def annLshOracle: String =
     s"""WITH ${lshBucketCtes()},

@@ -130,6 +130,76 @@ object Similarity {
   def suggestBits(n: Long, targetBucket: Int = 128): Int =
     math.max(1, math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
 
+  /** q46: IVF (inverted-file) approximate nearest neighbors — the
+    * OTHER classic ANN index besides LSH (q26): partition the corpus
+    * into cells around centroids, search only the query's `nProbe`
+    * closest cells.
+    *
+    * The coarse quantizer is deterministic — the `nCells`
+    * lowest-vec_id vectors serve as centroids (production trains
+    * k-means; centroid CHOICE is orthogonal to the index structure and
+    * query path exercised here, and a deterministic choice is what
+    * lets DuckDB replicate the whole operator bit-for-bit).
+    *
+    * Spark-first shape: IVF centroids are index METADATA — nCells·dim
+    * doubles — so they are collected ONCE to the driver (the one
+    * justified `.collect()` in the library: kilobytes, like AQE's
+    * broadcast decisions) and embedded as array literals. Cell
+    * assignment is then a PURE per-row expression — argmax over
+    * nCells codegen'd dot products, zero shuffle, no join against a
+    * centroid table — and the only shuffles are the candidate
+    * equi-join keyed by `cell` and the final per-query top-k window.
+    * Cost: corpus-pass + Σ probed-cell sizes, never n²; expected
+    * probe fraction = nProbe/nCells of the corpus per query. `nCells`
+    * grows with √n (classic IVF sizing) to keep cells bounded.
+    *
+    * Ties everywhere break toward the smaller cell id / neighbor id,
+    * identically in the oracle's ROW_NUMBER ordering. */
+  def annIvf(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 4,
+             nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val cents: Array[(Int, Array[Double])] = embeddings
+      .filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int"), vecD(col("embedding")))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val cellIds = lit(cents.map(_._1))
+    // score(v, c) = dot(v, c)/|c| — |v| is constant per row, so the
+    // per-vector argmax/ordering equals the cosine argmax. The |c|
+    // divisions constant-fold (the spherical-IVF quantizer).
+    def cellScores(v: Column): Column = array(cents.map { case (_, arr) =>
+      val c = lit(arr)
+      dot(v, c) / sqrt(dot(c, c))
+    }: _*)
+    val e = prepared(embeddings)
+    // assignment: first-max position → smallest cell id on ties;
+    // element_at maps the position back to the centroid's vec_id, so
+    // nothing assumes centroid ids are contiguous
+    val scores = cellScores(col("v"))
+    val assigned = e
+      .withColumn("cell", element_at(cellIds, array_position(scores, array_max(scores)).cast("int")))
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("v").as("cv"), col("nrm").as("cn"))
+    val wq = Window.partitionBy("query_id").orderBy(col("score").desc, col("cell"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        posexplode(cellScores(col("v"))))
+      .select(col("query_id"), col("qv"), col("qn"),
+        element_at(cellIds, col("pos").cast("int") + 1).as("cell"), col("col").as("score"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "qv", "qn", "cell")
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      // a vector probed via two cells can't duplicate (cells partition
+      // the corpus), so no distinct needed before ranking
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
   /** q26: LSH-bucketed approximate nearest neighbors — the 100 TB
     * similarity path. `tables` independent hash tables of `bits`
     * sign-random-projection bits each; a vector's bucket in table t is

@@ -57,6 +57,31 @@ class PlanSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("q45 incremental probe is a bk-keyed equi-join — never batch × corpus") {
+    import org.apache.spark.sql.functions.col
+    val d = tables.documents
+    val plan = planOf(Dedup.incrementalMinhashPairs(
+      d.filter(col("doc_id") % 10 =!= 9), d.filter(col("doc_id") % 10 === 9)))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q42 rollup is ONE Expand + one shuffled aggregation, not three scans") {
+    val plan = planOf(Analytics.rollupReport(tables.events))
+    plan should include ("Expand")
+    "Scan parquet".r.findAllIn(plan).length shouldBe 1
+    "Exchange".r.findAllIn(plan).length shouldBe 1
+  }
+
+  test("q44 wordcount reduces before the vocabulary windows; one corpus scan") {
+    val plan = planOf(operators.TextOps.tfidfTopTerms(tables.documents))
+    "Scan parquet".r.findAllIn(plan).length shouldBe 1
+    plan should not include "CartesianProduct"
+    // partial aggregation runs map-side before the first shuffle, so
+    // the windows operate on the vocabulary, not the token stream
+    plan should include regex "HashAggregate.*partial_count"
+  }
+
   test("q23 simhash candidate join is bucket-keyed — never a cross product") {
     val plan = planOf(Dedup.simhashPairs(tables.documents))
     plan should not include "CartesianProduct"
