@@ -65,6 +65,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 =!= 9),
         docs.filter(col("doc_id") % 10 === 9))
     }),
+    // q47: same candidate/reference split as q35 (doc_id ≡ 0 mod 7
+    // plays the eval benchmark) but PARTIAL overlap — shared 3-gram
+    // shingles, not whole-doc fingerprints.
+    "q47_decontaminate_ngram"-> ((s, d) => {
+      val docs = Tables(s, d).documents
+      Dedup.decontaminateNgram(docs, docs.filter(col("doc_id") % 7 === 0))
+    }),
+    "q48_kmeans_refine"      -> ((s, d) => Similarity.kmeansRefine(Tables(s, d).embeddings)),
     "q23_dedup_simhash"      -> ((s, d) => Dedup.simhashPairs(Tables(s, d).documents)),
     "q24_dedup_embedding"    -> ((s, d) => Similarity.embeddingNearDups(Tables(s, d).embeddings)),
     "q25_ann_bruteforce"     -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
@@ -553,6 +561,8 @@ object SparkEntry {
     "q22_dedup_minhash"   -> minhashOracle,
     "q36_dedup_clusters"  -> clustersOracle,
     "q45_dedup_incremental" -> incrementalOracle,
+    "q47_decontaminate_ngram" -> decontamNgramOracle,
+    "q48_kmeans_refine"   -> kmeansOracle,
     "q23_dedup_simhash"   -> simhashOracle,
     "q24_dedup_embedding" -> embeddingDedupOracle,
     "q25_ann_bruteforce"  -> annBruteOracle,
@@ -654,6 +664,51 @@ object SparkEntry {
        |FROM p
        |WHERE (doc_a % 10 = 9) <> (doc_b % 10 = 9)
        |ORDER BY new_doc, dup_of""".stripMargin
+
+  /** q47: shingle-level decontamination. `sh` is already distinct per
+    * doc (shingleCtes ≡ Dedup.shingleSet), so the reference index is
+    * (eval_doc, shingle)-unique on both engines; the Spark side counts
+    * distinct xxhash64 digests, the oracle distinct shingle strings —
+    * identical sets absent a 2⁻⁶⁴ collision. */
+  private def decontamNgramOracle: String =
+    s"""WITH $shingleCtes,
+       |x AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+       |r AS (SELECT doc_id AS eval_doc, shingle FROM x WHERE doc_id % 7 = 0)
+       |SELECT x.doc_id, COUNT(DISTINCT x.shingle) AS n_shared_shingles,
+       |       COUNT(DISTINCT r.eval_doc) AS n_eval_docs
+       |FROM x JOIN r ON x.shingle = r.shingle AND x.doc_id <> r.eval_doc
+       |GROUP BY x.doc_id ORDER BY x.doc_id""".stripMargin
+
+  /** q48: the Lloyd step replayed in SQL. Parity hinges on (a) the
+    * fixed-point centroid means — BIGINT sums of floor(x·2²⁰+0.5), one
+    * double division — and (b) every dot/norm as the same explicit
+    * left-to-right chain as [[graft.functions.Exprs.DotProduct]].
+    * Assignment ties: Spark's first-max argmax / max(struct(score,
+    * -cell)) ≡ ROW_NUMBER() ORDER BY score DESC, cell. */
+  private def kmeansOracle: String =
+    s"""WITH $vecCtes,
+       |cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < 16),
+       |sc AS (SELECT x.vec_id, x.v, x.nrm, c.cell, (${sqlDot("x.v", "c.v")}) / c.nrm AS score
+       |       FROM n x CROSS JOIN cent c),
+       |a0 AS (SELECT vec_id, v, nrm, cell AS cell0 FROM (
+       |         SELECT vec_id, v, nrm, cell,
+       |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+       |         FROM sc) t WHERE rn = 1),
+       |g AS (SELECT cell0, i, SUM(CAST(FLOOR(v[i] * 1048576.0 + 0.5) AS BIGINT)) AS s,
+       |             COUNT(*) AS c
+       |      FROM a0 CROSS JOIN range(1, 65) r(i) GROUP BY 1, 2),
+       |cdim AS (SELECT cell0, i, CAST(s AS DOUBLE) / (1048576.0 * c) AS cd FROM g),
+       |c1 AS (SELECT cell0 AS cell, list(cd ORDER BY i) AS cv FROM cdim GROUP BY 1),
+       |c2 AS (SELECT cell, cv, sqrt(${sqlDot("cv", "cv")}) AS cnrm FROM c1),
+       |s2 AS (SELECT a.vec_id, c.cell,
+       |         (${sqlDot("a.v", "c.cv")}) / c.cnrm AS score,
+       |         ROUND((${sqlDot("a.v", "c.cv")}) / (a.nrm * c.cnrm), 4) AS cos_sim,
+       |         CAST(c.cell <> a.cell0 AS INTEGER) AS moved
+       |       FROM a0 a CROSS JOIN c2 c),
+       |r AS (SELECT vec_id, cell AS cluster_id, cos_sim, moved,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+       |      FROM s2)
+       |SELECT vec_id, cluster_id, cos_sim, moved FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
   private def simhashOracle: String = {
     val width = 64; val bands = 4; val bw = width / bands

@@ -311,4 +311,43 @@ object Dedup {
       .join(sizes, Seq("label"))
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
   }
+
+  /** q47: n-gram-overlap decontamination — the PARTIAL-overlap
+    * complement to q35's exact-fingerprint decontamination (reference:
+    * the n-gram contamination checks every LLM training run performs
+    * against its eval benchmarks; a doc that embeds one eval question
+    * verbatim inside otherwise-novel text has a fresh fingerprint but
+    * shares that question's shingles).
+    *
+    * Shape mirrors q35 at the index level: the eval/benchmark side is
+    * tiny next to a training corpus, so its distinct
+    * (shingle, eval_doc) index is BROADCAST and the training side
+    * streams through one codegen'd scan + hash join — the corpus is
+    * never shuffled by shingle; the only shuffle is the final
+    * per-flagged-doc aggregation, whose input is match rows only
+    * (contaminated docs are rare by construction). Join keys are
+    * xxhash64 digests of the shingles, not the strings (q21's 8-byte-
+    * key trick). Self-matches are excluded because the synthetic eval
+    * set is drawn from the candidate pool, as in q35.
+    *
+    * Output: one row per contaminated candidate doc —
+    * (doc_id, n_shared_shingles, n_eval_docs); thresholding is the
+    * caller's policy (production typically drops at ≥1 shared 13-gram;
+    * the 3-gram default here tracks the corpus' tiny documents). */
+  def decontaminateNgram(candidates: DataFrame, reference: DataFrame,
+                         n: Int = 3): DataFrame = {
+    def idx(df: DataFrame, idCol: String) =
+      df.select(col("doc_id").as(idCol), explode(shingleSet(n)).as("s"))
+        .select(col(idCol), xxhash64(col("s")).as("shingle"))
+    // shingle sets are distinct per doc (Shingles semantics), so the
+    // candidate index is already (doc, shingle)-unique; the reference
+    // index dedups band-style re-reads explicitly
+    val ref = idx(reference, "eval_doc").distinct()
+    idx(candidates, "doc_id")
+      .join(broadcast(ref), Seq("shingle"))
+      .filter(col("doc_id") =!= col("eval_doc"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"))
+  }
 }

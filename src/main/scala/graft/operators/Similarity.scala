@@ -200,6 +200,83 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
 
+  /** q48: one deterministic Lloyd (k-means) refinement step over the
+    * embedding corpus — topic/domain clustering, the third leg of the
+    * similarity inventory next to near-dup (q24/q34) and ANN
+    * (q25/q26/q46). Production pipelines cluster embeddings to balance
+    * domain mix and to dedup at cluster granularity; one refinement
+    * step is the unit that iterated k-means repeats, and a
+    * deterministic single step is what a cross-engine oracle can
+    * replicate bit-for-bit.
+    *
+    * Step 1 seeds the q46 quantizer (lowest-`nCells` vec_ids as
+    * centroid literals → per-row argmax, zero shuffle). Step 2
+    * recomputes each cell's centroid as the member mean — computed in
+    * FIXED-POINT: per-dimension values are scaled by 2^20 and floor-
+    * rounded to longs, so the partial-agg sums are exact integers and
+    * therefore ORDER-INDEPENDENT (a double sum would make the centroid
+    * depend on Spark's partitioning; an integer sum cannot), then one
+    * double division recovers the mean. posexplode fans each vector
+    * into (cell, dim, q) rows, but map-side partial aggregation
+    * collapses every partition to ≤ nCells·dim rows before the
+    * shuffle — the wide shuffle never materializes. Step 3 reassigns
+    * every vector against the nCells refreshed centroids (broadcast;
+    * per-row argmax again, ties toward the smaller cell id).
+    *
+    * The scaled sums stay exact while cluster_size · 2^20 · max|x|
+    * < 2^63 — ~10^12 members per cell at |x| ≤ 4 — and each output
+    * value is one integer-derived division + one dot product away from
+    * those sums, so DuckDB reproduces every cosine to the last bit. */
+  def kmeansRefine(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
+    val scale = 1L << 20
+    val cents: Array[(Long, Array[Double])] = embeddings
+      .filter(col("vec_id") < nCells)
+      .select(col("vec_id"), vecD(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val cellIds = lit(cents.map(_._1))
+    def seedScores(v: Column): Column = array(cents.map { case (_, arr) =>
+      val c = lit(arr)
+      dot(v, c) / sqrt(dot(c, c))
+    }: _*)
+    val e = prepared(embeddings)
+    val scores = seedScores(col("v"))
+    val assigned = e.withColumn("cell0",
+      element_at(cellIds, array_position(scores, array_max(scores)).cast("int")))
+    // fixed-point per-dimension means; every seed assigns to its own
+    // cell (score(v, c) ≤ |v| with equality only at v ∝ c), so no cell
+    // is empty and the division is total
+    val cents1 = assigned
+      .select(col("cell0"), posexplode(col("v")))
+      .groupBy(col("cell0"), col("pos"))
+      .agg(sum(floor(col("col") * scale + lit(0.5)).cast("long")).as("s"),
+        count(lit(1)).as("c"))
+      .withColumn("cd", col("s") / (lit(scale.toDouble) * col("c")))
+      .groupBy("cell0")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cd")))),
+        x => x.getField("cd")).as("cv"))
+      .select(col("cell0").as("cell"), col("cv"),
+        sqrt(Exprs.dot(col("cv"), col("cv"))).as("cnrm"))
+    // per-vector argmax as a partial aggregation (q31's max(struct)
+    // shape), not a window: the map side collapses each vector's
+    // nCells scored rows to one before the shuffle. Struct comparison
+    // is lexicographic — score first, then -cell so equal scores break
+    // toward the smaller cell id, matching the oracle's
+    // (score DESC, cell) ROW_NUMBER.
+    assigned.crossJoin(broadcast(cents1))
+      .withColumn("score", dot(col("v"), col("cv")) / col("cnrm"))
+      .withColumn("cand", struct(col("score"), (-col("cell")).as("nc"), col("cell"),
+        // dot/(nrm·cnrm), NOT score/nrm: (a/b)/c and a/(b·c) differ in
+        // the last bit; the oracle writes the dot/(nrm·cnrm) shape
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 4).as("cos"),
+        (col("cell") =!= col("cell0")).cast("int").as("mv")))
+      .groupBy("vec_id")
+      .agg(max(col("cand")).as("b"))
+      .select(col("vec_id"), col("b.cell").as("cluster_id"),
+        col("b.cos").as("cos_sim"), col("b.mv").as("moved"))
+  }
+
   /** q26: LSH-bucketed approximate nearest neighbors — the 100 TB
     * similarity path. `tables` independent hash tables of `bits`
     * sign-random-projection bits each; a vector's bucket in table t is

@@ -88,6 +88,21 @@ class DedupSpec extends SparkSpec {
     flagged shouldBe Array(1L, 3L)
   }
 
+  test("q47 ngram decontamination flags PARTIAL overlap exact fingerprints would miss") {
+    import spark.implicits._
+    val eval = "alpha beta gamma delta epsilon"
+    val d = Seq(
+      (7L, eval),                                         // the eval/benchmark doc
+      (1L, s"intro words here $eval trailing text now"),  // embeds it verbatim
+      (2L, "totally unrelated content with other words entirely")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.decontaminateNgram(d, d.filter($"doc_id" === 7L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 shares exactly eval's 3 interior shingles; doc 2 none;
+    // doc 7 is excluded as a self-match
+    rows shouldBe Array((1L, 3L, 1L))
+  }
+
   test("q36 connected components: a chain A~B~C is ONE cluster labeled by its min") {
     import spark.implicits._
     // chain topology — exactly the case where pairwise dedup over-deletes

@@ -76,6 +76,36 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.5
   }
 
+  test("q48 one k-means step clusters vectors by direction") {
+    val d = vecs(
+      (0L, Map(0 -> 1.0f)),               // seed cell 0: e0
+      (1L, Map(1 -> 1.0f)),               // seed cell 1: e1
+      (2L, Map(0 -> 5.0f, 1 -> 0.5f)),    // near e0
+      (3L, Map(0 -> 2.0f)),               // exactly e0 direction
+      (4L, Map(0 -> 0.2f, 1 -> 3.0f)),    // near e1
+      (5L, Map(1 -> 7.0f)))               // exactly e1 direction
+    val rows = Similarity.kmeansRefine(d, nCells = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(3))).toMap
+    rows(2L)._1 shouldBe 0L
+    rows(3L)._1 shouldBe 0L
+    rows(4L)._1 shouldBe 1L
+    rows(5L)._1 shouldBe 1L
+    // one-step refinement of an already-direction-consistent layout
+    // moves nothing
+    rows.values.map(_._2).sum shouldBe 0
+  }
+
+  test("q48 covers every vector exactly once on the real corpus") {
+    val e = tables.embeddings
+    val out = Similarity.kmeansRefine(e).collect()
+    out.length shouldBe e.count().toInt
+    out.map(_.getLong(0)).distinct.length shouldBe out.length
+    out.foreach { r =>
+      r.getLong(1) should (be >= 0L and be < 16L)
+      r.getDouble(2) should (be >= -1.0001 and be <= 1.0001)
+    }
+  }
+
   test("q46 plan: candidate join is cell-keyed, no cross product") {
     val plan = planOf(Similarity.annIvf(tables.embeddings))
     plan should not include "CartesianProduct"
