@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
-import graft.operators.{Analytics, Corpus, Dedup, Etl, Multimodal, Relational, Similarity, TextOps}
+import graft.operators.{Analytics, Corpus, Dedup, Etl, Multimodal, Relational, Report, Similarity, TextOps}
 import graft.streaming.Streams
 
 /** Driver contract — see SURVEY.md §2 for the capability each key
@@ -36,6 +36,8 @@ object SparkEntry {
     "q31_status_latest"      -> ((s, d) => Etl.statusLatest(Tables(s, d).events)),
     "q32_velocity_projection"-> ((s, d) => Analytics.velocityProjection(Tables(s, d).events)),
     "q33_extension_validate" -> ((s, d) => Etl.validateWithExtension(Tables(s, d).documents)),
+    "q49_profile"            -> ((s, d) => Report.profile(Tables(s, d).events)),
+    "q50_dup_report"         -> ((s, d) => Report.dupReport(Tables(s, d).documents)),
     // Analytical engine
     "q12_pricing_summary"    -> ((s, d) => Relational.pricingSummary(Tables(s, d).lineitem)),
     "q13_join_agg"           -> ((s, d) => { val t = Tables(s, d)
@@ -101,6 +103,10 @@ object SparkEntry {
       Streams.runToMemory(
         Streams.manifestBatcher(files, partialTimeoutMs = 0).toDF, "s03_stream_batcher")
     }),
+    "s05_stream_join"        -> ((s, d) =>
+      Streams.runToMemory(
+        Streams.errorCauseJoin(Streams.readEventStream(s, s"$d/events.parquet")),
+        "s05_stream_join")),
     "s04_stream_dedup"       -> ((s, d) => {
       import s.implicits._
       val schema = s.read.parquet(s"$d/documents.parquet").schema
@@ -265,6 +271,67 @@ object SparkEntry {
         |              (['ndjson','json','csv','tmp'])[CAST(doc_id % 4 AS INTEGER) + 1] AS ext
         |            FROM documents) i) t
         |GROUP BY status, reason, ext ORDER BY status, reason, ext""".stripMargin,
+    // q49: one UNION ALL branch per profiled column; min/max renders
+    // mirror Report.eventCols exactly (VARCHAR casts, strftime %f for
+    // ts, DECIMAL(18,2) for value — the q01-proven parity renders).
+    // ts distinct counts run over CAST(ts AS TIMESTAMP) = the same
+    // micros truncation Tables.events applies.
+    "q49_profile" ->
+      """SELECT 'event_id' AS col_name, COUNT(*) AS n_rows,
+        |       COUNT(*) - COUNT(event_id) AS n_null,
+        |       COUNT(DISTINCT event_id) AS n_distinct,
+        |       CAST(MIN(event_id) AS VARCHAR) AS min_value,
+        |       CAST(MAX(event_id) AS VARCHAR) AS max_value
+        |FROM events
+        |UNION ALL
+        |SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts),
+        |       COUNT(DISTINCT CAST(ts AS TIMESTAMP)),
+        |       strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f'),
+        |       strftime(MAX(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f')
+        |FROM events
+        |UNION ALL
+        |SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+        |       COUNT(DISTINCT user_id),
+        |       CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+        |FROM events
+        |UNION ALL
+        |SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+        |       COUNT(DISTINCT event_type), MIN(event_type), MAX(event_type)
+        |FROM events
+        |UNION ALL
+        |SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+        |       COUNT(DISTINCT value),
+        |       CAST(CAST(MIN(value) AS DECIMAL(18,2)) AS VARCHAR),
+        |       CAST(CAST(MAX(value) AS DECIMAL(18,2)) AS VARCHAR)
+        |FROM events
+        |UNION ALL
+        |SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+        |       COUNT(DISTINCT props), MIN(props), MAX(props)
+        |FROM events
+        |ORDER BY col_name""".stripMargin,
+    // q50: dup_frac mirrors Exact.dround — divide first, then
+    // FLOOR(x·10⁴+0.5)/10⁴, identical IEEE op order on both engines.
+    "q50_dup_report" ->
+      """WITH f AS (SELECT lang,
+        |             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |           FROM documents),
+        |g AS (SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_distinct
+        |      FROM f GROUP BY 1)
+        |SELECT lang, n_docs, n_distinct, n_docs - n_distinct AS n_dupes,
+        |       FLOOR(CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |             * 10000.0 + 0.5) / 10000.0 AS dup_frac
+        |FROM g ORDER BY lang""".stripMargin,
+    // s05: stream-stream interval join ≡ batch self-join with the same
+    // time-range predicate; gap is an integer-µs difference.
+    "s05_stream_join" ->
+      """SELECT p.event_id AS error_id, a.event_id AS action_id,
+        |       epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS gap_us
+        |FROM events p JOIN events a
+        |  ON p.user_id = a.user_id
+        | AND p.event_type = 'error' AND a.event_type <> 'error'
+        | AND CAST(a.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        | AND CAST(a.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+        |ORDER BY error_id, action_id""".stripMargin,
     // Fixed-point sums (Exact.sumFixed): each addend quantized with
     // floor(|x|·10^dp + 0.5)·sign(x) — half-away-from-zero for both
     // signs, identical IEEE ops on both engines, every addend an

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Exact
+
+/** Dataset-level reporting operators (SURVEY.md §2, q49–q50): the
+  * profiling/audit queries every pipeline runs over a landed table
+  * before and after processing — the Spark-native form of the
+  * reference's run-report/metrics summaries (analyze_metrics.py's
+  * per-run report; the manifest builder's bookkeeping counts).
+  */
+object Report {
+
+  /** One profiled column: name + a renderer that turns its min/max into
+    * an engine-stable string (longs cast directly; timestamps through
+    * an explicit format; doubles through DECIMAL(18,2) — the same
+    * renders q01 proved bit-stable against DuckDB). */
+  private case class ColProfile(name: String, render: Column => Column)
+
+  private val eventCols: Seq[ColProfile] = Seq(
+    ColProfile("event_id", _.cast("string")),
+    ColProfile("ts", date_format(_, "yyyy-MM-dd HH:mm:ss.SSSSSS")),
+    ColProfile("user_id", _.cast("string")),
+    ColProfile("event_type", identity),
+    ColProfile("value", _.cast(DecimalType(18, 2)).cast("string")),
+    ColProfile("props", identity))
+
+  /** q49: per-column data-quality profile of the events table — row
+    * count, null count, exact distinct count, min/max — the
+    * schema-on-read audit that decides whether a landed batch is sane
+    * (the reference eyeballs this via Athena; `df.summary()` gives a
+    * non-deterministic variant).
+    *
+    * ONE aggregation over one scan: n columns × 4 metrics in a single
+    * `agg`. The multiple exact `countDistinct`s rewrite through
+    * Catalyst's distinct-aggregate Expand — n× map-side rows but still
+    * a single shuffle, grouped by nothing (one result row), so the
+    * reduce side is one task regardless of input size. At 100 TB swap
+    * the exact distincts for `approx_count_distinct` (HLL sketches
+    * merge associatively; no Expand) — exact is the declared semantics
+    * here because the oracle must value-match.
+    *
+    * Output: one row per column — engine-stable strings for min/max so
+    * heterogeneous column types fit one schema. */
+  def profile(events: DataFrame): DataFrame = {
+    val aggs = eventCols.flatMap { cp =>
+      Seq(
+        count(col(cp.name)).as(s"nn_${cp.name}"),
+        countDistinct(col(cp.name)).as(s"nd_${cp.name}"),
+        cp.render(min(col(cp.name))).as(s"mn_${cp.name}"),
+        cp.render(max(col(cp.name))).as(s"mx_${cp.name}"))
+    }
+    val a = events.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    a.select(col("n_rows"), explode(array(eventCols.map { cp =>
+        struct(lit(cp.name).as("cn"), col(s"nn_${cp.name}").as("nn"),
+          col(s"nd_${cp.name}").as("nd"), col(s"mn_${cp.name}").as("mn"),
+          col(s"mx_${cp.name}").as("mx"))
+      }: _*)).as("p"))
+      .select(col("p.cn").as("col_name"), col("n_rows"),
+        (col("n_rows") - col("p.nn")).as("n_null"),
+        col("p.nd").as("n_distinct"),
+        col("p.mn").as("min_value"), col("p.mx").as("max_value"))
+  }
+
+  /** q50: per-language duplication report over exact content
+    * fingerprints — the "how much of this corpus is duplicated"
+    * number every dedup run reports before deciding rates. One scan +
+    * one (lang)-keyed shuffle; `dup_frac` is [[Exact.dround]]'d (a
+    * small-denominator rational — exactly the boundary case round()
+    * gets wrong cross-engine). */
+  def dupReport(documents: DataFrame): DataFrame =
+    documents.select(col("lang"), TextOps.fingerprintCol.as("fp"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_distinct"))
+      .select(col("lang"), col("n_docs"), col("n_distinct"),
+        (col("n_docs") - col("n_distinct")).as("n_dupes"),
+        Exact.dround((col("n_docs") - col("n_distinct")).cast("double")
+          / col("n_docs").cast("double"), 4).as("dup_frac"))
+}

@@ -204,6 +204,42 @@ object Streams {
       }
   }
 
+  // ----- s05: stream-stream interval join ------------------------------
+
+  /** s05: error-to-cause correlation as a STREAM-STREAM interval join —
+    * each error on the intake stream is joined to every action by the
+    * same user in the preceding `lookback` window. This is the
+    * continuous form of q39's as-of correlation (all candidate causes,
+    * not just the latest) and the fourth streaming primitive next to
+    * window aggs (s02) and arbitrary state (s03/s04): Spark buffers
+    * BOTH sides in the state store and the watermark + time-range
+    * condition bound how long a row is retained (~watermark + lookback
+    * per side), so state is O(rate × horizon), not O(stream).
+    *
+    * Both inputs derive from one source stream filtered two ways — a
+    * stream self-join, which the micro-batch planner executes as two
+    * synchronized scans of the same source. Inner join + event-time
+    * bounds is the one stream-stream shape that needs no output-mode
+    * compromise: matches emit as soon as both sides arrive. */
+  def errorCauseJoin(events: DataFrame, lookback: String = "30 minutes",
+                     watermark: String = "1 hour"): DataFrame = {
+    val actions = events.filter(col("event_type") =!= "error")
+      .select(col("user_id").as("a_user"), col("event_id").as("action_id"),
+        col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", watermark)
+    errors.join(actions,
+      col("e_user") === col("a_user") &&
+        col("a_ts") <= col("e_ts") &&
+        col("a_ts") >= col("e_ts") - expr(s"interval $lookback"))
+      // integer-µs gap: engine-exact, no float rounding anywhere
+      .select(col("error_id"), col("action_id"),
+        (unix_micros(col("e_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+  }
+
   // ----- Verify/Bench harness -----------------------------------------
 
   private val runCounter = new java.util.concurrent.atomic.AtomicLong(0)

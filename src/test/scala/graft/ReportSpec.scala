@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+/** q49/q50 reporting semantics on constructed frames with known
+  * nulls/dups, plus shape checks on the real tables. */
+class ReportSpec extends SparkSpec {
+
+  test("q49 profile counts nulls and distincts per column, renders min/max stably") {
+    import spark.implicits._
+    val ts = Timestamp.valueOf("2026-01-01 00:00:00")
+    val df = Seq(
+      (1L, ts, Option(10L), "click", Option(1.5), Option("{}")),
+      (2L, ts, Option.empty[Long], "error", Option.empty[Double], Option.empty[String]),
+      (3L, ts, Option(10L), "click", Option(2.5), Option("{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = Report.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    rows.keySet shouldBe Set("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.values.foreach(_.getLong(1) shouldBe 3L) // n_rows on every row
+    val user = rows("user_id")
+    (user.getLong(2), user.getLong(3)) shouldBe ((1L, 1L)) // n_null, n_distinct
+    val et = rows("event_type")
+    (et.getLong(2), et.getLong(3), et.getString(4), et.getString(5)) shouldBe
+      ((0L, 2L, "click", "error"))
+    val v = rows("value")
+    (v.getString(4), v.getString(5)) shouldBe (("1.50", "2.50"))
+  }
+
+  test("q49 on the real events table: 6 rows, unique event ids, no null ids") {
+    val rows = Report.profile(tables.events).collect()
+    rows.length shouldBe 6
+    val byCol = rows.map(r => r.getString(0) -> r).toMap
+    byCol("event_id").getLong(2) shouldBe 0L                      // n_null
+    byCol("event_id").getLong(3) shouldBe byCol("event_id").getLong(1) // distinct == rows
+  }
+
+  test("q50 dup report: per-language dup counts and deterministic fraction") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", "same text here"),
+      (2L, "en", "same  TEXT here"),   // normalizes to the same fingerprint
+      (3L, "en", "different text"),
+      (4L, "de", "einzigartig"))
+      .toDF("doc_id", "lang", "text")
+    val rows = Report.dupReport(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    rows shouldBe Array(
+      ("de", 1L, 1L, 0L, 0.0),
+      ("en", 3L, 2L, 1L, 0.3333))
+  }
+}

@@ -106,6 +106,50 @@ class StreamingSpec extends SparkSpec {
     batch.exceptAll(streamed).count() shouldBe 0L
   }
 
+  test("s05 stream-stream join matches errors to prior same-user actions within the lookback") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
+    def at(offsetMin: Int) = new java.sql.Timestamp(t0.getTime + offsetMin * 60000L)
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    in.addData(
+      (100L, 1L, at(0), "click"),    // within 30 min of the error -> match
+      (101L, 1L, at(-40), "click"),  // 50 min before the error -> outside lookback
+      (200L, 1L, at(10), "error"),
+      (300L, 2L, at(5), "click"))    // other user -> no match
+    val events = in.toDF.toDF("event_id", "user_id", "ts", "event_type")
+    val q = Streams.errorCauseJoin(events)
+      .writeStream.format("memory").queryName("s05_e2e")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("s05_e2e").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows shouldBe Array((200L, 100L, 600000000L))
+  }
+
+  test("s05 streaming/batch parity on the real events table") {
+    val streamed = Streams.runToMemory(
+      Streams.errorCauseJoin(
+        Streams.readEventStream(spark, s"${SparkSpec.sfDir}/events.parquet")),
+      "s05_parity")
+    val ev = tables.events
+    val a = ev.filter(col("event_type") =!= "error")
+      .select(col("user_id").as("a_user"), col("event_id").as("action_id"),
+        col("ts").as("a_ts"))
+    val p = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("e_ts"))
+    val batch = p.join(a,
+      col("e_user") === col("a_user") &&
+        col("a_ts") <= col("e_ts") &&
+        col("a_ts") >= col("e_ts") - expr("interval 30 minutes"))
+      .select(col("error_id"), col("action_id"),
+        (unix_micros(col("e_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+    streamed.count() should be > 0L
+    streamed.exceptAll(batch).count() shouldBe 0L
+    batch.exceptAll(streamed).count() shouldBe 0L
+  }
+
   test("s01 production path: stream -> normalize -> parquet sink round-trips") {
     val outDir = java.nio.file.Files.createTempDirectory("s01_sink").toString
     val ckDir = java.nio.file.Files.createTempDirectory("s01_ck").toString
