@@ -36,6 +36,11 @@ object SparkEntry {
     "q31_status_latest"      -> ((s, d) => Etl.statusLatest(Tables(s, d).events)),
     "q32_velocity_projection"-> ((s, d) => Analytics.velocityProjection(Tables(s, d).events)),
     "q33_extension_validate" -> ((s, d) => Etl.validateWithExtension(Tables(s, d).documents)),
+    // q51: q09's declared 100 TB path as a first-class query — GK
+    // mergeable-sketch percentiles (no per-group sort). Sketch outputs
+    // aren't bit-replicable in DuckDB, so no oracleSql (driver runs the
+    // rows-only check); AnalyticsSpec pins the error bound vs exact.
+    "q51_percentile_sketch"  -> ((s, d) => Analytics.valueStats(Tables(s, d).events, exact = false)),
     "q49_profile"            -> ((s, d) => Report.profile(Tables(s, d).events)),
     "q50_dup_report"         -> ((s, d) => Report.dupReport(Tables(s, d).documents)),
     // Analytical engine

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** q51: the sketch-percentile path has no SQL oracle (GK sketches are
+  * not bit-replicable across engines), so its correctness contract
+  * lives here — same shape as the exact q09, quantiles within the
+  * sketch's accuracy bound of the exact per-group sort. */
+class AnalyticsSpec extends SparkSpec {
+
+  test("q51 sketch percentiles land within a ±1% rank window of exact") {
+    import org.apache.spark.sql.functions._
+    val ev = tables.events
+    // the sketch returns an actual data value (no interpolation), so
+    // the correct contract is RANK error, not value error: each approx
+    // quantile must lie between the exact quantiles at p ∓ 0.01 —
+    // generous cover for the default 1/10000 GK rank accuracy
+    val ps = Seq(0.5, 0.95, 0.99)
+    val bounds = ev.groupBy("event_type").agg(
+      expr(s"percentile(value, array(${ps.map(p => p - 0.01).mkString(",")}))").as("lo"),
+      expr(s"percentile(value, array(${ps.map(p => math.min(p + 0.01, 1.0)).mkString(",")}))").as("hi"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Double](1), r.getSeq[Double](2)))).toMap
+    // columns: event_type, n, avg_value, stdev_value, p50, p95, p99, ...
+    val ap = Analytics.valueStats(ev, exact = false).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    ap.keySet shouldBe bounds.keySet
+    ap.foreach { case (t, approx) =>
+      val (lo, hi) = bounds(t)
+      approx.zipWithIndex.foreach { case (a, i) =>
+        // outputs are 4-dp rounded; pad the window by that quantum
+        a should (be >= lo(i) - 0.0001 and be <= hi(i) + 0.0001)
+      }
+    }
+  }
+
+  test("q51 shares q09's schema so the two paths are drop-in interchangeable") {
+    val ex = Analytics.valueStats(tables.events, exact = true)
+    val ap = Analytics.valueStats(tables.events, exact = false)
+    ap.schema.fieldNames shouldBe ex.schema.fieldNames
+  }
+}
