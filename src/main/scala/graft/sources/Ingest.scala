@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** NDJSON→Parquet ingestion — the reference's Glue job
   * (glue_batch_job.py:147-209) re-expressed as a library.
@@ -36,6 +36,74 @@ object Ingest {
     * (glue_batch_job.py:161-168). Narrow op, stays in codegen. */
   def castAllToString(df: DataFrame): DataFrame =
     df.select(df.columns.map(c => col(c).cast(StringType).as(c)): _*)
+
+  /** Read CSV against a target schema, routing rows that violate it to
+    * a `_corrupt_record` column instead of failing the job — the
+    * CSV-landing-zone form of the reference's per-file validation
+    * (lambda_manifest_builder.py:542-566): at 100 TB a malformed row
+    * must route to quarantine, never abort a multi-hour read.
+    *
+    * Deliberately NOT the parser's own corrupt-record mechanism: that
+    * column is populated only for the columns a query projects, so a
+    * malformed value in an unprojected column silently passes — and in
+    * Spark 4 a corrupt-only projection is a hard error. Instead every
+    * column reads as a string (string parsing cannot fail, so every
+    * line lands as a row) and schema violations are EXPLICIT cast
+    * checks: a non-null raw value whose cast to the declared type
+    * nulls. The validity expression references every declared column,
+    * so Catalyst can never prune its way into missing a violation —
+    * quarantine semantics hold under any downstream projection.
+    * Token-count-short rows surface declared-column nulls; require
+    * non-null keys via a validation rule (q02's policy layer), which
+    * is the caller's contract, not the reader's.
+    *
+    * The quarantined row's `_corrupt_record` is reconstructed from the
+    * parsed fields (unquoted join) — replayable, though not
+    * byte-identical to a quoted source line. Split the result with
+    * [[quarantineSplit]]. */
+  def readCsv(spark: SparkSession, paths: Seq[String], schema: StructType,
+              header: Boolean = true): DataFrame = {
+    val rawSchema = StructType(schema.fields.map(f =>
+      StructField(f.name, StringType, nullable = true)))
+    val raw = stampLineage(
+      spark.read.schema(rawSchema).option("header", header.toString).csv(paths: _*))
+    // try_cast, not cast: ANSI mode (Spark 4 default) makes a plain
+    // cast THROW on malformed input — the exact job-abort this reader
+    // exists to prevent
+    def typedCol(f: StructField) = expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})")
+    val violation = schema.fields.map(f =>
+        col(f.name).isNotNull && typedCol(f).isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val typed = schema.fields.map(f => typedCol(f).as(f.name))
+    raw.select(typed
+      :+ when(violation,
+           concat_ws(",", schema.fieldNames.map(n => coalesce(col(n), lit(""))): _*))
+         .as("_corrupt_record")
+      :+ col("_source_file") :+ col("_processing_timestamp"): _*)
+  }
+
+  /** Route a [[readCsv]] result into (valid, quarantined): quarantined
+    * rows keep the reconstructed line for replay/debugging, valid rows
+    * drop the bookkeeping column. One narrow filter each — both sides
+    * stay in codegen. */
+  def quarantineSplit(df: DataFrame): (DataFrame, DataFrame) = (
+    df.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+    df.filter(col("_corrupt_record").isNotNull))
+
+  /** Write a table bucketed (and optionally sorted) by a join key —
+    * the co-located-join preparation SURVEY §5 prescribes: two tables
+    * bucketed by the same key into the same bucket count join with NO
+    * shuffle on either side (the exchange is pre-paid once at write
+    * time, then amortized over every downstream join/agg on that key).
+    * Bucketing needs the catalog (file→bucket assignment lives in
+    * table metadata), hence `saveAsTable` rather than a path write. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int, sortCols: Seq[String] = Nil,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).format("parquet").bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 
   /** Write date-partitioned snappy parquet. `targetPartitions` controls
     * output file count (size-targeted by the caller); `partitionBy` a

@@ -52,6 +52,48 @@ class IngestSpec extends SparkSpec {
     df.where("new_col IS NULL").count() shouldBe 1
   }
 
+  test("readCsv routes malformed rows to quarantine instead of failing the read") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("graft_csv")
+    val f = writeNdjson(dir, "batch.csv", Seq(
+      "id,qty,name",
+      "1,10,alpha",
+      "2,notanumber,beta",   // qty fails the int cast -> quarantined
+      "3,30,gamma"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", IntegerType),
+      StructField("name", StringType)))
+    val (valid, bad) = Ingest.quarantineSplit(
+      Ingest.readCsv(spark, Seq(f), schema))
+    valid.select("id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
+    valid.columns should not contain "_corrupt_record"
+    val badRows = bad.collect()
+    badRows.length shouldBe 1
+    badRows.head.getAs[String]("_corrupt_record") shouldBe "2,notanumber,beta"
+  }
+
+  test("bucketed tables join with no shuffle on either side") {
+    val a = "graft_bkt_orders"
+    val b = "graft_bkt_lineitem"
+    try {
+      Ingest.writeBucketed(tables.orders, a, "o_orderkey", 4, Seq("o_orderkey"))
+      Ingest.writeBucketed(tables.lineitem, b, "l_orderkey", 4, Seq("l_orderkey"))
+      // disable broadcast so the join would need a shuffle WITHOUT bucketing
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(a).join(spark.table(b),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      val plan = planOf(joined)
+      plan should include("SortMergeJoin")
+      plan should not include "Exchange hashpartitioning"
+      joined.count() shouldBe tables.lineitem.count()
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql(s"DROP TABLE IF EXISTS $a")
+      spark.sql(s"DROP TABLE IF EXISTS $b")
+    }
+  }
+
   test("writeParquet honors the size-targeted partition count") {
     val out = tmpDir("graft_out") + "/sized"
     val df = spark.range(1000).toDF("id")
