@@ -35,8 +35,12 @@ final case class Tables(spark: SparkSession, dir: String) {
     // sub-us precision at 2^60-scale nanos values. `div` truncates toward
     // zero, matching DuckDB's ns→us conversion only for post-epoch
     // (positive) nanos — true for all test data; pre-1970 events would
-    // need floor-division here.
-    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // need floor-division here. Tables whose ts is already a real
+    // timestamp (re-written corpora, probe data) pass through untouched.
+    val raw = t("events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Generates the 10× scale-probe corpus SURVEY §5's measurements use:
+  * replicas keep duplicate DENSITY constant (each replica's dup/near-dup
+  * structure is preserved; replicas never collide with each other).
+  *
+  *  - documents ×10: per-replica token suffix → disjoint shingle spaces
+  *  - embeddings ×10: dims rotated by replica → disjoint directions
+  *  - events ×10: ids/users offset per replica → disjoint key spaces
+  *
+  * Usage: Test/runMain graft.ScaleProbeGen [outDir] [srcSfDir], then
+  * SPARK_GRAFT_SF_DIR=outDir SPARK_GRAFT_ONLY=… runMain graft.Bench.
+  */
+object ScaleProbeGen {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/probe10x")
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t = Tables(spark, src)
+    val rep = spark.range(reps).withColumnRenamed("id", "r")
+
+    val docs = t.documents
+    val nDocs = docs.count()
+    // per-TOKEN suffix, not a trailing marker: replica vocabularies
+    // (hence shingle/fingerprint spaces) must be fully disjoint or
+    // every shingle-keyed operator degenerates into 10-way
+    // cross-replica matching — 10× data must mean 10× work, not 100×
+    docs.crossJoin(rep)
+      .select((col("doc_id") + col("r") * nDocs).as("doc_id"), col("lang"),
+        array_join(expr("transform(split(text, ' '), t -> concat(t, '_', r))"), " ")
+          .as("text"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val e = t.embeddings
+    val nVecs = e.count()
+    e.crossJoin(rep)
+      .select((col("vec_id") + col("r") * nVecs).as("vec_id"),
+        expr("transform(sequence(0, 63), i -> element_at(embedding, CAST((i + r) % 64 AS INT) + 1))")
+          .as("embedding"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val ev = t.events
+    val nEv = ev.count()
+    val nUsers = 100000L
+    ev.crossJoin(rep)
+      .select((col("event_id") + col("r") * nEv).as("event_id"), col("ts"),
+        (col("user_id") + col("r") * nUsers).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    println(s"probe corpus at $out: docs=${nDocs * reps} vecs=${nVecs * reps} events=${nEv * reps}")
+    spark.stop()
+  }
+}
