@@ -53,6 +53,8 @@ object SparkEntry {
     "q16_running_total"      -> ((s, d) => Relational.runningTotal(Tables(s, d).orders)),
     "q17_sessionization"     -> ((s, d) => Relational.sessionize(Tables(s, d).events)),
     "q39_asof_join"          -> ((s, d) => Relational.asofJoin(Tables(s, d).events)),
+    "q52_salted_join"        -> ((s, d) => { val t = Tables(s, d)
+                                  Relational.saltedRevenueByStatus(t.lineitem, t.orders) }),
     // LLM-training-data operators
     "q20_dedup_exact"        -> ((s, d) => TextOps.dedupExact(Tables(s, d).documents)),
     "q21_dedup_ngram"        -> ((s, d) => Dedup.ngramJaccardPairs(Tables(s, d).documents)),
@@ -276,6 +278,15 @@ object SparkEntry {
         |              (['ndjson','json','csv','tmp'])[CAST(doc_id % 4 AS INTEGER) + 1] AS ext
         |            FROM documents) i) t
         |GROUP BY status, reason, ext ORDER BY status, reason, ext""".stripMargin,
+    // q52: the oracle is the PLAIN join — salting must be output-
+    // invariant, that is the whole point.
+    "q52_salted_join" ->
+      """SELECT o_orderstatus,
+        |       SUM(FLOOR(ABS(l_extendedprice * (1.0 - l_discount)) * 10000.0 + 0.5)
+        |           * SIGN(l_extendedprice * (1.0 - l_discount))) / 10000.0 AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q49: one UNION ALL branch per profiled column; min/max renders
     // mirror Report.eventCols exactly (VARCHAR casts, strftime %f for
     // ts, DECIMAL(18,2) for value — the q01-proven parity renders).

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Exact
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -174,4 +174,41 @@ object Relational {
         col("prior_action_id"), col("prior_ts"),
         (unix_micros(col("ts")) - unix_micros(col("prior_ts"))).as("gap_us"))
   }
+
+  /** Skew-salted equi-join: the portable hot-key mitigation for
+    * fact-fact joins (AQE's skew split covers sort-merge joins at
+    * runtime; salting is the technique that also works pre-AQE, in
+    * streaming joins, and when the skew is in the GROUP BY that
+    * follows). The left (skewed) side spreads each hot key over
+    * `salts` sub-keys via a deterministic per-row hash; the right side
+    * replicates every row `salts` ways so all sub-keys still meet
+    * their match. Join output is EXACTLY the plain join's — salt
+    * columns never escape — so correctness is oracle-checkable against
+    * the unsalted SQL while the shuffle distributes a hot key across
+    * `salts` reducers instead of one.
+    *
+    * Cost: right side shuffles `salts`× its size — use for fact-fact
+    * where the right side is the smaller-but-unbroadcastable one. */
+  def saltedJoin(left: DataFrame, right: DataFrame, joinExpr: Column,
+                 saltSource: Column, salts: Int = 8): DataFrame = {
+    val l = left.withColumn("_salt_l", pmod(xxhash64(saltSource), lit(salts)).cast("int"))
+    val r = right.withColumn("_salt_r", explode(array((0 until salts).map(lit): _*)))
+    l.join(r, joinExpr && col("_salt_l") === col("_salt_r"))
+      .drop("_salt_l", "_salt_r")
+  }
+
+  /** q52: revenue by order status through the salted join — the TPC-H
+    * Q3-shaped fact-fact join under a hot-key regime. At test SF the
+    * salt is pure overhead (no skew to diffuse); the query exists so
+    * the salted path itself is oracle-verified equal to the plain
+    * join. */
+  def saltedRevenueByStatus(lineitem: DataFrame, orders: DataFrame,
+                            salts: Int = 8): DataFrame =
+    saltedJoin(lineitem, orders,
+        col("l_orderkey") === col("o_orderkey"), col("l_linenumber"), salts)
+      .groupBy(col("o_orderstatus"))
+      .agg(graft.Exact.sumFixed(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderstatus")
 }

@@ -111,4 +111,34 @@ class PlanSpec extends SparkSpec {
     planOf(Similarity.embeddingNearDups(tables.embeddings)) should include ("graft_dot")
     planOf(Similarity.annBruteForce(tables.embeddings)) should include ("graft_dot")
   }
+
+  test("q47 decontamination broadcasts the eval index — the corpus is never shuffled by shingle") {
+    val docs = tables.documents
+    val plan = planOf(Dedup.decontaminateNgram(docs,
+      docs.filter(org.apache.spark.sql.functions.expr("doc_id % 7 = 0"))))
+    plan should include ("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q48 k-means reassignment is a broadcast + partial agg — no window, no sort-merge") {
+    val plan = planOf(Similarity.kmeansRefine(tables.embeddings))
+    plan should not include "Window"
+    plan should not include "SortMergeJoin"
+    plan should include ("graft_dot")
+  }
+
+  test("q49 profile is ONE aggregation over one scan (single shuffle)") {
+    val plan = planOf(operators.Report.profile(tables.events))
+    // one distinct-agg exchange + the single-row final gather
+    plan.split("Exchange").length - 1 should be <= 2
+    plan.split("Scan parquet").length - 1 shouldBe 1
+  }
+
+  test("q52 salted join keys the shuffle on (orderkey, salt) and stays output-invariant") {
+    val t = tables
+    val plan = planOf(Relational.saltedRevenueByStatus(t.lineitem, t.orders))
+    plan should include ("_salt")   // the diffused join key is in the plan…
+    val out = Relational.saltedRevenueByStatus(t.lineitem, t.orders).columns
+    out should not contain "_salt_l" // …but never in the output
+  }
 }
