@@ -64,6 +64,7 @@ object SparkEntry {
     "q38_sample_stratified"  -> ((s, d) => Corpus.sampleStratified(Tables(s, d).documents)),
     "q40_pack_sequences"     -> ((s, d) => Corpus.packSequences(Tables(s, d).documents)),
     "q41_repetition"         -> ((s, d) => TextOps.repetitionSignals(Tables(s, d).documents)),
+    "q53_chunk_sliding"      -> ((s, d) => Corpus.chunkSliding(Tables(s, d).documents)),
     "q44_tfidf_terms"        -> ((s, d) => TextOps.tfidfTopTerms(Tables(s, d).documents)),
     // q45: every doc_id ≡ 9 (mod 10) plays the incoming intake batch;
     // the rest is the already-deduped corpus contributing only its
@@ -600,6 +601,21 @@ object SparkEntry {
         |       / CAST(len(gr) AS DOUBLE)
         |       ELSE 0.0 END AS dup_2gram_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+    // q53: chunk geometry is integer arithmetic (bit-identical); the
+    // hash is md5 over the joined slice — DuckDB list slicing is
+    // 1-based inclusive [a : a+w-1], truncating at the list end like
+    // Spark's slice(arr, start, length).
+    "q53_chunk_sliding" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id, tk, len(tk) AS n,
+        |        GREATEST(1, CAST(CEIL((len(tk) - 32) / 16.0) AS INTEGER) + 1) AS nc
+        |      FROM t),
+        |x AS (SELECT doc_id, tk, n, unnest(range(0, nc)) AS chunk_id FROM c)
+        |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |       CAST(chunk_id * 16 AS INTEGER) AS start_tok,
+        |       CAST(LEAST(n - chunk_id * 16, 32) AS INTEGER) AS chunk_tokens,
+        |       md5(array_to_string(tk[chunk_id*16+1 : chunk_id*16+32], ' ')) AS chunk_hash
+        |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
     "q42_rollup_report" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
         |       COUNT(*) AS n_events,

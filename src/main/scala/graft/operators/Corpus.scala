@@ -130,4 +130,36 @@ object Corpus {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
   }
+
+  /** q53: sliding-window chunking — the complement of [[packSequences]]:
+    * q40 concatenates SHORT docs up to a token budget; this SPLITS long
+    * docs into overlapping windows (`window` tokens every `stride`) so
+    * no content is lost at sequence boundaries — the standard
+    * long-document treatment in LLM pre-training data prep.
+    *
+    * Pure per-row fan-out: chunk count and every chunk's slice are
+    * expressions over the token array — explode is the only
+    * row-multiplying step, there is NO shuffle at all (the output is
+    * per-chunk rows, and the oracle checker sorts). Each chunk carries
+    * an md5 over its joined tokens, so the oracle verifies the exact
+    * slice content, not just offsets. Chunk counts:
+    * `max(1, ceil((n_tok - window)/stride) + 1)` — every doc yields at
+    * least one chunk, the last window is the only short one, and
+    * stride < window guarantees the final window is non-empty. */
+  def chunkSliding(documents: DataFrame, window: Int = 32,
+                   stride: Int = 16): DataFrame = {
+    require(stride > 0 && stride <= window, "need 0 < stride <= window")
+    val tk = split(col("text"), " ")
+    val n = size(tk)
+    val nChunks = greatest(lit(1),
+      ceil((n - lit(window)).cast("double") / stride).cast("int") + 1)
+    documents
+      .select(col("doc_id"), tk.as("tk"), n.as("n"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        least(col("n") - col("chunk_id") * stride, lit(window)).as("chunk_tokens"),
+        md5(array_join(slice(col("tk"), col("chunk_id") * stride + 1, lit(window)), " "))
+          .as("chunk_hash"))
+  }
 }

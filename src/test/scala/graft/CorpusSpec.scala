@@ -84,6 +84,33 @@ class CorpusSpec extends SparkSpec {
     rows.map(_.getAs[Int]("chunk_id")).toSet shouldBe Set(0)
   }
 
+  test("q53 sliding chunks: overlap geometry, short-doc single chunk, exact slices") {
+    val text40 = (1 to 40).map(i => s"t$i").mkString(" ")
+    val d = docs((1L, text40, "en"), (2L, "a b c", "en"))
+    val rows = Corpus.chunkSliding(d, window = 32, stride = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .sortBy(r => (r._1, r._2))
+    // 40 tokens @ w32/s16 -> 2 chunks: [1..32] and [17..40]
+    rows.map(r => (r._1, r._2, r._3, r._4)) shouldBe Array(
+      (1L, 0, 0, 32), (1L, 1, 16, 24), (2L, 0, 0, 3))
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows(0)._5 shouldBe h((1 to 32).map(i => s"t$i").mkString(" "))
+    rows(1)._5 shouldBe h((17 to 40).map(i => s"t$i").mkString(" "))
+    rows(2)._5 shouldBe h("a b c")
+  }
+
+  test("q53 consecutive chunks overlap by window - stride tokens (no content lost)") {
+    val d = docs((1L, (1 to 100).map(i => s"w$i").mkString(" "), "en"))
+    val rows = Corpus.chunkSliding(d, window = 32, stride = 16).collect()
+      .map(r => (r.getInt(2), r.getInt(3))).sortBy(_._1)
+    // starts advance by exactly the stride; union covers every token
+    rows.map(_._1) shouldBe (0 until rows.length).map(_ * 16).toArray
+    val covered = rows.map { case (s, n) => s until (s + n) }
+      .foldLeft(Set.empty[Int])(_ ++ _)
+    covered shouldBe (0 until 100).toSet
+  }
+
   test("q37/q38 are single-scan: no shuffle (Exchange) in the plan") {
     val p1 = planOf(Corpus.piiRedact(tables.documents))
     val p2 = planOf(Corpus.sampleStratified(tables.documents))
