@@ -63,14 +63,18 @@ object Streams {
 
   /** s01: the continuous form — normalized stream → parquet + checkpoint.
     * (Verify exercises the same plan via [[runToMemory]]; this is the
-    * production entry point.) */
+    * production entry point.) Default trigger is the engine's
+    * continuous micro-batching; pass `Trigger.AvailableNow()` for a
+    * finite drain (catch-up runs, the restart spec). */
   def ingestToParquet(normalized: DataFrame, outDir: String,
-                      checkpointDir: String): StreamingQuery =
-    normalized.writeStream.format("parquet")
+                      checkpointDir: String,
+                      trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = normalized.writeStream.format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
-      .start()
+    trigger.fold(w)(w.trigger).start()
+  }
 
   /** s02: watermarked hourly tumbling-window aggregation. In append
     * mode the watermark finalizes (and evicts) windows 1h behind the
