@@ -163,6 +163,8 @@ object Similarity {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    require(cents.nonEmpty,
+      s"annIvf needs at least one centroid vector with vec_id < $nCells")
     val cellIds = lit(cents.map(_._1))
     // score(v, c) = dot(v, c)/|c| — |v| is constant per row, so the
     // per-vector argmax/ordering equals the cosine argmax. The |c|
@@ -235,6 +237,8 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    require(cents.nonEmpty,
+      s"kmeansRefine needs at least one seed vector with vec_id < $nCells")
     val cellIds = lit(cents.map(_._1))
     def seedScores(v: Column): Column = array(cents.map { case (_, arr) =>
       val c = lit(arr)
