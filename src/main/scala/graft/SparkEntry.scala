@@ -130,6 +130,7 @@ object SparkEntry {
     // is additionally verified in MultimodalSpec.
     "m01_binary_meta"        -> ((s, d) => Multimodal.binaryMetaSummary(Tables(s, d).documents)),
     "m02_decode_stub"        -> ((s, d) => Multimodal.decodeSummary(Tables(s, d).documents)),
+    "m03_frame_sample"       -> ((s, d) => Multimodal.frameSummary(Tables(s, d).documents)),
     "q27_lang_id"            -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
     "q28_quality_score"      -> ((s, d) => TextOps.qualityScore(Tables(s, d).documents)),
     "q29_token_count"        -> ((s, d) => TextOps.tokenCounts(Tables(s, d).documents)),
@@ -521,6 +522,18 @@ object SparkEntry {
         |       FLOOR(len(list_filter(bs, x -> x // 32 = 0)) / CAST(len(bs) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS f0,
         |       FLOOR(len(list_filter(bs, x -> x // 32 = 3)) / CAST(len(bs) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS f3
         |FROM b ORDER BY doc_id""".stripMargin,
+    // m03: frame windows recomputed via substr over the same ASCII
+    // text (bytes ≡ codepoints, as m02); md5 digests pin each sampled
+    // window byte-for-byte.
+    "m03_frame_sample" ->
+      """WITH v AS (SELECT doc_id, text, strlen(text) AS n FROM documents
+        |           WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, text, n, unnest(range(0, 4)) AS frame_idx FROM v)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |       CAST(frame_idx * 64 AS INTEGER) AS byte_offset,
+        |       CAST(LEAST(n - frame_idx * 64, 32) AS INTEGER) AS n_bytes,
+        |       md5(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 32)) AS frame_hash
+        |FROM f WHERE frame_idx * 64 < n ORDER BY doc_id, frame_idx""".stripMargin,
     // q37: both engines build the SAME deterministic salted input from
     // doc_id (the synthetic corpus carries no organic PII), then verify
     // the redaction machinery: global regex replace + match counts.

@@ -82,6 +82,54 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame leaving the frame-extraction stage. */
+  case class FrameRow(doc_id: Long, frame_idx: Int, byte_offset: Int,
+                      n_bytes: Int, frame_hash: String)
+
+  /** m03: video frame sampling — every `stride` bytes, take a
+    * `frameSize`-byte window, up to `maxFrames` per object. In
+    * production the window is a container-aware keyframe extraction
+    * (the codec seeks to sample points and decodes one frame); the
+    * STUB takes the raw byte window — same plumbing, same shape,
+    * deterministic, so the oracle can verify every sampled window
+    * byte-for-byte via its digest.
+    *
+    * Same per-partition batch contract as [[decodeStub]]: typed
+    * `Dataset → Dataset`, partition-preserving (no shuffle; frame
+    * parallelism = input partitioning), codec/digest state initialized
+    * once per partition, and the fan-out is streamed through the
+    * iterator — a 2-hour video never materializes all its frames in
+    * memory at once. */
+  def sampleFrames(media: Dataset[MediaRow], frameSize: Int = 32,
+                   stride: Int = 64, maxFrames: Int = 4): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("MD5") // per-partition init
+      batch.flatMap { m =>
+        val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
+        (0 until maxFrames).iterator
+          .map(i => (i, i * stride))
+          .takeWhile(_._2 < bytes.length)
+          .map { case (i, off) =>
+            val fr = bytes.slice(off, math.min(off + frameSize, bytes.length))
+            md.reset()
+            val hex = md.digest(fr).map("%02x".format(_)).mkString
+            FrameRow(m.doc_id, i, off, fr.length, hex)
+          }
+      }
+    }
+  }
+
+  /** m03 as a flat verification frame: video-mime objects only. */
+  def frameSummary(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val media = binaryWithMeta(documents)
+      .filter(col("meta.mime") === "video/mp4")
+      .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
+      .as[MediaRow]
+    sampleFrames(media).toDF()
+  }
+
   /** m02 as a flat verification frame. The stub decode is a pure
     * function of the payload bytes, so it IS oracle-checkable: the
     * DuckDB side recomputes the header checksum and histogram buckets

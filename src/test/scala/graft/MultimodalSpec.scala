@@ -67,4 +67,33 @@ class MultimodalSpec extends SparkSpec {
       r.features.sum shouldBe 0.0
     }
   }
+
+  test("m03 frame sampling: stride geometry, short-tail frame, exact window digests") {
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](150)(i => ('a' + i % 26).toByte)
+    val media = Seq(MediaRow(1L, payload, "video/mp4"),
+      MediaRow(2L, Array.emptyByteArray, "video/mp4")).toDS()
+    val out = Multimodal.sampleFrames(media, frameSize = 32, stride = 64, maxFrames = 4)
+      .collect().sortBy(r => (r.doc_id, r.frame_idx))
+    // 150 bytes @ stride 64: offsets 0, 64, 128 (cap 4 never reached)
+    out.map(r => (r.doc_id, r.frame_idx, r.byte_offset, r.n_bytes)) shouldBe Array(
+      (1L, 0, 0, 32), (1L, 1, 64, 32), (1L, 2, 128, 22))
+    def h(b: Array[Byte]) = java.security.MessageDigest.getInstance("MD5")
+      .digest(b).map("%02x".format(_)).mkString
+    out(0).frame_hash shouldBe h(payload.slice(0, 32))
+    out(2).frame_hash shouldBe h(payload.slice(128, 150))
+  }
+
+  test("m03 respects the frame cap and stays partition-preserving") {
+    import spark.implicits._
+    val media = Multimodal.binaryWithMeta(tables.documents)
+      .filter(col("meta.mime") === "video/mp4")
+      .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
+      .as[MediaRow].repartition(3)
+    val frames = Multimodal.sampleFrames(media)
+    frames.rdd.getNumPartitions shouldBe 3
+    val perDoc = frames.collect().groupBy(_.doc_id).values.map(_.length)
+    perDoc.max should be <= 4
+    perDoc.min should be >= 1
+  }
 }
