@@ -36,11 +36,16 @@ final case class Tables(spark: SparkSession, dir: String) {
     // zero, matching DuckDB's ns→us conversion only for post-epoch
     // (positive) nanos — true for all test data; pre-1970 events would
     // need floor-division here. Tables whose ts is already a real
-    // timestamp (re-written corpora, probe data) pass through untouched.
+    // timestamp (re-written corpora, probe data) pass through
+    // untouched; anything else fails HERE, not three operators later.
     val raw = t("events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other => throw new IllegalArgumentException(
+        s"events.ts must be nanos-long or timestamp, got $other")
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

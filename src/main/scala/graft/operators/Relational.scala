@@ -191,6 +191,8 @@ object Relational {
     * where the right side is the smaller-but-unbroadcastable one. */
   def saltedJoin(left: DataFrame, right: DataFrame, joinExpr: Column,
                  saltSource: Column, salts: Int = 8): DataFrame = {
+    require(!(left.columns ++ right.columns).exists(Set("_salt_l", "_salt_r")),
+      "saltedJoin inputs must not already carry _salt_l/_salt_r columns")
     val l = left.withColumn("_salt_l", pmod(xxhash64(saltSource), lit(salts)).cast("int"))
     val r = right.withColumn("_salt_r", explode(array((0 until salts).map(lit): _*)))
     l.join(r, joinExpr && col("_salt_l") === col("_salt_r"))

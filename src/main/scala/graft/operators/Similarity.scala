@@ -155,24 +155,39 @@ object Similarity {
     *
     * Ties everywhere break toward the smaller cell id / neighbor id,
     * identically in the oracle's ROW_NUMBER ordering. */
-  def annIvf(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 4,
-             nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val cents: Array[(Int, Array[Double])] = embeddings
+  /** Shared deterministic coarse quantizer (q46/q48): the `nCells`
+    * lowest-vec_id vectors as centroids — collected ONCE to the driver
+    * (kilobytes of index metadata, the one justified `.collect()` in
+    * the library) and embedded as array literals. vec_id is read as
+    * long uniformly so the same helper serves int- and long-typed
+    * sources without truncation. */
+  private def seedCentroids(embeddings: DataFrame,
+                            nCells: Int): Array[(Long, Array[Double])] = {
+    val cents = embeddings
       .filter(col("vec_id") < nCells)
-      .select(col("vec_id").cast("int"), vecD(col("embedding")))
+      .select(col("vec_id").cast("long"), vecD(col("embedding")))
       .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     require(cents.nonEmpty,
-      s"annIvf needs at least one centroid vector with vec_id < $nCells")
-    val cellIds = lit(cents.map(_._1))
-    // score(v, c) = dot(v, c)/|c| — |v| is constant per row, so the
-    // per-vector argmax/ordering equals the cosine argmax. The |c|
-    // divisions constant-fold (the spherical-IVF quantizer).
-    def cellScores(v: Column): Column = array(cents.map { case (_, arr) =>
+      s"need at least one seed vector with vec_id < $nCells")
+    cents
+  }
+
+  /** score(v, c) = dot(v, c)/|c| — |v| is constant per row, so the
+    * per-vector argmax/ordering equals the cosine argmax. The |c|
+    * divisions constant-fold (the spherical quantizer). */
+  private def seedCellScores(cents: Array[(Long, Array[Double])])(v: Column): Column =
+    array(cents.map { case (_, arr) =>
       val c = lit(arr)
       dot(v, c) / sqrt(dot(c, c))
     }: _*)
+
+  def annIvf(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 4,
+             nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val cents = seedCentroids(embeddings, nCells)
+    val cellIds = lit(cents.map(_._1))
+    def cellScores(v: Column): Column = seedCellScores(cents)(v)
     val e = prepared(embeddings)
     // assignment: first-max position → smallest cell id on ties;
     // element_at maps the position back to the centroid's vec_id, so
@@ -231,21 +246,10 @@ object Similarity {
     * those sums, so DuckDB reproduces every cosine to the last bit. */
   def kmeansRefine(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
     val scale = 1L << 20
-    val cents: Array[(Long, Array[Double])] = embeddings
-      .filter(col("vec_id") < nCells)
-      .select(col("vec_id"), vecD(col("embedding")))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    require(cents.nonEmpty,
-      s"kmeansRefine needs at least one seed vector with vec_id < $nCells")
+    val cents = seedCentroids(embeddings, nCells)
     val cellIds = lit(cents.map(_._1))
-    def seedScores(v: Column): Column = array(cents.map { case (_, arr) =>
-      val c = lit(arr)
-      dot(v, c) / sqrt(dot(c, c))
-    }: _*)
     val e = prepared(embeddings)
-    val scores = seedScores(col("v"))
+    val scores = seedCellScores(cents)(col("v"))
     val assigned = e.withColumn("cell0",
       element_at(cellIds, array_position(scores, array_max(scores)).cast("int")))
     // fixed-point per-dimension means; every seed assigns to its own

@@ -57,27 +57,39 @@ object Ingest {
     * non-null keys via a validation rule (q02's policy layer), which
     * is the caller's contract, not the reader's.
     *
+    * Extra-field rows (an unquoted delimiter shifting every later
+    * column) are caught by a sentinel column appended to the raw
+    * schema: CSV's PERMISSIVE mode silently DROPS surplus tokens
+    * (token-count mismatch "is not a corrupted record to CSV"), so the
+    * first surplus token is captured into the sentinel instead, and a
+    * non-null sentinel is a violation.
+    *
     * The quarantined row's `_corrupt_record` is reconstructed from the
     * parsed fields (unquoted join) — replayable, though not
     * byte-identical to a quoted source line. Split the result with
     * [[quarantineSplit]]. */
   def readCsv(spark: SparkSession, paths: Seq[String], schema: StructType,
               header: Boolean = true): DataFrame = {
+    val extra = "_extra_tokens"
     val rawSchema = StructType(schema.fields.map(f =>
-      StructField(f.name, StringType, nullable = true)))
+      StructField(f.name, StringType, nullable = true)) :+
+      StructField(extra, StringType, nullable = true))
     val raw = stampLineage(
       spark.read.schema(rawSchema).option("header", header.toString).csv(paths: _*))
     // try_cast, not cast: ANSI mode (Spark 4 default) makes a plain
     // cast THROW on malformed input — the exact job-abort this reader
     // exists to prevent
     def typedCol(f: StructField) = expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})")
-    val violation = schema.fields.map(f =>
+    val violation = (schema.fields.map(f =>
         col(f.name).isNotNull && typedCol(f).isNull)
-      .reduceOption(_ || _).getOrElse(lit(false))
+      :+ col(extra).isNotNull).reduce(_ || _)
     val typed = schema.fields.map(f => typedCol(f).as(f.name))
     raw.select(typed
       :+ when(violation,
-           concat_ws(",", schema.fieldNames.map(n => coalesce(col(n), lit(""))): _*))
+           // concat_ws skips nulls, so the sentinel only appears on
+           // rows that actually overflowed
+           concat_ws(",", schema.fieldNames.map(n => coalesce(col(n), lit(""))) :+
+             col(extra): _*))
          .as("_corrupt_record")
       :+ col("_source_file") :+ col("_processing_timestamp"): _*)
   }

@@ -59,7 +59,8 @@ class IngestSpec extends SparkSpec {
       "id,qty,name",
       "1,10,alpha",
       "2,notanumber,beta",   // qty fails the int cast -> quarantined
-      "3,30,gamma"))
+      "3,30,gamma",
+      "4,40,del,ta"))        // unquoted comma shifts fields -> quarantined
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("qty", IntegerType),
       StructField("name", StringType)))
@@ -67,9 +68,10 @@ class IngestSpec extends SparkSpec {
       Ingest.readCsv(spark, Seq(f), schema))
     valid.select("id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
     valid.columns should not contain "_corrupt_record"
-    val badRows = bad.collect()
-    badRows.length shouldBe 1
-    badRows.head.getAs[String]("_corrupt_record") shouldBe "2,notanumber,beta"
+    val badRows = bad.collect().sortBy(_.getAs[Long]("id"))
+    badRows.length shouldBe 2
+    badRows(0).getAs[String]("_corrupt_record") shouldBe "2,notanumber,beta"
+    badRows(1).getAs[String]("_corrupt_record") shouldBe "4,40,del,ta"
   }
 
   test("bucketed tables join with no shuffle on either side") {

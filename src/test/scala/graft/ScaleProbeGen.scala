@@ -30,36 +30,46 @@ object ScaleProbeGen {
     val t = Tables(spark, src)
     val rep = spark.range(reps).withColumnRenamed("id", "r")
 
+    // offsets are max(id)+1, NOT count(): a sparse id space offset by
+    // count would overlap replica ranges — silent cross-replica
+    // collisions that corrupt every dup-density-sensitive probe number
+    def span(df: org.apache.spark.sql.DataFrame, c: String): Long =
+      df.agg(max(col(c))).head.getLong(0) + 1
+
     val docs = t.documents
-    val nDocs = docs.count()
+    val docSpan = span(docs, "doc_id")
     // per-TOKEN suffix, not a trailing marker: replica vocabularies
     // (hence shingle/fingerprint spaces) must be fully disjoint or
     // every shingle-keyed operator degenerates into 10-way
     // cross-replica matching — 10× data must mean 10× work, not 100×
     docs.crossJoin(rep)
-      .select((col("doc_id") + col("r") * nDocs).as("doc_id"), col("lang"),
+      .select((col("doc_id") + col("r") * docSpan).as("doc_id"), col("lang"),
         array_join(expr("transform(split(text, ' '), t -> concat(t, '_', r))"), " ")
-          .as("text"), col("n_chars"))
+          .as("text"))
+      // n_chars must track the rewritten text or metadata-derived
+      // operators (m01/m03 geometry, length metrics) probe on lies
+      .withColumn("n_chars", length(col("text")))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val e = t.embeddings
-    val nVecs = e.count()
+    val vecSpan = span(e, "vec_id")
     e.crossJoin(rep)
-      .select((col("vec_id") + col("r") * nVecs).as("vec_id"),
+      .select((col("vec_id") + col("r") * vecSpan).as("vec_id"),
         expr("transform(sequence(0, 63), i -> element_at(embedding, CAST((i + r) % 64 AS INT) + 1))")
           .as("embedding"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     val ev = t.events
-    val nEv = ev.count()
-    val nUsers = 100000L
+    val evSpan = span(ev, "event_id")
+    val userSpan = span(ev, "user_id")
     ev.crossJoin(rep)
-      .select((col("event_id") + col("r") * nEv).as("event_id"), col("ts"),
-        (col("user_id") + col("r") * nUsers).as("user_id"),
+      .select((col("event_id") + col("r") * evSpan).as("event_id"), col("ts"),
+        (col("user_id") + col("r") * userSpan).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
-    println(s"probe corpus at $out: docs=${nDocs * reps} vecs=${nVecs * reps} events=${nEv * reps}")
+    println(s"probe corpus at $out: docs=${docs.count() * reps} " +
+      s"vecs=${e.count() * reps} events=${ev.count() * reps}")
     spark.stop()
   }
 }
