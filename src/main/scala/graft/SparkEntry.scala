@@ -66,6 +66,7 @@ object SparkEntry {
     "q41_repetition"         -> ((s, d) => TextOps.repetitionSignals(Tables(s, d).documents)),
     "q53_chunk_sliding"      -> ((s, d) => Corpus.chunkSliding(Tables(s, d).documents)),
     "q44_tfidf_terms"        -> ((s, d) => TextOps.tfidfTopTerms(Tables(s, d).documents)),
+    "q54_oov_rate"           -> ((s, d) => TextOps.oovRate(Tables(s, d).documents)),
     // q45: every doc_id ≡ 9 (mod 10) plays the incoming intake batch;
     // the rest is the already-deduped corpus contributing only its
     // band index — the persisted-index production pattern.
@@ -662,6 +663,19 @@ object SparkEntry {
         |      FROM d)
         |SELECT lang, term, tf, df, score, rnk FROM s
         |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+    // q54: the vocabulary is the top-50 tokens by (count DESC, token)
+    // — fully deterministic, so membership and the OOV counts are
+    // integers and the fraction is one dround'd division.
+    "q54_oov_rate" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY 1
+        |                       ORDER BY cnt DESC, tok LIMIT 50) x),
+        |j AS (SELECT t.doc_id, v.tok AS vtok FROM tk t LEFT JOIN v ON t.tok = v.tok)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |       COUNT(CASE WHEN vtok IS NULL THEN 1 END) AS n_oov,
+        |       FLOOR(CAST(COUNT(CASE WHEN vtok IS NULL THEN 1 END) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS oov_frac
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q35_decontaminate" ->
       """WITH fp AS (SELECT doc_id,
         |              md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint

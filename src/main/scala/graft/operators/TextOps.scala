@@ -177,4 +177,34 @@ object TextOps {
       markers.map { case (l, _) => col(s"s_$l").as(s"score_$l") }
     scored.select(outCols: _*)
   }
+
+  /** q54: vocabulary coverage / out-of-vocabulary rate — per doc, the
+    * fraction of tokens outside the corpus' top-`vocabSize` vocabulary.
+    * The tokenizer-fit signal every training-data pipeline computes:
+    * high OOV flags encoding damage, wrong-language slices, and
+    * boilerplate that will fragment into byte-level tokens.
+    *
+    * Shape: one explode pass → wordcount (map-side partial agg) →
+    * top-V via TakeOrdered (count desc, token asc ties — never a full
+    * sort) → the tiny vocabulary BROADCAST back against the exploded
+    * tokens (map-side membership, no shuffle of the corpus) → per-doc
+    * aggregation, which collapses almost entirely map-side because a
+    * doc's exploded tokens stay in its input partition. At 100 TB the
+    * vocabulary is a real tokenizer's (load it as a table); the
+    * corpus-derived top-V here keeps the operator self-contained and
+    * the oracle replicable. */
+  def oovRate(documents: DataFrame, vocabSize: Int = 50): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        graft.Exact.dround(col("n_oov").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("oov_frac"))
+  }
 }

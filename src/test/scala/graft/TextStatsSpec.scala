@@ -94,6 +94,21 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("q54 OOV rate against a known top-V vocabulary with deterministic ties") {
+    // counts: a=3, b=1, c=1, d=1 -> top-2 by (cnt desc, tok asc) = {a, b}
+    val d = docs((1L, "a a b", "en"), (2L, "a c d", "en"))
+    val rows = TextOps.oovRate(d, vocabSize = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    rows shouldBe Array((1L, 3L, 0L, 0.0), (2L, 3L, 2L, 0.6667))
+  }
+
+  test("q54 full-vocabulary corpus has zero OOV everywhere") {
+    val d = docs((1L, "x y", "en"), (2L, "y x", "en"))
+    TextOps.oovRate(d, vocabSize = 10).collect()
+      .foreach(r => r.getLong(2) shouldBe 0L)
+  }
+
   test("q41 is single-scan (no Exchange); q43 reads the source once") {
     planOf(TextOps.repetitionSignals(tables.documents)) should not include "Exchange"
     // declared pivot values -> no driver-side distinct-collect pass:
