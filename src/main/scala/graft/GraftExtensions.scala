@@ -56,7 +56,8 @@ object GraftExtensions {
       (args: Seq[Expression]) =>
         Exprs.Shingles(args(0), litInt(args(1), "shingle width n"))),
     (FunctionIdentifier("graft_minhash"),
-      info("graft_minhash", "graft_minhash(shingles, k) - k salted md5 min-hashes"),
+      info("graft_minhash",
+        "graft_minhash(shingles, k) - k Kirsch-Mitzenmacher min-hashes (one md5 per shingle, mod 2^31-1)"),
       (args: Seq[Expression]) =>
         Exprs.MinHashSig(args(0), litInt(args(1), "signature size k"))),
     (FunctionIdentifier("graft_simhash"),

@@ -733,10 +733,16 @@ object SparkEntry {
     * so the clustering oracle (q36) can embed it as a CTE body. */
   private def minhashPairsQuery: String = {
     val k = 16; val bands = 4; val r = k / bands
+    // Kirsch-Mitzenmacher: g_i = (lower64 mod p + i·(upper64 mod p))
+    // mod p, p = 2^31-1 — mirrors Exprs.MinHashSig exactly; every
+    // intermediate < 2^36 so DuckDB's checked UBIGINT math never traps
+    val p = 2147483647L
     val mhs = (0 until k).map(i =>
-      s"list_min(list_transform(sh, x -> md5('$i|' || x))) AS mh$i").mkString(", ")
+      s"list_min(list_transform(sh, x -> (md5_number_lower(x) % $p + $i * (md5_number_upper(x) % $p)) % $p)) AS mh$i")
+      .mkString(", ")
     val bks = (0 until bands).map { b =>
-      val parts = (0 until r).map(j => s"mh${b * r + j}").mkString(" || '|' || ")
+      val parts = (0 until r).map(j => s"CAST(mh${b * r + j} AS VARCHAR)")
+        .mkString(" || '|' || ")
       s"md5('$b|' || $parts)"
     }.mkString(", ")
     s"""WITH $shingleCtes,

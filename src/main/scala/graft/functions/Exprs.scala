@@ -170,17 +170,26 @@ object Exprs {
 
   object Shingles { private val Space = UTF8String.fromString(" ") }
 
-  /** k salted MinHashes of a shingle set: element i = minₛ md5("i|" ++ s)
-    * as a lowercase hex string (lexicographic min over hex ==
-    * lexicographic min over VARCHAR in DuckDB). Empty input → array of
-    * k NULLs, matching `list_min([]) = NULL`. One MessageDigest pass
-    * per (salt, shingle) — identical digests to Spark's/DuckDB's `md5`,
-    * computed in a tight loop instead of k separate HOF trees. NULL
-    * shingles are skipped (`md5(NULL) = NULL`, and DuckDB `list_min`
-    * ignores NULLs) — unreachable from Shingles output, live via SQL. */
+  /** k Kirsch-Mitzenmacher min-hashes of a shingle set: ONE md5 per
+    * shingle (not k) → the digest's two 64-bit halves, read
+    * little-endian exactly like DuckDB's `md5_number_upper` (first 8
+    * bytes) / `md5_number_lower` (last 8), reduced mod p = 2³¹−1; hash
+    * i of shingle s is then gᵢ(s) = (h₁ + i·h₂) mod p (Kirsch &
+    * Mitzenmacher 2006: two base hashes generate k combined functions
+    * with the same minhash guarantees as k independent ones). Output
+    * element i = minₛ gᵢ(s), a LongType array. All intermediate values
+    * stay below 2³⁶, so DuckDB's checked UBIGINT arithmetic and JVM
+    * signed longs agree exactly — the oracle replicates every value
+    * bit-for-bit with no wrap-around anywhere.
+    *
+    * This replaced the k-salted-md5 scheme (element i = min md5("i|"+s)
+    * hex) in round 6: the signature pass was k× md5-bound — at 10×
+    * scale ~40M digests; KM computes one digest per shingle. Empty
+    * input → k NULLs (list_min([]) = NULL); NULL shingles are skipped
+    * (md5_number_*(NULL) = NULL, list_min ignores NULLs). */
   case class MinHashSig(child: Expression, k: Int)
       extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = ArrayType(StringType, containsNull = true)
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
     override def prettyName: String = "graft_minhash"
 
     override def checkInputDataTypes(): TypeCheckResult =
@@ -188,44 +197,44 @@ object Exprs {
         Seq(child.dataType))
 
     @transient private lazy val md = MessageDigest.getInstance("MD5")
-    @transient private lazy val salts: Array[Array[Byte]] =
-      Array.tabulate(k)(i => s"$i|".getBytes("UTF-8"))
+    private val P = 2147483647L
 
     override def nullIntolerant: Boolean = true
     override def nullSafeEval(in: Any): Any = {
       val sh = in.asInstanceOf[ArrayData]
       val nSh = sh.numElements()
-      // track minima as raw digests: unsigned byte order == lexicographic
-      // order of the lowercase hex rendering, so only the k winners are
-      // hex-encoded (vs one string per (salt, shingle) — the allocation
-      // dominated the signature pass before)
-      val mins = Array.ofDim[Byte](k, 16)
-      val seen = new Array[Boolean](k)
+      val mins = new Array[Long](k)
+      java.util.Arrays.fill(mins, Long.MaxValue)
+      var any = false
       val tmp = new Array[Byte](16)
       var s = 0
       while (s < nSh) {
-        if (sh.isNullAt(s)) { s += 1 }
-        else {
-        val bytes = sh.getUTF8String(s).getBytes
-        var i = 0
-        while (i < k) {
+        if (!sh.isNullAt(s)) {
+          any = true
           md.reset()
-          md.update(salts(i))
-          md.update(bytes)
+          md.update(sh.getUTF8String(s).getBytes)
           md.digest(tmp, 0, 16)
-          if (!seen(i) || Exprs.unsignedLess(tmp, mins(i))) {
-            System.arraycopy(tmp, 0, mins(i), 0, 16)
-            seen(i) = true
+          var hi = 0L; var lo = 0L
+          var b = 0
+          while (b < 8) { hi |= (tmp(b) & 0xffL) << (8 * b); b += 1 }
+          while (b < 16) { lo |= (tmp(b) & 0xffL) << (8 * (b - 8)); b += 1 }
+          val h2 = java.lang.Long.remainderUnsigned(hi, P)
+          // g walks (h1 + i·h2) mod p incrementally: h1, h2 < p, so one
+          // conditional subtract per step is a full reduction
+          var g = java.lang.Long.remainderUnsigned(lo, P)
+          var i = 0
+          while (i < k) {
+            if (g < mins(i)) mins(i) = g
+            g += h2; if (g >= P) g -= P
+            i += 1
           }
-          i += 1
         }
         s += 1
-        }
       }
       val out = new Array[AnyRef](k)
       var i = 0
       while (i < k) {
-        out(i) = if (seen(i)) UTF8String.fromString(Exprs.toHex(mins(i))) else null
+        out(i) = if (any) java.lang.Long.valueOf(mins(i)) else null
         i += 1
       }
       new GenericArrayData(out)
@@ -452,29 +461,6 @@ object Exprs {
   }
 
   object RepetitionStats { private val Space = UTF8String.fromString(" ") }
-
-  private[functions] def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < a.length && i < b.length) {
-      val x = a(i) & 0xff
-      val y = b(i) & 0xff
-      if (x != y) return x < y
-      i += 1
-    }
-    a.length < b.length
-  }
-
-  private[functions] def toHex(bytes: Array[Byte]): String = {
-    val hexChars = "0123456789abcdef"
-    val out = new Array[Char](bytes.length * 2)
-    var i = 0
-    while (i < bytes.length) {
-      out(2 * i) = hexChars((bytes(i) >> 4) & 0xF)
-      out(2 * i + 1) = hexChars(bytes(i) & 0xF)
-      i += 1
-    }
-    new String(out)
-  }
 
   // ----- Column-level wrappers ----------------------------------------
 

@@ -112,8 +112,12 @@ object Dedup {
     val withMh = docs.select(col("doc_id"),
       Exprs.minhashSig(col("sh"), numHashes).as("mhs"))
     val bandKeys = array((0 until bands).map { b =>
+      // KM min-hashes are longs; the band digest concatenates their
+      // decimal renders (identical to DuckDB's CAST(UBIGINT AS VARCHAR)
+      // for these < 2³¹ values)
       md5(concat(lit(b.toString) +:
-        (0 until r).flatMap(j => Seq(lit("|"), element_at(col("mhs"), b * r + j + 1))): _*)
+        (0 until r).flatMap(j =>
+          Seq(lit("|"), element_at(col("mhs"), b * r + j + 1).cast("string"))): _*)
         .cast("binary"))
     }: _*)
     withMh.select(col("doc_id"), explode(bandKeys).as("bk"))

@@ -24,8 +24,8 @@ class ExtensionsSpec extends SparkSpec {
         |       graft_simhash(split('a b c d', ' ')) AS fp""".stripMargin)
       .collect().head
     row.getSeq[String](0) shouldBe Seq("a b c", "b c d")
-    row.getSeq[String](1).length shouldBe 4
-    row.getSeq[String](1).foreach(_ should fullyMatch regex "[0-9a-f]{32}")
+    row.getSeq[Long](1).length shouldBe 4
+    row.getSeq[Long](1).foreach(v => v should (be >= 0L and be < 2147483647L))
     row.getString(2) should fullyMatch regex "[01]{64}"
   }
 
