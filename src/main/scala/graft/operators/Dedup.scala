@@ -124,6 +124,42 @@ object Dedup {
       .filter(col("bk").isNotNull)
   }
 
+  /** Persist a corpus band index for later incremental probes — the
+    * production companion of [[incrementalMinhashPairs]]: dedup the
+    * corpus once, write its index, and every later intake batch probes
+    * the FILES instead of re-signaturing the corpus. Partitioned by a
+    * bucket-prefix so a probe's scan prunes to the band-key ranges it
+    * actually touches (`bk` is an md5 hex digest — the 2-hex-char
+    * prefix gives 256 balanced partitions at any corpus size). */
+  def writeBandIndex(documents: DataFrame, path: String, n: Int = 3,
+                     numHashes: Int = 16, bands: Int = 4): Unit =
+    minhashBandIndex(documents, n, numHashes, bands)
+      .withColumn("bk_prefix", substring(col("bk"), 1, 2))
+      .write.mode("overwrite").partitionBy("bk_prefix").parquet(path)
+
+  /** Read a persisted band index back into probe shape. */
+  def readBandIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("doc_id"), col("bk"))
+
+  /** Probe an incoming batch against a PERSISTED corpus index — the
+    * disk-backed form of [[incrementalMinhashPairs]]'s candidate stage;
+    * exact-Jaccard verification still needs the corpus text, supplied
+    * by `existing`. Same output contract as incrementalMinhashPairs. */
+  def incrementalProbeIndex(index: DataFrame, existing: DataFrame,
+                            incoming: DataFrame, n: Int = 3,
+                            numHashes: Int = 16, bands: Int = 4,
+                            tau: Double = 0.5): DataFrame = {
+    val probes = minhashBandIndex(incoming, n, numHashes, bands)
+      .withColumnRenamed("doc_id", "new_doc")
+    val cands = probes.join(index.withColumnRenamed("doc_id", "dup_of"), Seq("bk"))
+      .select(col("new_doc"), col("dup_of"))
+      .distinct()
+    verifyJaccard(
+      cands.select(col("new_doc").as("doc_a"), col("dup_of").as("doc_b")),
+      existing.unionByName(incoming), n, tau)
+      .select(col("doc_a").as("new_doc"), col("doc_b").as("dup_of"), col("jaccard"))
+  }
+
   /** Exact shingle-Jaccard verification of candidate `(doc_a, doc_b)`
     * pairs: join raw token arrays by doc_id (not shingle arrays — those
     * would n-fold every word through the shuffle), re-shingle only the

@@ -103,6 +103,20 @@ class DedupSpec extends SparkSpec {
     rows shouldBe Array((1L, 3L, 1L))
   }
 
+  test("q45 persisted band index round-trips: disk-probe equals inline-probe") {
+    import org.apache.spark.sql.functions.col
+    val docs = tables.documents
+    val existing = docs.filter(col("doc_id") % 10 =!= 9)
+    val incoming = docs.filter(col("doc_id") % 10 === 9)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx").toString + "/idx"
+    Dedup.writeBandIndex(existing, dir)
+    val fromDisk = Dedup.incrementalProbeIndex(
+      Dedup.readBandIndex(spark, dir), existing, incoming)
+    val inline = Dedup.incrementalMinhashPairs(existing, incoming)
+    fromDisk.exceptAll(inline).count() shouldBe 0L
+    inline.exceptAll(fromDisk).count() shouldBe 0L
+  }
+
   test("q36 connected components: a chain A~B~C is ONE cluster labeled by its min") {
     import spark.implicits._
     // chain topology — exactly the case where pairwise dedup over-deletes
