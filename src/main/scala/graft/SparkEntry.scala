@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, timestamp_seconds}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.operators.{Analytics, Corpus, Dedup, Etl, Multimodal, Relational, Report, Similarity, TextOps}
 import graft.streaming.Streams
@@ -116,6 +116,20 @@ object SparkEntry {
       Streams.runToMemory(
         Streams.errorCauseJoin(Streams.readEventStream(s, s"$d/events.parquet")),
         "s05_stream_join")),
+    // s06: event time derived deterministically from doc_id; output
+    // projected to the key column only (the surviving carrier row is
+    // arrival-order-dependent, the key set is not).
+    "s06_stream_dedup_ttl"   -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
+        .select(TextOps.fingerprintCol.as("fingerprint"),
+          timestamp_seconds(col("doc_id") + lit(1600000000L)).as("ts"))
+      Streams.runToMemory(
+        Streams.streamDedupTtl(docs, "ts", Seq("fingerprint"), "1 hour")
+          .select("fingerprint"),
+        "s06_stream_dedup_ttl")
+    }),
     "s04_stream_dedup"       -> ((s, d) => {
       import s.implicits._
       val schema = s.read.parquet(s"$d/documents.parquet").schema
@@ -487,6 +501,14 @@ object SparkEntry {
         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM b GROUP BY lang, batch_id
         |HAVING COUNT(*) = 10 ORDER BY lang, batch_id""".stripMargin,
+    // s06: one AvailableNow drain = one micro-batch; the watermark only
+    // advances AFTER it, so nothing evicts or drops mid-drain and the
+    // output is exactly the distinct fingerprint set. The TTL behavior
+    // itself (key forgotten after the horizon, late rows dropped) is
+    // pinned in StreamingSpec across multiple micro-batches.
+    "s06_stream_dedup_ttl" ->
+      """SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        |FROM documents ORDER BY 1""".stripMargin,
     // s04: single-drain streaming dedup ≡ batch GROUP BY fingerprint →
     // MIN(doc_id) (see Streams.streamDedup's determinism note).
     "s04_stream_dedup" ->

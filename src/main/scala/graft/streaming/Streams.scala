@@ -208,6 +208,28 @@ object Streams {
       }
   }
 
+  // ----- s06: watermark-TTL streaming dedup -----------------------------
+
+  /** s06: streaming dedup with a FORGETTING horizon — the 100 TB
+    * variant s04's scaladoc prescribes: state per key is dropped once
+    * the watermark passes `watermark` behind the max seen event time,
+    * so the store holds only the re-delivery window's keys instead of
+    * every fingerprint ever seen. The intake contract this encodes:
+    * duplicate deliveries arrive within `watermark` of the original
+    * (true for queue re-deliveries; NOT a substitute for corpus-level
+    * dedup, which is q20/q22's job).
+    *
+    * Built on `dropDuplicatesWithinWatermark` — the engine-native
+    * stateful dedup operator — rather than hand-rolled
+    * flatMapGroupsWithState: eviction, state schema, and recovery are
+    * the engine's tested path. Which physical row survives per key is
+    * arrival-order-dependent; project only the key columns (as the s06
+    * query does) when downstream needs determinism. */
+  def streamDedupTtl(docs: DataFrame, eventTimeCol: String,
+                     keyCols: Seq[String], watermark: String): DataFrame =
+    docs.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // ----- s05: stream-stream interval join ------------------------------
 
   /** s05: error-to-cause correlation as a STREAM-STREAM interval join —

@@ -106,6 +106,32 @@ class StreamingSpec extends SparkSpec {
     batch.exceptAll(streamed).count() shouldBe 0L
   }
 
+  test("s06 TTL dedup: duplicate inside the horizon dropped, re-arrival after expiry passes") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
+    def at(offsetMin: Int) = new java.sql.Timestamp(t0.getTime + offsetMin * 60000L)
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val q = Streams.streamDedupTtl(
+        in.toDF.toDF("fingerprint", "ts"), "ts", Seq("fingerprint"), "10 minutes")
+      .select("fingerprint")
+      .writeStream.format("memory").queryName("s06_e2e")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: key A twice (in-horizon re-delivery dropped), key B once
+      in.addData(("A", at(0)), ("A", at(5)), ("B", at(1)))
+      q.processAllAvailable()
+      // batch 2 advances the watermark to 110min — far past A's state
+      in.addData(("C", at(120)))
+      q.processAllAvailable()
+      // batch 3: A re-arrives AFTER its state was evicted -> re-admitted
+      in.addData(("A", at(125)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val keys = spark.table("s06_e2e").collect().map(_.getString(0)).toSeq
+    keys.sorted shouldBe Seq("A", "A", "B", "C") // A once per horizon window
+  }
+
   test("s05 stream-stream join matches errors to prior same-user actions within the lookback") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
