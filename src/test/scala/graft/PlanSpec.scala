@@ -134,6 +134,18 @@ class PlanSpec extends SparkSpec {
     plan.split("Scan parquet").length - 1 shouldBe 1
   }
 
+  test("q53 sliding chunker is pure per-row fan-out — no shuffle at all") {
+    val plan = planOf(operators.Corpus.chunkSliding(tables.documents))
+    plan should include ("Generate")   // the explode
+    plan should not include "Exchange"
+  }
+
+  test("q54 OOV membership is a broadcast join — the corpus is never shuffled by token") {
+    val plan = planOf(operators.TextOps.oovRate(tables.documents))
+    plan should include ("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   test("q52 salted join keys the shuffle on (orderkey, salt) and stays output-invariant") {
     val t = tables
     val plan = planOf(Relational.saltedRevenueByStatus(t.lineitem, t.orders))
