@@ -60,6 +60,7 @@ object SparkEntry {
     "q21_dedup_ngram"        -> ((s, d) => Dedup.ngramJaccardPairs(Tables(s, d).documents)),
     "q22_dedup_minhash"      -> ((s, d) => Dedup.minhashLshPairs(Tables(s, d).documents)),
     "q36_dedup_clusters"     -> ((s, d) => Dedup.dedupClusters(Tables(s, d).documents)),
+    "q55_keeper_select"      -> ((s, d) => Dedup.keeperSelection(Tables(s, d).documents)),
     "q37_pii_redact"         -> ((s, d) => Corpus.piiRedactVerification(Tables(s, d).documents)),
     "q38_sample_stratified"  -> ((s, d) => Corpus.sampleStratified(Tables(s, d).documents)),
     "q40_pack_sequences"     -> ((s, d) => Corpus.packSequences(Tables(s, d).documents)),
@@ -708,6 +709,7 @@ object SparkEntry {
     "q21_dedup_ngram"     -> ngramOracle,
     "q22_dedup_minhash"   -> minhashOracle,
     "q36_dedup_clusters"  -> clustersOracle,
+    "q55_keeper_select"   -> keeperOracle,
     "q45_dedup_incremental" -> incrementalOracle,
     "q47_decontaminate_ngram" -> decontamNgramOracle,
     "q48_kmeans_refine"   -> kmeansOracle,
@@ -785,11 +787,12 @@ object SparkEntry {
   private def minhashOracle: String =
     minhashPairsQuery + "\nORDER BY doc_a, doc_b"
 
-  /** q36: connected components over the q22 pair set via a recursive
-    * reachability CTE (component label = MIN reachable doc_id; the
-    * UNION dedupe bounds the recursion). Component sizes are tiny, so
-    * the O(Σ component²) reach set is no hazard for the oracle. */
-  private def clustersOracle: String =
+  /** Shared connected-components labeling over the q22 pair set via a
+    * recursive reachability CTE (component label = MIN reachable
+    * doc_id; the UNION dedupe bounds the recursion). Component sizes
+    * are tiny, so the O(Σ component²) reach set is no hazard for the
+    * oracle. Used by q36 (labels) and q55 (keeper selection). */
+  private def clusterLabCtes: String =
     s"""WITH RECURSIVE p AS ($minhashPairsQuery),
        |edges AS (SELECT doc_a AS s, doc_b AS d FROM p
        |          UNION ALL SELECT doc_b, doc_a FROM p),
@@ -797,12 +800,39 @@ object SparkEntry {
        |  SELECT s, s FROM edges
        |  UNION
        |  SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.doc),
-       |lab AS (SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc)
+       |lab AS (SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc)""".stripMargin
+
+  private def clustersOracle: String =
+    s"""$clusterLabCtes
        |SELECT l.doc_id, l.cluster_id, c.cluster_size
        |FROM lab l
        |JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1) c
        |  USING (cluster_id)
        |ORDER BY l.doc_id""".stripMargin
+
+  /** q55: keeper per cluster by (quality DESC, doc_id). The quality
+    * CTE is q28's formula verbatim (same casts, same left-to-right
+    * IEEE op order) — keep the two in sync. */
+  private def keeperOracle: String =
+    s"""$clusterLabCtes,
+       |qt AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+       |qm AS (SELECT doc_id,
+       |         CAST(len(toks) AS DOUBLE) AS n_tok,
+       |         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq,
+       |         CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE) AS n_stop,
+       |         LEAST(n_chars / 500.0, 1.0) AS len_sat
+       |       FROM qt),
+       |q AS (SELECT doc_id,
+       |        FLOOR((n_uniq / n_tok * 0.4 + (1.0 - n_stop / n_tok) * 0.3 + len_sat * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality
+       |      FROM qm)
+       |SELECT cluster_id, keeper_doc_id, cluster_size,
+       |       cluster_size - 1 AS n_removed FROM (
+       |  SELECT l.cluster_id, l.doc_id AS keeper_doc_id,
+       |         COUNT(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+       |         ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+       |           ORDER BY q.quality DESC, l.doc_id) AS rn
+       |  FROM lab l JOIN q USING (doc_id)) t
+       |WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
   /** q45: an incremental probe against the persisted band index finds
     * exactly the full-pipeline pairs with one endpoint in the incoming

@@ -352,6 +352,31 @@ object Dedup {
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
   }
 
+  /** q55: keeper selection — the decision step after clustering: keep
+    * ONE document per near-dup cluster, chosen by QUALITY (q28's
+    * score), not by id — production drops the boilerplate-laden copy
+    * and keeps the clean one; min-id keepers (q20's tie-break) are for
+    * exact dups where the copies are identical anyway.
+    *
+    * One partial-agg shuffle over the cluster labels (q31's
+    * max(struct) argmax — no window): keeper = max by (quality,
+    * -doc_id), so quality ties break toward the smaller id exactly
+    * like the oracle's (quality DESC, doc_id) ROW_NUMBER. Output one
+    * row per multi-doc cluster with the keep/drop accounting. */
+  def keeperSelection(documents: DataFrame, n: Int = 3, numHashes: Int = 16,
+                      bands: Int = 4, tau: Double = 0.5): DataFrame = {
+    val clusters = dedupClusters(documents, n, numHashes, bands, tau)
+    val quality = TextOps.qualityScore(documents).select(col("doc_id"), col("quality"))
+    clusters.join(quality, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("quality"), (-col("doc_id")).as("nd"),
+          col("doc_id").as("keeper"))).as("b"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), col("b.keeper").as("keeper_doc_id"),
+        col("cluster_size"), (col("cluster_size") - 1).as("n_removed"))
+  }
+
   /** q47: n-gram-overlap decontamination — the PARTIAL-overlap
     * complement to q35's exact-fingerprint decontamination (reference:
     * the n-gram contamination checks every LLM training run performs

@@ -103,6 +103,21 @@ class DedupSpec extends SparkSpec {
     rows shouldBe Array((1L, 3L, 1L))
   }
 
+  test("q55 keeper selection keeps the HIGHER-quality near-dup, not the lower id") {
+    import spark.implicits._
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val d = Seq(
+      (5L, base),                 // all-unique tokens -> higher quality
+      (2L, base + " w1 w2"),      // near-dup with repeats -> lower quality
+      (9L, "totally different content here entirely now")
+    ).toDF("doc_id", "text").withColumn("n_chars",
+      org.apache.spark.sql.functions.length($"text"))
+    val rows = Dedup.keeperSelection(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // one cluster {2, 5}, labeled by min id 2, keeper = 5 (quality wins)
+    rows shouldBe Array((2L, 5L, 2L, 1L))
+  }
+
   test("q45 persisted band index round-trips: disk-probe equals inline-probe") {
     import org.apache.spark.sql.functions.col
     val docs = tables.documents
