@@ -44,9 +44,19 @@ object Bench {
     }
 
     // SPARK_GRAFT_ONLY=q22,q41 restricts the run (scale probes, bisects);
-    // unset = full suite. Names are exact keys, comma-separated.
+    // unset = full suite. Names are exact keys, comma-separated. Unknown
+    // names FAIL the run: a typo (q22_minhash vs q22_dedup_minhash)
+    // would otherwise produce an empty run that reads as a fast pass.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        sys.error(s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +
+          s"${unknown.toSeq.sorted.mkString(", ")}")
+      if (names.isEmpty)
+        sys.error("SPARK_GRAFT_ONLY is set but selects no queries")
+    }
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1)

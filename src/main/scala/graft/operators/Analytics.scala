@@ -55,9 +55,27 @@ object Analytics {
     * 100 TB is an extra corpus scan; a declared bounded event-type
     * vocabulary keeps it one single-shuffle aggregation (pivot lowers
     * to count(CASE WHEN …) per declared value). Absent combinations
-    * yield 0, matching COUNT(*) FILTER in the oracle. */
-  def eventPivot(events: DataFrame): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+    * yield 0, matching COUNT(*) FILTER in the oracle.
+    *
+    * The vocabulary is the CALLER'S contract (round-6 ADVICE): events
+    * whose type is not declared are excluded from every column — a day
+    * whose only events are undeclared still appears, all-zero. Callers
+    * that can't assert their vocabulary up front pass
+    * `assertCoverage = true` to fail loudly on an undeclared type
+    * instead (one extra aggregation over the events — an anti-join
+    * count, not a distinct-collect). */
+  def eventPivot(events: DataFrame,
+                 types: Seq[String] = Seq("click", "error", "purchase", "signup", "view"),
+                 assertCoverage: Boolean = false): DataFrame = {
+    require(types.nonEmpty, "eventPivot needs a declared type vocabulary")
+    if (assertCoverage) {
+      val undeclared = events.filter(!col("event_type").isin(types: _*))
+        .select("event_type").distinct().limit(10)
+        .collect().map(_.getString(0))
+      require(undeclared.isEmpty,
+        s"eventPivot: observed event types outside the declared vocabulary: " +
+          s"${undeclared.sorted.mkString(", ")}")
+    }
     events
       .select(to_date(col("ts")).as("event_date"), col("event_type"))
       .groupBy("event_date")

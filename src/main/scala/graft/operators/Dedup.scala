@@ -130,33 +130,73 @@ object Dedup {
     * the FILES instead of re-signaturing the corpus. Partitioned by a
     * bucket-prefix so a probe's scan prunes to the band-key ranges it
     * actually touches (`bk` is an md5 hex digest — the 2-hex-char
-    * prefix gives 256 balanced partitions at any corpus size). */
+    * prefix gives 256 balanced partitions at any corpus size).
+    *
+    * The signature parameters (n, numHashes, bands) travel WITH the
+    * index as constant columns: a probe signatured with different
+    * parameters produces band keys from a different hash family, and
+    * the bk equi-join would silently return ~zero candidates —
+    * duplicates passing undetected (fails open). [[readBandIndex]] and
+    * [[incrementalProbeIndex]] validate them and fail loudly instead. */
   def writeBandIndex(documents: DataFrame, path: String, n: Int = 3,
                      numHashes: Int = 16, bands: Int = 4): Unit =
     minhashBandIndex(documents, n, numHashes, bands)
       .withColumn("bk_prefix", substring(col("bk"), 1, 2))
+      .withColumn("_p_n", lit(n))
+      .withColumn("_p_num_hashes", lit(numHashes))
+      .withColumn("_p_bands", lit(bands))
       .write.mode("overwrite").partitionBy("bk_prefix").parquet(path)
 
-  /** Read a persisted band index back into probe shape. */
-  def readBandIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).select(col("doc_id"), col("bk"))
+  /** Read a persisted band index back into probe shape, verifying the
+    * caller's signature parameters match the ones the index was built
+    * with (see [[writeBandIndex]] — a mismatch fails open, not loud).
+    * The check reads one row (parquet prunes to the three constant
+    * columns) — index-metadata cost, not a corpus scan. Indexes written
+    * before parameter stamping (no `_p_*` columns) pass unchecked. */
+  def readBandIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    n: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val raw = spark.read.parquet(path)
+    if (raw.columns.contains("_p_n")) {
+      raw.select("_p_n", "_p_num_hashes", "_p_bands").head match {
+        case org.apache.spark.sql.Row(pn: Int, ph: Int, pb: Int) =>
+          require(pn == n && ph == numHashes && pb == bands,
+            s"band index at $path was built with (n=$pn, numHashes=$ph, " +
+              s"bands=$pb) but probe requested (n=$n, numHashes=$numHashes, " +
+              s"bands=$bands); mismatched band keys silently match nothing")
+      }
+    }
+    raw.select(col("doc_id"), col("bk"))
+  }
 
   /** Probe an incoming batch against a PERSISTED corpus index — the
     * disk-backed form of [[incrementalMinhashPairs]]'s candidate stage;
     * exact-Jaccard verification still needs the corpus text, supplied
-    * by `existing`. Same output contract as incrementalMinhashPairs. */
+    * by `existing`. Same output contract as incrementalMinhashPairs.
+    * If `index` still carries [[writeBandIndex]]'s `_p_*` parameter
+    * columns (a raw `spark.read.parquet` that skipped readBandIndex),
+    * they are validated here the same way. */
   def incrementalProbeIndex(index: DataFrame, existing: DataFrame,
                             incoming: DataFrame, n: Int = 3,
                             numHashes: Int = 16, bands: Int = 4,
                             tau: Double = 0.5): DataFrame = {
+    val checked =
+      if (index.columns.contains("_p_n")) {
+        index.select("_p_n", "_p_num_hashes", "_p_bands").head match {
+          case org.apache.spark.sql.Row(pn: Int, ph: Int, pb: Int) =>
+            require(pn == n && ph == numHashes && pb == bands,
+              s"band index was built with (n=$pn, numHashes=$ph, bands=$pb) " +
+                s"but probe requested (n=$n, numHashes=$numHashes, bands=$bands)")
+        }
+        index.select(col("doc_id"), col("bk"))
+      } else index
     val probes = minhashBandIndex(incoming, n, numHashes, bands)
       .withColumnRenamed("doc_id", "new_doc")
-    val cands = probes.join(index.withColumnRenamed("doc_id", "dup_of"), Seq("bk"))
+    val cands = probes.join(checked.withColumnRenamed("doc_id", "dup_of"), Seq("bk"))
       .select(col("new_doc"), col("dup_of"))
       .distinct()
-    verifyJaccard(
+    verifyJaccard2(
       cands.select(col("new_doc").as("doc_a"), col("dup_of").as("doc_b")),
-      existing.unionByName(incoming), n, tau)
+      incoming, existing, n, tau)
       .select(col("doc_a").as("new_doc"), col("doc_b").as("dup_of"), col("jaccard"))
   }
 
@@ -165,11 +205,22 @@ object Dedup {
     * would n-fold every word through the shuffle), re-shingle only the
     * candidate rows, keep pairs with Jaccard ≥ tau. */
   private def verifyJaccard(cands: DataFrame, documents: DataFrame,
-                            n: Int, tau: Double): DataFrame = {
-    val toks = documents.select(col("doc_id"), split(col("text"), " ").as("toks"))
+                            n: Int, tau: Double): DataFrame =
+    verifyJaccard2(cands, documents, documents, n, tau)
+
+  /** Two-source form of [[verifyJaccard]]: doc_a resolves from `docsA`,
+    * doc_b from `docsB`. The incremental probes use this so a doc_id
+    * present in BOTH existing and incoming cannot fan the token join
+    * out into duplicate (possibly wrong-text) verification rows — each
+    * side verifies against its own source by construction (round-6
+    * ADVICE). */
+  private def verifyJaccard2(cands: DataFrame, docsA: DataFrame,
+                             docsB: DataFrame, n: Int, tau: Double): DataFrame = {
+    def toks(df: DataFrame) =
+      df.select(col("doc_id"), split(col("text"), " ").as("toks"))
     val withSets = cands
-      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
-      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
+      .join(toks(docsA).select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .join(toks(docsB).select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         Exprs.shingles(col("toks_a"), n).as("sh_a"),
         Exprs.shingles(col("toks_b"), n).as("sh_b"))
@@ -223,11 +274,12 @@ object Dedup {
     val cands = probes.join(idx, Seq("bk"))
       .select(col("new_doc"), col("dup_of"))
       .distinct()
-    // verify against the union'd corpus (token arrays are fetched by
-    // doc_id, so each side resolves from its own source)
-    verifyJaccard(
+    // each side verifies against its own source (doc_a ← incoming,
+    // doc_b ← existing), so overlapping doc_ids between the inputs
+    // cannot fan out into duplicate/wrong-text verification rows
+    verifyJaccard2(
       cands.select(col("new_doc").as("doc_a"), col("dup_of").as("doc_b")),
-      existing.unionByName(incoming), n, tau)
+      incoming, existing, n, tau)
       .select(col("doc_a").as("new_doc"), col("doc_b").as("dup_of"), col("jaccard"))
   }
 

@@ -71,6 +71,14 @@ object Ingest {
   def readCsv(spark: SparkSession, paths: Seq[String], schema: StructType,
               header: Boolean = true): DataFrame = {
     val extra = "_extra_tokens"
+    // the reader appends bookkeeping columns to the caller's schema; a
+    // declared column with one of these names would be silently
+    // shadowed/misread (round-6 ADVICE — same contract as saltedJoin's
+    // _salt_l/_salt_r require)
+    val reserved = Seq(extra, "_corrupt_record", "_source_file", "_processing_timestamp")
+    val clash = schema.fieldNames.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"readCsv schema declares reserved column name(s): ${clash.toSeq.sorted.mkString(", ")}")
     val rawSchema = StructType(schema.fields.map(f =>
       StructField(f.name, StringType, nullable = true)) :+
       StructField(extra, StringType, nullable = true))

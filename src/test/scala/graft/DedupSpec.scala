@@ -132,6 +132,42 @@ class DedupSpec extends SparkSpec {
     inline.exceptAll(fromDisk).count() shouldBe 0L
   }
 
+  test("q45 persisted index rejects a probe with mismatched signature parameters") {
+    import org.apache.spark.sql.functions.col
+    val docs = tables.documents
+    val existing = docs.filter(col("doc_id") % 10 =!= 9)
+    val incoming = docs.filter(col("doc_id") % 10 === 9)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx_p").toString + "/idx"
+    Dedup.writeBandIndex(existing, dir, numHashes = 16, bands = 4)
+    // readBandIndex validates against its own expected parameters
+    val ex1 = intercept[IllegalArgumentException] {
+      Dedup.readBandIndex(spark, dir, numHashes = 32, bands = 8)
+    }
+    ex1.getMessage should include("numHashes=16")
+    // a raw parquet read that skips readBandIndex is caught at probe time
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.incrementalProbeIndex(spark.read.parquet(dir), existing, incoming,
+        numHashes = 32, bands = 8)
+    }
+    ex2.getMessage should include("bands=4")
+    // matching parameters pass both paths
+    Dedup.readBandIndex(spark, dir).columns shouldBe Array("doc_id", "bk")
+  }
+
+  test("q45 overlapping doc_ids between existing and incoming do not fan out") {
+    // doc 1 appears in BOTH inputs (a re-delivered file) with the same
+    // text; each side must verify against its own source — exactly one
+    // hit row, not two (round-6 ADVICE)
+    val existing = docs((1L, base), (2L, "one two three four five six seven"))
+    val incoming = docs((1L, base), (9L, base))
+    val hits = Dedup.incrementalMinhashPairs(existing, incoming).collect()
+      .map(r => (r.getAs[Long]("new_doc"), r.getAs[Long]("dup_of"))).sorted
+    // 9 dups corpus-doc 1; incoming doc 1 also probes as a dup of
+    // existing doc 1 (self-pair across batches is a REAL re-delivery
+    // signal) — but each appears exactly once
+    hits shouldBe Array((1L, 1L), (9L, 1L))
+  }
+
   test("q36 connected components: a chain A~B~C is ONE cluster labeled by its min") {
     import spark.implicits._
     // chain topology — exactly the case where pairwise dedup over-deletes

@@ -74,6 +74,19 @@ class IngestSpec extends SparkSpec {
     badRows(1).getAs[String]("_corrupt_record") shouldBe "4,40,del,ta"
   }
 
+  test("readCsv rejects schemas that declare its reserved bookkeeping columns") {
+    import org.apache.spark.sql.types._
+    val ex = intercept[IllegalArgumentException] {
+      Ingest.readCsv(spark, Seq("/nonexistent"), StructType(Seq(
+        StructField("id", LongType), StructField("_extra_tokens", StringType))))
+    }
+    ex.getMessage should include("_extra_tokens")
+    intercept[IllegalArgumentException] {
+      Ingest.readCsv(spark, Seq("/nonexistent"), StructType(Seq(
+        StructField("_corrupt_record", StringType))))
+    }
+  }
+
   test("bucketed tables join with no shuffle on either side") {
     val a = "graft_bkt_orders"
     val b = "graft_bkt_lineitem"

@@ -94,6 +94,20 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("q43 vocabulary is the caller's contract; assertCoverage fails on undeclared types") {
+    // a narrowed vocabulary still runs (undeclared types excluded)...
+    val narrow = Analytics.eventPivot(tables.events, Seq("click", "error"))
+    narrow.columns shouldBe Array("event_date", "click", "error")
+    // ...but assertCoverage fails loudly, naming the offenders
+    val ex = intercept[IllegalArgumentException] {
+      Analytics.eventPivot(tables.events, Seq("click", "error"), assertCoverage = true)
+    }
+    ex.getMessage should include("purchase")
+    // the full declared vocabulary passes the coverage assertion
+    Analytics.eventPivot(tables.events, assertCoverage = true)
+      .columns.length shouldBe 6
+  }
+
   test("q54 OOV rate against a known top-V vocabulary with deterministic ties") {
     // counts: a=3, b=1, c=1, d=1 -> top-2 by (cnt desc, tok asc) = {a, b}
     val d = docs((1L, "a a b", "en"), (2L, "a c d", "en"))
