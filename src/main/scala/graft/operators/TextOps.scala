@@ -122,26 +122,36 @@ object TextOps {
     * ordering for fixed |langs|).
     *
     * Plan: explode→wordcount (map-side partial agg, one shuffle keyed
-    * by (lang, term)), df via a count window keyed by term (second
-    * shuffle over the VOCABULARY, not the corpus — each (lang, term)
-    * row is unique so COUNT(*) = languages containing the term), then
-    * a per-language top-k window. The top-k partitions by `lang`
-    * (bounded cardinality): fine while vocab ≪ corpus, which is the
-    * point of running it after the wordcount reduction; a 1000-way
-    * cluster would salt the rank key or take per-partition top-k first
-    * if vocabularies ever ballooned. */
-  def tfidfTopTerms(documents: DataFrame, k: Int = 10): DataFrame = {
+    * by (lang, term)), df via `groupBy(term)` + join back — a partial
+    * aggregation and a term-keyed shuffle join, both skew-free and
+    * map-side-combinable (each (lang, term) row is unique so COUNT(*)
+    * = languages containing the term). The per-language top-k runs in
+    * TWO stages so the vocabulary never funnels through |langs|
+    * reducers: stage 1 ranks within (lang, shard) — shard =
+    * pmod(xxhash64(term), shards), so ~vocab/shards rows per reducer —
+    * and keeps each shard's top k; stage 2 ranks the ≤ k·shards
+    * survivors per language. Any language-level top-k term ranks ≤ k
+    * inside its own shard (a shard is a subset of the language), so
+    * the two-stage result is exactly the single-window result. */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 10,
+                    rankShards: Int = 32): DataFrame = {
     val tf = documents
       .select(col("lang"), explode(toks).as("term"))
       .groupBy("lang", "term")
       .agg(count(lit(1)).as("tf"))
-    val withDf = tf.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("term")))
+    val dfCounts = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val score = col("tf").cast("double") / col("df").cast("double")
-    withDf
-      .withColumn("score", score)
+    val scored = tf.join(dfCounts, Seq("term")).withColumn("score", score)
+    val rankOrder = Seq(col("score").desc, col("term"))
+    val stage1 = scored
+      .withColumn("_shard", pmod(xxhash64(col("term")), lit(rankShards)))
+      .withColumn("_rnk1", row_number().over(
+        Window.partitionBy("lang", "_shard").orderBy(rankOrder: _*)))
+      .filter(col("_rnk1") <= k)
+      .drop("_shard", "_rnk1")
+    stage1
       .withColumn("rnk", row_number().over(
-        Window.partitionBy("lang").orderBy(col("score").desc, col("term"))))
+        Window.partitionBy("lang").orderBy(rankOrder: _*)))
       .filter(col("rnk") <= k)
       .select("lang", "term", "tf", "df", "score", "rnk")
   }
