@@ -69,9 +69,14 @@ object Analytics {
                  assertCoverage: Boolean = false): DataFrame = {
     require(types.nonEmpty, "eventPivot needs a declared type vocabulary")
     if (assertCoverage) {
-      val undeclared = events.filter(!col("event_type").isin(types: _*))
+      // NULL event types must be flagged explicitly: `!isin(...)` is
+      // NULL for NULL input, so a bare negation filter silently DROPS
+      // those rows — and the pivot excludes them from every column,
+      // violating the fail-loudly contract (round-7 ADVICE).
+      val undeclared = events
+        .filter(col("event_type").isNull || !col("event_type").isin(types: _*))
         .select("event_type").distinct().limit(10)
-        .collect().map(_.getString(0))
+        .collect().map(r => Option(r.getString(0)).getOrElse("<NULL>"))
       require(undeclared.isEmpty,
         s"eventPivot: observed event types outside the declared vocabulary: " +
           s"${undeclared.sorted.mkString(", ")}")

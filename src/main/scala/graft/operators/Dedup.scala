@@ -152,21 +152,53 @@ object Dedup {
     * with (see [[writeBandIndex]] — a mismatch fails open, not loud).
     * The check reads one row (parquet prunes to the three constant
     * columns) — index-metadata cost, not a corpus scan. Indexes written
-    * before parameter stamping (no `_p_*` columns) pass unchecked. */
+    * before parameter stamping (no `_p_*` columns) pass unchecked, as
+    * does an EMPTY index (every doc shorter than n tokens → all band
+    * keys NULL and dropped) — probing an empty index correctly yields
+    * zero candidates, so there is nothing to validate.
+    *
+    * The `_p_*` stamp columns are KEPT in the output so a downstream
+    * [[incrementalProbeIndex]] called with different parameters still
+    * fails loudly (round-7 ADVICE — stripping them here would re-open
+    * the fail-open window this validation exists to close); the probe
+    * strips them itself. */
   def readBandIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     n: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val raw = spark.read.parquet(path)
-    if (raw.columns.contains("_p_n")) {
-      raw.select("_p_n", "_p_num_hashes", "_p_bands").head match {
+    val raw =
+      try spark.read.parquet(path)
+      catch {
+        // a zero-row index: partitionBy writes NO data files for an
+        // empty DataFrame, so there is no footer to infer from — but an
+        // empty index is semantically valid (probing it yields zero
+        // candidates). A wrong path still fails (PATH_NOT_FOUND), only
+        // the present-but-empty directory takes this branch.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+          import org.apache.spark.sql.types._
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("doc_id", LongType),
+              StructField("bk", StringType))))
+      }
+    validateIndexParams(raw, n, numHashes, bands, s"band index at $path")
+    raw.select((Seq("doc_id", "bk") ++
+      raw.columns.filter(_.startsWith("_p_"))).map(col): _*)
+  }
+
+  /** Shared `_p_*` stamp validation (see [[writeBandIndex]]): no-op for
+    * unstamped or zero-row indexes, loud failure on a parameter
+    * mismatch. */
+  private def validateIndexParams(index: DataFrame, n: Int, numHashes: Int,
+                                  bands: Int, what: String): Unit =
+    if (index.columns.contains("_p_n")) {
+      index.select("_p_n", "_p_num_hashes", "_p_bands").head(1).headOption.foreach {
         case org.apache.spark.sql.Row(pn: Int, ph: Int, pb: Int) =>
           require(pn == n && ph == numHashes && pb == bands,
-            s"band index at $path was built with (n=$pn, numHashes=$ph, " +
-              s"bands=$pb) but probe requested (n=$n, numHashes=$numHashes, " +
-              s"bands=$bands); mismatched band keys silently match nothing")
+            s"$what was built with (n=$pn, numHashes=$ph, bands=$pb) but " +
+              s"probe requested (n=$n, numHashes=$numHashes, bands=$bands); " +
+              "mismatched band keys silently match nothing")
       }
     }
-    raw.select(col("doc_id"), col("bk"))
-  }
 
   /** Probe an incoming batch against a PERSISTED corpus index — the
     * disk-backed form of [[incrementalMinhashPairs]]'s candidate stage;
@@ -179,16 +211,10 @@ object Dedup {
                             incoming: DataFrame, n: Int = 3,
                             numHashes: Int = 16, bands: Int = 4,
                             tau: Double = 0.5): DataFrame = {
+    validateIndexParams(index, n, numHashes, bands, "band index")
     val checked =
-      if (index.columns.contains("_p_n")) {
-        index.select("_p_n", "_p_num_hashes", "_p_bands").head match {
-          case org.apache.spark.sql.Row(pn: Int, ph: Int, pb: Int) =>
-            require(pn == n && ph == numHashes && pb == bands,
-              s"band index was built with (n=$pn, numHashes=$ph, bands=$pb) " +
-                s"but probe requested (n=$n, numHashes=$numHashes, bands=$bands)")
-        }
-        index.select(col("doc_id"), col("bk"))
-      } else index
+      if (index.columns.contains("_p_n")) index.select(col("doc_id"), col("bk"))
+      else index
     val probes = minhashBandIndex(incoming, n, numHashes, bands)
       .withColumnRenamed("doc_id", "new_doc")
     val cands = probes.join(checked.withColumnRenamed("doc_id", "dup_of"), Seq("bk"))

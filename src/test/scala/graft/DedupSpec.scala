@@ -150,8 +150,28 @@ class DedupSpec extends SparkSpec {
         numHashes = 32, bands = 8)
     }
     ex2.getMessage should include("bands=4")
-    // matching parameters pass both paths
-    Dedup.readBandIndex(spark, dir).columns shouldBe Array("doc_id", "bk")
+    // matching parameters pass both paths; the _p_* stamps survive the
+    // read so a DOWNSTREAM probe with different parameters still fails
+    // loudly (round-7 ADVICE: stripping them here re-opened the window)
+    Dedup.readBandIndex(spark, dir).columns shouldBe
+      Array("doc_id", "bk", "_p_n", "_p_num_hashes", "_p_bands")
+    val ex3 = intercept[IllegalArgumentException] {
+      Dedup.incrementalProbeIndex(Dedup.readBandIndex(spark, dir),
+        existing, incoming, numHashes = 32, bands = 8)
+    }
+    ex3.getMessage should include("numHashes=16")
+  }
+
+  test("q45 an EMPTY persisted index probes cleanly (zero candidates, no crash)") {
+    // every doc shorter than n tokens -> all band keys NULL and dropped
+    // -> zero-row index; validation must skip, not throw (round-7 ADVICE)
+    val short = docs((1L, "solo"), (2L, "two words"))
+    val incoming = docs((9L, base))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx_e").toString + "/idx"
+    Dedup.writeBandIndex(short, dir)
+    val idx = Dedup.readBandIndex(spark, dir)
+    idx.count() shouldBe 0L
+    Dedup.incrementalProbeIndex(idx, short, incoming).count() shouldBe 0L
   }
 
   test("q45 overlapping doc_ids between existing and incoming do not fan out") {

@@ -108,6 +108,22 @@ class TextStatsSpec extends SparkSpec {
       .columns.length shouldBe 6
   }
 
+  test("q43 assertCoverage flags NULL event types instead of silently dropping them") {
+    import spark.implicits._
+    // !isin(...) is NULL for NULL input, so a bare negation filter drops
+    // these rows — yet the pivot also excludes them from every column
+    // (round-7 ADVICE: that silently violated the fail-loudly contract)
+    val withNull = Seq(
+      (1L, "2024-01-01 10:00:00", "click"),
+      (2L, "2024-01-01 11:00:00", null)
+    ).toDF("event_id", "ts", "event_type")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp($"ts"))
+    val ex = intercept[IllegalArgumentException] {
+      Analytics.eventPivot(withNull, Seq("click"), assertCoverage = true)
+    }
+    ex.getMessage should include("<NULL>")
+  }
+
   test("q54 OOV rate against a known top-V vocabulary with deterministic ties") {
     // counts: a=3, b=1, c=1, d=1 -> top-2 by (cnt desc, tok asc) = {a, b}
     val d = docs((1L, "a a b", "en"), (2L, "a c d", "en"))
