@@ -142,10 +142,21 @@ object Dedup {
                      numHashes: Int = 16, bands: Int = 4): Unit =
     minhashBandIndex(documents, n, numHashes, bands)
       .withColumn("bk_prefix", substring(col("bk"), 1, 2))
-      .withColumn("_p_n", lit(n))
-      .withColumn("_p_num_hashes", lit(numHashes))
-      .withColumn("_p_bands", lit(bands))
+      .select(col("*") +: stampCols(n, numHashes, bands): _*)
       .write.mode("overwrite").partitionBy("bk_prefix").parquet(path)
+
+  /** The `_p_*` parameter stamps, carried BOTH as constant column
+    * values (probe-time check on any non-empty frame, even a raw
+    * `spark.read.parquet` of an old index) and as column METADATA
+    * (survives the parquet footer round-trip and — unlike row values —
+    * is checkable on a ZERO-ROW index, where there are no rows to
+    * read the constants from). */
+  private def stampCols(n: Int, numHashes: Int, bands: Int): Seq[Column] =
+    Seq(("_p_n", n), ("_p_num_hashes", numHashes), ("_p_bands", bands)).map {
+      case (name, v) =>
+        lit(v).as(name, new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("graft_param", v.toLong).build())
+    }
 
   /** Read a persisted band index back into probe shape, verifying the
     * caller's signature parameters match the ones the index was built
@@ -170,33 +181,62 @@ object Dedup {
         // a zero-row index: partitionBy writes NO data files for an
         // empty DataFrame, so there is no footer to infer from — but an
         // empty index is semantically valid (probing it yields zero
-        // candidates). A wrong path still fails (PATH_NOT_FOUND), only
-        // the present-but-empty directory takes this branch.
+        // candidates). A wrong path still fails (PATH_NOT_FOUND), and a
+        // directory [[writeBandIndex]] never touched (no _SUCCESS
+        // marker — e.g. a typo'd path that happens to exist) rethrows
+        // rather than silently probing as empty. Matched on the stable
+        // error class, not the rendered message text.
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" &&
+              hasSuccessMarker(spark, path) =>
           import org.apache.spark.sql.types._
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(Seq(StructField("doc_id", LongType),
               StructField("bk", StringType))))
+            .select(col("*") +: stampCols(n, numHashes, bands): _*)
       }
     validateIndexParams(raw, n, numHashes, bands, s"band index at $path")
     raw.select((Seq("doc_id", "bk") ++
       raw.columns.filter(_.startsWith("_p_"))).map(col): _*)
   }
 
-  /** Shared `_p_*` stamp validation (see [[writeBandIndex]]): no-op for
-    * unstamped or zero-row indexes, loud failure on a parameter
-    * mismatch. */
+  /** True iff `path` holds a committed Spark write (the `_SUCCESS`
+    * marker [[writeBandIndex]]'s parquet commit leaves). Distinguishes
+    * a legitimately-empty index from a wrong-but-existing directory,
+    * which must fail loudly rather than probe as empty. */
+  private def hasSuccessMarker(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Shared `_p_*` stamp validation (see [[writeBandIndex]]): reads the
+    * parameters from column metadata when present (free, and works on
+    * zero-row frames), falling back to the constant column values (one
+    * pruned-to-three-columns row read) for indexes written before
+    * metadata stamping. No-op only for fully-unstamped legacy indexes
+    * or a metadata-less zero-row frame; loud failure on any mismatch. */
   private def validateIndexParams(index: DataFrame, n: Int, numHashes: Int,
                                   bands: Int, what: String): Unit =
     if (index.columns.contains("_p_n")) {
-      index.select("_p_n", "_p_num_hashes", "_p_bands").head(1).headOption.foreach {
-        case org.apache.spark.sql.Row(pn: Int, ph: Int, pb: Int) =>
-          require(pn == n && ph == numHashes && pb == bands,
-            s"$what was built with (n=$pn, numHashes=$ph, bands=$pb) but " +
-              s"probe requested (n=$n, numHashes=$numHashes, bands=$bands); " +
-              "mismatched band keys silently match nothing")
+      def metaVal(c: String): Option[Long] = {
+        val m = index.schema(c).metadata
+        if (m.contains("graft_param")) Some(m.getLong("graft_param")) else None
+      }
+      val stamped: Option[(Long, Long, Long)] =
+        (for (pn <- metaVal("_p_n"); ph <- metaVal("_p_num_hashes");
+              pb <- metaVal("_p_bands")) yield (pn, ph, pb)).orElse {
+          index.select("_p_n", "_p_num_hashes", "_p_bands").head(1).headOption.map {
+            case org.apache.spark.sql.Row(pn: Int, ph: Int, pb: Int) =>
+              (pn.toLong, ph.toLong, pb.toLong)
+          }
+        }
+      stamped.foreach { case (pn, ph, pb) =>
+        require(pn == n && ph == numHashes && pb == bands,
+          s"$what was built with (n=$pn, numHashes=$ph, bands=$pb) but " +
+            s"probe requested (n=$n, numHashes=$numHashes, bands=$bands); " +
+            "mismatched band keys silently match nothing")
       }
     }
 

@@ -122,26 +122,35 @@ object TextOps {
     * ordering for fixed |langs|).
     *
     * Plan: explode→wordcount (map-side partial agg, one shuffle keyed
-    * by (lang, term)), df via `groupBy(term)` + join back — a partial
-    * aggregation and a term-keyed shuffle join, both skew-free and
-    * map-side-combinable (each (lang, term) row is unique so COUNT(*)
-    * = languages containing the term). The per-language top-k runs in
-    * TWO stages so the vocabulary never funnels through |langs|
-    * reducers: stage 1 ranks within (lang, shard) — shard =
-    * pmod(xxhash64(term), shards), so ~vocab/shards rows per reducer —
-    * and keeps each shard's top k; stage 2 ranks the ≤ k·shards
-    * survivors per language. Any language-level top-k term ranks ≤ k
-    * inside its own shard (a shard is a subset of the language), so
-    * the two-stage result is exactly the single-window result. */
+    * by (lang, term)), then df via a term-partitioned window COUNT
+    * over the AGGREGATED tf frame. The window input is vocabulary-
+    * sized (|vocab|·|langs| rows, ≤ |langs| rows per term key — high
+    * key cardinality, no skew), so the usual no-partial-agg window
+    * caveat doesn't bite: it only matters over raw token streams. The
+    * alternative `tf.groupBy(term) + join` shape was tried and plans
+    * WORSE: Catalyst rewrites the df-side inner aggregate to a
+    * distinct, the two subtrees no longer canonicalize equal, AQE
+    * can't reuse the shuffle stage, and the corpus gets scanned and
+    * exploded TWICE — at 100 TB a second full pass to save a
+    * vocabulary sort. PlanSpec pins the one-scan shape. The
+    * per-language top-k runs in TWO stages so the vocabulary never
+    * funnels through |langs| reducers: stage 1 ranks within
+    * (lang, shard) — shard = pmod(xxhash64(term), shards), so
+    * ~vocab/shards rows per reducer — and keeps each shard's top k;
+    * stage 2 ranks the ≤ k·shards survivors per language. Any
+    * language-level top-k term ranks ≤ k inside its own shard (a
+    * shard is a subset of the language), so the two-stage result is
+    * exactly the single-window result. */
   def tfidfTopTerms(documents: DataFrame, k: Int = 10,
                     rankShards: Int = 32): DataFrame = {
     val tf = documents
       .select(col("lang"), explode(toks).as("term"))
       .groupBy("lang", "term")
       .agg(count(lit(1)).as("tf"))
-    val dfCounts = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val score = col("tf").cast("double") / col("df").cast("double")
-    val scored = tf.join(dfCounts, Seq("term")).withColumn("score", score)
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .withColumn("score", score)
     val rankOrder = Seq(col("score").desc, col("term"))
     val stage1 = scored
       .withColumn("_shard", pmod(xxhash64(col("term")), lit(rankShards)))

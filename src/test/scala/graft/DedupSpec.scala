@@ -172,6 +172,25 @@ class DedupSpec extends SparkSpec {
     val idx = Dedup.readBandIndex(spark, dir)
     idx.count() shouldBe 0L
     Dedup.incrementalProbeIndex(idx, short, incoming).count() shouldBe 0L
+    // the synthetic empty frame carries the _p_* stamps too, so even on
+    // this path a downstream probe with different parameters fails
+    // loudly instead of passing unchecked (round-8 ADVICE)
+    idx.columns should contain allOf ("_p_n", "_p_num_hashes", "_p_bands")
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalProbeIndex(idx, short, incoming,
+        numHashes = 32, bands = 8)
+    }
+  }
+
+  test("q45 an existing directory that was never a band index fails loudly") {
+    // a typo'd path that happens to exist must NOT probe as an empty
+    // index (silent zero candidates = duplicates passing undetected);
+    // only a directory with writeBandIndex's _SUCCESS commit marker
+    // takes the empty branch (round-8 ADVICE)
+    val dir = java.nio.file.Files.createTempDirectory("graft_notidx").toString
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Dedup.readBandIndex(spark, dir)
+    }
   }
 
   test("q45 overlapping doc_ids between existing and incoming do not fan out") {
