@@ -159,6 +159,26 @@ object SparkEntry {
       val docs = Tables(s, d).documents
       TextOps.decontaminate(docs, docs.filter(col("doc_id") % 7 === 0))
     }),
+    // q56: the reference's self-describing run reports (logs/lambda +
+    // logs/glue JSON, queried by Athena.sql:104-176): run two REAL
+    // writes through the reporting sink, then query the generated
+    // report table. Only deterministic report fields are projected —
+    // timings/ids vary run to run and are covered by RunReportSpec;
+    // the oracle reconstructs the expected values from the same source
+    // tables.
+    "q56_run_report"         -> ((s, d) => {
+      val t = Tables(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_runs").toString
+      val reports = s"$tmp/reports"
+      graft.sources.RunReport.reportedWrite(
+        t.events, s"$tmp/out/events", 4, "events_ingest", reports)
+      graft.sources.RunReport.reportedWrite(
+        t.documents, s"$tmp/out/documents", 4, "documents_ingest", reports)
+      graft.sources.RunReport.readReports(s, reports)
+        .select(col("job_name"), col("records_processed"),
+          col("output_files"), col("status"), col("report_version"))
+        .orderBy("job_name")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -719,6 +739,23 @@ object SparkEntry {
     "q26_ann_lsh"         -> annLshOracle,
     "q46_ann_ivf"         -> annIvfOracle,
     "q34_dedup_embedding_lsh" -> embeddingDedupLshOracle,
+    // q56: the report table's deterministic fields, reconstructed from
+    // the source tables the reported writes consumed (records = full
+    // table count; output_files = the fixed repartition target; a
+    // successful write reports SUCCESS at the current report version).
+    "q56_run_report" ->
+      """SELECT job_name, records_processed, output_files, status, report_version
+        |FROM (
+        |  SELECT 'documents_ingest' AS job_name,
+        |         CAST(count(*) AS BIGINT) AS records_processed,
+        |         CAST(4 AS BIGINT) AS output_files,
+        |         'SUCCESS' AS status, '1.0' AS report_version
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'events_ingest', CAST(count(*) AS BIGINT),
+        |         CAST(4 AS BIGINT), 'SUCCESS', '1.0'
+        |  FROM events) t
+        |ORDER BY job_name""".stripMargin,
   )
 
   // ---------------------------------------------------------------------

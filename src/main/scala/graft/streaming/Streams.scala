@@ -76,6 +76,33 @@ object Streams {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** [[ingestToParquet]] with per-micro-batch run reports — the
+    * streaming analog of the reference's one-JSON-per-invocation lambda
+    * logs (each micro-batch ≈ one lambda invocation; run_id carries the
+    * batch ordinal). Implemented as foreachBatch around the SAME
+    * [[graft.sources.RunReport.reportedWrite]] the batch path uses, so
+    * report shape and metrics semantics are identical across both
+    * engines. foreachBatch trades the parquet sink's exactly-once file
+    * commit for at-least-once (a batch replayed after a crash appends
+    * its rows and its report again — run_id makes the replay visible);
+    * where exactly-once output matters, keep [[ingestToParquet]] and
+    * report at the file level instead. */
+  def reportedIngest(normalized: DataFrame, outDir: String,
+                     checkpointDir: String, reportDir: String,
+                     jobName: String, targetPartitions: Int = 1,
+                     trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = normalized.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.RunReport.reportedWrite(
+          batch, outDir, targetPartitions, jobName, reportDir,
+          runId = Some(s"$jobName#$batchId"))
+        ()
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
   /** s02: watermarked hourly tumbling-window aggregation. In append
     * mode the watermark finalizes (and evicts) windows 1h behind the
     * max event time — bounded state at any corpus size. */
