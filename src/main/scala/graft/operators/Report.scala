@@ -38,18 +38,25 @@ object Report {
     * `agg`. The multiple exact `countDistinct`s rewrite through
     * Catalyst's distinct-aggregate Expand — n× map-side rows but still
     * a single shuffle, grouped by nothing (one result row), so the
-    * reduce side is one task regardless of input size. At 100 TB swap
-    * the exact distincts for `approx_count_distinct` (HLL sketches
-    * merge associatively; no Expand) — exact is the declared semantics
-    * here because the oracle must value-match.
+    * reduce side is one task regardless of input size. At 100 TB pass
+    * `exact = false` to swap the exact distincts for
+    * `approx_count_distinct` (mergeable HLL++ sketches — no Expand, so
+    * the map side streams each row once instead of n× replicating it;
+    * ±`rsd` relative error on n_distinct, everything else unchanged).
+    * Exact is the default because the oracle must value-match; the
+    * approx path's plan shape (no Expand) and accuracy bound are
+    * pinned in ReportSpec — the same tested-flag contract as q09→q51.
     *
     * Output: one row per column — engine-stable strings for min/max so
     * heterogeneous column types fit one schema. */
-  def profile(events: DataFrame): DataFrame = {
+  def profile(events: DataFrame, exact: Boolean = true,
+              rsd: Double = 0.05): DataFrame = {
+    def distinctAgg(c: Column): Column =
+      if (exact) countDistinct(c) else approx_count_distinct(c, rsd)
     val aggs = eventCols.flatMap { cp =>
       Seq(
         count(col(cp.name)).as(s"nn_${cp.name}"),
-        countDistinct(col(cp.name)).as(s"nd_${cp.name}"),
+        distinctAgg(col(cp.name)).as(s"nd_${cp.name}"),
         cp.render(min(col(cp.name))).as(s"mn_${cp.name}"),
         cp.render(max(col(cp.name))).as(s"mx_${cp.name}"))
     }

@@ -99,13 +99,15 @@ object Similarity {
     * the 500–2k test tables) takes 301 s — worse than exact q24 —
     * while suggestBits(20k)=8 takes 14 s at the same recall target. */
   def embeddingNearDupsBucketed(embeddings: DataFrame, tau: Double = 0.4,
-                                bits: Int = 4, tables: Int = 16): DataFrame = {
+                                bits: Int = 4, tables: Int = 16,
+                                maxBucket: Int = 4096): DataFrame = {
     val signs = planeSigns(tables, bits)
     val e = embeddings.select(col("vec_id"), vecD(col("embedding")).as("v"))
     val buckets = e.select(col("vec_id"),
       explode(Exprs.lshBuckets(col("v"), signs, tables, bits)).as("bk"))
     val cands = buckets.filter(col("bk").isNotNull).groupBy("bk")
-      .agg(collect_list(col("vec_id")).as("vs"))
+      .agg(cappedBucket(collect_list(col("vec_id")), maxBucket,
+        "embeddingNearDupsBucketed").as("vs"))
       .filter(size(col("vs")) > 1)
       .select(explode(col("vs")).as("vec_a"), col("vs"))
       .select(col("vec_a"), explode(col("vs")).as("vec_b"))
@@ -129,6 +131,26 @@ object Similarity {
     * buckets is bought back with more `tables`. */
   def suggestBits(n: Long, targetBucket: Int = 128): Int =
     math.max(1, math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
+
+  /** Stale-geometry guard for the bucket-local expansion stage: a
+    * bucket over `maxBucket` members fails the job LOUDLY instead of
+    * silently going quadratic (bucket work is Σ bucket², so ONE
+    * degenerate bucket at 100 TB is a runaway stage, not a slow one —
+    * the measured cliff: bits=4 on the 20k-vector probe corpus runs
+    * 301 s vs 14 s correctly sized). The check is a per-row predicate
+    * on the already-aggregated bucket — zero extra scans, zero extra
+    * shuffles, SF-independent. `maxBucket <= 0` disables (callers who
+    * have verified their geometry out-of-band). */
+  private def cappedBucket(vs: Column, maxBucket: Int, op: String): Column =
+    if (maxBucket <= 0) vs
+    else when(size(vs) > maxBucket,
+      raise_error(concat(
+        lit(s"$op: an LSH bucket holds "), size(vs).cast("string"),
+        lit(s" vectors (cap $maxBucket) — `bits` is stale for this corpus " +
+          "size and candidate generation would go quadratic; resize with " +
+          "suggestBits(n) (and buy recall back with more tables), or raise " +
+          "maxBucket if the geometry is deliberate"))))
+      .otherwise(vs)
 
   /** q46: IVF (inverted-file) approximate nearest neighbors — the
     * OTHER classic ANN index besides LSH (q26): partition the corpus
@@ -301,7 +323,8 @@ object Similarity {
     * with genuinely-near neighbors (cos ≥ 0.9) 8–16 bits keeps recall
     * while shrinking buckets 10⁴×. */
   def annLsh(embeddings: DataFrame, bits: Int = 4, tables: Int = 16,
-             nQueries: Int = 10, k: Int = 5): DataFrame = {
+             nQueries: Int = 10, k: Int = 5,
+             maxBucket: Int = 4096): DataFrame = {
     val signs = planeSigns(tables, bits)
     val e = embeddings.select(col("vec_id"), vecD(col("embedding")).as("v"))
     val buckets = e.select(col("vec_id"),
@@ -310,7 +333,7 @@ object Similarity {
     // signature pass; per bucket, candidates = resident queries × all
     // members — identical to the bucket self-join's output
     val cands = buckets.filter(col("bk").isNotNull).groupBy("bk")
-      .agg(collect_list(col("vec_id")).as("vs"))
+      .agg(cappedBucket(collect_list(col("vec_id")), maxBucket, "annLsh").as("vs"))
       .select(explode(filter(col("vs"), v => v < nQueries)).as("query_id"), col("vs"))
       .select(col("query_id"), explode(col("vs")).as("neighbor_id"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -27,6 +27,30 @@ import org.apache.spark.sql.types.LongType
   */
 object Streams {
 
+  /** Switch the session's streaming state store to RocksDB — the
+    * production backend for every stateful query here (s03–s06).
+    * The default HDFSBackedStateStoreProvider keeps each partition's
+    * ENTIRE key space as an in-heap map: at 100 TB of distinct dedup
+    * fingerprints that is an executor-OOM, and every checkpoint
+    * rewrites full snapshots. RocksDB spills state to local SSD
+    * (memory holds only the working set), and changelog checkpointing
+    * uploads per-batch DELTAS instead of full snapshots — state size
+    * becomes bounded by disk, not heap. Takes effect for queries
+    * STARTED after the call (the provider is read at query start and
+    * pinned into the checkpoint's offset log thereafter).
+    *
+    * Ships in OSS Spark (`spark.sql.streaming.stateStore.providerClass`
+    * → RocksDBStateStoreProvider + rocksdbjni); no extra dependency.
+    * StreamingSpec runs the s04 dedup through it end-to-end. */
+  def useRocksDbStateStore(spark: SparkSession,
+                           changelogCheckpointing: Boolean = true): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      changelogCheckpointing.toString)
+  }
+
   /** Streaming read of the events table (parquet file source — at
     * production this is `format("json")` over a landing dir; same
     * plan shape). Schema comes from a batch peek: streaming sources
@@ -129,8 +153,10 @@ object Streams {
 
   /** s03: group files by prefix; every `maxPerManifest` files flush a
     * manifest immediately; a trailing partial batch holds back until
-    * `partialTimeoutMs` of processing-time inactivity (the reference's
-    * MIN_FILES_FOR_PARTIAL_BATCH/orphan-flush behavior). Batch ids are
+    * `partialTimeoutMs` of processing-time inactivity AND at least
+    * `minFilesForPartial` files are pending (the reference's
+    * orphan-flush with its MIN_FILES_FOR_PARTIAL_BATCH floor —
+    * lambda_manifest_builder.py:746,1056). Batch ids are
     * per-prefix ordinals in emission order — deterministic for a
     * deterministic input order, no distributed lock needed.
     *
@@ -152,14 +178,18 @@ object Streams {
     * finite drains (Verify/Bench) run with the timeout off and the
     * timeout path is verified at the unit level (StreamingSpec). */
   def manifestBatcher(files: Dataset[FileEvent], maxPerManifest: Int = 10,
-                      partialTimeoutMs: Long = 30000L): Dataset[Manifest] = {
+                      partialTimeoutMs: Long = 30000L,
+                      minFilesForPartial: Int = 1): Dataset[Manifest] = {
+    require(minFilesForPartial >= 1 && minFilesForPartial <= maxPerManifest,
+      "minFilesForPartial must be in [1, maxPerManifest]")
     import files.sparkSession.implicits._
     val conf = if (partialTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
                else GroupStateTimeout.NoTimeout
     files.groupByKey(_.prefix)
       .flatMapGroupsWithState(OutputMode.Append, conf) {
         (prefix: String, it: Iterator[FileEvent], state: GroupState[BatcherState]) =>
-          step(prefix, it, state, maxPerManifest, partialTimeoutMs)
+          step(prefix, it, state, maxPerManifest, partialTimeoutMs,
+            minFilesForPartial)
       }
   }
 
@@ -169,13 +199,26 @@ object Streams {
 
   private[graft] def step(prefix: String, it: Iterator[FileEvent],
                    state: GroupState[BatcherState], max: Int,
-                   timeoutMs: Long): Iterator[Manifest] = {
+                   timeoutMs: Long,
+                   minFilesForPartial: Int = 1): Iterator[Manifest] = {
     val st = state.getOption.getOrElse(BatcherState(Nil, 0))
     if (state.hasTimedOut) {
-      // orphan flush: the partial batch waited long enough
-      val out = if (st.pending.nonEmpty) Seq(emit(prefix, st.nextBatchId, st.pending)) else Nil
-      state.remove()
-      out.iterator
+      // orphan flush — but only if the partial batch reached the
+      // reference's MIN_FILES_FOR_PARTIAL_BATCH floor
+      // (lambda_manifest_builder.py:1056): an undersized partial keeps
+      // WAITING (state held, timer re-armed) until more files arrive
+      // for its prefix, exactly like the reference holding sub-minimum
+      // leftovers for the next invocation. Default floor of 1 flushes
+      // any non-empty partial (the reference's default).
+      if (st.pending.size >= minFilesForPartial) {
+        val out = if (st.pending.nonEmpty) Seq(emit(prefix, st.nextBatchId, st.pending)) else Nil
+        state.remove()
+        out.iterator
+      } else {
+        if (st.pending.nonEmpty) state.setTimeoutDuration(timeoutMs)
+        else state.remove()
+        Iterator.empty
+      }
     } else {
       // sort within the micro-batch for deterministic assignment; files
       // arriving in later batches append after already-claimed ones,

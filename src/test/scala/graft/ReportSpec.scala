@@ -36,6 +36,27 @@ class ReportSpec extends SparkSpec {
     byCol("event_id").getLong(3) shouldBe byCol("event_id").getLong(1) // distinct == rows
   }
 
+  test("q49 approx profile: no Expand in the plan, distincts within the HLL bound") {
+    // the 100 TB path (exact = false): approx_count_distinct sketches
+    // merge associatively, so the distinct-aggregate Expand (n× map
+    // rows) disappears from the plan — the same tested-flag contract
+    // as q09→q51
+    val approx = Report.profile(tables.events, exact = false)
+    planOf(approx) should not include "Expand"
+    planOf(Report.profile(tables.events)) should include ("Expand")
+    val exactRows = Report.profile(tables.events).collect()
+      .map(r => r.getString(0) -> r).toMap
+    approx.collect().foreach { r =>
+      val e = exactRows(r.getString(0))
+      // rsd = 0.05; allow 4 sigma before calling it broken
+      math.abs(r.getLong(3) - e.getLong(3)).toDouble should be <=
+        math.max(4.0, e.getLong(3) * 0.20)
+      // every non-distinct metric is identical to the exact profile
+      (r.getLong(1), r.getLong(2), r.getString(4), r.getString(5)) shouldBe
+        ((e.getLong(1), e.getLong(2), e.getString(4), e.getString(5)))
+    }
+  }
+
   test("q50 dup report: per-language dup counts and deterministic fraction") {
     import spark.implicits._
     val df = Seq(

@@ -134,4 +134,23 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     rows shouldBe Array((0L, 20L, 1.0))
   }
+
+  test("q26/q34 stale LSH geometry fails loudly at the bucket cap, not quadratically") {
+    // identical vectors all land in the same bucket of every table —
+    // with maxBucket below the corpus size the job must DIE with the
+    // resize message instead of silently expanding bucket² candidates
+    // (the 301 s cliff SURVEY §5 measured)
+    val same = Map(0 -> 1.0f, 3 -> 2.0f)
+    val d = vecs((0 until 8).map(i => (i.toLong, same)): _*)
+    val ex = intercept[Exception] {
+      Similarity.annLsh(d, maxBucket = 4).collect()
+    }
+    ex.getMessage should include ("suggestBits")
+    val ex2 = intercept[Exception] {
+      Similarity.embeddingNearDupsBucketed(d, maxBucket = 4).collect()
+    }
+    ex2.getMessage should include ("suggestBits")
+    // at the default cap the same corpus passes
+    Similarity.annLsh(d, nQueries = 1, k = 3).collect().length shouldBe 3
+  }
 }
