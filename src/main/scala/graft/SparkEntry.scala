@@ -91,6 +91,7 @@ object SparkEntry {
     "q26_ann_lsh"            -> ((s, d) => Similarity.annLsh(Tables(s, d).embeddings)),
     "q34_dedup_embedding_lsh"-> ((s, d) => Similarity.embeddingNearDupsBucketed(Tables(s, d).embeddings)),
     "q46_ann_ivf"            -> ((s, d) => Similarity.annIvf(Tables(s, d).embeddings)),
+    "q57_semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(Tables(s, d).embeddings)),
     // Streaming — executed through the real micro-batch engine
     // (Trigger.AvailableNow + memory sink), then compared to batch
     // oracles: streaming/batch parity is the correctness contract.
@@ -739,6 +740,7 @@ object SparkEntry {
     "q26_ann_lsh"         -> annLshOracle,
     "q46_ann_ivf"         -> annIvfOracle,
     "q34_dedup_embedding_lsh" -> embeddingDedupLshOracle,
+    "q57_semantic_dedup"  -> semanticDedupOracle,
     // q56: the report table's deterministic fields, reconstructed from
     // the source tables the reported writes consumed (records = full
     // table count; output_files = the fixed repartition target; a
@@ -959,6 +961,29 @@ object SparkEntry {
   private val vecCtes: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e)""".stripMargin
+
+  /** q57: SemDeDup replayed in SQL — the q48 a0 assignment CTE (same
+    * argmax tie-break), then the cluster-local pair pass with the
+    * smallest condemning mate per vector via min + self-join-back. */
+  private def semanticDedupOracle: String =
+    s"""WITH $vecCtes,
+       |cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < 16),
+       |sc AS (SELECT x.vec_id, x.v, x.nrm, c.cell, (${sqlDot("x.v", "c.v")}) / c.nrm AS score
+       |       FROM n x CROSS JOIN cent c),
+       |a0 AS (SELECT vec_id, v, nrm, cell FROM (
+       |         SELECT vec_id, v, nrm, cell,
+       |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+       |         FROM sc) t WHERE rn = 1),
+       |p AS (SELECT a.vec_id, b.vec_id AS bid,
+       |        (${sqlDot("a.v", "b.v")}) / (a.nrm * b.nrm) AS cos_raw
+       |      FROM a0 a JOIN a0 b ON a.cell = b.cell AND b.vec_id < a.vec_id),
+       |d AS (SELECT vec_id, min(bid) AS dup_of FROM p WHERE cos_raw >= 0.4 GROUP BY vec_id),
+       |dc AS (SELECT d.vec_id, d.dup_of, ROUND(p.cos_raw, 4) AS cos_sim
+       |       FROM d JOIN p ON p.vec_id = d.vec_id AND p.bid = d.dup_of)
+       |SELECT a0.vec_id, a0.cell AS cluster_id,
+       |       CAST(dc.dup_of IS NULL AS INTEGER) AS keep, dc.dup_of, dc.cos_sim
+       |FROM a0 LEFT JOIN dc ON a0.vec_id = dc.vec_id
+       |ORDER BY a0.vec_id""".stripMargin
 
   private def embeddingDedupOracle: String =
     s"""WITH $vecCtes,

@@ -307,6 +307,59 @@ object Similarity {
         col("b.cos").as("cos_sim"), col("b.mv").as("moved"))
   }
 
+  /** q57: semantic deduplication — SemDeDup (Abbas et al. 2023,
+    * arXiv:2303.09540, public paper): cluster the embedding corpus
+    * with a coarse quantizer, then compare vectors ONLY within their
+    * cluster and drop any vector that sits within `tau` cosine of an
+    * earlier cluster-mate. Near-dup (q24/q34) catches lexical copies;
+    * this catches *paraphrases* — same meaning, different tokens —
+    * which lexical minhash never pairs. Every vector gets a verdict:
+    * `keep=1`, or `keep=0` with `dup_of` (the smallest-id cluster-mate
+    * within tau) and the exact cosine that condemned it, so the drop
+    * set is auditable and reversible.
+    *
+    * Spark-first shape: cell assignment is the q46/q48 quantizer — a
+    * pure per-row argmax over broadcast centroid literals, ZERO
+    * shuffle — and the only shuffles are the cluster-local self-join
+    * (keyed on `cell`) and one partial-agg groupBy. Cost is
+    * Σ cell² like the paper's per-cluster pairwise pass, never n².
+    * At 100 TB `nCells` must grow ~n/target-cell-size (SemDeDup uses
+    * 50k clusters for LAION-440M; cells of ~10⁴ keep the join local
+    * and the per-cell work bounded) — nCells also sets the join's key
+    * cardinality, so scaling it up removes the skew a small test
+    * geometry would have.
+    *
+    * Greedy-by-id semantics (drop iff ANY earlier cluster-mate is
+    * within tau, kept or not) rather than chained keep-set semantics:
+    * one join instead of an iteration, order-independent, and
+    * bit-replicable in SQL — the same contract as the paper's
+    * per-cluster epsilon-dedup. */
+  def semanticDedup(embeddings: DataFrame, tau: Double = 0.4,
+                    nCells: Int = 16): DataFrame = {
+    val cents = seedCentroids(embeddings, nCells)
+    val cellIds = lit(cents.map(_._1))
+    val e = prepared(embeddings)
+    val scores = seedCellScores(cents)(col("v"))
+    val assigned = e.withColumn("cell",
+      element_at(cellIds, array_position(scores, array_max(scores)).cast("int")))
+    val mates = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    // smallest condemning mate via min(struct): vec_b leads the struct,
+    // so lexicographic min == min by vec_b; its rounded cosine rides
+    // along — one partial-agg shuffle, no window
+    val dups = assigned.join(mates, Seq("cell"))
+      .filter(col("vec_b") < col("vec_id"))
+      .withColumn("cos_raw", dot(col("v"), col("vb")) / (col("nrm") * col("nb")))
+      .filter(col("cos_raw") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("vec_b"), round(col("cos_raw"), 4).as("c"))).as("m"))
+      .select(col("vec_id"), col("m.vec_b").as("dup_of"), col("m.c").as("cos_sim"))
+    assigned.select(col("vec_id"), col("cell").as("cluster_id"))
+      .join(dups, Seq("vec_id"), "left")
+      .withColumn("keep", col("dup_of").isNull.cast("int"))
+      .select("vec_id", "cluster_id", "keep", "dup_of", "cos_sim")
+  }
+
   /** q26: LSH-bucketed approximate nearest neighbors — the 100 TB
     * similarity path. `tables` independent hash tables of `bits`
     * sign-random-projection bits each; a vector's bucket in table t is

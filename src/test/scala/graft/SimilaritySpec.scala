@@ -153,4 +153,32 @@ class SimilaritySpec extends SparkSpec {
     // at the default cap the same corpus passes
     Similarity.annLsh(d, nQueries = 1, k = 3).collect().length shouldBe 3
   }
+
+  test("q57 semantic dedup: drops paraphrase-mates within tau, keeps the earliest") {
+    val d = vecs(
+      (0L, Map(0 -> 1.0f)),                // seed/centroid A
+      (1L, Map(5 -> 1.0f)),                // seed/centroid B
+      (10L, Map(0 -> 1.0f, 1 -> 0.1f)),    // near 0 → dropped, dup_of 0
+      (11L, Map(0 -> 1.0f, 1 -> 0.2f)),    // near 0 AND 10 → dup_of 0 (smallest)
+      (12L, Map(5 -> 2.0f)),               // identical direction to 1 → dropped
+      (13L, Map(5 -> 0.1f, 6 -> 1.0f)))    // cluster B but cos < tau → kept
+    val rows = Similarity.semanticDedup(d, tau = 0.8, nCells = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .sortBy(_._1)
+    rows shouldBe Array(
+      (0L, 1, -1L), (1L, 1, -1L), (10L, 0, 0L), (11L, 0, 0L),
+      (12L, 0, 1L), (13L, 1, -1L))
+  }
+
+  test("q57 semantic dedup on the real corpus: verdicts are total and auditable") {
+    val e = tables.embeddings
+    val out = Similarity.semanticDedup(e).collect()
+    out.length shouldBe e.count()                 // one verdict per vector
+    val dropped = out.filter(_.getInt(2) == 0)
+    dropped.foreach { r =>
+      r.getLong(3) should be < r.getLong(0)       // dup_of is an earlier mate
+      r.getDouble(4) should be >= 0.4             // condemning cosine recorded
+    }
+    out.filter(_.getInt(2) == 1).foreach(r => r.isNullAt(3) shouldBe true)
+  }
 }
