@@ -160,6 +160,12 @@ object SparkEntry {
       val docs = Tables(s, d).documents
       TextOps.decontaminate(docs, docs.filter(col("doc_id") % 7 === 0))
     }),
+    // q58: the same contamination contract through the bloom-prefilter
+    // scale path — identical output (and oracle) to q35 by design
+    "q58_decontaminate_bloom"-> ((s, d) => {
+      val docs = Tables(s, d).documents
+      TextOps.decontaminateBloom(docs, docs.filter(col("doc_id") % 7 === 0))
+    }),
     // q56: the reference's self-describing run reports (logs/lambda +
     // logs/glue JSON, queried by Athena.sql:104-176): run two REAL
     // writes through the reporting sink, then query the generated
@@ -721,6 +727,16 @@ object SparkEntry {
         |             / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS oov_frac
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q35_decontaminate" ->
+      """WITH fp AS (SELECT doc_id,
+        |              md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        |            FROM documents)
+        |SELECT doc_id, fingerprint FROM fp
+        |WHERE fingerprint IN (SELECT fingerprint FROM fp WHERE doc_id % 7 = 0)
+        |ORDER BY doc_id""".stripMargin,
+    // q58 deliberately shares q35's oracle: the bloom prefilter must be
+    // output-invisible (no false negatives; exact verify kills the fpp
+    // tail), so the SQL truth is the same exact semi-join
+    "q58_decontaminate_bloom" ->
       """WITH fp AS (SELECT doc_id,
         |              md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
         |            FROM documents)

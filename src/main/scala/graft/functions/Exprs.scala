@@ -462,6 +462,52 @@ object Exprs {
 
   object RepetitionStats { private val Space = UTF8String.fromString(" ") }
 
+  /** Membership probe of a string column against a serialized
+    * `org.apache.spark.util.sketch.BloomFilter` — the map-side
+    * prefilter for decontamination at reference-set sizes where a
+    * broadcast semi-join stops being an option (the filter is ~1.2
+    * bytes/item at 1% fpp vs ~40 for a broadcast digest row, and OR'd
+    * bitsets merge order-independently). The sketch travels as plain
+    * bytes (task-serializable) and is deserialized once per executor
+    * via the transient lazy; codegen probes through a reference to
+    * this expression instance, so the hot path stays inside
+    * whole-stage codegen with zero per-row allocation.
+    *
+    * `mightContainBinary(utf8.getBytes)` sees exactly the bytes
+    * `putString`/`put(String)` hashed at build time (both reduce to
+    * the UTF-8 encoding), so a filter built with
+    * `DataFrameStatFunctions.bloomFilter` probes correctly here.
+    * One-sided error only: a TRUE may be false-positive (callers must
+    * exact-verify survivors), a FALSE is definitive — the prefilter
+    * can drop rows early but never drops a true match. */
+  case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "graft_bloom_might_contain"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectTypes(prettyName, Seq("string" -> isString), Seq(child.dataType))
+
+    @transient private lazy val filter =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomBytes))
+
+    def mightContain(s: UTF8String): Boolean =
+      filter.mightContainBinary(s.getBytes)
+
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(in: Any): Any =
+      mightContain(in.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomProbe", this)
+      nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.mightContain($in);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ----- Column-level wrappers ----------------------------------------
 
   def dot(a: Column, b: Column): Column =
@@ -488,4 +534,11 @@ object Exprs {
 
   def repetitionStats(tokens: Column): Column =
     GraftShim.column(RepetitionStats(GraftShim.expression(tokens)))
+
+  def bloomMightContain(c: Column,
+                        bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    GraftShim.column(BloomMightContain(GraftShim.expression(c), out.toByteArray))
+  }
 }

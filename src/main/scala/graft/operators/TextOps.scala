@@ -53,6 +53,38 @@ object TextOps {
       .select("doc_id", "fingerprint")
   }
 
+  /** q58: decontamination at reference sizes past the broadcast
+    * ceiling — [[decontaminate]]'s scale sibling. When the reference
+    * set outgrows a broadcast (q35's own fallback is a shuffle join of
+    * the FULL training corpus), a bloom sketch of the reference
+    * fingerprints (~1.2 bytes/item at 1% fpp, OR-merge is
+    * order-independent) rides into the corpus scan as a codegen'd
+    * prefilter ([[graft.functions.Exprs.BloomMightContain]]): ~99% of
+    * the 100 TB side dies map-side, BEFORE any exchange. Survivors —
+    * true matches plus the fpp tail — then exact-verify against the
+    * reference in a semi-join that now moves prefilter-output rows,
+    * not the corpus. No broadcast hint on the verify: the surviving
+    * side is tiny, so AQE picks broadcast when the reference fits and
+    * a (small) shuffle join when it doesn't — either way the corpus
+    * itself is never shuffled.
+    *
+    * Output is IDENTICAL to [[decontaminate]] (the bloom has no false
+    * negatives, and exact verification removes its false positives) —
+    * same oracle, stronger scale story. The reference-side cost is two
+    * small passes (sketch build + verify input); `fpp` trades sketch
+    * memory against verify traffic. */
+  def decontaminateBloom(candidates: DataFrame, reference: DataFrame,
+                         fpp: Double = 0.01): DataFrame = {
+    val refFp = reference.select(fingerprintCol.as("fingerprint")).distinct()
+    val bloom = refFp.stat.bloomFilter("fingerprint",
+      math.max(refFp.count(), 1L), fpp)
+    candidates
+      .withColumn("fingerprint", fingerprintCol)
+      .filter(graft.functions.Exprs.bloomMightContain(col("fingerprint"), bloom))
+      .join(refFp, Seq("fingerprint"), "left_semi")
+      .select("doc_id", "fingerprint")
+  }
+
 
   /** q29: token counting — whitespace tokens plus a BPE-ish split count
     * (tokens of letters vs length≥5 subword proxy). */

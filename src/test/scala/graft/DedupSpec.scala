@@ -88,6 +88,26 @@ class DedupSpec extends SparkSpec {
     flagged shouldBe Array(1L, 3L)
   }
 
+  test("q58 bloom decontamination output is exactly q35's (prefilter is invisible)") {
+    val train = docs(
+      (1L, "The Quick   Brown Fox"),
+      (2L, "totally novel content"),
+      (3L, "shared exact text"))
+    val ref = docs(
+      (100L, "the quick brown fox"),
+      (101L, "shared exact text"))
+    TextOps.decontaminateBloom(train, ref)
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
+    // and on the real corpus, row-for-row agreement with the exact path
+    val d = tables.documents
+    val refCorpus = d.filter(org.apache.spark.sql.functions.expr("doc_id % 7 = 0"))
+    val exact = TextOps.decontaminate(d, refCorpus)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val bloomed = TextOps.decontaminateBloom(d, refCorpus)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    bloomed shouldBe exact
+  }
+
   test("q47 ngram decontamination flags PARTIAL overlap exact fingerprints would miss") {
     import spark.implicits._
     val eval = "alpha beta gamma delta epsilon"

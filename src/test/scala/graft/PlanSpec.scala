@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Dedup, Etl, Relational, Similarity}
+import graft.operators.{Analytics, Dedup, Etl, Relational, Similarity, TextOps}
 
 /** Plan-shape assertions: the properties that make each operator
   * scale-safe (broadcasts present, pushdown reaching the scan, top-k
@@ -118,6 +118,30 @@ class PlanSpec extends SparkSpec {
       docs.filter(org.apache.spark.sql.functions.expr("doc_id % 7 = 0"))))
     plan should include ("BroadcastHashJoin")
     plan should not include "SortMergeJoin"
+  }
+
+  test("q58 bloom prefilter probes inside the corpus scan stage — before any exchange") {
+    val docs = tables.documents
+    val plan = planOf(TextOps.decontaminateBloom(docs,
+      docs.filter(org.apache.spark.sql.functions.expr("doc_id % 7 = 0"))))
+    // the codegen'd sketch probe is in the plan as a Filter predicate…
+    plan should include ("graft_bloom_might_contain")
+    // …and sits below the join: the corpus-side Filter carrying it must
+    // not be separated from the scan by an Exchange (map-side kill)
+    val corpusSide = plan.substring(plan.indexOf("graft_bloom_might_contain"))
+    corpusSide.indexOf("Scan parquet") should be < (
+      if (corpusSide.contains("Exchange")) corpusSide.indexOf("Exchange")
+      else Int.MaxValue)
+  }
+
+  test("q57 semantic dedup: centroid literals, equi-join on cell — never all-pairs") {
+    val plan = planOf(Similarity.semanticDedup(tables.embeddings))
+    plan should include ("graft_dot")     // fused-loop centroid scores
+    // cell assignment is literal-embedded (no centroid-table join), and
+    // the pair pass is an EQUI-join keyed on cell — a nested-loop or
+    // cartesian here would mean the n² shape this operator exists to avoid
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
   }
 
   test("q48 k-means reassignment is a broadcast + partial agg — no window, no sort-merge") {
