@@ -63,6 +63,7 @@ object SparkEntry {
     "q55_keeper_select"      -> ((s, d) => Dedup.keeperSelection(Tables(s, d).documents)),
     "q37_pii_redact"         -> ((s, d) => Corpus.piiRedactVerification(Tables(s, d).documents)),
     "q38_sample_stratified"  -> ((s, d) => Corpus.sampleStratified(Tables(s, d).documents)),
+    "q59_source_mix"         -> ((s, d) => Corpus.sourceMix(Tables(s, d).documents)),
     "q40_pack_sequences"     -> ((s, d) => Corpus.packSequences(Tables(s, d).documents)),
     "q41_repetition"         -> ((s, d) => TextOps.repetitionSignals(Tables(s, d).documents)),
     "q53_chunk_sliding"      -> ((s, d) => Corpus.chunkSliding(Tables(s, d).documents)),
@@ -615,6 +616,23 @@ object SparkEntry {
         |  FROM documents) b
         |WHERE bucket < CASE WHEN lang = 'en' THEN 19660 ELSE 65536 END
         |ORDER BY doc_id""".stripMargin,
+    // q59: mixture planning replayed in SQL — same double arithmetic
+    // shape as the Spark plan (n BIGINT / p DOUBLE, then K·p/n·65536
+    // left-associated) so the FLOOR'd thresholds agree bit-for-bit
+    "q59_source_mix" ->
+      """WITH tgt AS (SELECT * FROM (VALUES
+        |         ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        |         ('src2', CAST(0.2 AS DOUBLE))) t(source, p)),
+        |c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |j AS (SELECT c.source, c.n, t.p FROM c JOIN tgt t ON c.source = t.source),
+        |k AS (SELECT MIN(n / p) AS k FROM j),
+        |r AS (SELECT j.source, CAST(FLOOR(k.k * j.p / j.n * 65536) AS INTEGER) AS thr
+        |      FROM j CROSS JOIN k),
+        |b AS (SELECT doc_id, source,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS bucket
+        |      FROM documents)
+        |SELECT b.doc_id, b.source, b.bucket FROM b JOIN r ON b.source = r.source
+        |WHERE b.bucket < r.thr ORDER BY b.doc_id""".stripMargin,
     // q39: the oracle is DuckDB's NATIVE ASOF JOIN — an independent
     // first-class implementation checking graft's union-and-sweep
     // encoding. Actions deduped per (user, ts) by MAX(event_id) so ties

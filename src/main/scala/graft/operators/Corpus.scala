@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -70,6 +70,17 @@ object Corpus {
   private val DefaultRates: Seq[(String, Double)] =
     Seq("en" -> 0.3, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0)
 
+  /** Target composition for [[sourceMix]] — three sources at 50/30/20,
+    * the rest of the corpus excluded from the mix. */
+  private val DefaultMix: Seq[(String, Double)] =
+    Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+
+  /** Shared 16-bit md5 sampling gate (q38/q59): first 4 hex digits of
+    * `md5(doc_id)` as an int in [0, 65536). */
+  private def bucket16: Column = conv(
+    substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4),
+    16, 10).cast("int")
+
   /** q38: deterministic stratified sampling — keep a doc iff the first
     * 16 bits of `md5(doc_id)` fall under its language's rate threshold.
     *
@@ -83,9 +94,7 @@ object Corpus {
     */
   def sampleStratified(documents: DataFrame,
                        rates: Seq[(String, Double)] = DefaultRates): DataFrame = {
-    val bucket = conv(
-      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4),
-      16, 10).cast("int")
+    val bucket = bucket16
     // Unlisted (or NULL) languages default to KEEP, matching the
     // oracle's `ELSE 65536`: a sampling step must never silently drop a
     // stratum nobody configured a rate for — downsampling is an explicit
@@ -97,6 +106,47 @@ object Corpus {
       .withColumn("bucket", bucket)
       .filter(col("bucket") < threshold)
       .select("doc_id", "lang", "bucket")
+  }
+
+  /** q59: deterministic source mixing — build the LARGEST corpus whose
+    * source composition exactly matches a target mixture. The step
+    * after per-stratum sampling (q38) in every training-data recipe:
+    * q38 applies rates someone already chose; this DERIVES the rates
+    * from the target proportions and the actual per-source counts.
+    * The binding source (smallest n_s/p_s) is kept whole, every other
+    * source downsamples to K·p_s docs where K = min_s(n_s/p_s) — the
+    * standard mixture-planning LP solved in closed form.
+    *
+    * Spark-first shape: per-source counts are ONE partial-agg groupBy
+    * (20 rows, or 20k — source cardinality, not corpus cardinality);
+    * the min and the per-source thresholds stay IN-PLAN (tiny agg +
+    * cross join, no driver collect), and the thresholds broadcast-join
+    * back onto the corpus scan, where the same 16-bit md5 gate as q38
+    * keeps membership a pure row function: re-runs reproduce the
+    * corpus, growing a source never flips kept rows of others, and the
+    * oracle verifies row-for-row. Sources absent from the target map
+    * are DROPPED (the inner join) — opposite default to q38's
+    * pass-through, because a mixture is a closed composition: emitting
+    * an unbudgeted source would silently break the proportions this
+    * operator exists to guarantee. */
+  def sourceMix(documents: DataFrame,
+                targets: Seq[(String, Double)] = DefaultMix): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "sourceMix needs a non-empty target mixture with positive weights")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val tgt = targets.toDF("source", "p")
+    val counts = documents.groupBy("source").agg(count(lit(1)).as("n"))
+    val j = counts.join(tgt, Seq("source"))
+    val k = j.agg(min(col("n") / col("p")).as("k"))
+    val thr = j.crossJoin(k)
+      .select(col("source"),
+        floor(col("k") * col("p") / col("n") * 65536).cast("int").as("thr"))
+    documents
+      .withColumn("bucket", bucket16)
+      .join(broadcast(thr), Seq("source"))
+      .filter(col("bucket") < col("thr"))
+      .select("doc_id", "source", "bucket")
   }
 
   /** q40: token-budget sequence packing — assign documents to fixed

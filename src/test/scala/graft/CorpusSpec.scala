@@ -65,6 +65,32 @@ class CorpusSpec extends SparkSpec {
     kept shouldBe Array(1L, 2L, 3L)
   }
 
+  test("q59 source mix: binding source kept whole, others gated, unbudgeted dropped") {
+    import spark.implicits._
+    val d = ((1L to 8L).map(i => (i, s"text $i", "a")) ++
+      (20L to 21L).map(i => (i, s"text $i", "b")) ++
+      Seq((30L, "text 30", "c"))).toDF("doc_id", "text", "source")
+    // n_a=8, n_b=2; targets 50/50 → K = min(16, 4) = 4 → thr_a = 32768
+    // (half of a), thr_b = 65536 (b is binding, kept whole); c unbudgeted
+    val out = Corpus.sourceMix(d, Seq("a" -> 0.5, "b" -> 0.5)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    out.map(_._2).toSet shouldBe Set("a", "b")
+    out.filter(_._2 == "b").map(_._1).sorted shouldBe Array(20L, 21L)
+    out.filter(_._2 == "a").foreach(_._3 should be < 32768)
+  }
+
+  test("q59 source mix on the real corpus: closed composition at derived rates") {
+    val out = Corpus.sourceMix(tables.documents).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySource = out.groupBy(_._2).view.mapValues(_.length).toMap
+    bySource.keySet shouldBe Set("src0", "src1", "src2")
+    // uniform 25-per-source corpus: src0 (p=.5) binds → kept whole;
+    // the others hash-gate at 0.6 / 0.4 of their 25 docs
+    bySource("src0") shouldBe 25
+    bySource("src1") should be < 25
+    bySource("src2") should be < bySource("src1")
+  }
+
   test("q40 chunking: a doc starts in the chunk its running offset lands in") {
     // three docs of 5 tokens each, budget 8:
     // offsets 0, 5, 10 -> chunks 0, 0, 1
