@@ -323,11 +323,13 @@ object Similarity {
     * shuffle — and the only shuffles are the cluster-local self-join
     * (keyed on `cell`) and one partial-agg groupBy. Cost is
     * Σ cell² like the paper's per-cluster pairwise pass, never n².
-    * At 100 TB `nCells` must grow ~n/target-cell-size (SemDeDup uses
-    * 50k clusters for LAION-440M; cells of ~10⁴ keep the join local
-    * and the per-cell work bounded) — nCells also sets the join's key
-    * cardinality, so scaling it up removes the skew a small test
-    * geometry would have.
+    * At 100 TB `nCells` must grow ~n/target-cell-size
+    * ([[suggestCells]]; SemDeDup uses 50k clusters for LAION-440M) —
+    * nCells also sets the join's key cardinality, so scaling it up
+    * removes the skew a small test geometry would have, and past the
+    * literal-argmax window the assignment switches to a broadcast
+    * centroid table automatically ([[assignCells]]). [[cappedCell]]
+    * fails loudly when the geometry is stale for the corpus.
     *
     * Greedy-by-id semantics (drop iff ANY earlier cluster-mate is
     * within tau, kept or not) rather than chained keep-set semantics:
@@ -337,19 +339,14 @@ object Similarity {
   def semanticDedup(embeddings: DataFrame, tau: Double = 0.4,
                     nCells: Int = 16, maxCell: Int = 65536): DataFrame = {
     val cents = seedCentroids(embeddings, nCells)
-    val cellIds = lit(cents.map(_._1))
     val e = embeddings.select(col("vec_id"), vecD(col("embedding")).as("v"))
-    val scores = seedCellScores(cents)(col("v"))
     // the nCells·dim argmax is the expensive pass — run it ONCE, into
     // per-cell membership lists (ids only; cells partition the corpus,
     // so unlike LSH buckets no cross-bucket dedup is ever needed), then
     // replay assignment and pair-expand from the lists. A naive
     // assigned⋈assigned self-join would re-evaluate the centroid scores
     // on every join input — measured 3× the cost at sf0.1.
-    val cells = e
-      .select(element_at(cellIds,
-        array_position(scores, array_max(scores)).cast("int")).as("cell"),
-        col("vec_id"))
+    val cells = assignCells(e, cents)
       .groupBy("cell")
       .agg(cappedCell(collect_list(col("vec_id")), maxCell).as("vs"))
     val members = cells.select(col("cell"), explode(col("vs")).as("vec_id"))
@@ -374,6 +371,60 @@ object Similarity {
       .withColumn("keep", col("dup_of").isNull.cast("int"))
       .select("vec_id", "cluster_id", "keep", "dup_of", "cos_sim")
   }
+
+  /** [[suggestBits]]'s sibling for [[semanticDedup]]: cells such that
+    * the expected cell size n/nCells lands near `targetCell`, keeping
+    * the in-cell pair pass (Σ cell² ≈ n·targetCell) linear in n. The
+    * 10× probe measures the law directly: 20k vectors at the test
+    * default nCells=16 (cells of 1250) cost ~15 s of pair work; at
+    * suggestCells(20k)=157 (cells of ~128) the same query is ~3.5 s
+    * and scales linearly from there. */
+  def suggestCells(n: Long, targetCell: Int = 128): Int =
+    math.max(1, math.ceil(n.toDouble / targetCell).toInt)
+
+  /** Per-vector cell assignment → (vec_id, cell), argmax of
+    * dot(v,c)/|c| with ties toward the smaller cell id. Two physical
+    * shapes, one semantics:
+    *
+    *  - small `nCells` (the oracle-checked defaults): centroid-literal
+    *    array argmax — pure per-row expression, zero shuffle.
+    *  - large `nCells` (the 100 TB geometry — SemDeDup-style corpora
+    *    need cells ~n/10⁴, i.e. thousands of centroids): the literal
+    *    array is no longer codegen-able (janino's 64 KB method limit —
+    *    measured on the 10× probe: nCells=160 runs INTERPRETED and
+    *    costs more than the whole pair pass), so assignment becomes a
+    *    broadcast centroid table × corpus partial-agg argmax
+    *    (kmeansRefine's reassignment shape): nCells rows per vector
+    *    collapse map-side in one `max(struct)` agg, no window, and
+    *    per-row cost stays a codegen'd fused loop.
+    *
+    * Both compute score = graft_dot(v,c)/sqrt(graft_dot(c,c)) with the
+    * same left-to-right accumulation, so the argmax — and therefore
+    * every downstream verdict — is identical; SimilaritySpec pins the
+    * two shapes equal on a real corpus. */
+  private[operators] def assignCells(e: DataFrame,
+                                     cents: Array[(Long, Array[Double])],
+                                     literalMax: Int = 32): DataFrame =
+    if (cents.length <= literalMax) {
+      val cellIds = lit(cents.map(_._1))
+      val scores = seedCellScores(cents)(col("v"))
+      e.select(element_at(cellIds,
+        array_position(scores, array_max(scores)).cast("int")).as("cell"),
+        col("vec_id"))
+    } else {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val centDf = cents.toSeq.toDF("cell", "cv")
+        .select(col("cell"), col("cv"),
+          sqrt(Exprs.dot(col("cv"), col("cv"))).as("cnrm"))
+      e.crossJoin(broadcast(centDf))
+        .select(col("vec_id"),
+          struct((dot(col("v"), col("cv")) / col("cnrm")).as("score"),
+            (-col("cell")).as("nc"), col("cell")).as("cand"))
+        .groupBy("vec_id")
+        .agg(max(col("cand")).as("b"))
+        .select(col("b.cell").as("cell"), col("vec_id"))
+    }
 
   /** [[cappedBucket]]'s sibling for k-means cells: a cell over
     * `maxCell` members means `nCells` is stale for the corpus size and

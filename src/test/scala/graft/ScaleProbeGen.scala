@@ -43,7 +43,11 @@ object ScaleProbeGen {
     // every shingle-keyed operator degenerates into 10-way
     // cross-replica matching — 10× data must mean 10× work, not 100×
     docs.crossJoin(rep)
+      // source carried through unchanged: replicas grow each source's
+      // population (the q59 mixture probe needs per-source counts to
+      // scale 10×, not 10× new sources)
       .select((col("doc_id") + col("r") * docSpan).as("doc_id"), col("lang"),
+        col("source"),
         array_join(expr("transform(split(text, ' '), t -> concat(t, '_', r))"), " ")
           .as("text"))
       // n_chars must track the rewritten text or metadata-derived

@@ -170,6 +170,19 @@ class SimilaritySpec extends SparkSpec {
       (12L, 0, 1L), (13L, 1, -1L))
   }
 
+  test("q57 assignment: literal-argmax and broadcast-join shapes agree vector-for-vector") {
+    import org.apache.spark.sql.functions.col
+    val e = tables.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    val literal = asMap(Similarity.assignCells(e, cents))
+    val joined = asMap(Similarity.assignCells(e, cents, literalMax = 0))
+    joined shouldBe literal
+  }
+
   test("q57 semantic dedup on the real corpus: verdicts are total and auditable") {
     val e = tables.embeddings
     val out = Similarity.semanticDedup(e).collect()
