@@ -58,6 +58,7 @@ object SparkEntry {
     // LLM-training-data operators
     "q20_dedup_exact"        -> ((s, d) => TextOps.dedupExact(Tables(s, d).documents)),
     "q21_dedup_ngram"        -> ((s, d) => Dedup.ngramJaccardPairs(Tables(s, d).documents)),
+    "q60_containment_ngram"  -> ((s, d) => Dedup.ngramContainmentPairs(Tables(s, d).documents)),
     "q22_dedup_minhash"      -> ((s, d) => Dedup.minhashLshPairs(Tables(s, d).documents)),
     "q36_dedup_clusters"     -> ((s, d) => Dedup.dedupClusters(Tables(s, d).documents)),
     "q55_keeper_select"      -> ((s, d) => Dedup.keeperSelection(Tables(s, d).documents)),
@@ -762,6 +763,7 @@ object SparkEntry {
         |WHERE fingerprint IN (SELECT fingerprint FROM fp WHERE doc_id % 7 = 0)
         |ORDER BY doc_id""".stripMargin,
     "q21_dedup_ngram"     -> ngramOracle,
+    "q60_containment_ngram" -> containmentOracle,
     "q22_dedup_minhash"   -> minhashOracle,
     "q36_dedup_clusters"  -> clustersOracle,
     "q55_keeper_select"   -> keeperOracle,
@@ -808,6 +810,23 @@ object SparkEntry {
   /** Shared shingle CTE: distinct word 3-grams, 1-based positions —
     * mirrors Dedup.shingleSet(3). (`greatest(…, 2)` ≡ Spark's
     * `greatest(size-2, 1)` upper bound for every token count.) */
+  /** q60: the q21 pair pass, fanned into both directed containments. */
+  private def containmentOracle: String =
+    s"""WITH $shingleCtes,
+       |x AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |      FROM x a JOIN x b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |z AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+       |c AS (SELECT p.doc_a, p.doc_b, p.inter, za.n_sh AS n_a, zb.n_sh AS n_b
+       |      FROM p JOIN z za ON p.doc_a = za.doc_id JOIN z zb ON p.doc_b = zb.doc_id),
+       |d AS (SELECT doc_a AS src_doc, doc_b AS dst_doc,
+       |             CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment FROM c
+       |      UNION ALL
+       |      SELECT doc_b, doc_a, CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE) FROM c)
+       |SELECT src_doc, dst_doc, containment FROM d
+       |WHERE containment >= 0.8 ORDER BY src_doc, dst_doc""".stripMargin
+
   private val shingleCtes: String =
     """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 1, 2)),

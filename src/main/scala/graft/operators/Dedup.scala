@@ -52,31 +52,62 @@ object Dedup {
     * pure-exact semantics the oracle checks.
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3,
-                        tau: Double = 0.5): DataFrame = {
+                        tau: Double = 0.5): DataFrame =
+    shinglePairCounts(documents, n)
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("inter"), col("n_a"), col("n_b")).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+
+  /** Shared inverted-index pair pass (q21/q60): unordered co-shingling
+    * pairs with their intersection size and both set sizes.
+    *
+    * Index key = xxhash64 of the shingle, not its text: an 8-byte
+    * shuffle key with the same equality (collisions ~n²/2⁶⁵ — noise
+    * far below the df-cap approximation above at any realistic n).
+    * Pair generation is shingle-local expansion (see simhashPairs):
+    * one Shingles pass, one index shuffle, Σ df² expanded rows. */
+  private def shinglePairCounts(documents: DataFrame, n: Int): DataFrame = {
     val docs = documents.select(col("doc_id"), shingleSet(n).as("sh"))
-    // index key = xxhash64 of the shingle, not its text: an 8-byte
-    // shuffle key with the same equality (collisions ~n²/2⁶⁵ — noise
-    // far below the df-cap approximation above at any realistic n).
-    // Pair generation is shingle-local expansion (see simhashPairs):
-    // one Shingles pass, one index shuffle, Σ df² expanded rows.
     val idx = docs
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("shingle"))
     val grouped = idx.groupBy("shingle")
       .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
       .filter(size(col("ds")) > 1)
-    val pairs = grouped
+    grouped
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"),
         min(col("a.n_sh")).as("n_a"), min(col("b.n_sh")).as("n_b"))
-    pairs
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("inter"), col("n_a"), col("n_b")).as("jaccard"))
-      .filter(col("jaccard") >= tau)
   }
+
+  /** q60: directed n-gram CONTAINMENT pairs — C(src→dst) =
+    * |sh(src) ∩ sh(dst)| / |sh(src)|, the asymmetric complement of
+    * q21's Jaccard. Jaccard misses near-supersets: an eval question
+    * quoted inside a long article, a doc republished with a long
+    * preamble — |A∩B|/|A∪B| is small when |B| ≫ |A| even though A is
+    * wholly contained. Containment ≥ tau flags exactly those (Broder's
+    * two resemblance measures; the q47 decontamination operator is the
+    * cross-corpus special case of this same quantity).
+    *
+    * Same inverted-index pass as q21 (one Shingles scan, shingle-local
+    * expansion, Σ df² — never n²); each unordered pair then fans into
+    * its two directed containments map-side. Both divisions are the
+    * same integers in both engines — bit-identical doubles. */
+  def ngramContainmentPairs(documents: DataFrame, n: Int = 3,
+                            tau: Double = 0.8): DataFrame =
+    shinglePairCounts(documents, n)
+      .select(explode(array(
+        struct(col("doc_a").as("src_doc"), col("doc_b").as("dst_doc"),
+          (col("inter").cast("double") / col("n_a").cast("double"))
+            .as("containment")),
+        struct(col("doc_b").as("src_doc"), col("doc_a").as("dst_doc"),
+          (col("inter").cast("double") / col("n_b").cast("double"))
+            .as("containment")))).as("c"))
+      .select(col("c.src_doc"), col("c.dst_doc"), col("c.containment"))
+      .filter(col("containment") >= tau)
 
   /** q22: MinHash + LSH banding — the scale path for near-dup dedup.
     *

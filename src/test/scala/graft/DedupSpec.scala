@@ -88,6 +88,20 @@ class DedupSpec extends SparkSpec {
     flagged shouldBe Array(1L, 3L)
   }
 
+  test("q60 containment flags a doc embedded in a superset that Jaccard misses") {
+    // doc 1 = 6 tokens → 4 shingles, all inside doc 2's 14-token text:
+    // C(1→2) = 4/4 = 1.0 but Jaccard = 4/12 = 0.33 — invisible to q21
+    val small = "alpha beta gamma delta epsilon zeta"
+    val d = docs(
+      (1L, small),
+      (2L, s"intro words lead in here $small and trailing context words"),
+      (3L, "one two three four five six"))
+    Dedup.ngramJaccardPairs(d).collect() shouldBe empty
+    val rows = Dedup.ngramContainmentPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows shouldBe Array((1L, 2L, 1.0))
+  }
+
   test("q58 bloom decontamination output is exactly q35's (prefilter is invisible)") {
     val train = docs(
       (1L, "The Quick   Brown Fox"),
