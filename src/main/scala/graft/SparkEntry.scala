@@ -152,6 +152,7 @@ object SparkEntry {
     "m03_frame_sample"       -> ((s, d) => Multimodal.frameSummary(Tables(s, d).documents)),
     "q27_lang_id"            -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
     "q28_quality_score"      -> ((s, d) => TextOps.qualityScore(Tables(s, d).documents)),
+    "q61_quality_prune"      -> ((s, d) => TextOps.qualityPrune(Tables(s, d).documents)),
     "q29_token_count"        -> ((s, d) => TextOps.tokenCounts(Tables(s, d).documents)),
     "q30_fingerprint"        -> ((s, d) => TextOps.fingerprint(Tables(s, d).documents)),
     // q35: every seventh doc plays the reference (eval) corpus drawn
@@ -492,6 +493,25 @@ object SparkEntry {
         |       FLOOR(len_sat * 10000.0 + 0.5) / 10000.0 AS len_saturation,
         |       FLOOR((n_uniq / n_tok * 0.4 + (1.0 - n_stop / n_tok) * 0.3 + len_sat * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+    // q61: q28's quality replayed with lang carried, then the
+    // per-stratum rank cut — ties broken by doc_id in both engines
+    "q61_quality_prune" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, lang,
+        |        CAST(len(toks) AS DOUBLE) AS n_tok,
+        |        CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq,
+        |        CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE) AS n_stop,
+        |        LEAST(n_chars / 500.0, 1.0) AS len_sat
+        |      FROM t),
+        |q AS (SELECT doc_id, lang,
+        |        FLOOR((n_uniq / n_tok * 0.4 + (1.0 - n_stop / n_tok) * 0.3 + len_sat * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality
+        |      FROM m),
+        |w AS (SELECT doc_id, lang, quality,
+        |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY lang) AS n
+        |      FROM q)
+        |SELECT doc_id, lang, quality FROM w WHERE rn > FLOOR(0.2 * n)
+        |ORDER BY doc_id""".stripMargin,
     "q29_token_count" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

@@ -100,7 +100,9 @@ object TextOps {
 
   /** q28: quality scoring — uniq-token ratio, stopword ratio, length
     * saturation, combined score. Pure expression tree, one scan. */
-  def qualityScore(documents: DataFrame): DataFrame = {
+  /** (uniq_ratio, stop_ratio, len_saturation, quality) raw expressions —
+    * shared by [[qualityScore]] and [[qualityPrune]]. */
+  private def qualityMetrics: (Column, Column, Column, Column) = {
     val nTok  = size(toks).cast("double")
     val nUniq = size(array_distinct(toks)).cast("double")
     val nStop = size(filter(toks, t =>
@@ -108,6 +110,12 @@ object TextOps {
     val uniqRatio = nUniq / nTok
     val stopRatio = nStop / nTok
     val lenSat    = least(col("n_chars") / lit(500.0), lit(1.0))
+    (uniqRatio, stopRatio, lenSat,
+      uniqRatio * 0.4 + (lit(1.0) - stopRatio) * 0.3 + lenSat * 0.3)
+  }
+
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val (uniqRatio, stopRatio, lenSat, quality) = qualityMetrics
     // dround, not round: these are small-denominator rationals that land
     // exactly on 4-dp half-boundaries (e.g. quality = 0.69705), where
     // Spark round() and DuckDB ROUND() disagree — see Exact.dround.
@@ -116,9 +124,46 @@ object TextOps {
       graft.Exact.dround(uniqRatio).as("uniq_ratio"),
       graft.Exact.dround(stopRatio).as("stop_ratio"),
       graft.Exact.dround(lenSat).as("len_saturation"),
-      graft.Exact.dround(uniqRatio * 0.4 + (lit(1.0) - stopRatio) * 0.3 + lenSat * 0.3)
-        .as("quality"))
+      graft.Exact.dround(quality).as("quality"))
+  }
 
+  /** q61: per-stratum quality pruning — drop the worst `frac` of each
+    * language's documents by the q28 quality score (the filtering
+    * step every published data recipe runs between scoring and corpus
+    * assembly; per-LANGUAGE cutoffs because absolute scores aren't
+    * comparable across languages — a global cut would empty the
+    * low-resource strata first).
+    *
+    * Exact form (the oracle-checked default): rank within the stratum
+    * by (quality, doc_id) and drop ranks ≤ floor(frac·n) — one window
+    * over the language partition, deterministic to the last tie. Like
+    * q40's running sum, the per-stratum sort serializes each language
+    * through a range-sort at 100 TB; `approx = true` is the scale
+    * path: per-language `approx_percentile` thresholds (mergeable
+    * sketches, one tiny groupBy) broadcast back onto the scan — no
+    * window, no sort, one linear pass, cutoff within the sketch's
+    * rank-error of exact (same tested-flag contract as q49's approx
+    * profile and q09→q51). */
+  def qualityPrune(documents: DataFrame, frac: Double = 0.2,
+                   approx: Boolean = false): DataFrame = {
+    require(frac >= 0 && frac < 1, "frac must be in [0, 1)")
+    val quality = graft.Exact.dround(qualityMetrics._4)
+    val scored = documents.select(col("doc_id"), col("lang"),
+      quality.as("quality"))
+    if (!approx) {
+      val w = Window.partitionBy("lang")
+      scored
+        .withColumn("rn", row_number().over(w.orderBy(col("quality"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("rn") > floor(lit(frac) * col("n")))
+        .select("doc_id", "lang", "quality")
+    } else {
+      val thr = scored.groupBy("lang")
+        .agg(percentile_approx(col("quality"), lit(frac), lit(10000)).as("thr"))
+      scored.join(broadcast(thr), Seq("lang"))
+        .filter(col("quality") >= col("thr"))
+        .select("doc_id", "lang", "quality")
+    }
   }
 
   /** q41: repetition signals (the Gopher-style "repetitive document"

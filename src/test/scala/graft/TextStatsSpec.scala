@@ -124,6 +124,36 @@ class TextStatsSpec extends SparkSpec {
     ex.getMessage should include("<NULL>")
   }
 
+  test("q61 exact prune drops the worst floor(frac·n) of each language stratum") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x x x x x x x x", "en", 40L),
+      (2L, "a b a b a b a b", "en", 80L),
+      (3L, "a b c d e f g h", "en", 200L),
+      (4L, "u v w x y z q r", "en", 500L),
+      (5L, "m n o p q r s t", "en", 300L),
+      (10L, "k k k k", "de", 20L),
+      (11L, "k l m n", "de", 400L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val scores = TextOps.qualityScore(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    // en: n=5 → floor(0.2·5)=1 → exactly the worst-(quality, doc_id)
+    // drops; de: n=2 → floor(0.2·2)=0 → the whole stratum survives
+    val enWorst = List(1L, 2L, 3L, 4L, 5L).minBy(id => (scores(id), id))
+    val out = TextOps.qualityPrune(d).collect().map(_.getLong(0)).toSet
+    out shouldBe (Set(1L, 2L, 3L, 4L, 5L, 10L, 11L) - enWorst)
+  }
+
+  test("q61 approx path: threshold filter without a window, near the exact cut") {
+    val d = tables.documents
+    planOf(TextOps.qualityPrune(d, approx = true)) should not include "Window"
+    val exact = TextOps.qualityPrune(d).count()
+    val appr = TextOps.qualityPrune(d, approx = true).count()
+    // approx keeps every row at-or-above the sketch's frac-quantile
+    // VALUE: identical cut up to ties/rank error at the boundary
+    (appr - exact).abs should be <= (exact / 20 + 5)
+  }
+
   test("q54 OOV rate against a known top-V vocabulary with deterministic ties") {
     // counts: a=3, b=1, c=1, d=1 -> top-2 by (cnt desc, tok asc) = {a, b}
     val d = docs((1L, "a a b", "en"), (2L, "a c d", "en"))
