@@ -120,6 +120,13 @@ object SparkEntry {
       Streams.runToMemory(
         Streams.errorCauseJoin(Streams.readEventStream(s, s"$d/events.parquet")),
         "s05_stream_join")),
+    // s07: engine-native session windows; complete-mode drain (update
+    // is unsupported over session windows, and append would hold back
+    // every user's last session — see sessionWindows' scaladoc)
+    "s07_stream_session"     -> ((s, d) =>
+      Streams.runToMemory(
+        Streams.sessionWindows(Streams.readEventStream(s, s"$d/events.parquet")),
+        "s07_stream_session", OutputMode.Complete())),
     // s06: event time derived deterministically from doc_id; output
     // projected to the key column only (the surviving carrier row is
     // arrival-order-dependent, the key set is not).
@@ -541,6 +548,24 @@ object SparkEntry {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS volume
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s07: q17's lag/sum replay — session_window's merge bound is
+    // INCLUSIVE (an event exactly `gap` after the last still merges:
+    // StreamingSpec pins it), so the gap predicate is q17's own >
+    "s07_stream_session" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP)) > 1800.0
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM f)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |       MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_start""".stripMargin,
     "s03_stream_batcher" ->
       """WITH b AS (
         |  SELECT lang, doc_id, n_chars,

@@ -136,6 +136,35 @@ object Streams {
       .agg(count(lit(1)).as("n_events"), graft.Exact.sumD(col("value")).as("volume"))
       .select(col("window.start").as("hour"), col("n_events"), col("volume"))
 
+  /** s07: streaming sessionization — engine-native session windows,
+    * the gap-merge primitive batch q17 computes with a lag/sum window.
+    * `session_window(ts, gap)` opens [ts, ts+gap] per event and MERGES
+    * overlapping windows per key, so a session is a maximal chain of
+    * events with inter-event gaps ≤ `gap` (inclusive — an event
+    * exactly `gap` after the last still merges, the same `>` gap
+    * predicate as batch q17; StreamingSpec pins the boundary). State
+    * per key is the
+    * OPEN sessions only; in append mode the watermark finalizes and
+    * evicts a session once it passes the session's end — bounded by
+    * rate × (gap + watermark) like s05's join state, the true 100 TB
+    * shape.
+    *
+    * Production runs append mode: sessions emit exactly once, when
+    * the watermark finalizes them. The declared query drains finite
+    * test data, where append-mode finality would hold back every
+    * user's LAST session (its window end is `gap` past its final
+    * event — the watermark, capped at max event time, never passes
+    * it), so the drain declares Complete, same as s02; update mode is
+    * engine-rejected over session windows. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("n_events"),
+        col("session_start"), col("session_end"))
+
   // ----- s03: stateful manifest batcher -------------------------------
 
   /** One tracked file: prefix plays the reference's date_prefix, key its

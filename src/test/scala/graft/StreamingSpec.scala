@@ -301,6 +301,35 @@ class StreamingSpec extends SparkSpec {
     ids shouldBe Array(1L, 2L, 3L, 4L, 5L) // 3 new rows, zero reprocessed
   }
 
+  test("s07 session windows merge across micro-batches; gap boundary is inclusive") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    // batch 1: user 1 opens a session; user 2 one lone event
+    in.addData(Seq(
+      (1L, t("2026-01-01 10:00:00")), (1L, t("2026-01-01 10:10:00")),
+      (2L, t("2026-01-01 09:00:00"))))
+    // batch 2: user 1 extends the SAME session across the batch
+    // boundary; an event exactly 30:00 after 10:30 still MERGES (the
+    // inclusive bound the oracle's `> gap` predicate encodes), and one
+    // second past it starts a new session
+    in.addData(Seq(
+      (1L, t("2026-01-01 10:30:00")), (1L, t("2026-01-01 11:00:00")),
+      (1L, t("2026-01-01 11:30:01"))))
+    val q = Streams.sessionWindows(in.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("s07_e2e")
+      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("s07_e2e").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).toString, r.getTimestamp(3).toString)).toSet
+    rows shouldBe Set(
+      (1L, 4L, "2026-01-01 10:00:00.0", "2026-01-01 11:00:00.0"),
+      (1L, 1L, "2026-01-01 11:30:01.0", "2026-01-01 11:30:01.0"),
+      (2L, 1L, "2026-01-01 09:00:00.0", "2026-01-01 09:00:00.0"))
+  }
+
   test("s02 streaming hourly window equals the batch aggregation") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
