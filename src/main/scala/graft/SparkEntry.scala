@@ -160,6 +160,7 @@ object SparkEntry {
     "q27_lang_id"            -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
     "q28_quality_score"      -> ((s, d) => TextOps.qualityScore(Tables(s, d).documents)),
     "q61_quality_prune"      -> ((s, d) => TextOps.qualityPrune(Tables(s, d).documents)),
+    "q62_winnow_fingerprint" -> ((s, d) => TextOps.winnowFingerprints(Tables(s, d).documents)),
     "q29_token_count"        -> ((s, d) => TextOps.tokenCounts(Tables(s, d).documents)),
     "q30_fingerprint"        -> ((s, d) => TextOps.fingerprint(Tables(s, d).documents)),
     // q35: every seventh doc plays the reference (eval) corpus drawn
@@ -809,6 +810,20 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q21_dedup_ngram"     -> ngramOracle,
     "q60_containment_ngram" -> containmentOracle,
+    // q62: positional k-gram md5s (duplicates kept — NOT the distinct
+    // shingle CTE), windowed list_min selection, distinct set
+    "q62_winnow_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |        THEN list_transform(range(1, len(toks) - 1),
+        |               i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |        ELSE [] END AS hs FROM t),
+        |s AS (SELECT doc_id, CASE WHEN len(hs) >= 4
+        |        THEN list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))
+        |        WHEN len(hs) > 0 THEN [list_min(hs)]
+        |        ELSE [] END AS sel FROM g)
+        |SELECT doc_id, unnest(list_distinct(sel)) AS fp FROM s
+        |ORDER BY doc_id, fp""".stripMargin,
     "q22_dedup_minhash"   -> minhashOracle,
     "q36_dedup_clusters"  -> clustersOracle,
     "q55_keeper_select"   -> keeperOracle,

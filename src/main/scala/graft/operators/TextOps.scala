@@ -166,6 +166,44 @@ object TextOps {
     }
   }
 
+  /** q62: winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    * SIGMOD — the public local-fingerprinting algorithm): hash every
+    * POSITIONAL k-gram (duplicates kept, unlike q21's distinct shingle
+    * sets), slide a window of `w` consecutive hashes, keep each
+    * window's minimum, emit the distinct selected hashes. Density is
+    * ~2/(w+1) of the k-gram count, and any substring match of length
+    * ≥ w+k−1 tokens is GUARANTEED to share a fingerprint — the local
+    * complement of q30's whole-doc hash (verbatim-block detection,
+    * clone localization) at a fraction of q21's full-index cost.
+    *
+    * Zero shuffle: the k-gram hash sequence, the windowed minima, and
+    * the distinct-set all live inside one per-row expression tree; the
+    * only row-multiplier is the final explode. Selection is by
+    * lexicographic min of md5 hex — engine-identical ordering, and
+    * since the fingerprint SET discards positions, min-tie handedness
+    * (the paper's rightmost rule) cannot affect the output. Documents
+    * shorter than k tokens produce no k-grams and hence no rows;
+    * shorter than w windows, one window over what exists. */
+  def winnowFingerprints(documents: DataFrame, k: Int = 3,
+                         w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "winnowing needs k >= 1 and w >= 1")
+    val nTok = size(toks)
+    val grams = when(nTok >= k,
+      transform(sequence(lit(1), nTok - (k - 1)), i =>
+        md5(concat_ws(" ",
+          (0 until k).map(j => element_at(toks, i + j)): _*).cast("binary"))))
+      .otherwise(array().cast("array<string>"))
+    val m = size(col("hs"))
+    val sel = when(m >= w,
+      transform(sequence(lit(1), m - (w - 1)), i =>
+        array_min(slice(col("hs"), i, lit(w)))))
+      .otherwise(when(m > 0, array(array_min(col("hs"))))
+        .otherwise(array().cast("array<string>")))
+    documents
+      .select(col("doc_id"), grams.as("hs"))
+      .select(col("doc_id"), explode(array_distinct(sel)).as("fp"))
+  }
+
   /** q41: repetition signals (the Gopher-style "repetitive document"
     * quality filters): fraction of tokens accounted for by the single
     * most frequent token, same for word 2-grams, and the fraction of

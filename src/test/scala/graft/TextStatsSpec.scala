@@ -154,6 +154,36 @@ class TextStatsSpec extends SparkSpec {
     (appr - exact).abs should be <= (exact / 20 + 5)
   }
 
+  test("q62 winnowing: density below 1, shared >= w+k-1 token runs always collide") {
+    val shared = "alpha beta gamma delta epsilon zeta"  // 6 = w+k-1 tokens
+    val d = docs(
+      (1L, s"one two $shared three four five six seven", "en"),
+      (2L, s"totally different prefix words $shared and another tail", "en"),
+      (3L, "unrelated content entirely here with many other words", "en"),
+      (4L, "a b", "en"))                                 // < k tokens → no fps
+    val fps = TextOps.winnowFingerprints(d).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySet = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    bySet.contains(4L) shouldBe false
+    // winnowing guarantee: a shared run of w+k-1 tokens shares a fingerprint
+    (bySet(1L) & bySet(2L)) should not be empty
+    (bySet(1L) & bySet(3L)) shouldBe empty
+    // density: selected fingerprints ≤ k-gram count, and strictly fewer
+    // when there are more windows than distinct minima
+    val nGrams1 = d.filter(org.apache.spark.sql.functions.expr("doc_id = 1"))
+      .selectExpr("size(split(text, ' ')) - 2 AS n").collect().head.getInt(0)
+    bySet(1L).size should be < nGrams1
+  }
+
+  test("q62 winnowing: a 3-token doc yields exactly its single k-gram hash") {
+    val d = docs((9L, "alpha beta gamma", "en"))
+    val fps = TextOps.winnowFingerprints(d).collect().map(_.getString(1))
+    fps.length shouldBe 1
+    fps.head shouldBe java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha beta gamma".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   test("q54 OOV rate against a known top-V vocabulary with deterministic ties") {
     // counts: a=3, b=1, c=1, d=1 -> top-2 by (cnt desc, tok asc) = {a, b}
     val d = docs((1L, "a a b", "en"), (2L, "a c d", "en"))
