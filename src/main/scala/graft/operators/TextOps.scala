@@ -183,26 +183,19 @@ object TextOps {
     * since the fingerprint SET discards positions, min-tie handedness
     * (the paper's rightmost rule) cannot affect the output. Documents
     * shorter than k tokens produce no k-grams and hence no rows;
-    * shorter than w windows, one window over what exists. */
+    * shorter than w windows, one window over what exists.
+    *
+    * The per-document kernel is the native one-pass
+    * [[graft.functions.Exprs.WinnowFingerprints]] expression (k-gram
+    * md5s + monotonic-deque sliding min, O(tokens)); the equivalent
+    * `functions._` form — per-window `array_min(slice(...))` HOF — is
+    * an interpreted O(tokens·w) allocation pass on top of the same
+    * md5 kernel, measured ~2× slower end-to-end at sf0.1 and the 10×
+    * probe alike. */
   def winnowFingerprints(documents: DataFrame, k: Int = 3,
-                         w: Int = 4): DataFrame = {
-    require(k >= 1 && w >= 1, "winnowing needs k >= 1 and w >= 1")
-    val nTok = size(toks)
-    val grams = when(nTok >= k,
-      transform(sequence(lit(1), nTok - (k - 1)), i =>
-        md5(concat_ws(" ",
-          (0 until k).map(j => element_at(toks, i + j)): _*).cast("binary"))))
-      .otherwise(array().cast("array<string>"))
-    val m = size(col("hs"))
-    val sel = when(m >= w,
-      transform(sequence(lit(1), m - (w - 1)), i =>
-        array_min(slice(col("hs"), i, lit(w)))))
-      .otherwise(when(m > 0, array(array_min(col("hs"))))
-        .otherwise(array().cast("array<string>")))
-    documents
-      .select(col("doc_id"), grams.as("hs"))
-      .select(col("doc_id"), explode(array_distinct(sel)).as("fp"))
-  }
+                         w: Int = 4): DataFrame =
+    documents.select(col("doc_id"),
+      explode(graft.functions.Exprs.winnow(toks, k, w)).as("fp"))
 
   /** q41: repetition signals (the Gopher-style "repetitive document"
     * quality filters): fraction of tokens accounted for by the single
