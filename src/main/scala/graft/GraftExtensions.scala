@@ -26,9 +26,12 @@ import graft.functions.Exprs
   * | `graft_minhash(shingles, k)` | [[graft.functions.Exprs.MinHashSig]] |
   * | `graft_simhash(toks)`        | [[graft.functions.Exprs.SimHash64]] |
   * | `graft_hamming(a, b)`        | [[graft.functions.Exprs.HammingDist]] |
+  * | `graft_repstats(toks)`       | [[graft.functions.Exprs.RepetitionStats]] |
+  * | `graft_winnow(toks, k, w)`   | [[graft.functions.Exprs.WinnowFingerprints]] |
   *
-  * (LshBuckets is deliberately not SQL-exposed — its plane matrix is a
-  * constructor argument, not a column; use Similarity.annLsh.)
+  * (LshBuckets and BloomMightContain are deliberately not SQL-exposed —
+  * their plane matrix / serialized sketch are constructor arguments,
+  * not columns; use Similarity.annLsh / TextOps.decontaminateBloom.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -69,7 +72,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_repstats"),
       info("graft_repstats",
         "graft_repstats(tokens) - struct(top_tok_frac, top_2gram_frac, dup_2gram_frac)"),
-      (args: Seq[Expression]) => Exprs.RepetitionStats(args(0))))
+      (args: Seq[Expression]) => Exprs.RepetitionStats(args(0))),
+    (FunctionIdentifier("graft_winnow"),
+      info("graft_winnow",
+        "graft_winnow(tokens, k, w) - winnowing fingerprints: distinct per-window minima of positional k-gram md5s"),
+      (args: Seq[Expression]) => Exprs.WinnowFingerprints(args(0),
+        litInt(args(1), "k-gram width k"), litInt(args(2), "window size w"))))
 
   /** Register into an already-built session (extensions normally apply
     * only at build time). */

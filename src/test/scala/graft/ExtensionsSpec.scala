@@ -34,6 +34,22 @@ class ExtensionsSpec extends SparkSpec {
       .collect().head.getInt(0) shouldBe 2
   }
 
+  test("graft_winnow selects windowed-min k-gram fingerprints from SQL") {
+    // 3 tokens → one 3-gram → exactly its md5; agrees with the operator
+    val one = spark.sql(
+      "SELECT graft_winnow(split('alpha beta gamma', ' '), 3, 4) AS fps")
+      .collect().head.getSeq[String](0)
+    one shouldBe Seq(java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha beta gamma".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+    // non-literal k rejected at analysis, like the other param'd kernels
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_winnow(split('a b c', ' '), CAST(id AS INT), 4) FROM range(1)")
+        .collect()
+    }
+    ex.getMessage should include ("integer literal")
+  }
+
   test("NULL literals are accepted and yield NULL, like built-ins") {
     val row = spark.sql(
       """SELECT graft_hamming(NULL, '1010') AS h,

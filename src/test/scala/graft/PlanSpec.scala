@@ -144,6 +144,19 @@ class PlanSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("q62 winnowing is one native-expression scan — zero shuffle, zero sort") {
+    val plan = planOf(TextOps.winnowFingerprints(tables.documents))
+    plan should include ("graft_winnow")
+    plan should not include "Exchange"
+    plan should not include "Sort"
+  }
+
+  test("q59 source mix broadcasts the thresholds — the corpus is never shuffled") {
+    val plan = planOf(graft.operators.Corpus.sourceMix(tables.documents))
+    plan should include ("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   test("q48 k-means reassignment is a broadcast + partial agg — no window, no sort-merge") {
     val plan = planOf(Similarity.kmeansRefine(tables.embeddings))
     plan should not include "Window"
