@@ -94,6 +94,13 @@ object SparkEntry {
     "q34_dedup_embedding_lsh"-> ((s, d) => Similarity.embeddingNearDupsBucketed(Tables(s, d).embeddings)),
     "q46_ann_ivf"            -> ((s, d) => Similarity.annIvf(Tables(s, d).embeddings)),
     "q57_semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(Tables(s, d).embeddings)),
+    // q63: same eval split convention as q35/q47 (id ≡ 0 mod 7 plays
+    // the benchmark set), corpus = the rest
+    "q63_decontaminate_semantic" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      Similarity.semanticDecontaminate(
+        e.filter(col("vec_id") % 7 =!= 0), e.filter(col("vec_id") % 7 === 0))
+    }),
     // Streaming — executed through the real micro-batch engine
     // (Trigger.AvailableNow + memory sink), then compared to batch
     // oracles: streaming/batch parity is the correctness contract.
@@ -837,6 +844,7 @@ object SparkEntry {
     "q46_ann_ivf"         -> annIvfOracle,
     "q34_dedup_embedding_lsh" -> embeddingDedupLshOracle,
     "q57_semantic_dedup"  -> semanticDedupOracle,
+    "q63_decontaminate_semantic" -> semanticDecontamOracle,
     // q56: the report table's deterministic fields, reconstructed from
     // the source tables the reported writes consumed (records = full
     // table count; output_files = the fixed repartition target; a
@@ -1097,6 +1105,21 @@ object SparkEntry {
        |       CAST(dc.dup_of IS NULL AS INTEGER) AS keep, dc.dup_of, dc.cos_sim
        |FROM a0 LEFT JOIN dc ON a0.vec_id = dc.vec_id
        |ORDER BY a0.vec_id""".stripMargin
+
+  /** q63: cross-corpus cosine with the closest-match argmax — rounding
+    * after selection, ties toward the smaller eval id. */
+  private def semanticDecontamOracle: String =
+    s"""WITH $vecCtes,
+       |ev AS (SELECT vec_id AS eval_id, v, nrm FROM n WHERE vec_id % 7 = 0),
+       |ca AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 7 <> 0),
+       |p AS (SELECT ca.vec_id, ev.eval_id,
+       |        (${sqlDot("ca.v", "ev.v")}) / (ca.nrm * ev.nrm) AS cos_raw
+       |      FROM ca CROSS JOIN ev),
+       |f AS (SELECT vec_id, eval_id, cos_raw,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_raw DESC, eval_id) AS rn
+       |      FROM p WHERE cos_raw >= 0.4)
+       |SELECT vec_id, eval_id AS matched_eval, ROUND(cos_raw, 4) AS cos_sim
+       |FROM f WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
   private def embeddingDedupOracle: String =
     s"""WITH $vecCtes,

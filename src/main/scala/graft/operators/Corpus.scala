@@ -137,7 +137,17 @@ object Corpus {
     import spark.implicits._
     val tgt = targets.toDF("source", "p")
     val counts = documents.groupBy("source").agg(count(lit(1)).as("n"))
-    val j = counts.join(tgt, Seq("source"))
+    // LEFT join from the targets + loud failure on a missing source: an
+    // inner join would silently drop an absent-but-budgeted source and
+    // compute K over the survivors — emitting a corpus that VIOLATES
+    // the requested proportions (the fail-open this operator exists to
+    // prevent). The check rides the tiny rates frame — zero extra scans.
+    val j = tgt.join(counts, Seq("source"), "left")
+      .withColumn("n", when(col("n").isNull,
+        raise_error(concat(lit("sourceMix: source '"), col("source"),
+          lit("' has a target weight but no documents — the requested " +
+            "mixture is unsatisfiable; drop it from targets or fix the " +
+            "corpus")))).otherwise(col("n")))
     val k = j.agg(min(col("n") / col("p")).as("k"))
     val thr = j.crossJoin(k)
       .select(col("source"),

@@ -372,6 +372,40 @@ object Similarity {
       .select("vec_id", "cluster_id", "keep", "dup_of", "cos_sim")
   }
 
+  /** q63: semantic decontamination — the MEANING-level member of the
+    * decontamination trio (q35 exact fingerprints, q47 n-gram overlap,
+    * q63 embedding cosine): flag corpus vectors within `tau` cosine of
+    * ANY eval-set vector, with the closest eval match and its exact
+    * cosine for audit. Catches the leak the other two cannot — an eval
+    * question paraphrased into different tokens before landing in the
+    * training corpus.
+    *
+    * Same scale shape as q35: the eval side is tiny by contract and
+    * BROADCAST, the corpus streams through one scoring pass (a
+    * broadcast nested-loop, q25's shape — n·|eval| fused-loop dots,
+    * no shuffle of the corpus), and the only shuffle aggregates
+    * flagged rows (rare by construction). If the eval set ever
+    * outgrows broadcast, bucket both sides with the q57 cell
+    * quantizer and score within cells — same verdict columns. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                            tau: Double = 0.4): DataFrame = {
+    val c = prepared(corpus)
+    val e = prepared(evalSet).select(col("vec_id").as("eval_id"),
+      col("v").as("ev"), col("nrm").as("en"))
+    // closest match via max(struct): cos_raw leads, then -eval_id so
+    // ties break toward the smaller eval id (≡ the oracle's
+    // ROW_NUMBER ORDER BY cos_raw DESC, eval_id); rounding happens
+    // AFTER selection so the argmax sees full precision
+    c.join(broadcast(e))
+      .withColumn("cos_raw", dot(col("v"), col("ev")) / (col("nrm") * col("en")))
+      .filter(col("cos_raw") >= tau)
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos_raw"), (-col("eval_id")).as("ne"),
+        col("eval_id"))).as("m"))
+      .select(col("vec_id"), col("m.eval_id").as("matched_eval"),
+        round(col("m.cos_raw"), 4).as("cos_sim"))
+  }
+
   /** [[suggestBits]]'s sibling for [[semanticDedup]]: cells such that
     * the expected cell size n/nCells lands near `targetCell`, keeping
     * the in-cell pair pass (Σ cell² ≈ n·targetCell) linear in n. The

@@ -79,6 +79,15 @@ class CorpusSpec extends SparkSpec {
     out.filter(_._2 == "a").foreach(_._3 should be < 32768)
   }
 
+  test("q59 source mix fails loudly when a budgeted source has no documents") {
+    import spark.implicits._
+    val d = Seq((1L, "text", "a")).toDF("doc_id", "text", "source")
+    val ex = intercept[Exception] {
+      Corpus.sourceMix(d, Seq("a" -> 0.5, "ghost" -> 0.5)).collect()
+    }
+    ex.getMessage should include ("unsatisfiable")
+  }
+
   test("q59 source mix on the real corpus: closed composition at derived rates") {
     val out = Corpus.sourceMix(tables.documents).collect()
       .map(r => (r.getLong(0), r.getString(1)))

@@ -183,6 +183,19 @@ class SimilaritySpec extends SparkSpec {
     joined shouldBe literal
   }
 
+  test("q63 semantic decontamination flags paraphrase-level leaks with the closest match") {
+    val corpus = vecs(
+      (100L, Map(0 -> 1.0f, 1 -> 0.1f)),   // near eval 1 → flagged
+      (101L, Map(5 -> 2.0f)),              // identical direction to eval 2
+      (102L, Map(9 -> 1.0f)))              // orthogonal to both → clean
+    val eval = vecs((1L, Map(0 -> 1.0f)), (2L, Map(5 -> 1.0f)))
+    val rows = Similarity.semanticDecontaminate(corpus, eval, tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    rows.map(x => (x._1, x._2)) shouldBe Array((100L, 1L), (101L, 2L))
+    rows(1)._3 shouldBe 1.0
+  }
+
   test("q57 semantic dedup on the real corpus: verdicts are total and auditable") {
     val e = tables.embeddings
     val out = Similarity.semanticDedup(e).collect()
