@@ -144,6 +144,16 @@ class PlanSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("q63 semantic decontamination broadcasts eval — the corpus is never shuffled") {
+    val e = tables.embeddings
+    val plan = planOf(Similarity.semanticDecontaminate(
+      e.filter(org.apache.spark.sql.functions.expr("vec_id % 7 <> 0")),
+      e.filter(org.apache.spark.sql.functions.expr("vec_id % 7 = 0"))))
+    plan should include ("graft_dot")
+    plan should include ("BroadcastNestedLoopJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   test("q62 winnowing is one native-expression scan — zero shuffle, zero sort") {
     val plan = planOf(TextOps.winnowFingerprints(tables.documents))
     plan should include ("graft_winnow")
