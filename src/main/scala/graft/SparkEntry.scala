@@ -94,6 +94,7 @@ object SparkEntry {
     "q34_dedup_embedding_lsh"-> ((s, d) => Similarity.embeddingNearDupsBucketed(Tables(s, d).embeddings)),
     "q46_ann_ivf"            -> ((s, d) => Similarity.annIvf(Tables(s, d).embeddings)),
     "q57_semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(Tables(s, d).embeddings)),
+    "q64_sample_percell"     -> ((s, d) => Similarity.samplePerCell(Tables(s, d).embeddings)),
     // q63: same eval split convention as q35/q47 (id ≡ 0 mod 7 plays
     // the benchmark set), corpus = the rest
     "q63_decontaminate_semantic" -> ((s, d) => {
@@ -845,6 +846,7 @@ object SparkEntry {
     "q34_dedup_embedding_lsh" -> embeddingDedupLshOracle,
     "q57_semantic_dedup"  -> semanticDedupOracle,
     "q63_decontaminate_semantic" -> semanticDecontamOracle,
+    "q64_sample_percell"  -> samplePerCellOracle,
     // q56: the report table's deterministic fields, reconstructed from
     // the source tables the reported writes consumed (records = full
     // table count; output_files = the fixed repartition target; a
@@ -1105,6 +1107,20 @@ object SparkEntry {
        |       CAST(dc.dup_of IS NULL AS INTEGER) AS keep, dc.dup_of, dc.cos_sim
        |FROM a0 LEFT JOIN dc ON a0.vec_id = dc.vec_id
        |ORDER BY a0.vec_id""".stripMargin
+
+  /** q64: the q48/q57 a0 assignment CTE, then a per-cell id rank cap. */
+  private def samplePerCellOracle: String =
+    s"""WITH $vecCtes,
+       |cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < 16),
+       |sc AS (SELECT x.vec_id, c.cell, (${sqlDot("x.v", "c.v")}) / c.nrm AS score
+       |       FROM n x CROSS JOIN cent c),
+       |a0 AS (SELECT vec_id, cell FROM (
+       |         SELECT vec_id, cell,
+       |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+       |         FROM sc) t WHERE rn = 1)
+       |SELECT vec_id, cell AS cluster_id,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS INTEGER) AS cell_rank
+       |FROM a0 QUALIFY cell_rank <= 8 ORDER BY vec_id""".stripMargin
 
   /** q63: cross-corpus cosine with the closest-match argmax — rounding
     * after selection, ties toward the smaller eval id. */

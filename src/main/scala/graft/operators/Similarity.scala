@@ -406,6 +406,34 @@ object Similarity {
         round(col("m.cos_raw"), 4).as("cos_sim"))
   }
 
+  /** q64: cluster-balanced (diversity) sampling — keep at most
+    * `perCell` vectors from each quantizer cell. Uniform sampling
+    * (q38) preserves the corpus DISTRIBUTION, which is exactly wrong
+    * when the goal is coverage: dominant clusters drown rare ones.
+    * Capping per cell keeps every region of embedding space
+    * represented — the cluster-balanced selection step data-curation
+    * recipes run after clustering (same family as the SemDeDup
+    * pipeline's per-cluster operations).
+    *
+    * One [[assignCells]] pass (zero shuffle at declared geometry),
+    * then a per-cell rank window over (vec_id) — deterministic,
+    * re-run-stable, no RNG. The window sorts only within cells; at
+    * 100 TB geometry (nCells ~ n/10⁴) each partition is one cell's
+    * members, the same bounded-stratum sort as q61's exact form — or
+    * swap the rank gate for a hash gate at rate perCell/cellSize when
+    * an approximate cap is acceptable. */
+  def samplePerCell(embeddings: DataFrame, nCells: Int = 16,
+                    perCell: Int = 8): DataFrame = {
+    require(perCell >= 1, "perCell must be >= 1")
+    val cents = seedCentroids(embeddings, nCells)
+    val e = embeddings.select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val w = Window.partitionBy("cell").orderBy("vec_id")
+    assignCells(e, cents)
+      .withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= perCell)
+      .select(col("vec_id"), col("cell").as("cluster_id"), col("cell_rank"))
+  }
+
   /** [[suggestBits]]'s sibling for [[semanticDedup]]: cells such that
     * the expected cell size n/nCells lands near `targetCell`, keeping
     * the in-cell pair pass (Σ cell² ≈ n·targetCell) linear in n. The

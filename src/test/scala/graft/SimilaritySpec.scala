@@ -183,6 +183,19 @@ class SimilaritySpec extends SparkSpec {
     joined shouldBe literal
   }
 
+  test("q64 per-cell sampling caps dominant clusters, keeps rare ones whole") {
+    val d = vecs(
+      (0L, Map(0 -> 1.0f)),                 // seed A
+      (1L, Map(5 -> 1.0f)),                 // seed B
+      (10L, Map(0 -> 2.0f)), (11L, Map(0 -> 3.0f)),
+      (12L, Map(0 -> 1.0f, 1 -> 0.1f)),     // cell A is dominant (4 members)
+      (20L, Map(5 -> 2.0f)))                // cell B is rare (2 members)
+    val rows = Similarity.samplePerCell(d, nCells = 2, perCell = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    // cell A keeps its 2 lowest ids; cell B survives whole
+    rows shouldBe Array((0L, 0L, 1), (1L, 1L, 1), (10L, 0L, 2), (20L, 1L, 2))
+  }
+
   test("q63 semantic decontamination flags paraphrase-level leaks with the closest match") {
     val corpus = vecs(
       (100L, Map(0 -> 1.0f, 1 -> 0.1f)),   // near eval 1 → flagged
