@@ -149,6 +149,25 @@ object SparkEntry {
           .select("fingerprint"),
         "s06_stream_dedup_ttl")
     }),
+    // s08: q45's split (intake = doc_id ≡ 9 mod 10) through the real
+    // engine: persisted band index + per-micro-batch probes; the
+    // drained union is batch-identical, so q45's oracle applies
+    "s08_stream_dedup_incremental" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val existing = docs.filter(col("doc_id") % 10 =!= 9)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s08_").toString
+      Dedup.writeBandIndex(existing, s"$tmp/index")
+      val index = Dedup.readBandIndex(s, s"$tmp/index")
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val intake = s.readStream.schema(schema)
+        .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
+        .filter(col("doc_id") % 10 === 9)
+      val q = Streams.streamIncrementalDedup(intake, index, existing,
+        s"$tmp/out", s"$tmp/cp",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination(); q.stop()
+      s.read.parquet(s"$tmp/out")
+    }),
     "s04_stream_dedup"       -> ((s, d) => {
       import s.implicits._
       val schema = s.read.parquet(s"$d/documents.parquet").schema
@@ -836,6 +855,7 @@ object SparkEntry {
     "q36_dedup_clusters"  -> clustersOracle,
     "q55_keeper_select"   -> keeperOracle,
     "q45_dedup_incremental" -> incrementalOracle,
+    "s08_stream_dedup_incremental" -> incrementalOracle,
     "q47_decontaminate_ngram" -> decontamNgramOracle,
     "q48_kmeans_refine"   -> kmeansOracle,
     "q23_dedup_simhash"   -> simhashOracle,

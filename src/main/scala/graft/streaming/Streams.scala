@@ -165,6 +165,41 @@ object Streams {
       .select(col("user_id"), col("n_events"),
         col("session_start"), col("session_end"))
 
+  /** s08: streaming incremental near-dup dedup — q45's production form
+    * made continuous. The corpus contributes ONLY its persisted band
+    * index ([[graft.operators.Dedup.writeBandIndex]], built once per
+    * corpus rebuild); each micro-batch of intake documents signatures
+    * itself and probes the index — per-batch cost is batch signatures
+    * + a bk-pruned index read, the corpus is NEVER re-signatured and
+    * never shuffled. foreachBatch wraps the SAME batch probe q45
+    * declares, so streaming/batch parity is structural: intake docs
+    * compare only against the corpus (not each other — q45's
+    * contract), probe results per doc are independent of batching,
+    * and the drained union equals one batch probe of the whole intake
+    * (pinned in StreamingSpec).
+    *
+    * Same at-least-once caveat as [[reportedIngest]]: a micro-batch
+    * replayed after a crash appends its probe rows again —
+    * downstreams dedupe on (new_doc, dup_of) or consume the parquet
+    * transactionally. */
+  def streamIncrementalDedup(intake: DataFrame, index: DataFrame,
+                             existing: DataFrame, outDir: String,
+                             checkpointDir: String, n: Int = 3,
+                             numHashes: Int = 16, bands: Int = 4,
+                             tau: Double = 0.5,
+                             trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = intake.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.incrementalProbeIndex(index, existing, batch,
+          n, numHashes, bands, tau)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
   // ----- s03: stateful manifest batcher -------------------------------
 
   /** One tracked file: prefix plays the reference's date_prefix, key its

@@ -301,6 +301,32 @@ class StreamingSpec extends SparkSpec {
     ids shouldBe Array(1L, 2L, 3L, 4L, 5L) // 3 new rows, zero reprocessed
   }
 
+  test("s08 streaming incremental dedup: per-batch index probes equal the batch probe") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val other = "totally different words entirely here now yes indeed"
+    val corpus = Seq((1L, base), (2L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("s08spec_").toString
+    graft.operators.Dedup.writeBandIndex(corpus, s"$tmp/index")
+    val index = graft.operators.Dedup.readBandIndex(spark, s"$tmp/index")
+    val in = MemoryStream[(Long, String)]
+    in.addData((10L, base))                    // batch 1: dup of corpus doc 1
+    in.addData((11L, other), (12L, base))      // batch 2: one clean, one dup
+    val q = Streams.streamIncrementalDedup(in.toDF().toDF("doc_id", "text"),
+      index, corpus, s"$tmp/out", s"$tmp/cp",
+      trigger = Some(Trigger.AvailableNow()))
+    q.awaitTermination(); q.stop()
+    val streamed = spark.read.parquet(s"$tmp/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.Dedup.incrementalProbeIndex(index, corpus,
+      Seq((10L, base), (11L, other), (12L, base)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    streamed shouldBe batch
+    streamed.map(x => (x._1, x._2)) shouldBe Set((10L, 1L), (12L, 1L))
+  }
+
   test("s07 session windows merge across micro-batches; gap boundary is inclusive") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
