@@ -70,9 +70,10 @@ object TextOps {
     *
     * Output is IDENTICAL to [[decontaminate]] (the bloom has no false
     * negatives, and exact verification removes its false positives) —
-    * same oracle, stronger scale story. The reference-side cost is two
-    * small passes (sketch build + verify input); `fpp` trades sketch
-    * memory against verify traffic. */
+    * same oracle, stronger scale story. The reference-side cost is
+    * three small passes (distinct count for sketch sizing, sketch
+    * build, verify input); `fpp` trades sketch memory against verify
+    * traffic. */
   def decontaminateBloom(candidates: DataFrame, reference: DataFrame,
                          fpp: Double = 0.01): DataFrame = {
     val refFp = reference.select(fingerprintCol.as("fingerprint")).distinct()
