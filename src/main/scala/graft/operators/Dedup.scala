@@ -171,10 +171,39 @@ object Dedup {
     * [[incrementalProbeIndex]] validate them and fail loudly instead. */
   def writeBandIndex(documents: DataFrame, path: String, n: Int = 3,
                      numHashes: Int = 16, bands: Int = 4): Unit =
+    bandIndexRows(documents, n, numHashes, bands)
+      .write.mode("overwrite").partitionBy("bk_prefix").parquet(path)
+
+  /** Admit a new batch into an EXISTING band index — the write half of
+    * the continuous intake loop ([[incrementalProbeIndex]] / s08 is
+    * the read half): probe the intake against the index, keep the
+    * non-duplicates, then append THEIR band rows so later batches
+    * dedup against them too. Append-mode parquet under the same
+    * bk_prefix partitioning — each batch adds files only to the
+    * ~256 prefix directories its band keys touch, no rewrite of the
+    * existing index, no read-modify-write race.
+    *
+    * The existing index's signature parameters are validated FIRST
+    * (one metadata/pruned-row read): appending rows hashed with a
+    * different family would poison the index with keys that match
+    * nothing — the same silent fail-open [[readBandIndex]] guards
+    * probes against, here blocked on the write side. */
+  def appendToBandIndex(documents: DataFrame, path: String, n: Int = 3,
+                        numHashes: Int = 16, bands: Int = 4): Unit = {
+    val spark = documents.sparkSession
+    validateIndexParams(readBandIndex(spark, path, n, numHashes, bands),
+      n, numHashes, bands, s"band index at $path")
+    bandIndexRows(documents, n, numHashes, bands)
+      .write.mode("append").partitionBy("bk_prefix").parquet(path)
+  }
+
+  /** Shared index-row shape for [[writeBandIndex]]/[[appendToBandIndex]]:
+    * (doc_id, bk, stamps) under the 2-hex-char bucket-prefix partition. */
+  private def bandIndexRows(documents: DataFrame, n: Int,
+                            numHashes: Int, bands: Int): DataFrame =
     minhashBandIndex(documents, n, numHashes, bands)
       .withColumn("bk_prefix", substring(col("bk"), 1, 2))
       .select(col("*") +: stampCols(n, numHashes, bands): _*)
-      .write.mode("overwrite").partitionBy("bk_prefix").parquet(path)
 
   /** The `_p_*` parameter stamps, carried BOTH as constant column
     * values (probe-time check on any non-empty frame, even a raw

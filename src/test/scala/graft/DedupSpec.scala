@@ -166,6 +166,31 @@ class DedupSpec extends SparkSpec {
     inline.exceptAll(fromDisk).count() shouldBe 0L
   }
 
+  test("q45/s08 append admits a batch: later probes see it, mismatched params refused") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq((1L, base), (2L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val admitted = Seq((50L, "fresh unseen admitted content words here today"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_append").toString + "/idx"
+    Dedup.writeBandIndex(corpus, dir)
+    Dedup.appendToBandIndex(admitted, dir)
+    // a later intake duplicating the ADMITTED doc is now caught
+    val intake = Seq((90L, "fresh unseen admitted content words here today"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.incrementalProbeIndex(Dedup.readBandIndex(spark, dir),
+      corpus.unionByName(admitted), intake).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    hits shouldBe Array((90L, 50L))
+    // appending with a different hash family is refused before any write
+    val ex = intercept[Exception] {
+      Dedup.appendToBandIndex(admitted, dir, numHashes = 32, bands = 8)
+    }
+    ex.getMessage should include ("was built with")
+  }
+
   test("q45 persisted index rejects a probe with mismatched signature parameters") {
     import org.apache.spark.sql.functions.col
     val docs = tables.documents
