@@ -100,7 +100,7 @@ object Similarity {
     * while suggestBits(20k)=8 takes 14 s at the same recall target. */
   def embeddingNearDupsBucketed(embeddings: DataFrame, tau: Double = 0.4,
                                 bits: Int = 4, tables: Int = 16,
-                                maxBucket: Int = 4096): DataFrame = {
+                                maxBucket: Int = 1024): DataFrame = {
     val signs = planeSigns(tables, bits)
     val e = embeddings.select(col("vec_id"), vecD(col("embedding")).as("v"))
     val buckets = e.select(col("vec_id"),
@@ -140,7 +140,15 @@ object Similarity {
     * 301 s vs 14 s correctly sized). The check is a per-row predicate
     * on the already-aggregated bucket — zero extra scans, zero extra
     * shuffles, SF-independent. `maxBucket <= 0` disables (callers who
-    * have verified their geometry out-of-band). */
+    * have verified their geometry out-of-band).
+    *
+    * The default cap is 8× [[suggestBits]]'s target bucket (128): wide
+    * enough for legitimate skew at sized geometry, tight enough that a
+    * corpus ~10× past its geometry FAILS here instead of quietly
+    * burning bucket² — the original 4096 cap let exactly that slip
+    * (the 10× probe at stale bits=4 has 1250-member buckets: under
+    * 4096, so it ran the full 285 s cliff instead of dying with the
+    * resize message). */
   private def cappedBucket(vs: Column, maxBucket: Int, op: String): Column =
     if (maxBucket <= 0) vs
     else when(size(vs) > maxBucket,
@@ -519,7 +527,7 @@ object Similarity {
     * while shrinking buckets 10⁴×. */
   def annLsh(embeddings: DataFrame, bits: Int = 4, tables: Int = 16,
              nQueries: Int = 10, k: Int = 5,
-             maxBucket: Int = 4096): DataFrame = {
+             maxBucket: Int = 1024): DataFrame = {
     val signs = planeSigns(tables, bits)
     val e = embeddings.select(col("vec_id"), vecD(col("embedding")).as("v"))
     val buckets = e.select(col("vec_id"),
