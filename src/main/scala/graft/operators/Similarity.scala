@@ -345,7 +345,7 @@ object Similarity {
     * bit-replicable in SQL — the same contract as the paper's
     * per-cluster epsilon-dedup. */
   def semanticDedup(embeddings: DataFrame, tau: Double = 0.4,
-                    nCells: Int = 16, maxCell: Int = 65536): DataFrame = {
+                    nCells: Int = 16, maxCell: Int = 1024): DataFrame = {
     val cents = seedCentroids(embeddings, nCells)
     val e = embeddings.select(col("vec_id"), vecD(col("embedding")).as("v"))
     // the nCells·dim argmax is the expensive pass — run it ONCE, into
@@ -499,7 +499,9 @@ object Similarity {
   /** [[cappedBucket]]'s sibling for k-means cells: a cell over
     * `maxCell` members means `nCells` is stale for the corpus size and
     * the in-cell pair pass would go quadratic — fail loudly with the
-    * resize pointer instead. */
+    * resize pointer instead. Default = 8× [[suggestCells]]'s target
+    * cell, the same headroom rationale as the LSH cap: legit imbalance
+    * at sized geometry passes, a ~10×-stale corpus dies fast. */
   private def cappedCell(vs: Column, maxCell: Int): Column =
     if (maxCell <= 0) vs
     else when(size(vs) > maxCell,
