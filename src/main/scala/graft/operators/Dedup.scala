@@ -52,8 +52,8 @@ object Dedup {
     * pure-exact semantics the oracle checks.
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3,
-                        tau: Double = 0.5): DataFrame =
-    shinglePairCounts(documents, n)
+                        tau: Double = 0.5, maxDf: Int = 0): DataFrame =
+    shinglePairCounts(documents, n, maxDf)
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("inter"), col("n_a"), col("n_b")).as("jaccard"))
       .filter(col("jaccard") >= tau)
@@ -65,8 +65,21 @@ object Dedup {
     * shuffle key with the same equality (collisions ~n²/2⁶⁵ — noise
     * far below the df-cap approximation above at any realistic n).
     * Pair generation is shingle-local expansion (see simhashPairs):
-    * one Shingles pass, one index shuffle, Σ df² expanded rows. */
-  private def shinglePairCounts(documents: DataFrame, n: Int): DataFrame = {
+    * one Shingles pass, one index shuffle, Σ df² expanded rows.
+    *
+    * `maxDf > 0` is the production skew knob the q21 scaladoc
+    * prescribes, made real: shingles whose document frequency exceeds
+    * it are dropped from the index BEFORE pair expansion. A ubiquitous
+    * shingle (boilerplate phrase, df ~ corpus) contributes df² pair
+    * rows and no near-dup signal — its posting list is exactly the
+    * quadratic blowup the bucketed operators cap. Unlike the LSH caps
+    * this one must not error (a high-df shingle is normal corpus
+    * skew, not a geometry bug), so it APPROXIMATES: pairs lose those
+    * shingles' intersection contributions (set sizes n_a/n_b stay
+    * full, so scores only UNDERestimate — a capped run never invents
+    * a duplicate). 0 = off, the oracle-exact declared form. */
+  private def shinglePairCounts(documents: DataFrame, n: Int,
+                                maxDf: Int = 0): DataFrame = {
     val docs = documents.select(col("doc_id"), shingleSet(n).as("sh"))
     val idx = docs
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
@@ -74,7 +87,9 @@ object Dedup {
     val grouped = idx.groupBy("shingle")
       .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
       .filter(size(col("ds")) > 1)
-    grouped
+    val capped = if (maxDf > 0) grouped.filter(size(col("ds")) <= maxDf)
+                 else grouped
+    capped
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -97,8 +112,8 @@ object Dedup {
     * its two directed containments map-side. Both divisions are the
     * same integers in both engines — bit-identical doubles. */
   def ngramContainmentPairs(documents: DataFrame, n: Int = 3,
-                            tau: Double = 0.8): DataFrame =
-    shinglePairCounts(documents, n)
+                            tau: Double = 0.8, maxDf: Int = 0): DataFrame =
+    shinglePairCounts(documents, n, maxDf)
       .select(explode(array(
         struct(col("doc_a").as("src_doc"), col("doc_b").as("dst_doc"),
           (col("inter").cast("double") / col("n_a").cast("double"))

@@ -88,6 +88,25 @@ class DedupSpec extends SparkSpec {
     flagged shouldBe Array(1L, 3L)
   }
 
+  test("q21 df-cap drops ubiquitous-shingle pairs, only ever underestimates") {
+    // the shared run appears in all 3 docs (df 3); pairwise Jaccard
+    // rides entirely on it, so capping df at 2 kills every pair —
+    // and an uncapped run still finds them (the exact declared form)
+    val boiler = "subscribe to our newsletter for updates today friends"
+    val d = docs(
+      (1L, boiler), (2L, boiler), (3L, boiler))
+    Dedup.ngramJaccardPairs(d).collect().length shouldBe 3
+    Dedup.ngramJaccardPairs(d, maxDf = 2).collect() shouldBe empty
+    // docs overlapping on a RARE run (df 2) are untouched by the cap
+    val d2 = docs(
+      (1L, boiler), (2L, boiler), (3L, boiler),
+      (10L, "unique alpha beta gamma delta epsilon"),
+      (11L, "unique alpha beta gamma delta epsilon"))
+    val capped = Dedup.ngramJaccardPairs(d2, maxDf = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    capped shouldBe Array((10L, 11L))
+  }
+
   test("q60 containment flags a doc embedded in a superset that Jaccard misses") {
     // doc 1 = 6 tokens → 4 shingles, all inside doc 2's 14-token text:
     // C(1→2) = 4/4 = 1.0 but Jaccard = 4/12 = 0.33 — invisible to q21
