@@ -26,6 +26,15 @@ import graft.functions.Exprs
   * Exprs' scaladoc for the round-3 bench numbers that motivated them.
   * Short documents (< n tokens) yield an empty shingle set (DuckDB
   * `list_distinct` semantics) rather than tripping ANSI element_at.
+  *
+  * Pipeline-order contract at scale: run EXACT dedup (q20) BEFORE any
+  * near-dup operator. A band bucket of b byte-identical documents is b²
+  * candidate pairs of genuine work no cap may skip (they ARE
+  * duplicates) — but after q20 collapses identical content, bucket
+  * sizes are bounded by NEAR-dup cluster sizes, which the band
+  * geometry keeps small. The skew knobs here (shingle `maxDf`,
+  * q21/q60) handle the other blowup — ubiquitous boilerplate shingles —
+  * which exact dedup cannot remove.
   */
 object Dedup {
 

@@ -72,8 +72,34 @@ object ScaleProbeGen {
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
+    // Relational (TPC-H-shaped) tables: facts replicate with offset
+    // KEYS so referential joins stay intact per replica (an order's
+    // lineitems follow it into the same replica; a customer's orders
+    // likewise), dims (region/nation/supplier/part/customer) copy
+    // through unchanged — 10× facts against constant dims, exactly the
+    // broadcast-join shape the relational operators claim to scale on.
+    val ord = t.orders
+    val li = t.lineitem
+    val ordSpan = span(ord, "o_orderkey")
+    ord.crossJoin(rep)
+      .select((col("o_orderkey") + col("r") * ordSpan).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    li.crossJoin(rep)
+      .select((col("l_orderkey") + col("r") * ordSpan).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    Seq("customer", "supplier", "part", "nation", "region").foreach { d =>
+      spark.read.parquet(s"$src/$d.parquet")
+        .write.mode("overwrite").parquet(s"$out/$d.parquet")
+    }
+
     println(s"probe corpus at $out: docs=${docs.count() * reps} " +
-      s"vecs=${e.count() * reps} events=${ev.count() * reps}")
+      s"vecs=${e.count() * reps} events=${ev.count() * reps} " +
+      s"lineitem=${li.count() * reps}")
     spark.stop()
   }
 }
