@@ -327,6 +327,38 @@ class StreamingSpec extends SparkSpec {
     streamed.map(x => (x._1, x._2)) shouldBe Set((10L, 1L), (12L, 1L))
   }
 
+  test("s08 checkpoint restart probes only newly-landed intake files") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("s08restart_").toString
+    graft.operators.Dedup.writeBandIndex(corpus, s"$tmp/index")
+    val index = graft.operators.Dedup.readBandIndex(spark, s"$tmp/index")
+    val landing = s"$tmp/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    def land(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(landing)
+    def drain(): Unit = {
+      val intake = spark.readStream
+        .schema(corpus.schema).parquet(landing)
+      val q = Streams.streamIncrementalDedup(intake, index, corpus,
+        s"$tmp/out", s"$tmp/cp", trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination(); q.stop()
+    }
+    land((10L, base))
+    drain()
+    spark.read.parquet(s"$tmp/out").count() shouldBe 1
+    // a duplicate doc landing AFTER the first drain is probed by the
+    // restart; the already-processed file is NOT re-probed (its hit
+    // would double up in the append sink if it were)
+    land((11L, base))
+    drain()
+    val hits = spark.read.parquet(s"$tmp/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    hits shouldBe Array((10L, 1L), (11L, 1L))
+  }
+
   test("s07 session windows merge across micro-batches; gap boundary is inclusive") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
