@@ -464,12 +464,14 @@ object Exprs {
 
   /** Winnowing fingerprint selection (q62) in one pass: positional
     * k-gram md5s (duplicates kept), sliding-window minima via a
-    * monotonic deque (O(m), not the O(m·w) slice/array_min HOF tree,
-    * which pays interpreted-HOF allocation per window on top of the
-    * shared md5 kernel — the native form measured ~2× end-to-end at
-    * both sf0.1 and the 10× probe, 39 s → 18 s, where the remaining
-    * cost is the md5-per-gram work q21/q22 share), distinct selected
-    * hashes in first-occurrence order. Minima are compared on the RAW 16-byte
+    * monotonic deque (O(m), not the O(m·w) slice/array_min HOF tree),
+    * distinct selected hashes in first-occurrence order. Measured at
+    * the 10× probe: 39 s (HOF form) → 1.6 s — with two buried costs
+    * mattering more than the algorithm: per-byte `f"%02x"` hex
+    * encoding (a Formatter parse per call, ~32M of them) and a per-row
+    * MessageDigest provider lookup; a char-table encoder and the
+    * task-lazy digest the sibling kernels use removed a further 10×
+    * after the deque landed. Minima are compared on the RAW 16-byte
     * digests — lowercase-hex encoding is order-preserving, so unsigned
     * byte order ≡ the oracle's hex-string order — and only the
     * selected digests are hex-encoded. A k-gram containing a NULL
@@ -485,11 +487,15 @@ object Exprs {
       expectTypes(prettyName, Seq("array<string>" -> isStringArray),
         Seq(child.dataType))
 
+    // one digest per task like MinHashSig/SimHash64 — digest() resets
+    // it after every call, and getInstance is a provider lookup that
+    // must not sit on the per-row path
+    @transient private lazy val md = MessageDigest.getInstance("MD5")
+
     override def nullIntolerant: Boolean = true
     override def nullSafeEval(in: Any): Any = {
       val toks = in.asInstanceOf[ArrayData]
       val len = toks.numElements()
-      val md = MessageDigest.getInstance("MD5")
       var hashes = new Array[Array[Byte]](math.max(len - (k - 1), 0))
       var m = 0
       var i = 0

@@ -190,9 +190,10 @@ object TextOps {
     * [[graft.functions.Exprs.WinnowFingerprints]] expression (k-gram
     * md5s + monotonic-deque sliding min, O(tokens)); the equivalent
     * `functions._` form — per-window `array_min(slice(...))` HOF — is
-    * an interpreted O(tokens·w) allocation pass on top of the same
-    * md5 kernel, measured ~2× slower end-to-end at sf0.1 and the 10×
-    * probe alike. */
+    * an interpreted O(tokens·w) allocation pass, measured 24× slower
+    * on the 10× probe (39 s vs 1.6 s; see the expression's scaladoc
+    * for the two buried constant-factor costs that dwarfed even the
+    * algorithmic difference). */
   def winnowFingerprints(documents: DataFrame, k: Int = 3,
                          w: Int = 4): DataFrame =
     documents.select(col("doc_id"),
