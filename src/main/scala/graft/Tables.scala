@@ -104,4 +104,22 @@ object Exact {
     val f = math.pow(10, dp)
     floor(c * f + 0.5) / f
   }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of a digest — allocation-light (one char array, no
+    * per-byte Formatter: `"%02x".format` parses its format string on
+    * EVERY call, which turned q62's kernel into 32M Formatter parses
+    * before it was excised; JVM-side row paths must use this). Matches
+    * Spark/DuckDB `md5()` output byte-for-byte. */
+  def hex(bytes: Array[Byte]): String = {
+    val cs = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      cs(2 * i) = HexChars((bytes(i) >> 4) & 0xf)
+      cs(2 * i + 1) = HexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(cs)
+  }
 }

@@ -529,16 +529,7 @@ object Exprs {
         0
       }
       val seen = new java.util.LinkedHashSet[String]()
-      def select(h: Array[Byte]): Unit = {
-        val cs = new Array[Char](32)
-        var p = 0
-        while (p < 16) {
-          cs(2 * p) = WinnowFingerprints.Hex((h(p) >> 4) & 0xf)
-          cs(2 * p + 1) = WinnowFingerprints.Hex(h(p) & 0xf)
-          p += 1
-        }
-        seen.add(new String(cs))
-      }
+      def select(h: Array[Byte]): Unit = seen.add(graft.Exact.hex(h))
       if (m > 0 && m < w) {
         var best = hashes(0)
         var q = 1
@@ -569,8 +560,6 @@ object Exprs {
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
-
-  object WinnowFingerprints { private val Hex = "0123456789abcdef".toCharArray }
 
   /** Membership probe of a string column against a serialized
     * `org.apache.spark.util.sketch.BloomFilter` — the map-side

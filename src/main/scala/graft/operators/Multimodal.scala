@@ -113,7 +113,7 @@ object Multimodal {
           .map { case (i, off) =>
             val fr = bytes.slice(off, math.min(off + frameSize, bytes.length))
             md.reset()
-            val hex = md.digest(fr).map("%02x".format(_)).mkString
+            val hex = graft.Exact.hex(md.digest(fr))
             FrameRow(m.doc_id, i, off, fr.length, hex)
           }
       }
