@@ -496,10 +496,12 @@ object Dedup {
     * windows, no driver-side graph). Rounds needed = max graph distance
     * from a component's minimum node: near-dup clusters are
     * quasi-cliques (diameter ≲ 3 — LSH hits most pairs directly), so
-    * this converges in 2–4 rounds; at 100 TB with adversarial chain
-    * topologies, swap in alternating large-star/small-star rounds
-    * (Kiveris et al., "Connected Components in MapReduce", SoCC'14) —
-    * same shuffle shape, O(log²) round bound. Each round ends in
+    * this converges in 2–4 rounds; if the round cap is hit (an
+    * adversarial chain topology), the loop hands off to
+    * [[connectedComponentsStar]] — alternating large-star/small-star
+    * rounds with an O(log² n) bound regardless of diameter (Kiveris
+    * et al., "Connected Components in MapReduce", SoCC'14). Each
+    * round ends in
     * `localCheckpoint` to truncate the lineage the loop would otherwise
     * stack (a round's plan would re-run every prior round), and
     * convergence is an O(|V|) anti-join count on 8-byte keys.
@@ -539,19 +541,102 @@ object Dedup {
       round += 1
     }
     // Exiting via the round cap with labels still moving means the
-    // output is NOT a fixed point — wrong cluster_ids. Fail loudly
-    // rather than return them as if converged (round-5 ADVICE): a
-    // caller hitting this has a graph far outside the quasi-clique
-    // regime and should switch to large-star/small-star rounds.
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge after $maxRounds rounds " +
-          s"($changed labels still changing); raise maxRounds or use " +
-          "alternating star rounds for long-chain graphs")
+    // graph is far outside the quasi-clique regime (rounds needed =
+    // max distance from a component's min node — a long CHAIN needs
+    // O(diameter) label-prop rounds). Returning the non-fixed-point
+    // labels would be wrong (round-5 ADVICE threw here); instead
+    // switch to the O(log² n)-round alternating-star algorithm, which
+    // handles adversarial topologies the cheap propagation loop
+    // cannot. The quasi-clique fast path stays the default because a
+    // star round costs ~2 shuffles + an equality check vs label-prop's
+    // 1 — cheaper when 2–4 rounds suffice, as they do for LSH pair
+    // graphs.
+    if (changed > 0) connectedComponentsStar(pairs)
+    else labelFrame(labels)
+  }
+
+  /** Shared output shaping for both component algorithms:
+    * `(doc_id, label)` → `(doc_id, cluster_id, cluster_size)`. */
+  private def labelFrame(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels
       .join(sizes, Seq("label"))
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
+
+  /** Connected components by ALTERNATING STAR rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — the
+    * published algorithm; public reference): each round applies
+    * large-star (every neighbor v > u re-links to the minimum of u's
+    * neighborhood) then small-star (every neighbor v < u, and u
+    * itself, re-link to the minimum of u's smaller neighbors),
+    * converging when the edge set reaches its fixed point — a union
+    * of stars, each centered on its component's minimum vertex.
+    *
+    * Same output contract as [[connectedComponents]]. Round bound is
+    * O(log² n) REGARDLESS of topology — a million-node chain
+    * converges in ~20 rounds where min-label propagation needs a
+    * million — at the price of ~2 shuffles + one fixed-point check
+    * per round (each round is a groupBy-min + an equi-join, both on
+    * 8-byte vertex keys, partial-agg friendly, no windows). Edges are
+    * kept in canonical (high, low) orientation so both star steps are
+    * one aggregation over the same key column; `localCheckpoint`
+    * truncates the per-round lineage exactly as the propagation loop
+    * does. */
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 100): DataFrame = {
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("h"),
+        least(col("doc_a"), col("doc_b")).as("l"))
+      .filter(col("h") =!= col("l"))
+      .distinct()
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      // large-star: from the smaller endpoint u of every edge, each
+      // strictly-larger neighbor v re-links to m = min(N(u) ∪ {u}).
+      // (From the larger endpoint nothing is emitted — that edge is
+      // re-emitted via its other endpoint's neighborhood, so
+      // connectivity is preserved; see the paper's Lemma 1.)
+      val nbrs = edges.select(col("h").as("u"), col("l").as("v"))
+        .union(edges.select(col("l").as("u"), col("h").as("v")))
+      val lmins = nbrs.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = nbrs.filter(col("v") > col("u"))
+        .join(lmins, Seq("u"))
+        .select(col("v").as("h"), col("m").as("l"))
+        .distinct()
+      // small-star: for every center h, its (all strictly smaller)
+      // neighbors and h itself re-link to their minimum.
+      val smins = large.groupBy("h").agg(min(col("l")).as("m"))
+      val next = large.join(smins, Seq("h"))
+        .filter(col("l") =!= col("m"))
+        .select(col("l").as("h"), col("m").as("l"))
+        .union(smins.select(col("h"), col("m").as("l")))
+        .distinct()
+        .localCheckpoint()
+      changed = next.join(edges, Seq("h", "l"), "left_anti").count() +
+        edges.join(next, Seq("h", "l"), "left_anti").count()
+      edges = next
+      round += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge after $maxRounds rounds " +
+          s"($changed edges still moving) — the bound is O(log² n), so this " +
+          "indicates far more rounds were requested than the input needs")
+    // At the fixed point every component is a star centered on its
+    // minimum vertex: non-center vertices carry exactly one (h → l)
+    // edge to the center; centers (and isolated vertices, which an
+    // edge list cannot contain but a degenerate pairs frame might
+    // after the self-loop filter) label themselves.
+    val verts = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val centers = edges.groupBy("h").agg(min(col("l")).as("label"))
+      .withColumnRenamed("h", "doc_id")
+    labelFrame(verts.join(centers, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label")))
   }
 
   /** q55: keeper selection — the decision step after clustering: keep

@@ -296,6 +296,42 @@ class DedupSpec extends SparkSpec {
       (20L, 20L, 2L), (21L, 20L, 2L))
   }
 
+  test("q36 long-chain graph past the label-prop round cap converges via star rounds") {
+    import spark.implicits._
+    // a 60-node path needs ~59 label-propagation rounds; maxRounds=5
+    // used to throw — the star-rounds escape hatch must finish it
+    val pairs = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val rows = Dedup.connectedComponents(pairs, maxRounds = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.length shouldBe 60
+    all(rows.map(_._2)) shouldBe 0L
+    all(rows.map(_._3)) shouldBe 60L
+  }
+
+  test("q36 star rounds directly: chain + triangle + edge resolve to their minima") {
+    import spark.implicits._
+    val pairs = Seq(
+      (3L, 7L), (7L, 11L), (11L, 2L), // chain with min in the middle
+      (30L, 31L), (31L, 32L), (30L, 32L), // triangle
+      (50L, 40L)) // single reversed edge
+      .toDF("doc_a", "doc_b")
+    val rows = Dedup.connectedComponentsStar(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    rows shouldBe Array(
+      (2L, 2L, 4L), (3L, 2L, 4L), (7L, 2L, 4L), (11L, 2L, 4L),
+      (30L, 30L, 3L), (31L, 30L, 3L), (32L, 30L, 3L),
+      (40L, 40L, 2L), (50L, 40L, 2L))
+  }
+
+  test("q36 star rounds agree with label propagation on the LSH pair graph") {
+    val pairs = Dedup.minhashLshPairs(tables.documents).select("doc_a", "doc_b")
+    val prop = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val star = Dedup.connectedComponentsStar(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    star shouldBe prop
+  }
+
   test("q36 end-to-end: two identical docs cluster together; unique doc is absent") {
     val d = docs((1L, base), (2L, base), (3L, "one two three four five six"))
     val rows = Dedup.dedupClusters(d).collect()
