@@ -87,6 +87,9 @@ object SparkEntry {
       Dedup.decontaminateNgram(docs, docs.filter(col("doc_id") % 7 === 0))
     }),
     "q48_kmeans_refine"      -> ((s, d) => Similarity.kmeansRefine(Tables(s, d).embeddings)),
+    // q65: three Lloyd rounds — fixed count so the oracle can unroll
+    // the identical rounds (tol=0 never skips a round's bit-replay)
+    "q65_kmeans_train"       -> ((s, d) => Similarity.kmeansIterate(Tables(s, d).embeddings)),
     "q23_dedup_simhash"      -> ((s, d) => Dedup.simhashPairs(Tables(s, d).documents)),
     "q24_dedup_embedding"    -> ((s, d) => Similarity.embeddingNearDups(Tables(s, d).embeddings)),
     "q25_ann_bruteforce"     -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
@@ -858,6 +861,7 @@ object SparkEntry {
     "s08_stream_dedup_incremental" -> incrementalOracle,
     "q47_decontaminate_ngram" -> decontamNgramOracle,
     "q48_kmeans_refine"   -> kmeansOracle,
+    "q65_kmeans_train"    -> kmeansIterateOracle(3),
     "q23_dedup_simhash"   -> simhashOracle,
     "q24_dedup_embedding" -> embeddingDedupOracle,
     "q25_ann_bruteforce"  -> annBruteOracle,
@@ -1075,6 +1079,56 @@ object SparkEntry {
        |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
        |      FROM s2)
        |SELECT vec_id, cluster_id, cos_sim, moved FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  /** q65: the q48 oracle iterated — round r's centroids are the
+    * fixed-point means of round (r−1)'s assignment, the final SELECT
+    * scores every vector against the last centroids. The CTE chain is
+    * GENERATED for the requested round count, so the SQL unrolls
+    * exactly the rounds the Spark loop runs — one source of truth for
+    * the arithmetic, identical to kmeansOracle's per-round text. */
+  private def kmeansIterateOracle(rounds: Int): String = {
+    val head =
+      s"""WITH $vecCtes,
+         |cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < 16),
+         |sc0 AS (SELECT x.vec_id, x.v, x.nrm, c.cell, (${sqlDot("x.v", "c.v")}) / c.nrm AS score
+         |       FROM n x CROSS JOIN cent c),
+         |a0 AS (SELECT vec_id, v, nrm, cell FROM (
+         |         SELECT vec_id, v, nrm, cell,
+         |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+         |         FROM sc0) t WHERE rn = 1)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"a${r - 1}"
+      val centroid =
+        s""",
+           |g$r AS (SELECT cell, i, SUM(CAST(FLOOR(v[i] * 1048576.0 + 0.5) AS BIGINT)) AS s,
+           |             COUNT(*) AS c
+           |      FROM $prev CROSS JOIN range(1, 65) r(i) GROUP BY 1, 2),
+           |d$r AS (SELECT cell, i, CAST(s AS DOUBLE) / (1048576.0 * c) AS cd FROM g$r),
+           |c$r AS (SELECT cell, list(cd ORDER BY i) AS cv FROM d$r GROUP BY 1),
+           |n$r AS (SELECT cell, cv, sqrt(${sqlDot("cv", "cv")}) AS cnrm FROM c$r)""".stripMargin
+      val reassign =
+        if (r == rounds) "" // the final assignment is the output query below
+        else
+          s""",
+             |sc$r AS (SELECT a.vec_id, a.v, a.nrm, c.cell, (${sqlDot("a.v", "c.cv")}) / c.cnrm AS score
+             |       FROM $prev a CROSS JOIN n$r c),
+             |a$r AS (SELECT vec_id, v, nrm, cell FROM (
+             |         SELECT vec_id, v, nrm, cell,
+             |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+             |         FROM sc$r) t WHERE rn = 1)""".stripMargin
+      centroid + reassign
+    }.mkString
+    head + roundCtes +
+      s""",
+         |fs AS (SELECT a.vec_id, c.cell,
+         |         (${sqlDot("a.v", "c.cv")}) / c.cnrm AS score,
+         |         ROUND((${sqlDot("a.v", "c.cv")}) / (a.nrm * c.cnrm), 4) AS cos_sim
+         |       FROM a${rounds - 1} a CROSS JOIN n$rounds c),
+         |fr AS (SELECT vec_id, cell AS cluster_id, cos_sim,
+         |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+         |      FROM fs)
+         |SELECT vec_id, cluster_id, cos_sim FROM fr WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
 
   private def simhashOracle: String = {
     val width = 64; val bands = 4; val bw = width / bands

@@ -315,6 +315,97 @@ object Similarity {
         col("b.cos").as("cos_sim"), col("b.mv").as("moved"))
   }
 
+  /** q65: iterated Lloyd refinement — the production k-means loop that
+    * [[kmeansRefine]] is one step of (topic/domain clustering trains
+    * for several rounds, not one). Round r assigns every vector to its
+    * nearest round-(r−1) centroid and recomputes member means in the
+    * same 2²⁰ fixed-point arithmetic as kmeansRefine, so every round —
+    * and therefore the whole trajectory — is order-independent and
+    * engine-replicable; the oracle unrolls the identical rounds in SQL.
+    *
+    * Shape per round: ONE job over the corpus — scan → broadcast
+    * centroid table × corpus `max(struct)` argmax (kmeansRefine's
+    * reassignment shape, codegen'd at any `nCells`; the literal-array
+    * form hits janino's method limit past ~32 centroids, see
+    * [[assignCells]]) → posexplode partial agg → collect of
+    * nCells·dim fixed-point sums (kilobytes of index metadata, the
+    * q46 collect rationale — per-vector data never reaches the
+    * driver). A cell that loses all members is dropped (k shrinks;
+    * deterministic, and the oracle's GROUP BY reproduces it). Seeds
+    * are the shared q46/q48 quantizer.
+    *
+    * `tol` stops early when every surviving centroid coordinate moved
+    * ≤ tol between rounds (a driver-side array compare — free). The
+    * default 0.0 stops only at an EXACT fixed point, which cannot
+    * change the output vs running all `rounds` (identical centroids ⇒
+    * identical subsequent rounds), so the fixed-`rounds` oracle
+    * contract survives early exit; tol > 0 trades bit-replay for
+    * fewer scans. At 100 TB each round re-scans the source
+    * column-pruned to (vec_id, embedding) — persist that narrow
+    * projection first if the cluster has memory; the loop is agnostic.
+    *
+    * Output: (vec_id, cluster_id, cos_sim) against the FINAL
+    * centroids — kmeansRefine's contract without the single-step
+    * `moved` flag. */
+  def kmeansIterate(embeddings: DataFrame, nCells: Int = 16, rounds: Int = 3,
+                    tol: Double = 0.0): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val scale = 1L << 20
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = prepared(embeddings)
+    def centDf(cents: Array[(Long, Array[Double])]): DataFrame =
+      cents.toSeq.toDF("cell", "cv")
+        .select(col("cell"), col("cv"),
+          sqrt(Exprs.dot(col("cv"), col("cv"))).as("cnrm"))
+    def scored(cents: Array[(Long, Array[Double])]): DataFrame =
+      e.crossJoin(broadcast(centDf(cents)))
+        .withColumn("score", dot(col("v"), col("cv")) / col("cnrm"))
+    var cents = seedCentroids(embeddings, nCells)
+    var moved = Double.MaxValue
+    var r = 0
+    while (r < rounds && moved > tol) {
+      // (score, -cell) is unique per vector (cell ids are distinct),
+      // so v rides in the struct as payload, never compared
+      val sums = scored(cents)
+        .groupBy("vec_id")
+        .agg(max(struct(col("score"), (-col("cell")).as("nc"), col("cell"),
+          col("v"))).as("b"))
+        .select(col("b.cell").as("cell"), posexplode(col("b.v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(floor(col("col") * scale + lit(0.5)).cast("long")).as("s"),
+          count(lit(1)).as("c"))
+        .collect()
+      // same arithmetic as the in-plan q48 mean: CAST(s AS DOUBLE) /
+      // (1048576.0 * c) — exact integer inputs, one IEEE division
+      val next = sums.groupBy(_.getLong(0)).toArray.sortBy(_._1).map {
+        case (cell, rows) =>
+          val arr = new Array[Double](rows.map(_.getInt(1)).max + 1)
+          rows.foreach { row =>
+            arr(row.getInt(1)) =
+              row.getLong(2).toDouble / (scale.toDouble * row.getLong(3))
+          }
+          (cell, arr)
+      }
+      moved =
+        if (!next.map(_._1).sameElements(cents.map(_._1))) Double.MaxValue
+        else next.zip(cents).iterator.map { case ((_, a), (_, b)) =>
+          a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+        }.max
+      cents = next
+      r += 1
+    }
+    scored(cents)
+      .withColumn("cand", struct(col("score"), (-col("cell")).as("nc"),
+        col("cell"),
+        // dot/(nrm·cnrm), NOT score/nrm — q48's last-bit note applies
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 4).as("cos")))
+      .groupBy("vec_id")
+      .agg(max(col("cand")).as("b"))
+      .select(col("vec_id"), col("b.cell").as("cluster_id"),
+        col("b.cos").as("cos_sim"))
+  }
+
   /** q57: semantic deduplication — SemDeDup (Abbas et al. 2023,
     * arXiv:2303.09540, public paper): cluster the embedding corpus
     * with a coarse quantizer, then compare vectors ONLY within their

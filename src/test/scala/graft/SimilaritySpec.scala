@@ -106,6 +106,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q65 one iterate round matches kmeansRefine's assignment and cosine") {
+    val e = tables.embeddings
+    val once = Similarity.kmeansIterate(e, rounds = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val step = Similarity.kmeansRefine(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    once shouldBe step
+  }
+
+  test("q65 converges: once centroids reach a fixed point, extra rounds are no-ops") {
+    val e = tables.embeddings
+    // tol=0 stops only on EXACT centroid stability, so if 12 rounds hit
+    // the fixed point, 20 rounds must return identical rows
+    val a = Similarity.kmeansIterate(e, rounds = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Similarity.kmeansIterate(e, rounds = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    a shouldBe b
+  }
+
+  test("q65 separates a well-separated corpus in few rounds") {
+    val d = vecs(
+      (0L, Map(0 -> 1.0f)),              // seed 0
+      (1L, Map(1 -> 1.0f)),              // seed 1
+      (2L, Map(0 -> 4.0f, 1 -> 0.2f)),
+      (3L, Map(0 -> 3.0f, 1 -> 0.1f)),
+      (4L, Map(0 -> 0.1f, 1 -> 5.0f)),
+      (5L, Map(1 -> 2.0f)),
+      (6L, Map(0 -> 0.3f, 1 -> 6.0f)))
+    val rows = Similarity.kmeansIterate(d, nCells = 2, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(0L, 2L, 3L).map(rows) shouldBe Seq(0L, 0L, 0L)
+    Seq(1L, 4L, 5L, 6L).map(rows) shouldBe Seq(1L, 1L, 1L, 1L)
+  }
+
   test("q46 plan: candidate join is cell-keyed, no cross product") {
     val plan = planOf(Similarity.annIvf(tables.embeddings))
     plan should not include "CartesianProduct"
