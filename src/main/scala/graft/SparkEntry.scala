@@ -59,6 +59,7 @@ object SparkEntry {
     "q20_dedup_exact"        -> ((s, d) => TextOps.dedupExact(Tables(s, d).documents)),
     "q21_dedup_ngram"        -> ((s, d) => Dedup.ngramJaccardPairs(Tables(s, d).documents)),
     "q60_containment_ngram"  -> ((s, d) => Dedup.ngramContainmentPairs(Tables(s, d).documents)),
+    "q66_winnow_pairs"       -> ((s, d) => Dedup.winnowPairs(Tables(s, d).documents)),
     "q22_dedup_minhash"      -> ((s, d) => Dedup.minhashLshPairs(Tables(s, d).documents)),
     "q36_dedup_clusters"     -> ((s, d) => Dedup.dedupClusters(Tables(s, d).documents)),
     "q55_keeper_select"      -> ((s, d) => Dedup.keeperSelection(Tables(s, d).documents)),
@@ -854,6 +855,26 @@ object SparkEntry {
         |        ELSE [] END AS sel FROM g)
         |SELECT doc_id, unnest(list_distinct(sel)) AS fp FROM s
         |ORDER BY doc_id, fp""".stripMargin,
+    // q66: the q62 fingerprint CTEs verbatim, then the q21-style pair
+    // pass — shared count + both set sizes, integer-only output
+    "q66_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |        THEN list_transform(range(1, len(toks) - 1),
+        |               i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |        ELSE [] END AS hs FROM t),
+        |s AS (SELECT doc_id, CASE WHEN len(hs) >= 4
+        |        THEN list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))
+        |        WHEN len(hs) > 0 THEN [list_min(hs)]
+        |        ELSE [] END AS sel FROM g),
+        |f AS (SELECT doc_id, unnest(list_distinct(sel)) AS fp FROM s),
+        |nf AS (SELECT doc_id, COUNT(*) AS n FROM f GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+        |      FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b, p.shared_fps, na.n AS n_a, nb.n AS n_b
+        |FROM p JOIN nf na ON p.doc_a = na.doc_id JOIN nf nb ON p.doc_b = nb.doc_id
+        |WHERE p.shared_fps >= 1 ORDER BY p.doc_a, p.doc_b""".stripMargin,
     "q22_dedup_minhash"   -> minhashOracle,
     "q36_dedup_clusters"  -> clustersOracle,
     "q55_keeper_select"   -> keeperOracle,

@@ -88,8 +88,15 @@ object Dedup {
     * full, so scores only UNDERestimate — a capped run never invents
     * a duplicate). 0 = off, the oracle-exact declared form. */
   private def shinglePairCounts(documents: DataFrame, n: Int,
-                                maxDf: Int = 0): DataFrame = {
-    val docs = documents.select(col("doc_id"), shingleSet(n).as("sh"))
+                                maxDf: Int = 0): DataFrame =
+    setPairCounts(documents, shingleSet(n), maxDf)
+
+  /** The inverted-index pair pass over ANY per-document distinct-set
+    * column (shingles for q21/q60, winnow fingerprints for q66): same
+    * index key, same shingle-local expansion, same df-cap semantics. */
+  private def setPairCounts(documents: DataFrame, setCol: Column,
+                            maxDf: Int): DataFrame = {
+    val docs = documents.select(col("doc_id"), setCol.as("sh"))
     val idx = docs
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("shingle"))
@@ -132,6 +139,33 @@ object Dedup {
             .as("containment")))).as("c"))
       .select(col("c.src_doc"), col("c.dst_doc"), col("c.containment"))
       .filter(col("containment") >= tau)
+
+  /** q66: cross-document VERBATIM-BLOCK pairs via shared winnowing
+    * fingerprints — the pairwise consumer of q62 (the MOSS shape:
+    * winnow every document, rank pairs by how many fingerprints they
+    * share). The winnowing guarantee transfers directly: any shared
+    * verbatim run of ≥ w+k−1 tokens forces ≥ 1 shared fingerprint, so
+    * with the default `minShared = 1` no such pair can be missed —
+    * while q21's Jaccard needs globally-similar documents and q30's
+    * whole-doc hash needs identity, this flags a single quoted block
+    * inside otherwise-unrelated documents. Raise `minShared` to trade
+    * that guarantee for noise suppression (a lone shared fingerprint
+    * can be one common k-gram that won both windows).
+    *
+    * Cost shape is q21's, at winnowing density: the inverted index is
+    * built over ~2/(w+1) of each document's k-grams ([[setPairCounts]]
+    * — 8-byte xxhash64 keys, fingerprint-local pair expansion, Σ df²
+    * never n²), and `maxDf` is the same underestimate-only skew cap
+    * for boilerplate blocks shared by half the corpus. n_a/n_b are the
+    * documents' fingerprint-set sizes, so callers can derive winnow-
+    * Jaccard or coverage without re-scanning. */
+  def winnowPairs(documents: DataFrame, k: Int = 3, w: Int = 4,
+                  minShared: Int = 1, maxDf: Int = 0): DataFrame =
+    setPairCounts(documents,
+      Exprs.winnow(split(col("text"), " "), k, w), maxDf)
+      .filter(col("inter") >= minShared)
+      .select(col("doc_a"), col("doc_b"), col("inter").as("shared_fps"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"))
 
   /** q22: MinHash + LSH banding — the scale path for near-dup dedup.
     *

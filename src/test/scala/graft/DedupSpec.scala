@@ -296,6 +296,35 @@ class DedupSpec extends SparkSpec {
       (20L, 20L, 2L), (21L, 20L, 2L))
   }
 
+  test("q66 a shared verbatim block of w+k-1 tokens guarantees a pair") {
+    // k=3, w=4: the winnowing guarantee threshold is 6 tokens. Embed
+    // the same 8-token block in two otherwise-unrelated documents.
+    val block = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val d = docs(
+      (1L, s"aa bb cc $block dd ee ff"),
+      (2L, s"xx yy zz ww $block vv uu"),
+      (3L, "completely different content with nothing shared at all here"))
+    val pairs = Dedup.winnowPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+    pairs.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
+  }
+
+  test("q66 shared_fps equals the intersection of the q62 fingerprint sets") {
+    val d = tables.documents
+    val fps = TextOps.winnowFingerprints(d).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (id, a) => id -> a.map(_._2).toSet }
+    val pairs = Dedup.winnowPairs(d).collect()
+    pairs should not be empty
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      r.getLong(2) shouldBe (fps(a) & fps(b)).size.toLong
+      r.getLong(3) shouldBe fps(a).size.toLong
+      r.getLong(4) shouldBe fps(b).size.toLong
+    }
+  }
+
   test("q36 long-chain graph past the label-prop round cap converges via star rounds") {
     import spark.implicits._
     // a 60-node path needs ~59 label-propagation rounds; maxRounds=5
