@@ -191,6 +191,7 @@ object SparkEntry {
     "q27_lang_id"            -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
     "q28_quality_score"      -> ((s, d) => TextOps.qualityScore(Tables(s, d).documents)),
     "q61_quality_prune"      -> ((s, d) => TextOps.qualityPrune(Tables(s, d).documents)),
+    "q67_heuristic_filter"   -> ((s, d) => TextOps.heuristicFilter(Tables(s, d).documents)),
     "q62_winnow_fingerprint" -> ((s, d) => TextOps.winnowFingerprints(Tables(s, d).documents)),
     "q29_token_count"        -> ((s, d) => TextOps.tokenCounts(Tables(s, d).documents)),
     "q30_fingerprint"        -> ((s, d) => TextOps.fingerprint(Tables(s, d).documents)),
@@ -551,6 +552,36 @@ object SparkEntry {
         |      FROM q)
         |SELECT doc_id, lang, quality FROM w WHERE rn > FLOOR(0.2 * n)
         |ORDER BY doc_id""".stripMargin,
+    // q67: the C4+Gopher rule bundle replayed — every ratio is the
+    // same two integers divided once, the CASE order is the rule order
+    "q67_heuristic_filter" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, text,
+        |        len(toks) AS n_words,
+        |        CAST(len(text) - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+        |        CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+        |          / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+        |        CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |          / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+        |        CAST(list_contains(toks, 'the') AS INTEGER) + CAST(list_contains(toks, 'be') AS INTEGER)
+        |          + CAST(list_contains(toks, 'to') AS INTEGER) + CAST(list_contains(toks, 'of') AS INTEGER)
+        |          + CAST(list_contains(toks, 'and') AS INTEGER) + CAST(list_contains(toks, 'that') AS INTEGER)
+        |          + CAST(list_contains(toks, 'have') AS INTEGER) + CAST(list_contains(toks, 'with') AS INTEGER)
+        |          AS n_stopwords
+        |      FROM t),
+        |f AS (SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stopwords,
+        |        CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+        |             WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'mean_word_len'
+        |             WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+        |             WHEN alpha_frac < 0.8 THEN 'alpha_frac'
+        |             WHEN n_stopwords < 2 THEN 'stopwords'
+        |             WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+        |             WHEN contains(text, '{') THEN 'braces'
+        |             ELSE NULL END AS first_fail
+        |      FROM m)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stopwords,
+        |       CAST(first_fail IS NULL AS INTEGER) AS pass, first_fail
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q29_token_count" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

@@ -35,6 +35,29 @@ class TextStatsSpec extends SparkSpec {
     r.getAs[Double]("dup_2gram_frac") shouldBe 0.0
   }
 
+  test("q67 heuristic filter fires each rule in its documented order") {
+    val filler = Seq.fill(56)("word")
+    val d = docs(
+      (1L, "tiny doc here", "en"),                                          // word_count
+      (2L, Seq.fill(60)("ab").mkString(" "), "en"),                         // mean len 2
+      (3L, (Seq.fill(53)("word") ++ Seq.fill(7)("####")).mkString(" "), "en"), // 28 symbols / 60 words
+      (4L, Seq.fill(60)("1234").mkString(" "), "en"),                       // no alpha chars
+      (5L, Seq.fill(60)("word").mkString(" "), "en"),                       // zero stopwords
+      (6L, (Seq("the", "be", "lorem", "ipsum") ++ filler).mkString(" "), "en"),
+      (7L, (Seq("the", "be", "{x}") ++ Seq.fill(57)("word")).mkString(" "), "en"),
+      (8L, (Seq("the", "be") ++ Seq.fill(58)("word")).mkString(" "), "en")) // clean
+    val r = TextOps.heuristicFilter(d).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(6), Option(x.getString(7))))).toMap
+    r(1L) shouldBe ((0, Some("word_count")))
+    r(2L) shouldBe ((0, Some("mean_word_len")))
+    r(3L) shouldBe ((0, Some("symbol_ratio")))
+    r(4L) shouldBe ((0, Some("alpha_frac")))
+    r(5L) shouldBe ((0, Some("stopwords")))
+    r(6L) shouldBe ((0, Some("lorem_ipsum")))
+    r(7L) shouldBe ((0, Some("braces")))
+    r(8L) shouldBe ((1, None))
+  }
+
   test("q44 scores shared terms down by cross-language spread") {
     // "common" appears in both langs (df=2); "only" in one (df=1)
     val d = docs(
