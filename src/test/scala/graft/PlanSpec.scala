@@ -174,6 +174,26 @@ class PlanSpec extends SparkSpec {
     plan should include ("graft_dot")
   }
 
+  test("q65 iterated k-means final pass is a broadcast argmax — no window, native dot") {
+    val plan = planOf(Similarity.kmeansIterate(tables.embeddings, rounds = 1))
+    plan should not include "Window"
+    plan should not include "SortMergeJoin"
+    plan should include ("graft_dot")
+  }
+
+  test("q66 winnow pairs are index-local expansion — no join, no cross product") {
+    val plan = planOf(Dedup.winnowPairs(tables.documents))
+    plan should not include "Join"
+    plan should include ("Generate")
+  }
+
+  test("q67 heuristic filter is one pure scan — zero shuffle, zero sort") {
+    val plan = planOf(TextOps.heuristicFilter(tables.documents))
+    plan should not include "Exchange"
+    plan should not include "Sort"
+    plan.split("Scan parquet").length - 1 shouldBe 1
+  }
+
   test("q49 profile is ONE aggregation over one scan (single shuffle)") {
     val plan = planOf(operators.Report.profile(tables.events))
     // one distinct-agg exchange + the single-row final gather
