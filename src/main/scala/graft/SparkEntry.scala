@@ -192,6 +192,7 @@ object SparkEntry {
     "q28_quality_score"      -> ((s, d) => TextOps.qualityScore(Tables(s, d).documents)),
     "q61_quality_prune"      -> ((s, d) => TextOps.qualityPrune(Tables(s, d).documents)),
     "q67_heuristic_filter"   -> ((s, d) => TextOps.heuristicFilter(Tables(s, d).documents)),
+    "q68_vocab_coverage"     -> ((s, d) => TextOps.vocabCoverage(Tables(s, d).documents)),
     "q62_winnow_fingerprint" -> ((s, d) => TextOps.winnowFingerprints(Tables(s, d).documents)),
     "q29_token_count"        -> ((s, d) => TextOps.tokenCounts(Tables(s, d).documents)),
     "q30_fingerprint"        -> ((s, d) => TextOps.fingerprint(Tables(s, d).documents)),
@@ -552,6 +553,20 @@ object SparkEntry {
         |      FROM q)
         |SELECT doc_id, lang, quality FROM w WHERE rn > FLOOR(0.2 * n)
         |ORDER BY doc_id""".stripMargin,
+    // q68: wordcount → top-V by (count desc, token) → running-sum
+    // coverage; integers until the single final division
+    "q68_vocab_coverage" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, COUNT(*) AS n_occurrences FROM w GROUP BY 1),
+        |t AS (SELECT SUM(n_occurrences) AS total FROM c),
+        |r AS (SELECT token, n_occurrences,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT) AS rank,
+        |        SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC, token
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM c)
+        |SELECT rank, token, n_occurrences,
+        |       CAST(cum AS DOUBLE) / CAST(t.total AS DOUBLE) AS cum_coverage
+        |FROM r, t WHERE rank <= 100 ORDER BY rank""".stripMargin,
     // q67: the C4+Gopher rule bundle replayed — every ratio is the
     // same two integers divided once, the CASE order is the rule order
     "q67_heuristic_filter" ->

@@ -167,6 +167,39 @@ object TextOps {
     }
   }
 
+  /** q68: vocabulary coverage curve — the tokenizer-fit planning
+    * statistic: the top-V corpus tokens by frequency with each rank's
+    * CUMULATIVE coverage of all token occurrences. Answers "how large
+    * a vocabulary covers 95% of this corpus" before committing to a
+    * tokenizer budget, and pairs with q54 (which measures OOV against
+    * a chosen top-V after the fact).
+    *
+    * Plan: explode → wordcount (map-side partial agg, q54's shape) →
+    * top-V via global TakeOrdered (V rows move, not the vocabulary) →
+    * rank + running sum windows over the V-row result (bounded by
+    * `topV`, so the single-partition window is fine — the q44 caveat
+    * applies to raw-vocabulary windows, not to a capped top-k) → one
+    * division by the total occurrence count (computed on the
+    * vocabulary-sized count frame, broadcast as a scalar). Counts are
+    * integers, coverage is ONE IEEE division — bit-identical, no
+    * rounding step. Ties order by (count desc, token) in both
+    * engines. */
+  def vocabCoverage(documents: DataFrame, topV: Int = 100): DataFrame = {
+    val counts = documents.select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+    val total = counts.agg(sum(col("n_occurrences")).as("total"))
+    val top = counts.orderBy(col("n_occurrences").desc, col("token")).limit(topV)
+    val ord = Window.orderBy(col("n_occurrences").desc, col("token"))
+    top
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum(col("n_occurrences"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("n_occurrences"),
+        (col("cum").cast("double") / col("total").cast("double"))
+          .as("cum_coverage"))
+  }
+
   /** The Gopher stopword list (Rae et al. 2021, arXiv:2112.11446 —
     * public paper): a document lacking ≥2 of these is likely not
     * running English prose. Distinct from q28's density stopwords. */

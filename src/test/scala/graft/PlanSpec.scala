@@ -194,6 +194,11 @@ class PlanSpec extends SparkSpec {
     plan.split("Scan parquet").length - 1 shouldBe 1
   }
 
+  test("q68 top-V is a TakeOrdered — the vocabulary never feeds a global sort") {
+    val plan = planOf(TextOps.vocabCoverage(tables.documents))
+    plan should include ("TakeOrderedAndProject")
+  }
+
   test("q49 profile is ONE aggregation over one scan (single shuffle)") {
     val plan = planOf(operators.Report.profile(tables.events))
     // one distinct-agg exchange + the single-row final gather

@@ -58,6 +58,23 @@ class TextStatsSpec extends SparkSpec {
     r(8L) shouldBe ((1, None))
   }
 
+  test("q68 coverage curve ranks by frequency and accumulates to 1.0") {
+    // 10 tokens total: a x4, b x3, c x2, d x1
+    val d = docs((1L, "a a b c", "en"), (2L, "a a b b c d", "en"))
+    val rows = TextOps.vocabCoverage(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    rows shouldBe Array(
+      (1L, "a", 4L, 0.4), (2L, "b", 3L, 0.7), (3L, "c", 2L, 0.9),
+      (4L, "d", 1L, 1.0))
+  }
+
+  test("q68 frequency ties order by token and topV caps the curve") {
+    val d = docs((1L, "z y z y x", "en"))
+    val rows = TextOps.vocabCoverage(d, topV = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    rows shouldBe Array((1L, "y"), (2L, "z")) // y before z on the 2-2 tie
+  }
+
   test("q44 scores shared terms down by cross-language spread") {
     // "common" appears in both langs (df=2); "only" in one (df=1)
     val d = docs(
