@@ -97,6 +97,7 @@ object SparkEntry {
     "q26_ann_lsh"            -> ((s, d) => Similarity.annLsh(Tables(s, d).embeddings)),
     "q34_dedup_embedding_lsh"-> ((s, d) => Similarity.embeddingNearDupsBucketed(Tables(s, d).embeddings)),
     "q46_ann_ivf"            -> ((s, d) => Similarity.annIvf(Tables(s, d).embeddings)),
+    "q69_ann_ivfpq"          -> ((s, d) => Similarity.annIvfPq(Tables(s, d).embeddings)),
     "q57_semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(Tables(s, d).embeddings)),
     "q64_sample_percell"     -> ((s, d) => Similarity.samplePerCell(Tables(s, d).embeddings)),
     // q63: same eval split convention as q35/q47 (id ≡ 0 mod 7 plays
@@ -934,6 +935,7 @@ object SparkEntry {
     "q25_ann_bruteforce"  -> annBruteOracle,
     "q26_ann_lsh"         -> annLshOracle,
     "q46_ann_ivf"         -> annIvfOracle,
+    "q69_ann_ivfpq"       -> annIvfPqOracle,
     "q34_dedup_embedding_lsh" -> embeddingDedupLshOracle,
     "q57_semantic_dedup"  -> semanticDedupOracle,
     "q63_decontaminate_semantic" -> semanticDecontamOracle,
@@ -1353,6 +1355,69 @@ object SparkEntry {
        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS "rank"
        |      FROM s)
        |SELECT * FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+
+  /** q69: IVF-PQ replayed — the q46 coarse CTEs, plus the PQ codebook
+    * (seed subvector slices, code = vec_id rank), per-subspace argmin
+    * encoding, (s, code)-ordered flat ADC/|c|² lists, and the SAME
+    * fixed left-assoc lookup chains the Spark side builds — every sum
+    * order matches term for term, so the approximate scores (and
+    * therefore the rerank cut) are bit-identical. */
+  private def annIvfPqOracle: String = {
+    val (m, ks, dsub) = (8, 16, 8)
+    def dot8(a: String, b: String): String =
+      (1 to dsub).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+    def chain(arr: String, codes: String): String =
+      (0 until m).map(s => s"$arr[${s * ks} + $codes[${s + 1}] + 1]")
+        .mkString(" + ")
+    s"""WITH $vecCtes,
+       |cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < 16),
+       |sc AS (SELECT x.vec_id, c.cell, (${sqlDot("x.v", "c.v")}) / c.nrm AS score
+       |       FROM n x CROSS JOIN cent c),
+       |asg AS (SELECT vec_id AS neighbor_id, cell FROM (
+       |          SELECT vec_id, cell,
+       |                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+       |          FROM sc) t WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM (
+       |          SELECT vec_id, cell,
+       |                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+       |          FROM sc WHERE vec_id < 10) t WHERE rn <= 4),
+       |sv AS (SELECT vec_id, r.s, v[(r.s*$dsub+1):(r.s*$dsub+$dsub)] AS sv
+       |       FROM n CROSS JOIN range(0, $m) r(s)),
+       |book AS (SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INTEGER) AS code,
+       |                sv AS cv, (${dot8("sv", "sv")}) AS c2
+       |         FROM sv WHERE vec_id < $ks),
+       |c2f AS (SELECT list(c2 ORDER BY s, code) AS arr FROM book),
+       |encp AS (SELECT t.vec_id, t.s, b.code, (b.c2 - 2*(${dot8("t.sv", "b.cv")})) AS err
+       |         FROM sv t JOIN book b USING (s)),
+       |codesl AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM (
+       |             SELECT vec_id, s, code,
+       |                    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY err, code) AS rn
+       |             FROM encp) t WHERE rn = 1 GROUP BY vec_id),
+       |codesv AS (SELECT c.vec_id, c.codes, (${chain("f.arr", "c.codes")}) AS vn2
+       |           FROM codesl c CROSS JOIN c2f f),
+       |adcp AS (SELECT t.vec_id AS query_id, t.s, b.code, (${dot8("t.sv", "b.cv")}) AS pd
+       |         FROM sv t JOIN book b USING (s) WHERE t.vec_id < 10),
+       |adc AS (SELECT query_id, list(pd ORDER BY s, code) AS adc FROM adcp GROUP BY query_id),
+       |ap AS (SELECT p.query_id, a.neighbor_id,
+       |         (${chain("d.adc", "cv.codes")}) / (q.nrm * sqrt(cv.vn2)) AS approx
+       |       FROM probes p JOIN asg a USING (cell)
+       |       JOIN codesv cv ON cv.vec_id = a.neighbor_id
+       |       JOIN adc d ON d.query_id = p.query_id
+       |       JOIN n q ON q.vec_id = p.query_id
+       |       WHERE a.neighbor_id <> p.query_id),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |            SELECT query_id, neighbor_id,
+       |                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS ar
+       |            FROM ap) t WHERE ar <= 32),
+       |s2 AS (SELECT sh.query_id, sh.neighbor_id,
+       |         ROUND((${sqlDot("q.v", "c.v")}) / (q.nrm * c.nrm), 4) AS cos_sim
+       |       FROM short sh JOIN n q ON q.vec_id = sh.query_id
+       |       JOIN n c ON c.vec_id = sh.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos_sim,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS "rank"
+       |      FROM s2)
+       |SELECT * FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+  }
 
   private def annLshOracle: String =
     s"""WITH ${lshBucketCtes()},

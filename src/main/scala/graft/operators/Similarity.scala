@@ -247,6 +247,135 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
 
+  /** q69: IVF-PQ approximate nearest neighbors — the memory-bounded
+    * 100 TB ANN index (Jégou/Douze/Schmid 2011, "Product Quantization
+    * for Nearest Neighbor Search", IEEE TPAMI — the published
+    * algorithm behind every large-scale vector index). q46's IVF
+    * prunes WORK (probe a few cells); PQ compresses STORAGE: each
+    * vector is re-represented as `m` one-byte codes (64 dims × 4 B ≈
+    * 256 B → 8 B, 32×), so the scan side of a candidate pass holds
+    * codes, not floats — at 10¹¹ vectors that is the difference
+    * between an index that fits a cluster's RAM and one that doesn't.
+    *
+    * Deterministic, training-free quantizers (the q46 convention, so
+    * DuckDB replays bit-for-bit): the coarse quantizer is
+    * [[seedCentroids]]; the PQ codebook for subspace s is the s-th
+    * `dsub`-dim slice of the `ks` lowest-vec_id vectors, code order =
+    * vec_id rank. Encoding minimizes reconstruction error per
+    * subspace via the dot-only form |c|² − 2·⟨sub,c⟩ (|sub|² is
+    * constant per argmin — no per-element subtraction leaves the
+    * codegen'd [[graft.functions.Exprs.DotProduct]] loop); ties break
+    * toward the smaller code. Raw-vector PQ (not residual-PQ — one
+    * fewer moving part; residual encoding composes the same way if
+    * recall at tighter radii ever warrants it).
+    *
+    * Query scoring is ADC (asymmetric distance computation): each
+    * query precomputes its 128 subspace-centroid partial dots ONCE
+    * into a flat array (the classic distance table — KBs, broadcast),
+    * and every candidate's approximate dot is then m array lookups
+    * summed in a FIXED left-to-right chain — no per-candidate float
+    * vector is ever read. approx_cos = adcΣ / (|q|·√vn2) with vn2 =
+    * Σ|c_code|² stamped on the codes at encode time (same lookup
+    * chain over a constant table). The top `rerank` by approximate
+    * score then re-rank EXACTLY (true cosine against the float
+    * vectors — at scale this touches rerank·nQueries vectors, not the
+    * corpus), top-k out, q46's output contract.
+    *
+    * Plan shape: encode = one explode (m subvector rows/vector) ⋈
+    * broadcast codebook → min(struct) partial-agg argmin → per-vector
+    * code array; candidates = the q46 cell equi-join; scoring = two
+    * broadcast joins (ADC, query norms) + a per-row lookup chain;
+    * only the rerank survivors touch the float table again. */
+  def annIvfPq(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 4,
+               nQueries: Int = 10, k: Int = 5, m: Int = 8, ks: Int = 16,
+               rerank: Int = 32): DataFrame = {
+    val dim = 64
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = seedCentroids(embeddings, nCells)
+    val cellIds = lit(cents.map(_._1))
+    val e = prepared(embeddings)
+
+    // PQ codebook: (s, code, centroid slice, |c|²) — KBs, like the
+    // coarse centroids; code = vec_id rank among the ks seeds
+    val pqSeeds = seedCentroids(embeddings, ks).zipWithIndex.toSeq
+    val book: Seq[(Int, Int, Array[Double], Double)] =
+      for {
+        s <- 0 until m
+        ((_, v), code) <- pqSeeds
+      } yield {
+        val cv = v.slice(s * dsub, (s + 1) * dsub)
+        (s, code, cv, cv.foldLeft(0.0)((a, x) => a + x * x))
+      }
+    val bookDf = book.toDF("s", "code", "cv", "c2")
+    // flat (s, code)-ordered constant tables for the lookup chains
+    val c2flat = lit(book.sortBy(b => (b._1, b._2)).map(_._4).toArray)
+    // Σ_s arr[s·ks + codes[s] + 1] as a FIXED left-assoc chain — the
+    // same 8-term sum the oracle writes, bit-stable by construction
+    def lookupSum(arr: Column, codesCol: Column): Column =
+      (0 until m).map(s =>
+        element_at(arr, lit(s * ks + 1) + element_at(codesCol, s + 1)))
+        .reduce(_ + _)
+
+    // encode: cell assignment (the q46 argmax) + per-subspace argmin
+    val scores = seedCellScores(cents)(col("v"))
+    val assigned = e.withColumn("cell",
+      element_at(cellIds, array_position(scores, array_max(scores)).cast("int")))
+    val sIdx = array((0 until m).map(lit): _*)
+    val codes = assigned
+      .select(col("vec_id"), col("cell"), explode(sIdx).as("s"), col("v"))
+      .withColumn("sub", slice(col("v"), col("s") * dsub + 1, lit(dsub)))
+      .join(broadcast(bookDf), Seq("s"))
+      .withColumn("err", col("c2") - lit(2.0) * Exprs.dot(col("sub"), col("cv")))
+      .groupBy(col("vec_id"), col("cell"), col("s"))
+      .agg(min(struct(col("err"), col("code"))).as("b"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("b.code").as("code")))),
+        x => x.getField("code")).as("codes"))
+      .withColumn("vn2", lookupSum(c2flat, col("codes")))
+
+    // queries: probe list (q46's shape) + the ADC distance table
+    val queries = e.filter(col("vec_id") < nQueries)
+    val wq = Window.partitionBy("query_id").orderBy(col("score").desc, col("cell"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), posexplode(seedCellScores(cents)(col("v"))))
+      .select(col("query_id"),
+        element_at(cellIds, col("pos").cast("int") + 1).as("cell"), col("col").as("score"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "cell")
+    val adc = queries.select(col("vec_id").as("query_id"), col("nrm").as("qn"),
+      array(book.sortBy(b => (b._1, b._2)).map { case (s, _, cv, _) =>
+        Exprs.dot(slice(col("v"), s * dsub + 1, dsub), lit(cv))
+      }: _*).as("adc"))
+
+    // approximate scoring: cell equi-join + m lookups per candidate
+    val approx = probes.join(broadcast(adc), Seq("query_id"))
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx",
+        lookupSum(col("adc"), col("codes")) / (col("qn") * sqrt(col("vn2"))))
+    val wr = Window.partitionBy("query_id").orderBy(col("approx").desc, col("neighbor_id"))
+    val short = approx.withColumn("ar", row_number().over(wr))
+      .filter(col("ar") <= rerank)
+      .select("query_id", "neighbor_id")
+
+    // exact re-rank of the survivors only
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val nv = e.select(col("vec_id").as("neighbor_id"),
+      col("v").as("nv"), col("nrm").as("nn"))
+    val wf = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    nv.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos_sim", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
+      .withColumn("rank", row_number().over(wf).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
   /** q48: one deterministic Lloyd (k-means) refinement step over the
     * embedding corpus — topic/domain clustering, the third leg of the
     * similarity inventory next to near-dup (q24/q34) and ANN

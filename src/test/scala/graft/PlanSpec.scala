@@ -174,6 +174,13 @@ class PlanSpec extends SparkSpec {
     plan should include ("graft_dot")
   }
 
+  test("q69 IVF-PQ candidate join is cell-keyed; codebook/ADC ride as broadcasts") {
+    val plan = planOf(Similarity.annIvfPq(tables.embeddings))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include ("graft_dot")
+  }
+
   test("q65 iterated k-means final pass is a broadcast argmax — no window, native dot") {
     val plan = planOf(Similarity.kmeansIterate(tables.embeddings, rounds = 1))
     plan should not include "Window"
