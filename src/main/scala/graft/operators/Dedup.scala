@@ -542,7 +542,7 @@ object Dedup {
     */
   def dedupClusters(documents: DataFrame, n: Int = 3, numHashes: Int = 16,
                     bands: Int = 4, tau: Double = 0.5,
-                    maxRounds: Int = 50): DataFrame = {
+                    maxRounds: Int = 12): DataFrame = {
     val pairs = minhashLshPairs(documents, n, numHashes, bands, tau)
       .select("doc_a", "doc_b")
     connectedComponents(pairs, maxRounds)
@@ -550,8 +550,16 @@ object Dedup {
 
   /** Min-label-propagation connected components over an undirected edge
     * list `(doc_a, doc_b)` → `(doc_id, cluster_id, cluster_size)` for
-    * every vertex. See [[dedupClusters]] for the scale analysis. */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    * every vertex. See [[dedupClusters]] for the scale analysis.
+    *
+    * `maxRounds` is a DETECTION cap, not a correctness bound: past it
+    * the loop hands off to [[connectedComponentsStar]] and still
+    * returns the exact components. The default 12 covers every
+    * realistic quasi-clique diameter while capping what an
+    * adversarial chain wastes on propagation before the O(log² n)
+    * algorithm takes over — raising it only helps graphs whose
+    * diameter genuinely sits between 12 and the new value. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 12): DataFrame = {
     val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
       .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
       .localCheckpoint()
@@ -584,8 +592,12 @@ object Dedup {
     // cannot. The quasi-clique fast path stays the default because a
     // star round costs ~2 shuffles + an equality check vs label-prop's
     // 1 — cheaper when 2–4 rounds suffice, as they do for LSH pair
-    // graphs.
-    if (changed > 0) connectedComponentsStar(pairs)
+    // graphs. The handoff reuses the CHECKPOINTED symmetric edge
+    // frame, so the caller's pairs plan (often the whole LSH
+    // pipeline) is not re-evaluated by the star pass.
+    if (changed > 0)
+      connectedComponentsStar(
+        edges.select(col("s").as("doc_a"), col("d").as("doc_b")))
     else labelFrame(labels)
   }
 
@@ -618,9 +630,16 @@ object Dedup {
     * truncates the per-round lineage exactly as the propagation loop
     * does. */
   def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 100): DataFrame = {
-    var edges = pairs
+    // ONE evaluation of the caller's pairs plan (it is often the whole
+    // LSH pipeline): canonical orientation is checkpointed first, and
+    // both the edge loop and the final vertex set derive from it —
+    // self-loop-only vertices survive into `verts` even though the
+    // loop drops their edges
+    val base = pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("h"),
         least(col("doc_a"), col("doc_b")).as("l"))
+      .localCheckpoint()
+    var edges = base
       .filter(col("h") =!= col("l"))
       .distinct()
       .localCheckpoint()
@@ -664,8 +683,8 @@ object Dedup {
     // edge to the center; centers (and isolated vertices, which an
     // edge list cannot contain but a degenerate pairs frame might
     // after the self-loop filter) label themselves.
-    val verts = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id")))
+    val verts = base
+      .select(explode(array(col("h"), col("l"))).as("doc_id"))
       .distinct()
     val centers = edges.groupBy("h").agg(min(col("l")).as("label"))
       .withColumnRenamed("h", "doc_id")

@@ -298,6 +298,14 @@ object Similarity {
     val cellIds = lit(cents.map(_._1))
     val e = prepared(embeddings)
 
+    // corpus cell assignment: the dual-shape argmax (literal array at
+    // test geometry, broadcast table past the ~32-centroid codegen
+    // window — the same cliff assignCells documents). The QUERY-side
+    // literal expressions below (probe scores, the 128 ADC dots) are
+    // exempt: they run on nQueries rows, where even an interpreted
+    // fallback is microseconds.
+    val assigned = assignCellsFull(e, cents)
+
     // PQ codebook: (s, code, centroid slice, |c|²) — KBs, like the
     // coarse centroids; code = vec_id rank among the ks seeds
     val pqSeeds = seedCentroids(embeddings, ks).zipWithIndex.toSeq
@@ -319,10 +327,7 @@ object Similarity {
         element_at(arr, lit(s * ks + 1) + element_at(codesCol, s + 1)))
         .reduce(_ + _)
 
-    // encode: cell assignment (the q46 argmax) + per-subspace argmin
-    val scores = seedCellScores(cents)(col("v"))
-    val assigned = e.withColumn("cell",
-      element_at(cellIds, array_position(scores, array_max(scores)).cast("int")))
+    // encode: per-subspace argmin over the broadcast codebook
     val sIdx = array((0 until m).map(lit): _*)
     val codes = assigned
       .select(col("vec_id"), col("cell"), explode(sIdx).as("s"), col("v"))
@@ -714,6 +719,35 @@ object Similarity {
         .groupBy("vec_id")
         .agg(max(col("cand")).as("b"))
         .select(col("b.cell").as("cell"), col("vec_id"))
+    }
+
+  /** [[assignCells]] with the float columns carried through —
+    * (vec_id, v, nrm, cell) — for consumers that keep working on the
+    * vectors after assignment (q69's PQ encode). Same dual shape,
+    * same argmax, same tie-break; the broadcast branch rides v/nrm as
+    * never-compared struct payload behind the (score, -cell) key. */
+  private def assignCellsFull(e: DataFrame,
+                              cents: Array[(Long, Array[Double])],
+                              literalMax: Int = 32): DataFrame =
+    if (cents.length <= literalMax) {
+      val cellIds = lit(cents.map(_._1))
+      val scores = seedCellScores(cents)(col("v"))
+      e.withColumn("cell",
+        element_at(cellIds, array_position(scores, array_max(scores)).cast("int")))
+    } else {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val centDf = cents.toSeq.toDF("cell", "cv")
+        .select(col("cell"), col("cv"),
+          sqrt(Exprs.dot(col("cv"), col("cv"))).as("cnrm"))
+      e.crossJoin(broadcast(centDf))
+        .select(col("vec_id"),
+          struct((dot(col("v"), col("cv")) / col("cnrm")).as("score"),
+            (-col("cell")).as("nc"), col("cell"), col("v"), col("nrm")).as("cand"))
+        .groupBy("vec_id")
+        .agg(max(col("cand")).as("b"))
+        .select(col("vec_id"), col("b.v").as("v"), col("b.nrm").as("nrm"),
+          col("b.cell").as("cell"))
     }
 
   /** [[cappedBucket]]'s sibling for k-means cells: a cell over

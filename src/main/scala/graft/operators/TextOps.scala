@@ -167,6 +167,17 @@ object TextOps {
     }
   }
 
+  /** The ONE corpus wordcount frame `(tok, cnt)` behind every top-V
+    * vocabulary in the library (q54's membership vocab, q68's
+    * coverage curve): explode → map-side partial agg. Centralized so
+    * the tokenization and count conventions cannot silently diverge
+    * between the operators that cross-reference each other's "top-V"
+    * definition; tie ORDER stays at each call site (both use
+    * (cnt desc, tok)). */
+  private def tokenCountFrame(documents: DataFrame): DataFrame =
+    documents.select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+
   /** q68: vocabulary coverage curve — the tokenizer-fit planning
     * statistic: the top-V corpus tokens by frequency with each rank's
     * CUMULATIVE coverage of all token occurrences. Answers "how large
@@ -185,8 +196,8 @@ object TextOps {
     * rounding step. Ties order by (count desc, token) in both
     * engines. */
   def vocabCoverage(documents: DataFrame, topV: Int = 100): DataFrame = {
-    val counts = documents.select(explode(toks).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+    val counts = tokenCountFrame(documents)
+      .select(col("tok").as("token"), col("cnt").as("n_occurrences"))
     val total = counts.agg(sum(col("n_occurrences")).as("total"))
     val top = counts.orderBy(col("n_occurrences").desc, col("token")).limit(topV)
     val ord = Window.orderBy(col("n_occurrences").desc, col("token"))
@@ -416,7 +427,7 @@ object TextOps {
   def oovRate(documents: DataFrame, vocabSize: Int = 50): DataFrame = {
     val toks = documents.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val vocab = tokenCountFrame(documents)
       .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
       .select(col("tok"), lit(true).as("in_vocab"))
     toks.join(broadcast(vocab), Seq("tok"), "left")
