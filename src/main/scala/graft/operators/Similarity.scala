@@ -327,18 +327,23 @@ object Similarity {
         element_at(arr, lit(s * ks + 1) + element_at(codesCol, s + 1)))
         .reduce(_ + _)
 
-    // encode: per-subspace argmin over the broadcast codebook
+    // encode: per-subspace argmin over the broadcast codebook. ONE
+    // shuffle: the m per-subspace argmins run as conditional
+    // min(struct) aggregates of a single groupBy(vec_id), so the map
+    // side collapses each vector's m·ks scored rows straight to one
+    // row of m codes — no intermediate (vec, s)-keyed exchange.
     val sIdx = array((0 until m).map(lit): _*)
+    val minAggs = (0 until m).map(s =>
+      min(when(col("s") === s, struct(col("err"), col("code")))).as(s"b$s"))
     val codes = assigned
       .select(col("vec_id"), col("cell"), explode(sIdx).as("s"), col("v"))
       .withColumn("sub", slice(col("v"), col("s") * dsub + 1, lit(dsub)))
       .join(broadcast(bookDf), Seq("s"))
       .withColumn("err", col("c2") - lit(2.0) * Exprs.dot(col("sub"), col("cv")))
-      .groupBy(col("vec_id"), col("cell"), col("s"))
-      .agg(min(struct(col("err"), col("code"))).as("b"))
       .groupBy(col("vec_id"), col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("s"), col("b.code").as("code")))),
-        x => x.getField("code")).as("codes"))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("vec_id"), col("cell"),
+        array((0 until m).map(s => col(s"b$s.code")): _*).as("codes"))
       .withColumn("vn2", lookupSum(c2flat, col("codes")))
 
     // queries: probe list (q46's shape) + the ADC distance table
