@@ -731,9 +731,9 @@ object Similarity {
     * vectors after assignment (q69's PQ encode). Same dual shape,
     * same argmax, same tie-break; the broadcast branch rides v/nrm as
     * never-compared struct payload behind the (score, -cell) key. */
-  private def assignCellsFull(e: DataFrame,
-                              cents: Array[(Long, Array[Double])],
-                              literalMax: Int = 32): DataFrame =
+  private[operators] def assignCellsFull(e: DataFrame,
+                                         cents: Array[(Long, Array[Double])],
+                                         literalMax: Int = 32): DataFrame =
     if (cents.length <= literalMax) {
       val cellIds = lit(cents.map(_._1))
       val scores = seedCellScores(cents)(col("v"))

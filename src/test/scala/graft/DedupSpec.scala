@@ -352,6 +352,14 @@ class DedupSpec extends SparkSpec {
       (40L, 40L, 2L), (50L, 40L, 2L))
   }
 
+  test("q36 star rounds: a self-pair-only vertex labels itself as a singleton") {
+    import spark.implicits._
+    val pairs = Seq((5L, 5L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val rows = Dedup.connectedComponentsStar(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    rows shouldBe Array((5L, 5L, 1L), (7L, 7L, 2L), (8L, 7L, 2L))
+  }
+
   test("q36 star rounds agree with label propagation on the LSH pair graph") {
     val pairs = Dedup.minhashLshPairs(tables.documents).select("doc_a", "doc_b")
     val prop = Dedup.connectedComponents(pairs).collect()

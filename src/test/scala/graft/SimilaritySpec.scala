@@ -244,6 +244,21 @@ class SimilaritySpec extends SparkSpec {
     joined shouldBe literal
   }
 
+  test("q69 payload assignment: literal and broadcast shapes agree, floats carried intact") {
+    import org.apache.spark.sql.functions.{col, sqrt}
+    val e = tables.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.Exprs.dot(col("v"), col("v"))))
+    val cents = e.filter(col("vec_id") < 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def asMap(df: DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cell"), r.getAs[Double]("nrm")))).toMap
+    val literal = asMap(Similarity.assignCellsFull(e, cents))
+    val joined = asMap(Similarity.assignCellsFull(e, cents, literalMax = 0))
+    joined shouldBe literal
+  }
+
   test("q64 per-cell sampling caps dominant clusters, keeps rare ones whole") {
     val d = vecs(
       (0L, Map(0 -> 1.0f)),                 // seed A
