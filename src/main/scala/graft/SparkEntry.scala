@@ -173,6 +173,39 @@ object SparkEntry {
       q.awaitTermination(); q.stop()
       s.read.parquet(s"$tmp/out")
     }),
+    // s09: the closed admit loop — batch1 (ids ≡ 8 mod 10) probes the
+    // corpus index and admits its survivors; batch2 (ids ≡ 9) then
+    // dedups against corpus AND those survivors. Delivery order is
+    // pinned: one file per micro-batch (maxFilesPerTrigger=1), file
+    // mtimes force batch1 before batch2 — the batch-replay oracle
+    // depends on exactly this batching.
+    "s09_stream_dedup_admit" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val corpus = docs.filter(col("doc_id") % 10 =!= 8 && col("doc_id") % 10 =!= 9)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s09_").toString
+      Dedup.writeBandIndex(corpus, s"$tmp/index")
+      def land(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+        val stage = s"$tmp/stage_$name"
+        df.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val dest = java.nio.file.Paths.get(s"$tmp/landing/$name.parquet")
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(part.toPath, dest)
+        dest.toFile.setLastModified(mtime)
+        ()
+      }
+      land(docs.filter(col("doc_id") % 10 === 8), "b1", 1000000L)
+      land(docs.filter(col("doc_id") % 10 === 9), "b2", 2000000L)
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val intake = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
+      val q = Streams.streamIncrementalDedupAdmit(intake, s"$tmp/index", corpus,
+        s"$tmp/admitted", s"$tmp/out", s"$tmp/cp",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination(); q.stop()
+      s.read.parquet(s"$tmp/out")
+    }),
     "s04_stream_dedup"       -> ((s, d) => {
       import s.implicits._
       val schema = s.read.parquet(s"$d/documents.parquet").schema
@@ -927,6 +960,7 @@ object SparkEntry {
     "q55_keeper_select"   -> keeperOracle,
     "q45_dedup_incremental" -> incrementalOracle,
     "s08_stream_dedup_incremental" -> incrementalOracle,
+    "s09_stream_dedup_admit" -> admitOracle,
     "q47_decontaminate_ngram" -> decontamNgramOracle,
     "q48_kmeans_refine"   -> kmeansOracle,
     "q65_kmeans_train"    -> kmeansIterateOracle(3),
@@ -1102,6 +1136,32 @@ object SparkEntry {
        |       jaccard
        |FROM p
        |WHERE (doc_a % 10 = 9) <> (doc_b % 10 = 9)
+       |ORDER BY new_doc, dup_of""".stripMargin
+
+  /** s09: the admit loop replayed batch-by-batch. h1 = batch1 (ids ≡ 8)
+    * vs corpus only; its flagged docs are NOT admitted, so h2 = batch2
+    * (ids ≡ 9) vs corpus ∪ batch1-survivors — a batch-1 partner that
+    * appears in h1's flagged set is excluded from batch 2's reachable
+    * index. Built on the same full pairwise minhash CTE as q45. */
+  private def admitOracle: String =
+    s"""WITH p AS ($minhashPairsQuery),
+       |h1 AS (SELECT CASE WHEN doc_a % 10 = 8 THEN doc_a ELSE doc_b END AS new_doc,
+       |              CASE WHEN doc_a % 10 = 8 THEN doc_b ELSE doc_a END AS dup_of,
+       |              jaccard
+       |       FROM p
+       |       WHERE ((doc_a % 10 = 8) <> (doc_b % 10 = 8))
+       |         AND doc_a % 10 <> 9 AND doc_b % 10 <> 9),
+       |h2 AS (SELECT CASE WHEN doc_a % 10 = 9 THEN doc_a ELSE doc_b END AS new_doc,
+       |              CASE WHEN doc_a % 10 = 9 THEN doc_b ELSE doc_a END AS dup_of,
+       |              jaccard
+       |       FROM p
+       |       WHERE ((doc_a % 10 = 9) <> (doc_b % 10 = 9))
+       |         AND NOT ((CASE WHEN doc_a % 10 = 9 THEN doc_b ELSE doc_a END) % 10 = 8
+       |                  AND (CASE WHEN doc_a % 10 = 9 THEN doc_b ELSE doc_a END)
+       |                      IN (SELECT new_doc FROM h1)))
+       |SELECT new_doc, dup_of, jaccard FROM h1
+       |UNION ALL
+       |SELECT new_doc, dup_of, jaccard FROM h2
        |ORDER BY new_doc, dup_of""".stripMargin
 
   /** q47: shingle-level decontamination. `sh` is already distinct per

@@ -200,6 +200,79 @@ object Streams {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** s09: the CLOSED continuous-dedup loop — s08 plus per-batch
+    * ADMISSION. s08 probes a static corpus index, so two intake
+    * batches that duplicate EACH OTHER both pass; here every batch,
+    * after probing, appends its survivors' band rows to the index
+    * ([[graft.operators.Dedup.appendToBandIndex]]) and their text to
+    * an admitted store — so batch N+1 dedups against the corpus AND
+    * every earlier batch's survivors. This is the lifecycle a real
+    * intake pipeline runs: the corpus index is built once, then only
+    * grows by admitted novelty; nothing is ever re-signatured.
+    *
+    * Per batch, strictly ordered: (1) read the CURRENT index + the
+    * admitted text store; (2) probe; (3) `localCheckpoint` the batch,
+    * its hits, and its survivors BEFORE any write — the probe must
+    * not observe the index mutation its own batch is about to make
+    * (a lazily re-evaluated plan would re-list the index files after
+    * the append and find the batch's own bands — self-pairs); (4)
+    * append hits to the output, survivor bands to the index, survivor
+    * text to the admitted store.
+    *
+    * Semantics: q45's contract per batch (intra-batch dups pass;
+    * dropped docs are NOT admitted, so later dups of a dropped doc
+    * flag against whatever condemned it, not the dropped doc).
+    * Batch-boundary determinism: results depend on which docs share a
+    * batch, so the batch-replay oracle fixes delivery (the s03
+    * single-file-per-trigger convention). At-least-once on restart,
+    * like [[reportedIngest]]: a replayed batch re-appends its hits
+    * and bands (the probe may then also emit self-pairs for its own
+    * re-admitted docs — a real re-delivery signal, q45's reading);
+    * duplicate band rows only widen candidate sets, which
+    * `incrementalProbeIndex`'s distinct collapses. */
+  def streamIncrementalDedupAdmit(intake: DataFrame, indexPath: String,
+                                  existing: DataFrame, admittedDir: String,
+                                  outDir: String, checkpointDir: String,
+                                  n: Int = 3, numHashes: Int = 16,
+                                  bands: Int = 4, tau: Double = 0.5,
+                                  trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = intake.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val idx = graft.operators.Dedup.readBandIndex(sp, indexPath,
+          n, numHashes, bands)
+        val admitted =
+          try sp.read.parquet(admittedDir).select(col("doc_id"), col("text"))
+          catch {
+            // first batch: the store does not exist yet — an empty
+            // admitted set, matched on the stable error class
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" =>
+              import org.apache.spark.sql.types._
+              sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                StructType(Seq(StructField("doc_id", LongType),
+                  StructField("text", StringType))))
+          }
+        val existAll = existing.select(col("doc_id"), col("text"))
+          .unionByName(admitted)
+        val b = batch.localCheckpoint()
+        val hits = graft.operators.Dedup.incrementalProbeIndex(
+          idx, existAll, b, n, numHashes, bands, tau).localCheckpoint()
+        val survivors = b.join(
+          hits.select(col("new_doc").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti").localCheckpoint()
+        hits.write.mode("append").parquet(outDir)
+        graft.operators.Dedup.appendToBandIndex(survivors, indexPath,
+          n, numHashes, bands)
+        survivors.select(col("doc_id"), col("text"))
+          .write.mode("append").parquet(admittedDir)
+        ()
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
   // ----- s03: stateful manifest batcher -------------------------------
 
   /** One tracked file: prefix plays the reference's date_prefix, key its

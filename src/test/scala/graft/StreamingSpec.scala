@@ -327,6 +327,33 @@ class StreamingSpec extends SparkSpec {
     streamed.map(x => (x._1, x._2)) shouldBe Set((10L, 1L), (12L, 1L))
   }
 
+  test("s09 admit loop: later batches dedup against earlier survivors, not dropped docs") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val baseA = "alpha beta gamma delta epsilon zeta eta theta"
+    val novelX = "crimson harbor lantern quietly drifting beneath autumn skies"
+    val novelY = "mechanical orchard of copper birds singing binary songs"
+    val corpus = Seq((1L, baseA)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("s09spec_").toString
+    graft.operators.Dedup.writeBandIndex(corpus, s"$tmp/index")
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.streamIncrementalDedupAdmit(in.toDF().toDF("doc_id", "text"),
+      s"$tmp/index", corpus, s"$tmp/admitted", s"$tmp/out", s"$tmp/cp")
+    in.addData((10L, novelX), (11L, baseA)) // 10 survives, 11 dups corpus doc 1
+    q.processAllAvailable()
+    // 20 dups batch-1 SURVIVOR 10 (the admit effect); 21 dups corpus 1
+    // but must NOT also flag vs dropped 11; 22 is novel
+    in.addData((20L, novelX), (21L, baseA), (22L, novelY))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.read.parquet(s"$tmp/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    hits shouldBe Set((11L, 1L), (20L, 10L), (21L, 1L))
+    val admitted = spark.read.parquet(s"$tmp/admitted").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    admitted shouldBe Set(10L, 22L)
+  }
+
   test("s08 checkpoint restart probes only newly-landed intake files") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta"
