@@ -192,8 +192,11 @@ object SparkEntry {
         val dest = java.nio.file.Paths.get(s"$tmp/landing/$name.parquet")
         java.nio.file.Files.createDirectories(dest.getParent)
         java.nio.file.Files.move(part.toPath, dest)
-        dest.toFile.setLastModified(mtime)
-        ()
+        // the mtime IS the delivery order the oracle replays — a
+        // filesystem that refuses the stamp must fail loudly here,
+        // not as an inexplicable oracle mismatch downstream
+        require(dest.toFile.setLastModified(mtime),
+          s"could not pin mtime on $dest — s09 delivery order would be undefined")
       }
       land(docs.filter(col("doc_id") % 10 === 8), "b1", 1000000L)
       land(docs.filter(col("doc_id") % 10 === 9), "b2", 2000000L)

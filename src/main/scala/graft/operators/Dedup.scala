@@ -251,9 +251,29 @@ object Dedup {
     val spark = documents.sparkSession
     validateIndexParams(readBandIndex(spark, path, n, numHashes, bands),
       n, numHashes, bands, s"band index at $path")
+    appendToBandIndexValidated(documents, path, n, numHashes, bands)
+  }
+
+  /** [[appendToBandIndex]] minus the parameter re-validation — for
+    * callers that ALREADY read the index with these parameters in the
+    * same unit of work (s09's per-batch loop reads + validates via
+    * [[readBandIndex]] three statements earlier; re-validating here
+    * would re-list the whole 256-partition index tree on every
+    * micro-batch). Never call without a same-params read in hand. */
+  private[graft] def appendToBandIndexValidated(documents: DataFrame,
+                                                path: String, n: Int,
+                                                numHashes: Int,
+                                                bands: Int): Unit =
     bandIndexRows(documents, n, numHashes, bands)
       .write.mode("append").partitionBy("bk_prefix").parquet(path)
-  }
+
+  /** Typed zero-row frame — the shared "missing store reads as empty"
+    * idiom ([[readBandIndex]]'s empty index, s09's first-batch
+    * admitted store). */
+  private[graft] def emptyTyped(spark: org.apache.spark.sql.SparkSession,
+                                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Shared index-row shape for [[writeBandIndex]]/[[appendToBandIndex]]:
     * (doc_id, bk, stamps) under the 2-hex-char bucket-prefix partition. */
@@ -308,8 +328,7 @@ object Dedup {
             if e.getCondition == "UNABLE_TO_INFER_SCHEMA" &&
               hasSuccessMarker(spark, path) =>
           import org.apache.spark.sql.types._
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          emptyTyped(spark,
             StructType(Seq(StructField("doc_id", LongType),
               StructField("bk", StringType))))
             .select(col("*") +: stampCols(n, numHashes, bands): _*)

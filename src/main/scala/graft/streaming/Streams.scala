@@ -251,7 +251,7 @@ object Streams {
             case e: org.apache.spark.sql.AnalysisException
                 if e.getCondition == "PATH_NOT_FOUND" =>
               import org.apache.spark.sql.types._
-              sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              graft.operators.Dedup.emptyTyped(sp,
                 StructType(Seq(StructField("doc_id", LongType),
                   StructField("text", StringType))))
           }
@@ -260,14 +260,29 @@ object Streams {
         val b = batch.localCheckpoint()
         val hits = graft.operators.Dedup.incrementalProbeIndex(
           idx, existAll, b, n, numHashes, bands, tau).localCheckpoint()
-        val survivors = b.join(
-          hits.select(col("new_doc").as("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti").localCheckpoint()
+        // first admission wins: a re-delivered doc_id whose text
+        // drifted BELOW tau (so the probe passed it) must not stack a
+        // second text row in the store — later verifies would fan out
+        // into duplicate, conflicting hit rows per pair. The anti-join
+        // is against the (novelty-sized) admitted set, not the corpus;
+        // corpus-vs-intake id disjointness stays the caller's contract
+        // (q45's split convention).
+        val survivors = b
+          .join(hits.select(col("new_doc").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .join(admitted.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
         hits.write.mode("append").parquet(outDir)
-        graft.operators.Dedup.appendToBandIndex(survivors, indexPath,
+        // params validated by THIS batch's readBandIndex above — the
+        // unchecked append skips a second full index listing
+        graft.operators.Dedup.appendToBandIndexValidated(survivors, indexPath,
           n, numHashes, bands)
         survivors.select(col("doc_id"), col("text"))
           .write.mode("append").parquet(admittedDir)
+        // free the per-batch checkpoint blocks now, not at driver GC —
+        // a long-running stream would otherwise accumulate 3 dead
+        // block sets per micro-batch until the ContextCleaner fires
+        b.unpersist(); hits.unpersist(); survivors.unpersist()
         ()
       }
     trigger.fold(w)(w.trigger).start()

@@ -354,6 +354,28 @@ class StreamingSpec extends SparkSpec {
     admitted shouldBe Set(10L, 22L)
   }
 
+  test("s09 re-delivered doc with drifted text is not admitted twice — first admission wins") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("s09drift_").toString
+    graft.operators.Dedup.writeBandIndex(corpus, s"$tmp/index")
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.streamIncrementalDedupAdmit(in.toDF().toDF("doc_id", "text"),
+      s"$tmp/index", corpus, s"$tmp/admitted", s"$tmp/out", s"$tmp/cp")
+    val v1 = "crimson harbor lantern quietly drifting beneath autumn skies"
+    in.addData((10L, v1))
+    q.processAllAvailable()
+    // same doc_id, text drifted far below tau: the probe passes it as
+    // novel, but the store must keep exactly ONE row for doc 10 (v1)
+    in.addData((10L, "entirely rewritten content sharing nothing with before"))
+    q.processAllAvailable()
+    q.stop()
+    val admitted = spark.read.parquet(s"$tmp/admitted").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    admitted shouldBe Array((10L, v1))
+  }
+
   test("s08 checkpoint restart probes only newly-landed intake files") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta"
