@@ -361,9 +361,13 @@ object Similarity {
         Exprs.dot(slice(col("v"), s * dsub + 1, dsub), lit(cv))
       }: _*).as("adc"))
 
-    // approximate scoring: cell equi-join + m lookups per candidate
-    val approx = probes.join(broadcast(adc), Seq("query_id"))
-      .join(codes.withColumnRenamed("vec_id", "neighbor_id"), Seq("cell"))
+    // approximate scoring: cell equi-join + m lookups per candidate.
+    // The probe side (nQueries·nProbe rows carrying the ADC tables) is
+    // BROADCAST so the codes table streams through unshuffled — without
+    // the hint Spark's unknown-size estimate picks a sort-merge join
+    // that exchanges every vector's codes by cell.
+    val approx = codes.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(probes.join(broadcast(adc), Seq("query_id"))), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("approx",
         lookupSum(col("adc"), col("codes")) / (col("qn") * sqrt(col("vn2"))))

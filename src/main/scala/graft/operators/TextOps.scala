@@ -167,13 +167,13 @@ object TextOps {
     }
   }
 
-  /** The ONE corpus wordcount frame `(tok, cnt)` behind every top-V
-    * vocabulary in the library (q54's membership vocab, q68's
-    * coverage curve): explode → map-side partial agg. Centralized so
-    * the tokenization and count conventions cannot silently diverge
-    * between the operators that cross-reference each other's "top-V"
-    * definition; tie ORDER stays at each call site (both use
-    * (cnt desc, tok)). */
+  /** The corpus wordcount frame `(tok, cnt)` behind q54's top-V
+    * membership vocabulary: explode → map-side partial agg. q68's
+    * coverage curve needs the grand total too and therefore runs the
+    * SAME `toks` tokenization through a rollup instead (one scan for
+    * counts + total) — the shared tokenizer column is what keeps the
+    * two "top-V" definitions aligned; tie ORDER stays at each call
+    * site (both use (cnt desc, tok)). */
   private def tokenCountFrame(documents: DataFrame): DataFrame =
     documents.select(explode(toks).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
@@ -196,16 +196,30 @@ object TextOps {
     * rounding step. Ties order by (count desc, token) in both
     * engines. */
   def vocabCoverage(documents: DataFrame, topV: Int = 100): DataFrame = {
-    val counts = tokenCountFrame(documents)
-      .select(col("tok").as("token"), col("cnt").as("n_occurrences"))
-    val total = counts.agg(sum(col("n_occurrences")).as("total"))
-    val top = counts.orderBy(col("n_occurrences").desc, col("token")).limit(topV)
+    // ONE corpus scan: rollup emits per-token counts AND the grand
+    // total (the null-token row — split() never yields null tokens)
+    // in one shuffle. The plan stays a LINEAR chain: total ≥ every
+    // count, so the total row survives the top-(V+1) TakeOrdered cut
+    // (nulls-first tie-break covers the one-token corpus) and is
+    // extracted by a window over the capped frame — a diamond
+    // (filter counts / filter total, join back) would re-run the
+    // whole scan+shuffle per branch: exchange reuse measurably does
+    // NOT fire for it, even under AQE.
+    val agg = documents.select(explode(toks).as("token"))
+      .rollup("token").agg(count(lit(1)).as("n_occurrences"))
+    val top1 = agg
+      .orderBy(col("n_occurrences").desc, col("token").asc_nulls_first)
+      .limit(topV + 1)
+    val everything = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val ord = Window.orderBy(col("n_occurrences").desc, col("token"))
-    top
+    top1
+      .withColumn("total",
+        max(when(col("token").isNull, col("n_occurrences"))).over(everything))
+      .filter(col("token").isNotNull)
       .withColumn("rank", row_number().over(ord).cast("long"))
       .withColumn("cum", sum(col("n_occurrences"))
         .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .crossJoin(broadcast(total))
       .select(col("rank"), col("token"), col("n_occurrences"),
         (col("cum").cast("double") / col("total").cast("double"))
           .as("cum_coverage"))

@@ -201,9 +201,10 @@ class PlanSpec extends SparkSpec {
     plan.split("Scan parquet").length - 1 shouldBe 1
   }
 
-  test("q68 top-V is a TakeOrdered — the vocabulary never feeds a global sort") {
+  test("q68 top-V is a TakeOrdered over ONE scan — no second pass for the total") {
     val plan = planOf(TextOps.vocabCoverage(tables.documents))
     plan should include ("TakeOrderedAndProject")
+    plan.split("Scan parquet").length - 1 shouldBe 1
   }
 
   test("q49 profile is ONE aggregation over one scan (single shuffle)") {
