@@ -1,0 +1,44 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit tool: prints one line per batch query — exchange /
+  * scan / window counts plus join-shape flags (SMJ, cartesian,
+  * broadcast-NLJ) — so a round can diff plan shapes against the last
+  * audit and catch silent regressions PlanSpec doesn't pin. Streaming
+  * entries are skipped (constructing them executes real streams).
+  * Expected flags (all by-design): q24/q25 BNLJ (documented exact
+  * broadcast brute force), q48/q65 BNLJ (centroid broadcast cross),
+  * q59/q63 BNLJ (tiny broadcast sides), q57 SMJ (the in-cell
+  * same-size pair join), q36/q55 SMJ (size-unknown after
+  * localCheckpoint; AQE converts to broadcast at runtime when small).
+  *
+  * Run: Test/runMain graft.ExplainAudit [sfDir]
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => !q._1.startsWith("s0")) // streaming entries execute
+      .foreach { case (name, fn) =>
+        try {
+          val plan = fn(spark, dir).queryExecution.executedPlan.toString
+          def c(p: String) = plan.split(p).length - 1
+          val flags = Seq(
+            if (c("SortMergeJoin") > 0) s"SMJ=${c("SortMergeJoin")}" else "",
+            if (c("CartesianProduct") > 0) s"CART=${c("CartesianProduct")}" else "",
+            if (c("BroadcastNestedLoopJoin") > 0) s"BNLJ=${c("BroadcastNestedLoopJoin")}" else "")
+            .filter(_.nonEmpty).mkString(",")
+          println(f"AUDIT $name%-28s ex=${c("Exchange")}%-3d scan=${c("Scan parquet")}%-2d win=${c("Window")}%-2d $flags")
+        } catch {
+          case e: Throwable =>
+            println(s"AUDIT $name ERROR ${Option(e.getMessage).getOrElse("").take(60)}")
+        }
+      }
+    spark.stop()
+  }
+}
