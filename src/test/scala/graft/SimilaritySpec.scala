@@ -132,6 +132,21 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.7
   }
 
+  test("q69 non-default PQ geometry (m=16 subspaces, ks=8 codes) still reranks exactly") {
+    val e = tables.embeddings
+    val exact = Similarity.annBruteForce(e, nQueries = 10, k = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = Similarity.annIvfPq(e, m = 16, ks = 8, rerank = 64).collect()
+    pq should not be empty
+    pq.foreach { r => exact((r.getLong(0), r.getLong(1))) shouldBe r.getDouble(2) }
+    // finer subspaces + deeper rerank should hold recall at or above
+    // the default geometry's floor
+    def keyset(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val top5 = keyset(Similarity.annBruteForce(e, nQueries = 10, k = 5).collect())
+    (keyset(pq) & top5).size.toDouble / top5.size should be >= 0.7
+  }
+
   test("q65 one iterate round matches kmeansRefine's assignment and cosine") {
     val e = tables.embeddings
     val once = Similarity.kmeansIterate(e, rounds = 1).collect()
