@@ -98,6 +98,8 @@ object SparkEntry {
     "q34_dedup_embedding_lsh"-> ((s, d) => Similarity.embeddingNearDupsBucketed(Tables(s, d).embeddings)),
     "q46_ann_ivf"            -> ((s, d) => Similarity.annIvf(Tables(s, d).embeddings)),
     "q69_ann_ivfpq"          -> ((s, d) => Similarity.annIvfPq(Tables(s, d).embeddings)),
+    "q70_ann_ivfpq_residual" -> ((s, d) =>
+      Similarity.annIvfPq(Tables(s, d).embeddings, residual = true)),
     "q57_semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(Tables(s, d).embeddings)),
     "q64_sample_percell"     -> ((s, d) => Similarity.samplePerCell(Tables(s, d).embeddings)),
     // q63: same eval split convention as q35/q47 (id ≡ 0 mod 7 plays
@@ -972,7 +974,8 @@ object SparkEntry {
     "q25_ann_bruteforce"  -> annBruteOracle,
     "q26_ann_lsh"         -> annLshOracle,
     "q46_ann_ivf"         -> annIvfOracle,
-    "q69_ann_ivfpq"       -> annIvfPqOracle,
+    "q69_ann_ivfpq"       -> annIvfPqOracle(),
+    "q70_ann_ivfpq_residual" -> annIvfPqOracle(residual = true),
     "q34_dedup_embedding_lsh" -> embeddingDedupLshOracle,
     "q57_semantic_dedup"  -> semanticDedupOracle,
     "q63_decontaminate_semantic" -> semanticDecontamOracle,
@@ -1425,13 +1428,90 @@ object SparkEntry {
     * fixed left-assoc lookup chains the Spark side builds — every sum
     * order matches term for term, so the approximate scores (and
     * therefore the rerank cut) are bit-identical. */
-  private def annIvfPqOracle: String = {
+  private def annIvfPqOracle(residual: Boolean = false): String = {
     val (m, ks, dsub) = (8, 16, 8)
     def dot8(a: String, b: String): String =
       (1 to dsub).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
     def chain(arr: String, codes: String): String =
       (0 until m).map(s => s"$arr[${s * ks} + $codes[${s + 1}] + 1]")
         .mkString(" + ")
+    // codebook source: raw slices of the first ks vectors, or residual
+    // slices (v − assigned centroid) of the NEXT ks vectors
+    val bookSrc =
+      if (!residual)
+        s"""bsrc AS (SELECT vec_id, s, sv FROM sv WHERE vec_id < $ks)"""
+      else
+        s"""bsrc AS (SELECT a.neighbor_id AS vec_id, r.s,
+           |           list_transform(range(1, ${dsub + 1}),
+           |             i -> q.v[r.s*$dsub + i] - c.v[r.s*$dsub + i]) AS sv
+           |         FROM asg a JOIN n q ON q.vec_id = a.neighbor_id
+           |         JOIN cent c ON c.cell = a.cell
+           |         CROSS JOIN range(0, $m) r(s)
+           |         WHERE a.neighbor_id >= 16 AND a.neighbor_id < ${16 + ks})""".stripMargin
+    // residual-only constant cell tables: ccf = flat ⟨c_sub, cb⟩ dots,
+    // c2c = |c|²
+    val ccTables =
+      if (!residual) ""
+      else {
+        val cslice = (1 to dsub).map(i => s"c.v[b.s*$dsub+$i]*b.cv[$i]").mkString(" + ")
+        s""",
+           |ccp AS (SELECT c.cell, b.s, b.code, ($cslice) AS cd
+           |        FROM cent c CROSS JOIN book b),
+           |cc AS (SELECT cell, list(cd ORDER BY s, code) AS ccf FROM ccp GROUP BY cell),
+           |ccn AS (SELECT cc.cell, cc.ccf, (${sqlDot("c.v", "c.v")}) AS c2c
+           |        FROM cc JOIN cent c USING (cell))""".stripMargin
+      }
+    val encp =
+      if (!residual)
+        s"""encp AS (SELECT t.vec_id, t.s, b.code, (b.c2 - 2*(${dot8("t.sv", "b.cv")})) AS err
+           |         FROM sv t JOIN book b USING (s))""".stripMargin
+      else
+        s"""encp AS (SELECT t.vec_id, a.cell, t.s, b.code,
+           |           (b.c2 - 2*(${dot8("t.sv", "b.cv")}) + 2*x.ccf[t.s*$ks + b.code + 1]) AS err
+           |         FROM sv t JOIN asg a ON a.neighbor_id = t.vec_id
+           |         JOIN ccn x ON x.cell = a.cell
+           |         JOIN book b USING (s))""".stripMargin
+    val codesl =
+      if (!residual)
+        s"""codesl AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM (
+           |             SELECT vec_id, s, code,
+           |                    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY err, code) AS rn
+           |             FROM encp) t WHERE rn = 1 GROUP BY vec_id)""".stripMargin
+      else
+        s"""codesl AS (SELECT vec_id, cell, list(code ORDER BY s) AS codes FROM (
+           |             SELECT vec_id, cell, s, code,
+           |                    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY err, code) AS rn
+           |             FROM encp) t WHERE rn = 1 GROUP BY vec_id, cell)""".stripMargin
+    val codesv =
+      if (!residual)
+        s"""codesv AS (SELECT c.vec_id, c.codes, (${chain("f.arr", "c.codes")}) AS vn2
+           |           FROM codesl c CROSS JOIN c2f f)""".stripMargin
+      else
+        s"""codesv AS (SELECT c.vec_id, c.codes,
+           |             (x.c2c + 2*(${chain("x.ccf", "c.codes")}) + (${chain("f.arr", "c.codes")})) AS vn2
+           |           FROM codesl c JOIN ccn x USING (cell) CROSS JOIN c2f f)""".stripMargin
+    // residual numerator adds dot(q, c) — written as (dot/|c|)·|c|, the
+    // exact arithmetic the Spark side uses (probe score × √c2c)
+    val ap =
+      if (!residual)
+        s"""ap AS (SELECT p.query_id, a.neighbor_id,
+           |         (${chain("d.adc", "cv.codes")}) / (q.nrm * sqrt(cv.vn2)) AS approx
+           |       FROM probes p JOIN asg a USING (cell)
+           |       JOIN codesv cv ON cv.vec_id = a.neighbor_id
+           |       JOIN adc d ON d.query_id = p.query_id
+           |       JOIN n q ON q.vec_id = p.query_id
+           |       WHERE a.neighbor_id <> p.query_id)""".stripMargin
+      else
+        s"""ap AS (SELECT p.query_id, a.neighbor_id,
+           |         ( ((${sqlDot("q.v", "c.v")}) / c.nrm) * sqrt(x.c2c)
+           |           + (${chain("d.adc", "cv.codes")}) ) / (q.nrm * sqrt(cv.vn2)) AS approx
+           |       FROM probes p JOIN asg a USING (cell)
+           |       JOIN codesv cv ON cv.vec_id = a.neighbor_id
+           |       JOIN adc d ON d.query_id = p.query_id
+           |       JOIN n q ON q.vec_id = p.query_id
+           |       JOIN cent c ON c.cell = p.cell
+           |       JOIN ccn x ON x.cell = p.cell
+           |       WHERE a.neighbor_id <> p.query_id)""".stripMargin
     s"""WITH $vecCtes,
        |cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < 16),
        |sc AS (SELECT x.vec_id, c.cell, (${sqlDot("x.v", "c.v")}) / c.nrm AS score
@@ -1446,28 +1526,18 @@ object SparkEntry {
        |          FROM sc WHERE vec_id < 10) t WHERE rn <= 4),
        |sv AS (SELECT vec_id, r.s, v[(r.s*$dsub+1):(r.s*$dsub+$dsub)] AS sv
        |       FROM n CROSS JOIN range(0, $m) r(s)),
+       |$bookSrc,
        |book AS (SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INTEGER) AS code,
        |                sv AS cv, (${dot8("sv", "sv")}) AS c2
-       |         FROM sv WHERE vec_id < $ks),
-       |c2f AS (SELECT list(c2 ORDER BY s, code) AS arr FROM book),
-       |encp AS (SELECT t.vec_id, t.s, b.code, (b.c2 - 2*(${dot8("t.sv", "b.cv")})) AS err
-       |         FROM sv t JOIN book b USING (s)),
-       |codesl AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM (
-       |             SELECT vec_id, s, code,
-       |                    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY err, code) AS rn
-       |             FROM encp) t WHERE rn = 1 GROUP BY vec_id),
-       |codesv AS (SELECT c.vec_id, c.codes, (${chain("f.arr", "c.codes")}) AS vn2
-       |           FROM codesl c CROSS JOIN c2f f),
+       |         FROM bsrc),
+       |c2f AS (SELECT list(c2 ORDER BY s, code) AS arr FROM book)$ccTables,
+       |$encp,
+       |$codesl,
+       |$codesv,
        |adcp AS (SELECT t.vec_id AS query_id, t.s, b.code, (${dot8("t.sv", "b.cv")}) AS pd
        |         FROM sv t JOIN book b USING (s) WHERE t.vec_id < 10),
        |adc AS (SELECT query_id, list(pd ORDER BY s, code) AS adc FROM adcp GROUP BY query_id),
-       |ap AS (SELECT p.query_id, a.neighbor_id,
-       |         (${chain("d.adc", "cv.codes")}) / (q.nrm * sqrt(cv.vn2)) AS approx
-       |       FROM probes p JOIN asg a USING (cell)
-       |       JOIN codesv cv ON cv.vec_id = a.neighbor_id
-       |       JOIN adc d ON d.query_id = p.query_id
-       |       JOIN n q ON q.vec_id = p.query_id
-       |       WHERE a.neighbor_id <> p.query_id),
+       |$ap,
        |short AS (SELECT query_id, neighbor_id FROM (
        |            SELECT query_id, neighbor_id,
        |                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS ar

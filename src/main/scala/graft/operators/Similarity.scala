@@ -285,10 +285,23 @@ object Similarity {
     * broadcast codebook → min(struct) partial-agg argmin → per-vector
     * code array; candidates = the q46 cell equi-join; scoring = two
     * broadcast joins (ADC, query norms) + a per-row lookup chain;
-    * only the rerank survivors touch the float table again. */
+    * only the rerank survivors touch the float table again.
+    *
+    * `residual = true` (q70) is the canonical IVF-PQ refinement: the
+    * codebook quantizes RESIDUALS v − c(cell) — much smaller vectors
+    * than the raw corpus, so the same ks codes carve finer cells and
+    * recall rises at identical storage. Everything stays lookups: the
+    * encode argmin of |cb|² − 2·⟨v−c, cb⟩ expands to the raw-dot term
+    * plus a constant 2·⟨c_sub, cb⟩ cell-table entry (no residual
+    * vector is ever built); dot(q, v̂) = dot(q, c) + the SAME
+    * query-global ADC sum; |v̂|² = |c|² + 2Σ⟨c_sub, cb⟩ + Σ|cb|² —
+    * three table chains. Codebook source = residuals of the ks
+    * vectors AFTER the coarse seeds (the seeds' own residuals are
+    * zero), assignment replicated driver-side with the same
+    * score/tie rule the plan uses. */
   def annIvfPq(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 4,
                nQueries: Int = 10, k: Int = 5, m: Int = 8, ks: Int = 16,
-               rerank: Int = 32): DataFrame = {
+               rerank: Int = 32, residual: Boolean = false): DataFrame = {
     val dim = 64
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
@@ -298,6 +311,14 @@ object Similarity {
     val cellIds = lit(cents.map(_._1))
     val e = prepared(embeddings)
 
+    // left-fold dot, the driver-side replica of graft_dot / the
+    // oracle's explicit term chain — identical accumulation order
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+
     // corpus cell assignment: the dual-shape argmax (literal array at
     // test geometry, broadcast table past the ~32-centroid codegen
     // window — the same cliff assignCells documents). The QUERY-side
@@ -306,18 +327,52 @@ object Similarity {
     // fallback is microseconds.
     val assigned = assignCellsFull(e, cents)
 
-    // PQ codebook: (s, code, centroid slice, |c|²) — KBs, like the
-    // coarse centroids; code = vec_id rank among the ks seeds
-    val pqSeeds = seedCentroids(embeddings, ks).zipWithIndex.toSeq
+    // PQ codebook: (s, code, slice, |c|²) — KBs, like the coarse
+    // centroids; code = vec_id rank among the source vectors. Raw
+    // mode slices the ks lowest-id vectors; residual mode slices the
+    // RESIDUALS (v − assigned centroid) of the next ks vectors —
+    // seeds' own residuals are zero, so the band after the coarse
+    // seeds is the training-free residual sample. Assignment is
+    // replicated driver-side with the same score and tie rule.
+    val pqSeeds: Seq[(Array[Double], Int)] =
+      if (!residual) seedCentroids(embeddings, ks).toSeq.zipWithIndex
+        .map { case ((_, v), code) => (v, code) }
+      else {
+        val raw = embeddings
+          .filter(col("vec_id") >= nCells && col("vec_id") < nCells + ks)
+          .select(col("vec_id").cast("long"), vecD(col("embedding")))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+        require(raw.nonEmpty,
+          s"residual codebook needs vectors with vec_id in [$nCells, ${nCells + ks})")
+        raw.toSeq.zipWithIndex.map { case ((_, v), code) =>
+          // argmax of dot(v,c)/|c|, ties toward the smaller cell id:
+          // cents is id-sorted and maxBy keeps the FIRST maximum
+          val (_, cvec) = cents.maxBy { case (_, c) =>
+            dotD(v, c) / math.sqrt(dotD(c, c))
+          }
+          (v.indices.map(i => v(i) - cvec(i)).toArray, code)
+        }
+      }
     val book: Seq[(Int, Int, Array[Double], Double)] =
       for {
         s <- 0 until m
-        ((_, v), code) <- pqSeeds
+        (v, code) <- pqSeeds
       } yield {
         val cv = v.slice(s * dsub, (s + 1) * dsub)
         (s, code, cv, cv.foldLeft(0.0)((a, x) => a + x * x))
       }
     val bookDf = book.toDF("s", "code", "cv", "c2")
+    // residual mode's constant cell tables: ccf = the (s, code)-flat
+    // dots of each cell centroid's slices against the codebook
+    // (corrects both the encode argmin and |v̂|²), c2c = |c_cell|²
+    val ccDf = broadcast(cents.toSeq.map { case (cellId, cvec) =>
+      val flat = book.sortBy(b => (b._1, b._2)).map { case (s, _, cb, _) =>
+        dotD(cvec.slice(s * dsub, (s + 1) * dsub), cb)
+      }.toArray
+      (cellId, flat, dotD(cvec, cvec))
+    }.toDF("cell", "ccf", "c2c"))
     // flat (s, code)-ordered constant tables for the lookup chains
     val c2flat = lit(book.sortBy(b => (b._1, b._2)).map(_._4).toArray)
     // Σ_s arr[s·ks + codes[s] + 1] as a FIXED left-assoc chain — the
@@ -332,30 +387,55 @@ object Similarity {
     // min(struct) aggregates of a single groupBy(vec_id), so the map
     // side collapses each vector's m·ks scored rows straight to one
     // row of m codes — no intermediate (vec, s)-keyed exchange.
+    // Residual mode never materializes a residual vector: the argmin
+    // of |cb|² − 2·⟨v−c, cb⟩ expands to the raw-dot term plus the
+    // constant 2·⟨c_sub, cb⟩ from the cell table — same codegen'd
+    // fused loop, one extra array lookup.
     val sIdx = array((0 until m).map(lit): _*)
     val minAggs = (0 until m).map(s =>
       min(when(col("s") === s, struct(col("err"), col("code")))).as(s"b$s"))
-    val codes = assigned
+    val errCol =
+      if (!residual) col("c2") - lit(2.0) * Exprs.dot(col("sub"), col("cv"))
+      else col("c2") - lit(2.0) * Exprs.dot(col("sub"), col("cv")) +
+        lit(2.0) * element_at(col("ccf"), col("s") * ks + col("code") + 1)
+    val subRows0 = assigned
       .select(col("vec_id"), col("cell"), explode(sIdx).as("s"), col("v"))
       .withColumn("sub", slice(col("v"), col("s") * dsub + 1, lit(dsub)))
       .join(broadcast(bookDf), Seq("s"))
-      .withColumn("err", col("c2") - lit(2.0) * Exprs.dot(col("sub"), col("cv")))
+    val subRows = if (residual) subRows0.join(ccDf, Seq("cell")) else subRows0
+    val codes0 = subRows
+      .withColumn("err", errCol)
       .groupBy(col("vec_id"), col("cell"))
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("vec_id"), col("cell"),
         array((0 until m).map(s => col(s"b$s.code")): _*).as("codes"))
-      .withColumn("vn2", lookupSum(c2flat, col("codes")))
+    // |v̂|²: raw — Σ|cb_code|²; residual — |c|² + 2Σ⟨c_sub,cb_code⟩ +
+    // Σ|cb_code|² (v̂ = c + concat(cb codes))
+    val codes =
+      if (!residual) codes0.withColumn("vn2", lookupSum(c2flat, col("codes")))
+      else codes0.join(ccDf, Seq("cell"))
+        .withColumn("vn2", col("c2c") +
+          lit(2.0) * lookupSum(col("ccf"), col("codes")) +
+          lookupSum(c2flat, col("codes")))
+        .select("vec_id", "cell", "codes", "vn2")
 
     // queries: probe list (q46's shape) + the ADC distance table
     val queries = e.filter(col("vec_id") < nQueries)
     val wq = Window.partitionBy("query_id").orderBy(col("score").desc, col("cell"))
-    val probes = queries
+    // residual mode carries the raw query·centroid dot per probed
+    // cell (score·|c| — the oracle writes the same re-multiplication)
+    // because dot(q, v̂) = dot(q, c) + Σ adc lookups
+    val probes0 = queries
       .select(col("vec_id").as("query_id"), posexplode(seedCellScores(cents)(col("v"))))
       .select(col("query_id"),
         element_at(cellIds, col("pos").cast("int") + 1).as("cell"), col("col").as("score"))
       .withColumn("pr", row_number().over(wq))
       .filter(col("pr") <= nProbe)
-      .select("query_id", "cell")
+    val probes =
+      if (!residual) probes0.select("query_id", "cell")
+      else probes0.join(ccDf, Seq("cell"))
+        .select(col("query_id"), col("cell"),
+          (col("score") * sqrt(col("c2c"))).as("qcdot"))
     val adc = queries.select(col("vec_id").as("query_id"), col("nrm").as("qn"),
       array(book.sortBy(b => (b._1, b._2)).map { case (s, _, cv, _) =>
         Exprs.dot(slice(col("v"), s * dsub + 1, dsub), lit(cv))
@@ -366,11 +446,13 @@ object Similarity {
     // BROADCAST so the codes table streams through unshuffled — without
     // the hint Spark's unknown-size estimate picks a sort-merge join
     // that exchanges every vector's codes by cell.
+    val numerator =
+      if (!residual) lookupSum(col("adc"), col("codes"))
+      else col("qcdot") + lookupSum(col("adc"), col("codes"))
     val approx = codes.withColumnRenamed("vec_id", "neighbor_id")
       .join(broadcast(probes.join(broadcast(adc), Seq("query_id"))), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("approx",
-        lookupSum(col("adc"), col("codes")) / (col("qn") * sqrt(col("vn2"))))
+      .withColumn("approx", numerator / (col("qn") * sqrt(col("vn2"))))
     val wr = Window.partitionBy("query_id").orderBy(col("approx").desc, col("neighbor_id"))
     val short = approx.withColumn("ar", row_number().over(wr))
       .filter(col("ar") <= rerank)
