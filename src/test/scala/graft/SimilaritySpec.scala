@@ -132,6 +132,15 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.7
   }
 
+  test("q69 above the literal window (nCells=40) takes the broadcast assignment, stays exact") {
+    val e = tables.embeddings
+    val exact = Similarity.annBruteForce(e, nQueries = 10, k = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = Similarity.annIvfPq(e, nCells = 40, nProbe = 10).collect()
+    pq should not be empty
+    pq.foreach { r => exact((r.getLong(0), r.getLong(1))) shouldBe r.getDouble(2) }
+  }
+
   test("q70 residual PQ reranks exactly and matches-or-beats raw-PQ recall") {
     val e = tables.embeddings
     val exact = Similarity.annBruteForce(e, nQueries = 10, k = Int.MaxValue)
