@@ -107,12 +107,34 @@ object Bench {
     val total = timings.values.sum
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${timings.size},"n_err":${errors.size},"queries":$qs,"errors":$es,"sf":"${esc(sfDir)}"}"""
+    // Full-name line goes to the file (and stdout, for humans/greps)...
     println(line)
-    // Belt-and-braces: also drop the metric line to a file so the driver
-    // can parse it even if sbt log prefixes pollute stdout.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_metric.json"), line + "\n")
     catch { case _: Throwable => () }
+    // ...but the driver captures only a ~2 KB stdout TAIL, and at the
+    // 82-query surface the full-name line outgrew it (BENCH_r09
+    // parsed:null — the line's head, with the JSON opener, was cut).
+    // So the LAST line printed is a compact equivalent that always
+    // fits: query keys shortened to their unique q/s/m-number prefix
+    // ("q22_dedup_minhash" → "q22"; full names stay in
+    // bench_metric.json). Falls back to full names on prefix collision
+    // so compaction can never alias two timings.
+    def short(k: String): String = k.indexOf('_') match {
+      case -1 => k
+      case i  => k.substring(0, i)
+    }
+    val allKeys = (timings.keys ++ errors.keys).toSeq
+    val collide = allKeys.map(short).distinct.size != allKeys.distinct.size
+    def key(k: String): String = if (collide) k else short(k)
+    val qsC = timings.map { case (k, v) => "\"" + key(k) + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    // error text capped harder here (full text is in the file line) so
+    // a many-failure run can't re-bloat the compact line past the tail
+    val esC = errors.map { case (k, v) => "\"" + key(k) + "\":\"" + esc(v.take(60)) + "\"" }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${timings.size},"n_err":${errors.size},"queries":$qsC,"errors":$esC,"sf":"${esc(sfDir)}","full_names":"bench_metric.json"}""")
     spark.stop()
   }
 }

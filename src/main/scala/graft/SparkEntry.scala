@@ -37,10 +37,12 @@ object SparkEntry {
     "q32_velocity_projection"-> ((s, d) => Analytics.velocityProjection(Tables(s, d).events)),
     "q33_extension_validate" -> ((s, d) => Etl.validateWithExtension(Tables(s, d).documents)),
     // q51: q09's declared 100 TB path as a first-class query — GK
-    // mergeable-sketch percentiles (no per-group sort). Sketch outputs
-    // aren't bit-replicable in DuckDB, so no oracleSql (driver runs the
-    // rows-only check); AnalyticsSpec pins the error bound vs exact.
-    "q51_percentile_sketch"  -> ((s, d) => Analytics.valueStats(Tables(s, d).events, exact = false)),
+    // mergeable-sketch percentiles (no per-group sort). Sketch values
+    // aren't bit-replicable in DuckDB, so the declared query certifies
+    // them in-plan (±1% rank window vs exact) and emits the verdict
+    // booleans the oracle can hash-match; AnalyticsSpec additionally
+    // pins the bound on the raw valueStats(exact=false) path.
+    "q51_percentile_sketch"  -> ((s, d) => Analytics.sketchPercentileCertified(Tables(s, d).events)),
     "q49_profile"            -> ((s, d) => Report.profile(Tables(s, d).events)),
     "q50_dup_report"         -> ((s, d) => Report.dupReport(Tables(s, d).documents)),
     // Analytical engine
@@ -344,6 +346,15 @@ object SparkEntry {
         |       ROUND(quantile_cont(value, 0.95), 4) AS p95,
         |       ROUND(quantile_cont(value, 0.99), 4) AS p99,
         |       MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q51: the oracle asserts the *verdict*, not the sketch — DuckDB
+    // recomputes the deterministic columns and expects every in-bound
+    // boolean to be true (a sketch outside the ±1% rank window makes
+    // the Spark side emit false → hash mismatch → red driver row).
+    "q51_percentile_sketch" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       MIN(value) AS min_value, MAX(value) AS max_value,
+        |       true AS p50_ok, true AS p95_ok, true AS p99_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q10_hourly_velocity" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,

@@ -155,6 +155,37 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q51: the sketch path, driver-certifiable. GK sketch values are not
+    * bit-replicable in DuckDB, so instead of emitting them raw this
+    * query emits per-group booleans asserting each `approx_percentile`
+    * lands between the exact quantiles at p ∓ 0.01 — the same ±1% rank
+    * contract AnalyticsSpec pins, but computed in-plan so the DuckDB
+    * oracle (`true AS p50_ok, ...`) hash-matches a correct sketch and
+    * fails a broken one. The exact percentiles exist only to certify;
+    * the production scale path remains [[valueStats]]`(exact = false)`.
+    * Rank→value monotonicity makes the window check sound: the sketch
+    * returns an actual data value whose rank error is ≤ 1/accuracy
+    * (1e-4), far inside the 1e-2 window. */
+  def sketchPercentileCertified(events: DataFrame): DataFrame = {
+    val ps = Seq(0.5, 0.95, 0.99)
+    val lo = ps.map(p => p - 0.01)
+    val hi = ps.map(p => math.min(p + 0.01, 1.0))
+    val agged = events.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      min(col("value")).as("min_value"),
+      max(col("value")).as("max_value"),
+      expr(s"percentile(value, array(${lo.mkString(",")}))").as("lo"),
+      expr(s"percentile(value, array(${hi.mkString(",")}))").as("hi"),
+      expr(s"approx_percentile(value, array(${ps.mkString(",")}), 10000)").as("ap"))
+    val oks = ps.indices.zip(Seq("p50", "p95", "p99")).map { case (i, nm) =>
+      (element_at(col("ap"), i + 1) >= element_at(col("lo"), i + 1) &&
+        element_at(col("ap"), i + 1) <= element_at(col("hi"), i + 1)).as(s"${nm}_ok")
+    }
+    agged.select(col("event_type") +: col("n") +: col("min_value") +:
+        col("max_value") +: oks: _*)
+      .orderBy("event_type")
+  }
+
   /** q10: hourly velocity breakdown — analyze_metrics.py:150-163. */
   def hourlyVelocity(events: DataFrame): DataFrame =
     events.groupBy(date_trunc("hour", col("ts")).as("hour"))

@@ -39,11 +39,36 @@ object Similarity {
     * is a broadcast nested-loop join: n·m comparisons with no shuffle.
     * This is the oracle/recall-reference for bucketed methods; at
     * 100 TB run q26's LSH buckets as the candidate generator and this
-    * cosine verification only within buckets. */
-  def embeddingNearDups(embeddings: DataFrame, tau: Double = 0.4): DataFrame = {
+    * cosine verification only within buckets.
+    *
+    * Because the cost is quadratic BY DESIGN, the plan carries a
+    * fail-loud corpus-size guard (same in-plan style as
+    * [[cappedBucket]]: a count-only pre-aggregate broadcast into the
+    * build side — no driver action, no extra shuffle): above `maxRows`
+    * vectors the query errors with a pointer at the bucketed paths
+    * instead of quietly burning n² on the cluster. `exactOk = true`
+    * (or `maxRows <= 0`) is the deliberate-quadratic escape hatch for
+    * recall studies. */
+  def embeddingNearDups(embeddings: DataFrame, tau: Double = 0.4,
+      maxRows: Long = 250000L, exactOk: Boolean = false): DataFrame = {
     val e = prepared(embeddings)
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val b0 = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val b = if (exactOk || maxRows <= 0) b0 else {
+      val guard = e.agg(count(lit(1)).as("_n"))
+        .select(when(col("_n") > maxRows, raise_error(concat(
+          lit("embeddingNearDups (q24) is the EXACT all-pairs recall oracle: " +
+            "the corpus holds "), col("_n").cast("string"),
+          lit(s" vectors (cap $maxRows) and the n² cosine comparisons " +
+            "would go quadratic at this size — use embeddingNearDupsBucketed " +
+            "(q34) or semanticDedup (q57) at scale, or pass exactOk = true " +
+            "to run the quadratic deliberately"))))
+          .otherwise(lit(1)).as("_ok"))
+      // the filter REFERENCES _ok so ColumnPruning cannot discard the
+      // raise_error as an unused projection (a bare drop did exactly
+      // that); it is always-true on the non-error path
+      b0.crossJoin(broadcast(guard)).filter(col("_ok") === 1).drop("_ok")
+    }
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .withColumn("cos_raw", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos_raw") >= tau)

@@ -39,4 +39,19 @@ class AnalyticsSpec extends SparkSpec {
     val ap = Analytics.valueStats(tables.events, exact = false)
     ap.schema.fieldNames shouldBe ex.schema.fieldNames
   }
+
+  test("q51 certified query emits all-true verdicts for a healthy sketch") {
+    val out = Analytics.sketchPercentileCertified(tables.events)
+    out.schema.fieldNames shouldBe Array(
+      "event_type", "n", "min_value", "max_value", "p50_ok", "p95_ok", "p99_ok")
+    val rows = out.collect()
+    rows should not be empty
+    rows.foreach { r =>
+      withClue(s"event_type=${r.getString(0)}: ") {
+        r.getBoolean(4) shouldBe true
+        r.getBoolean(5) shouldBe true
+        r.getBoolean(6) shouldBe true
+      }
+    }
+  }
 }

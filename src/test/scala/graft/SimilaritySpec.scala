@@ -25,6 +25,22 @@ class SimilaritySpec extends SparkSpec {
     rows shouldBe Array((1L, 2L, 1.0))
   }
 
+  test("q24 guard: above maxRows the quadratic fails loudly, exactOk overrides") {
+    val d = vecs(
+      (1L, Map(0 -> 1.0f)), (2L, Map(0 -> 2.0f)), (3L, Map(1 -> 1.0f)),
+      (4L, Map(2 -> 1.0f)), (5L, Map(3 -> 1.0f)))
+    val err = intercept[Exception] {
+      Similarity.embeddingNearDups(d, maxRows = 3).collect()
+    }
+    err.getMessage should include ("q34")
+    err.getMessage should include ("exactOk")
+    // escape hatches run the same quadratic: identical results
+    val expected = Similarity.embeddingNearDups(d).collect().toSeq
+    Similarity.embeddingNearDups(d, maxRows = 3, exactOk = true)
+      .collect().toSeq shouldBe expected
+    Similarity.embeddingNearDups(d, maxRows = 0).collect().toSeq shouldBe expected
+  }
+
   test("q25 brute-force ranks neighbors by cosine") {
     val d = vecs(
       (0L, Map(0 -> 1.0f)),                 // query
