@@ -28,6 +28,43 @@ object Ingest {
     stampLineage(df)
   }
 
+  /** Parse a reference-shape manifest file into its path list — the
+    * drop-in replay of the reference's manifest round-trip
+    * (glue_batch_job.py:92-119 reads the JSON and flattens
+    * `fileLocations[].URIPrefixes[]`; lambda_manifest_builder.py:
+    * 1087-1090 writes exactly that shape). Feed the result to
+    * [[readNdjson]] (or any reader).
+    *
+    * A manifest is KB-sized job METADATA (one path per landed file),
+    * so it is read as a whole-file JSON document with an explicit
+    * schema (no inference pass) and collected to the driver — the same
+    * index-metadata exception the ANN centroids use, not a data scan.
+    * An unparseable or wrong-shape manifest fails loudly: a manifest
+    * that reads as zero files would silently skip the whole batch. */
+  def readManifest(spark: SparkSession, manifestPath: String): Seq[String] = {
+    import org.apache.spark.sql.types.ArrayType
+    val manifestSchema = StructType(Seq(
+      StructField("fileLocations", ArrayType(StructType(Seq(
+        StructField("URIPrefixes", ArrayType(StringType))))))))
+    val paths = spark.read.schema(manifestSchema)
+      .option("multiLine", "true").json(manifestPath)
+      .select(explode(col("fileLocations")).as("loc"))
+      .select(explode(col("loc.URIPrefixes")).as("uri"))
+      .collect().map(_.getString(0)).toSeq
+    require(paths.nonEmpty && paths.forall(_ != null),
+      s"manifest at $manifestPath holds no file URIs — not a " +
+        "fileLocations/URIPrefixes manifest, or an empty batch that " +
+        "should never have produced a manifest")
+    paths
+  }
+
+  /** [[readManifest]] + [[readNdjson]]: replay one reference manifest
+    * end-to-end (glue_batch_job.py process_manifest minus the S3
+    * client plumbing). */
+  def readNdjsonManifest(spark: SparkSession, manifestPath: String,
+                         schema: Option[StructType] = None): DataFrame =
+    readNdjson(spark, readManifest(spark, manifestPath), schema)
+
   def stampLineage(df: DataFrame): DataFrame = df
     .withColumn("_source_file", input_file_name())
     .withColumn("_processing_timestamp", current_timestamp())
@@ -109,6 +146,38 @@ object Ingest {
   def quarantineSplit(df: DataFrame): (DataFrame, DataFrame) = (
     df.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
     df.filter(col("_corrupt_record").isNotNull))
+
+  /** Physically land the quarantined side — the row-level analog of the
+    * reference's quarantine relocation (lambda_manifest_builder.py:
+    * 570-592 copies the object to the quarantine bucket tagged with
+    * `quarantine_reason` + original location). Rows are stamped with
+    * the reason and written date-partitioned (the reference's
+    * date-prefix layout) through [[RunReport.reportedWrite]], so every
+    * quarantine run is a queryable q56 report row — counts come from
+    * the write's own Observation, no second scan.
+    *
+    * The date column derives from `_processing_timestamp` when the
+    * frame came through a stamped reader (lineage-accurate replay
+    * buckets), else from the session clock. */
+  def quarantineWrite(invalid: DataFrame, path: String, reportDir: String,
+                      reason: String = "schema_violation",
+                      jobName: String = "quarantine",
+                      targetPartitions: Int = 1,
+                      environment: String = "local"): RunReport.Run = {
+    val reserved = Seq("_quarantine_reason", "_quarantine_date")
+    val clash = invalid.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"quarantineWrite input already declares: ${clash.toSeq.sorted.mkString(", ")}")
+    val dateSrc =
+      if (invalid.columns.contains("_processing_timestamp")) col("_processing_timestamp")
+      else current_timestamp()
+    val stamped = invalid
+      .withColumn("_quarantine_reason", lit(reason))
+      .withColumn("_quarantine_date", to_date(dateSrc))
+    RunReport.reportedWrite(stamped, path, targetPartitions, jobName,
+      reportDir, partitionCol = Some("_quarantine_date"),
+      environment = environment)
+  }
 
   /** Write a table bucketed (and optionally sorted) by a join key —
     * the co-located-join preparation SURVEY §5 prescribes: two tables

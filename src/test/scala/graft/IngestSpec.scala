@@ -109,6 +109,53 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("readManifest round-trips a reference-shape manifest into readNdjson") {
+    val dir = tmpDir("graft_manifest")
+    val f1 = writeNdjson(dir, "a.ndjson", Seq("""{"id": 1}""", """{"id": 2}"""))
+    val f2 = writeNdjson(dir, "b.ndjson", Seq("""{"id": 3}"""))
+    // the exact JSON the reference's manifest builder emits
+    // (lambda_manifest_builder.py:1087-1090)
+    val mf = writeNdjson(dir, "batch-0001.json", Seq(
+      s"""{"fileLocations": [{"URIPrefixes": ["$f1", "$f2"]}]}"""))
+    Ingest.readManifest(spark, mf) shouldBe Seq(f1, f2)
+    val df = Ingest.readNdjsonManifest(spark, mf)
+    df.select("id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L, 3L)
+    df.columns should contain ("_source_file")
+    // a JSON file that is NOT a manifest fails loudly, never reads as
+    // an empty batch
+    val notMf = writeNdjson(dir, "not_a_manifest.json", Seq("""{"foo": 1}"""))
+    intercept[IllegalArgumentException] { Ingest.readManifest(spark, notMf) }
+  }
+
+  test("quarantineWrite lands the invalid side date-partitioned with a run report") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("graft_quar")
+    val f = writeNdjson(dir, "batch.csv", Seq(
+      "id,qty", "1,10", "2,notanumber", "3,alsobad"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", IntegerType)))
+    val (_, bad) = Ingest.quarantineSplit(Ingest.readCsv(spark, Seq(f), schema))
+    val run = Ingest.quarantineWrite(bad, s"$dir/quarantined", s"$dir/reports",
+      reason = "int_cast_failure", jobName = "csv_quarantine")
+    run.status shouldBe "SUCCESS"
+    run.records_processed shouldBe 2L
+    val landed = spark.read.parquet(s"$dir/quarantined")
+    landed.count() shouldBe 2
+    landed.columns should contain allOf ("_quarantine_reason", "_quarantine_date", "_corrupt_record")
+    landed.select("_quarantine_reason").distinct().collect()
+      .map(_.getString(0)) shouldBe Array("int_cast_failure")
+    // date-partitioned layout on disk, reference's date-prefix analog
+    new java.io.File(s"$dir/quarantined").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .count(_.startsWith("_quarantine_date=")) shouldBe 1
+    // and the q56 report row is queryable through the same report reader
+    val rep = graft.sources.RunReport.readReports(spark, s"$dir/reports")
+    rep.count() shouldBe 1
+    val r = rep.collect().head
+    r.getAs[String]("job_name") shouldBe "csv_quarantine"
+    r.getAs[Long]("records_processed") shouldBe 2L
+  }
+
   test("writeParquet honors the size-targeted partition count") {
     val out = tmpDir("graft_out") + "/sized"
     val df = spark.range(1000).toDF("id")
