@@ -16,6 +16,26 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.pricingSummary(Tables(spark, "/root/testdata/sf0.001").lineitem)
 
+  /** Per-invocation scratch dir for the declared queries that need a
+    * filesystem (s08/s09 band index + landing + checkpoints, q56 run
+    * reports), deleted on JVM exit — repeated Bench/Verify runs in one
+    * host session previously accumulated unbounded parquet trees in
+    * /tmp (round-9 ADVICE). One hook per dir; a handful per run. */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try {
+        val s = Files.walk(p)
+        try s.sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => { Files.deleteIfExists(f); () })
+        finally s.close()
+      } catch { case _: Throwable => () } // exit-path cleanup: best effort
+    }))
+    p.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Core ETL surface
     "q01_ingest_normalize"   -> ((s, d) => Etl.ingestNormalize(Tables(s, d).events)),
@@ -164,7 +184,7 @@ object SparkEntry {
     "s08_stream_dedup_incremental" -> ((s, d) => {
       val docs = Tables(s, d).documents
       val existing = docs.filter(col("doc_id") % 10 =!= 9)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s08_").toString
+      val tmp = scratchDir("graft_s08_")
       Dedup.writeBandIndex(existing, s"$tmp/index")
       val index = Dedup.readBandIndex(s, s"$tmp/index")
       val schema = s.read.parquet(s"$d/documents.parquet").schema
@@ -186,7 +206,7 @@ object SparkEntry {
     "s09_stream_dedup_admit" -> ((s, d) => {
       val docs = Tables(s, d).documents
       val corpus = docs.filter(col("doc_id") % 10 =!= 8 && col("doc_id") % 10 =!= 9)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s09_").toString
+      val tmp = scratchDir("graft_s09_")
       Dedup.writeBandIndex(corpus, s"$tmp/index")
       def land(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
         val stage = s"$tmp/stage_$name"
@@ -260,7 +280,7 @@ object SparkEntry {
     // tables.
     "q56_run_report"         -> ((s, d) => {
       val t = Tables(s, d)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_runs").toString
+      val tmp = scratchDir("graft_runs")
       val reports = s"$tmp/reports"
       graft.sources.RunReport.reportedWrite(
         t.events, s"$tmp/out/events", 4, "events_ingest", reports)

@@ -579,7 +579,26 @@ object Exprs {
     * One-sided error only: a TRUE may be false-positive (callers must
     * exact-verify survivors), a FALSE is definitive — the prefilter
     * can drop rows early but never drops a true match. */
-  case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+  /** Content-equality wrapper for a serialized sketch payload. A bare
+    * `Array[Byte]` in an expression's constructor compares by
+    * REFERENCE, so two structurally identical probes never canonicalize
+    * equal (breaking common-subexpression elimination), and the case
+    * class's toString would dump the whole serialized sketch into
+    * explain/tree output (megabytes at production filter sizes). This
+    * wrapper compares by content (hash cached — computed once, not per
+    * canonicalization probe) and renders as a size+hash stub. */
+  final class SketchBytes(val bytes: Array[Byte]) extends Serializable {
+    override def equals(o: Any): Boolean = o match {
+      case s: SketchBytes => (s eq this) || java.util.Arrays.equals(bytes, s.bytes)
+      case _ => false
+    }
+    @transient private lazy val hc = java.util.Arrays.hashCode(bytes)
+    override def hashCode: Int = hc
+    override def toString: String =
+      f"sketch[${bytes.length}B,h=$hashCode%08x]"
+  }
+
+  case class BloomMightContain(child: Expression, sketch: SketchBytes)
       extends UnaryExpression {
     override def dataType: DataType = BooleanType
     override def prettyName: String = "graft_bloom_might_contain"
@@ -589,7 +608,7 @@ object Exprs {
 
     @transient private lazy val filter =
       org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(bloomBytes))
+        new java.io.ByteArrayInputStream(sketch.bytes))
 
     def mightContain(s: UTF8String): Boolean =
       filter.mightContainBinary(s.getBytes)
@@ -641,6 +660,7 @@ object Exprs {
                         bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
     val out = new java.io.ByteArrayOutputStream()
     bloom.writeTo(out)
-    GraftShim.column(BloomMightContain(GraftShim.expression(c), out.toByteArray))
+    GraftShim.column(BloomMightContain(
+      GraftShim.expression(c), new SketchBytes(out.toByteArray)))
   }
 }

@@ -117,6 +117,15 @@ object Corpus {
     * source downsamples to K·p_s docs where K = min_s(n_s/p_s) — the
     * standard mixture-planning LP solved in closed form.
     *
+    * "Kept whole" carries a 1/65536 float edge (round-9 ADVICE): the
+    * binding source's K·p_s/n_s is mathematically 1.0 but can
+    * round-trip as 0.999…, flooring its threshold to 65535 and
+    * dropping that source's bucket-65535 docs (~1/65536 of it). The
+    * ORACLE uses identical arithmetic, so parity holds and the output
+    * is still a valid mixture (every source scaled by the same hair
+    * under K); callers who need the binding source bit-exactly whole
+    * should clamp its threshold to 65536 on both sides.
+    *
     * Spark-first shape: per-source counts are ONE partial-agg groupBy
     * (20 rows, or 20k — source cardinality, not corpus cardinality);
     * the min and the per-source thresholds stay IN-PLAN (tiny agg +

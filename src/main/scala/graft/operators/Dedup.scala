@@ -86,10 +86,37 @@ object Dedup {
     * skew, not a geometry bug), so it APPROXIMATES: pairs lose those
     * shingles' intersection contributions (set sizes n_a/n_b stay
     * full, so scores only UNDERestimate — a capped run never invents
-    * a duplicate). 0 = off, the oracle-exact declared form. */
+    * a duplicate). 0 = off, the oracle-exact declared form.
+    *
+    * The underestimate is NON-linear (round-9 ADVICE): Jaccard's
+    * denominator n_a+n_b−inter uses the underestimated inter, so a
+    * dropped shared shingle shrinks the numerator AND grows the
+    * denominator — pairs near tau are biased out harder than the raw
+    * intersection loss suggests, and winnowPairs' "no shared block
+    * missed" guarantee is void under any maxDf>0. Capped runs should
+    * quantify the blind spot with [[dfCapAudit]] before trusting
+    * recall. */
   private def shinglePairCounts(documents: DataFrame, n: Int,
                                 maxDf: Int = 0): DataFrame =
     setPairCounts(documents, shingleSet(n), maxDf)
+
+  /** Audit row for a df-capped run (q21/q60/q66 with maxDf>0): how many
+    * distinct shingles (and how much posting-list mass) the cap drops.
+    * One extra pass over the same inverted index — run it once per
+    * (corpus, n, maxDf) choice, not per query. `dropped_postings` is
+    * the quantity to watch: Σ df over dropped shingles bounds the
+    * total intersection undercount across ALL pairs. */
+  def dfCapAudit(documents: DataFrame, n: Int = 3, maxDf: Int = 10000): DataFrame = {
+    require(maxDf > 0, "dfCapAudit audits a positive maxDf cap")
+    documents.select(explode(shingleSet(n)).as("s"))
+      .select(xxhash64(col("s")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .agg(
+        count(lit(1)).as("total_shingles"),
+        sum(when(col("df") > maxDf, 1).otherwise(0)).as("dropped_shingles"),
+        coalesce(sum(when(col("df") > maxDf, col("df"))), lit(0L)).as("dropped_postings"),
+        max(col("df")).as("max_df"))
+  }
 
   /** The inverted-index pair pass over ANY per-document distinct-set
     * column (shingles for q21/q60, winnow fingerprints for q66): same

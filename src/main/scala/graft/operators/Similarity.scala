@@ -380,6 +380,16 @@ object Similarity {
           (v.indices.map(i => v(i) - cvec(i)).toArray, code)
         }
       }
+    // the flat (s, code) tables below stride by ks — a short codebook
+    // (corpus smaller than nCells + ks in residual mode, or < ks in
+    // raw mode) would make lookupSum's element_at index past the
+    // array: ANSI error at best, silent NULL scores (wrong neighbors)
+    // with ANSI off. Fail at build time instead.
+    require(pqSeeds.length == ks,
+      s"IVF-PQ codebook needs exactly ks=$ks seed vectors but the corpus " +
+        s"yielded ${pqSeeds.length} (residual=$residual needs vec_ids " +
+        s"[${if (residual) nCells else 0}, ${if (residual) nCells + ks else ks})); " +
+        "shrink ks/nCells or grow the corpus")
     val book: Seq[(Int, Int, Array[Double], Double)] =
       for {
         s <- 0 until m

@@ -51,6 +51,30 @@ object Streams {
       changelogCheckpointing.toString)
   }
 
+  /** Default-ON RocksDB for the stateful dedup builders (s04/s06/s08/
+    * s09 call this): their state grows with DISTINCT KEYS SEEN —
+    * exactly the store that will not fit executor heap at 100 TB — so
+    * the safe-at-scale backend must be the default, not an opt-in a
+    * caller has to know about (round-9 verdict). Window aggs and
+    * stream joins (s02/s05/s07) keep the engine default: their state
+    * is watermark-bounded, and flipping them belongs to the caller.
+    *
+    * Respects an explicit session choice: any NON-engine-default
+    * provider already set wins, and
+    * `spark.graft.stateStore.rocksdbDefault=false` pins the engine
+    * default (the one way to deliberately run heap-backed dedup).
+    * Restart safety: a checkpoint records its provider in the offset
+    * log and Spark restores it on restart, so defaulting here can
+    * never flip the backend under an EXISTING checkpoint. */
+  private[graft] def defaultRocksDbForDedup(spark: SparkSession): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val cur = spark.conf.get(key, "")
+    val engineDefault = cur.isEmpty || cur.endsWith("HDFSBackedStateStoreProvider")
+    val optOut =
+      spark.conf.get("spark.graft.stateStore.rocksdbDefault", "true") == "false"
+    if (engineDefault && !optOut) useRocksDbStateStore(spark)
+  }
+
   /** Streaming read of the events table (parquet file source — at
     * production this is `format("json")` over a landing dir; same
     * plan shape). Schema comes from a batch peek: streaming sources
@@ -188,6 +212,7 @@ object Streams {
                              numHashes: Int = 16, bands: Int = 4,
                              tau: Double = 0.5,
                              trigger: Option[Trigger] = None): StreamingQuery = {
+    defaultRocksDbForDedup(intake.sparkSession)
     val w = intake.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
@@ -419,6 +444,7 @@ object Streams {
     * than the re-delivery horizon instead of remembering forever. */
   def streamDedup(docs: Dataset[DocFp]): Dataset[DocFp] = {
     import docs.sparkSession.implicits._
+    defaultRocksDbForDedup(docs.sparkSession)
     docs.groupByKey(_.fingerprint)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (fp: String, it: Iterator[DocFp], state: GroupState[Boolean]) =>
@@ -448,9 +474,11 @@ object Streams {
     * arrival-order-dependent; project only the key columns (as the s06
     * query does) when downstream needs determinism. */
   def streamDedupTtl(docs: DataFrame, eventTimeCol: String,
-                     keyCols: Seq[String], watermark: String): DataFrame =
+                     keyCols: Seq[String], watermark: String): DataFrame = {
+    defaultRocksDbForDedup(docs.sparkSession)
     docs.withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+  }
 
   // ----- s05: stream-stream interval join ------------------------------
 

@@ -107,6 +107,21 @@ class DedupSpec extends SparkSpec {
     capped shouldBe Array((10L, 11L))
   }
 
+  test("q21 dfCapAudit quantifies exactly what a capped run drops") {
+    val boiler = "subscribe to our newsletter for updates today friends"
+    val d = docs(
+      (1L, boiler), (2L, boiler), (3L, boiler),
+      (10L, "unique alpha beta gamma delta epsilon"),
+      (11L, "unique alpha beta gamma delta epsilon"))
+    val r = Dedup.dfCapAudit(d, maxDf = 2).collect().head
+    // boiler = 8 tokens → 6 trigram shingles, each df 3 (dropped);
+    // the unique pair's 4 shingles sit at df 2 (kept)
+    r.getAs[Long]("total_shingles") shouldBe 10L
+    r.getAs[Long]("dropped_shingles") shouldBe 6L
+    r.getAs[Long]("dropped_postings") shouldBe 18L
+    r.getAs[Long]("max_df") shouldBe 3L
+  }
+
   test("q60 containment flags a doc embedded in a superset that Jaccard misses") {
     // doc 1 = 6 tokens → 4 shingles, all inside doc 2's 14-token text:
     // C(1→2) = 4/4 = 1.0 but Jaccard = 4/12 = 0.33 — invisible to q21

@@ -149,6 +149,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s04 dedup defaults to RocksDB and its state survives a checkpoint restart") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key, "")
+    if (prev.nonEmpty) spark.conf.unset(key)
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("s04restart_").toString
+      val landing = s"$tmp/landing"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+      def land(rows: (String, Long)*): Unit =
+        rows.map { case (f, id) => Streams.DocFp(f, id) }.toDS()
+          .coalesce(1).write.mode("append").parquet(landing)
+      def drain(): Unit = {
+        val intake = spark.readStream
+          .schema(implicitly[org.apache.spark.sql.Encoder[Streams.DocFp]].schema)
+          .parquet(landing).as[Streams.DocFp]
+        val q = Streams.streamDedup(intake).toDF.writeStream
+          .format("parquet").option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/cp")
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(); q.stop()
+      }
+      land(("A", 5L), ("A", 3L), ("B", 7L))
+      drain()
+      // the builder defaulted the session onto RocksDB (no explicit choice)
+      spark.conf.get(key, "") should include ("RocksDBStateStoreProvider")
+      // restart: a re-delivered fingerprint from BEFORE the restart is
+      // still dropped — the seen-set state recovered from the RocksDB
+      // checkpoint, not just within-run memory
+      land(("A", 9L), ("C", 1L))
+      drain()
+      val rows = spark.read.parquet(s"$tmp/out").collect()
+        .map(r => (r.getAs[String]("fingerprint"), r.getAs[Long]("doc_id"))).toSet
+      rows shouldBe Set(("A", 3L), ("B", 7L), ("C", 1L))
+      // the off-switch pins the engine default for a deliberate heap run
+      spark.conf.unset(key)
+      spark.conf.set("spark.graft.stateStore.rocksdbDefault", "false")
+      Streams.defaultRocksDbForDedup(spark)
+      spark.conf.get(key, "") should not include "RocksDB"
+    } finally {
+      spark.conf.unset("spark.graft.stateStore.rocksdbDefault")
+      if (prev.nonEmpty) spark.conf.set(key, prev) else spark.conf.unset(key)
+    }
+  }
+
   test("s04 streaming/batch parity on the real documents table") {
     import spark.implicits._
     val schema = spark.read.parquet(s"${SparkSpec.sfDir}/documents.parquet").schema
