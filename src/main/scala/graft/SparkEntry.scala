@@ -80,6 +80,11 @@ object SparkEntry {
     // LLM-training-data operators
     "q20_dedup_exact"        -> ((s, d) => TextOps.dedupExact(Tables(s, d).documents)),
     "q21_dedup_ngram"        -> ((s, d) => Dedup.ngramJaccardPairs(Tables(s, d).documents)),
+    // q71: the df-cap blind-spot audit as a first-class query — maxDf
+    // sized to the test corpus (max df there is ~7) so BOTH branches
+    // (kept and dropped shingles) are exercised at the grading SF;
+    // production audits its real cap (~10^4) the same way.
+    "q71_dfcap_audit"        -> ((s, d) => Dedup.dfCapAudit(Tables(s, d).documents, maxDf = 4)),
     "q60_containment_ngram"  -> ((s, d) => Dedup.ngramContainmentPairs(Tables(s, d).documents)),
     "q66_winnow_pairs"       -> ((s, d) => Dedup.winnowPairs(Tables(s, d).documents)),
     "q22_dedup_minhash"      -> ((s, d) => Dedup.minhashLshPairs(Tables(s, d).documents)),
@@ -241,6 +246,30 @@ object SparkEntry {
         .select(TextOps.fingerprintCol.as("fingerprint"), col("doc_id"))
         .as[Streams.DocFp]
       Streams.runToMemory(Streams.streamDedup(docs).toDF, "s04_stream_dedup")
+    }),
+    // s10: the continuous validate→quarantine loop through the REAL
+    // sinks (valid parquet + date-partitioned quarantine + per-batch
+    // reports), then summarized from what physically LANDED — the
+    // oracle recomputes the same split from the source table, so a row
+    // lost or mis-routed anywhere in the loop breaks the hash
+    "s10_stream_quarantine"  -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
+      val tmp = scratchDir("graft_s10_")
+      val q = Streams.streamQuarantine(docs, s"$tmp/valid",
+        s"$tmp/quarantine", s"$tmp/reports", s"$tmp/cp",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination(); q.stop()
+      val valid = s.read.parquet(s"$tmp/valid")
+        .select(lit("valid").as("status"), lit("ok").as("reason"))
+      val quarantined = s.read.parquet(s"$tmp/quarantine")
+        .select(lit("quarantined").as("status"),
+          col("_quarantine_reason").as("reason"))
+      valid.unionByName(quarantined)
+        .groupBy("status", "reason")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_docs"))
+        .orderBy("status", "reason")
     }),
     // Multimodal plumbing — both fully oracle-checked: m01 via struct
     // fields + payload md5 parity, m02 by recomputing the deterministic
@@ -956,6 +985,17 @@ object SparkEntry {
         |WHERE fingerprint IN (SELECT fingerprint FROM fp WHERE doc_id % 7 = 0)
         |ORDER BY doc_id""".stripMargin,
     "q21_dedup_ngram"     -> ngramOracle,
+    // q71: groups by shingle TEXT where Spark groups by xxhash64 —
+    // identical counts modulo hash collisions (~n²/2⁶⁵, nil here)
+    "q71_dfcap_audit" ->
+      s"""WITH $shingleCtes,
+         |x AS (SELECT unnest(sh) AS shingle FROM s),
+         |d AS (SELECT shingle, COUNT(*) AS df FROM x GROUP BY 1)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS total_shingles,
+         |       CAST(COALESCE(SUM(CASE WHEN df > 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS dropped_shingles,
+         |       CAST(COALESCE(SUM(CASE WHEN df > 4 THEN df END), 0) AS BIGINT) AS dropped_postings,
+         |       CAST(MAX(df) AS BIGINT) AS max_df
+         |FROM d""".stripMargin,
     "q60_containment_ngram" -> containmentOracle,
     // q62: positional k-gram md5s (duplicates kept — NOT the distinct
     // shingle CTE), windowed list_min selection, distinct set
@@ -997,6 +1037,13 @@ object SparkEntry {
     "q45_dedup_incremental" -> incrementalOracle,
     "s08_stream_dedup_incremental" -> incrementalOracle,
     "s09_stream_dedup_admit" -> admitOracle,
+    "s10_stream_quarantine" ->
+      """SELECT status, reason, COUNT(*) AS n_docs FROM (
+        |  SELECT CASE WHEN n_chars >= 150 AND n_chars <= 450 THEN 'valid' ELSE 'quarantined' END AS status,
+        |         CASE WHEN n_chars < 150 THEN 'below_min_size'
+        |              WHEN n_chars > 450 THEN 'above_max_size' ELSE 'ok' END AS reason
+        |  FROM documents) t
+        |GROUP BY status, reason ORDER BY status, reason""".stripMargin,
     "q47_decontaminate_ngram" -> decontamNgramOracle,
     "q48_kmeans_refine"   -> kmeansOracle,
     "q65_kmeans_train"    -> kmeansIterateOracle(3),

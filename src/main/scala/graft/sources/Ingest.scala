@@ -158,25 +158,31 @@ object Ingest {
     *
     * The date column derives from `_processing_timestamp` when the
     * frame came through a stamped reader (lineage-accurate replay
-    * buckets), else from the session clock. */
+    * buckets), else from the session clock.
+    *
+    * A pre-existing `_quarantine_reason` column WINS over the `reason`
+    * parameter — callers with per-row reasons (streaming validation,
+    * [[graft.streaming.Streams.streamQuarantine]]) stamp it upstream
+    * and this sink preserves it; `reason` is the whole-run tag for the
+    * reference's one-reason-per-file shape. */
   def quarantineWrite(invalid: DataFrame, path: String, reportDir: String,
                       reason: String = "schema_violation",
                       jobName: String = "quarantine",
                       targetPartitions: Int = 1,
-                      environment: String = "local"): RunReport.Run = {
-    val reserved = Seq("_quarantine_reason", "_quarantine_date")
-    val clash = invalid.columns.toSet.intersect(reserved.toSet)
-    require(clash.isEmpty,
-      s"quarantineWrite input already declares: ${clash.toSeq.sorted.mkString(", ")}")
+                      environment: String = "local",
+                      runId: Option[String] = None): RunReport.Run = {
+    require(!invalid.columns.contains("_quarantine_date"),
+      "quarantineWrite input already declares: _quarantine_date")
     val dateSrc =
       if (invalid.columns.contains("_processing_timestamp")) col("_processing_timestamp")
       else current_timestamp()
-    val stamped = invalid
-      .withColumn("_quarantine_reason", lit(reason))
-      .withColumn("_quarantine_date", to_date(dateSrc))
+    val reasoned =
+      if (invalid.columns.contains("_quarantine_reason")) invalid
+      else invalid.withColumn("_quarantine_reason", lit(reason))
+    val stamped = reasoned.withColumn("_quarantine_date", to_date(dateSrc))
     RunReport.reportedWrite(stamped, path, targetPartitions, jobName,
       reportDir, partitionCol = Some("_quarantine_date"),
-      environment = environment)
+      environment = environment, runId = runId)
   }
 
   /** Write a table bucketed (and optionally sorted) by a join key —

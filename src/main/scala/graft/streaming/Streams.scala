@@ -151,6 +151,47 @@ object Streams {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** s10: the continuous validate→quarantine loop — the reference's
+    * per-object Lambda validation (lambda_manifest_builder.py:543-592:
+    * validate, route failures to the quarantine bucket with a reason
+    * tag, report) as one streaming query over a landing stream. Each
+    * micro-batch is judged row-wise against the q02 size rules
+    * (validateSummary's bounds), the valid side appends to `validDir`,
+    * and the invalid side lands through
+    * [[graft.sources.Ingest.quarantineWrite]] — date-partitioned,
+    * per-row reason preserved, one queryable report row per batch
+    * (run_id carries the batch ordinal, the reference's
+    * one-report-per-invocation shape).
+    *
+    * Stateless per batch (pure row predicate — no state store), so
+    * restart semantics come entirely from the source's file log:
+    * already-processed landing files are never re-judged. At-least-once
+    * like [[reportedIngest]]: a batch replayed after a mid-write crash
+    * appends again, run_id makes the replay visible. */
+  def streamQuarantine(docs: DataFrame, validDir: String,
+                       quarantineDir: String, reportDir: String,
+                       checkpointDir: String,
+                       minChars: Int = 150, maxChars: Int = 450,
+                       trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val judged = batch.withColumn("_quarantine_reason",
+          when(col("n_chars") < minChars, "below_min_size")
+            .when(col("n_chars") > maxChars, "above_max_size"))
+        judged.filter(col("_quarantine_reason").isNull)
+          .drop("_quarantine_reason")
+          .write.mode("append").parquet(validDir)
+        graft.sources.Ingest.quarantineWrite(
+          judged.filter(col("_quarantine_reason").isNotNull),
+          quarantineDir, reportDir, jobName = "stream_quarantine",
+          runId = Some(s"stream_quarantine#$batchId"))
+        ()
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
   /** s02: watermarked hourly tumbling-window aggregation. In append
     * mode the watermark finalizes (and evicts) windows 1h behind the
     * max event time — bounded state at any corpus size. */

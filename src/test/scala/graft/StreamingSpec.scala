@@ -454,6 +454,47 @@ class StreamingSpec extends SparkSpec {
     hits shouldBe Array((10L, 1L), (11L, 1L))
   }
 
+  test("s10 streaming quarantine routes per-row reasons, reports per batch, restarts clean") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("s10_").toString
+    val landing = s"$tmp/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    def land(rows: (Long, Int)*): Unit =
+      rows.toSeq.toDF("doc_id", "n_chars").coalesce(1)
+        .write.mode("append").parquet(landing)
+    def drain(): Unit = {
+      val docs = spark.readStream
+        .schema("doc_id LONG, n_chars INT").parquet(landing)
+      val q = Streams.streamQuarantine(docs, s"$tmp/valid", s"$tmp/quar",
+        s"$tmp/reports", s"$tmp/cp", trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination(); q.stop()
+    }
+    land((1L, 100), (2L, 200), (3L, 500))
+    drain()
+    spark.read.parquet(s"$tmp/valid").collect().map(_.getLong(0)) shouldBe Array(2L)
+    val quar1 = spark.read.parquet(s"$tmp/quar").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("_quarantine_reason"))).sorted
+    quar1 shouldBe Array((1L, "below_min_size"), (3L, "above_max_size"))
+    // restart: the processed landing file is never re-judged; only the
+    // new batch's rows append, and a second report row lands
+    land((4L, 300), (5L, 10))
+    drain()
+    spark.read.parquet(s"$tmp/valid").collect()
+      .map(_.getLong(0)).sorted shouldBe Array(2L, 4L)
+    spark.read.parquet(s"$tmp/quar").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("_quarantine_reason")))
+      .sorted shouldBe Array(
+        (1L, "below_min_size"), (3L, "above_max_size"), (5L, "below_min_size"))
+    val reports = graft.sources.RunReport.readReports(spark, s"$tmp/reports")
+      .collect()
+    reports.length shouldBe 2
+    reports.map(_.getAs[Long]("records_processed")).sum shouldBe 3L
+    reports.map(_.getAs[String]("run_id")).distinct.length shouldBe 2
+    // physical layout: the reference's date-prefix analog
+    new java.io.File(s"$tmp/quar").listFiles().filter(_.isDirectory)
+      .map(_.getName).count(_.startsWith("_quarantine_date=")) should be >= 1
+  }
+
   test("s07 session windows merge across micro-batches; gap boundary is inclusive") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
