@@ -64,6 +64,10 @@ object SparkEntry {
     // pins the bound on the raw valueStats(exact=false) path.
     "q51_percentile_sketch"  -> ((s, d) => Analytics.sketchPercentileCertified(Tables(s, d).events)),
     "q49_profile"            -> ((s, d) => Report.profile(Tables(s, d).events)),
+    // q73: q49's 100 TB HLL flag, certified in-plan (q51's pattern) —
+    // the oracle hash-checks the exact columns plus all-true sketch
+    // verdicts
+    "q73_profile_sketch"     -> ((s, d) => Report.profileSketchCertified(Tables(s, d).events)),
     "q50_dup_report"         -> ((s, d) => Report.dupReport(Tables(s, d).documents)),
     // Analytical engine
     "q12_pricing_summary"    -> ((s, d) => Relational.pricingSummary(Tables(s, d).lineitem)),
@@ -94,6 +98,10 @@ object SparkEntry {
     "q38_sample_stratified"  -> ((s, d) => Corpus.sampleStratified(Tables(s, d).documents)),
     "q59_source_mix"         -> ((s, d) => Corpus.sourceMix(Tables(s, d).documents)),
     "q40_pack_sequences"     -> ((s, d) => Corpus.packSequences(Tables(s, d).documents)),
+    // q72: q40's sharded scale plan — shardSize 64 yields ~8 shards at
+    // the grading SF, so the parallel path (not a degenerate one-shard
+    // run) is what the shared q40 oracle hash-checks
+    "q72_pack_sharded"       -> ((s, d) => Corpus.packSequencesSharded(Tables(s, d).documents)),
     "q41_repetition"         -> ((s, d) => TextOps.repetitionSignals(Tables(s, d).documents)),
     "q53_chunk_sliding"      -> ((s, d) => Corpus.chunkSliding(Tables(s, d).documents)),
     "q44_tfidf_terms"        -> ((s, d) => TextOps.tfidfTopTerms(Tables(s, d).documents)),
@@ -480,39 +488,15 @@ object SparkEntry {
     // ts, DECIMAL(18,2) for value — the q01-proven parity renders).
     // ts distinct counts run over CAST(ts AS TIMESTAMP) = the same
     // micros truncation Tables.events applies.
-    "q49_profile" ->
-      """SELECT 'event_id' AS col_name, COUNT(*) AS n_rows,
-        |       COUNT(*) - COUNT(event_id) AS n_null,
-        |       COUNT(DISTINCT event_id) AS n_distinct,
-        |       CAST(MIN(event_id) AS VARCHAR) AS min_value,
-        |       CAST(MAX(event_id) AS VARCHAR) AS max_value
-        |FROM events
-        |UNION ALL
-        |SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts),
-        |       COUNT(DISTINCT CAST(ts AS TIMESTAMP)),
-        |       strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f'),
-        |       strftime(MAX(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f')
-        |FROM events
-        |UNION ALL
-        |SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
-        |       COUNT(DISTINCT user_id),
-        |       CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
-        |FROM events
-        |UNION ALL
-        |SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
-        |       COUNT(DISTINCT event_type), MIN(event_type), MAX(event_type)
-        |FROM events
-        |UNION ALL
-        |SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
-        |       COUNT(DISTINCT value),
-        |       CAST(CAST(MIN(value) AS DECIMAL(18,2)) AS VARCHAR),
-        |       CAST(CAST(MAX(value) AS DECIMAL(18,2)) AS VARCHAR)
-        |FROM events
-        |UNION ALL
-        |SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
-        |       COUNT(DISTINCT props), MIN(props), MAX(props)
-        |FROM events
-        |ORDER BY col_name""".stripMargin,
+    "q49_profile" -> (profileOracleBody + "\nORDER BY col_name"),
+    // q73: q51's certification pattern for the HLL profile flag — the
+    // oracle recomputes the deterministic columns and expects every
+    // sketch-verdict boolean true
+    "q73_profile_sketch" ->
+      s"""SELECT col_name, n_rows, n_null, n_distinct,
+         |       true AS nd_sketch_ok, min_value, max_value
+         |FROM ($profileOracleBody) t ORDER BY col_name""".stripMargin,
+
     // q50: dup_frac mirrors Exact.dround — divide first, then
     // FLOOR(x·10⁴+0.5)/10⁴, identical IEEE op order on both engines.
     "q50_dup_report" ->
@@ -873,6 +857,20 @@ object SparkEntry {
     // q40: chunk = floor(tokens-before-doc / budget) over a per-lang
     // running sum — integer token counts, so the cumsum and the
     // floor-divide are bit-identical on both engines.
+    // q72 shares q40's oracle verbatim: the sharded plan must be
+    // hash-identical to the single-window plan, checked by the driver
+    "q72_pack_sharded" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT lang, CAST(FLOOR((cum - n_tokens) / 2048.0) AS INTEGER) AS chunk_id,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin,
     "q40_pack_sequences" ->
       """WITH t AS (SELECT lang, doc_id,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -1107,6 +1105,42 @@ object SparkEntry {
        |      SELECT doc_b, doc_a, CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE) FROM c)
        |SELECT src_doc, dst_doc, containment FROM d
        |WHERE containment >= 0.8 ORDER BY src_doc, dst_doc""".stripMargin
+
+  /** q49's oracle body (no ORDER BY) — shared verbatim by q73's
+    * certification wrapper so the deterministic columns can never
+    * drift between the exact and sketch-certified profiles. */
+  private val profileOracleBody: String =
+      """SELECT 'event_id' AS col_name, COUNT(*) AS n_rows,
+        |       COUNT(*) - COUNT(event_id) AS n_null,
+        |       COUNT(DISTINCT event_id) AS n_distinct,
+        |       CAST(MIN(event_id) AS VARCHAR) AS min_value,
+        |       CAST(MAX(event_id) AS VARCHAR) AS max_value
+        |FROM events
+        |UNION ALL
+        |SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts),
+        |       COUNT(DISTINCT CAST(ts AS TIMESTAMP)),
+        |       strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f'),
+        |       strftime(MAX(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f')
+        |FROM events
+        |UNION ALL
+        |SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+        |       COUNT(DISTINCT user_id),
+        |       CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+        |FROM events
+        |UNION ALL
+        |SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+        |       COUNT(DISTINCT event_type), MIN(event_type), MAX(event_type)
+        |FROM events
+        |UNION ALL
+        |SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+        |       COUNT(DISTINCT value),
+        |       CAST(CAST(MIN(value) AS DECIMAL(18,2)) AS VARCHAR),
+        |       CAST(CAST(MAX(value) AS DECIMAL(18,2)) AS VARCHAR)
+        |FROM events
+        |UNION ALL
+        |SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+        |       COUNT(DISTINCT props), MIN(props), MAX(props)
+        |FROM events""".stripMargin
 
   private val shingleCtes: String =
     """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -200,6 +200,57 @@ object Corpus {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** q72: [[packSequences]]' 100 TB execution plan, realized — its
+    * scaladoc prescribes "pack per shard first, then offset shards by
+    * the shard totals; same output, full parallelism", and this is
+    * that operator. Stage 1 runs the running sum WITHIN each
+    * (lang, shard) — shard = doc_id div shardSize is monotone in
+    * doc_id, so global (shard, doc_id) order IS doc_id order and
+    * shards sort/sum in parallel instead of serializing each language
+    * through one range-sorted partition. Stage 2 prefix-sums the
+    * per-shard token totals (ONE ROW PER SHARD — corpus/shardSize
+    * rows, tiny) per language and broadcast-joins the offsets back:
+    * a doc's global running offset = its shard's offset + its
+    * within-shard prefix, identical operands to q40's single window,
+    * so the floor-division chunk assignment is bit-identical.
+    *
+    * The declared query shares q40's ORACLE — equality is not a spec
+    * claim, it is hash-checked by the driver every round. Size
+    * `shardSize` so shard token totals ≫ budget (offsets then rarely
+    * split mid-chunk differently than skew does anyway); parallelism
+    * = #shards per language. */
+  def packSequencesSharded(documents: DataFrame, budget: Int = 2048,
+                           shardSize: Long = 64L): DataFrame = {
+    require(shardSize > 0, "shardSize must be positive")
+    val toks = documents
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("shard", floor(col("doc_id") / shardSize))
+    val wIn = Window.partitionBy("lang", "shard")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = toks.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+    // strictly-preceding shards only: this shard's docs start AFTER
+    // every earlier shard's tokens
+    val wSh = Window.partitionBy("lang").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy("lang", "shard")
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+      .withColumn("offset",
+        coalesce(sum(col("shard_tokens")).over(wSh), lit(0L)))
+      .select("lang", "shard", "offset")
+    within.join(broadcast(offsets), Seq("lang", "shard"))
+      .withColumn("chunk_id",
+        floor((col("offset") + col("cum_in") - col("n_tokens")) /
+          lit(budget.toDouble)).cast("int"))
+      .groupBy("lang", "chunk_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("chunk_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
   /** q53: sliding-window chunking — the complement of [[packSequences]]:
     * q40 concatenates SHORT docs up to a token budget; this SPLITS long
     * docs into overlapping windows (`window` tokens every `stride`) so

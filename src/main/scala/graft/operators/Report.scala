@@ -72,6 +72,41 @@ object Report {
         col("p.mn").as("min_value"), col("p.mx").as("max_value"))
   }
 
+  /** q73: [[profile]]'s 100 TB flag, driver-certified — the same
+    * pattern as q09→q51: HLL++ distinct counts are not bit-replicable
+    * in DuckDB, so the declared query computes exact AND approx
+    * distincts in ONE agg and emits a per-column boolean asserting the
+    * sketch lands within `sigmas`·rsd of exact (HLL++ is deterministic
+    * per dataset — no RNG — so the verdict is stable; 3·rsd is the
+    * standard-error bound with σ to spare, and small cardinalities run
+    * in HLL's exact sparse mode anyway). The exact distincts exist to
+    * certify; production runs `profile(exact = false)`. */
+  def profileSketchCertified(events: DataFrame, rsd: Double = 0.05,
+                             sigmas: Double = 3.0): DataFrame = {
+    val aggs = eventCols.flatMap { cp =>
+      Seq(
+        count(col(cp.name)).as(s"nn_${cp.name}"),
+        countDistinct(col(cp.name)).as(s"nde_${cp.name}"),
+        approx_count_distinct(col(cp.name), rsd).as(s"nda_${cp.name}"),
+        cp.render(min(col(cp.name))).as(s"mn_${cp.name}"),
+        cp.render(max(col(cp.name))).as(s"mx_${cp.name}"))
+    }
+    val a = events.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    a.select(col("n_rows"), explode(array(eventCols.map { cp =>
+        struct(lit(cp.name).as("cn"), col(s"nn_${cp.name}").as("nn"),
+          col(s"nde_${cp.name}").as("nde"), col(s"nda_${cp.name}").as("nda"),
+          col(s"mn_${cp.name}").as("mn"), col(s"mx_${cp.name}").as("mx"))
+      }: _*)).as("p"))
+      .select(col("p.cn").as("col_name"), col("n_rows"),
+        (col("n_rows") - col("p.nn")).as("n_null"),
+        col("p.nde").as("n_distinct"),
+        (abs(col("p.nda") - col("p.nde")) <=
+          greatest(lit(1L), ceil(col("p.nde") * lit(sigmas * rsd)).cast("long")))
+          .as("nd_sketch_ok"),
+        col("p.mn").as("min_value"), col("p.mx").as("max_value"))
+      .orderBy("col_name")
+  }
+
   /** q50: per-language duplication report over exact content
     * fingerprints — the "how much of this corpus is duplicated"
     * number every dedup run reports before deciding rates. One scan +

@@ -65,6 +65,35 @@ object Ingest {
                          schema: Option[StructType] = None): DataFrame =
     readNdjson(spark, readManifest(spark, manifestPath), schema)
 
+  /** The write half of the manifest round-trip — batch a file list
+    * into reference-shape manifest JSONs (`fileLocations/URIPrefixes`,
+    * ≤ `maxPerManifest` files each, `batch-NNNN.json` names:
+    * lambda_manifest_builder.py:1073-1103 minus the S3/DynamoDB claim
+    * plumbing, whose atomicity q03/s03 already re-express as pure
+    * batching). Driver-side by design: a manifest is KB-scale job
+    * metadata (one URI per landed file), the same exception
+    * [[readManifest]] documents — batching millions of DATA ROWS is
+    * q03's distributed job, not this.
+    *
+    * Returns the manifest paths in batch order; [[readManifest]] of
+    * each, concatenated, round-trips the input list exactly (pinned
+    * in IngestSpec). */
+  def writeManifests(paths: Seq[String], manifestDir: String,
+                     maxPerManifest: Int = 10): Seq[String] = {
+    require(paths.nonEmpty, "writeManifests needs a non-empty file list")
+    require(maxPerManifest > 0, "maxPerManifest must be positive")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(manifestDir))
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    paths.grouped(maxPerManifest).zipWithIndex.map { case (batch, i) =>
+      val uris = batch.map(p => "\"" + esc(p) + "\"").mkString(", ")
+      val json = s"""{"fileLocations": [{"URIPrefixes": [$uris]}]}"""
+      val out = java.nio.file.Paths.get(manifestDir, f"batch-$i%04d.json")
+      java.nio.file.Files.writeString(out, json)
+      out.toString
+    }.toSeq
+  }
+
   def stampLineage(df: DataFrame): DataFrame = df
     .withColumn("_source_file", input_file_name())
     .withColumn("_processing_timestamp", current_timestamp())

@@ -119,6 +119,25 @@ class CorpusSpec extends SparkSpec {
     rows.map(_.getAs[Int]("chunk_id")).toSet shouldBe Set(0)
   }
 
+  test("q72 sharded packing equals q40 row-for-row on the real corpus") {
+    val d = tables.documents
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("chunk_id"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("chunk_tokens"),
+        r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))
+      .sortBy(t => (t._1, t._2))
+    // shardSize 64 -> multiple shards at test SF: the PARALLEL path,
+    // not a degenerate single-shard run
+    val maxId = d.agg(org.apache.spark.sql.functions.max("doc_id"))
+      .collect().head.getLong(0)
+    assert(maxId / 64 >= 2, "corpus too small to exercise multiple shards")
+    rows(Corpus.packSequencesSharded(d, shardSize = 64)) shouldBe
+      rows(Corpus.packSequences(d))
+    // and with a shard boundary mid-chunk (tiny shards), still identical
+    rows(Corpus.packSequencesSharded(d, shardSize = 3)) shouldBe
+      rows(Corpus.packSequences(d))
+  }
+
   test("q53 sliding chunks: overlap geometry, short-doc single chunk, exact slices") {
     val text40 = (1 to 40).map(i => s"t$i").mkString(" ")
     val d = docs((1L, text40, "en"), (2L, "a b c", "en"))

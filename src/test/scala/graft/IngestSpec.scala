@@ -127,6 +127,23 @@ class IngestSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Ingest.readManifest(spark, notMf) }
   }
 
+  test("writeManifests batches and round-trips through readManifest exactly") {
+    val dir = tmpDir("graft_mfw")
+    val fs = (1 to 5).map(i =>
+      writeNdjson(dir, s"f$i.ndjson", Seq(s"""{"id": $i}""")))
+    val mfs = Ingest.writeManifests(fs, s"$dir/manifests", maxPerManifest = 2)
+    mfs.length shouldBe 3 // 2 + 2 + 1
+    mfs.map(m => new java.io.File(m).getName) shouldBe
+      Seq("batch-0000.json", "batch-0001.json", "batch-0002.json")
+    // the round-trip law: concat(readManifest(m)) == the input list
+    mfs.flatMap(m => Ingest.readManifest(spark, m)) shouldBe fs
+    // and the full replay reads every row once
+    val all = mfs.map(m => Ingest.readNdjsonManifest(spark, m))
+      .reduce(_ unionByName _)
+    all.select("id").collect().map(_.getLong(0)).sorted shouldBe
+      Array(1L, 2L, 3L, 4L, 5L)
+  }
+
   test("quarantineWrite lands the invalid side date-partitioned with a run report") {
     import org.apache.spark.sql.types._
     val dir = tmpDir("graft_quar")

@@ -57,6 +57,23 @@ class ReportSpec extends SparkSpec {
     }
   }
 
+  test("q73 certified profile: exact columns match q49, every sketch verdict true") {
+    val cert = Report.profileSketchCertified(tables.events)
+    cert.schema.fieldNames shouldBe Array("col_name", "n_rows", "n_null",
+      "n_distinct", "nd_sketch_ok", "min_value", "max_value")
+    val rows = cert.collect()
+    rows.length shouldBe 6
+    rows.foreach { r =>
+      withClue(s"col=${r.getString(0)}: ") { r.getBoolean(4) shouldBe true }
+    }
+    // the deterministic columns are exactly q49's
+    val exact = Report.profile(tables.events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).sortBy(_._1)
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getString(5), r.getString(6))).sortBy(_._1) shouldBe exact
+  }
+
   test("q50 dup report: per-language dup counts and deterministic fraction") {
     import spark.implicits._
     val df = Seq(
