@@ -234,6 +234,16 @@ object Corpus {
     // every earlier shard's tokens
     val wSh = Window.partitionBy("lang").orderBy("shard")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // This is the textbook TWO-PASS parallel prefix sum, and the plan
+    // is honestly two scans: pass 1 (here) computes per-shard token
+    // totals as a map-side partial agg — no sort, no doc-level
+    // shuffle, #shards rows out; pass 2 (`within`) does the heavy
+    // per-shard window. Deriving the totals from the windowed frame
+    // instead would NOT save the scan — two consumers of one subtree
+    // recompute in Spark (diamond plan; AQE exchange reuse does not
+    // fire across these differently-projected branches, measured) —
+    // and would drag the totals through pass 2's sort. Two scans that
+    // parallelize beat q40's one scan that serializes per language.
     val offsets = toks.groupBy("lang", "shard")
       .agg(sum(col("n_tokens")).as("shard_tokens"))
       .withColumn("offset",

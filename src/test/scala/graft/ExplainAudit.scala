@@ -23,7 +23,7 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => !q._1.startsWith("s0")) // streaming entries execute
+      .filter(q => !q._1.startsWith("s")) // streaming entries execute
       .foreach { case (name, fn) =>
         try {
           val plan = fn(spark, dir).queryExecution.executedPlan.toString
