@@ -106,6 +106,7 @@ object SparkEntry {
     "q53_chunk_sliding"      -> ((s, d) => Corpus.chunkSliding(Tables(s, d).documents)),
     "q44_tfidf_terms"        -> ((s, d) => TextOps.tfidfTopTerms(Tables(s, d).documents)),
     "q54_oov_rate"           -> ((s, d) => TextOps.oovRate(Tables(s, d).documents)),
+    "q74_novelty_score"      -> ((s, d) => TextOps.noveltyScore(Tables(s, d).documents)),
     // q45: every doc_id ≡ 9 (mod 10) plays the incoming intake batch;
     // the rest is the already-deduped corpus contributing only its
     // band index — the persisted-index production pattern.
@@ -983,6 +984,18 @@ object SparkEntry {
         |WHERE fingerprint IN (SELECT fingerprint FROM fp WHERE doc_id % 7 = 0)
         |ORDER BY doc_id""".stripMargin,
     "q21_dedup_ngram"     -> ngramOracle,
+    // q74: same text-vs-xxhash64 grouping note as q71; novelty mirrors
+    // Exact.dround (FLOOR(x·10⁴+0.5)/10⁴) on the same integer operands
+    "q74_novelty_score" ->
+      s"""WITH $shingleCtes,
+         |x AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         |d AS (SELECT shingle, COUNT(*) AS df FROM x GROUP BY 1),
+         |j AS (SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |             CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+         |      FROM x JOIN d USING (shingle) GROUP BY 1)
+         |SELECT doc_id, n_shingles, n_unique,
+         |       FLOOR(CAST(n_unique AS DOUBLE) / CAST(n_shingles AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS novelty
+         |FROM j ORDER BY doc_id""".stripMargin,
     // q71: groups by shingle TEXT where Spark groups by xxhash64 —
     // identical counts modulo hash collisions (~n²/2⁶⁵, nil here)
     "q71_dfcap_audit" ->

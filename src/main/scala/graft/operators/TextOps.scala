@@ -452,4 +452,37 @@ object TextOps {
         graft.Exact.dround(col("n_oov").cast("double") / col("n_tokens").cast("double"), 4)
           .as("oov_frac"))
   }
+
+  /** q74: per-document n-gram NOVELTY — the fraction of a doc's
+    * distinct shingles that appear NOWHERE else in the corpus
+    * (corpus-df == 1). The memorization/novelty signal next to the
+    * dedup family: near-0 novelty = boilerplate/duplicated content the
+    * pair operators (q21/q22) will flag; near-1 = unique text worth
+    * keeping; corpus-level novelty drift is the standard check that a
+    * crawl refresh actually added new content.
+    *
+    * Plan: ONE shingle pass; corpus df via a count window partitioned
+    * by the shingle hash (q44's df shape — no groupBy+self-join
+    * diamond, so the corpus is scanned once), then a doc-keyed partial
+    * agg. Two shuffles total (shingle, doc_id), both linear — never
+    * df² (this reads the same inverted index as q21 but consumes
+    * per-posting rows, not pair expansions). Short docs (< n tokens,
+    * zero shingles) are absent from the output by definition — both
+    * engines agree. */
+  def noveltyScore(documents: DataFrame, n: Int = 3): DataFrame = {
+    val idx = documents
+      .select(col("doc_id"), Dedup.shingleSet(n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+        explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("shingle"))
+    idx
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .groupBy("doc_id")
+      .agg(min(col("n_sh")).as("n_shingles"),
+        sum(when(col("df") === 1, 1).otherwise(0)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        graft.Exact.dround(
+          col("n_unique").cast("double") / col("n_shingles").cast("double"), 4)
+          .as("novelty"))
+  }
 }

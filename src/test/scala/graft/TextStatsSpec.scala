@@ -248,4 +248,32 @@ class TextStatsSpec extends SparkSpec {
     "Scan parquet".r.findAllIn(p).length shouldBe 1
     "Exchange".r.findAllIn(p).length should be <= 2
   }
+
+  test("q74 novelty: duplicated docs score 0, unique docs 1, overlaps in between") {
+    // docs 1/2 are verbatim copies (every shingle df>=2 -> novelty 0);
+    // doc 3 shares nothing (novelty 1); doc 4 shares a 4-token prefix
+    // with doc 5's text but diverges after
+    val a = "alpha bravo charlie delta echo foxtrot"
+    val d = docs(
+      (1L, a, "en"), (2L, a, "en"),
+      (3L, "golf hotel india juliet kilo lima", "en"),
+      (4L, "mike november oscar papa quebec romeo", "en"),
+      (5L, "mike november oscar papa sierra tango", "en"))
+    val rows = TextOps.noveltyScore(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    rows(0) shouldBe ((1L, 4L, 0L, 0.0))
+    rows(1) shouldBe ((2L, 4L, 0L, 0.0))
+    rows(2) shouldBe ((3L, 4L, 4L, 1.0))
+    // docs 4/5: 6 tokens -> 4 trigrams each; the first 2 trigrams
+    // ("mike november oscar", "november oscar papa") are shared (df 2),
+    // the last 2 diverge -> novelty 2/4 = 0.5
+    rows(3) shouldBe ((4L, 4L, 2L, 0.5))
+    rows(4) shouldBe ((5L, 4L, 2L, 0.5))
+  }
+
+  test("q74 plan: one corpus scan, df via window (no groupBy+join diamond)") {
+    val p = planOf(TextOps.noveltyScore(tables.documents))
+    "Scan parquet".r.findAllIn(p).length shouldBe 1
+  }
 }
