@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, timestamp_seconds}
 import org.apache.spark.sql.streaming.OutputMode
-import graft.operators.{Analytics, Corpus, Dedup, Etl, Multimodal, Relational, Report, Similarity, TextOps}
+import graft.operators.{Analytics, Corpus, Dedup, Etl, Multimodal, Pipeline, Relational, Report, Similarity, TextOps}
 import graft.streaming.Streams
 
 /** Driver contract — see SURVEY.md §2 for the capability each key
@@ -93,6 +93,10 @@ object SparkEntry {
     "q66_winnow_pairs"       -> ((s, d) => Dedup.winnowPairs(Tables(s, d).documents)),
     "q22_dedup_minhash"      -> ((s, d) => Dedup.minhashLshPairs(Tables(s, d).documents)),
     "q36_dedup_clusters"     -> ((s, d) => Dedup.dedupClusters(Tables(s, d).documents)),
+    // q75: the composed 4-stage curation recipe (exact dedup → near-dup
+    // keeper → quality prune → decontaminate) with first-drop-wins
+    // attribution — the end-to-end composition proof, oracle-checked
+    "q75_corpus_pipeline"    -> ((s, d) => Pipeline.corpusPipeline(Tables(s, d).documents)),
     "q55_keeper_select"      -> ((s, d) => Dedup.keeperSelection(Tables(s, d).documents)),
     "q37_pii_redact"         -> ((s, d) => Corpus.piiRedactVerification(Tables(s, d).documents)),
     "q38_sample_stratified"  -> ((s, d) => Corpus.sampleStratified(Tables(s, d).documents)),
@@ -987,7 +991,7 @@ object SparkEntry {
     // q74: same text-vs-xxhash64 grouping note as q71; novelty mirrors
     // Exact.dround (FLOOR(x·10⁴+0.5)/10⁴) on the same integer operands
     "q74_novelty_score" ->
-      s"""WITH $shingleCtes,
+      s"""WITH ${shingleCtes()},
          |x AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
          |d AS (SELECT shingle, COUNT(*) AS df FROM x GROUP BY 1),
          |j AS (SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
@@ -999,7 +1003,7 @@ object SparkEntry {
     // q71: groups by shingle TEXT where Spark groups by xxhash64 —
     // identical counts modulo hash collisions (~n²/2⁶⁵, nil here)
     "q71_dfcap_audit" ->
-      s"""WITH $shingleCtes,
+      s"""WITH ${shingleCtes()},
          |x AS (SELECT unnest(sh) AS shingle FROM s),
          |d AS (SELECT shingle, COUNT(*) AS df FROM x GROUP BY 1)
          |SELECT CAST(COUNT(*) AS BIGINT) AS total_shingles,
@@ -1044,6 +1048,7 @@ object SparkEntry {
         |WHERE p.shared_fps >= 1 ORDER BY p.doc_a, p.doc_b""".stripMargin,
     "q22_dedup_minhash"   -> minhashOracle,
     "q36_dedup_clusters"  -> clustersOracle,
+    "q75_corpus_pipeline" -> pipelineOracle,
     "q55_keeper_select"   -> keeperOracle,
     "q45_dedup_incremental" -> incrementalOracle,
     "s08_stream_dedup_incremental" -> incrementalOracle,
@@ -1104,7 +1109,7 @@ object SparkEntry {
     * `greatest(size-2, 1)` upper bound for every token count.) */
   /** q60: the q21 pair pass, fanned into both directed containments. */
   private def containmentOracle: String =
-    s"""WITH $shingleCtes,
+    s"""WITH ${shingleCtes()},
        |x AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
        |      FROM x a JOIN x b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -1155,13 +1160,13 @@ object SparkEntry {
         |       COUNT(DISTINCT props), MIN(props), MAX(props)
         |FROM events""".stripMargin
 
-  private val shingleCtes: String =
-    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  private def shingleCtes(from: String = "documents"): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $from),
       |s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 1, 2)),
       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t)""".stripMargin
 
   private def ngramOracle: String =
-    s"""WITH $shingleCtes,
+    s"""WITH ${shingleCtes()},
        |x AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
        |      FROM x a JOIN x b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -1175,7 +1180,7 @@ object SparkEntry {
 
   /** The q22 pair set as a self-contained SELECT (no trailing ORDER BY)
     * so the clustering oracle (q36) can embed it as a CTE body. */
-  private def minhashPairsQuery: String = {
+  private def minhashPairsQuery(from: String = "documents"): String = {
     val k = 16; val bands = 4; val r = k / bands
     // Kirsch-Mitzenmacher: g_i = (lower64 mod p + i·(upper64 mod p))
     // mod p, p = 2^31-1 — mirrors Exprs.MinHashSig exactly; every
@@ -1189,7 +1194,7 @@ object SparkEntry {
         .mkString(" || '|' || ")
       s"md5('$b|' || $parts)"
     }.mkString(", ")
-    s"""WITH $shingleCtes,
+    s"""WITH ${shingleCtes(from)},
        |m AS (SELECT doc_id, $mhs FROM s),
        |b AS (SELECT doc_id, unnest([$bks]) AS bk FROM m),
        |c AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
@@ -1205,15 +1210,15 @@ object SparkEntry {
   }
 
   private def minhashOracle: String =
-    minhashPairsQuery + "\nORDER BY doc_a, doc_b"
+    minhashPairsQuery() + "\nORDER BY doc_a, doc_b"
 
   /** Shared connected-components labeling over the q22 pair set via a
     * recursive reachability CTE (component label = MIN reachable
     * doc_id; the UNION dedupe bounds the recursion). Component sizes
     * are tiny, so the O(Σ component²) reach set is no hazard for the
     * oracle. Used by q36 (labels) and q55 (keeper selection). */
-  private def clusterLabCtes: String =
-    s"""WITH RECURSIVE p AS ($minhashPairsQuery),
+  private def clusterLabCtesBody(from: String = "documents"): String =
+    s"""p AS (${minhashPairsQuery(from)}),
        |edges AS (SELECT doc_a AS s, doc_b AS d FROM p
        |          UNION ALL SELECT doc_b, doc_a FROM p),
        |reach(doc, r) AS (
@@ -1221,6 +1226,9 @@ object SparkEntry {
        |  UNION
        |  SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.doc),
        |lab AS (SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc)""".stripMargin
+
+  private def clusterLabCtes: String =
+    "WITH RECURSIVE " + clusterLabCtesBody()
 
   private def clustersOracle: String =
     s"""$clusterLabCtes
@@ -1233,6 +1241,66 @@ object SparkEntry {
   /** q55: keeper per cluster by (quality DESC, doc_id). The quality
     * CTE is q28's formula verbatim (same casts, same left-to-right
     * IEEE op order) — keep the two in sync. */
+  /** q28's quality formula as reusable CTEs (same casts, same
+    * left-to-right IEEE op order as TextOps.qualityMetrics — keep in
+    * sync). Emits `q(doc_id, quality)`. */
+  private def qualityCtes(from: String = "documents"): String =
+    s"""qt AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM $from),
+       |qm AS (SELECT doc_id,
+       |         CAST(len(toks) AS DOUBLE) AS n_tok,
+       |         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq,
+       |         CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE) AS n_stop,
+       |         LEAST(n_chars / 500.0, 1.0) AS len_sat
+       |       FROM qt),
+       |q AS (SELECT doc_id,
+       |        FLOOR((n_uniq / n_tok * 0.4 + (1.0 - n_stop / n_tok) * 0.3 + len_sat * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality
+       |      FROM qm)""".stripMargin
+
+  /** q75: every stage is the corresponding declared oracle's SQL over
+    * the running survivor set — exact keeper (q20/q30), minhash-LSH
+    * clusters (q22/q36 CTEs parameterized on surv1), q55's keeper
+    * window, q61's per-lang prune window over surv2, q35's fingerprint
+    * semi-join. One WITH RECURSIVE chain; verdicts unioned with
+    * first-drop-wins by construction. */
+  private def pipelineOracle: String =
+    s"""WITH RECURSIVE
+       |fpp AS (SELECT doc_id,
+       |          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+       |        FROM documents),
+       |k1 AS (SELECT fingerprint, MIN(doc_id) AS kept_by FROM fpp GROUP BY 1),
+       |l1 AS (SELECT f.doc_id, f.fingerprint, k.kept_by FROM fpp f JOIN k1 k USING (fingerprint)),
+       |surv1 AS (SELECT d.* FROM documents d JOIN l1 ON d.doc_id = l1.doc_id
+       |          WHERE l1.doc_id = l1.kept_by),
+       |${clusterLabCtesBody("surv1")},
+       |${qualityCtes("documents")},
+       |keep2 AS (SELECT cluster_id, doc_id AS kept_by FROM (
+       |    SELECT l.cluster_id, l.doc_id,
+       |           ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+       |                              ORDER BY q.quality DESC, l.doc_id) AS krn
+       |    FROM lab l JOIN q ON l.doc_id = q.doc_id) kk WHERE krn = 1),
+       |dup_near AS (SELECT l.doc_id, k.kept_by FROM lab l JOIN keep2 k USING (cluster_id)
+       |             WHERE l.doc_id <> k.kept_by),
+       |surv2 AS (SELECT s1.doc_id, s1.lang FROM surv1 s1
+       |          WHERE s1.doc_id NOT IN (SELECT doc_id FROM dup_near)),
+       |w AS (SELECT s2.doc_id, q.quality,
+       |        ROW_NUMBER() OVER (PARTITION BY s2.lang ORDER BY q.quality, s2.doc_id) AS rn,
+       |        COUNT(*) OVER (PARTITION BY s2.lang) AS nn
+       |      FROM surv2 s2 JOIN q ON s2.doc_id = q.doc_id),
+       |low AS (SELECT doc_id FROM w WHERE rn <= FLOOR(0.2 * nn)),
+       |surv3 AS (SELECT doc_id FROM surv2
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM low)),
+       |ev AS (SELECT fingerprint FROM fpp WHERE doc_id % 7 = 0),
+       |cont AS (SELECT s3.doc_id FROM surv3 s3 JOIN fpp f ON s3.doc_id = f.doc_id
+       |         WHERE f.fingerprint IN (SELECT fingerprint FROM ev)),
+       |res AS (
+       |  SELECT doc_id, 'dup_exact' AS verdict, kept_by FROM l1 WHERE doc_id <> kept_by
+       |  UNION ALL SELECT doc_id, 'dup_near', kept_by FROM dup_near
+       |  UNION ALL SELECT doc_id, 'low_quality', CAST(NULL AS BIGINT) FROM low
+       |  UNION ALL SELECT doc_id, 'contaminated', CAST(NULL AS BIGINT) FROM cont
+       |  UNION ALL SELECT doc_id, 'kept', CAST(NULL AS BIGINT) FROM surv3
+       |            WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+       |SELECT doc_id, verdict, kept_by FROM res ORDER BY doc_id""".stripMargin
+
   private def keeperOracle: String =
     s"""$clusterLabCtes,
        |qt AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
@@ -1261,7 +1329,7 @@ object SparkEntry {
     * the Jaccard verification is identical. Both-new and both-old
     * pairs are excluded (XOR). */
   private def incrementalOracle: String =
-    s"""WITH p AS ($minhashPairsQuery)
+    s"""WITH p AS (${minhashPairsQuery()})
        |SELECT CASE WHEN doc_a % 10 = 9 THEN doc_a ELSE doc_b END AS new_doc,
        |       CASE WHEN doc_a % 10 = 9 THEN doc_b ELSE doc_a END AS dup_of,
        |       jaccard
@@ -1275,7 +1343,7 @@ object SparkEntry {
     * appears in h1's flagged set is excluded from batch 2's reachable
     * index. Built on the same full pairwise minhash CTE as q45. */
   private def admitOracle: String =
-    s"""WITH p AS ($minhashPairsQuery),
+    s"""WITH p AS (${minhashPairsQuery()}),
        |h1 AS (SELECT CASE WHEN doc_a % 10 = 8 THEN doc_a ELSE doc_b END AS new_doc,
        |              CASE WHEN doc_a % 10 = 8 THEN doc_b ELSE doc_a END AS dup_of,
        |              jaccard
@@ -1301,7 +1369,7 @@ object SparkEntry {
     * distinct xxhash64 digests, the oracle distinct shingle strings —
     * identical sets absent a 2⁻⁶⁴ collision. */
   private def decontamNgramOracle: String =
-    s"""WITH $shingleCtes,
+    s"""WITH ${shingleCtes()},
        |x AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
        |r AS (SELECT doc_id AS eval_doc, shingle FROM x WHERE doc_id % 7 = 0)
        |SELECT x.doc_id, COUNT(DISTINCT x.shingle) AS n_shared_shingles,
