@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, timestamp_seconds}
+import org.apache.spark.sql.functions.{col, concat, lit, timestamp_seconds, when}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.operators.{Analytics, Corpus, Dedup, Etl, Multimodal, Pipeline, Relational, Report, Similarity, TextOps}
 import graft.streaming.Streams
@@ -56,6 +56,19 @@ object SparkEntry {
     "q31_status_latest"      -> ((s, d) => Etl.statusLatest(Tables(s, d).events)),
     "q32_velocity_projection"-> ((s, d) => Analytics.velocityProjection(Tables(s, d).events)),
     "q33_extension_validate" -> ((s, d) => Etl.validateWithExtension(Tables(s, d).documents)),
+    // q76: synthetic two-snapshot split of one corpus — doc_id ≡ 6
+    // (mod 7) plays the newly-crawled docs (absent from prev), ≡ 5 the
+    // deleted ones (absent from curr), ≡ 0 the re-crawled revisions
+    // (prev carries a ' rev0' suffix) — so all four verdicts fire.
+    "q76_snapshot_diff"      -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val prev = docs.filter(col("doc_id") % 7 =!= 6)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev0")))
+            .otherwise(col("text")))
+      val curr = docs.filter(col("doc_id") % 7 =!= 5)
+      Etl.snapshotDiff(prev, curr)
+    }),
     // q51: q09's declared 100 TB path as a first-class query — GK
     // mergeable-sketch percentiles (no per-group sort). Sketch values
     // aren't bit-replicable in DuckDB, so the declared query certifies
@@ -106,6 +119,7 @@ object SparkEntry {
     // the grading SF, so the parallel path (not a degenerate one-shard
     // run) is what the shared q40 oracle hash-checks
     "q72_pack_sharded"       -> ((s, d) => Corpus.packSequencesSharded(Tables(s, d).documents)),
+    "q77_zorder_layout"      -> ((s, d) => Corpus.layoutZOrder(Tables(s, d).documents)),
     "q41_repetition"         -> ((s, d) => TextOps.repetitionSignals(Tables(s, d).documents)),
     "q53_chunk_sliding"      -> ((s, d) => Corpus.chunkSliding(Tables(s, d).documents)),
     "q44_tfidf_terms"        -> ((s, d) => TextOps.tfidfTopTerms(Tables(s, d).documents)),
@@ -463,6 +477,22 @@ object SparkEntry {
         |       FLOOR(total_value / ((span_us / 1000000.0) / 3600.0) * 10000.0 + 0.5) / 10000.0 AS value_per_hour,
         |       FLOOR(total_value / ((span_us / 1000000.0) / 3600.0) * 24.0 * 10000.0 + 0.5) / 10000.0 AS projected_value_per_day
         |FROM a""".stripMargin,
+    // q76: same prev/curr synthesis as the declared query; fingerprint
+    // is q20/q30's normalization so the diff key matches the dedup key.
+    "q76_snapshot_diff" ->
+      """WITH prev AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' rev0' ELSE text END AS text
+        |       FROM documents WHERE doc_id % 7 <> 6),
+        |curr AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 5),
+        |pf AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS prev_fp FROM prev),
+        |cf AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS curr_fp FROM curr)
+        |SELECT COALESCE(pf.doc_id, cf.doc_id) AS doc_id, prev_fp, curr_fp,
+        |       CASE WHEN prev_fp IS NULL THEN 'added'
+        |            WHEN curr_fp IS NULL THEN 'removed'
+        |            WHEN prev_fp = curr_fp THEN 'unchanged'
+        |            ELSE 'changed' END AS verdict
+        |FROM pf FULL OUTER JOIN cf ON pf.doc_id = cf.doc_id
+        |ORDER BY 1""".stripMargin,
     // q33: extension check precedes the size band, as in the reference
     // validator; extension is doc_id-derived (test tables carry no
     // file names).
@@ -876,6 +906,27 @@ object SparkEntry {
         |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin,
+    // q77: the interleave term is generated by the same (bits=8) loop
+    // shape as Corpus.zOrderKey so the two engines cannot drift.
+    "q77_zorder_layout" -> {
+      val z = (0 until 8).map(i =>
+        s"(((x_c >> $i) & 1) << ${2 * i}) + (((y_c >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH dict AS (SELECT lang, DENSE_RANK() OVER (ORDER BY lang) - 1 AS lang_c,
+         |                     COUNT(*) OVER () AS nl
+         |              FROM (SELECT DISTINCT lang FROM documents)),
+         |st AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents),
+         |k AS (SELECT d.doc_id, d.lang, d.n_chars, dict.lang_c,
+         |             CAST(FLOOR((d.n_chars - st.mn) * 256.0 / (st.mx - st.mn + 1)) AS INT) AS x_c,
+         |             CAST(FLOOR(dict.lang_c * 256.0 / dict.nl) AS INT) AS y_c
+         |      FROM documents d JOIN dict USING (lang) CROSS JOIN st),
+         |z AS (SELECT doc_id, lang, n_chars, lang_c, ($z) AS zkey FROM k)
+         |SELECT zkey >> 12 AS bucket, COUNT(*) AS n_docs,
+         |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+         |       MIN(lang_c) AS min_lang_c, MAX(lang_c) AS max_lang_c,
+         |       COUNT(DISTINCT lang) AS n_langs
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q40_pack_sequences" ->
       """WITH t AS (SELECT lang, doc_id,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -292,4 +292,71 @@ object Corpus {
         md5(array_join(slice(col("tk"), col("chunk_id") * stride + 1, lit(window)), " "))
           .as("chunk_hash"))
   }
+
+  /** Bit-interleaved (Morton / Z-order) key over two `bits`-wide
+    * dimension codes — x occupies even bit positions, y odd. Pure
+    * shift/mask arithmetic, whole-stage-codegen'd, and replicated
+    * verbatim by the DuckDB oracle. */
+  def zOrderKey(x: Column, y: Column, bits: Int = 8): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** q77: Z-order write layout — the OPTIMIZE ZORDER primitive a
+    * 100 TB corpus store needs. Linear sort orders (partitionBy lang,
+    * or sort by n_chars) give tight file bounds on ONE dimension and
+    * useless bounds on every other; interleaving the bits of both
+    * dimension codes into one clustering key keeps file-level min/max
+    * bounds tight on BOTH, so a scan filtered on either (or both)
+    * prunes files. Production writes
+    * `df.repartitionByRange(n, col("zkey")).write...` and lets parquet
+    * row-group stats do the pruning; this operator computes the key and
+    * the per-bucket bounds AUDIT that proves the layout prunes.
+    *
+    * Dimension codes are min/max-NORMALIZED to the full 8-bit range
+    * before interleaving (raw codes would leave the key's high bits
+    * constant and every doc in one bucket — the audit caught exactly
+    * that on the first cut):
+    *  - length: floor((n_chars − min) · 256 / (max − min + 1)) — range
+    *    stats are one tiny agg, broadcast (what OPTIMIZE ZORDER derives
+    *    from column stats; index-metadata cost a production writer
+    *    amortizes per commit)
+    *  - lang: dense code from the distinct-frame dictionary (tiny: the
+    *    world has few languages), scaled by 256/n_langs — broadcast
+    *    dict join, NOT a global window over the corpus
+    *
+    * Plan: one stats agg + one corpus scan with two broadcast joins +
+    * one exchange for the bucket agg. The audit emits per-bucket doc
+    * counts and min/max of each dimension; tight per-bucket spans ARE
+    * the pruning guarantee (a predicate on either dimension eliminates
+    * buckets whose span excludes it). */
+  def layoutZOrder(documents: DataFrame, nBuckets: Int = 16): DataFrame = {
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0 && nBuckets <= 65536,
+      s"nBuckets must be a power of two in [1, 65536], got $nBuckets")
+    val stats = documents.agg(
+      min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+    val langDict = documents.select(col("lang")).distinct()
+      .withColumn("lang_c", row_number().over(Window.orderBy("lang")) - 1)
+      .withColumn("nl", count(lit(1)).over(Window.partitionBy()))
+    documents
+      .join(broadcast(langDict), Seq("lang"))
+      .crossJoin(broadcast(stats))
+      .withColumn("x_c",
+        floor((col("n_chars") - col("mn")) * 256.0 /
+          (col("mx") - col("mn") + 1)).cast("int"))
+      .withColumn("y_c", floor(col("lang_c") * 256.0 / col("nl")).cast("int"))
+      .withColumn("zkey", zOrderKey(col("x_c"), col("y_c")))
+      .withColumn("bucket",
+        shiftright(col("zkey"), 16 - Integer.numberOfTrailingZeros(nBuckets)))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        min(col("lang_c")).as("min_lang_c"),
+        max(col("lang_c")).as("max_lang_c"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("bucket")
+  }
 }

@@ -155,6 +155,35 @@ object Etl {
       .orderBy("status", "reason", "ext")
   }
 
+  /** q76: incremental snapshot diff — the daily-crawl delta primitive.
+    * Classifies every doc_id across two corpus snapshots as added /
+    * removed / changed / unchanged by normalized content fingerprint
+    * (the reference re-lists and re-validates the full bucket per run,
+    * lambda_manifest_builder.py:519-540; at 100 TB you diff snapshots
+    * and touch only the delta).
+    *
+    * Plan: tag-union both sides, then ONE hash exchange on doc_id with
+    * a conditional-max pivot — not a full-outer join. Same bytes
+    * shuffled either way, but one exchange node, no join buffering, and
+    * partial aggregation collapses each side's row map-side. Only
+    * (doc_id, 16-byte digest, side) ever moves — never document text. */
+  def snapshotDiff(prev: DataFrame, curr: DataFrame): DataFrame = {
+    def fp(df: DataFrame, side: Int) =
+      df.select(col("doc_id"), TextOps.fingerprintCol.as("fp"),
+        lit(side).as("side"))
+    fp(prev, 0).unionByName(fp(curr, 1))
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("side") === 0, col("fp"))).as("prev_fp"),
+        max(when(col("side") === 1, col("fp"))).as("curr_fp"))
+      .withColumn("verdict",
+        when(col("prev_fp").isNull, "added")
+          .when(col("curr_fp").isNull, "removed")
+          .when(col("prev_fp") === col("curr_fp"), "unchanged")
+          .otherwise("changed"))
+      .orderBy("doc_id")
+  }
+
   /** q19: schema-drift union — heterogeneous NDJSON days land with
     * different column sets; `unionByName(allowMissingColumns)` aligns
     * them with nulls, the Spark-native version of the Glue read's

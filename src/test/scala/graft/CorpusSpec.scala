@@ -219,4 +219,35 @@ class AsofSpec extends SparkSpec {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("q77 zOrderKey interleaves x into even bits, y into odd") {
+    import spark.implicits._
+    val r = Seq((255, 0), (0, 255), (3, 1), (255, 255))
+      .toDF("x", "y")
+      .select(Corpus.zOrderKey(F.col("x"), F.col("y")).as("z"))
+      .collect().map(_.getInt(0))
+    r shouldBe Array(0x5555, 0xAAAA, 7, 0xFFFF)
+  }
+
+  test("q77 buckets bound both dimensions: char span <= range/4, single lang per bucket") {
+    import spark.implicits._
+    // 2 langs x 400 lengths -> normalized codes fill both 8-bit dims
+    val d = (0 until 800).map { i =>
+      (i.toLong, "txt", if (i % 2 == 0) "en" else "de", 100L + (i / 2))
+    }.toDF("doc_id", "text", "lang", "n_chars")
+    val out = Corpus.layoutZOrder(d, nBuckets = 16).collect()
+    out.map(_.getAs[Long]("n_docs")).sum shouldBe 800L
+    // 16 buckets = top-2 bits of each dim; with 2 langs the scaled lang
+    // codes are 0 and 128, so every bucket is single-language...
+    all(out.map(_.getAs[Long]("n_langs"))) shouldBe 1L
+    // ...and the char span of any bucket is at most a quarter of the
+    // full range (the two-dimensional pruning guarantee)
+    val span = (400 + 1) / 4.0
+    all(out.map(r => (r.getAs[Long]("max_chars") - r.getAs[Long]("min_chars")).toDouble)) should be <= span
+  }
+
+  test("q77 rejects a non-power-of-two bucket count") {
+    an[IllegalArgumentException] should be thrownBy
+      Corpus.layoutZOrder(tables.documents, nBuckets = 12)
+  }
 }

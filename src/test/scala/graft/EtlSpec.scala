@@ -40,4 +40,27 @@ class EtlSpec extends SparkSpec {
     Similarity.suggestBits(1L << 30, 128) shouldBe 23
     Similarity.suggestBits(100, 128) shouldBe 1 // floor at 1 bit
   }
+
+  test("q76 snapshot diff classifies all four verdicts; fingerprint is normalized") {
+    import spark.implicits._
+    val prev = Seq(
+      (1L, "Same   Text"),   // unchanged (modulo case/whitespace)
+      (2L, "old revision"),  // changed
+      (3L, "gone by now"))   // removed
+      .toDF("doc_id", "text")
+    val curr = Seq(
+      (1L, "same text"),
+      (2L, "new revision"),
+      (4L, "fresh crawl"))   // added
+      .toDF("doc_id", "text")
+    val out = Etl.snapshotDiff(prev, curr).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    out shouldBe Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added")
+    // removed rows carry only a prev fingerprint, added only a curr one
+    val rows = Etl.snapshotDiff(prev, curr).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    rows(3L)._2 shouldBe null
+    rows(4L)._1 shouldBe null
+  }
 }
