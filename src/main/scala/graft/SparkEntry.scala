@@ -274,6 +274,35 @@ object SparkEntry {
         .as[Streams.DocFp]
       Streams.runToMemory(Streams.streamDedup(docs).toDF, "s04_stream_dedup")
     }),
+    // s11: q76 through the streaming loop — the previous snapshot is
+    // persisted as a fingerprint store, the re-crawl streams through
+    // per-batch probes, removed = store ∖ landed after the drain. The
+    // result shares q76's oracle verbatim, so the batch and streaming
+    // paths are driver-hash-checked for row identity.
+    "s11_stream_snapshot_diff" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val prev = docs.filter(col("doc_id") % 7 =!= 6)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev0")))
+            .otherwise(col("text")))
+      val tmp = scratchDir("graft_s11_")
+      Etl.writeFingerprintStore(prev, s"$tmp/store")
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val intake = s.readStream.schema(schema)
+        .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
+        .filter(col("doc_id") % 7 =!= 5)
+      val q = Streams.streamSnapshotDiff(intake, s"$tmp/store",
+        s"$tmp/out", s"$tmp/cp",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination(); q.stop()
+      val landed = s.read.parquet(s"$tmp/out")
+      val removed = s.read.parquet(s"$tmp/store")
+        .join(landed.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("prev_fp"),
+          lit(null).cast("string").as("curr_fp"),
+          lit("removed").as("verdict"))
+      landed.unionByName(removed).orderBy("doc_id")
+    }),
     // s10: the continuous validate→quarantine loop through the REAL
     // sinks (valid parquet + date-partitioned quarantine + per-batch
     // reports), then summarized from what physically LANDED — the
@@ -479,20 +508,11 @@ object SparkEntry {
         |FROM a""".stripMargin,
     // q76: same prev/curr synthesis as the declared query; fingerprint
     // is q20/q30's normalization so the diff key matches the dedup key.
-    "q76_snapshot_diff" ->
-      """WITH prev AS (SELECT doc_id,
-        |         CASE WHEN doc_id % 7 = 0 THEN text || ' rev0' ELSE text END AS text
-        |       FROM documents WHERE doc_id % 7 <> 6),
-        |curr AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 5),
-        |pf AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS prev_fp FROM prev),
-        |cf AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS curr_fp FROM curr)
-        |SELECT COALESCE(pf.doc_id, cf.doc_id) AS doc_id, prev_fp, curr_fp,
-        |       CASE WHEN prev_fp IS NULL THEN 'added'
-        |            WHEN curr_fp IS NULL THEN 'removed'
-        |            WHEN prev_fp = curr_fp THEN 'unchanged'
-        |            ELSE 'changed' END AS verdict
-        |FROM pf FULL OUTER JOIN cf ON pf.doc_id = cf.doc_id
-        |ORDER BY 1""".stripMargin,
+    // s11 is the same contract through the streaming loop (per-batch
+    // probes of the persisted fingerprint store + post-drain removed
+    // derivation) — one oracle, so the two paths can never drift.
+    "q76_snapshot_diff" -> snapshotDiffOracle,
+    "s11_stream_snapshot_diff" -> snapshotDiffOracle,
     // q33: extension check precedes the size band, as in the reference
     // validator; extension is doc_id-derived (test tables carry no
     // file names).
@@ -1215,6 +1235,23 @@ object SparkEntry {
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $from),
       |s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 1, 2)),
       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t)""".stripMargin
+
+  /** q76 / s11 shared truth: the full-outer diff of the two synthetic
+    * snapshots. Batch q76 and streaming s11 must be row-identical. */
+  private def snapshotDiffOracle: String =
+    """WITH prev AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 7 = 0 THEN text || ' rev0' ELSE text END AS text
+      |       FROM documents WHERE doc_id % 7 <> 6),
+      |curr AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 5),
+      |pf AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS prev_fp FROM prev),
+      |cf AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS curr_fp FROM curr)
+      |SELECT COALESCE(pf.doc_id, cf.doc_id) AS doc_id, prev_fp, curr_fp,
+      |       CASE WHEN prev_fp IS NULL THEN 'added'
+      |            WHEN curr_fp IS NULL THEN 'removed'
+      |            WHEN prev_fp = curr_fp THEN 'unchanged'
+      |            ELSE 'changed' END AS verdict
+      |FROM pf FULL OUTER JOIN cf ON pf.doc_id = cf.doc_id
+      |ORDER BY 1""".stripMargin
 
   private def ngramOracle: String =
     s"""WITH ${shingleCtes()},

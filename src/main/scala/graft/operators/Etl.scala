@@ -184,6 +184,16 @@ object Etl {
       .orderBy("doc_id")
   }
 
+  /** The persisted side of the snapshot-diff lifecycle: one
+    * (doc_id, prev_fp) row per document of a snapshot. Production
+    * rewrites this store per accepted snapshot (it is the ~50-byte/doc
+    * index [[snapshotDiff]] and s11's per-batch probe read — metadata
+    * scale, like the q45 band index, never the corpus itself). */
+  def writeFingerprintStore(documents: DataFrame, path: String): Unit =
+    documents
+      .select(col("doc_id"), TextOps.fingerprintCol.as("prev_fp"))
+      .write.mode("overwrite").parquet(path)
+
   /** q19: schema-drift union — heterogeneous NDJSON days land with
     * different column sets; `unionByName(allowMissingColumns)` aligns
     * them with nulls, the Spark-native version of the Glue read's

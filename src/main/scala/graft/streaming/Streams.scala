@@ -192,6 +192,44 @@ object Streams {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** s11: q76's snapshot diff as the continuous re-crawl loop. The
+    * previous snapshot contributes ONLY its fingerprint store
+    * ([[graft.operators.Etl.writeFingerprintStore]] — doc_id → digest,
+    * metadata scale); each micro-batch of re-crawled docs left-joins
+    * the store and appends its per-doc verdict (added / changed /
+    * unchanged) to `outDir`. "removed" is a whole-snapshot fact no
+    * single batch can witness — the declared s11 query derives it
+    * after the drain as store ∖ landed (left anti), exactly q76's
+    * semantics, which is why s11 hash-checks against q76's ORACLE
+    * verbatim.
+    *
+    * Stateless per batch (the store is the state, owned outside the
+    * stream), so restarts replay from the source file log like s10.
+    * Per-batch cost: batch-side fingerprints + one join against a
+    * doc_id-keyed store — the batch is the small side; at 100 TB the
+    * store is bucketed by doc_id and the batch broadcasts. */
+  def streamSnapshotDiff(intake: DataFrame, storePath: String,
+                         outDir: String, checkpointDir: String,
+                         trigger: Option[Trigger] = None): StreamingQuery = {
+    val spark = intake.sparkSession
+    val w = intake
+      .select(col("doc_id"), graft.operators.TextOps.fingerprintCol.as("curr_fp"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val store = spark.read.parquet(storePath)
+        batch.join(store, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("prev_fp"), col("curr_fp"),
+            when(col("prev_fp").isNull, "added")
+              .when(col("prev_fp") === col("curr_fp"), "unchanged")
+              .otherwise("changed").as("verdict"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
   /** s02: watermarked hourly tumbling-window aggregation. In append
     * mode the watermark finalizes (and evicts) windows 1h behind the
     * max event time — bounded state at any corpus size. */
