@@ -331,9 +331,10 @@ object Corpus {
     * counts and min/max of each dimension; tight per-bucket spans ARE
     * the pruning guarantee (a predicate on either dimension eliminates
     * buckets whose span excludes it). */
-  def layoutZOrder(documents: DataFrame, nBuckets: Int = 16): DataFrame = {
-    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0 && nBuckets <= 65536,
-      s"nBuckets must be a power of two in [1, 65536], got $nBuckets")
+  /** Doc-level frame with the normalized dimension codes and the
+    * interleaved `zkey` — shared by the q77 audit and the physical
+    * [[writeZOrdered]] sink. */
+  private def zKeyed(documents: DataFrame): DataFrame = {
     val stats = documents.agg(
       min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
     val langDict = documents.select(col("lang")).distinct()
@@ -347,6 +348,12 @@ object Corpus {
           (col("mx") - col("mn") + 1)).cast("int"))
       .withColumn("y_c", floor(col("lang_c") * 256.0 / col("nl")).cast("int"))
       .withColumn("zkey", zOrderKey(col("x_c"), col("y_c")))
+  }
+
+  def layoutZOrder(documents: DataFrame, nBuckets: Int = 16): DataFrame = {
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0 && nBuckets <= 65536,
+      s"nBuckets must be a power of two in [1, 65536], got $nBuckets")
+    zKeyed(documents)
       .withColumn("bucket",
         shiftright(col("zkey"), 16 - Integer.numberOfTrailingZeros(nBuckets)))
       .groupBy("bucket")
@@ -359,4 +366,22 @@ object Corpus {
         countDistinct(col("lang")).as("n_langs"))
       .orderBy("bucket")
   }
+
+  /** The physical write q77's audit models: range-partition on the
+    * z-key (sampled split points — equal-sized files even when the
+    * key distribution is lumpy, exactly `repartitionByRange`'s
+    * contract), sort within partitions so row groups inside a file
+    * stay key-local, write parquet. Every output file then carries
+    * TIGHT min/max stats on BOTH n_chars and lang, so a scan filtered
+    * on either dimension skips most files on footers alone —
+    * CorpusSpec proves it by reading the written files back
+    * individually. The audit query (q77) remains the deterministic,
+    * oracle-checked view of the same layout. */
+  def writeZOrdered(documents: DataFrame, path: String,
+                    nFiles: Int = 16): Unit =
+    zKeyed(documents)
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .drop("x_c", "y_c", "lang_c", "nl", "mn", "mx")
+      .write.mode("overwrite").parquet(path)
 }

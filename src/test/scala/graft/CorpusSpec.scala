@@ -250,4 +250,32 @@ class AsofSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Corpus.layoutZOrder(tables.documents, nBuckets = 12)
   }
+
+  test("q77 writeZOrdered: written files carry prunable bounds on both dimensions") {
+    import spark.implicits._
+    val d = (0 until 1600).map { i =>
+      (i.toLong, "txt", if (i % 2 == 0) "en" else "de", 100L + (i / 2))
+    }.toDF("doc_id", "text", "lang", "n_chars")
+    val out = java.nio.file.Files.createTempDirectory("zorder_").toString
+    Corpus.writeZOrdered(d, out, nFiles = 8)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    files.length should be >= 4
+    // per-file stats, read back exactly as a footer-pruning scan would
+    val stats = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(F.min("n_chars"), F.max("n_chars"), F.countDistinct("lang"))
+        .head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // lang occupies the z-key's top bit (2 langs -> codes 0/128), so
+    // range partitioning separates languages: at most ONE boundary
+    // file mixes them -> a lang-filtered scan skips ~half the files
+    stats.count(_._3 > 1) should be <= 1
+    // and within a language run, files cover disjoint length slices:
+    // every single-lang file spans at most half the global char range
+    val span = 800 / 2
+    all(stats.filter(_._3 == 1).map(s => s._2 - s._1)) should be <= span.toLong
+  }
 }

@@ -233,4 +233,21 @@ class PlanSpec extends SparkSpec {
     val out = Relational.saltedRevenueByStatus(t.lineitem, t.orders).columns
     out should not contain "_salt_l" // …but never in the output
   }
+
+  test("q76 snapshot diff is a union + ONE doc_id agg — no join of the two sides") {
+    val d = tables.documents
+    val plan = planOf(Etl.snapshotDiff(d, d))
+    plan should include ("Union")
+    plan should not include "Join"
+    // one agg exchange + the output range sort, nothing else
+    plan.split("Exchange").length - 1 should be <= 2
+  }
+
+  test("q77 z-order corpus path is scan + broadcasts — dims and stats never shuffle it") {
+    val plan = planOf(operators.Corpus.layoutZOrder(tables.documents))
+    plan should include ("BroadcastHashJoin")        // lang dictionary
+    plan should include ("BroadcastNestedLoopJoin")  // one-row range stats
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
 }
