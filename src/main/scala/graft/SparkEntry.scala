@@ -69,6 +69,14 @@ object SparkEntry {
       val curr = docs.filter(col("doc_id") % 7 =!= 5)
       Etl.snapshotDiff(prev, curr)
     }),
+    // q78: same snapshot split as q76 (content edits don't move counts,
+    // so no rev0 needed), drift over the source mix
+    "q78_snapshot_drift"     -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      Etl.snapshotDrift(
+        docs.filter(col("doc_id") % 7 =!= 6),
+        docs.filter(col("doc_id") % 7 =!= 5))
+    }),
     // q51: q09's declared 100 TB path as a first-class query — GK
     // mergeable-sketch percentiles (no per-group sort). Sketch values
     // aren't bit-replicable in DuckDB, so the declared query certifies
@@ -513,6 +521,26 @@ object SparkEntry {
     // derivation) — one oracle, so the two paths can never drift.
     "q76_snapshot_diff" -> snapshotDiffOracle,
     "s11_stream_snapshot_diff" -> snapshotDiffOracle,
+    // q78: dround mirrored as FLOOR((x)*1e4+0.5)/1e4; drift is the IEEE
+    // difference of the two rounded doubles (identical operands both
+    // engines). Totals cast back to BIGINT (DuckDB SUM→HUGEINT).
+    "q78_snapshot_drift" ->
+      """WITH prev AS (SELECT source FROM documents WHERE doc_id % 7 <> 6),
+        |curr AS (SELECT source FROM documents WHERE doc_id % 7 <> 5),
+        |u AS (SELECT source AS dim, 0 AS side FROM prev
+        |      UNION ALL SELECT source, 1 FROM curr),
+        |g AS (SELECT dim,
+        |        CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_prev,
+        |        CAST(SUM(side) AS BIGINT) AS n_curr
+        |      FROM u GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_prev) AS BIGINT) AS tp,
+        |             CAST(SUM(n_curr) AS BIGINT) AS tc FROM g)
+        |SELECT dim, n_prev, n_curr,
+        |       FLOOR((n_prev / tp) * 10000.0 + 0.5) / 10000.0 AS share_prev,
+        |       FLOOR((n_curr / tc) * 10000.0 + 0.5) / 10000.0 AS share_curr,
+        |       FLOOR((n_curr / tc) * 10000.0 + 0.5) / 10000.0
+        |         - FLOOR((n_prev / tp) * 10000.0 + 0.5) / 10000.0 AS drift
+        |FROM g CROSS JOIN t ORDER BY dim""".stripMargin,
     // q33: extension check precedes the size band, as in the reference
     // validator; extension is doc_id-derived (test tables carry no
     // file names).

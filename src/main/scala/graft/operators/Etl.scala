@@ -184,6 +184,41 @@ object Etl {
       .orderBy("doc_id")
   }
 
+  /** q78: snapshot drift — the distribution-shift report that answers
+    * "did the crawl refresh change the corpus MIX", per dimension value
+    * (source here; any low-cardinality column works): counts, shares,
+    * and share delta across the two snapshots. Near-zero drift on a
+    * refresh that was supposed to add a new source — or large drift on
+    * one that wasn't — is the first corpus-health alarm a training-data
+    * pipeline fires.
+    *
+    * Same plan skeleton as [[snapshotDiff]]: tag-union, ONE hash agg
+    * (keyed by the dimension — partial aggs collapse each side
+    * map-side, so only (value, side) pairs ever shuffle). Totals come
+    * from a global window over the GROUPED frame (dimension-cardinality
+    * rows — tiny), not a separate agg branch: a `g.agg → crossJoin(g)`
+    * diamond would recompute the union and re-scan both snapshots
+    * twice more (caught by the plan audit on the first cut). Shares
+    * are `Exact.dround`ed and the drift is the IEEE difference of the
+    * two rounded doubles — identical operands on both engines, so the
+    * oracle matches bit-for-bit. */
+  def snapshotDrift(prev: DataFrame, curr: DataFrame,
+                    dim: String = "source"): DataFrame = {
+    val u = prev.select(col(dim).as("dim"), lit(0).as("side"))
+      .unionByName(curr.select(col(dim).as("dim"), lit(1).as("side")))
+    val all = Window.partitionBy()
+    u.groupBy("dim").agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_prev"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_curr"))
+      .withColumn("tp", sum(col("n_prev")).over(all))
+      .withColumn("tc", sum(col("n_curr")).over(all))
+      .select(col("dim"), col("n_prev"), col("n_curr"),
+        graft.Exact.dround(col("n_prev") / col("tp")).as("share_prev"),
+        graft.Exact.dround(col("n_curr") / col("tc")).as("share_curr"))
+      .withColumn("drift", col("share_curr") - col("share_prev"))
+      .orderBy("dim")
+  }
+
   /** The persisted side of the snapshot-diff lifecycle: one
     * (doc_id, prev_fp) row per document of a snapshot. Production
     * rewrites this store per accepted snapshot (it is the ~50-byte/doc

@@ -63,4 +63,15 @@ class EtlSpec extends SparkSpec {
     rows(3L)._2 shouldBe null
     rows(4L)._1 shouldBe null
   }
+
+  test("q78 snapshot drift: shares and deltas over a hand mix") {
+    import spark.implicits._
+    val prev = Seq("a", "a", "b").toDF("source")
+    val curr = Seq("a", "b", "b", "b").toDF("source")
+    val out = Etl.snapshotDrift(prev, curr).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    out("a") shouldBe ((2L, 1L, 0.6667, 0.25, 0.25 - 0.6667))
+    out("b") shouldBe ((1L, 3L, 0.3333, 0.75, 0.75 - 0.3333))
+  }
 }
