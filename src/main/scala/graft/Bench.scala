@@ -57,39 +57,17 @@ object Bench {
       if (names.isEmpty)
         sys.error("SPARK_GRAFT_ONLY is set but selects no queries")
     }
-    // SPARK_GRAFT_SCALE_GEOMETRY=1 re-sizes the three LSH/cell-bucketed
-    // queries with their own suggest* helpers before running — the
-    // production calling convention at any non-test corpus size. The
-    // DECLARED queries pin the oracle-checkable test-SF defaults, and
-    // on a 10× corpus those defaults FAIL LOUDLY at the bucket caps
-    // (by design — that cap firing is itself a tested contract). A 10×
-    // bench therefore has two honest modes: default geometry proves
-    // the caps fire; sized geometry (this flag) measures the scale
-    // path the operators actually claim. Sizing costs one count() per
-    // affected query — index-metadata cost, exactly what a production
-    // caller would amortize.
-    val scaleGeometry = sys.env.get("SPARK_GRAFT_SCALE_GEOMETRY").contains("1")
-    val geometrySized: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
-      "q26_ann_lsh" -> ((s, d) => {
-        val e = Tables(s, d).embeddings
-        operators.Similarity.annLsh(e, bits = operators.Similarity.suggestBits(e.count()))
-      }),
-      "q34_dedup_embedding_lsh" -> ((s, d) => {
-        val e = Tables(s, d).embeddings
-        operators.Similarity.embeddingNearDupsBucketed(e,
-          bits = operators.Similarity.suggestBits(e.count()))
-      }),
-      "q57_semantic_dedup" -> ((s, d) => {
-        val e = Tables(s, d).embeddings
-        operators.Similarity.semanticDedup(e,
-          nCells = operators.Similarity.suggestCells(e.count()))
-      }))
+    // The three LSH/cell-bucketed queries (q26/q34/q57) auto-size
+    // their geometry from the corpus count by default
+    // (Similarity.AutoGeometry), so the declared queries ARE the
+    // production calling convention at any corpus size — no env var,
+    // no per-SF re-parameterization. Sizing costs one count() per
+    // affected query: index-metadata weight, amortized in production.
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn0) =>
-      val fn = if (scaleGeometry) geometrySized.getOrElse(name, fn0) else fn0
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()

@@ -1608,7 +1608,7 @@ object SparkEntry {
     * smallest condemning mate per vector via min + self-join-back. */
   private def semanticDedupOracle: String =
     s"""WITH $vecCtes,
-       |cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < 16),
+       |cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < $gateCells),
        |sc AS (SELECT x.vec_id, x.v, x.nrm, c.cell, (${sqlDot("x.v", "c.v")}) / c.nrm AS score
        |       FROM n x CROSS JOIN cent c),
        |a0 AS (SELECT vec_id, v, nrm, cell FROM (
@@ -1673,10 +1673,22 @@ object SparkEntry {
        |      FROM s)
        |SELECT * FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
 
+  /** The correctness gate (Verify → DuckDB) runs at sf0.01, whose
+    * embeddings table holds 500 vectors (TESTDATA.md). q26/q34/q57
+    * auto-size their geometry from the corpus count at run time
+    * (Similarity.AutoGeometry), so their oracles bake the SAME
+    * derivation applied to the gate corpus: suggestBits(500)=2,
+    * suggestCells(500)=4. EtlSpec pins this constant against the real
+    * sf0.001/sf0.01 parquet so a regenerated test corpus fails loudly
+    * here instead of as an opaque hash mismatch. */
+  private[graft] val gateEmbeddingsN: Long = 500L
+  private[graft] val gateBits: Int = Similarity.suggestBits(gateEmbeddingsN)
+  private[graft] val gateCells: Int = Similarity.suggestCells(gateEmbeddingsN)
+
   /** Shared plane/bucket CTE prefix for the sign-random-projection
     * oracles (q26/q34): the ±1 plane matrix as literal VALUES rows +
     * per-(vector, table) bucket strings. */
-  private def lshBucketCtes(bits: Int = 4, tables: Int = 16): String = {
+  private def lshBucketCtes(bits: Int = gateBits, tables: Int = 16): String = {
     val signs = Similarity.planeSigns(tables, bits)
     val rows = (for (t <- 0 until tables; p <- 0 until bits) yield {
       val ws = signs(t * bits + p).map(x => if (x > 0) "1.0" else "-1.0").mkString(",")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.SparkSpec
+import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.{functions => F}
 
 /** Batching semantics, including the skew-salt variant (SURVEY §5). */
@@ -39,6 +39,18 @@ class EtlSpec extends SparkSpec {
     Similarity.suggestBits(2000, 128) shouldBe 4
     Similarity.suggestBits(1L << 30, 128) shouldBe 23
     Similarity.suggestBits(100, 128) shouldBe 1 // floor at 1 bit
+  }
+
+  test("gate geometry constants match the real test corpus") {
+    // q26/q34/q57 auto-size from the corpus count at run time; their
+    // oracles bake the derivation applied to SparkEntry.gateEmbeddingsN.
+    // If the driver ever regenerates the embeddings table at a new
+    // size, fail HERE with a readable message, not as a hash mismatch.
+    val n = spark.read // the gate SF, not this spec's default sfDir
+      .parquet("/root/testdata/sf0.01/embeddings.parquet").count()
+    n shouldBe SparkEntry.gateEmbeddingsN
+    SparkEntry.gateBits shouldBe Similarity.suggestBits(n)
+    SparkEntry.gateCells shouldBe Similarity.suggestCells(n)
   }
 
   test("q76 snapshot diff classifies all four verdicts; fingerprint is normalized") {
