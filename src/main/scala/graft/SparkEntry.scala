@@ -171,6 +171,17 @@ object SparkEntry {
       Similarity.semanticDecontaminate(
         e.filter(col("vec_id") % 7 =!= 0), e.filter(col("vec_id") % 7 === 0))
     }),
+    // q79: q63's past-broadcast scale path — cell-quantized eval with
+    // exact triangle-inequality pruning. Row-identical to q63 by
+    // construction, so it shares q63's oracle verbatim (the s11/q76
+    // pattern); nCells=8 exercises real pruning at the gate SF (the
+    // auto default derives 1 cell for a 71-vector eval set).
+    "q79_decontaminate_semantic_cells" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      Similarity.semanticDecontaminateBucketed(
+        e.filter(col("vec_id") % 7 =!= 0), e.filter(col("vec_id") % 7 === 0),
+        nCells = 8)
+    }),
     // Streaming — executed through the real micro-batch engine
     // (Trigger.AvailableNow + memory sink), then compared to batch
     // oracles: streaming/batch parity is the correctness contract.
@@ -1172,6 +1183,8 @@ object SparkEntry {
     "q34_dedup_embedding_lsh" -> embeddingDedupLshOracle,
     "q57_semantic_dedup"  -> semanticDedupOracle,
     "q63_decontaminate_semantic" -> semanticDecontamOracle,
+    // q79 is EXACT past-broadcast q63 — same oracle, row-identical
+    "q79_decontaminate_semantic_cells" -> semanticDecontamOracle,
     "q64_sample_percell"  -> samplePerCellOracle,
     // q56: the report table's deterministic fields, reconstructed from
     // the source tables the reported writes consumed (records = full

@@ -792,6 +792,107 @@ object Similarity {
         round(col("m.cos_raw"), 4).as("cos_sim"))
   }
 
+  /** q79: semantic decontamination PAST the eval-broadcast ceiling —
+    * same verdict columns, row-IDENTICAL output to
+    * [[semanticDecontaminate]] (the correctness gate runs both against
+    * the SAME exact oracle), for eval suites too large to ship whole
+    * to every executor.
+    *
+    * EXACT, not approximate. Eval vectors are quantized into `nCells`
+    * cells ([[semanticDedup]]'s quantizer: argmax of dot(e,c)/|c|,
+    * ties to the smaller cell, deterministic lowest-vec_id seeds);
+    * each cell records its angular radius r_c = max angle(e, cent_c)
+    * over members. A corpus vector probes cell c only when
+    * angle(v, cent_c) − r_c ≤ arccos(tau) + ε: by the spherical
+    * triangle inequality (angle(v,e) ≥ angle(v,cent) − angle(e,cent))
+    * no within-tau pair can live in a pruned cell, and the ε slack
+    * (1e-6 rad, ~10⁶× the fused-loop dot's rounding) means floating
+    * point can only ADD candidate cells, never drop a true match.
+    * `acos` inputs are clamped to [−1,1] so FP overshoot widens the
+    * bound instead of NaN-dropping the cell. Scoring inside probed
+    * cells is the broadcast path's exact-cosine filter + argmax
+    * verbatim, so the two variants agree row-for-row at ANY tau and
+    * geometry (SimilaritySpec pins it on the real corpus).
+    *
+    * Scale shape: the only broadcast is the nCells centroid+radius
+    * table (index metadata, like q46's centroids); the eval set
+    * shuffles once keyed by eval_id (its own argmax agg — eval-sized,
+    * not corpus-sized); the corpus is NEVER shuffled by vector
+    * content — candidate cells come from a per-row broadcast
+    * crossJoin against the centroid table (n·nCells fused-loop dots,
+    * the q57 broadcast assignment shape), and the pair join is a
+    * shuffled HASH join keyed on the bounded-cardinality cell id, so
+    * candidate rows move at most once and are never sorted (PlanSpec
+    * pins the shape). Probe fan-out is
+    * adaptive: a tight eval cluster far from a corpus vector costs
+    * one pruned-bound check, not |cell| cosines. */
+  def semanticDecontaminateBucketed(corpus: DataFrame, evalSet: DataFrame,
+                                    tau: Double = 0.4,
+                                    nCells: Int = AutoGeometry): DataFrame = {
+    require(tau > -1.0 && tau < 1.0, s"tau must be in (-1, 1), got $tau")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nc = resolveCells(evalSet, nCells)
+    // deterministic quantizer seeds: the nc lowest-vec_id EVAL vectors
+    // (eval ids are sparse — q63's convention is id ≡ 0 mod 7 — so an
+    // orderBy+limit, not seedCentroids' dense vec_id < n filter)
+    val cents = evalSet.select(col("vec_id").cast("long"), vecD(col("embedding")))
+      .orderBy("vec_id").limit(nc).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(cents.nonEmpty, "semanticDecontaminateBucketed: empty eval set")
+    val centDf = cents.toSeq.toDF("cell", "cv")
+      .select(col("cell"), col("cv"),
+        sqrt(Exprs.dot(col("cv"), col("cv"))).as("cnrm"))
+    def ang(score: Column): Column =
+      acos(least(greatest(score, lit(-1.0)), lit(1.0)))
+    // eval → (cell, angle-to-centroid): one argmax agg, eval-sized
+    val e = prepared(evalSet).select(col("vec_id").as("eval_id"),
+      col("v").as("ev"), col("nrm").as("en"))
+    val evalCells = e.crossJoin(broadcast(centDf))
+      .select(col("eval_id"),
+        struct((dot(col("ev"), col("cv")) / col("cnrm")).as("score"),
+          (-col("cell")).as("ncell"), col("cell"),
+          ang(dot(col("ev"), col("cv")) / (col("en") * col("cnrm"))).as("angc"),
+          col("ev"), col("en")).as("cand"))
+      .groupBy("eval_id")
+      .agg(max(col("cand")).as("b"))
+      .select(col("b.cell").as("cell"), col("eval_id"),
+        col("b.ev").as("ev"), col("b.en").as("en"), col("b.angc").as("angc"))
+    // per-cell angular radius: nCells rows of index metadata — the
+    // same driver-collect budget as q46's centroids. Seed cells with
+    // no members keep r = −∞ and are never probed.
+    val radii = evalCells.groupBy("cell").agg(max(col("angc")).as("r"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val centR = cents.toSeq
+      .map { case (id, arr) => (id, arr, radii.getOrElse(id, Double.NegativeInfinity)) }
+      .toDF("cell", "cv", "r")
+      .select(col("cell"), col("cv"), col("r"),
+        sqrt(Exprs.dot(col("cv"), col("cv"))).as("cnrm"))
+    val bound = math.acos(tau) + 1e-6
+    val c = prepared(corpus)
+    val cands = c.crossJoin(broadcast(centR))
+      .filter(ang(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))) - col("r")
+        <= lit(bound))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    // pair scoring + argmax: verbatim the broadcast path's tail. The
+    // cell join is a shuffled HASH join with the eval side building
+    // (shuffle_hash hint): corpus candidates move at most once, keyed
+    // by the bounded cell id — never sorted, never partitioned by
+    // vector content, and the eval build side is per-cell-sized, not
+    // whole-set
+    cands
+      .join(evalCells.select(col("cell"), col("eval_id"), col("ev"), col("en"))
+        .hint("shuffle_hash"),
+        Seq("cell"))
+      .withColumn("cos_raw", dot(col("v"), col("ev")) / (col("nrm") * col("en")))
+      .filter(col("cos_raw") >= tau)
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos_raw"), (-col("eval_id")).as("ne"),
+        col("eval_id"))).as("m"))
+      .select(col("vec_id"), col("m.eval_id").as("matched_eval"),
+        round(col("m.cos_raw"), 4).as("cos_sim"))
+  }
+
   /** q64: cluster-balanced (diversity) sampling — keep at most
     * `perCell` vectors from each quantizer cell. Uniform sampling
     * (q38) preserves the corpus DISTRIBUTION, which is exactly wrong

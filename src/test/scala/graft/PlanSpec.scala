@@ -154,6 +154,29 @@ class PlanSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  test("q79 bucketed decontamination joins on cell — the corpus is never shuffled by vector") {
+    val e = tables.embeddings
+    val plan = planOf(Similarity.semanticDecontaminateBucketed(
+      e.filter(org.apache.spark.sql.functions.expr("vec_id % 7 <> 0")),
+      e.filter(org.apache.spark.sql.functions.expr("vec_id % 7 = 0")),
+      nCells = 8))
+    plan should include ("graft_dot")
+    // exactly two nested loops — both against the nCells-row centroid
+    // LocalTableScan (index metadata: eval assignment + corpus
+    // candidate bound), NEVER the whole-eval broadcast this variant
+    // replaces; the pair join keys on the bounded cell id as a
+    // shuffled HASH join (eval builds) — corpus candidates stream
+    plan.split("BroadcastNestedLoopJoin").length - 1 shouldBe 2
+    plan should not include "CartesianProduct"
+    plan should include ("ShuffledHashJoin")
+    plan should not include "SortMergeJoin"
+    // exactly four shuffles: pair join inputs keyed by cell (×2), the
+    // eval-sized eval_id argmax, the flagged-row vec_id agg — never
+    // the corpus partitioned by vector content
+    plan should not include "hashpartitioning(v#"
+    plan.split("Exchange hashpartitioning").length - 1 shouldBe 4
+  }
+
   test("q62 winnowing is one native-expression scan — zero shuffle, zero sort") {
     val plan = planOf(TextOps.winnowFingerprints(tables.documents))
     plan should include ("graft_winnow")

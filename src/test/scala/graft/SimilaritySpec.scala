@@ -341,6 +341,41 @@ class SimilaritySpec extends SparkSpec {
     rows(1)._3 shouldBe 1.0
   }
 
+  test("q79 bucketed decontamination is row-identical to broadcast q63 at any geometry") {
+    val e = tables.embeddings
+    val corpus = e.filter(org.apache.spark.sql.functions.expr("vec_id % 7 <> 0"))
+    val eval = e.filter(org.apache.spark.sql.functions.expr("vec_id % 7 = 0"))
+    def rows(df: DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // exactness must hold at EVERY tau and cell count, including
+    // geometries where pruning actually fires (nCells 8/16 on 71 eval
+    // vectors) and the auto default (1 cell — degenerate, no pruning)
+    for (tau <- Seq(0.2, 0.4, 0.6); nc <- Seq(1, 8, 16)) {
+      val exact = rows(Similarity.semanticDecontaminate(corpus, eval, tau))
+      rows(Similarity.semanticDecontaminateBucketed(corpus, eval, tau, nCells = nc)) shouldBe exact
+    }
+    rows(Similarity.semanticDecontaminateBucketed(corpus, eval)) shouldBe
+      rows(Similarity.semanticDecontaminate(corpus, eval))
+  }
+
+  test("q79 pruning drops far cells but never a true match") {
+    // two tight eval clusters on orthogonal axes: a corpus vector near
+    // cluster A must never probe-miss its match, and the orthogonal
+    // cluster B is outside the angular bound entirely
+    val eval = vecs(
+      (0L, Map(0 -> 1.0f)), (7L, Map(0 -> 1.0f, 1 -> 0.05f)),   // cluster A
+      (14L, Map(5 -> 1.0f)), (21L, Map(5 -> 1.0f, 6 -> 0.05f))) // cluster B
+    val corpus = vecs(
+      (100L, Map(0 -> 2.0f, 1 -> 0.1f)),   // near A → flagged, closest 0 or 7
+      (101L, Map(9 -> 1.0f)))              // orthogonal to both → clean
+    val out = Similarity.semanticDecontaminateBucketed(corpus, eval,
+      tau = 0.8, nCells = 2).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = Similarity.semanticDecontaminate(corpus, eval, tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out shouldBe exact
+    out.map(_._1).toSet shouldBe Set(100L)
+  }
+
   test("q57 semantic dedup on the real corpus: verdicts are total and auditable") {
     val e = tables.embeddings
     val out = Similarity.semanticDedup(e).collect()
