@@ -346,13 +346,19 @@ object SparkEntry {
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_docs"))
         .orderBy("status", "reason")
     }),
-    // Multimodal plumbing — both fully oracle-checked: m01 via struct
-    // fields + payload md5 parity, m02 by recomputing the deterministic
+    // Multimodal — m01 oracle-checked via struct fields + payload md5
+    // parity, m02 by recomputing the deterministic
     // stub decode from the same bytes in SQL; partition/batch behavior
     // is additionally verified in MultimodalSpec.
     "m01_binary_meta"        -> ((s, d) => Multimodal.binaryMetaSummary(Tables(s, d).documents)),
-    "m02_decode_stub"        -> ((s, d) => Multimodal.decodeSummary(Tables(s, d).documents)),
+    "m02_byte_features"      -> ((s, d) => Multimodal.byteFeatureSummary(Tables(s, d).documents)),
     "m03_frame_sample"       -> ((s, d) => Multimodal.frameSummary(Tables(s, d).documents)),
+    // m04: the REAL image codec — synthesize spec-compliant PNGs from
+    // the image-mime documents through javax.imageio's encoder, decode
+    // them back with ImageIO.read, emit geometry + pixel digest. No
+    // SQL engine decodes PNG, so this is a rows-only driver check; the
+    // encode→decode round trip is pinned bit-exactly in MultimodalSpec.
+    "m04_image_decode"       -> ((s, d) => Multimodal.imageDecodeSummary(Tables(s, d).documents)),
     "q27_lang_id"            -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
     "q28_quality_score"      -> ((s, d) => TextOps.qualityScore(Tables(s, d).documents)),
     "q61_quality_prune"      -> ((s, d) => TextOps.qualityPrune(Tables(s, d).documents)),
@@ -857,11 +863,11 @@ object SparkEntry {
         |       CAST(strlen(text) AS INTEGER) AS n_bytes,
         |       md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // m02: the stub decode is a pure function of the payload bytes —
-    // recompute it from ord() over the same ASCII text (bytes ≡
+    // m02: byte features are a pure function of the payload bytes —
+    // recompute them from ord() over the same ASCII text (bytes ≡
     // codepoints; m01's md5 parity already pins the byte identity).
     // Bucket b of the byte histogram = count(ord // 32 = b) / len.
-    "m02_decode_stub" ->
+    "m02_byte_features" ->
       """WITH b AS (
         |  SELECT doc_id,
         |         CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -3,16 +3,17 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing (SURVEY.md §2, m01–m02): treat
+/** Multimodal-column plumbing (SURVEY.md §2, m01–m04): treat
   * image/audio/video payloads as opaque `binary` columns with a typed
   * metadata struct, and run decode/feature-extraction as a typed
-  * per-partition batch transform.
+  * per-partition batch transform (`mapPartitions`, the Scala analogue
+  * of `mapInPandas` batches).
   *
-  * The decode itself is a clearly-marked DETERMINISTIC STUB — this
-  * container has no media codecs — but everything Spark-side is real
-  * and tested: the schema (binary + struct), the partition-preserving
-  * batch shape (`mapPartitions`, the Scala analogue of `mapInPandas`
-  * batches), and the column plumbing a real codec would drop into.
+  * The image path (m04) is a REAL codec: `javax.imageio` PNG
+  * encode/decode + integer nearest-neighbor resize, JDK-only — no
+  * external media libraries needed. Audio/video (m02 byte features,
+  * m03 frame windows) remain codec-free byte-level transforms in the
+  * same batch shape, since the JDK ships no audio/video codecs.
   */
 object Multimodal {
 
@@ -50,16 +51,14 @@ object Multimodal {
       length(col("payload")).as("n_bytes"),
       md5(col("payload")).as("digest"))
 
-  /** m02: decode / feature-extract / frame-sample plumbing.
+  /** m02: codec-free byte-level feature extraction — a header checksum
+    * over the first 16 bytes (container-parsing stand-in for formats
+    * the JDK has no codec for: audio PCM, video) and an 8-bucket
+    * normalized byte histogram as the fixed-shape feature vector.
+    * Deliberately pure byte math so the DuckDB oracle can recompute it
+    * exactly; the REAL codec path for images is [[decodeImages]] (m04).
     *
-    * STUB DECODE — a production pipeline calls the actual codec here
-    * (JPEG decode, audio PCM, video frame sampling); this container has
-    * no media libraries, so the "decode" is a deterministic fake: a
-    * header checksum over the first 16 bytes (stands in for container
-    * parsing) and an 8-bucket normalized byte histogram (stands in for
-    * the extracted feature vector / resized thumbnail).
-    *
-    * The plumbing is the real contract: a typed `Dataset[MediaRow] →
+    * The plumbing is the shared contract: a typed `Dataset[MediaRow] →
     * Dataset[DecodedRow]` per-partition batch transform —
     * `mapPartitions` receives each partition as one iterator (the batch
     * shape `mapInPandas` gives Python codecs), is partition-preserving
@@ -67,7 +66,7 @@ object Multimodal {
     * upstream by `repartition` on whatever key balances media sizes),
     * and codec state (dictionaries, model weights) can be initialized
     * once per partition before the row loop. */
-  def decodeStub(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+  def byteFeatures(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       // per-partition init would go here (codec contexts, buffers)
@@ -94,7 +93,7 @@ object Multimodal {
     * deterministic, so the oracle can verify every sampled window
     * byte-for-byte via its digest.
     *
-    * Same per-partition batch contract as [[decodeStub]]: typed
+    * Same per-partition batch contract as [[byteFeatures]]: typed
     * `Dataset → Dataset`, partition-preserving (no shuffle; frame
     * parallelism = input partitioning), codec/digest state initialized
     * once per partition, and the fan-out is streamed through the
@@ -120,6 +119,137 @@ object Multimodal {
     }
   }
 
+  /** One decoded image leaving the real-codec decode stage. */
+  case class ImageRow(doc_id: Long, width: Int, height: Int, n_bytes: Int,
+                      pixel_md5: String, mean_luma: Double)
+
+  /** Deterministic PNG synthesis: payload bytes → a REAL PNG through
+    * the REAL `javax.imageio` encoder. The container ships no sample
+    * media, so test/bench images are derived from document bytes —
+    * but unlike m02's codec-free byte features, everything downstream
+    * of this stage exercises the true codec: the emitted payload is a
+    * spec-compliant PNG container whose pixels are the payload bytes
+    * laid out row-major in RGB (width/height derived from the byte
+    * count, so geometry round-trips are meaningful).
+    *
+    * Same per-partition batch contract as [[byteFeatures]]: encoder
+    * buffers initialized once per partition, partition-preserving,
+    * streamed through the iterator. */
+  def encodePng(media: Dataset[MediaRow], maxDim: Int = 16): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      val buf = new java.io.ByteArrayOutputStream(1 << 12) // per-partition init
+      batch.map { m =>
+        val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
+        val w = 1 + math.floorMod(bytes.length, maxDim)
+        val h = 1 + math.floorMod(bytes.map(_ & 0xff).sum, maxDim)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < w * h) {
+          val r = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
+          val g = if (bytes.isEmpty) 0 else bytes((i * 7 + 3) % bytes.length) & 0xff
+          val b = if (bytes.isEmpty) 0 else bytes((i * 13 + 5) % bytes.length) & 0xff
+          img.setRGB(i % w, i / w, (r << 16) | (g << 8) | b)
+          i += 1
+        }
+        buf.reset()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        MediaRow(m.doc_id, buf.toByteArray, "image/png")
+      }
+    }
+  }
+
+  /** m04: REAL image decode — `javax.imageio.ImageIO.read` (the JDK's
+    * actual PNG/JPEG/BMP/GIF codec, no external libs), in the same
+    * per-partition batch shape the stub documented: codec state and
+    * the digest instance initialized once per partition, rows streamed
+    * through the iterator, partition-preserving (decode parallelism =
+    * input partitioning). Output is the decoded geometry, a
+    * codec-independent content digest (md5 over row-major RGB pixels,
+    * NOT over the container bytes — two encoders producing different
+    * but pixel-identical PNGs hash equal), and mean luminance.
+    * Undecodable payloads fail LOUDLY with the doc id — silent nulls
+    * at 100 TB mean a corrupt-media stratum goes unnoticed. */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("MD5") // per-partition init
+      batch.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        require(img != null,
+          s"decodeImages: undecodable ${m.mime} payload for doc ${m.doc_id}")
+        val w = img.getWidth; val h = img.getHeight
+        md.reset()
+        var lumaSum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            md.update((rgb >> 16).toByte); md.update((rgb >> 8).toByte)
+            md.update(rgb.toByte)
+            lumaSum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        ImageRow(m.doc_id, w, h, m.payload.length, graft.Exact.hex(md.digest()),
+          lumaSum.toDouble / (3.0 * w * h))
+      }
+    }
+  }
+
+  /** m04 resize: integer nearest-neighbor scaling + re-encode through
+    * the real PNG codec. A hand-rolled pixel loop, not Graphics2D —
+    * `dst(x,y) = src(x*sw/dw, y*sh/dh)` is pure integer math, so the
+    * resized pixels (and hence [[decodeImages]]'s content digest) are
+    * bit-deterministic across JVMs/render pipelines. Same
+    * per-partition batch contract as the other stages. */
+  def resizeImages(media: Dataset[MediaRow], dw: Int, dh: Int): Dataset[MediaRow] = {
+    require(dw >= 1 && dh >= 1, s"resize target must be >= 1x1, got ${dw}x$dh")
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      val buf = new java.io.ByteArrayOutputStream(1 << 12) // per-partition init
+      batch.map { m =>
+        val src = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        require(src != null,
+          s"resizeImages: undecodable ${m.mime} payload for doc ${m.doc_id}")
+        val sw = src.getWidth; val sh = src.getHeight
+        val dst = new java.awt.image.BufferedImage(
+          dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < dh) {
+          var x = 0
+          while (x < dw) {
+            dst.setRGB(x, y, src.getRGB(x * sw / dw, y * sh / dh) & 0xffffff)
+            x += 1
+          }
+          y += 1
+        }
+        buf.reset()
+        javax.imageio.ImageIO.write(dst, "png", buf)
+        MediaRow(m.doc_id, buf.toByteArray, "image/png")
+      }
+    }
+  }
+
+  /** m04 as a flat verification frame: synthesize real PNGs from the
+    * image-mime documents, decode them with the real codec, and carry
+    * the geometry + content digest out. Driver-checked rows-only (no
+    * SQL engine decodes PNG); the encode→decode round trip itself is
+    * pinned bit-exactly in MultimodalSpec. */
+  def imageDecodeSummary(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val media = binaryWithMeta(documents)
+      .filter(col("meta.mime") === "image/png")
+      .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
+      .as[MediaRow]
+    decodeImages(encodePng(media)).toDF()
+  }
+
   /** m03 as a flat verification frame: video-mime objects only. */
   def frameSummary(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
@@ -136,12 +266,12 @@ object Multimodal {
     * from `ord()` over the same (ASCII) text. Ratios go through
     * Exact.dround — they are small-denominator rationals, the exact
     * case where engine round() implementations disagree. */
-  def decodeSummary(documents: DataFrame): DataFrame = {
+  def byteFeatureSummary(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
     val media = binaryWithMeta(documents)
       .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
       .as[MediaRow]
-    decodeStub(media).toDF()
+    byteFeatures(media).toDF()
       .select(col("doc_id"), col("mime"), col("n_bytes"), col("header_sum"),
         graft.Exact.dround(element_at(col("features"), 1)).as("f0"),
         graft.Exact.dround(element_at(col("features"), 4)).as("f3"))

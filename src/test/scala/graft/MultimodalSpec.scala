@@ -5,10 +5,11 @@ import graft.operators.Multimodal.MediaRow
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, IntegerType, StringType, StructType}
 
-/** m01/m02: binary-column plumbing + the deterministic decode stub.
-  * The stub's arithmetic is pinned exactly (header checksum, byte
-  * histogram) so a real codec drop-in changes behavior consciously,
-  * not accidentally. */
+/** m01–m04: binary-column plumbing, byte features, frame windows, and
+  * the REAL javax.imageio image path. The byte-feature arithmetic is
+  * pinned exactly (header checksum, byte histogram), and the image
+  * path is verified as a true encode→decode round trip through the
+  * JDK codec — pixels in, identical pixels out. */
 class MultimodalSpec extends SparkSpec {
 
   test("m01 schema: binary payload + typed metadata struct") {
@@ -32,10 +33,10 @@ class MultimodalSpec extends SparkSpec {
     r.count() shouldBe 0
   }
 
-  test("m02 decode stub: known bytes give the pinned checksum + histogram") {
+  test("m02 byte features: known bytes give the pinned checksum + histogram") {
     import spark.implicits._
     val payload = Array.tabulate(256)(i => i.toByte) // every byte value once
-    val out = Multimodal.decodeStub(
+    val out = Multimodal.byteFeatures(
       Seq(MediaRow(1L, payload, "image/png")).toDS()).collect().head
     out.n_bytes shouldBe 256
     out.header_sum shouldBe (0 until 16).sum // first 16 bytes: 0..15
@@ -44,15 +45,15 @@ class MultimodalSpec extends SparkSpec {
     out.features.foreach(f => f shouldBe (32.0 / 256.0) +- 1e-12)
   }
 
-  test("m02 decode is deterministic and partition-preserving") {
+  test("m02 byte features are deterministic and partition-preserving") {
     import spark.implicits._
     val media = Multimodal.binaryWithMeta(tables.documents)
       .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
       .as[MediaRow].repartition(3)
-    val a = Multimodal.decodeStub(media)
+    val a = Multimodal.byteFeatures(media)
     a.rdd.getNumPartitions shouldBe 3
     val run1 = a.collect().map(r => (r.doc_id, r.header_sum, r.features.toSeq)).sortBy(_._1)
-    val run2 = Multimodal.decodeStub(media).collect()
+    val run2 = Multimodal.byteFeatures(media).collect()
       .map(r => (r.doc_id, r.header_sum, r.features.toSeq)).sortBy(_._1)
     run1 shouldBe run2
   }
@@ -60,11 +61,83 @@ class MultimodalSpec extends SparkSpec {
   test("m02 handles empty and null payloads without dividing by zero") {
     import spark.implicits._
     val rows = Seq(MediaRow(1L, Array.emptyByteArray, "a"), MediaRow(2L, null, "b"))
-    val out = Multimodal.decodeStub(rows.toDS()).collect().sortBy(_.doc_id)
+    val out = Multimodal.byteFeatures(rows.toDS()).collect().sortBy(_.doc_id)
     out.foreach { r =>
       r.n_bytes shouldBe 0
       r.header_sum shouldBe 0
       r.features.sum shouldBe 0.0
+    }
+  }
+
+  test("m04 real codec round trip: hand-built PNG decodes to the exact pixels") {
+    import spark.implicits._
+    // build a known image OUTSIDE Spark, through the same JDK codec a
+    // user's real PNGs would hit, and pin geometry + every pixel
+    val w = 5; val h = 3
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 40) << 16) | ((y * 70) << 8) | (x + y))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val out = Multimodal.decodeImages(
+      Seq(MediaRow(7L, buf.toByteArray, "image/png")).toDS()).collect().head
+    out.width shouldBe w
+    out.height shouldBe h
+    out.n_bytes shouldBe buf.toByteArray.length
+    // expected digest + luma computed directly from the source pixels
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var luma = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      md.update((rgb >> 16).toByte); md.update((rgb >> 8).toByte); md.update(rgb.toByte)
+      luma += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+    }
+    out.pixel_md5 shouldBe graft.Exact.hex(md.digest())
+    out.mean_luma shouldBe luma.toDouble / (3.0 * w * h)
+  }
+
+  test("m04 encodePng emits real PNGs; resize is exact nearest-neighbor") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1L, "the quick brown fox jumps over the lazy dog".getBytes("UTF-8"), "image/png"),
+      MediaRow(2L, Array.tabulate[Byte](100)(_.toByte), "image/png")).toDS()
+    val pngs = Multimodal.encodePng(media).collect().sortBy(_.doc_id)
+    // PNG magic bytes — these are spec-compliant containers, not fakes
+    pngs.foreach { p =>
+      (p.payload.take(8).map(_ & 0xff).toSeq) shouldBe
+        Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    }
+    // decode is deterministic across runs (same digest both times)
+    val d1 = Multimodal.decodeImages(Multimodal.encodePng(media)).collect()
+      .map(r => (r.doc_id, r.width, r.height, r.pixel_md5)).sortBy(_._1)
+    val d2 = Multimodal.decodeImages(Multimodal.encodePng(media)).collect()
+      .map(r => (r.doc_id, r.width, r.height, r.pixel_md5)).sortBy(_._1)
+    d1 shouldBe d2
+    // resize to 2x2: dst(x,y) = src(x*sw/2, y*sh/2), checked per pixel
+    val resized = Multimodal.decodeImages(
+      Multimodal.resizeImages(Multimodal.encodePng(media), 2, 2)).collect()
+    resized.foreach { r => r.width shouldBe 2; r.height shouldBe 2 }
+    val srcImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(pngs.head.payload))
+    val rszPayload = Multimodal.resizeImages(Multimodal.encodePng(media), 2, 2)
+      .collect().sortBy(_.doc_id).head.payload
+    val rszImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rszPayload))
+    for (y <- 0 until 2; x <- 0 until 2)
+      (rszImg.getRGB(x, y) & 0xffffff) shouldBe
+        (srcImg.getRGB(x * srcImg.getWidth / 2, y * srcImg.getHeight / 2) & 0xffffff)
+  }
+
+  test("m04 summary runs over the real corpus: one row per image-mime doc") {
+    val docs = tables.documents
+    val out = Multimodal.imageDecodeSummary(docs)
+    val expected = docs.filter(expr("doc_id % 3 = 0")).count()
+    out.count() shouldBe expected
+    // geometry matches encodePng's derivation and every digest is real
+    out.collect().foreach { r =>
+      r.getAs[Int]("width") should (be >= 1 and be <= 16)
+      r.getAs[Int]("height") should (be >= 1 and be <= 16)
+      r.getAs[String]("pixel_md5").length shouldBe 32
     }
   }
 
