@@ -84,7 +84,14 @@ object Ingest {
     require(maxPerManifest > 0, "maxPerManifest must be positive")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(manifestDir))
     def esc(s: String): String =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        // control chars (incl. \n \t \r) must be escaped or the
+        // manifest is invalid JSON that readManifest then rejects
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
     paths.grouped(maxPerManifest).zipWithIndex.map { case (batch, i) =>
       val uris = batch.map(p => "\"" + esc(p) + "\"").mkString(", ")
       val json = s"""{"fileLocations": [{"URIPrefixes": [$uris]}]}"""

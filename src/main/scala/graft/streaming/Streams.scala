@@ -177,8 +177,13 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // NULL n_chars is quarantined EXPLICITLY: without the isNull arm
+        // the when-chain yields NULL and the row silently routes VALID —
+        // diverging from the s10 oracle's CASE, whose ELSE sends NULL to
+        // 'quarantined' (round-10 advice).
         val judged = batch.withColumn("_quarantine_reason",
-          when(col("n_chars") < minChars, "below_min_size")
+          when(col("n_chars").isNull, "null_size")
+            .when(col("n_chars") < minChars, "below_min_size")
             .when(col("n_chars") > maxChars, "above_max_size"))
         judged.filter(col("_quarantine_reason").isNull)
           .drop("_quarantine_reason")

@@ -48,7 +48,8 @@ for q in sorted(sized['queries']):
     t10 = sized['queries'][q]
     t01 = sf01['queries'].get(q)
     ratio = f"{t10 / t01:.1f}x" if t01 else "-"
-    rows.append(f"| {q} | {t01:.2f} | {t10:.2f} | {ratio} |")
+    t01s = f"{t01:.2f}" if t01 else "-"
+    rows.append(f"| {q} | {t01s} | {t10:.2f} | {ratio} |")
 table = ("| query | sf0.1 (s) | 10x (s) | ratio |\n|---|---|---|---|\n"
          + "\n".join(rows) + "\n")
 src = open('BASELINE.md').read()
