@@ -224,10 +224,14 @@ object SparkEntry {
         .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
         .select(TextOps.fingerprintCol.as("fingerprint"),
           timestamp_seconds(col("doc_id") + lit(1600000000L)).as("ts"))
-      Streams.runToMemory(
-        Streams.streamDedupTtl(docs, "ts", Seq("fingerprint"), "1 hour")
-          .select("fingerprint"),
-        "s06_stream_dedup_ttl")
+      // scoped: the dedup query gets its RocksDB default without the
+      // session keeping it for later non-dedup streams
+      Streams.scopedStateStoreConf(s) {
+        Streams.runToMemory(
+          Streams.streamDedupTtl(docs, "ts", Seq("fingerprint"), "1 hour")
+            .select("fingerprint"),
+          "s06_stream_dedup_ttl")
+      }
     }),
     // s08: q45's split (intake = doc_id ≡ 9 mod 10) through the real
     // engine: persisted band index + per-micro-batch probes; the
@@ -291,7 +295,9 @@ object SparkEntry {
         .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
         .select(TextOps.fingerprintCol.as("fingerprint"), col("doc_id"))
         .as[Streams.DocFp]
-      Streams.runToMemory(Streams.streamDedup(docs).toDF, "s04_stream_dedup")
+      Streams.scopedStateStoreConf(s) {
+        Streams.runToMemory(Streams.streamDedup(docs).toDF, "s04_stream_dedup")
+      }
     }),
     // s11: q76 through the streaming loop — the previous snapshot is
     // persisted as a fingerprint store, the re-crawl streams through
@@ -1172,7 +1178,8 @@ object SparkEntry {
     "s10_stream_quarantine" ->
       """SELECT status, reason, COUNT(*) AS n_docs FROM (
         |  SELECT CASE WHEN n_chars >= 150 AND n_chars <= 450 THEN 'valid' ELSE 'quarantined' END AS status,
-        |         CASE WHEN n_chars < 150 THEN 'below_min_size'
+        |         CASE WHEN n_chars IS NULL THEN 'null_size'
+        |              WHEN n_chars < 150 THEN 'below_min_size'
         |              WHEN n_chars > 450 THEN 'above_max_size' ELSE 'ok' END AS reason
         |  FROM documents) t
         |GROUP BY status, reason ORDER BY status, reason""".stripMargin,

@@ -43,8 +43,14 @@ final case class Tables(spark: SparkSession, dir: String) {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType => raw
+      // parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as NTZ;
+      // every graft session pins spark.sql.session.timeZone=UTC, so the
+      // cast reinterprets the NTZ wall-clock as UTC instants — the same
+      // values DuckDB's naive TIMESTAMP read of the file produces.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case other => throw new IllegalArgumentException(
-        s"events.ts must be nanos-long or timestamp, got $other")
+        s"events.ts must be nanos-long, timestamp, or timestamp_ntz, got $other")
     }
   }
   def documents: DataFrame  = t("documents")

@@ -294,6 +294,76 @@ object Dedup {
     bandIndexRows(documents, n, numHashes, bands)
       .write.mode("append").partitionBy("bk_prefix").parquet(path)
 
+  /** Compact an append-grown band index in place — the maintenance
+    * half of the s09 admit loop: [[appendToBandIndex]] adds one small
+    * parquet file per admitted batch per touched prefix, so after N
+    * batches a probe's scan opens O(N·256) files. Compaction rewrites
+    * the index to one sorted file per `bk_prefix` directory (clustered
+    * by `bk`, so parquet min-max row-group pruning serves point probes)
+    * and drops the exact-duplicate band rows a replayed at-least-once
+    * batch appends (semantics-free: the probe `distinct`s candidates
+    * anyway — see [[incrementalProbeIndex]]).
+    *
+    * OFFLINE maintenance, like any table OPTIMIZE: callers must
+    * quiesce admits (stop the s09 stream, or run between batches —
+    * `Trigger.AvailableNow` drains make this a natural seam). The
+    * sequence is crash-safe, never destructive: (1) rewrite to
+    * `<path>__compacting`; (2) validate the rewrite by re-reading it
+    * with the same parameter stamps and comparing DISTINCT row counts;
+    * (3) rename the live index to `<path>__precompact`, the rewrite to
+    * `path`, then delete the old tree. A crash before (3) leaves the
+    * live index untouched; a crash between the two renames leaves
+    * `<path>__precompact` as the recovery copy — restore by renaming
+    * it back.
+    *
+    * `maxRecordsPerFile` bounds file size at 100 TB (one prefix dir of
+    * a trillion-row index is far more than one sane file); 0 = engine
+    * default (no split). Returns (files_before, files_after). */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, n: Int = 3, numHashes: Int = 16,
+                       bands: Int = 4,
+                       maxRecordsPerFile: Long = 0L): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val index = readBandIndex(spark, path, n, numHashes, bands)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: String): Long = {
+      val it = fs.listFiles(new Path(p), true)
+      var c = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) c += 1 }
+      c
+    }
+    val before = dataFiles(path)
+    val tmp = s"${path}__compacting"
+    val old = s"${path}__precompact"
+    fs.delete(new Path(tmp), true); fs.delete(new Path(old), true)
+    val distinctRows = index.select(col("doc_id"), col("bk")).distinct()
+      .withColumn("bk_prefix", substring(col("bk"), 1, 2))
+      .select(col("*") +: stampCols(n, numHashes, bands): _*)
+    distinctRows
+      .repartition(col("bk_prefix"))
+      .sortWithinPartitions("bk", "doc_id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("bk_prefix").parquet(tmp)
+    // validate the rewrite BEFORE touching the live tree: stamps must
+    // round-trip and no band row may be lost (counts compare distinct
+    // vs distinct — the compaction's only intended delta is dropping
+    // exact duplicates)
+    val wantRows = index.select(col("doc_id"), col("bk")).distinct().count()
+    val gotRows = readBandIndex(spark, tmp, n, numHashes, bands)
+      .select(col("doc_id"), col("bk")).distinct().count()
+    require(gotRows == wantRows,
+      s"compaction of $path would lose rows ($wantRows distinct before, " +
+        s"$gotRows after) — aborting with the live index untouched")
+    require(fs.rename(new Path(path), new Path(old)),
+      s"could not move live index aside ($path -> $old)")
+    require(fs.rename(new Path(tmp), new Path(path)),
+      s"could not activate compacted index ($tmp -> $path); " +
+        s"RECOVER by renaming $old back to $path")
+    fs.delete(new Path(old), true)
+    (before, dataFiles(path))
+  }
+
   /** Typed zero-row frame — the shared "missing store reads as empty"
     * idiom ([[readBandIndex]]'s empty index, s09's first-batch
     * admitted store). */

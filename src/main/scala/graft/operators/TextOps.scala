@@ -347,19 +347,34 @@ object TextOps {
     * across engines, a rational of two integer counts is — same
     * ordering for fixed |langs|).
     *
-    * Plan: explode→wordcount (map-side partial agg, one shuffle keyed
-    * by (lang, term)), then df via a term-partitioned window COUNT
-    * over the AGGREGATED tf frame. The window input is vocabulary-
-    * sized (|vocab|·|langs| rows, ≤ |langs| rows per term key — high
-    * key cardinality, no skew), so the usual no-partial-agg window
-    * caveat doesn't bite: it only matters over raw token streams. The
-    * alternative `tf.groupBy(term) + join` shape was tried and plans
-    * WORSE: Catalyst rewrites the df-side inner aggregate to a
-    * distinct, the two subtrees no longer canonicalize equal, AQE
-    * can't reuse the shuffle stage, and the corpus gets scanned and
-    * exploded TWICE — at 100 TB a second full pass to save a
-    * vocabulary sort. PlanSpec pins the one-scan shape. The
-    * per-language top-k runs in TWO stages so the vocabulary never
+    * Plan: explode→wordcount (map-side partial agg, ONE corpus-sized
+    * shuffle keyed by (lang, term)) materialized once
+    * (localCheckpoint — q75's diamond-cutting idiom), then an EXACT
+    * candidate prune before anything touches the vocabulary keyed by
+    * term (round-10 verdict: the full-vocabulary df window was the one
+    * unbounded vocab shuffle left in the library):
+    *
+    *   df ≤ |langs|, so score = tf/df ≥ tf/|langs|. The per-language
+    *   kth-largest tf (`tf_k`) gives ≥ k terms scoring ≥ tf_k/|langs|,
+    *   so the language's true kth-best score is ≥ tf_k/|langs| — and
+    *   any term with tf < tf_k/|langs| has score ≤ tf < that bound and
+    *   can never rank. Pruning to tf ≥ tf_k/|langs| is therefore
+    *   EXACT, and on a Zipfian vocabulary it drops the hapax tail —
+    *   the overwhelming majority of terms.
+    *
+    * df is then computed only for candidate terms: the checkpointed tf
+    * frame is semi-joined against the broadcast candidate set (the
+    * vocabulary is scanned but never SHUFFLED by term), grouped by
+    * term, and broadcast-joined back. Everything keyed by term is
+    * bounded by `candidateCap`; a corpus whose candidate set exceeds
+    * the cap (near-uniform tf — no Zipf tail to prune) falls back to
+    * the term-partitioned window over the full tf frame, which stays
+    * correct at any size (≤ |langs| rows per key, high cardinality, no
+    * skew) at the price of the vocabulary shuffle. tf_k itself is
+    * computed with the same two-stage shard ranking as the final
+    * top-k, so no per-language vocabulary funnel there either.
+    *
+    * The per-language top-k runs in TWO stages so the vocabulary never
     * funnels through |langs| reducers: stage 1 ranks within
     * (lang, shard) — shard = pmod(xxhash64(term), shards), so
     * ~vocab/shards rows per reducer — and keeps each shard's top k;
@@ -368,15 +383,45 @@ object TextOps {
     * shard is a subset of the language), so the two-stage result is
     * exactly the single-window result. */
   def tfidfTopTerms(documents: DataFrame, k: Int = 10,
-                    rankShards: Int = 32): DataFrame = {
+                    rankShards: Int = 32,
+                    candidateCap: Long = 1000000L): DataFrame = {
     val tf = documents
       .select(col("lang"), explode(toks).as("term"))
       .groupBy("lang", "term")
       .agg(count(lit(1)).as("tf"))
-    val score = col("tf").cast("double") / col("df").cast("double")
-    val scored = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
-      .withColumn("score", score)
+      .localCheckpoint()
+    // per-language kth-largest tf via sharded two-stage ranking
+    val tfOrder = Seq(col("tf").desc, col("term"))
+    val tfS1 = tf
+      .withColumn("_shard", pmod(xxhash64(col("term")), lit(rankShards)))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("lang", "_shard").orderBy(tfOrder: _*)))
+      .filter(col("_r") <= k)
+    val tfK = tfS1
+      .withColumn("_r2", row_number().over(
+        Window.partitionBy("lang").orderBy(tfOrder: _*)))
+      .filter(col("_r2") <= k)
+      .groupBy("lang").agg(min(col("tf")).as("tf_k"))
+    val nLangs = tf.select(countDistinct(col("lang")).as("nl"))
+    val thresholds = tfK.crossJoin(nLangs)
+      .select(col("lang"),
+        (col("tf_k").cast("double") / col("nl").cast("double")).as("thr"))
+    val cand = tf.join(broadcast(thresholds), Seq("lang"))
+      .filter(col("tf") >= col("thr")).drop("thr")
+    val candTerms = cand.select("term").distinct().localCheckpoint()
+    val scored =
+      if (candTerms.count() <= candidateCap) {
+        val dfm = tf.join(broadcast(candTerms), Seq("term"))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        cand.join(broadcast(dfm), Seq("term"))
+          .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+      } else {
+        // fallback: candidate set is not Zipf-prunable — the full
+        // vocabulary window (correct at any size; ≤ |langs| rows per
+        // term key) rather than an over-cap broadcast
+        tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+          .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+      }
     val rankOrder = Seq(col("score").desc, col("term"))
     val stage1 = scored
       .withColumn("_shard", pmod(xxhash64(col("term")), lit(rankShards)))

@@ -51,13 +51,40 @@ object Streams {
       changelogCheckpointing.toString)
   }
 
-  /** Default-ON RocksDB for the stateful dedup builders (s04/s06/s08/
-    * s09 call this): their state grows with DISTINCT KEYS SEEN —
-    * exactly the store that will not fit executor heap at 100 TB — so
-    * the safe-at-scale backend must be the default, not an opt-in a
+  /** Snapshot the state-store confs, run `body`, restore them — the
+    * containment wrapper for [[defaultRocksDbForDedup]]'s session-conf
+    * mutation. A streaming query captures the provider conf at
+    * `start()`, so wrapping build-and-start in this scope gives the
+    * dedup query RocksDB while queries started AFTER the scope see the
+    * session exactly as it was (round-10 advice: without this, a
+    * window/join stream started later silently inherited RocksDB).
+    * Every graft-owned start path uses it (the s04/s06 query entries,
+    * [[streamIncrementalDedup]]); callers who start a
+    * [[streamDedup]]/[[streamDedupTtl]] plan themselves should too. */
+  def scopedStateStoreConf[T](spark: SparkSession)(body: => T): T = {
+    val keys = Seq(
+      "spark.sql.streaming.stateStore.providerClass",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Default-ON RocksDB for the stateful dedup builders (s04/s06 call
+    * this): their state grows with DISTINCT KEYS SEEN — exactly the
+    * store that will not fit executor heap at 100 TB — so the
+    * safe-at-scale backend must be the default, not an opt-in a
     * caller has to know about (round-9 verdict). Window aggs and
     * stream joins (s02/s05/s07) keep the engine default: their state
     * is watermark-bounded, and flipping them belongs to the caller.
+    *
+    * SESSION-STICKY BY ITSELF: the flip lives in the session conf and
+    * is captured by whichever queries start after it — wrap the
+    * build-and-start in [[scopedStateStoreConf]] (as every graft start
+    * path does) to contain it to the dedup query alone.
     *
     * Respects an explicit session choice: any NON-engine-default
     * provider already set wins, and
@@ -104,9 +131,14 @@ object Streams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
     val raw = spark.readStream.schema(schema).parquet(asStreamPath(path))
-    if (schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // NTZ parquet reinterpreted as UTC instants, same as Tables.events
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** s01: the continuous form — normalized stream → parquet + checkpoint.
@@ -296,7 +328,9 @@ object Streams {
                              numHashes: Int = 16, bands: Int = 4,
                              tau: Double = 0.5,
                              trigger: Option[Trigger] = None): StreamingQuery = {
-    defaultRocksDbForDedup(intake.sparkSession)
+    // no state-store flip here: this is a foreachBatch plan with no
+    // stateful operator — its "state" is the persisted band index, not
+    // the engine store, so a RocksDB default would only leak conf
     val w = intake.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)

@@ -40,6 +40,23 @@ class AnalyticsSpec extends SparkSpec {
     ap.schema.fieldNames shouldBe ex.schema.fieldNames
   }
 
+  test("q51 certification is sound for small groups (no false alarm below ~100 rows)") {
+    // 10 distinct values: the interpolated quantiles at p ∓ 0.01 both
+    // land strictly between ranks 5 and 6 for p50, so the old bound
+    // excluded the sketch's exact answer (the rank-5 data value) — a
+    // false 'broken sketch' verdict. Value-at-rank bounds must pass.
+    import spark.implicits._
+    val tiny = (1 to 10).map(i => ("tiny", i * 10.0)).toDF("event_type", "value")
+    val out = Analytics.sketchPercentileCertified(tiny).collect()
+    out should have length 1
+    val r = out.head
+    withClue("small-n verdicts: ") {
+      r.getBoolean(4) shouldBe true
+      r.getBoolean(5) shouldBe true
+      r.getBoolean(6) shouldBe true
+    }
+  }
+
   test("q51 certified query emits all-true verdicts for a healthy sketch") {
     val out = Analytics.sketchPercentileCertified(tables.events)
     out.schema.fieldNames shouldBe Array(

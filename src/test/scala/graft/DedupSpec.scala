@@ -225,6 +225,54 @@ class DedupSpec extends SparkSpec {
     ex.getMessage should include ("was built with")
   }
 
+  test("band-index compaction: admit -> compact -> probe identical, fewer files, stamps kept") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = tables.documents
+    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+    val intake = docs.filter(col("doc_id") % 10 === 9)
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/idx"
+    Dedup.writeBandIndex(corpus, dir)
+    // three admitted batches, the third a REPLAY of the second (the
+    // at-least-once duplicate rows compaction is allowed to drop)
+    val b1 = Seq((900L, "fresh unseen admitted content words here today"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((901L, "another novel admitted document arriving later on"))
+      .toDF("doc_id", "text")
+    Dedup.appendToBandIndex(b1, dir)
+    Dedup.appendToBandIndex(b2, dir)
+    Dedup.appendToBandIndex(b2, dir) // replayed batch
+    val existing = corpus.select("doc_id", "text").unionByName(b1).unionByName(b2)
+    val preHits = Dedup.incrementalProbeIndex(
+      Dedup.readBandIndex(spark, dir), existing, intake)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (before, after) = Dedup.compactBandIndex(spark, dir)
+    after should be < before
+    // probe results are row-identical post-compaction
+    val postHits = Dedup.incrementalProbeIndex(
+      Dedup.readBandIndex(spark, dir), existing, intake)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    postHits shouldBe preHits
+    // an admitted doc is still indexed, and the replay's duplicate
+    // band rows are gone (distinct row count == physical row count)
+    val idx = spark.read.parquet(dir)
+    idx.filter(col("doc_id") === 901L).count() should be > 0L
+    idx.count() shouldBe idx.select("doc_id", "bk").distinct().count()
+    // parameter stamps survive: wrong-family probe still fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.readBandIndex(spark, dir, numHashes = 32, bands = 8)
+    }
+    ex.getMessage should include("numHashes=16")
+    // the admit loop continues over the compacted index
+    Dedup.appendToBandIndex(
+      Seq((902L, "post compaction admitted row keeps the loop alive"))
+        .toDF("doc_id", "text"), dir)
+    val again = Dedup.incrementalProbeIndex(
+      Dedup.readBandIndex(spark, dir), existing, intake)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    again shouldBe preHits
+  }
+
   test("q45 persisted index rejects a probe with mismatched signature parameters") {
     import org.apache.spark.sql.functions.col
     val docs = tables.documents

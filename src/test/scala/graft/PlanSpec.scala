@@ -73,13 +73,24 @@ class PlanSpec extends SparkSpec {
     "Exchange".r.findAllIn(plan).length shouldBe 1
   }
 
-  test("q44 wordcount reduces before the vocabulary windows; one corpus scan") {
+  test("q44 df stage is candidate-bounded: broadcast semi-join, no vocab merge join") {
+    // the tf frame is localCheckpointed (so no parquet re-scan in the
+    // final plan) and df is computed only for the exactly-pruned
+    // candidate set: the vocabulary reaches the term-keyed aggregate
+    // through a BROADCAST join of the candidate terms — never through
+    // a sort-merge join or an unbounded full-vocabulary window
     val plan = planOf(operators.TextOps.tfidfTopTerms(tables.documents))
-    "Scan parquet".r.findAllIn(plan).length shouldBe 1
+    plan should not include "Scan parquet" // checkpointed tf, single upstream pass
     plan should not include "CartesianProduct"
-    // partial aggregation runs map-side before the first shuffle, so
-    // the windows operate on the vocabulary, not the token stream
-    plan should include regex "HashAggregate.*partial_count"
+    plan should include ("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q43 assertCoverage is in-plan: one scan, no pre-flight driver action") {
+    val plan = planOf(operators.Analytics.eventPivot(tables.events, assertCoverage = true))
+    "Scan parquet".r.findAllIn(plan).length shouldBe 1
+    // assert_true lowers to a conditional raise_error in the filter
+    plan should include ("raise_error")
   }
 
   test("q23 simhash candidate join is bucket-keyed — never a cross product") {

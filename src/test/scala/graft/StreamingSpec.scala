@@ -121,6 +121,27 @@ class StreamingSpec extends SparkSpec {
     rows shouldBe Set(("A", 3L), ("B", 7L), ("C", 1L))
   }
 
+  test("scopedStateStoreConf contains the dedup RocksDB default to its scope") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    val inScope = Streams.scopedStateStoreConf(spark) {
+      val in = MemoryStream[Streams.DocFp]
+      in.addData(Streams.DocFp("A", 5L), Streams.DocFp("B", 7L))
+      val q = Streams.streamDedup(in.toDS()).toDF
+        .writeStream.format("memory").queryName("s04_scoped")
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.conf.get(key, "")
+    }
+    // inside: the builder flipped the default to RocksDB for the query
+    inScope should include("RocksDBStateStoreProvider")
+    // outside: a window/join stream started NOW sees the original conf
+    spark.conf.getOption(key) shouldBe before
+    spark.table("s04_scoped").count() shouldBe 2L
+  }
+
   test("s04 stream dedup runs identically on the RocksDB state store (100 TB backend)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

@@ -92,6 +92,18 @@ class TextStatsSpec extends SparkSpec {
     fr should contain(("fr", "common", 1L, 2L, 0.5))
   }
 
+  test("q44 candidate prune is exact: pruned path equals the full-window fallback") {
+    // candidateCap=0 forces the full-vocabulary window; the default
+    // runs the tf_k/|langs| prune — identical rows proves the prune
+    // never drops a term that could rank (the scaladoc's bound)
+    val pruned = TextOps.tfidfTopTerms(tables.documents, k = 7).collect()
+    val full = TextOps.tfidfTopTerms(tables.documents, k = 7, candidateCap = 0L).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("lang"), r.getAs[Int]("rnk"), r.getAs[String]("term"),
+        r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Double]("score"))
+    pruned.map(key).toSet shouldBe full.map(key).toSet
+  }
+
   test("q44 keeps at most k terms per language, ranked score desc then term") {
     val rows = TextOps.tfidfTopTerms(tables.documents, k = 5).collect()
     val byLang = rows.groupBy(_.getAs[String]("lang"))
@@ -138,11 +150,14 @@ class TextStatsSpec extends SparkSpec {
     // a narrowed vocabulary still runs (undeclared types excluded)...
     val narrow = Analytics.eventPivot(tables.events, Seq("click", "error"))
     narrow.columns shouldBe Array("event_date", "click", "error")
-    // ...but assertCoverage fails loudly, naming the offenders
-    val ex = intercept[IllegalArgumentException] {
+    // ...but assertCoverage fails loudly when the query RUNS — the
+    // check is an in-plan assert_true in the pivot's own scan (one
+    // scan total), so the failure surfaces at action time
+    val ex = intercept[Exception] {
       Analytics.eventPivot(tables.events, Seq("click", "error"), assertCoverage = true)
+        .collect()
     }
-    ex.getMessage should include("purchase")
+    ex.getMessage should include("outside the declared vocabulary")
     // the full declared vocabulary passes the coverage assertion
     Analytics.eventPivot(tables.events, assertCoverage = true)
       .columns.length shouldBe 6
@@ -158,8 +173,8 @@ class TextStatsSpec extends SparkSpec {
       (2L, "2024-01-01 11:00:00", null)
     ).toDF("event_id", "ts", "event_type")
       .withColumn("ts", org.apache.spark.sql.functions.to_timestamp($"ts"))
-    val ex = intercept[IllegalArgumentException] {
-      Analytics.eventPivot(withNull, Seq("click"), assertCoverage = true)
+    val ex = intercept[Exception] {
+      Analytics.eventPivot(withNull, Seq("click"), assertCoverage = true).collect()
     }
     ex.getMessage should include("<NULL>")
   }
