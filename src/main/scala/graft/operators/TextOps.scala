@@ -347,12 +347,17 @@ object TextOps {
     * across engines, a rational of two integer counts is — same
     * ordering for fixed |langs|).
     *
-    * Plan: explode→wordcount (map-side partial agg, ONE corpus-sized
-    * shuffle keyed by (lang, term)) materialized once
-    * (localCheckpoint — q75's diamond-cutting idiom), then an EXACT
-    * candidate prune before anything touches the vocabulary keyed by
-    * term (round-10 verdict: the full-vocabulary df window was the one
-    * unbounded vocab shuffle left in the library):
+    * Two shapes, picked by one cheap corpus count (the AutoGeometry
+    * convention). BELOW `pruneMinDocs`: the classic single-job plan —
+    * explode→wordcount (map-side partial agg, one shuffle keyed by
+    * (lang, term)), df via a term-partitioned window over the
+    * aggregated tf frame (≤ |langs| rows per key, high cardinality, no
+    * skew), then the sharded top-k. AT-OR-ABOVE `pruneMinDocs` (the
+    * 100 TB path, round-10 verdict: the full-vocabulary df window was
+    * the one unbounded vocab shuffle left in the library): the tf
+    * frame is materialized once (localCheckpoint — q75's
+    * diamond-cutting idiom), then an EXACT candidate prune runs before
+    * anything touches the vocabulary keyed by term:
     *
     *   df ≤ |langs|, so score = tf/df ≥ tf/|langs|. The per-language
     *   kth-largest tf (`tf_k`) gives ≥ k terms scoring ≥ tf_k/|langs|,
@@ -374,6 +379,13 @@ object TextOps {
     * computed with the same two-stage shard ranking as the final
     * top-k, so no per-language vocabulary funnel there either.
     *
+    * The size switch is measured, not guessed: at sf0.1 AND at the 10x
+    * probe the pruned path ran 2-3.5x the classic shape (fixed
+    * checkpoint/threshold/action costs against a ~100k-row vocabulary
+    * shuffle that costs nothing), so defaulting it on everywhere would
+    * have been a bench-visible regression bought for no local benefit.
+    * TextStatsSpec pins row-identity between the two shapes.
+    *
     * The per-language top-k runs in TWO stages so the vocabulary never
     * funnels through |langs| reducers: stage 1 ranks within
     * (lang, shard) — shard = pmod(xxhash64(term), shards), so
@@ -384,7 +396,27 @@ object TextOps {
     * exactly the single-window result. */
   def tfidfTopTerms(documents: DataFrame, k: Int = 10,
                     rankShards: Int = 32,
-                    candidateCap: Long = 1000000L): DataFrame = {
+                    candidateCap: Long = 1000000L,
+                    pruneMinDocs: Long = 10000000L): DataFrame = {
+    // one cheap count picks the shape (the AutoGeometry convention):
+    // below pruneMinDocs the vocabulary is modest and the classic
+    // single-job window shape wins outright — the pruned path's fixed
+    // costs (checkpoint materialization, threshold stages, extra
+    // actions) measured 2-3.5x the classic shape at sf0.1 AND at the
+    // 10x probe, because a ~100k-row vocabulary shuffle is trivia.
+    // Past pruneMinDocs the asymptotics flip: the pruned path replaces
+    // two full-vocabulary shuffles with one plus candidate-bounded
+    // stages, and the fixed overhead is noise.
+    if (documents.count() < pruneMinDocs) {
+      val tf = documents
+        .select(col("lang"), explode(toks).as("term"))
+        .groupBy("lang", "term")
+        .agg(count(lit(1)).as("tf"))
+      val scored = tf
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+        .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+      return rankTopK(scored, k, rankShards)
+    }
     val tf = documents
       .select(col("lang"), explode(toks).as("term"))
       .groupBy("lang", "term")
@@ -422,6 +454,11 @@ object TextOps {
         tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
           .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
       }
+    rankTopK(scored, k, rankShards)
+  }
+
+  /** The shared two-stage top-k ranking tail of [[tfidfTopTerms]]. */
+  private def rankTopK(scored: DataFrame, k: Int, rankShards: Int): DataFrame = {
     val rankOrder = Seq(col("score").desc, col("term"))
     val stage1 = scored
       .withColumn("_shard", pmod(xxhash64(col("term")), lit(rankShards)))

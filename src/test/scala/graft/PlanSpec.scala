@@ -73,13 +73,22 @@ class PlanSpec extends SparkSpec {
     "Exchange".r.findAllIn(plan).length shouldBe 1
   }
 
-  test("q44 df stage is candidate-bounded: broadcast semi-join, no vocab merge join") {
+  test("q44 default (small corpus) keeps the classic one-scan window shape") {
+    val plan = planOf(operators.TextOps.tfidfTopTerms(tables.documents))
+    "Scan parquet".r.findAllIn(plan).length shouldBe 1
+    plan should not include "CartesianProduct"
+    // partial aggregation runs map-side before the first shuffle, so
+    // the windows operate on the vocabulary, not the token stream
+    plan should include regex "HashAggregate.*partial_count"
+  }
+
+  test("q44 pruned (100 TB) shape: broadcast-bounded df stage, no vocab merge join") {
     // the tf frame is localCheckpointed (so no parquet re-scan in the
     // final plan) and df is computed only for the exactly-pruned
     // candidate set: the vocabulary reaches the term-keyed aggregate
     // through a BROADCAST join of the candidate terms — never through
     // a sort-merge join or an unbounded full-vocabulary window
-    val plan = planOf(operators.TextOps.tfidfTopTerms(tables.documents))
+    val plan = planOf(operators.TextOps.tfidfTopTerms(tables.documents, pruneMinDocs = 0L))
     plan should not include "Scan parquet" // checkpointed tf, single upstream pass
     plan should not include "CartesianProduct"
     plan should include ("BroadcastHashJoin")

@@ -11,14 +11,17 @@ import org.apache.spark.sql.functions._
   *  - embeddings ×10: dims rotated by replica → disjoint directions
   *  - events ×10: ids/users offset per replica → disjoint key spaces
   *
-  * Usage: Test/runMain graft.ScaleProbeGen [outDir] [srcSfDir], then
-  * SPARK_GRAFT_SF_DIR=outDir SPARK_GRAFT_ONLY=… runMain graft.Bench.
+  * Usage: Test/runMain graft.ScaleProbeGen [outDir] [srcSfDir] [reps],
+  * then SPARK_GRAFT_SF_DIR=outDir SPARK_GRAFT_ONLY=… runMain graft.Bench.
+  * `reps` (default 10) picks the scale multiple — 30 generates the
+  * second-decade probe that tests whether the auto-sized LSH/cell
+  * geometry's log-n trend holds past the measured 10× point.
   */
 object ScaleProbeGen {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/probe10x")
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val reps = 10
+    val reps = if (args.length > 2) args(2).toInt else 10
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

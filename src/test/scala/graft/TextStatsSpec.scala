@@ -93,11 +93,12 @@ class TextStatsSpec extends SparkSpec {
   }
 
   test("q44 candidate prune is exact: pruned path equals the full-window fallback") {
-    // candidateCap=0 forces the full-vocabulary window; the default
-    // runs the tf_k/|langs| prune — identical rows proves the prune
-    // never drops a term that could rank (the scaladoc's bound)
-    val pruned = TextOps.tfidfTopTerms(tables.documents, k = 7).collect()
-    val full = TextOps.tfidfTopTerms(tables.documents, k = 7, candidateCap = 0L).collect()
+    // pruneMinDocs=0 forces the 100 TB pruned shape (the default takes
+    // the classic window below the doc threshold); identical rows
+    // proves the tf_k/|langs| prune never drops a term that could rank
+    // (the scaladoc's bound)
+    val pruned = TextOps.tfidfTopTerms(tables.documents, k = 7, pruneMinDocs = 0L).collect()
+    val full = TextOps.tfidfTopTerms(tables.documents, k = 7).collect()
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[String]("lang"), r.getAs[Int]("rnk"), r.getAs[String]("term"),
         r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Double]("score"))
