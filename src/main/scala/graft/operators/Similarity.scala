@@ -953,20 +953,80 @@ object Similarity {
     * two shapes equal on a real corpus. */
   private[operators] def assignCells(e: DataFrame,
                                      cents: Array[(Long, Array[Double])],
-                                     literalMax: Int = 32): DataFrame =
+                                     literalMax: Int = 32,
+                                     twoLevelMin: Int = 257,
+                                     coarseGroups: Int = 0): DataFrame =
     if (cents.length <= literalMax) {
       val cellIds = lit(cents.map(_._1))
       val scores = seedCellScores(cents)(col("v"))
       e.select(element_at(cellIds,
         array_position(scores, array_max(scores)).cast("int")).as("cell"),
         col("vec_id"))
-    } else {
+    } else if (cents.length < twoLevelMin) {
       val spark = e.sparkSession
       import spark.implicits._
       val centDf = cents.toSeq.toDF("cell", "cv")
         .select(col("cell"), col("cv"),
           sqrt(Exprs.dot(col("cv"), col("cv"))).as("cnrm"))
       e.crossJoin(broadcast(centDf))
+        .select(col("vec_id"),
+          struct((dot(col("v"), col("cv")) / col("cnrm")).as("score"),
+            (-col("cell")).as("nc"), col("cell")).as("cand"))
+        .groupBy("vec_id")
+        .agg(max(col("cand")).as("b"))
+        .select(col("b.cell").as("cell"), col("vec_id"))
+    } else {
+      // TWO-LEVEL assignment — the 100 TB shape. The flat broadcast
+      // branch above is O(n·c) dot products, and with suggestCells
+      // growing c linearly in n that is O(n²/targetCell): the 30×
+      // probe measured q57's second decade at 5.3× (vs 3× linear)
+      // from exactly this term. Coarse→fine cuts it to O(n·2√c):
+      // group the (id-sorted) centroids into ~√c contiguous blocks,
+      // take each block's MEAN as its coarse representative (computed
+      // once on the driver over the in-memory centroid array —
+      // deterministic, and measurably less funneling than a first-
+      // member rep, which concentrated 9× the target into one cell on
+      // the 30× probe), argmax a vector against the √c
+      // representatives, then argmax within the chosen block's √c
+      // members. The result is an APPROXIMATE
+      // global argmax — a vector whose best centroid lives in a block
+      // whose representative scored lower lands in a neighboring cell
+      // — which is the standard IVF coarse-quantizer trade and
+      // changes only WHICH approximate cell partitions the corpus,
+      // not any downstream contract (the oracle-gated geometries stay
+      // on the exact branches; SimilaritySpec pins both degenerate
+      // extremes of this branch — 1 group, and all-singleton groups —
+      // EQUAL to the flat argmax). Tie-breaks: smaller group index,
+      // then smaller cell id, matching the flat branch's convention.
+      val spark = e.sparkSession
+      import spark.implicits._
+      val c = cents.length
+      val g = if (coarseGroups > 0) coarseGroups
+              else math.ceil(math.sqrt(c.toDouble)).toInt
+      val blockSize = math.ceil(c.toDouble / g).toInt
+      val blocks = cents.grouped(blockSize).toArray
+      val repDf = blocks.zipWithIndex
+        .map { case (blk, i) =>
+          val dim = blk.head._2.length
+          val mean = Array.tabulate(dim)(d => blk.map(_._2(d)).sum / blk.length)
+          (i, mean.toSeq)
+        }.toSeq
+        .toDF("gidx", "cv")
+        .select(col("gidx"), col("cv"),
+          sqrt(Exprs.dot(col("cv"), col("cv"))).as("cnrm"))
+      val memDf = blocks.zipWithIndex
+        .flatMap { case (blk, i) => blk.map { case (id, v) => (i, id, v.toSeq) } }
+        .toSeq.toDF("gidx", "cell", "cv")
+        .select(col("gidx"), col("cell"), col("cv"),
+          sqrt(Exprs.dot(col("cv"), col("cv"))).as("cnrm"))
+      val coarse = e.crossJoin(broadcast(repDf))
+        .select(col("vec_id"),
+          struct((dot(col("v"), col("cv")) / col("cnrm")).as("score"),
+            (-col("gidx")).as("ng"), col("gidx"), col("v")).as("cand"))
+        .groupBy("vec_id")
+        .agg(max(col("cand")).as("b"))
+        .select(col("vec_id"), col("b.gidx").as("gidx"), col("b.v").as("v"))
+      coarse.join(broadcast(memDf), Seq("gidx"))
         .select(col("vec_id"),
           struct((dot(col("v"), col("cv")) / col("cnrm")).as("score"),
             (-col("cell")).as("nc"), col("cell")).as("cand"))

@@ -300,6 +300,34 @@ class SimilaritySpec extends SparkSpec {
     joined shouldBe literal
   }
 
+  test("q57 two-level assignment equals the flat argmax at both degenerate extremes") {
+    import org.apache.spark.sql.functions.col
+    val e = tables.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    val flat = asMap(Similarity.assignCells(e, cents, literalMax = 0))
+    // coarseGroups=1: one block holding every centroid — phase 2 IS the
+    // flat argmax; coarseGroups=c: all-singleton blocks — phase 1 IS
+    // the flat argmax (gidx order == cell order, same tie-break).
+    // Between the extremes the coarse pick is approximate by design.
+    val oneBlock = asMap(Similarity.assignCells(e, cents, literalMax = 0,
+      twoLevelMin = 1, coarseGroups = 1))
+    val singletons = asMap(Similarity.assignCells(e, cents, literalMax = 0,
+      twoLevelMin = 1, coarseGroups = cents.length))
+    oneBlock shouldBe flat
+    singletons shouldBe flat
+    // the auto √c grouping is deterministic and total: every vector
+    // assigned, every cell a real centroid id
+    val auto = asMap(Similarity.assignCells(e, cents, literalMax = 0, twoLevelMin = 1))
+    auto.keySet shouldBe flat.keySet
+    val ids = cents.map(_._1).toSet
+    auto.values.foreach(cell => ids should contain(cell))
+    asMap(Similarity.assignCells(e, cents, literalMax = 0, twoLevelMin = 1)) shouldBe auto
+  }
+
   test("q69 payload assignment: literal and broadcast shapes agree, floats carried intact") {
     import org.apache.spark.sql.functions.{col, sqrt}
     val e = tables.embeddings
