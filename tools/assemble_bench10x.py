@@ -2,20 +2,26 @@
 """Assemble the standing 10x artifacts after a bench chain.
 
 Usage:
-  python3 tools/assemble_bench10x.py <sized_metric.json> <default_metric.json> <round>
+  python3 tools/assemble_bench10x.py <tenx_metric.json> <round>
+
+Since round 11 the three LSH/cell queries auto-size their geometry
+from the corpus count (Similarity.AutoGeometry), so the old
+sized/default two-mode chain collapsed into ONE mode: the default
+path IS the production calling convention at any scale, and the
+stale-geometry fail-fast is exercised by spec (explicitly-passed
+small bits/nCells still die at the caps) rather than by a bench mode.
 
 Expects bench_metric.json in the repo root to hold the matching sf0.1
 run (the chain's last step). Rewrites BENCH_10X.json and regenerates
 the per-query `| query | sf0.1 (s) | 10x (s) | ratio |` table in
-BASELINE.md in place (10x column = sized mode, where all queries run).
-Prose around the table is NOT touched — update totals/notes by hand.
+BASELINE.md in place. Prose around the table is NOT touched — update
+totals/notes by hand.
 """
 import json
 import sys
 
-sized_p, def_p, rnd = sys.argv[1], sys.argv[2], int(sys.argv[3])
-sized = json.load(open(sized_p))
-defm = json.load(open(def_p))
+tenx_p, rnd = sys.argv[1], int(sys.argv[2])
+tenx = json.load(open(tenx_p))
 sf01 = json.load(open('bench_metric.json'))
 assert sf01['sf'].rstrip('/').endswith('sf0.1'), \
     f"bench_metric.json is not an sf0.1 run: {sf01['sf']}"
@@ -26,26 +32,22 @@ bench10x = {
                "replica key/vocab spaces)"),
     "round": rnd,
     "modes": {
-        "sized_geometry": {
-            "note": ("SPARK_GRAFT_SCALE_GEOMETRY=1 - the production "
-                     "calling convention: q26/q34/q57 sized via "
-                     "suggestBits/suggestCells at corpus count"),
-            "result": sized,
-        },
-        "default_geometry": {
-            "note": ("declared test-SF parameters: q26/q34/q57 fail "
-                     "loudly at their bucket caps BY DESIGN (the "
-                     "spec-pinned stale-geometry fail-fast); remaining "
-                     "queries run"),
-            "result": defm,
+        "auto_geometry": {
+            "note": ("the default path — q26/q34/q57 auto-size "
+                     "bits/nCells from the corpus count "
+                     "(Similarity.AutoGeometry); no env var, no manual "
+                     "suggestBits/suggestCells. The stale-geometry "
+                     "fail-fast stays spec-pinned for explicitly "
+                     "passed parameters"),
+            "result": tenx,
         },
     },
 }
 json.dump(bench10x, open('BENCH_10X.json', 'w'), indent=1)
 
 rows = []
-for q in sorted(sized['queries']):
-    t10 = sized['queries'][q]
+for q in sorted(tenx['queries']):
+    t10 = tenx['queries'][q]
     t01 = sf01['queries'].get(q)
     ratio = f"{t10 / t01:.1f}x" if t01 else "-"
     t01s = f"{t01:.2f}" if t01 else "-"
@@ -60,7 +62,5 @@ for line in src[start:].splitlines(keepends=True):
         break
     end += len(line)
 open('BASELINE.md', 'w').write(src[:start] + table + src[end:])
-print("sized", sized['value'], sized['n_ok'], "err", sized['n_err'])
-print("default", defm['value'], defm['n_ok'], "err", defm['n_err'],
-      list(defm.get('errors', {})))
-print("sf0.1", sf01['value'], sf01['n_ok'])
+print(f"BENCH_10X.json + BASELINE.md table refreshed for round {rnd} "
+      f"({len(rows)} queries)")
