@@ -364,6 +364,58 @@ object Dedup {
     (before, dataFiles(path))
   }
 
+  /** [[compactBandIndex]]'s sibling for s09's OTHER append-grown
+    * store: the admitted-text directory gains one small parquet file
+    * per admitted batch, and every later micro-batch reads the WHOLE
+    * store (the probe's `existing` side) — so after N batches each
+    * probe opens O(N) files. Same offline-maintenance contract
+    * (quiesce admits first) and the same crash-safe
+    * rewrite→validate→rename sequence; rows pass through unchanged
+    * (no dedup here — the admit loop's first-admission-wins anti-join
+    * guarantees doc_id uniqueness at write time, and dropping rows in
+    * a store that feeds exact-text verification would be silent data
+    * loss if that invariant ever broke — the count check therefore
+    * compares RAW counts and fails loudly on any difference).
+    * Clustered by doc_id so the verify join's row-group pruning works.
+    * Returns (files_before, files_after). */
+  def compactParquetStore(spark: org.apache.spark.sql.SparkSession,
+                          path: String, targetPartitions: Int = 1,
+                          maxRecordsPerFile: Long = 0L): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    require(targetPartitions >= 1, "targetPartitions must be >= 1")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: String): Long = {
+      val it = fs.listFiles(new Path(p), true)
+      var c = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) c += 1 }
+      c
+    }
+    val before = dataFiles(path)
+    val store = spark.read.parquet(path)
+    val sortCols =
+      if (store.columns.contains("doc_id")) Seq(col("doc_id")) else Nil
+    val tmp = s"${path}__compacting"
+    val old = s"${path}__precompact"
+    fs.delete(new Path(tmp), true); fs.delete(new Path(old), true)
+    val w = store.repartition(targetPartitions)
+    (if (sortCols.nonEmpty) w.sortWithinPartitions(sortCols: _*) else w)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(tmp)
+    val wantRows = store.count()
+    val gotRows = spark.read.parquet(tmp).count()
+    require(gotRows == wantRows,
+      s"compaction of $path would change row count ($wantRows -> $gotRows) " +
+        "— aborting with the live store untouched")
+    require(fs.rename(new Path(path), new Path(old)),
+      s"could not move live store aside ($path -> $old)")
+    require(fs.rename(new Path(tmp), new Path(path)),
+      s"could not activate compacted store ($tmp -> $path); " +
+        s"RECOVER by renaming $old back to $path")
+    fs.delete(new Path(old), true)
+    (before, dataFiles(path))
+  }
+
   /** Typed zero-row frame — the shared "missing store reads as empty"
     * idiom ([[readBandIndex]]'s empty index, s09's first-batch
     * admitted store). */

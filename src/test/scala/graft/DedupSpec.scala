@@ -273,6 +273,26 @@ class DedupSpec extends SparkSpec {
     again shouldBe preHits
   }
 
+  test("admitted-store compaction: append-grown store collapses, rows byte-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString + "/admitted"
+    // three per-batch appends, one row each — three data files
+    Seq((1L, "alpha")).toDF("doc_id", "text").write.mode("append").parquet(dir)
+    Seq((3L, "gamma")).toDF("doc_id", "text").write.mode("append").parquet(dir)
+    Seq((2L, "beta")).toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val preRows = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val (before, after) = Dedup.compactParquetStore(spark, dir)
+    before shouldBe 3L
+    after shouldBe 1L
+    val postRows = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    postRows shouldBe preRows
+    // the store keeps accepting appends afterwards
+    Seq((4L, "delta")).toDF("doc_id", "text").write.mode("append").parquet(dir)
+    spark.read.parquet(dir).count() shouldBe 4L
+  }
+
   test("q45 persisted index rejects a probe with mismatched signature parameters") {
     import org.apache.spark.sql.functions.col
     val docs = tables.documents
