@@ -182,6 +182,10 @@ object SparkEntry {
         e.filter(col("vec_id") % 7 =!= 0), e.filter(col("vec_id") % 7 === 0),
         nCells = 8)
     }),
+    // q80: corpus-wide line/segment dedup — the CCNet/RefinedWeb
+    // boilerplate-removal pass (keep the corpus-wide first occurrence
+    // of each repeated segment, rebuild every doc)
+    "q80_line_dedup"         -> ((s, d) => Dedup.lineDedup(Tables(s, d).documents)),
     // Streaming — executed through the real micro-batch engine
     // (Trigger.AvailableNow + memory sink), then compared to batch
     // oracles: streaming/batch parity is the correctness contract.
@@ -1183,6 +1187,27 @@ object SparkEntry {
         |              WHEN n_chars > 450 THEN 'above_max_size' ELSE 'ok' END AS reason
         |  FROM documents) t
         |GROUP BY status, reason ORDER BY status, reason""".stripMargin,
+    // q80: segment ROW_NUMBER first-carrier mirrors Spark's
+    // min(struct(doc_id, seg_idx)); string_agg skips the removed
+    // (NULL) segments and COALESCE matches array_join's '' on
+    // all-boilerplate docs
+    "q80_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id, tk,
+        |        GREATEST(1, CAST(CEIL(len(tk) / 12.0) AS INTEGER)) AS nseg
+        |      FROM t),
+        |x AS (SELECT doc_id, tk, unnest(range(0, nseg)) AS seg_idx FROM c),
+        |s AS (SELECT doc_id, CAST(seg_idx AS INTEGER) AS seg_idx,
+        |        array_to_string(tk[seg_idx*12+1 : seg_idx*12+12], ' ') AS seg
+        |      FROM x),
+        |k AS (SELECT doc_id, seg_idx, seg,
+        |        (ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1) AS keep
+        |      FROM s)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        |       COALESCE(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), '') AS cleaned_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q47_decontaminate_ngram" -> decontamNgramOracle,
     "q48_kmeans_refine"   -> kmeansOracle,
     "q65_kmeans_train"    -> kmeansIterateOracle(3),

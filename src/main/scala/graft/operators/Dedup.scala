@@ -416,6 +416,65 @@ object Dedup {
     (before, dataFiles(path))
   }
 
+  /** q80: corpus-wide LINE-level dedup — the boilerplate-removal pass
+    * (CCNet / RefinedWeb style, arXiv:1911.00359 / 2306.01116: drop
+    * repeated lines/paragraphs ACROSS documents, keep the first
+    * occurrence) that whole-document dedup (q20/q22) cannot express:
+    * two distinct pages sharing a navigation header are not document
+    * duplicates, but the header itself must go. Segmentation is a
+    * parameter of the CONTRACT: production corpora split on newlines;
+    * this corpus is separator-free, so the declared query re-segments
+    * deterministically into fixed `width`-token windows — the dedup,
+    * keep-first and reassembly machinery is identical either way.
+    *
+    * Keep rule (deterministic, order-free): an occurrence survives iff
+    * it is the corpus-wide FIRST carrier of its exact segment text,
+    * ordered by (doc_id, seg_idx) — every later occurrence, including
+    * repeats inside the same document, is removed. Output is total per
+    * doc: segment count, removed count, and the cleaned text
+    * (surviving segments rejoined in order; empty string when
+    * everything was boilerplate).
+    *
+    * Plan (all linear): ONE scan → posexplode of the non-overlapping
+    * slices → first-carrier via `row_number` over the segment key
+    * (ordered by doc_id, seg_idx) → doc-keyed re-agg with `sort_array`
+    * for order-stable reassembly (collect_list alone is
+    * arrival-ordered). The window is deliberate: per-key input is the
+    * segment's df (tiny for real text), and the min(struct)-aggregate
+    * + join-back alternative audits at scan=2 — it re-scans and
+    * re-segments the whole corpus for the join side, a full extra
+    * 100 TB pass traded against a same-volume window sort (the
+    * ExplainAudit diamond rule). Segment-keyed shuffles distribute on
+    * content hash — high cardinality, no skew hazard short of a
+    * corpus-scale boilerplate segment, which is exactly the df-cap
+    * discussion on [[ngramJaccardPairs]] and prunes the same way if
+    * ever needed. */
+  def lineDedup(documents: DataFrame, width: Int = 12): DataFrame = {
+    require(width >= 1, "segment width must be >= 1")
+    val segs = documents
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("nseg",
+        greatest(lit(1), ceil(size(col("tk")) / lit(width.toDouble)).cast("int")))
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, nseg - 1), " +
+          s"i -> array_join(slice(tk, i * $width + 1, $width), ' '))")))
+      .withColumnRenamed("pos", "seg_idx")
+      .withColumnRenamed("col", "seg")
+    segs
+      .withColumn("keep",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("seg").orderBy("doc_id", "seg_idx")) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        array_join(
+          expr("transform(sort_array(collect_list(" +
+            "CASE WHEN keep THEN struct(seg_idx, seg) END)), x -> x.seg)"),
+          " ").as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   /** Typed zero-row frame — the shared "missing store reads as empty"
     * idiom ([[readBandIndex]]'s empty index, s09's first-batch
     * admitted store). */

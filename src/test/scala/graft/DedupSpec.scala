@@ -273,6 +273,25 @@ class DedupSpec extends SparkSpec {
     again shouldBe preHits
   }
 
+  test("q80 line dedup: first carrier survives, later and internal repeats removed") {
+    import spark.implicits._
+    // width=2 segments: d1 = [a b][c d]; d2 = [c d][e f] (c d removed);
+    // d3 = [a b][a b] (first is a repeat of d1's, second repeats too);
+    // d4 = [x y][z] (trailing partial segment, all novel)
+    val d = Seq(
+      (1L, "a b c d"),
+      (2L, "c d e f"),
+      (3L, "a b a b"),
+      (4L, "x y z")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, width = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((2L, 0L, "a b c d"))      // first carrier of both
+    out(2L) shouldBe ((2L, 1L, "e f"))          // "c d" belongs to d1
+    out(3L) shouldBe ((2L, 2L, ""))             // all boilerplate -> empty
+    out(4L) shouldBe ((2L, 0L, "x y z"))        // partial tail kept whole
+  }
+
   test("admitted-store compaction: append-grown store collapses, rows byte-identical") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_store").toString + "/admitted"
