@@ -421,6 +421,47 @@ class StreamingSpec extends SparkSpec {
     admitted shouldBe Set(10L, 22L)
   }
 
+  test("s09 admit -> compact both stores -> probe: the loop continues unchanged") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val baseA = "alpha beta gamma delta epsilon zeta eta theta"
+    val novelX = "crimson harbor lantern quietly drifting beneath autumn skies"
+    val novelY = "mechanical orchard of copper birds singing binary songs"
+    val corpus = Seq((1L, baseA)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("s09compact_").toString
+    graft.operators.Dedup.writeBandIndex(corpus, s"$tmp/index")
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.streamIncrementalDedupAdmit(in.toDF().toDF("doc_id", "text"),
+      s"$tmp/index", corpus, s"$tmp/admitted", s"$tmp/out", s"$tmp/cp")
+    in.addData((10L, novelX), (11L, baseA))
+    q.processAllAvailable()
+    in.addData((12L, novelY))
+    q.processAllAvailable()
+    q.stop() // quiesce — the compaction contract
+    // OFFLINE maintenance between drains: both append-grown stores
+    val (ib, ia) = graft.operators.Dedup.compactBandIndex(spark, s"$tmp/index")
+    val (sb, sa) = graft.operators.Dedup.compactParquetStore(spark, s"$tmp/admitted")
+    // at this toy scale every band key has a distinct prefix, so the
+    // index file count can only hold steady; the admitted store (one
+    // file per admitted batch) must strictly collapse
+    ia should be <= ib
+    sa should be < sb
+    // resume intake from the SAME checkpoint over the compacted stores:
+    // 20 dups pre-compaction survivor 10, 21 dups survivor 12, 22 novel
+    val q2 = Streams.streamIncrementalDedupAdmit(in.toDF().toDF("doc_id", "text"),
+      s"$tmp/index", corpus, s"$tmp/admitted", s"$tmp/out", s"$tmp/cp")
+    in.addData((20L, novelX), (21L, novelY),
+      (22L, "entirely fresh material appearing after the maintenance window"))
+    q2.processAllAvailable()
+    q2.stop()
+    val hits = spark.read.parquet(s"$tmp/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    hits shouldBe Set((11L, 1L), (20L, 10L), (21L, 12L))
+    val admitted = spark.read.parquet(s"$tmp/admitted").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    admitted shouldBe Set(10L, 12L, 22L)
+  }
+
   test("s09 re-delivered doc with drifted text is not admitted twice — first admission wins") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
