@@ -369,6 +369,12 @@ object SparkEntry {
     // SQL engine decodes PNG, so this is a rows-only driver check; the
     // encode→decode round trip is pinned bit-exactly in MultimodalSpec.
     "m04_image_decode"       -> ((s, d) => Multimodal.imageDecodeSummary(Tables(s, d).documents)),
+    // m05: the REAL audio codec — synthesize spec-compliant WAVs from
+    // the audio-mime docs through the JDK's actual RIFF encoder, parse
+    // them back with the real decoder (format geometry, PCM content
+    // digest, exact-integer-derived RMS). Rows-only driver check: no
+    // SQL engine parses RIFF; the round trip is spec-pinned.
+    "m05_audio_decode"       -> ((s, d) => Multimodal.audioDecodeSummary(Tables(s, d).documents)),
     "q27_lang_id"            -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
     "q28_quality_score"      -> ((s, d) => TextOps.qualityScore(Tables(s, d).documents)),
     "q61_quality_prune"      -> ((s, d) => TextOps.qualityPrune(Tables(s, d).documents)),

@@ -276,4 +276,108 @@ object Multimodal {
         graft.Exact.dround(element_at(col("features"), 1)).as("f0"),
         graft.Exact.dround(element_at(col("features"), 4)).as("f3"))
   }
+
+  /** One decoded audio object leaving the real-codec decode stage. */
+  case class AudioRow(doc_id: Long, channels: Int, sample_rate: Int,
+                      n_frames: Long, duration_ms: Long, n_bytes: Int,
+                      pcm_md5: String, rms: Double)
+
+  /** m05: deterministic WAV synthesis — payload bytes → a REAL RIFF/
+    * WAVE container through the REAL `javax.sound.sampled` encoder
+    * (`AudioSystem.write`, the JDK's actual WAV codec — m04's pattern
+    * applied to the audio modality). 16-bit signed PCM, mono,
+    * little-endian; sample count and values derive from the payload
+    * bytes, so geometry and content round-trips are meaningful. Same
+    * per-partition batch contract: encoder buffer initialized once per
+    * partition, partition-preserving, streamed. */
+  def encodeWav(media: Dataset[MediaRow], sampleRate: Float = 8000f): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      val buf = new java.io.ByteArrayOutputStream(1 << 12) // per-partition init
+      batch.map { m =>
+        val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
+        val n = 64 + math.floorMod(bytes.map(_ & 0xff).sum, 128)
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = if (bytes.isEmpty) 0
+                  else ((bytes(i % bytes.length) & 0xff) - 128) * 256
+          pcm(2 * i) = (s & 0xff).toByte // little-endian per the format below
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        buf.reset()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+        MediaRow(m.doc_id, buf.toByteArray, "audio/wav")
+      }
+    }
+  }
+
+  /** m05: REAL audio decode — `AudioSystem.getAudioInputStream` (the
+    * JDK's actual RIFF/WAVE parser, no external libs) in the shared
+    * per-partition batch shape. Output: the decoded format geometry
+    * (channels, rate, frame count, integer-exact duration), a
+    * container-independent content digest (md5 over the decoded PCM
+    * bytes — two WAV writers emitting different headers around
+    * identical samples hash equal), and RMS amplitude (integer sum of
+    * squares — exact below 2^53 — through one division and one IEEE
+    * sqrt, so the value is bit-deterministic across JVMs).
+    * Unparseable payloads and non-16-bit formats fail LOUDLY with the
+    * doc id — silent nulls at 100 TB hide a corrupt-media stratum. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("MD5") // per-partition init
+      batch.map { m =>
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          catch {
+            case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              throw new IllegalArgumentException(
+                s"decodeAudio: unparseable ${m.mime} payload for doc ${m.doc_id}", e)
+          }
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16,
+          s"decodeAudio: expected 16-bit PCM for doc ${m.doc_id}, " +
+            s"got ${fmt.getSampleSizeInBits}-bit")
+        val frames = ais.getFrameLength
+        val pcm = ais.readAllBytes()
+        md.reset(); md.update(pcm)
+        val bigEndian = fmt.isBigEndian
+        var i = 0
+        var sumSq = 0L
+        while (i + 1 < pcm.length) {
+          val s =
+            if (bigEndian) ((pcm(i) << 8) | (pcm(i + 1) & 0xff)).toShort
+            else ((pcm(i + 1) << 8) | (pcm(i) & 0xff)).toShort
+          sumSq += s.toLong * s.toLong
+          i += 2
+        }
+        val nSamples = pcm.length / 2
+        AudioRow(m.doc_id, fmt.getChannels, fmt.getSampleRate.toInt, frames,
+          frames * 1000L / fmt.getSampleRate.toLong, m.payload.length,
+          graft.Exact.hex(md.digest()),
+          if (nSamples == 0) 0.0 else math.sqrt(sumSq.toDouble / nSamples))
+      }
+    }
+  }
+
+  /** m05 as a flat verification frame: synthesize real WAVs from the
+    * audio-mime documents, decode them with the real codec, carry the
+    * format geometry + content digest out. Driver-checked rows-only
+    * (no SQL engine parses RIFF); the encode→decode round trip is
+    * pinned bit-exactly in MultimodalSpec. */
+  def audioDecodeSummary(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val media = binaryWithMeta(documents)
+      .filter(col("meta.mime") === "audio/wav")
+      .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
+      .as[MediaRow]
+    decodeAudio(encodeWav(media)).toDF()
+  }
 }

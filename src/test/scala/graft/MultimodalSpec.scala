@@ -157,6 +157,61 @@ class MultimodalSpec extends SparkSpec {
     out(2).frame_hash shouldBe h(payload.slice(128, 150))
   }
 
+  test("m05 real codec round trip: hand-built PCM decodes to the exact samples") {
+    import spark.implicits._
+    // 4 known samples, hand-packed little-endian 16-bit — encode
+    // through the REAL AudioSystem WAV writer, decode with the real
+    // parser, and the PCM content digest must equal md5 of exactly
+    // these bytes (container-independent: headers don't participate)
+    val samples = Array[Short](0, 1000, -1000, 32767)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val media = Seq(Multimodal.MediaRow(7L, buf.toByteArray, "audio/wav")).toDS()
+    val out = Multimodal.decodeAudio(media).collect()
+    out should have length 1
+    val r = out.head
+    r.channels shouldBe 1
+    r.sample_rate shouldBe 8000
+    r.n_frames shouldBe 4L
+    r.duration_ms shouldBe 0L // 4 frames / 8000 Hz, integer ms
+    val md = java.security.MessageDigest.getInstance("MD5")
+    r.pcm_md5 shouldBe graft.Exact.hex(md.digest(pcm))
+    // rms over exact integer sum of squares: sqrt((0+1000^2+1000^2+32767^2)/4)
+    r.rms shouldBe math.sqrt((1000L * 1000 + 1000L * 1000 + 32767L * 32767).toDouble / 4)
+  }
+
+  test("m05 unparseable payload fails loudly with the doc id") {
+    import spark.implicits._
+    val junk = Seq(Multimodal.MediaRow(99L,
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), "audio/wav")).toDS()
+    val ex = intercept[Exception] {
+      Multimodal.decodeAudio(junk).collect()
+    }
+    ex.getMessage should include("99")
+  }
+
+  test("m05 summary runs over the real corpus: one row per audio-mime doc") {
+    val docs = tables.documents
+    val expected = Multimodal.binaryWithMeta(docs)
+      .filter(col("meta.mime") === "audio/wav").count()
+    val rows = Multimodal.audioDecodeSummary(docs).collect()
+    rows.length.toLong shouldBe expected
+    rows.foreach { r =>
+      r.getAs[Int]("channels") shouldBe 1
+      r.getAs[Int]("sample_rate") shouldBe 8000
+      r.getAs[Long]("n_frames") should be >= 64L
+      r.getAs[String]("pcm_md5") should fullyMatch regex "[0-9a-f]{32}"
+    }
+  }
+
   test("m03 respects the frame cap and stays partition-preserving") {
     import spark.implicits._
     val media = Multimodal.binaryWithMeta(tables.documents)
