@@ -375,6 +375,12 @@ object SparkEntry {
     // digest, exact-integer-derived RMS). Rows-only driver check: no
     // SQL engine parses RIFF; the round trip is spec-pinned.
     "m05_audio_decode"       -> ((s, d) => Multimodal.audioDecodeSummary(Tables(s, d).documents)),
+    // m06: the moving-picture modality through a REAL multi-frame
+    // container — animated GIF via the JDK's actual sequence
+    // writer/parser (no MP4 codec ships with the JDK); true frame
+    // counts, strided frame sampling, per-frame pixel digests.
+    // Rows-only driver check; round trip spec-pinned.
+    "m06_gif_frames"         -> ((s, d) => Multimodal.gifFrameSummary(Tables(s, d).documents)),
     "q27_lang_id"            -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
     "q28_quality_score"      -> ((s, d) => TextOps.qualityScore(Tables(s, d).documents)),
     "q61_quality_prune"      -> ((s, d) => TextOps.qualityPrune(Tables(s, d).documents)),

@@ -380,4 +380,120 @@ object Multimodal {
       .as[MediaRow]
     decodeAudio(encodeWav(media)).toDF()
   }
+
+  /** One decoded, sampled frame leaving the multi-frame container
+    * decode stage. */
+  case class GifFrameRow(doc_id: Long, frame_idx: Int, n_frames: Int,
+                         width: Int, height: Int, pixel_md5: String,
+                         mean_luma: Double)
+
+  /** m06: deterministic animated-GIF synthesis — payload bytes → a
+    * REAL multi-frame GIF container through the REAL `javax.imageio`
+    * sequence writer (`prepareWriteSequence`/`writeToSequence`). The
+    * JDK has no MP4/H.264 codec, so animated GIF is the honest
+    * JDK-only realization of the moving-picture modality: a true
+    * container with per-frame images and a real parser. Frames are
+    * grayscale (r=g=b) so the 256-entry GIF palette represents every
+    * pixel EXACTLY and the decode round trip is bit-checkable, not
+    * merely deterministic. Frame count and pixels derive from the
+    * payload, so geometry and content round-trips are meaningful.
+    * Same per-partition batch contract as every codec stage. */
+  def encodeGif(media: Dataset[MediaRow], maxDim: Int = 8,
+                maxFrames: Int = 6): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      val buf = new java.io.ByteArrayOutputStream(1 << 12) // per-partition init
+      batch.map { m =>
+        val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
+        val sum = bytes.map(_ & 0xff).sum
+        val w = 1 + math.floorMod(bytes.length, maxDim)
+        val h = 1 + math.floorMod(sum, maxDim)
+        val n = 2 + math.floorMod(sum + bytes.length, maxFrames - 1)
+        buf.reset()
+        val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+        val out = javax.imageio.ImageIO.createImageOutputStream(buf)
+        writer.setOutput(out)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < n) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < w * h) {
+            val v = if (bytes.isEmpty) 0
+                    else bytes((i * 31 + f * 7) % bytes.length) & 0xff
+            img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
+            i += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        out.close()
+        writer.dispose()
+        MediaRow(m.doc_id, buf.toByteArray, "image/gif")
+      }
+    }
+  }
+
+  /** m06: REAL multi-frame container decode — `ImageReader` over the
+    * JDK's actual GIF parser: true frame count
+    * (`getNumImages(allowSearch = true)`), then every `stride`-th
+    * frame decoded to pixels with the same codec-independent digest
+    * and luminance as m04. One output row per SAMPLED frame (the m03
+    * frame-sampling contract, now through a real container parser).
+    * Undecodable payloads fail LOUDLY with the doc id. */
+  def decodeGifFrames(media: Dataset[MediaRow], stride: Int = 2): Dataset[GifFrameRow] = {
+    require(stride >= 1, "stride must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("MD5") // per-partition init
+      batch.flatMap { m =>
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        require(readers.hasNext,
+          s"decodeGifFrames: unparseable ${m.mime} payload for doc ${m.doc_id}")
+        val reader = readers.next()
+        reader.setInput(in)
+        val n = reader.getNumImages(true)
+        val rows = (0 until n by stride).map { f =>
+          val img = reader.read(f)
+          val w = img.getWidth; val h = img.getHeight
+          md.reset()
+          var lumaSum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              md.update((rgb >> 16).toByte); md.update((rgb >> 8).toByte)
+              md.update(rgb.toByte)
+              lumaSum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          GifFrameRow(m.doc_id, f, n, w, h, graft.Exact.hex(md.digest()),
+            lumaSum.toDouble / (3.0 * w * h))
+        }
+        reader.dispose(); in.close()
+        rows.iterator
+      }
+    }
+  }
+
+  /** m06 as a flat verification frame: synthesize real animated GIFs
+    * from the video-mime documents, parse them back with the real
+    * reader, sample frames. Driver-checked rows-only; the multi-frame
+    * round trip is pinned bit-exactly in MultimodalSpec. */
+  def gifFrameSummary(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val media = binaryWithMeta(documents)
+      .filter(col("meta.mime") === "video/mp4")
+      .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
+      .as[MediaRow]
+    decodeGifFrames(encodeGif(media)).toDF()
+  }
 }

@@ -212,6 +212,68 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m06 multi-frame round trip: hand-built animated GIF decodes frame-exact") {
+    import spark.implicits._
+    // 3 grayscale frames of known constant values — the 256-gray GIF
+    // palette represents them exactly, so the decoded pixels must be
+    // BIT-equal, not approximately equal
+    val values = Array(10, 128, 250)
+    val buf = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    val out = javax.imageio.ImageIO.createImageOutputStream(buf)
+    writer.setOutput(out)
+    writer.prepareWriteSequence(null)
+    values.foreach { v =>
+      val img = new java.awt.image.BufferedImage(
+        2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 4).foreach(i => img.setRGB(i % 2, i / 2, (v << 16) | (v << 8) | v))
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); out.close(); writer.dispose()
+    val media = Seq(Multimodal.MediaRow(5L, buf.toByteArray, "image/gif")).toDS()
+    val all = Multimodal.decodeGifFrames(media, stride = 1).collect().sortBy(_.frame_idx)
+    all should have length 3
+    all.foreach { r =>
+      r.n_frames shouldBe 3
+      r.width shouldBe 2
+      r.height shouldBe 2
+    }
+    // constant-gray frame: mean luminance IS the gray value, exactly
+    all.map(_.mean_luma) shouldBe values.map(_.toDouble)
+    // and the digest equals md5 over the known RGB byte stream
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = values.map { v =>
+      graft.Exact.hex(md.digest(Array.fill(12)(v.toByte)))
+    }
+    all.map(_.pixel_md5).toSeq shouldBe expected.toSeq
+    // stride=2 samples frames 0 and 2
+    Multimodal.decodeGifFrames(media, stride = 2).collect()
+      .map(_.frame_idx).sorted shouldBe Array(0, 2)
+  }
+
+  test("m06 unparseable payload fails loudly with the doc id") {
+    import spark.implicits._
+    val junk = Seq(Multimodal.MediaRow(77L,
+      Array[Byte](9, 9, 9, 9, 9, 9), "image/gif")).toDS()
+    val ex = intercept[Exception] {
+      Multimodal.decodeGifFrames(junk).collect()
+    }
+    ex.getMessage should include("77")
+  }
+
+  test("m06 summary: every video-mime doc contributes >= 1 sampled frame of a real GIF") {
+    val docs = tables.documents
+    val expectedDocs = Multimodal.binaryWithMeta(docs)
+      .filter(col("meta.mime") === "video/mp4").count()
+    val rows = Multimodal.gifFrameSummary(docs).collect()
+    rows.map(_.getAs[Long]("doc_id")).distinct.length.toLong shouldBe expectedDocs
+    rows.foreach { r =>
+      r.getAs[Int]("n_frames") should be >= 2
+      r.getAs[Int]("frame_idx") % 2 shouldBe 0 // default stride
+      r.getAs[String]("pixel_md5") should fullyMatch regex "[0-9a-f]{32}"
+    }
+  }
+
   test("m03 respects the frame cap and stays partition-preserving") {
     import spark.implicits._
     val media = Multimodal.binaryWithMeta(tables.documents)
