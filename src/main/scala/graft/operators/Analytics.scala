@@ -182,24 +182,36 @@ object Analytics {
   def sketchPercentileCertified(events: DataFrame): DataFrame = {
     val ps = Seq(0.5, 0.95, 0.99)
     val byType = Window.partitionBy("event_type")
+    // rank windows must run over the NON-NULL population: both
+    // `percentile` and `approx_percentile` skip nulls, so a rank
+    // computed against count(*) would point past the sketch's world
+    // whenever null values exist (nulls sort last under asc_nulls_last,
+    // so ranks 1..n_vals are exactly the non-null rows; count(value)
+    // counts only non-null). Output `n` stays count(*) — the oracle's
+    // COUNT(*) column.
     val ranked = events.select(col("event_type"), col("value"))
       .withColumn("rk", row_number().over(byType.orderBy(col("value").asc_nulls_last)))
-      .withColumn("n_rows", count(lit(1)).over(byType))
+      .withColumn("n_vals", count(col("value")).over(byType))
     val bounds = ps.zip(Seq("p50", "p95", "p99")).flatMap { case (p, nm) =>
-      val loRank = greatest(lit(1L), floor(col("n_rows") * lit(p - 0.01)))
-      val hiRank = least(col("n_rows"), ceil(col("n_rows") * lit(p + 0.01)))
+      val loRank = greatest(lit(1L), floor(col("n_vals") * lit(p - 0.01)))
+      val hiRank = least(col("n_vals"), ceil(col("n_vals") * lit(p + 0.01)))
       Seq(
         max(when(col("rk") <= loRank, col("value"))).as(s"lo_$nm"),
-        min(when(col("rk") >= hiRank, col("value"))).as(s"hi_$nm"))
+        min(when(col("rk") >= hiRank && col("rk") <= col("n_vals"), col("value")))
+          .as(s"hi_$nm"))
     }
     val tailAggs = Seq(
+      count(col("value")).as("n_vals"),
       min(col("value")).as("min_value"),
       max(col("value")).as("max_value")) ++ bounds :+
       expr(s"approx_percentile(value, array(${ps.mkString(",")}), 10000)").as("ap")
     val agged = ranked.groupBy("event_type").agg(count(lit(1)).as("n"), tailAggs: _*)
     val oks = ps.indices.zip(Seq("p50", "p95", "p99")).map { case (i, nm) =>
-      (element_at(col("ap"), i + 1) >= col(s"lo_$nm") &&
-        element_at(col("ap"), i + 1) <= col(s"hi_$nm")).as(s"${nm}_ok")
+      // an all-null group has nothing to certify: the sketch returns no
+      // value and the bounds are NULL — vacuously healthy, not broken
+      when(col("n_vals") === 0L, lit(true))
+        .otherwise(element_at(col("ap"), i + 1) >= col(s"lo_$nm") &&
+          element_at(col("ap"), i + 1) <= col(s"hi_$nm")).as(s"${nm}_ok")
     }
     agged.select(col("event_type") +: col("n") +: col("min_value") +:
         col("max_value") +: oks: _*)

@@ -323,8 +323,41 @@ object Dedup {
                        path: String, n: Int = 3, numHashes: Int = 16,
                        bands: Int = 4,
                        maxRecordsPerFile: Long = 0L): (Long, Long) = {
-    import org.apache.hadoop.fs.Path
     val index = readBandIndex(spark, path, n, numHashes, bands)
+    compactSwap(spark, path, what = "index")(tmp =>
+      index.select(col("doc_id"), col("bk")).distinct()
+        .withColumn("bk_prefix", substring(col("bk"), 1, 2))
+        .select(col("*") +: stampCols(n, numHashes, bands): _*)
+        .repartition(col("bk_prefix"))
+        .sortWithinPartitions("bk", "doc_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy("bk_prefix").parquet(tmp)
+    ) { tmp =>
+      // stamps must round-trip and no band row may be lost (counts
+      // compare distinct vs distinct — the compaction's only intended
+      // delta is dropping exact duplicates)
+      val wantRows = index.select(col("doc_id"), col("bk")).distinct().count()
+      val gotRows = readBandIndex(spark, tmp, n, numHashes, bands)
+        .select(col("doc_id"), col("bk")).distinct().count()
+      require(gotRows == wantRows,
+        s"compaction of $path would lose rows ($wantRows distinct before, " +
+          s"$gotRows after) — aborting with the live index untouched")
+    }
+  }
+
+  /** The shared crash-safe compaction choreography for both
+    * append-grown stores: count files, rewrite to `<path>__compacting`,
+    * run the caller's validation against the rewrite, then swap via
+    * rename with `<path>__precompact` as the recovery copy (a crash
+    * before the swap leaves the live tree untouched; between the two
+    * renames, restore by renaming the precompact copy back). One
+    * implementation so a future object-store-safe rename lands once. */
+  private def compactSwap(spark: org.apache.spark.sql.SparkSession,
+                          path: String, what: String)
+                         (writeTo: String => Unit)
+                         (validateTmp: String => Unit): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles(p: String): Long = {
       val it = fs.listFiles(new Path(p), true)
@@ -336,29 +369,12 @@ object Dedup {
     val tmp = s"${path}__compacting"
     val old = s"${path}__precompact"
     fs.delete(new Path(tmp), true); fs.delete(new Path(old), true)
-    val distinctRows = index.select(col("doc_id"), col("bk")).distinct()
-      .withColumn("bk_prefix", substring(col("bk"), 1, 2))
-      .select(col("*") +: stampCols(n, numHashes, bands): _*)
-    distinctRows
-      .repartition(col("bk_prefix"))
-      .sortWithinPartitions("bk", "doc_id")
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy("bk_prefix").parquet(tmp)
-    // validate the rewrite BEFORE touching the live tree: stamps must
-    // round-trip and no band row may be lost (counts compare distinct
-    // vs distinct — the compaction's only intended delta is dropping
-    // exact duplicates)
-    val wantRows = index.select(col("doc_id"), col("bk")).distinct().count()
-    val gotRows = readBandIndex(spark, tmp, n, numHashes, bands)
-      .select(col("doc_id"), col("bk")).distinct().count()
-    require(gotRows == wantRows,
-      s"compaction of $path would lose rows ($wantRows distinct before, " +
-        s"$gotRows after) — aborting with the live index untouched")
+    writeTo(tmp)
+    validateTmp(tmp)
     require(fs.rename(new Path(path), new Path(old)),
-      s"could not move live index aside ($path -> $old)")
+      s"could not move live $what aside ($path -> $old)")
     require(fs.rename(new Path(tmp), new Path(path)),
-      s"could not activate compacted index ($tmp -> $path); " +
+      s"could not activate compacted $what ($tmp -> $path); " +
         s"RECOVER by renaming $old back to $path")
     fs.delete(new Path(old), true)
     (before, dataFiles(path))
@@ -381,39 +397,24 @@ object Dedup {
   def compactParquetStore(spark: org.apache.spark.sql.SparkSession,
                           path: String, targetPartitions: Int = 1,
                           maxRecordsPerFile: Long = 0L): (Long, Long) = {
-    import org.apache.hadoop.fs.Path
     require(targetPartitions >= 1, "targetPartitions must be >= 1")
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(p: String): Long = {
-      val it = fs.listFiles(new Path(p), true)
-      var c = 0L
-      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) c += 1 }
-      c
-    }
-    val before = dataFiles(path)
     val store = spark.read.parquet(path)
     val sortCols =
       if (store.columns.contains("doc_id")) Seq(col("doc_id")) else Nil
-    val tmp = s"${path}__compacting"
-    val old = s"${path}__precompact"
-    fs.delete(new Path(tmp), true); fs.delete(new Path(old), true)
-    val w = store.repartition(targetPartitions)
-    (if (sortCols.nonEmpty) w.sortWithinPartitions(sortCols: _*) else w)
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .parquet(tmp)
-    val wantRows = store.count()
-    val gotRows = spark.read.parquet(tmp).count()
-    require(gotRows == wantRows,
-      s"compaction of $path would change row count ($wantRows -> $gotRows) " +
-        "— aborting with the live store untouched")
-    require(fs.rename(new Path(path), new Path(old)),
-      s"could not move live store aside ($path -> $old)")
-    require(fs.rename(new Path(tmp), new Path(path)),
-      s"could not activate compacted store ($tmp -> $path); " +
-        s"RECOVER by renaming $old back to $path")
-    fs.delete(new Path(old), true)
-    (before, dataFiles(path))
+    compactSwap(spark, path, what = "store")(tmp => {
+      val w = store.repartition(targetPartitions)
+      (if (sortCols.nonEmpty) w.sortWithinPartitions(sortCols: _*) else w)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .parquet(tmp)
+    }) { tmp =>
+      // raw counts, not distinct: rows pass through unchanged here
+      val wantRows = store.count()
+      val gotRows = spark.read.parquet(tmp).count()
+      require(gotRows == wantRows,
+        s"compaction of $path would change row count ($wantRows -> $gotRows) " +
+          "— aborting with the live store untouched")
+    }
   }
 
   /** q80: corpus-wide LINE-level dedup — the boilerplate-removal pass

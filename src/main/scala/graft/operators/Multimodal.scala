@@ -136,6 +136,7 @@ object Multimodal {
     * buffers initialized once per partition, partition-preserving,
     * streamed through the iterator. */
   def encodePng(media: Dataset[MediaRow], maxDim: Int = 16): Dataset[MediaRow] = {
+    require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       val buf = new java.io.ByteArrayOutputStream(1 << 12) // per-partition init
@@ -176,6 +177,8 @@ object Multimodal {
     media.mapPartitions { batch =>
       val md = java.security.MessageDigest.getInstance("MD5") // per-partition init
       batch.map { m =>
+        require(m.payload != null,
+          s"decodeImages: null payload for doc ${m.doc_id}")
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(m.payload))
         require(img != null,
@@ -333,6 +336,8 @@ object Multimodal {
     media.mapPartitions { batch =>
       val md = java.security.MessageDigest.getInstance("MD5") // per-partition init
       batch.map { m =>
+        require(m.payload != null,
+          s"decodeAudio: null payload for doc ${m.doc_id}")
         val ais =
           try javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(m.payload))
@@ -400,6 +405,8 @@ object Multimodal {
     * Same per-partition batch contract as every codec stage. */
   def encodeGif(media: Dataset[MediaRow], maxDim: Int = 8,
                 maxFrames: Int = 6): Dataset[MediaRow] = {
+    require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
+    require(maxFrames >= 2, s"maxFrames must be >= 2, got $maxFrames")
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       val buf = new java.io.ByteArrayOutputStream(1 << 12) // per-partition init
@@ -450,36 +457,46 @@ object Multimodal {
     media.mapPartitions { batch =>
       val md = java.security.MessageDigest.getInstance("MD5") // per-partition init
       batch.flatMap { m =>
+        require(m.payload != null,
+          s"decodeGifFrames: null payload for doc ${m.doc_id}")
         val in = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(m.payload))
-        val readers = javax.imageio.ImageIO.getImageReaders(in)
-        require(readers.hasNext,
-          s"decodeGifFrames: unparseable ${m.mime} payload for doc ${m.doc_id}")
-        val reader = readers.next()
-        reader.setInput(in)
-        val n = reader.getNumImages(true)
-        val rows = (0 until n by stride).map { f =>
-          val img = reader.read(f)
-          val w = img.getWidth; val h = img.getHeight
-          md.reset()
-          var lumaSum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              md.update((rgb >> 16).toByte); md.update((rgb >> 8).toByte)
-              md.update(rgb.toByte)
-              lumaSum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-              x += 1
+        var reader: javax.imageio.ImageReader = null
+        // failure paths (no reader, read throwing mid-frame) must not
+        // leak the image input stream's native cache in a long-lived
+        // executor — release in finally, not after the happy path
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          require(readers.hasNext,
+            s"decodeGifFrames: unparseable ${m.mime} payload for doc ${m.doc_id}")
+          reader = readers.next()
+          reader.setInput(in)
+          val n = reader.getNumImages(true)
+          val rows = (0 until n by stride).map { f =>
+            val img = reader.read(f)
+            val w = img.getWidth; val h = img.getHeight
+            md.reset()
+            var lumaSum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                md.update((rgb >> 16).toByte); md.update((rgb >> 8).toByte)
+                md.update(rgb.toByte)
+                lumaSum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            GifFrameRow(m.doc_id, f, n, w, h, graft.Exact.hex(md.digest()),
+              lumaSum.toDouble / (3.0 * w * h))
           }
-          GifFrameRow(m.doc_id, f, n, w, h, graft.Exact.hex(md.digest()),
-            lumaSum.toDouble / (3.0 * w * h))
+          rows.iterator
+        } finally {
+          if (reader != null) reader.dispose()
+          in.close()
         }
-        reader.dispose(); in.close()
-        rows.iterator
       }
     }
   }

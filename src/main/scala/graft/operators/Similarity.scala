@@ -839,7 +839,16 @@ object Similarity {
     val cents = evalSet.select(col("vec_id").cast("long"), vecD(col("embedding")))
       .orderBy("vec_id").limit(nc).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    require(cents.nonEmpty, "semanticDecontaminateBucketed: empty eval set")
+    // empty eval set = nothing to flag — return the same empty frame
+    // the broadcast path (q63) produces, preserving the documented
+    // row-identity between the two variants instead of aborting
+    if (cents.isEmpty) {
+      import org.apache.spark.sql.types._
+      return graft.operators.Dedup.emptyTyped(spark, StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("matched_eval", LongType),
+        StructField("cos_sim", DoubleType))))
+    }
     val centDf = cents.toSeq.toDF("cell", "cv")
       .select(col("cell"), col("cv"),
         sqrt(Exprs.dot(col("cv"), col("cv"))).as("cnrm"))
@@ -858,6 +867,11 @@ object Similarity {
       .agg(max(col("cand")).as("b"))
       .select(col("b.cell").as("cell"), col("eval_id"),
         col("b.ev").as("ev"), col("b.en").as("en"), col("b.angc").as("angc"))
+      // materialized once: the radii collect below AND the pair join
+      // both consume this frame, and the |eval|×nCells assignment is
+      // the dominant eval-side cost — recomputing it at action time
+      // would double exactly the work this operator exists to bound
+      .localCheckpoint()
     // per-cell angular radius: nCells rows of index metadata — the
     // same driver-collect budget as q46's centroids. Seed cells with
     // no members keep r = −∞ and are never probed.

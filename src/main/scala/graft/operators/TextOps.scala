@@ -434,12 +434,19 @@ object TextOps {
         Window.partitionBy("lang").orderBy(tfOrder: _*)))
       .filter(col("_r2") <= k)
       .groupBy("lang").agg(min(col("tf")).as("tf_k"))
-    val nLangs = tf.select(countDistinct(col("lang")).as("nl"))
+    // NULL-safe language accounting (row-identity with the classic
+    // shape requires it): a NULL-lang group is a group like any other —
+    // countDistinct skips NULLs, so add it back when present (df counts
+    // tf ROWS per term, which include the NULL-lang row), and the
+    // threshold join must be null-safe or NULL-lang candidates vanish.
+    val nLangs = tf.select(
+      (countDistinct(col("lang")) +
+        max(when(col("lang").isNull, 1).otherwise(0))).as("nl"))
     val thresholds = tfK.crossJoin(nLangs)
-      .select(col("lang"),
+      .select(col("lang").as("_thr_lang"),
         (col("tf_k").cast("double") / col("nl").cast("double")).as("thr"))
-    val cand = tf.join(broadcast(thresholds), Seq("lang"))
-      .filter(col("tf") >= col("thr")).drop("thr")
+    val cand = tf.join(broadcast(thresholds), col("lang") <=> col("_thr_lang"))
+      .filter(col("tf") >= col("thr")).drop("thr", "_thr_lang")
     val candTerms = cand.select("term").distinct().localCheckpoint()
     val scored =
       if (candTerms.count() <= candidateCap) {

@@ -58,9 +58,13 @@ object Streams {
     * dedup query RocksDB while queries started AFTER the scope see the
     * session exactly as it was (round-10 advice: without this, a
     * window/join stream started later silently inherited RocksDB).
-    * Every graft-owned start path uses it (the s04/s06 query entries,
-    * [[streamIncrementalDedup]]); callers who start a
-    * [[streamDedup]]/[[streamDedupTtl]] plan themselves should too. */
+    * The graft-owned start paths for the stateful dedup builders (the
+    * s04/s06 query entries in SparkEntry) wrap with it; s08/s09 are
+    * foreachBatch plans with no engine state store, so they never
+    * touch the conf at all. CALLERS WHO START a
+    * [[streamDedup]]/[[streamDedupTtl]] plan themselves must wrap
+    * their own build-and-start in this scope — the builder's RocksDB
+    * default is otherwise session-sticky for every later stream. */
   def scopedStateStoreConf[T](spark: SparkSession)(body: => T): T = {
     val keys = Seq(
       "spark.sql.streaming.stateStore.providerClass",

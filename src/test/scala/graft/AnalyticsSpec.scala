@@ -57,6 +57,25 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q51 certification is null-safe: null values don't shift the rank windows") {
+    import spark.implicits._
+    // 10% nulls: percentile/approx_percentile skip them, so the rank
+    // windows must too — computed against count(*) the p99 window
+    // would land on a null-ranked row and the verdict would go NULL
+    val mixed = ((1 to 90).map(i => ("m", Some(i * 1.0))) ++
+      (1 to 10).map(_ => ("m", Option.empty[Double])))
+      .toDF("event_type", "value")
+    val rows = Analytics.sketchPercentileCertified(mixed).collect()
+    rows should have length 1
+    rows.head.getLong(1) shouldBe 100L // n stays COUNT(*)
+    (4 to 6).foreach(i => rows.head.getBoolean(i) shouldBe true)
+    // all-null group: vacuously healthy, never 'broken sketch'
+    val allNull = (1 to 5).map(_ => ("x", Option.empty[Double]))
+      .toDF("event_type", "value")
+    val r2 = Analytics.sketchPercentileCertified(allNull).collect().head
+    (4 to 6).foreach(i => r2.getBoolean(i) shouldBe true)
+  }
+
   test("q51 certified query emits all-true verdicts for a healthy sketch") {
     val out = Analytics.sketchPercentileCertified(tables.events)
     out.schema.fieldNames shouldBe Array(

@@ -9,9 +9,10 @@ import org.apache.spark.sql.SparkSession
   * Expected flags (all by-design): q24/q25 BNLJ (documented exact
   * broadcast brute force), q48/q65 BNLJ (centroid broadcast cross),
   * q59/q63 BNLJ (tiny broadcast sides), q77 BNLJ (one-row range-stats
-  * broadcast cross), q79 BNLJ ×2 (the centroid-literal cell scoring on
-  * both sides of the pruned cell join — eval cells stay broadcast-
-  * sized by construction), q57 SMJ (the in-cell same-size pair join),
+  * broadcast cross), q79 BNLJ (the corpus candidate bound against the
+  * nCells-row centroid table; the eval-side assignment materializes
+  * once behind a localCheckpoint at build time, so it is absent from
+  * the executed plan), q57 SMJ (the in-cell same-size pair join),
   * q36/q55 SMJ (size-unknown after localCheckpoint; AQE converts to
   * broadcast at runtime when small), q75 SMJ ×2 (inherits q36/q55's
   * joins through the pipeline's cluster-keeper stage).

@@ -181,20 +181,26 @@ class PlanSpec extends SparkSpec {
       e.filter(org.apache.spark.sql.functions.expr("vec_id % 7 = 0")),
       nCells = 8))
     plan should include ("graft_dot")
-    // exactly two nested loops — both against the nCells-row centroid
-    // LocalTableScan (index metadata: eval assignment + corpus
-    // candidate bound), NEVER the whole-eval broadcast this variant
-    // replaces; the pair join keys on the bounded cell id as a
-    // shuffled HASH join (eval builds) — corpus candidates stream
-    plan.split("BroadcastNestedLoopJoin").length - 1 shouldBe 2
+    // exactly ONE nested loop in the executed plan — the corpus
+    // candidate bound against the nCells-row centroid table, NEVER
+    // the whole-eval broadcast this variant replaces. The eval
+    // assignment (the second centroid nested loop) is materialized
+    // ONCE behind a localCheckpoint at build time — the radii collect
+    // and the pair join both reuse it, so it appears in the final
+    // plan as a checkpointed scan, not a recomputation (the review
+    // found the un-checkpointed form ran the |eval|×nCells assignment
+    // twice); the pair join keys on the bounded cell id as a shuffled
+    // HASH join (eval builds) — corpus candidates stream
+    plan.split("BroadcastNestedLoopJoin").length - 1 shouldBe 1
     plan should not include "CartesianProduct"
     plan should include ("ShuffledHashJoin")
     plan should not include "SortMergeJoin"
-    // exactly four shuffles: pair join inputs keyed by cell (×2), the
-    // eval-sized eval_id argmax, the flagged-row vec_id agg — never
-    // the corpus partitioned by vector content
+    // exactly three shuffles: pair join inputs keyed by cell (×2) and
+    // the flagged-row vec_id agg; the eval-sized eval_id argmax
+    // shuffle ran at checkpoint time — the corpus is never
+    // partitioned by vector content
     plan should not include "hashpartitioning(v#"
-    plan.split("Exchange hashpartitioning").length - 1 shouldBe 4
+    plan.split("Exchange hashpartitioning").length - 1 shouldBe 3
   }
 
   test("q62 winnowing is one native-expression scan — zero shuffle, zero sort") {

@@ -386,6 +386,15 @@ class SimilaritySpec extends SparkSpec {
       rows(Similarity.semanticDecontaminate(corpus, eval))
   }
 
+  test("q79 empty eval set yields an empty frame, like q63 — not an abort") {
+    val e = tables.embeddings
+    val none = e.filter(org.apache.spark.sql.functions.expr("vec_id < 0"))
+    val out = Similarity.semanticDecontaminateBucketed(e, none)
+    out.columns shouldBe Array("vec_id", "matched_eval", "cos_sim")
+    out.count() shouldBe 0L
+    Similarity.semanticDecontaminate(e, none).count() shouldBe 0L
+  }
+
   test("q79 pruning drops far cells but never a true match") {
     // two tight eval clusters on orthogonal axes: a corpus vector near
     // cluster A must never probe-miss its match, and the orthogonal

@@ -105,6 +105,22 @@ class TextStatsSpec extends SparkSpec {
     pruned.map(key).toSet shouldBe full.map(key).toSet
   }
 
+  test("q44 null-lang docs survive the pruned path identically to the classic shape") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "common common only", Some("en")),
+      (2L, "common stuff", Some("fr")),
+      (3L, "orphan words here", Option.empty[String])
+    ).toDF("doc_id", "text", "lang")
+    def key(r: org.apache.spark.sql.Row) =
+      (Option(r.getString(0)), r.getInt(5), r.getString(1), r.getLong(2), r.getLong(3))
+    val pruned = TextOps.tfidfTopTerms(d, k = 5, pruneMinDocs = 0L).collect().map(key).toSet
+    val classic = TextOps.tfidfTopTerms(d, k = 5).collect().map(key).toSet
+    pruned shouldBe classic
+    // the NULL-lang stratum is present in both
+    classic.exists(_._1.isEmpty) shouldBe true
+  }
+
   test("q44 keeps at most k terms per language, ranked score desc then term") {
     val rows = TextOps.tfidfTopTerms(tables.documents, k = 5).collect()
     val byLang = rows.groupBy(_.getAs[String]("lang"))
