@@ -408,12 +408,22 @@ object Dedup {
         .option("maxRecordsPerFile", maxRecordsPerFile)
         .parquet(tmp)
     }) { tmp =>
-      // raw counts, not distinct: rows pass through unchanged here
-      val wantRows = store.count()
-      val gotRows = spark.read.parquet(tmp).count()
-      require(gotRows == wantRows,
-        s"compaction of $path would change row count ($wantRows -> $gotRows) " +
-          "— aborting with the live store untouched")
+      // The store feeds exact-text verification, so validate CONTENT,
+      // not just cardinality: an order-free checksum (count + bit_xor
+      // of xxhash64 over every column) catches a rewrite that
+      // corrupted or swapped values even when row counts agree. One
+      // cheap agg per side; xor cannot overflow (ANSI-safe).
+      def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(
+          count(lit(1)),
+          expr(s"bit_xor(xxhash64(${df.columns.map(c => s"`$c`").mkString(", ")}))")).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      val want = sig(store)
+      val got = sig(spark.read.parquet(tmp))
+      require(got == want,
+        s"compaction of $path would change content ((rows, checksum) " +
+          s"$want -> $got) — aborting with the live store untouched")
     }
   }
 

@@ -419,26 +419,32 @@ object Multimodal {
         buf.reset()
         val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
         val out = javax.imageio.ImageIO.createImageOutputStream(buf)
-        writer.setOutput(out)
-        writer.prepareWriteSequence(null)
-        var f = 0
-        while (f < n) {
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var i = 0
-          while (i < w * h) {
-            val v = if (bytes.isEmpty) 0
-                    else bytes((i * 31 + f * 7) % bytes.length) & 0xff
-            img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
-            i += 1
+        // finally-guarded like decodeGifFrames: a mid-sequence failure
+        // must not leak the stream's native cache or the writer in a
+        // long-lived executor
+        try {
+          writer.setOutput(out)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < n) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var i = 0
+            while (i < w * h) {
+              val v = if (bytes.isEmpty) 0
+                      else bytes((i * 31 + f * 7) % bytes.length) & 0xff
+              img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
+              i += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
           }
-          writer.writeToSequence(
-            new javax.imageio.IIOImage(img, null, null), null)
-          f += 1
+          writer.endWriteSequence()
+        } finally {
+          writer.dispose()
+          out.close()
         }
-        writer.endWriteSequence()
-        out.close()
-        writer.dispose()
         MediaRow(m.doc_id, buf.toByteArray, "image/gif")
       }
     }

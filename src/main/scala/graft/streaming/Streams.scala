@@ -64,7 +64,17 @@ object Streams {
     * touch the conf at all. CALLERS WHO START a
     * [[streamDedup]]/[[streamDedupTtl]] plan themselves must wrap
     * their own build-and-start in this scope — the builder's RocksDB
-    * default is otherwise session-sticky for every later stream. */
+    * default is otherwise session-sticky for every later stream.
+    *
+    * NOT safe for CONCURRENT query starts on one session: the scope
+    * snapshots and restores shared mutable session conf, so two
+    * overlapping scopes can clobber each other's restore, and a
+    * non-dedup stream started inside another thread's scope inherits
+    * RocksDB. Graft's own entry paths start queries sequentially;
+    * external callers who start streams from multiple threads must
+    * either serialize the build-and-start sections or give the dedup
+    * start path its own `SparkSession.newSession()` (separate conf,
+    * shared SparkContext). */
   def scopedStateStoreConf[T](spark: SparkSession)(body: => T): T = {
     val keys = Seq(
       "spark.sql.streaming.stateStore.providerClass",
@@ -377,6 +387,32 @@ object Streams {
     * re-admitted docs — a real re-delivery signal, q45's reading);
     * duplicate band rows only widen candidate sets, which
     * `incrementalProbeIndex`'s distinct collapses. */
+  /** s09's admitted-store read, with its first-batch idiom made
+    * crash-aware: an absent path is an empty admitted set ONLY when it
+    * is genuinely a first batch. An absent live path with a
+    * `__precompact` sibling is a compaction that crashed between its
+    * two renames (see [[graft.operators.Dedup.compactParquetStore]]);
+    * returning the empty frame there would silently re-admit every
+    * previously-admitted doc — so it fails loudly and directs the
+    * operator to rename the recovery copy back. */
+  def readAdmittedStore(sp: SparkSession, admittedDir: String): DataFrame =
+    try sp.read.parquet(admittedDir).select(col("doc_id"), col("text"))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" =>
+        val pre = new org.apache.hadoop.fs.Path(admittedDir + "__precompact")
+        val fs = pre.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        require(!fs.exists(pre),
+          s"admitted store $admittedDir is absent but $pre exists: a " +
+            "compaction crashed mid-swap. Refusing to treat the store " +
+            "as empty (that would re-admit duplicates) — recover by " +
+            s"renaming $pre back to $admittedDir, then restart.")
+        import org.apache.spark.sql.types._
+        graft.operators.Dedup.emptyTyped(sp,
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("text", StringType))))
+    }
+
   def streamIncrementalDedupAdmit(intake: DataFrame, indexPath: String,
                                   existing: DataFrame, admittedDir: String,
                                   outDir: String, checkpointDir: String,
@@ -390,18 +426,7 @@ object Streams {
         val sp = batch.sparkSession
         val idx = graft.operators.Dedup.readBandIndex(sp, indexPath,
           n, numHashes, bands)
-        val admitted =
-          try sp.read.parquet(admittedDir).select(col("doc_id"), col("text"))
-          catch {
-            // first batch: the store does not exist yet — an empty
-            // admitted set, matched on the stable error class
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getCondition == "PATH_NOT_FOUND" =>
-              import org.apache.spark.sql.types._
-              graft.operators.Dedup.emptyTyped(sp,
-                StructType(Seq(StructField("doc_id", LongType),
-                  StructField("text", StringType))))
-          }
+        val admitted = readAdmittedStore(sp, admittedDir)
         val existAll = existing.select(col("doc_id"), col("text"))
           .unionByName(admitted)
         val b = batch.localCheckpoint()

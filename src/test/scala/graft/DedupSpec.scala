@@ -312,6 +312,32 @@ class DedupSpec extends SparkSpec {
     spark.read.parquet(dir).count() shouldBe 4L
   }
 
+  test("crashed mid-swap compaction fails the admitted-store read loudly") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    val dir = base + "/admitted"
+    Seq((1L, "alpha")).toDF("doc_id", "text").write.mode("append").parquet(dir)
+    // simulate a crash between compactSwap's two renames: the live
+    // path is gone, only the recovery copy remains
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__precompact")))
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.readAdmittedStore(spark, dir)
+    }
+    ex.getMessage should include("crashed mid-swap")
+    ex.getMessage should include("__precompact")
+    // a genuinely-missing store (no recovery copy) is still first-batch empty
+    graft.streaming.Streams
+      .readAdmittedStore(spark, base + "/never_written").count() shouldBe 0L
+    // after the documented recovery (rename back), the read works again
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir + "__precompact"),
+      new org.apache.hadoop.fs.Path(dir)))
+    graft.streaming.Streams.readAdmittedStore(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))) shouldBe Array((1L, "alpha"))
+  }
+
   test("q45 persisted index rejects a probe with mismatched signature parameters") {
     import org.apache.spark.sql.functions.col
     val docs = tables.documents
