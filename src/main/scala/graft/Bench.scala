@@ -63,28 +63,63 @@ object Bench {
     // production calling convention at any corpus size — no env var,
     // no per-SF re-parameterization. Sizing costs one count() per
     // affected query: index-metadata weight, amortized in production.
-    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    //
+    // Best-of-N floors (round-11 verdict #1): a single sample on a
+    // shared host cannot be distinguished from a regression — two
+    // consecutive committed BENCH artifacts were load-contaminated on
+    // the streaming tail (r11 s05 read 41.6 s vs a ~6 s floor). Each
+    // query now runs N warm in-session reps; "queries" carries the
+    // FLOOR (min — the number the regression gate reads) and
+    // "samples" the last rep (the old single-sample semantics, kept
+    // for load-visibility: floor≪sample = host contention, not code).
+    // Streaming queries get 3 reps (micro-batch triggers are the
+    // jitter-dominated tail), batch 2; SPARK_GRAFT_REPS overrides
+    // both. All reps are re-planned end-to-end (streaming sinks are
+    // per-call-suffixed, s08/s09 scratch dirs are per-invocation), so
+    // a floor is a full warm execution, never a cache read.
+    val repsOverride = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt)
+    repsOverride.foreach(n => require(n >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $n"))
+    def repsFor(name: String): Int =
+      repsOverride.getOrElse(if (name.startsWith("s")) 3 else 2)
+    val floors = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val samples = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      val n = repsFor(name)
+      var rep = 0
+      var best = Double.MaxValue
+      var last = 0.0
+      var failed = false
+      while (rep < n && !failed) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          last = (System.nanoTime() - t0) / 1e9
+          if (last < best) best = last
+        } catch {
+          // any failing rep marks the query failed (and excluded from
+          // totals): a fast-failing rep must never become the floor
+          case e: Throwable =>
+            failed = true
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        rep += 1
       }
+      if (!failed) { floors(name) = best; samples(name) = last }
     }
     def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
-    val qs = timings.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val qs = floors.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val ss = samples.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
-    val total = timings.values.sum
+    val total = floors.values.sum
+    val sampleTotal = samples.values.sum
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${timings.size},"n_err":${errors.size},"queries":$qs,"errors":$es,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","kind":"floor","sample_total":${r3(sampleTotal)},"n_ok":${floors.size},"n_err":${errors.size},"queries":$qs,"samples":$ss,"errors":$es,"sf":"${esc(sfDir)}"}"""
     // Full-name line goes to the file (and stdout, for humans/greps)...
     println(line)
     try java.nio.file.Files.writeString(
@@ -102,17 +137,19 @@ object Bench {
       case -1 => k
       case i  => k.substring(0, i)
     }
-    val allKeys = (timings.keys ++ errors.keys).toSeq
+    val allKeys = (floors.keys ++ errors.keys).toSeq
     val collide = allKeys.map(short).distinct.size != allKeys.distinct.size
     def key(k: String): String = if (collide) k else short(k)
-    val qsC = timings.map { case (k, v) => "\"" + key(k) + "\":" + r3(v) }
+    // compact line carries FLOORS only (the gate numbers); last-rep
+    // samples live in the full bench_metric.json line
+    val qsC = floors.map { case (k, v) => "\"" + key(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // error text capped harder here (full text is in the file line) so
     // a many-failure run can't re-bloat the compact line past the tail
     val esC = errors.map { case (k, v) => "\"" + key(k) + "\":\"" + esc(v.take(60)) + "\"" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${timings.size},"n_err":${errors.size},"queries":$qsC,"errors":$esC,"sf":"${esc(sfDir)}","full_names":"bench_metric.json"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","kind":"floor","sample_total":${r3(sampleTotal)},"n_ok":${floors.size},"n_err":${errors.size},"queries":$qsC,"errors":$esC,"sf":"${esc(sfDir)}","full_names":"bench_metric.json"}""")
     spark.stop()
   }
 }
