@@ -15,6 +15,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // openCostInBytes default (4 MB) doubles as a parallelism FLOOR
+      // on split size: with the bench corpora shipped as one parquet
+      // file, maxSplitBytes = max(openCost, total/parallelism) left
+      // every CPU-dense scan (q37 regex, q27 n-grams) on 1-2 cores.
+      // 256 KB lets total/parallelism win at probe scale; production
+      // inputs still cap at maxPartitionBytes (128 MB) untouched.
+      .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -56,6 +56,13 @@ object ScaleProbeGen {
       // n_chars must track the rewritten text or metadata-derived
       // operators (m01/m03 geometry, length metrics) probe on lies
       .withColumn("n_chars", length(col("text")))
+      // 32 output files, not the crossJoin's single partition: a probe
+      // corpus shipped as ONE file has ONE rowgroup, so every scan —
+      // whatever maxSplitBytes says — runs on one core and the probe
+      // under-reports exactly the CPU-dense operators (q37 regex, q27
+      // n-grams) it exists to measure. Production corpora are
+      // many-file; the probe must be too.
+      .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val e = t.embeddings
@@ -64,6 +71,7 @@ object ScaleProbeGen {
       .select((col("vec_id") + col("r") * vecSpan).as("vec_id"),
         expr("transform(sequence(0, 63), i -> element_at(embedding, CAST((i + r) % 64 AS INT) + 1))")
           .as("embedding"))
+      .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     val ev = t.events
@@ -73,6 +81,7 @@ object ScaleProbeGen {
       .select((col("event_id") + col("r") * evSpan).as("event_id"), col("ts"),
         (col("user_id") + col("r") * userSpan).as("user_id"),
         col("event_type"), col("value"), col("props"))
+      .repartition(32)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     // Relational (TPC-H-shaped) tables: facts replicate with offset
@@ -88,12 +97,14 @@ object ScaleProbeGen {
       .select((col("o_orderkey") + col("r") * ordSpan).as("o_orderkey"),
         col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
         col("o_orderdate"), col("o_orderpriority"))
+      .repartition(32)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
     li.crossJoin(rep)
       .select((col("l_orderkey") + col("r") * ordSpan).as("l_orderkey"),
         col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
         col("l_quantity"), col("l_extendedprice"), col("l_discount"),
         col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .repartition(32)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     Seq("customer", "supplier", "part", "nation", "region").foreach { d =>
       spark.read.parquet(s"$src/$d.parquet")
