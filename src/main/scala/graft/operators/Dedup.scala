@@ -433,8 +433,10 @@ object Dedup {
     * occurrence) that whole-document dedup (q20/q22) cannot express:
     * two distinct pages sharing a navigation header are not document
     * duplicates, but the header itself must go. Segmentation is a
-    * parameter of the CONTRACT: production corpora split on newlines;
-    * this corpus is separator-free, so the declared query re-segments
+    * parameter of the CONTRACT: production corpora split on newlines
+    * (pass `separator = "\n"` — segments are the literal lines,
+    * reassembly re-joins with the same separator); this corpus is
+    * separator-free, so the declared query re-segments
     * deterministically into fixed `width`-token windows — the dedup,
     * keep-first and reassembly machinery is identical either way.
     *
@@ -447,34 +449,78 @@ object Dedup {
     * everything was boilerplate).
     *
     * Plan (all linear): ONE scan → posexplode of the non-overlapping
-    * slices → first-carrier via `row_number` over the segment key
-    * (ordered by doc_id, seg_idx) → doc-keyed re-agg with `sort_array`
-    * for order-stable reassembly (collect_list alone is
-    * arrival-ordered). The window is deliberate: per-key input is the
-    * segment's df (tiny for real text), and the min(struct)-aggregate
-    * + join-back alternative audits at scan=2 — it re-scans and
-    * re-segments the whole corpus for the join side, a full extra
+    * slices → first-carrier via `row_number` over the segment DIGEST
+    * (`xxhash64(seg)`, ordered by doc_id, seg_idx) → doc-keyed re-agg
+    * with `sort_array` for order-stable reassembly (collect_list alone
+    * is arrival-ordered). The window is deliberate: per-key input is
+    * the segment's df (tiny for real text), and the min(struct)-
+    * aggregate + join-back alternative audits at scan=2 — it re-scans
+    * and re-segments the whole corpus for the join side, a full extra
     * 100 TB pass traded against a same-volume window sort (the
-    * ExplainAudit diamond rule). Segment-keyed shuffles distribute on
-    * content hash — high cardinality, no skew hazard short of a
-    * corpus-scale boilerplate segment, which is exactly the df-cap
-    * discussion on [[ngramJaccardPairs]] and prunes the same way if
-    * ever needed. */
-  def lineDedup(documents: DataFrame, width: Int = 12): DataFrame = {
+    * ExplainAudit diamond rule). Keying the rank exchange by the
+    * 8-byte digest instead of raw segment text (text carried
+    * alongside for reassembly) is the q21/q76 digest-key convention:
+    * the shuffle hashes and compares fixed-width longs, not
+    * arbitrary-length strings, at the standard 64-bit-collision
+    * cost every digest-keyed operator here already accepts.
+    *
+    * Digest-keyed shuffles distribute on content hash — high
+    * cardinality, no skew hazard short of a corpus-scale boilerplate
+    * segment, where ONE window partition would hold a corpus-scale
+    * row count on a single task. `maxDf > 0` guards that: the
+    * segment's df is computed inside the SAME window partition
+    * (unbounded frame over the identical partition+sort — no extra
+    * exchange, PLAN_AUDIT shape unchanged) and a row-level
+    * `assert_true` fails the run loudly naming the offending df,
+    * instead of burning hours in a skewed sort. Fail-loud, not
+    * drop-silent: removing a boilerplate segment from the rank would
+    * CHANGE which occurrence survives, so the cap aborts rather than
+    * underestimates — the operator-level analogue of the stale-
+    * geometry bucket caps. */
+  def lineDedup(documents: DataFrame, width: Int = 12, maxDf: Long = 0L,
+                separator: String = ""): DataFrame = {
     require(width >= 1, "segment width must be >= 1")
-    val segs = documents
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .withColumn("nseg",
-        greatest(lit(1), ceil(size(col("tk")) / lit(width.toDouble)).cast("int")))
-      .select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(0, nseg - 1), " +
-          s"i -> array_join(slice(tk, i * $width + 1, $width), ' '))")))
-      .withColumnRenamed("pos", "seg_idx")
-      .withColumnRenamed("col", "seg")
-    segs
-      .withColumn("keep",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("seg").orderBy("doc_id", "seg_idx")) === 1)
+    val joiner = if (separator.isEmpty) " " else separator
+    val segs =
+      if (separator.nonEmpty)
+        // production contract: segments ARE the separator-delimited
+        // lines (split on the LITERAL separator — quoted, split() takes
+        // a regex); a trailing separator yields a final empty segment,
+        // kept: an empty line is a deduplicatable segment like any
+        // other, and reassembly must round-trip the separator count
+        documents.select(col("doc_id"),
+          posexplode(split(col("text"),
+            java.util.regex.Pattern.quote(separator), -1)))
+          .withColumnRenamed("pos", "seg_idx")
+          .withColumnRenamed("col", "seg")
+      else
+        documents
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .withColumn("nseg",
+            greatest(lit(1), ceil(size(col("tk")) / lit(width.toDouble)).cast("int")))
+          .select(col("doc_id"),
+            posexplode(expr(s"transform(sequence(0, nseg - 1), " +
+              s"i -> array_join(slice(tk, i * $width + 1, $width), ' '))")))
+          .withColumnRenamed("pos", "seg_idx")
+          .withColumnRenamed("col", "seg")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("seg"))).orderBy("doc_id", "seg_idx")
+    val ranked = segs.withColumn("keep", row_number().over(w) === 1)
+    val capped =
+      if (maxDf > 0L)
+        ranked
+          .withColumn("_df", count(lit(1)).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+          .filter(assert_true(col("_df") <= maxDf,
+            concat(lit(s"lineDedup: a segment's df exceeds maxDf=$maxDf (df="),
+              col("_df"), lit(", first carrier doc_id="), col("doc_id"),
+              lit(") — a corpus-scale boilerplate segment would skew the " +
+                "rank exchange onto one task; strip it upstream or raise " +
+                "the cap"))).isNull)
+          .drop("_df")
+      else ranked
+    capped
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_segments"),
@@ -482,7 +528,7 @@ object Dedup {
         array_join(
           expr("transform(sort_array(collect_list(" +
             "CASE WHEN keep THEN struct(seg_idx, seg) END)), x -> x.seg)"),
-          " ").as("cleaned_text"))
+          joiner).as("cleaned_text"))
       .orderBy("doc_id")
   }
 

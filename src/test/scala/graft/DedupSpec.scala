@@ -292,6 +292,49 @@ class DedupSpec extends SparkSpec {
     out(4L) shouldBe ((2L, 0L, "x y z"))        // partial tail kept whole
   }
 
+  test("q80 newline segmentation: shared header/footer lines removed, lines round-trip") {
+    import spark.implicits._
+    // the production contract: segments ARE the literal newline-split
+    // lines. Three pages share a navigation header and a footer; each
+    // has a unique body line. Page 3 repeats its own body line.
+    val d = Seq(
+      (1L, "NAV: home | about\nfirst page body\nfooter (c) corp"),
+      (2L, "NAV: home | about\nsecond page body\nfooter (c) corp"),
+      (3L, "NAV: home | about\nthird page body\nthird page body\nfooter (c) corp")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, separator = "\n").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // first carrier keeps header+footer; later pages lose both
+    out(1L) shouldBe ((3L, 0L, "NAV: home | about\nfirst page body\nfooter (c) corp"))
+    out(2L) shouldBe ((3L, 2L, "second page body"))
+    // internal repeat of page 3's own body line also removed
+    out(3L) shouldBe ((4L, 3L, "third page body"))
+    // empty lines are segments too: a doubled newline round-trips
+    val e = Seq((10L, "alpha\n\nbeta")).toDF("doc_id", "text")
+    val eo = Dedup.lineDedup(e, separator = "\n").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    eo(10L) shouldBe "alpha\n\nbeta"
+  }
+
+  test("q80 maxDf cap: corpus-scale boilerplate segment fails loudly, in-cap corpus unchanged") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "same header here\nbody one"),
+      (2L, "same header here\nbody two"),
+      (3L, "same header here\nbody three")
+    ).toDF("doc_id", "text")
+    // df("same header here") = 3 > cap=2 -> loud in-plan abort naming the df
+    val ex = intercept[Exception] {
+      Dedup.lineDedup(d, separator = "\n", maxDf = 2L).collect()
+    }
+    ex.getMessage should include("maxDf=2")
+    ex.getMessage should include("df=3")
+    // a cap the corpus satisfies changes nothing vs the uncapped run
+    val uncapped = Dedup.lineDedup(d, separator = "\n").collect().map(_.toSeq)
+    val capped = Dedup.lineDedup(d, separator = "\n", maxDf = 3L).collect().map(_.toSeq)
+    capped shouldBe uncapped
+  }
+
   test("admitted-store compaction: append-grown store collapses, rows byte-identical") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_store").toString + "/admitted"
