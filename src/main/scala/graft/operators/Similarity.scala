@@ -254,6 +254,32 @@ object Similarity {
     cents
   }
 
+  /** Coarse-quantizer resolution for the IVF family's `centroids`
+    * override: `None` (the default, and the declared-query mode) is
+    * the deterministic [[seedCentroids]] quantizer the DuckDB oracle
+    * replays; `Some(table)` quantizes on CALLER-TRAINED centroids —
+    * [[trainedCentroids]]'s output, or any (id, vector) table — which
+    * is how production closes the quality gap centroid choice leaves
+    * on the table (recall follows cell-boundary quality; SemDeDup &
+    * IVF papers both train). The table is validated (non-empty,
+    * distinct ids, uniform dimension) and id-sorted so downstream
+    * tie-breaks keep the smaller-cell-id convention. Index structure,
+    * probe path and every downstream contract are IDENTICAL in both
+    * modes — centroid choice is index metadata, not semantics. */
+  private def resolvedCentroids(
+      embeddings: DataFrame, nCells: Int,
+      centroids: Option[Array[(Long, Array[Double])]]): Array[(Long, Array[Double])] =
+    centroids match {
+      case Some(cs) =>
+        require(cs.nonEmpty, "centroids override must be non-empty")
+        require(cs.map(_._1).distinct.length == cs.length,
+          "centroids override must have distinct cell ids")
+        require(cs.map(_._2.length).distinct.length == 1,
+          "centroids override must have a uniform dimension")
+        cs.sortBy(_._1)
+      case None => seedCentroids(embeddings, nCells)
+    }
+
   /** score(v, c) = dot(v, c)/|c| — |v| is constant per row, so the
     * per-vector argmax/ordering equals the cosine argmax. The |c|
     * divisions constant-fold (the spherical quantizer). */
@@ -264,8 +290,9 @@ object Similarity {
     }: _*)
 
   def annIvf(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 4,
-             nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val cents = seedCentroids(embeddings, nCells)
+             nQueries: Int = 10, k: Int = 5,
+             centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
+    val cents = resolvedCentroids(embeddings, nCells, centroids)
     val cellIds = lit(cents.map(_._1))
     def cellScores(v: Column): Column = seedCellScores(cents)(v)
     val e = prepared(embeddings)
@@ -351,13 +378,14 @@ object Similarity {
     * score/tie rule the plan uses. */
   def annIvfPq(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 4,
                nQueries: Int = 10, k: Int = 5, m: Int = 8, ks: Int = 16,
-               rerank: Int = 32, residual: Boolean = false): DataFrame = {
+               rerank: Int = 32, residual: Boolean = false,
+               centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
     val dim = 64
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents = seedCentroids(embeddings, nCells)
+    val cents = resolvedCentroids(embeddings, nCells, centroids)
     val cellIds = lit(cents.map(_._1))
     val e = prepared(embeddings)
 
@@ -600,51 +628,35 @@ object Similarity {
         col("b.cos").as("cos_sim"), col("b.mv").as("moved"))
   }
 
-  /** q65: iterated Lloyd refinement — the production k-means loop that
-    * [[kmeansRefine]] is one step of (topic/domain clustering trains
-    * for several rounds, not one). Round r assigns every vector to its
-    * nearest round-(r−1) centroid and recomputes member means in the
-    * same 2²⁰ fixed-point arithmetic as kmeansRefine, so every round —
-    * and therefore the whole trajectory — is order-independent and
-    * engine-replicable; the oracle unrolls the identical rounds in SQL.
-    *
-    * Shape per round: ONE job over the corpus — scan → broadcast
-    * centroid table × corpus `max(struct)` argmax (kmeansRefine's
-    * reassignment shape, codegen'd at any `nCells`; the literal-array
-    * form hits janino's method limit past ~32 centroids, see
-    * [[assignCells]]) → posexplode partial agg → collect of
-    * nCells·dim fixed-point sums (kilobytes of index metadata, the
-    * q46 collect rationale — per-vector data never reaches the
-    * driver). A cell that loses all members is dropped (k shrinks;
-    * deterministic, and the oracle's GROUP BY reproduces it). Seeds
-    * are the shared q46/q48 quantizer.
-    *
-    * `tol` stops early when every surviving centroid coordinate moved
-    * ≤ tol between rounds (a driver-side array compare — free). The
-    * default 0.0 stops only at an EXACT fixed point, which cannot
-    * change the output vs running all `rounds` (identical centroids ⇒
-    * identical subsequent rounds), so the fixed-`rounds` oracle
-    * contract survives early exit; tol > 0 trades bit-replay for
-    * fewer scans. At 100 TB each round re-scans the source
-    * column-pruned to (vec_id, embedding) — persist that narrow
-    * projection first if the cluster has memory; the loop is agnostic.
-    *
-    * Output: (vec_id, cluster_id, cos_sim) against the FINAL
-    * centroids — kmeansRefine's contract without the single-step
-    * `moved` flag. */
-  def kmeansIterate(embeddings: DataFrame, nCells: Int = 16, rounds: Int = 3,
-                    tol: Double = 0.0): DataFrame = {
+  /** Broadcast-ready centroid table: (cell, cv, cnrm). */
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+                            cents: Array[(Long, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq.toDF("cell", "cv")
+      .select(col("cell"), col("cv"),
+        sqrt(Exprs.dot(col("cv"), col("cv"))).as("cnrm"))
+  }
+
+  /** [[kmeansIterate]]'s training loop exposed as a CENTROID TABLE —
+    * the bridge that lets the IVF family ([[annIvf]]/[[annIvfPq]]/
+    * [[semanticDedup]]) quantize on TRAINED centroids instead of the
+    * deterministic seeds: production builds the index by feeding this
+    * output into their `centroids` override, while the declared
+    * (oracle-replayed) queries keep the seed default. Cell ids are the
+    * surviving seeds' vec_ids (a cell that loses all members is
+    * dropped, exactly as q65 documents); the array is id-sorted,
+    * kilobytes of index metadata on the driver — the q46 collect
+    * rationale. Same fixed-point arithmetic, same early-exit contract
+    * as the q65 scaladoc below. */
+  def trainedCentroids(embeddings: DataFrame, nCells: Int = 16,
+                       rounds: Int = 3,
+                       tol: Double = 0.0): Array[(Long, Array[Double])] = {
     require(rounds >= 1, "rounds must be >= 1")
     val scale = 1L << 20
     val spark = embeddings.sparkSession
-    import spark.implicits._
     val e = prepared(embeddings)
-    def centDf(cents: Array[(Long, Array[Double])]): DataFrame =
-      cents.toSeq.toDF("cell", "cv")
-        .select(col("cell"), col("cv"),
-          sqrt(Exprs.dot(col("cv"), col("cv"))).as("cnrm"))
     def scored(cents: Array[(Long, Array[Double])]): DataFrame =
-      e.crossJoin(broadcast(centDf(cents)))
+      e.crossJoin(broadcast(centroidFrame(spark, cents)))
         .withColumn("score", dot(col("v"), col("cv")) / col("cnrm"))
     var cents = seedCentroids(embeddings, nCells)
     var moved = Double.MaxValue
@@ -680,6 +692,48 @@ object Similarity {
       cents = next
       r += 1
     }
+    cents
+  }
+
+  /** q65: iterated Lloyd refinement — the production k-means loop that
+    * [[kmeansRefine]] is one step of (topic/domain clustering trains
+    * for several rounds, not one). Round r assigns every vector to its
+    * nearest round-(r−1) centroid and recomputes member means in the
+    * same 2²⁰ fixed-point arithmetic as kmeansRefine, so every round —
+    * and therefore the whole trajectory — is order-independent and
+    * engine-replicable; the oracle unrolls the identical rounds in SQL.
+    *
+    * Shape per round: ONE job over the corpus — scan → broadcast
+    * centroid table × corpus `max(struct)` argmax (kmeansRefine's
+    * reassignment shape, codegen'd at any `nCells`; the literal-array
+    * form hits janino's method limit past ~32 centroids, see
+    * [[assignCells]]) → posexplode partial agg → collect of
+    * nCells·dim fixed-point sums (kilobytes of index metadata, the
+    * q46 collect rationale — per-vector data never reaches the
+    * driver). A cell that loses all members is dropped (k shrinks;
+    * deterministic, and the oracle's GROUP BY reproduces it). Seeds
+    * are the shared q46/q48 quantizer.
+    *
+    * `tol` stops early when every surviving centroid coordinate moved
+    * ≤ tol between rounds (a driver-side array compare — free). The
+    * default 0.0 stops only at an EXACT fixed point, which cannot
+    * change the output vs running all `rounds` (identical centroids ⇒
+    * identical subsequent rounds), so the fixed-`rounds` oracle
+    * contract survives early exit; tol > 0 trades bit-replay for
+    * fewer scans. At 100 TB each round re-scans the source
+    * column-pruned to (vec_id, embedding) — persist that narrow
+    * projection first if the cluster has memory; the loop is agnostic.
+    *
+    * Output: (vec_id, cluster_id, cos_sim) against the FINAL
+    * centroids — kmeansRefine's contract without the single-step
+    * `moved` flag. */
+  def kmeansIterate(embeddings: DataFrame, nCells: Int = 16, rounds: Int = 3,
+                    tol: Double = 0.0): DataFrame = {
+    val e = prepared(embeddings)
+    val cents = trainedCentroids(embeddings, nCells, rounds, tol)
+    def scored(cents: Array[(Long, Array[Double])]): DataFrame =
+      e.crossJoin(broadcast(centroidFrame(embeddings.sparkSession, cents)))
+        .withColumn("score", dot(col("v"), col("cv")) / col("cnrm"))
     scored(cents)
       .withColumn("cand", struct(col("score"), (-col("cell")).as("nc"),
         col("cell"),
@@ -722,9 +776,13 @@ object Similarity {
     * bit-replicable in SQL — the same contract as the paper's
     * per-cluster epsilon-dedup. */
   def semanticDedup(embeddings: DataFrame, tau: Double = 0.4,
-                    nCells: Int = AutoGeometry, maxCell: Int = 1024): DataFrame = {
-    val nc = resolveCells(embeddings, nCells)
-    val cents = seedCentroids(embeddings, nc)
+                    nCells: Int = AutoGeometry, maxCell: Int = 1024,
+                    centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
+    // a centroids override IS the geometry — skip the count-driven
+    // auto-sizing, the caller's training run already chose k
+    val cents =
+      if (centroids.isDefined) resolvedCentroids(embeddings, 0, centroids)
+      else seedCentroids(embeddings, resolveCells(embeddings, nCells))
     val e = embeddings.select(col("vec_id"), vecD(col("embedding")).as("v"))
     // the nCells·dim argmax is the expensive pass — run it ONCE, into
     // per-cell membership lists (ids only; cells partition the corpus,

@@ -92,6 +92,70 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.5
   }
 
+  test("trained-centroid override: q46 recall@5 matches-or-beats the seed quantizer at sf0.01") {
+    // the two halves meet: q65's training loop feeds the IVF family's
+    // coarse quantizer. Declared queries stay on the deterministic
+    // seed (the oracle mode); this pins the production mode's quality
+    // on the bench corpus — better cell boundaries => better recall at
+    // identical probe cost (same nCells, same nProbe). Measured over
+    // ALL vectors as queries: the default 10-query set is the one
+    // sample that favors seeds (those queries ARE the seed centroids,
+    // each sitting at the exact center of its own seed cell — measured
+    // 0.92 seed vs 0.90 trained there, but 0.48 vs 0.57 corpus-wide).
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val nq = e.count().toInt
+    def keyset(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keyset(Similarity.annBruteForce(e, nQueries = nq, k = 5))
+    val trained = Similarity.trainedCentroids(e, nCells = 16, rounds = 3)
+    val seedHits = keyset(Similarity.annIvf(e, nQueries = nq, k = 5))
+    val trainedHits = keyset(
+      Similarity.annIvf(e, nQueries = nq, k = 5, centroids = Some(trained)))
+    val seedRecall = (exact & seedHits).size.toDouble / exact.size
+    val trainedRecall = (exact & trainedHits).size.toDouble / exact.size
+    withClue(s"seed=$seedRecall trained=$trainedRecall: ") {
+      trainedRecall should be > seedRecall
+      trainedRecall should be >= 0.55
+    }
+    // the IVF contract is unchanged under the override: every hit
+    // still carries the exact brute-force cosine for that pair
+    // (cell pruning is the only approximation)
+    val allExact = Similarity.annBruteForce(e, nQueries = 10, k = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.annIvf(e, nQueries = 10, k = 5, centroids = Some(trained))
+      .collect().foreach { r =>
+        allExact((r.getLong(0), r.getLong(1))) shouldBe r.getDouble(2)
+      }
+  }
+
+  test("trained-centroid override: q69/q70 and q57 run end-to-end, verdicts stay total") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val n = e.count()
+    val trained = Similarity.trainedCentroids(e, nCells = 16, rounds = 2)
+    // PQ both modes accept the trained coarse quantizer and still
+    // return a full top-k per query
+    for (res <- Seq(false, true)) {
+      val pq = Similarity.annIvfPq(e, nQueries = 5, k = 5, residual = res,
+        centroids = Some(trained)).collect()
+      pq.length shouldBe 25
+      pq.map(_.getLong(0)).distinct.length shouldBe 5
+    }
+    // SemDeDup on trained cells: cells still partition the corpus —
+    // every vector gets exactly one verdict
+    val sd = Similarity.semanticDedup(e, centroids = Some(trained))
+    sd.count() shouldBe n
+    sd.select("vec_id").distinct().count() shouldBe n
+    // malformed overrides die loudly, not quietly misquantize
+    val dup = Array((1L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+    intercept[IllegalArgumentException] {
+      Similarity.annIvf(e, centroids = Some(dup))
+    }.getMessage should include("distinct")
+    val ragged = Array((1L, Array(1.0, 0.0)), (2L, Array(0.0)))
+    intercept[IllegalArgumentException] {
+      Similarity.annIvf(e, centroids = Some(ragged))
+    }.getMessage should include("dimension")
+  }
+
   test("q48 one k-means step clusters vectors by direction") {
     val d = vecs(
       (0L, Map(0 -> 1.0f)),               // seed cell 0: e0
