@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftShim, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.Exprs
+import graft.functions.{Bpe, Exprs}
 
 /** Registers graft's native expressions as SQL functions, so the same
   * kernels the DataFrame operators use are reachable from `spark.sql`:
@@ -28,6 +28,7 @@ import graft.functions.Exprs
   * | `graft_hamming(a, b)`        | [[graft.functions.Exprs.HammingDist]] |
   * | `graft_repstats(toks)`       | [[graft.functions.Exprs.RepetitionStats]] |
   * | `graft_winnow(toks, k, w)`   | [[graft.functions.Exprs.WinnowFingerprints]] |
+  * | `graft_bpe(text)`            | [[graft.functions.Bpe.BpeEncode]] |
   *
   * (LshBuckets and BloomMightContain are deliberately not SQL-exposed —
   * their plane matrix / serialized sketch are constructor arguments,
@@ -77,7 +78,11 @@ object GraftExtensions {
       info("graft_winnow",
         "graft_winnow(tokens, k, w) - winnowing fingerprints: distinct per-window minima of positional k-gram md5s"),
       (args: Seq[Expression]) => Exprs.WinnowFingerprints(args(0),
-        litInt(args(1), "k-gram width k"), litInt(args(2), "window size w"))))
+        litInt(args(1), "k-gram width k"), litInt(args(2), "window size w"))),
+    (FunctionIdentifier("graft_bpe"),
+      info("graft_bpe",
+        "graft_bpe(text) - greedy BPE subword tokens (default merge table)"),
+      (args: Seq[Expression]) => Bpe.BpeEncode(args(0), Bpe.defaultMerges)))
 
   /** Register into an already-built session (extensions normally apply
     * only at build time). */

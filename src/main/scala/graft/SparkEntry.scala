@@ -130,6 +130,18 @@ object SparkEntry {
     "q77_zorder_layout"      -> ((s, d) => Corpus.layoutZOrder(Tables(s, d).documents)),
     "q41_repetition"         -> ((s, d) => TextOps.repetitionSignals(Tables(s, d).documents)),
     "q53_chunk_sliding"      -> ((s, d) => Corpus.chunkSliding(Tables(s, d).documents)),
+    // q81: real subword tokenization — the greedy BPE merge loop as a
+    // native expression; the oracle replays every merge step as a
+    // recursive CTE over the distinct-word dictionary, so the exact
+    // token identity (not just counts) is hash-checked.
+    "q81_bpe_encode"         -> ((s, d) => TextOps.bpeEncode(Tables(s, d).documents)),
+    // q82: encode-then-pack end-to-end — q40's packing plan budgeted
+    // by BPE tokenizer tokens instead of whitespace words (the measure
+    // a training pipeline actually packs context windows by).
+    "q82_bpe_pack"           -> ((s, d) =>
+      Corpus.packSequences(Tables(s, d).documents,
+        nTokens = org.apache.spark.sql.functions.size(
+          graft.functions.Bpe.encode(col("text"))).cast("long"))),
     "q44_tfidf_terms"        -> ((s, d) => TextOps.tfidfTopTerms(Tables(s, d).documents)),
     "q54_oov_rate"           -> ((s, d) => TextOps.oovRate(Tables(s, d).documents)),
     "q74_novelty_score"      -> ((s, d) => TextOps.noveltyScore(Tables(s, d).documents)),
@@ -1062,6 +1074,8 @@ object SparkEntry {
         |       CAST(LEAST(n - chunk_id * 16, 32) AS INTEGER) AS chunk_tokens,
         |       md5(array_to_string(tk[chunk_id*16+1 : chunk_id*16+32], ' ')) AS chunk_hash
         |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
+    "q81_bpe_encode" -> bpeEncodeOracle,
+    "q82_bpe_pack" -> bpePackOracle,
     "q42_rollup_report" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
         |       COUNT(*) AS n_events,
@@ -1636,6 +1650,69 @@ object SparkEntry {
          |      FROM fs)
          |SELECT vec_id, cluster_id, cos_sim FROM fr WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
+
+  /** q81/q82: the greedy BPE merge loop replayed as a DuckDB recursive
+    * CTE. The merge-table literal is GENERATED from
+    * [[graft.functions.Bpe.defaultMerges]] — one source of truth; rank
+    * = `list_position` over the same ordered pair list the Scala
+    * encoder ranks by. Each recursion step fuses the lowest-rank
+    * (leftmost on ties) adjacent pair of ONE word — identical to
+    * Bpe.Encoder's loop — and a word is final exactly when no adjacent
+    * pair ranks. The dictionary trick (encode DISTINCT words, join
+    * back by position) changes cost, not results: encoding is
+    * word-local. */
+  private def bpeCtes: String = {
+    val mlit = graft.functions.Bpe.defaultMerges
+      .map { case (l, r) => s"'$l $r'" }.mkString("[", ",", "]")
+    def best(syms: String) =
+      s"list_sort(list_transform(range(1, len($syms)), i -> [coalesce(nullif(" +
+        s"list_position($mlit, $syms[i] || ' ' || $syms[i+1]), 0), 999999), i]))[1]"
+    s"""wp AS (SELECT doc_id, generate_subscripts(w, 1) AS wi, unnest(w) AS word
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t0),
+       |wf AS (SELECT * FROM wp WHERE word <> ''),
+       |dw AS (SELECT DISTINCT word FROM wf),
+       |enc(word, syms) AS (
+       |  SELECT word, regexp_extract_all(word, '.') FROM dw
+       |  UNION ALL
+       |  SELECT word, syms[1:best[2]-1] || [syms[best[2]] || syms[best[2]+1]] ||
+       |           syms[best[2]+2:len(syms)]
+       |  FROM (SELECT word, syms, ${best("syms")} AS best FROM enc) t
+       |  WHERE best IS NOT NULL AND best[1] < 999999),
+       |fin AS (
+       |  SELECT word, syms FROM (SELECT word, syms, ${best("syms")} AS best FROM enc) t
+       |  WHERE best IS NULL OR best[1] = 999999),
+       |tok AS (SELECT word, syms, CAST(len(syms) AS BIGINT) AS n FROM fin)""".stripMargin
+  }
+
+  private def bpeEncodeOracle: String =
+    s"""WITH RECURSIVE
+       |$bpeCtes,
+       |agg AS (SELECT d.doc_id, CAST(SUM(t.n) AS BIGINT) AS n_tokens,
+       |          CAST(COUNT(*) AS BIGINT) AS n_words,
+       |          string_agg(array_to_string(t.syms, ' '), ' ' ORDER BY d.wi) AS enc
+       |        FROM wf d JOIN tok t USING (word) GROUP BY d.doc_id)
+       |SELECT doc.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+       |       COALESCE(a.n_words, 0) AS n_words, COALESCE(a.enc, '') AS enc
+       |FROM documents doc LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** q82: q40's pack oracle verbatim, with the whitespace token count
+    * swapped for the recursive-CTE BPE count — measure changes, pack
+    * arithmetic identical. */
+  private def bpePackOracle: String =
+    s"""WITH RECURSIVE
+       |$bpeCtes,
+       |dt AS (SELECT d.doc_id, CAST(SUM(t.n) AS BIGINT) AS n_tokens
+       |       FROM wf d JOIN tok t USING (word) GROUP BY d.doc_id),
+       |t2 AS (SELECT doc.lang, doc.doc_id, COALESCE(dt.n_tokens, 0) AS n_tokens
+       |       FROM documents doc LEFT JOIN dt USING (doc_id)),
+       |c AS (SELECT lang, doc_id, n_tokens,
+       |        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM t2)
+       |SELECT lang, CAST(FLOOR((cum - n_tokens) / 2048.0) AS INTEGER) AS chunk_id,
+       |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
+       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin
 
   private def simhashOracle: String = {
     val width = 64; val bands = 4; val bw = width / bands

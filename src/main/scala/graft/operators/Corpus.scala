@@ -181,14 +181,21 @@ object Corpus {
     * per shard (doc_id range) first, then offsets shards by the shard
     * totals — same output, full parallelism. The declared query keeps
     * the direct form the oracle can replicate.
+    *
+    * `nTokens` is the TOKENIZER column — any long-typed expression
+    * over the document row. The default keeps q40's whitespace budget;
+    * pass `size(Bpe.encode(col("text"))).cast("long")` to budget by
+    * real subword tokens (q82 does exactly that — same plan, same
+    * window, only the measure changes).
     */
-  def packSequences(documents: DataFrame, budget: Int = 2048): DataFrame = {
+  def packSequences(documents: DataFrame, budget: Int = 2048,
+                    nTokens: Column =
+                      size(split(col("text"), " ")).cast("long")): DataFrame = {
     val w = Window.partitionBy("lang")
       .orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withChunk = documents
-      .select(col("lang"), col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .select(col("lang"), col("doc_id"), nTokens.as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("chunk_id",
         floor((col("cum_tokens") - col("n_tokens")) / lit(budget.toDouble)).cast("int"))
@@ -220,11 +227,12 @@ object Corpus {
     * split mid-chunk differently than skew does anyway); parallelism
     * = #shards per language. */
   def packSequencesSharded(documents: DataFrame, budget: Int = 2048,
-                           shardSize: Long = 64L): DataFrame = {
+                           shardSize: Long = 64L,
+                           nTokens: Column =
+                             size(split(col("text"), " ")).cast("long")): DataFrame = {
     require(shardSize > 0, "shardSize must be positive")
     val toks = documents
-      .select(col("lang"), col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .select(col("lang"), col("doc_id"), nTokens.as("n_tokens"))
       .withColumn("shard", floor(col("doc_id") / shardSize))
     val wIn = Window.partitionBy("lang", "shard")
       .orderBy("doc_id")
@@ -277,9 +285,10 @@ object Corpus {
     * least one chunk, the last window is the only short one, and
     * stride < window guarantees the final window is non-empty. */
   def chunkSliding(documents: DataFrame, window: Int = 32,
-                   stride: Int = 16): DataFrame = {
+                   stride: Int = 16,
+                   tokens: Column = split(col("text"), " ")): DataFrame = {
     require(stride > 0 && stride <= window, "need 0 < stride <= window")
-    val tk = split(col("text"), " ")
+    val tk = tokens
     val n = size(tk)
     val nChunks = greatest(lit(1),
       ceil((n - lit(window)).cast("double") / stride).cast("int") + 1)

@@ -96,6 +96,25 @@ object TextOps {
       size(filter(toks, t => length(t) >= 5)).as("n_long_tokens"),
       length(col("text")).as("n_bytes"))
 
+  /** q81: BPE subword encode — q29's "BPE-ish proxy" replaced by the
+    * real greedy merge loop ([[graft.functions.Bpe]]). Emits the
+    * per-doc token count, word count, and the full joined token stream
+    * (`enc`), so the oracle hash-checks the exact SUBWORD IDENTITY of
+    * every token, not just counts.
+    *
+    * Pure per-row map: one scan, no shuffle, no state. At 100 TB this
+    * is embarrassingly parallel; the encoder's per-thread word memo
+    * makes the cost one greedy encode per distinct word per task
+    * (dictionary-encoding the vocabulary executor-locally). */
+  def bpeEncode(documents: DataFrame): DataFrame = {
+    val bpe = graft.functions.Bpe.encode(col("text"))
+    documents.select(
+      col("doc_id"),
+      size(bpe).cast("long").as("n_tokens"),
+      size(filter(toks, t => t =!= "")).cast("long").as("n_words"),
+      array_join(bpe, " ").as("enc"))
+  }
+
 
   private val stopwords = Seq("the", "a", "of", "and", "to")
 
