@@ -142,6 +142,17 @@ object SparkEntry {
       Corpus.packSequences(Tables(s, d).documents,
         nTokens = org.apache.spark.sql.functions.size(
           graft.functions.Bpe.encode(col("text"))).cast("long"))),
+    // q83: LEARN the merge table from the corpus (the training loop
+    // q81's encoder consumes); oracle replays all rounds as unrolled
+    // SQL generated from the same nMerges constant.
+    "q83_bpe_train"          -> ((s, d) =>
+      graft.functions.Bpe.train(Tables(s, d).documents)),
+    // q84: train-then-encode end-to-end — the tokenizer fit to its own
+    // corpus, exact subword identity under the LEARNED (data-
+    // dependent) table hash-checked against the oracle's replay of
+    // both the training chain and the greedy encode.
+    "q84_bpe_encode_trained" -> ((s, d) =>
+      TextOps.bpeEncodeTrained(Tables(s, d).documents)),
     "q44_tfidf_terms"        -> ((s, d) => TextOps.tfidfTopTerms(Tables(s, d).documents)),
     "q54_oov_rate"           -> ((s, d) => TextOps.oovRate(Tables(s, d).documents)),
     "q74_novelty_score"      -> ((s, d) => TextOps.noveltyScore(Tables(s, d).documents)),
@@ -1076,6 +1087,8 @@ object SparkEntry {
         |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
     "q81_bpe_encode" -> bpeEncodeOracle,
     "q82_bpe_pack" -> bpePackOracle,
+    "q83_bpe_train" -> bpeTrainOracle,
+    "q84_bpe_encode_trained" -> bpeEncodeTrainedOracle,
     "q42_rollup_report" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
         |       COUNT(*) AS n_events,
@@ -1713,6 +1726,84 @@ object SparkEntry {
        |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin
+
+  /** q83/q84: the BPE TRAINING loop unrolled to generated SQL — R =
+    * [[graft.functions.Bpe.defaultTrainRounds]] rounds, one source of
+    * truth with the Scala loop. Round i: weighted adjacent-pair counts
+    * over the word dictionary's current segmentation (s(i-1)), argmax
+    * with (count DESC, l, r) tie-break, then the batch merge applied
+    * via the doubled-separator replace trick — `replace` scans left to
+    * right resuming after each replacement in BOTH engines (BpeSpec
+    * pins the equivalence on adversarial repeats), so ' l  r '→' lr '
+    * over '  '-joined symbols fuses exactly the textbook
+    * non-overlapping occurrences. */
+  private def bpeTrainCtes(r: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "w0 AS MATERIALIZED (SELECT w AS word, CAST(count(*) AS BIGINT) AS c" +
+      " FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t0" +
+      " WHERE w <> '' GROUP BY w),\n"
+    sb ++= "s0 AS MATERIALIZED (SELECT word, c, regexp_extract_all(word, '.') AS segs FROM w0)"
+    for (i <- 1 to r) {
+      val p = i - 1
+      sb ++= s",\np$i AS (SELECT segs[i] AS l, segs[i+1] AS r," +
+        s" CAST(SUM(c) AS BIGINT) AS n" +
+        s" FROM s$p, unnest(range(1, len(segs))) AS t(i) GROUP BY 1, 2)"
+      sb ++= s",\nb$i AS MATERIALIZED (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1)"
+      if (i < r)
+        sb ++= s",\ns$i AS MATERIALIZED (SELECT word, c, list_filter(string_split(" +
+          s"replace(' ' || array_to_string(segs, '  ') || ' '," +
+          s" ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ')," +
+          s" ' '), x -> x <> '') AS segs FROM s$p, b$i b)"
+    }
+    sb.result()
+  }
+
+  private def bpeTrainOracle: String = {
+    val r = graft.functions.Bpe.defaultTrainRounds
+    val union = (1 to r).map(i =>
+      s"SELECT $i AS merge_rank, l AS lhs, r AS rhs, n AS pair_count FROM b$i")
+      .mkString(" UNION ALL ")
+    s"WITH ${bpeTrainCtes(r)}\nSELECT * FROM ($union) ORDER BY merge_rank"
+  }
+
+  /** q84: full train-then-encode replay — the training chain feeds the
+    * learned pair list (tm) into the same recursive greedy encode
+    * q81's oracle runs, so exact subword identity under the
+    * DATA-DEPENDENT table is verified end-to-end. */
+  private def bpeEncodeTrainedOracle: String = {
+    val r = graft.functions.Bpe.defaultTrainRounds
+    val union = (1 to r).map(i => s"SELECT $i AS mr, l, r FROM b$i")
+      .mkString(" UNION ALL ")
+    def best(syms: String) =
+      s"list_sort(list_transform(range(1, len($syms)), i -> [coalesce(nullif(" +
+        s"list_position(tm.ml, $syms[i] || ' ' || $syms[i+1]), 0), 999999), i]))[1]"
+    s"WITH RECURSIVE\n" +
+      bpeTrainCtes(r) + ",\n" +
+      s"tm AS MATERIALIZED (SELECT list(l || ' ' || r ORDER BY mr) AS ml FROM ($union)),\n" +
+      "wp AS (SELECT doc_id, generate_subscripts(w, 1) AS wi, unnest(w) AS word" +
+      " FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t0),\n" +
+      "wf AS MATERIALIZED (SELECT * FROM wp WHERE word <> ''),\n" +
+      "dw AS (SELECT DISTINCT word FROM wf),\n" +
+      "enc(word, syms) AS (\n" +
+      "  SELECT word, regexp_extract_all(word, '.') FROM dw\n" +
+      "  UNION ALL\n" +
+      "  SELECT word, syms[1:best[2]-1] || [syms[best[2]] || syms[best[2]+1]]" +
+      " || syms[best[2]+2:len(syms)]\n" +
+      s"  FROM (SELECT word, syms, ${best("syms")} AS best FROM enc, tm) t\n" +
+      "  WHERE best IS NOT NULL AND best[1] < 999999),\n" +
+      "fin AS (\n" +
+      s"  SELECT word, syms FROM (SELECT word, syms, ${best("syms")} AS best" +
+      " FROM enc, tm) t\n" +
+      "  WHERE best IS NULL OR best[1] = 999999),\n" +
+      "tok AS (SELECT word, syms, CAST(len(syms) AS BIGINT) AS n FROM fin),\n" +
+      "agg AS (SELECT d.doc_id, CAST(SUM(t.n) AS BIGINT) AS n_tokens,\n" +
+      "          CAST(COUNT(*) AS BIGINT) AS n_words,\n" +
+      "          string_agg(array_to_string(t.syms, ' '), ' ' ORDER BY d.wi) AS enc\n" +
+      "        FROM wf d JOIN tok t USING (word) GROUP BY d.doc_id)\n" +
+      "SELECT doc.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,\n" +
+      "       COALESCE(a.n_words, 0) AS n_words, COALESCE(a.enc, '') AS enc\n" +
+      "FROM documents doc LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"
+  }
 
   private def simhashOracle: String = {
     val width = 64; val bands = 4; val bw = width / bands

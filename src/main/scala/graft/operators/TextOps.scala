@@ -115,6 +115,30 @@ object TextOps {
       array_join(bpe, " ").as("enc"))
   }
 
+  /** q84: the two tokenizer halves MEETING — train the merge table on
+    * the corpus ([[graft.functions.Bpe.trainedMerges]], q83's loop),
+    * then encode the same corpus with it. This is the production
+    * calling convention (a tokenizer fit to its data), oracle-checked
+    * end-to-end: the DuckDB side replays the full training chain AND
+    * the greedy encode under the learned table, so the exact subword
+    * identity of every token under a DATA-DEPENDENT merge table is
+    * hash-verified.
+    *
+    * Cost = q83 (one corpus scan + vocab-frame rounds) + q81's pure
+    * per-row encode pass; the learned table is KB driver state riding
+    * into the expression like any literal. */
+  def bpeEncodeTrained(documents: DataFrame,
+      nMerges: Int = graft.functions.Bpe.defaultTrainRounds): DataFrame = {
+    val tm = graft.functions.Bpe.trainedMerges(documents, nMerges)
+      .map { case (l, r, _) => (l, r) }
+    val bpe = graft.functions.Bpe.encode(col("text"), tm)
+    documents.select(
+      col("doc_id"),
+      size(bpe).cast("long").as("n_tokens"),
+      size(filter(toks, t => t =!= "")).cast("long").as("n_words"),
+      array_join(bpe, " ").as("enc"))
+  }
+
 
   private val stopwords = Seq("the", "a", "of", "and", "to")
 

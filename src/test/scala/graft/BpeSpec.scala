@@ -123,6 +123,100 @@ class BpeSpec extends SparkSpec {
     mismatches shouldBe 0L
   }
 
+  /** Independent reference trainer: plain-Scala batch BPE learning
+    * over a word-count map — greedy most-frequent pair, (count DESC,
+    * l, r) tie-break, textbook batch merge per round. */
+  private def refTrain(wc: Map[String, Long],
+                       rounds: Int): Vector[(String, String, Long)] = {
+    var segs = wc.keysIterator.map(w => w -> w.map(_.toString).toVector).toMap
+    val out = Vector.newBuilder[(String, String, Long)]
+    for (_ <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      segs.foreach { case (w, s) =>
+        s.zip(s.tail).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + wc(w)
+        }
+      }
+      val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+      out += ((l, r, n))
+      segs = segs.map { case (w, s) =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+            b += (l + r); i += 2
+          } else { b += s(i); i += 1 }
+        }
+        w -> b.result()
+      }
+    }
+    out.result()
+  }
+
+  test("q83 trained merges match an independent plain-Scala trainer on the corpus") {
+    val wc = tables.documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Bpe.trainedMerges(tables.documents, nMerges = 10)
+    got shouldBe refTrain(wc, 10)
+  }
+
+  test("the batch-merge replace trick matches sequential non-overlapping merge on adversarial repeats") {
+    // ("aaaa", a+a) -> [aa, aa]; ("aaa", a+a) -> [aa, a]; etc. Spark's
+    // `replace` must scan left-to-right resuming after each
+    // replacement (the DuckDB oracle side is pinned by the same cases
+    // in the generator's scaladoc).
+    val cases = Seq(
+      (Seq("a", "a", "a", "a"), ("a", "a"), Seq("aa", "aa")),
+      (Seq("a", "a", "a"), ("a", "a"), Seq("aa", "a")),
+      (Seq("a", "b", "a", "b", "a", "b"), ("a", "b"), Seq("ab", "ab", "ab")),
+      (Seq("a", "a", "b", "a", "a"), ("a", "a"), Seq("aa", "b", "aa")),
+      (Seq("a", "b", "b", "a"), ("b", "b"), Seq("a", "bb", "a")),
+      (Seq("x"), ("a", "a"), Seq("x")))
+    cases.foreach { case (in, (l, r), want) =>
+      val df = spark.range(1).select(
+        Bpe.applyMergeCol(
+          array(in.map(lit): _*), l, r).as("m"))
+      df.collect().head.getSeq[String](0) shouldBe want
+    }
+  }
+
+  test("trained table compresses the corpus at least as well as the default table at the same merge budget") {
+    // the fair comparison: 16 learned merges vs the FIRST 16 fixed
+    // ones (same budget) — the q65 trained-vs-seed recall analogue
+    val n = Bpe.defaultTrainRounds
+    val trained = Bpe.trainedMerges(tables.documents, n)
+      .map { case (l, r, _) => (l, r) }
+    val counts = tables.documents.select(
+      sum(org.apache.spark.sql.functions
+        .size(Bpe.encode(col("text"), trained))).as("t"),
+      sum(org.apache.spark.sql.functions
+        .size(Bpe.encode(col("text"), Bpe.defaultMerges.take(n)))).as("d"),
+      sum(org.apache.spark.sql.functions
+        .size(split(col("text"), " "))).as("w")).collect().head
+    val (t, d, w) = (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+    t should be <= d       // fit-to-corpus beats fixed at equal budget
+    t should be >= w       // subword count never beats whole words
+  }
+
+  test("q84 trained encode is lossless and exhaustion fails loudly") {
+    val bad = TextOps.bpeEncodeTrained(tables.documents)
+      .join(tables.documents, "doc_id")
+      .filter(regexp_replace(col("enc"), " ", "") =!=
+        regexp_replace(col("text"), " ", ""))
+      .count()
+    bad shouldBe 0L
+    // tiny vocabulary: only 'ab' -> exhausts after 1 merge
+    import spark.implicits._
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.trainedMerges(tiny, nMerges = 5)
+    }
+    ex.getMessage should include("exhausted")
+  }
+
   test("a learned/custom merge table rides through the expression") {
     val custom = Seq("a" -> "b", "ab" -> "c")
     val e2 = new Bpe.Encoder(custom)
