@@ -1685,7 +1685,7 @@ object SparkEntry {
        |wf AS (SELECT * FROM wp WHERE word <> ''),
        |dw AS (SELECT DISTINCT word FROM wf),
        |enc(word, syms) AS (
-       |  SELECT word, regexp_extract_all(word, '.') FROM dw
+       |  SELECT word, regexp_extract_all(word, '(?s).') FROM dw
        |  UNION ALL
        |  SELECT word, syms[1:best[2]-1] || [syms[best[2]] || syms[best[2]+1]] ||
        |           syms[best[2]+2:len(syms)]
@@ -1742,7 +1742,7 @@ object SparkEntry {
     sb ++= "w0 AS MATERIALIZED (SELECT w AS word, CAST(count(*) AS BIGINT) AS c" +
       " FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t0" +
       " WHERE w <> '' GROUP BY w),\n"
-    sb ++= "s0 AS MATERIALIZED (SELECT word, c, regexp_extract_all(word, '.') AS segs FROM w0)"
+    sb ++= "s0 AS MATERIALIZED (SELECT word, c, regexp_extract_all(word, '(?s).') AS segs FROM w0)"
     for (i <- 1 to r) {
       val p = i - 1
       sb ++= s",\np$i AS (SELECT segs[i] AS l, segs[i+1] AS r," +
@@ -1785,7 +1785,7 @@ object SparkEntry {
       "wf AS MATERIALIZED (SELECT * FROM wp WHERE word <> ''),\n" +
       "dw AS (SELECT DISTINCT word FROM wf),\n" +
       "enc(word, syms) AS (\n" +
-      "  SELECT word, regexp_extract_all(word, '.') FROM dw\n" +
+      "  SELECT word, regexp_extract_all(word, '(?s).') FROM dw\n" +
       "  UNION ALL\n" +
       "  SELECT word, syms[1:best[2]-1] || [syms[best[2]] || syms[best[2]+1]]" +
       " || syms[best[2]+2:len(syms)]\n" +

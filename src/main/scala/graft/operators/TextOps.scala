@@ -106,8 +106,14 @@ object TextOps {
     * is embarrassingly parallel; the encoder's per-thread word memo
     * makes the cost one greedy encode per distinct word per task
     * (dictionary-encoding the vocabulary executor-locally). */
-  def bpeEncode(documents: DataFrame): DataFrame = {
-    val bpe = graft.functions.Bpe.encode(col("text"))
+  def bpeEncode(documents: DataFrame): DataFrame =
+    bpeSelect(documents, graft.functions.Bpe.defaultMerges)
+
+  /** Shared q81/q84 output contract (doc_id, n_tokens, n_words, enc)
+    * — one place, so the two surfaces cannot drift. */
+  private def bpeSelect(documents: DataFrame,
+                        merges: Seq[(String, String)]): DataFrame = {
+    val bpe = graft.functions.Bpe.encode(col("text"), merges)
     documents.select(
       col("doc_id"),
       size(bpe).cast("long").as("n_tokens"),
@@ -128,16 +134,10 @@ object TextOps {
     * per-row encode pass; the learned table is KB driver state riding
     * into the expression like any literal. */
   def bpeEncodeTrained(documents: DataFrame,
-      nMerges: Int = graft.functions.Bpe.defaultTrainRounds): DataFrame = {
-    val tm = graft.functions.Bpe.trainedMerges(documents, nMerges)
-      .map { case (l, r, _) => (l, r) }
-    val bpe = graft.functions.Bpe.encode(col("text"), tm)
-    documents.select(
-      col("doc_id"),
-      size(bpe).cast("long").as("n_tokens"),
-      size(filter(toks, t => t =!= "")).cast("long").as("n_words"),
-      array_join(bpe, " ").as("enc"))
-  }
+      nMerges: Int = graft.functions.Bpe.defaultTrainRounds): DataFrame =
+    bpeSelect(documents,
+      graft.functions.Bpe.trainedMerges(documents, nMerges)
+        .map { case (l, r, _) => (l, r) })
 
 
   private val stopwords = Seq("the", "a", "of", "and", "to")

@@ -217,6 +217,39 @@ class BpeSpec extends SparkSpec {
     ex.getMessage should include("exhausted")
   }
 
+  test("codepoint segmentation: newlines are symbols, surrogate pairs never split") {
+    // newline inside a space-delimited word stays a symbol (the
+    // oracle's '(?s).' matches it too)
+    enc.encodeWord("a\nb").toSeq shouldBe Seq("a", "\n", "b")
+    // a non-BMP codepooint (surrogate pair in UTF-16) is ONE symbol,
+    // matching the trainer's split(word, "") and the oracle's regexp
+    val emoji = new String(Character.toChars(0x1F600))
+    enc.encodeWord(emoji + "zz").toSeq shouldBe Seq(emoji, "z", "z")
+    // trainer and encoder agree on the same corpus: training on a
+    // surrogate-bearing vocab learns a codepoint pair the encoder
+    // can then apply
+    import spark.implicits._
+    val df = Seq((1L, s"${emoji}z ${emoji}z")).toDF("doc_id", "text")
+    val learned = Bpe.trainedMerges(df, nMerges = 1)
+    learned.head._1 shouldBe emoji
+    learned.head._2 shouldBe "z"
+    new Bpe.Encoder(learned.map(m => (m._1, m._2)))
+      .encodeWord(emoji + "z").toSeq shouldBe Seq(emoji + "z")
+  }
+
+  test("non-monotone merge tables are rejected (the equivalence precondition)") {
+    // [("bc","b"), ("b","c")]: step-wise and batch merge diverge on
+    // "bcbc" — the Encoder refuses the table instead
+    val ex = intercept[IllegalArgumentException] {
+      new Bpe.Encoder(Seq("bc" -> "b", "b" -> "c")).encodeWord("bcbc")
+    }
+    ex.getMessage should include("non-monotone")
+    // monotone compound symbols pass (made by earlier merges): rank-1
+    // (b,c) exhausts first, so the batch-equivalent result is [bc,bc]
+    new Bpe.Encoder(Seq("b" -> "c", "bc" -> "b"))
+      .encodeWord("bcbc").toSeq shouldBe Seq("bc", "bc")
+  }
+
   test("a learned/custom merge table rides through the expression") {
     val custom = Seq("a" -> "b", "ab" -> "c")
     val e2 = new Bpe.Encoder(custom)
