@@ -311,6 +311,42 @@ object Bpe {
     out.result()
   }
 
+  /** Persist a learned merge table ([[train]]'s frame) — the
+    * tokenizer-artifact half of the production lifecycle: train once
+    * (q83), persist, encode everywhere ([[readMerges]] -> [[encode]]),
+    * the same train/persist/apply shape the minhash band index uses
+    * (`Dedup.writeBandIndex`). Tiny ordered table; one file. */
+  def writeMerges(merges: DataFrame, path: String): Unit = {
+    val cols = Set("merge_rank", "lhs", "rhs")
+    require(cols.subsetOf(merges.columns.toSet),
+      s"writeMerges expects train()'s (merge_rank, lhs, rhs[, pair_count]) " +
+        s"schema, got ${merges.columns.mkString(", ")}")
+    merges.coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a persisted merge table back into [[encode]]'s input shape.
+    * Validated at read time, fail-loud like the band index's stamp
+    * checks: ranks must be exactly 1..n (a gap or duplicate means the
+    * artifact is corrupt — encoding with it would silently change
+    * priorities), and the table must pass the Encoder's monotonicity
+    * check (construction here, so a bad artifact dies at READ, not on
+    * the first executor task). */
+  def readMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Vector[(String, String)] = {
+    val rows = spark.read.parquet(path)
+      .select("merge_rank", "lhs", "rhs")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"merge table at $path is empty")
+    require(rows.map(_._1).toSeq == (1 to rows.length),
+      s"merge table at $path has corrupt ranks " +
+        s"(${rows.map(_._1).mkString(",")} != 1..${rows.length})")
+    val out = rows.map(t => (t._2, t._3)).toVector
+    new Encoder(out) // monotonicity + non-empty validation, fail at read
+    out
+  }
+
   /** q83 as a frame: the learned merge table
     * (merge_rank, lhs, rhs, pair_count). */
   def train(documents: DataFrame,

@@ -390,8 +390,9 @@ object Dedup {
     * (no dedup here — the admit loop's first-admission-wins anti-join
     * guarantees doc_id uniqueness at write time, and dropping rows in
     * a store that feeds exact-text verification would be silent data
-    * loss if that invariant ever broke — the count check therefore
-    * compares RAW counts and fails loudly on any difference).
+    * loss if that invariant ever broke — validation therefore
+    * compares a CONTENT signature, (row count, order-free sum of
+    * per-row hashes), and fails loudly on any difference).
     * Clustered by doc_id so the verify join's row-group pruning works.
     * Returns (files_before, files_after). */
   def compactParquetStore(spark: org.apache.spark.sql.SparkSession,
@@ -409,15 +410,23 @@ object Dedup {
         .parquet(tmp)
     }) { tmp =>
       // The store feeds exact-text verification, so validate CONTENT,
-      // not just cardinality: an order-free checksum (count + bit_xor
-      // of xxhash64 over every column) catches a rewrite that
-      // corrupted or swapped values even when row counts agree. One
-      // cheap agg per side; xor cannot overflow (ANSI-safe).
-      def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      // not just cardinality: an order-free checksum (count + SUM of
+      // per-row xxhash64, widened to decimal(38) so it can't overflow
+      // under ANSI) catches a rewrite that corrupted or swapped values
+      // even when row counts agree. Sum, not bit_xor: identical rows
+      // cancel in PAIRS under xor ({A,B,B} == {A,C,C}), and catching
+      // doc_id-uniqueness breakage is exactly this check's job. One
+      // cheap agg per side. (xxhash64 skips null arguments, so a
+      // value<->null column swap hashes alike — moot for the non-null
+      // store schema, noted for reuse.)
+      def sig(df: org.apache.spark.sql.DataFrame): (Long, java.math.BigDecimal) = {
         val r = df.agg(
           count(lit(1)),
-          expr(s"bit_xor(xxhash64(${df.columns.map(c => s"`$c`").mkString(", ")}))")).head()
-        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+          expr(s"sum(cast(xxhash64(${df.columns.map(c => s"`$c`").mkString(", ")}) " +
+            "as decimal(38,0)))")).head()
+        (r.getLong(0),
+          if (r.isNullAt(1)) java.math.BigDecimal.ZERO
+          else r.getDecimal(1))
       }
       val want = sig(store)
       val got = sig(spark.read.parquet(tmp))
@@ -467,16 +476,17 @@ object Dedup {
     * Digest-keyed shuffles distribute on content hash — high
     * cardinality, no skew hazard short of a corpus-scale boilerplate
     * segment, where ONE window partition would hold a corpus-scale
-    * row count on a single task. `maxDf > 0` guards that: the
-    * segment's df is computed inside the SAME window partition
-    * (unbounded frame over the identical partition+sort — no extra
-    * exchange, PLAN_AUDIT shape unchanged) and a row-level
-    * `assert_true` fails the run loudly naming the offending df,
-    * instead of burning hours in a skewed sort. Fail-loud, not
-    * drop-silent: removing a boilerplate segment from the rank would
-    * CHANGE which occurrence survives, so the cap aborts rather than
-    * underestimates — the operator-level analogue of the stale-
-    * geometry bucket caps. */
+    * row count on a single task. `maxDf > 0` guards that with an
+    * EAGER pre-flight: a map-side-combined per-digest count (partial
+    * aggs suffer no skew) fails the run loudly BEFORE the window's
+    * exchange is paid — the q24 guard-scan convention, one extra
+    * segmentation pass bought only when the cap is enabled. Fail-loud,
+    * not drop-silent: removing a boilerplate segment from the rank
+    * would CHANGE which occurrence survives, so the cap aborts rather
+    * than underestimates — the operator-level analogue of the stale-
+    * geometry bucket caps. Empty segments (blank lines) are exempt
+    * from rank and cap alike: they are document structure, always
+    * kept, each in its own window partition. */
   def lineDedup(documents: DataFrame, width: Int = 12, maxDf: Long = 0L,
                 separator: String = ""): DataFrame = {
     require(width >= 1, "segment width must be >= 1")
@@ -485,9 +495,9 @@ object Dedup {
       if (separator.nonEmpty)
         // production contract: segments ARE the separator-delimited
         // lines (split on the LITERAL separator — quoted, split() takes
-        // a regex); a trailing separator yields a final empty segment,
-        // kept: an empty line is a deduplicatable segment like any
-        // other, and reassembly must round-trip the separator count
+        // a regex); a trailing separator yields a final empty segment.
+        // Empty segments bypass the dedup rank below (always kept), so
+        // reassembly round-trips the separator count in EVERY doc
         documents.select(col("doc_id"),
           posexplode(split(col("text"),
             java.util.regex.Pattern.quote(separator), -1)))
@@ -503,24 +513,52 @@ object Dedup {
               s"i -> array_join(slice(tk, i * $width + 1, $width), ' '))")))
           .withColumnRenamed("pos", "seg_idx")
           .withColumnRenamed("col", "seg")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(xxhash64(col("seg"))).orderBy("doc_id", "seg_idx")
+    // Empty segments (blank lines / trailing separators in separator
+    // mode) are STRUCTURE, not content: ranking them corpus-wide
+    // would hand every document except one its paragraph breaks'
+    // removal — and df("") is corpus-scale, the exact skew the cap
+    // exists to prevent. They bypass the dedup rank (always kept):
+    // the window key routes each empty segment into its own
+    // (doc_id, seg_idx) partition — the leading is-empty key means
+    // an empty and a text segment can never share a partition, so
+    // no hash-collision cross-talk. Fixed-width mode has no empty
+    // segments (an empty doc's single "" segment aside) and keeps
+    // the plain digest key.
+    val isEmptySeg = col("seg") === ""
+    val w =
+      if (separator.nonEmpty)
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(isEmptySeg,
+            when(isEmptySeg, col("doc_id")).otherwise(xxhash64(col("seg"))),
+            when(isEmptySeg, col("seg_idx").cast("long")).otherwise(lit(0L)))
+          .orderBy("doc_id", "seg_idx")
+      else
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(xxhash64(col("seg"))).orderBy("doc_id", "seg_idx")
+    // maxDf is an EAGER pre-flight (one map-side-combined count over a
+    // second segmentation pass, the q24 guard-scan convention): a
+    // partial agg suffers no skew, so the run dies BEFORE paying the
+    // degenerate single-task window sort an in-plan check would only
+    // diagnose afterwards. Fail-loud, not drop-silent: removing a
+    // boilerplate segment from the rank would CHANGE which occurrence
+    // survives, so the cap aborts rather than underestimates.
+    if (maxDf > 0L) {
+      val inRank =
+        if (separator.nonEmpty) segs.filter(!isEmptySeg) else segs
+      val offender = inRank
+        .groupBy(xxhash64(col("seg")).as("k"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf)
+        .orderBy(col("df").desc)
+        .limit(1).collect()
+      require(offender.isEmpty,
+        s"lineDedup: a segment's df=${offender.headOption.map(_.getLong(1)).getOrElse(0L)} " +
+          s"exceeds maxDf=$maxDf — a corpus-scale boilerplate segment " +
+          "would skew the rank exchange onto one task; strip it " +
+          "upstream or raise the cap")
+    }
     val ranked = segs.withColumn("keep", row_number().over(w) === 1)
-    val capped =
-      if (maxDf > 0L)
-        ranked
-          .withColumn("_df", count(lit(1)).over(
-            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-              org.apache.spark.sql.expressions.Window.unboundedFollowing)))
-          .filter(assert_true(col("_df") <= maxDf,
-            concat(lit(s"lineDedup: a segment's df exceeds maxDf=$maxDf (df="),
-              col("_df"), lit(", first carrier doc_id="), col("doc_id"),
-              lit(") — a corpus-scale boilerplate segment would skew the " +
-                "rank exchange onto one task; strip it upstream or raise " +
-                "the cap"))).isNull)
-          .drop("_df")
-      else ranked
-    capped
+    ranked
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_segments"),

@@ -276,6 +276,15 @@ object Similarity {
           "centroids override must have distinct cell ids")
         require(cs.map(_._2.length).distinct.length == 1,
           "centroids override must have a uniform dimension")
+        // dimension must MATCH the corpus: DotProduct truncates to the
+        // shorter operand, so a wrong-dim table would quietly
+        // misquantize every vector instead of erroring. One first()
+        // against the corpus (a single-row read) buys the loud check.
+        val corpusDim = embeddings.select(size(vecD(col("embedding"))))
+          .first().getInt(0)
+        require(cs.head._2.length == corpusDim,
+          s"centroids override dimension ${cs.head._2.length} does not " +
+            s"match the corpus embedding dimension $corpusDim")
         cs.sortBy(_._1)
       case None => seedCentroids(embeddings, nCells)
     }
@@ -296,12 +305,14 @@ object Similarity {
     val cellIds = lit(cents.map(_._1))
     def cellScores(v: Column): Column = seedCellScores(cents)(v)
     val e = prepared(embeddings)
-    // assignment: first-max position → smallest cell id on ties;
-    // element_at maps the position back to the centroid's vec_id, so
-    // nothing assumes centroid ids are contiguous
-    val scores = cellScores(col("v"))
-    val assigned = e
-      .withColumn("cell", element_at(cellIds, array_position(scores, array_max(scores)).cast("int")))
+    // corpus-side assignment: the dual-shape argmax (literal array at
+    // test geometry — first-max position -> smallest cell id on ties,
+    // element_at mapping the position back to the centroid's vec_id —
+    // and the broadcast-table max-struct past the ~32-centroid janino
+    // window, the same routing annIvfPq uses). The QUERY-side literal
+    // scores below run on nQueries rows, where even an interpreted
+    // fallback is microseconds.
+    val assigned = assignCellsFull(e, cents)
       .select(col("vec_id").as("neighbor_id"), col("cell"),
         col("v").as("cv"), col("nrm").as("cn"))
     val wq = Window.partitionBy("query_id").orderBy(col("score").desc, col("cell"))
@@ -637,6 +648,16 @@ object Similarity {
         sqrt(Exprs.dot(col("cv"), col("cv"))).as("cnrm"))
   }
 
+  /** Every row of `e` scored against every broadcast centroid —
+    * score = dot(v, cv)/|cv| (the spherical-quantizer convention).
+    * ONE definition shared by the training loop and the final
+    * assignment pass, so the last-bit scoring shape cannot diverge
+    * between them. */
+  private def scoredAgainst(e: DataFrame,
+                            cents: Array[(Long, Array[Double])]): DataFrame =
+    e.crossJoin(broadcast(centroidFrame(e.sparkSession, cents)))
+      .withColumn("score", dot(col("v"), col("cv")) / col("cnrm"))
+
   /** [[kmeansIterate]]'s training loop exposed as a CENTROID TABLE —
     * the bridge that lets the IVF family ([[annIvf]]/[[annIvfPq]]/
     * [[semanticDedup]]) quantize on TRAINED centroids instead of the
@@ -656,8 +677,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     val e = prepared(embeddings)
     def scored(cents: Array[(Long, Array[Double])]): DataFrame =
-      e.crossJoin(broadcast(centroidFrame(spark, cents)))
-        .withColumn("score", dot(col("v"), col("cv")) / col("cnrm"))
+      scoredAgainst(e, cents)
     var cents = seedCentroids(embeddings, nCells)
     var moved = Double.MaxValue
     var r = 0
@@ -731,10 +751,7 @@ object Similarity {
                     tol: Double = 0.0): DataFrame = {
     val e = prepared(embeddings)
     val cents = trainedCentroids(embeddings, nCells, rounds, tol)
-    def scored(cents: Array[(Long, Array[Double])]): DataFrame =
-      e.crossJoin(broadcast(centroidFrame(embeddings.sparkSession, cents)))
-        .withColumn("score", dot(col("v"), col("cv")) / col("cnrm"))
-    scored(cents)
+    scoredAgainst(e, cents)
       .withColumn("cand", struct(col("score"), (-col("cell")).as("nc"),
         col("cell"),
         // dot/(nrm·cnrm), NOT score/nrm — q48's last-bit note applies

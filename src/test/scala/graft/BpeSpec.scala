@@ -250,6 +250,32 @@ class BpeSpec extends SparkSpec {
       .encodeWord("bcbc").toSeq shouldBe Seq("bc", "bc")
   }
 
+  test("merge-table persistence: write -> read -> encode round-trips; corrupt artifacts fail at read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    val frame = Bpe.train(tables.documents, nMerges = 8)
+    Bpe.writeMerges(frame, dir + "/merges")
+    val loaded = Bpe.readMerges(spark, dir + "/merges")
+    loaded shouldBe Bpe.trainedMerges(tables.documents, 8).map(m => (m._1, m._2))
+    // encoding under the loaded artifact == encoding in-memory
+    val a = tables.documents.select(
+      sum(org.apache.spark.sql.functions.size(Bpe.encode(col("text"), loaded))))
+      .collect().head.getLong(0)
+    val b = tables.documents.select(
+      sum(org.apache.spark.sql.functions.size(Bpe.encode(col("text"),
+        Bpe.trainedMerges(tables.documents, 8).map(m => (m._1, m._2))))))
+      .collect().head.getLong(0)
+    a shouldBe b
+    // a rank gap is a corrupt artifact — dies at READ, not mid-encode
+    Bpe.writeMerges(frame.filter(col("merge_rank") =!= 3), dir + "/bad")
+    intercept[IllegalArgumentException] {
+      Bpe.readMerges(spark, dir + "/bad")
+    }.getMessage should include("corrupt ranks")
+    // wrong schema refuses to write
+    intercept[IllegalArgumentException] {
+      Bpe.writeMerges(tables.documents, dir + "/worse")
+    }.getMessage should include("schema")
+  }
+
   test("a learned/custom merge table rides through the expression") {
     val custom = Seq("a" -> "b", "ab" -> "c")
     val e2 = new Bpe.Encoder(custom)

@@ -309,11 +309,27 @@ class DedupSpec extends SparkSpec {
     out(2L) shouldBe ((3L, 2L, "second page body"))
     // internal repeat of page 3's own body line also removed
     out(3L) shouldBe ((4L, 3L, "third page body"))
-    // empty lines are segments too: a doubled newline round-trips
-    val e = Seq((10L, "alpha\n\nbeta")).toDF("doc_id", "text")
+    // empty lines are STRUCTURE, not content: they bypass the dedup
+    // rank, so EVERY doc keeps its paragraph breaks — not just the
+    // first carrier of ""
+    val e = Seq(
+      (10L, "alpha\n\nbeta"),
+      (11L, "gamma\n\ndelta"),
+      (12L, "alpha\n\nepsilon")
+    ).toDF("doc_id", "text")
     val eo = Dedup.lineDedup(e, separator = "\n").collect()
-      .map(r => r.getLong(0) -> r.getString(3)).toMap
-    eo(10L) shouldBe "alpha\n\nbeta"
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    eo(10L) shouldBe ((0L, "alpha\n\nbeta"))
+    eo(11L) shouldBe ((0L, "gamma\n\ndelta"))       // blank line SURVIVES
+    eo(12L) shouldBe ((1L, "\nepsilon"))            // only "alpha" deduped
+    // blank lines are exempt from the df cap too: df("") = 3 here,
+    // but with every NON-empty line unique, maxDf=1 must pass
+    val unique = Seq(
+      (20L, "one\n\ntwo"), (21L, "three\n\nfour"), (22L, "five\n\nsix")
+    ).toDF("doc_id", "text")
+    Dedup.lineDedup(unique, separator = "\n", maxDf = 1L).collect()
+      .map(_.getString(3)).sorted shouldBe
+      Seq("five\n\nsix", "one\n\ntwo", "three\n\nfour")
   }
 
   test("q80 maxDf cap: corpus-scale boilerplate segment fails loudly, in-cap corpus unchanged") {

@@ -154,6 +154,24 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.annIvf(e, centroids = Some(ragged))
     }.getMessage should include("dimension")
+    // uniform-but-WRONG dimension dies too (DotProduct truncates to
+    // the shorter operand, so this would otherwise quietly misquantize
+    // every vector against half a centroid)
+    val wrongDim = Array((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)))
+    intercept[IllegalArgumentException] {
+      Similarity.annIvf(e, centroids = Some(wrongDim))
+    }.getMessage should include("does not match the corpus")
+    // past the ~32-centroid janino window the corpus assignment takes
+    // assignCellsFull's broadcast branch (the annIvfPq routing): the
+    // IVF contract must hold there too — full top-k per query, every
+    // hit carrying the exact brute-force cosine
+    val wide = Similarity.annIvf(e, nCells = 40, nQueries = 5, k = 5).collect()
+    wide.length shouldBe 25
+    val exactCos = Similarity.annBruteForce(e, nQueries = 5, k = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    wide.foreach { r =>
+      exactCos((r.getLong(0), r.getLong(1))) shouldBe r.getDouble(2)
+    }
   }
 
   test("q48 one k-means step clusters vectors by direction") {
