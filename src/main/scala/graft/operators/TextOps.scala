@@ -217,8 +217,9 @@ object TextOps {
     * counts + total) — the shared tokenizer column is what keeps the
     * two "top-V" definitions aligned; tie ORDER stays at each call
     * site (both use (cnt desc, tok)). */
-  private def tokenCountFrame(documents: DataFrame): DataFrame =
-    documents.select(explode(toks).as("tok"))
+  private def tokenCountFrame(documents: DataFrame,
+                              tokens: Column = toks): DataFrame =
+    documents.select(explode(tokens).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
 
   /** q68: vocabulary coverage curve — the tokenizer-fit planning
@@ -238,7 +239,8 @@ object TextOps {
     * integers, coverage is ONE IEEE division — bit-identical, no
     * rounding step. Ties order by (count desc, token) in both
     * engines. */
-  def vocabCoverage(documents: DataFrame, topV: Int = 100): DataFrame = {
+  def vocabCoverage(documents: DataFrame, topV: Int = 100,
+                    tokens: Column = split(col("text"), " ")): DataFrame = {
     // ONE corpus scan: rollup emits per-token counts AND the grand
     // total (the null-token row — split() never yields null tokens)
     // in one shuffle. The plan stays a LINEAR chain: total ≥ every
@@ -248,7 +250,7 @@ object TextOps {
     // (filter counts / filter total, join back) would re-run the
     // whole scan+shuffle per branch: exchange reuse measurably does
     // NOT fire for it, even under AQE.
-    val agg = documents.select(explode(toks).as("token"))
+    val agg = documents.select(explode(tokens).as("token"))
       .rollup("token").agg(count(lit(1)).as("n_occurrences"))
     val top1 = agg
       .orderBy(col("n_occurrences").desc, col("token").asc_nulls_first)
@@ -570,10 +572,11 @@ object TextOps {
     * vocabulary is a real tokenizer's (load it as a table); the
     * corpus-derived top-V here keeps the operator self-contained and
     * the oracle replicable. */
-  def oovRate(documents: DataFrame, vocabSize: Int = 50): DataFrame = {
+  def oovRate(documents: DataFrame, vocabSize: Int = 50,
+              tokens: Column = split(col("text"), " ")): DataFrame = {
     val toks = documents.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("tok"))
-    val vocab = tokenCountFrame(documents)
+      explode(tokens).as("tok"))
+    val vocab = tokenCountFrame(documents, tokens)
       .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
       .select(col("tok"), lit(true).as("in_vocab"))
     toks.join(broadcast(vocab), Seq("tok"), "left")

@@ -250,6 +250,25 @@ class BpeSpec extends SparkSpec {
       .encodeWord("bcbc").toSeq shouldBe Seq("bc", "bc")
   }
 
+  test("q54/q68 run on the BPE token measure: zero OOV under a full vocab, coverage curve closes at 1") {
+    val bpeToks = Bpe.encode(col("text"))
+    // a vocab that holds EVERY distinct BPE token -> oov_frac must be
+    // exactly 0 for every doc
+    val nDistinct = tables.documents
+      .select(explode(bpeToks).as("t")).select("t").distinct().count().toInt
+    val oov = TextOps.oovRate(tables.documents, vocabSize = nDistinct,
+      tokens = bpeToks)
+    oov.filter(col("n_oov") =!= 0L).count() shouldBe 0L
+    // coverage over the full BPE vocabulary is monotone and closes at 1
+    val cov = TextOps.vocabCoverage(tables.documents, topV = nDistinct,
+      tokens = bpeToks).orderBy("rank").collect()
+    cov.map(_.getAs[Double]("cum_coverage")).sliding(2).foreach {
+      case Array(a, b) => b should be >= a
+      case _ =>
+    }
+    cov.last.getAs[Double]("cum_coverage") shouldBe 1.0
+  }
+
   test("merge-table persistence: write -> read -> encode round-trips; corrupt artifacts fail at read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
     val frame = Bpe.train(tables.documents, nMerges = 8)
