@@ -153,6 +153,13 @@ object SparkEntry {
     // both the training chain and the greedy encode.
     "q84_bpe_encode_trained" -> ((s, d) =>
       TextOps.bpeEncodeTrained(Tables(s, d).documents)),
+    // q86: marked (boundary-preserving) encode + LOSSLESS decode — the
+    // oracle's `decoded` is the space-normalized original text, so the
+    // hash check is the corpus-wide losslessness proof.
+    "q86_bpe_decode"         -> ((s, d) => TextOps.bpeRoundtrip(Tables(s, d).documents)),
+    // q88: corpus token accounting per (source, lang) under the real
+    // tokenizer measure — docs, tokens, token share.
+    "q88_token_budget"       -> ((s, d) => TextOps.tokenBudget(Tables(s, d).documents)),
     "q44_tfidf_terms"        -> ((s, d) => TextOps.tfidfTopTerms(Tables(s, d).documents)),
     "q54_oov_rate"           -> ((s, d) => TextOps.oovRate(Tables(s, d).documents)),
     "q74_novelty_score"      -> ((s, d) => TextOps.noveltyScore(Tables(s, d).documents)),
@@ -209,6 +216,10 @@ object SparkEntry {
     // boilerplate-removal pass (keep the corpus-wide first occurrence
     // of each repeated segment, rebuild every doc)
     "q80_line_dedup"         -> ((s, d) => Dedup.lineDedup(Tables(s, d).documents)),
+    // q85: ExactSubstr — every maximal repeated token span of length
+    // >= k removed from every occurrence (Lee et al. 2021), via exact
+    // duplicated-k-window coverage; q80's sliding complement.
+    "q85_substring_dedup"    -> ((s, d) => Dedup.substringDedup(Tables(s, d).documents)),
     // Streaming — executed through the real micro-batch engine
     // (Trigger.AvailableNow + memory sink), then compared to batch
     // oracles: streaming/batch parity is the correctness contract.
@@ -1089,6 +1100,8 @@ object SparkEntry {
     "q82_bpe_pack" -> bpePackOracle,
     "q83_bpe_train" -> bpeTrainOracle,
     "q84_bpe_encode_trained" -> bpeEncodeTrainedOracle,
+    "q86_bpe_decode" -> bpeDecodeOracle,
+    "q88_token_budget" -> tokenBudgetOracle,
     "q42_rollup_report" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
         |       COUNT(*) AS n_events,
@@ -1247,6 +1260,42 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
         |       COALESCE(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), '') AS cleaned_text
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q85: duplicated-k-window coverage (k=8) — the oracle keys windows
+    // by their exact TEXT where Spark keys by xxhash64 (the q71
+    // convention); interval merge and rebuild mirror the Spark plan
+    // step for step, the uncovered-token rebuild via ANTI JOIN on the
+    // covered-position fan-out.
+    "q85_substring_dedup" ->
+      """WITH tkt AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |             FROM documents),
+        |w AS (SELECT doc_id, i - 1 AS pos, array_to_string(tk[i : i + 7], ' ') AS win
+        |      FROM tkt, unnest(range(1, len(tk) - 6)) AS t(i)),
+        |dup AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2),
+        |d AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (win)),
+        |m AS (SELECT doc_id, pos,
+        |        CASE WHEN pos > COALESCE(MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+        |             THEN 1 ELSE 0 END AS ns
+        |      FROM d),
+        |s AS (SELECT doc_id, pos,
+        |        SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid FROM m),
+        |sp AS (SELECT doc_id, sid, MIN(pos) AS s, MAX(pos) + 7 AS e
+        |       FROM s GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |         CAST(SUM(e - s + 1) AS BIGINT) AS n_removed FROM sp GROUP BY doc_id),
+        |cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM sp),
+        |keep AS (SELECT t.doc_id, u.i - 1 AS pos, tk[u.i] AS tok
+        |         FROM tkt t, unnest(range(1, len(tk) + 1)) AS u(i)),
+        |cl AS (SELECT k.doc_id,
+        |         array_to_string(list(k.tok ORDER BY k.pos), ' ') AS cleaned_text
+        |       FROM keep k ANTI JOIN cov c ON (k.doc_id = c.doc_id AND k.pos = c.pos)
+        |       GROUP BY k.doc_id)
+        |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+        |       COALESCE(pd.n_spans, 0) AS n_spans,
+        |       COALESCE(pd.n_removed, 0) AS n_removed,
+        |       COALESCE(cl.cleaned_text, '') AS cleaned_text
+        |FROM tkt t LEFT JOIN pd USING (doc_id) LEFT JOIN cl USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "q47_decontaminate_ngram" -> decontamNgramOracle,
     "q48_kmeans_refine"   -> kmeansOracle,
     "q65_kmeans_train"    -> kmeansIterateOracle(3),
@@ -1726,6 +1775,40 @@ object SparkEntry {
        |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin
+
+  /** q86: the oracle's `decoded` is the SPACE-NORMALIZED original text
+    * (split on single spaces, empty words dropped, rejoined — the
+    * corpus contract every text operator applies), and `n_tokens` is
+    * q81's unmarked count (post-encode marking cannot change the
+    * segmentation). Hash equality against the declared query's
+    * decode(encodeMarked(text)) is therefore the corpus-wide
+    * LOSSLESSNESS proof of the marked round trip. */
+  private def bpeDecodeOracle: String =
+    s"""WITH RECURSIVE
+       |$bpeCtes,
+       |agg AS (SELECT d.doc_id, CAST(SUM(t.n) AS BIGINT) AS n_tokens
+       |        FROM wf d JOIN tok t USING (word) GROUP BY d.doc_id),
+       |nrm AS (SELECT doc_id, array_to_string(
+       |          list_filter(string_split(text, ' '), x -> x <> ''), ' ') AS decoded
+       |        FROM documents)
+       |SELECT n.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens, n.decoded
+       |FROM nrm n LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** q88: per-(source, lang) BPE token totals — the per-doc counts come
+    * from the same recursive-CTE encode as q81, the share mirrors
+    * Exact.dround as FLOOR(x*1e4+0.5)/1e4. */
+  private def tokenBudgetOracle: String =
+    s"""WITH RECURSIVE
+       |$bpeCtes,
+       |dt AS (SELECT d.doc_id, CAST(SUM(t.n) AS BIGINT) AS n_tokens
+       |       FROM wf d JOIN tok t USING (word) GROUP BY d.doc_id),
+       |t2 AS (SELECT doc.source, doc.lang, COALESCE(dt.n_tokens, 0) AS nt
+       |       FROM documents doc LEFT JOIN dt USING (doc_id)),
+       |g AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |        CAST(SUM(nt) AS BIGINT) AS tokens FROM t2 GROUP BY 1, 2)
+       |SELECT source, lang, n_docs, tokens,
+       |       FLOOR((tokens / (SUM(tokens) OVER ())) * 10000.0 + 0.5) / 10000.0 AS token_share
+       |FROM g ORDER BY source, lang""".stripMargin
 
   /** q83/q84: the BPE TRAINING loop unrolled to generated SQL — R =
     * [[graft.functions.Bpe.defaultTrainRounds]] rounds, one source of

@@ -79,12 +79,27 @@ object Bpe {
   require(defaultMerges.distinct.size == defaultMerges.size,
     "duplicate pair in default merge table")
 
+  /** End-of-word marker for the MARKED encoding (q86): Sennrich et
+    * al.'s `</w>` convention — the last symbol of every word carries
+    * the marker, so the flat token stream retains word boundaries and
+    * [[decode]] is a lossless inverse (q81's unmarked stream, by
+    * contrast, round-trips only the concatenated characters). */
+  val EowMarker = "</w>"
+
   /** Greedy encoder over a merge table; serializable so the expression
     * ships it to executors. The memo table is per-THREAD (tasks in one
     * executor share nothing mutable) and bounded: at `MemoCap` entries
     * it is cleared, so a pathological unbounded vocabulary degrades to
-    * re-encoding, never to an OOM. */
-  final class Encoder(merges: Seq[(String, String)]) extends Serializable {
+    * re-encoding, never to an OOM.
+    *
+    * `marked = true` appends [[EowMarker]] to each word's LAST symbol
+    * after the merge loop (post-encode marking: merges run over the
+    * unmarked symbols, so the subword segmentation — and the token
+    * COUNT — are identical to the unmarked encoding; only the final
+    * symbol's rendering changes). Words containing the marker literal
+    * fail loudly: they would make [[decode]] ambiguous. */
+  final class Encoder(merges: Seq[(String, String)],
+                      marked: Boolean = false) extends Serializable {
     require(merges.nonEmpty, "empty merge table")
 
     // Monotonicity: a multi-codepoint symbol used at rank i must be
@@ -128,6 +143,9 @@ object Bpe {
       val m = memo.get()
       val hit = m.get(word)
       if (hit != null) return hit
+      if (marked) require(!word.contains(EowMarker),
+        s"marked BPE encode: word '$word' contains the end-of-word " +
+          s"marker literal '$EowMarker' — decoding would be ambiguous")
       // CODEPOINT symbols, not UTF-16 units: the trainer's
       // split(word, "") and the oracle's regexp '(?s).' both segment
       // by codepoint, and a lone surrogate is not a valid token.
@@ -163,6 +181,8 @@ object Bpe {
           done = syms.length == 1
         }
       }
+      if (marked && syms.length > 0)
+        syms(syms.length - 1) = syms(syms.length - 1) + EowMarker
       if (m.size >= MemoCap) m.clear()
       m.put(word, syms)
       syms
@@ -189,8 +209,13 @@ object Bpe {
   /** `graft_bpe(text)` — BPE token array of a text column. Token
     * concatenation per word reproduces the word exactly (no marker
     * symbols), so `array_join(graft_bpe(t), '')` equals
-    * `replace(t, ' ', '')` — the round-trip BpeSpec pins. */
-  case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    * `replace(t, ' ', '')` — the round-trip BpeSpec pins.
+    *
+    * `marked = true` (q86) is the Sennrich `</w>` rendering: the same
+    * segmentation with each word's last symbol marker-suffixed, which
+    * makes the flat stream boundary-preserving and [[decode]] exact. */
+  case class BpeEncode(child: Expression, merges: Seq[(String, String)],
+                       marked: Boolean = false)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "graft_bpe"
@@ -202,7 +227,7 @@ object Bpe {
         s"$prettyName requires a string argument, got ${other.catalogString}")
     }
 
-    @transient private lazy val enc = new Encoder(merges)
+    @transient private lazy val enc = new Encoder(merges, marked)
 
     override def nullIntolerant: Boolean = true
     override def nullSafeEval(in: Any): Any = {
@@ -222,6 +247,25 @@ object Bpe {
   def encode(text: Column,
              merges: Seq[(String, String)] = defaultMerges): Column =
     GraftShim.column(BpeEncode(GraftShim.expression(text), merges))
+
+  /** Marked (boundary-preserving) BPE token array — q86's encode side:
+    * same segmentation as [[encode]], each word's last symbol suffixed
+    * with [[EowMarker]] so [[decode]] inverts it exactly. */
+  def encodeMarked(text: Column,
+                   merges: Seq[(String, String)] = defaultMerges): Column =
+    GraftShim.column(BpeEncode(GraftShim.expression(text), merges, marked = true))
+
+  /** Lossless detokenization of a MARKED token stream — q86's decode
+    * side, in pure built-in functions (whole-stage-codegen'd, no
+    * custom kernel needed): concatenate all tokens, turn each
+    * end-of-word marker back into the space it stands for, drop the
+    * final word's trailing space. Inverse of [[encodeMarked]] for any
+    * text under the corpus contract (single-space separated, non-empty
+    * words — the normalization every text operator here applies). */
+  def decode(tokens: Column): Column = {
+    import org.apache.spark.sql.functions._
+    rtrim(replace(array_join(tokens, ""), lit(EowMarker), lit(" ")))
+  }
 
   // ---------------------------------------------------------------- train
 

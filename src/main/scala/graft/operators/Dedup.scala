@@ -570,6 +570,100 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q85: corpus-wide EXACT-SUBSTRING dedup — remove every maximal
+    * repeated token span of length >= k (Lee et al. 2021,
+    * arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    * Models Better", the ExactSubstr pass): verbatim text that occurs
+    * more than once ANYWHERE in the corpus (across docs or repeated
+    * inside one) is cut from every occurrence, position-exactly — the
+    * sliding complement of q80's aligned segments (q80 removes whole
+    * repeated LINES keeping a first carrier; q85 removes repeated
+    * SPANS at any offset, which catches quoted paragraphs, templated
+    * sentences and self-repetition that never line up on segment
+    * boundaries).
+    *
+    * Construction: the paper's suffix array is a single-machine
+    * structure; the distributed equivalent is duplicated-k-window
+    * coverage, and it is EXACT, not an approximation — a token lies
+    * inside some repeated span of length >= k iff it is covered by a
+    * duplicated k-token window (span [a,b] ⊇ window [i,i+k-1] around
+    * any p ∈ [a,b]: both interval bounds follow from b−a+1 >= k), so
+    * the union of duplicated windows IS the union of maximal repeated
+    * spans. Window identity = the window's exact token text (hashed;
+    * the q71 convention — Spark keys by xxhash64, the oracle by the
+    * text itself, identical modulo ~n²/2⁶⁴ collisions).
+    *
+    * Plan, all linear: scan 1 emits (doc_id, pos, wkey) — 20-byte
+    * rows, the TEXT never enters the window path — then df per wkey
+    * (map-side-combined partial agg, skew-immune) and a wkey-keyed
+    * join of the df>=2 keys back to positions (the wins exchange is
+    * reused for both sides; a corpus-scale boilerplate window skews a
+    * JOIN key, which AQE skew-split handles — unlike q80's rank
+    * window, removal here doesn't depend on occurrence order, so no
+    * maxDf abort is needed). Covered positions then merge into
+    * maximal spans doc-locally (the q17 lag/cumsum session shape on
+    * the RARE dup-position rows), and the spans (tiny) join back to a
+    * second (doc_id, text)-projection scan for the rebuild. Scan=2 is
+    * the deliberate trade — q80 rejected agg+join-back because its
+    * join side RE-SEGMENTED the corpus; here the second scan is a raw
+    * two-column projection and buying it keeps all heavy exchanges at
+    * 20 bytes/row (the one-scan alternative shuffles every TOKEN row
+    * through the df pass and a doc-keyed rebuild — corpus text moved
+    * twice).
+    *
+    * Output per doc: token count, span/removed-token counts, and the
+    * cleaned text (uncovered tokens rejoined; "" when everything was
+    * repeated). k defaults to 8 tokens on this short-doc corpus; the
+    * paper's production setting is ~50. */
+  def substringDedup(documents: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, "window width k must be >= 2")
+    val tk = filter(split(col("text"), " "), x => x =!= "")
+    val docs = documents.select(col("doc_id"), tk.as("tk"))
+    val wins = docs
+      .withColumn("nwin", size(col("tk")) - lit(k - 1))
+      .filter(col("nwin") > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, nwin - 1), " +
+          s"i -> xxhash64(array_join(slice(tk, i + 1, $k), ' ')))")))
+      .withColumnRenamed("col", "wkey")
+    val dupKeys = wins.groupBy("wkey")
+      .agg(count(lit(1)).as("df")).filter(col("df") >= 2).select("wkey")
+    val dupPos = wins.join(dupKeys, Seq("wkey")).select("doc_id", "pos")
+    // maximal-span merge: windows [pos, pos+k-1] sorted by pos fuse
+    // while each start is <= previous covered end + 1 (overlap OR
+    // adjacency — both leave no uncovered gap)
+    val W = org.apache.spark.sql.expressions.Window
+    val wPrev = W.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wRun = W.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(W.unboundedPreceding, 0)
+    val spans = dupPos
+      .withColumn("ns",
+        when(col("pos") > coalesce(max(col("pos") + lit(k - 1)).over(wPrev),
+          lit(-2)) + 1, 1L).otherwise(0L))
+      .withColumn("sid", sum("ns").over(wRun))
+      .groupBy("doc_id", "sid")
+      .agg(min("pos").as("s"), (max("pos") + lit(k - 1)).as("e"))
+    val perDoc = spans.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("e") - col("s") + 1).as("n_removed"),
+      sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        when(col("spans").isNull, array_join(col("tk"), " "))
+          .otherwise(expr(
+            "array_join(filter(transform(sequence(0, size(tk) - 1), " +
+              "i -> IF(exists(spans, sp -> i >= sp.s AND i <= sp.e), " +
+              "CAST(NULL AS STRING), element_at(tk, i + 1))), " +
+              "x -> x IS NOT NULL), ' ')"))
+          .as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   /** Typed zero-row frame — the shared "missing store reads as empty"
     * idiom ([[readBandIndex]]'s empty index, s09's first-batch
     * admitted store). */

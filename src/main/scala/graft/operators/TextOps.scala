@@ -139,6 +139,55 @@ object TextOps {
       graft.functions.Bpe.trainedMerges(documents, nMerges)
         .map { case (l, r, _) => (l, r) })
 
+  /** q86: boundary-preserving (marked) BPE encode + LOSSLESS
+    * detokenization — the Sennrich `</w>` end-of-word convention q81's
+    * flat stream deliberately omits. Every serving/inspection path of
+    * a training pipeline needs the inverse direction (show the human
+    * the text a token window covers; splice generated tokens back into
+    * text); an unmarked stream only round-trips the concatenated
+    * characters, the marked stream round-trips the words.
+    *
+    * The declared query encodes MARKED and emits the decoded text, and
+    * the oracle's `decoded` column is the space-normalized original
+    * (the corpus contract every text operator applies: split on
+    * single spaces, empty words dropped) — so the hash check IS the
+    * corpus-wide losslessness proof, with `n_tokens` pinned to the
+    * unmarked count (post-encode marking cannot change segmentation).
+    *
+    * Same scale shape as q81: pure per-row map, one scan, zero
+    * shuffle; decode is built-in string functions (codegen'd). */
+  def bpeRoundtrip(documents: DataFrame): DataFrame = {
+    val bpe = graft.functions.Bpe.encodeMarked(col("text"))
+    documents.select(
+      col("doc_id"),
+      size(bpe).cast("long").as("n_tokens"),
+      graft.functions.Bpe.decode(bpe).as("decoded"))
+  }
+
+  /** q88: corpus TOKEN ACCOUNTING — total BPE tokens, docs, and token
+    * share per (source, lang): the first question asked of any
+    * training corpus ("how many tokens do we have, and where from?")
+    * and the denominator every mixture plan (q59) and packing budget
+    * (q40/q82) divides by. Token measure = the real tokenizer (q81's
+    * `graft_bpe`), not the q29 whitespace proxy.
+    *
+    * Shape: one scan (encode is a per-row map riding in the scan's
+    * projection) → ONE (source, lang)-keyed partial agg — only
+    * group-cardinality rows shuffle, never documents; the corpus-total
+    * denominator is a global window over the GROUPED frame (q78's
+    * convention — group-cardinality rows, not a re-scan). Shares via
+    * `Exact.dround`. */
+  def tokenBudget(documents: DataFrame): DataFrame = {
+    val nt = size(graft.functions.Bpe.encode(col("text"))).cast("long")
+    documents
+      .select(col("source"), col("lang"), nt.as("nt"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("tokens"))
+      .withColumn("token_share", graft.Exact.dround(
+        col("tokens") / sum(col("tokens")).over(Window.partitionBy())))
+      .select("source", "lang", "n_docs", "tokens", "token_share")
+  }
+
 
   private val stopwords = Seq("the", "a", "of", "and", "to")
 

@@ -303,4 +303,51 @@ class BpeSpec extends SparkSpec {
       Bpe.encode(lit("abc zq"), custom).as("t"))
     df.collect().head.getSeq[String](0) shouldBe Seq("abc", "z", "q")
   }
+
+  test("q86 marked encode: same segmentation, marker on the last symbol only") {
+    val m = new Bpe.Encoder(Bpe.defaultMerges, marked = true)
+    m.encodeWord("the").toSeq shouldBe Seq("the</w>")
+    m.encodeWord("customer").toSeq shouldBe Seq("cust", "o", "m", "er</w>")
+    m.encodeWord("a").toSeq shouldBe Seq("a</w>")
+    // post-encode marking cannot change the token COUNT
+    val u = new Bpe.Encoder(Bpe.defaultMerges)
+    Seq("window", "spark", "zzzz", "table").foreach { w =>
+      m.encodeWord(w).length shouldBe u.encodeWord(w).length
+    }
+    // a word containing the marker literal would decode ambiguously
+    val ex = intercept[Exception] { m.encodeWord("x</w>y") }
+    ex.getMessage should include("end-of-word")
+  }
+
+  test("q86 decode inverts the marked encode: corpus-wide and on adversarial spacing") {
+    // whole corpus: decode(encodeMarked(text)) == space-normalized text
+    val norm = array_join(
+      filter(split(col("text"), " "), t => t =!= ""), " ")
+    tables.documents
+      .select(Bpe.decode(Bpe.encodeMarked(col("text"))).as("d"), norm.as("n"))
+      .filter(col("d") =!= col("n")).count() shouldBe 0L
+    // adversarial: leading/trailing/double spaces normalize, empty ok
+    val d = spark.range(1).select(
+      Bpe.decode(Bpe.encodeMarked(lit("  the  spark   table "))).as("a"),
+      Bpe.decode(Bpe.encodeMarked(lit(""))).as("b"),
+      Bpe.decode(Bpe.encodeMarked(lit("x"))).as("c")).collect().head
+    d.getString(0) shouldBe "the spark table"
+    d.getString(1) shouldBe ""
+    d.getString(2) shouldBe "x"
+  }
+
+  test("q88 token budget: shares sum to ~1 and totals match a direct count") {
+    val out = TextOps.tokenBudget(tables.documents).collect()
+    out.length shouldBe tables.documents
+      .select("source", "lang").distinct().count().toInt
+    val totalTokens = out.map(_.getLong(3)).sum
+    // functions.size spelled out: ScalaTest Matchers' size(Long) shadows it
+    val perDoc: org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.size(Bpe.encode(col("text"))).cast("long")
+    val direct = tables.documents.select(perDoc.as("n"))
+      .agg(sum(col("n")).as("t")).collect().head.getLong(0)
+    totalTokens shouldBe direct
+    val shareSum = out.map(_.getDouble(4)).sum
+    shareSum shouldBe 1.0 +- 0.01 // 4-dp rounding per group
+  }
 }

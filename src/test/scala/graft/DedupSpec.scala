@@ -351,6 +351,57 @@ class DedupSpec extends SparkSpec {
     capped shouldBe uncapped
   }
 
+  test("q85 substring dedup: maximal repeated spans removed from every occurrence") {
+    import spark.implicits._
+    // k=3. Four independent cases in one corpus (disjoint vocabularies
+    // so no accidental cross-case windows):
+    //  - d1/d2 share the 4-token run "c d e f" -> both lose exactly it
+    //  - d3/d4 share only the 2-token run "q r" (< k) -> untouched
+    //  - d5 repeats its own 3-token span "m n o" -> BOTH copies cut
+    //  - d6's two foreign spans cover [0,2] and [3,5] (adjacent) ->
+    //    they merge to ONE maximal span
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "z1 c d e f z2"),
+      (3L, "p q r s"),
+      (4L, "t u q r v"),
+      (5L, "m n o x1 m n o"),
+      (6L, "a1 a2 a3 b1 b2 b3 tail1"),
+      (7L, "a1 a2 a3 x"),
+      (8L, "b1 b2 b3 y"),
+      (9L, "solo")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(d, k = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    out(1L) shouldBe ((8L, 1L, 4L, "a b g h"))
+    out(2L) shouldBe ((6L, 1L, 4L, "z1 z2"))
+    out(3L) shouldBe ((4L, 0L, 0L, "p q r s"))     // k-1 run survives
+    out(4L) shouldBe ((5L, 0L, 0L, "t u q r v"))
+    out(5L) shouldBe ((7L, 2L, 6L, "x1"))           // self-repeat, 2 spans
+    out(6L) shouldBe ((7L, 1L, 6L, "tail1"))        // adjacency-merged span
+    out(7L) shouldBe ((4L, 1L, 3L, "x"))
+    out(8L) shouldBe ((4L, 1L, 3L, "y"))
+    out(9L) shouldBe ((1L, 0L, 0L, "solo"))         // shorter than k
+    intercept[IllegalArgumentException] { Dedup.substringDedup(d, k = 1) }
+  }
+
+  test("q85 fully-duplicated doc empties; window guarantee at exactly k") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "w1 w2 w3 w4"),
+      (2L, "w1 w2 w3 w4"),  // verbatim copy: both docs empty entirely
+      (3L, "u1 e1 e2 e3 u2"),
+      (4L, "v1 e1 e2 e3 v2") // shared run of EXACTLY k -> removed
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(d, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+    out(1L) shouldBe ((4L, ""))
+    out(2L) shouldBe ((4L, ""))
+    out(3L) shouldBe ((3L, "u1 u2"))
+    out(4L) shouldBe ((3L, "v1 v2"))
+  }
+
   test("admitted-store compaction: append-grown store collapses, rows byte-identical") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_store").toString + "/admitted"
