@@ -187,6 +187,10 @@ object SparkEntry {
     "q24_dedup_embedding"    -> ((s, d) => Similarity.embeddingNearDups(Tables(s, d).embeddings)),
     "q25_ann_bruteforce"     -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
     "q26_ann_lsh"            -> ((s, d) => Similarity.annLsh(Tables(s, d).embeddings)),
+    // q87: int8 scalar-quantized ANN — per-dim affine codes against
+    // corpus min/max bounds, ADC scoring over the 4x-smaller code
+    // table, exact re-rank of the shortlist.
+    "q87_ann_sq8"            -> ((s, d) => Similarity.annSq8(Tables(s, d).embeddings)),
     "q34_dedup_embedding_lsh"-> ((s, d) => Similarity.embeddingNearDupsBucketed(Tables(s, d).embeddings)),
     "q46_ann_ivf"            -> ((s, d) => Similarity.annIvf(Tables(s, d).embeddings)),
     "q69_ann_ivfpq"          -> ((s, d) => Similarity.annIvfPq(Tables(s, d).embeddings)),
@@ -1303,6 +1307,7 @@ object SparkEntry {
     "q24_dedup_embedding" -> embeddingDedupOracle,
     "q25_ann_bruteforce"  -> annBruteOracle,
     "q26_ann_lsh"         -> annLshOracle,
+    "q87_ann_sq8"         -> annSq8Oracle,
     "q46_ann_ivf"         -> annIvfOracle,
     "q69_ann_ivfpq"       -> annIvfPqOracle(),
     "q70_ann_ivfpq_residual" -> annIvfPqOracle(residual = true),
@@ -1986,6 +1991,52 @@ object SparkEntry {
        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS "rank"
        |      FROM s)
        |SELECT * FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+
+  /** q87: the int8 scalar-quantized ANN replayed per-dimension —
+    * bounds (exact min/max), codes (floor against w_d = span/255),
+    * the c0 + Σ(q_d·w_d)·code_d ADC form, stamped decoded norms and
+    * the exact re-rank, every sum chain in the SAME left-to-right
+    * order as the Spark expressions so the approximate ranking (and
+    * therefore the rerank set) cannot diverge by a bit. */
+  private def annSq8Oracle: String = {
+    val D = 64
+    val mnw = (1 to D).map(d =>
+      s"MIN(v[$d]) AS mn$d, (MAX(v[$d]) - MIN(v[$d])) / 255.0 AS w$d")
+      .mkString(", ")
+    val codes = (1 to D).map(d =>
+      s"CASE WHEN s.w$d > 0 THEN LEAST(FLOOR((v[$d] - s.mn$d) / s.w$d), 255.0) " +
+        s"ELSE 0.0 END AS cd$d").mkString(", ")
+    val vn2 = (1 to D).map(d =>
+      s"(s.mn$d + (c.cd$d * s.w$d)) * (s.mn$d + (c.cd$d * s.w$d))")
+      .mkString(" + ")
+    val c0 = (1 to D).map(d => s"(qv[$d] * s.mn$d)").mkString(" + ")
+    val adc = (1 to D).map(d => s"((qt.qv[$d] * s.w$d) * c.cd$d)").mkString(" + ")
+    s"""WITH $vecCtes,
+       |s AS (SELECT $mnw FROM e),
+       |c AS (SELECT vec_id, $codes FROM e, s),
+       |vn AS (SELECT vec_id, $vn2 AS vn2 FROM c, s),
+       |a AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+       |qt AS (SELECT query_id, qv, qn, $c0 AS c0 FROM a, s),
+       |sc AS (SELECT qt.query_id, qt.qv, qt.qn, c.vec_id AS neighbor_id,
+       |         qt.c0 + ($adc) AS num
+       |       FROM qt, c, s WHERE qt.query_id <> c.vec_id),
+       |ap AS (SELECT sc.query_id, sc.qv, sc.qn, sc.neighbor_id,
+       |         sc.num / (sc.qn * sqrt(vn.vn2)) AS approx
+       |       FROM sc JOIN vn ON sc.neighbor_id = vn.vec_id),
+       |cand AS (SELECT query_id, qv, qn, neighbor_id FROM (
+       |           SELECT query_id, qv, qn, neighbor_id,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |               ORDER BY approx DESC, neighbor_id) AS rr
+       |           FROM ap) t WHERE rr <= 32),
+       |ex AS (SELECT cand.query_id, cand.neighbor_id,
+       |         ROUND((${sqlDot("cand.qv", "n.v")}) / (cand.qn * n.nrm), 4) AS cos_sim
+       |       FROM cand JOIN n ON cand.neighbor_id = n.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cos_sim,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS "rank"
+       |      FROM ex)
+       |SELECT * FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+  }
 
   /** The correctness gate (Verify → DuckDB) runs at sf0.01, whose
     * embeddings table holds 500 vectors (TESTDATA.md). q26/q34/q57

@@ -571,6 +571,87 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
 
+  /** q87: SCALAR-quantized (int8) ANN — the third classic quantizer
+    * next to q26's LSH and q69/q70's product quantization: every
+    * dimension is affinely mapped to one byte against per-dimension
+    * corpus [min, max] bounds (the SQ8 index family of the public ANN
+    * literature and the open-source Faiss library), so the candidate
+    * scan reads 64 bytes/vector instead of 256 — 4× less memory
+    * traffic at IDENTICAL per-dimension resolution, and unlike PQ the
+    * codes decode independently per dimension (no codebook lookup
+    * chain, no subspace structure to tune).
+    *
+    * Deterministic end to end (the q46/q69 convention, so DuckDB
+    * replays bit-for-bit): bounds are exact min/max partial aggs;
+    * code_d = min(floor((v_d − mn_d)/w_d), 255) with w_d =
+    * (mx_d − mn_d)/255 (floor, not round — engine-identical), w_d = 0
+    * dims code to 0; decode v̂_d = mn_d + code_d·w_d. Query scoring is
+    * the ADC analogue: dot(q, v̂) = ⟨q, mn⟩ + Σ (q_d·w_d)·code_d — the
+    * query precomputes c0 = ⟨q, mn⟩ and the 64-double table t_d =
+    * q_d·w_d ONCE, every candidate costs one codegen'd [[dot]] over
+    * its code bytes; |v̂|² is stamped per vector at encode time (q69's
+    * vn2 convention). Top `rerank` by approximate cosine re-rank
+    * EXACTLY against the float table (only rerank·nQueries rows touch
+    * floats), top-k out — q46's output contract.
+    *
+    * Plan shape: ONE global min/max partial agg → 1-row stats frame
+    * broadcast back (never collected — index metadata stays in-plan);
+    * encode is a pure per-row map riding the scan; candidates =
+    * broadcast queries × code table (the q25 broadcast-NLJ shape over
+    * a 4× smaller scan side — at 100 TB compose with q46's cells to
+    * prune work as well as storage: same codes, cell-keyed
+    * candidates); rerank survivors join the float table broadcast. */
+  def annSq8(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+             rerank: Int = 32): DataFrame = {
+    val dim = 64
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val e = prepared(embeddings)
+    val aggs = (0 until dim).flatMap(d => Seq(
+      min(element_at(col("v"), d + 1)).as(s"mn$d"),
+      max(element_at(col("v"), d + 1)).as(s"mx$d")))
+    val stats = e.agg(aggs.head, aggs.tail: _*)
+      .select(
+        array((0 until dim).map(d => col(s"mn$d")): _*).as("mn"),
+        array((0 until dim).map(d =>
+          (col(s"mx$d") - col(s"mn$d")) / lit(255.0)): _*).as("w"))
+    // codes + stamped decoded norm² ride the scan; mn/w stay on the
+    // tiny query side only, so candidate rows are codes, not bounds
+    val coded = e.crossJoin(broadcast(stats))
+      .withColumn("codes", zip_with(
+        zip_with(col("v"), col("mn"), (a, b) => a - b),
+        col("w"),
+        (x, ww) => when(ww > 0,
+          least(floor(x / ww).cast("double"), lit(255.0))).otherwise(lit(0.0))))
+      .withColumn("vhat", zip_with(
+        zip_with(col("codes"), col("w"), (c, ww) => c * ww),
+        col("mn"), (x, m) => m + x))
+      .withColumn("vn2", dot(col("vhat"), col("vhat")))
+      .select(col("vec_id").as("neighbor_id"), col("codes"), col("vn2"))
+    val q = e.filter(col("vec_id") < nQueries).crossJoin(broadcast(stats))
+      .select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qn"),
+        dot(col("v"), col("mn")).as("c0"),
+        zip_with(col("v"), col("w"), (a, b) => a * b).as("t"))
+    val scored = coded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx",
+        (col("c0") + dot(col("t"), col("codes"))) / (col("qn") * sqrt(col("vn2"))))
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val cand = scored.withColumn("rr", row_number().over(wr))
+      .filter(col("rr") <= rerank)
+      .select("query_id", "neighbor_id", "qv", "qn")
+    val floats = e.select(col("vec_id").as("neighbor_id"),
+      col("v").as("cv"), col("nrm").as("cn"))
+    val exact = floats.join(broadcast(cand), Seq("neighbor_id"))
+      .withColumn("cos_sim",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
   /** q48: one deterministic Lloyd (k-means) refinement step over the
     * embedding corpus — topic/domain clustering, the third leg of the
     * similarity inventory next to near-dup (q24/q34) and ANN

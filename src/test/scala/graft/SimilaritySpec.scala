@@ -217,6 +217,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q87 SQ8 recall@5 vs brute force; emitted cosines exact") {
+    val e = tables.embeddings
+    def keyset(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactTop = keyset(Similarity.annBruteForce(e, nQueries = 10, k = 5))
+    val sq = Similarity.annSq8(e)
+    val approx = keyset(sq)
+    val recall = (exactTop & approx).size.toDouble / exactTop.size
+    // 8 bits PER DIMENSION quantization error is tiny (span/256), so
+    // the approximate ranking almost never demotes a true top-5 out
+    // of the rerank-32 shortlist; below 0.9 means the code/ADC
+    // arithmetic broke, not corpus noise
+    recall should be >= 0.9
+    // the approximation is SHORTLIST selection only: every emitted
+    // cosine must be the true rounded cosine of that pair
+    val allExact = Similarity.annBruteForce(e, nQueries = 10, k = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    sq.collect().foreach { r =>
+      r.getLong(0) should not be r.getLong(1)
+      allExact((r.getLong(0), r.getLong(1))) shouldBe r.getDouble(2)
+    }
+    // rerank must cover k
+    intercept[IllegalArgumentException] { Similarity.annSq8(e, k = 5, rerank = 4) }
+  }
+
   test("q69 IVF-PQ recall@5 vs brute force on the real test corpus") {
     val e = tables.embeddings
     def keyset(df: DataFrame): Set[(Long, Long)] =
