@@ -161,6 +161,10 @@ object SparkEntry {
     // tokenizer measure — docs, tokens, token share.
     "q88_token_budget"       -> ((s, d) => TextOps.tokenBudget(Tables(s, d).documents)),
     "q44_tfidf_terms"        -> ((s, d) => TextOps.tfidfTopTerms(Tables(s, d).documents)),
+    // q89: the serving form of a linear bag-of-words quality
+    // classifier — broadcast model table, map-side weight lookup,
+    // integer keep verdict.
+    "q89_model_filter"       -> ((s, d) => TextOps.modelFilter(Tables(s, d).documents)),
     "q54_oov_rate"           -> ((s, d) => TextOps.oovRate(Tables(s, d).documents)),
     "q74_novelty_score"      -> ((s, d) => TextOps.noveltyScore(Tables(s, d).documents)),
     // q45: every doc_id ≡ 9 (mod 10) plays the incoming intake batch;
@@ -1151,6 +1155,23 @@ object SparkEntry {
         |       COUNT(CASE WHEN vtok IS NULL THEN 1 END) AS n_oov,
         |       FLOOR(CAST(COUNT(CASE WHEN vtok IS NULL THEN 1 END) AS DOUBLE)
         |             / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS oov_frac
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q89: top-V vocabulary + md5-derived integer weights in [-7,7]
+    // (the 16-bit '0x'||substr(md5) idiom q38 established), weight
+    // sum and integer keep verdict per doc; score is one IEEE
+    // division of the same integers on both engines.
+    "q89_model_filter" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY 1
+        |                       ORDER BY cnt DESC, tok LIMIT 512) x),
+        |wt AS (SELECT tok,
+        |         (CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) % 15) - 7 AS wgt
+        |       FROM v),
+        |j AS (SELECT t.doc_id, wt.wgt FROM tk t LEFT JOIN wt ON t.tok = wt.tok)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |       CAST(SUM(COALESCE(wgt, 0)) AS BIGINT) AS raw_score,
+        |       CAST(SUM(COALESCE(wgt, 0)) AS BIGINT) / COUNT(*) AS score,
+        |       CAST(SUM(COALESCE(wgt, 0)) AS BIGINT) >= 0 AS keep
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q35_decontaminate" ->
       """WITH fp AS (SELECT doc_id,

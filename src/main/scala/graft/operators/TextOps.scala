@@ -188,6 +188,50 @@ object TextOps {
       .select("source", "lang", "n_docs", "tokens", "token_share")
   }
 
+  /** q89: MODEL-based quality filter — the linear bag-of-words
+    * document scorer every published data recipe ships between the
+    * heuristic rules (q67) and the expensive passes: a fastText /
+    * logistic-regression-shaped classifier (CCNet's LM filter, DCLM's
+    * fastText filter — public literature) reduced to its serving
+    * form: each token looks its weight up in a MODEL TABLE, the doc's
+    * score is the weight sum normalized by length, keep = raw sum
+    * >= 0 (integer compare — no float threshold to diverge).
+    *
+    * The model ships as a `(tok, wgt)` frame. Production passes
+    * LEARNED weights via `weights`; the default is a deterministic
+    * stand-in the oracle replays — the top-`vocabSize` corpus
+    * vocabulary (q54's top-V machinery, ties (cnt desc, tok)) with
+    * integer weights derived from md5(tok) in [-7, 7] — so the
+    * serving machinery is exercised and hash-checked end to end
+    * without pretending to train a classifier in-plan (models are
+    * ARTIFACTS, like q83's merge table and q65's centroids).
+    *
+    * Scale shape (q54's): the model table is tiny and BROADCAST; the
+    * corpus explodes to token rows but is never shuffled by token —
+    * the weight lookup is map-side, and the per-doc sum collapses
+    * map-side (a doc's tokens stay in its partition). One corpus
+    * scan, one doc-keyed partial agg; OOV tokens weigh 0. */
+  def modelFilter(documents: DataFrame, vocabSize: Int = 512,
+                  weights: Option[DataFrame] = None): DataFrame = {
+    val wt = weights.getOrElse {
+      tokenCountFrame(documents)
+        .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+        .select(col("tok"),
+          ((conv(substring(md5(col("tok").cast("binary")), 1, 4), 16, 10)
+            .cast("int") % 15) - 7).cast("long").as("wgt"))
+    }
+    require(wt.columns.toSet == Set("tok", "wgt"),
+      s"weights must be a (tok, wgt) frame, got ${wt.columns.mkString(", ")}")
+    documents.select(col("doc_id"), explode(toks).as("tok"))
+      .join(broadcast(wt), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("wgt"), lit(0L))).as("raw_score"))
+      .select(col("doc_id"), col("n_tokens"), col("raw_score"),
+        (col("raw_score") / col("n_tokens")).as("score"),
+        (col("raw_score") >= 0).as("keep"))
+  }
+
 
   private val stopwords = Seq("the", "a", "of", "and", "to")
 

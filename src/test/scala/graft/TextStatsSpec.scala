@@ -304,6 +304,28 @@ class TextStatsSpec extends SparkSpec {
     rows(4) shouldBe ((5L, 4L, 2L, 0.5))
   }
 
+  test("q89 model filter: learned-weights contract — lookup, OOV=0, integer verdict") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "good good bad"),     // 3+3-5 = 1  -> keep
+      (2L, "bad bad good"),      // -5-5+3 = -7 -> drop
+      (3L, "oovword good"),      // 0+3 = 3    -> keep (OOV weighs 0)
+      (4L, "zero zero")          // 0          -> keep (>= 0 inclusive)
+    ).toDF("doc_id", "text")
+    val weights = Seq(("good", 3L), ("bad", -5L), ("zero", 0L)).toDF("tok", "wgt")
+    val out = TextOps.modelFilter(d, weights = Some(weights)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    out(1L) shouldBe ((3L, 1L, 1.0 / 3.0, true))
+    out(2L) shouldBe ((3L, -7L, -7.0 / 3.0, false))
+    out(3L) shouldBe ((2L, 3L, 1.5, true))
+    out(4L) shouldBe ((2L, 0L, 0.0, true))
+    // a malformed model frame fails loudly
+    intercept[IllegalArgumentException] {
+      TextOps.modelFilter(d, weights = Some(Seq(("good", 1L)).toDF("word", "w")))
+    }
+  }
+
   test("q74 plan: one corpus scan, df via window (no groupBy+join diamond)") {
     val p = planOf(TextOps.noveltyScore(tables.documents))
     "Scan parquet".r.findAllIn(p).length shouldBe 1
