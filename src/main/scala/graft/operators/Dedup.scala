@@ -594,22 +594,23 @@ object Dedup {
     * text itself, identical modulo ~n²/2⁶⁴ collisions).
     *
     * Plan, all linear: scan 1 emits (doc_id, pos, wkey) — 20-byte
-    * rows, the TEXT never enters the window path — then df per wkey
-    * (map-side-combined partial agg, skew-immune) and a wkey-keyed
-    * join of the df>=2 keys back to positions (the wins exchange is
-    * reused for both sides; a corpus-scale boilerplate window skews a
-    * JOIN key, which AQE skew-split handles — unlike q80's rank
-    * window, removal here doesn't depend on occurrence order, so no
-    * maxDf abort is needed). Covered positions then merge into
-    * maximal spans doc-locally (the q17 lag/cumsum session shape on
-    * the RARE dup-position rows), and the spans (tiny) join back to a
-    * second (doc_id, text)-projection scan for the rebuild. Scan=2 is
-    * the deliberate trade — q80 rejected agg+join-back because its
-    * join side RE-SEGMENTED the corpus; here the second scan is a raw
-    * two-column projection and buying it keeps all heavy exchanges at
-    * 20 bytes/row (the one-scan alternative shuffles every TOKEN row
-    * through the df pass and a doc-keyed rebuild — corpus text moved
-    * twice).
+    * rows, the TEXT never enters the window path — df per wkey via
+    * ONE count-window over the digest (the q44/q74 df convention: a
+    * groupBy+join-back alternative audited at scan=3/ex=5 because the
+    * aggregate and probe exchanges carry different payloads and
+    * cannot be reused — a whole extra segmentation pass; a
+    * corpus-scale boilerplate window does skew the count-window
+    * partition, but the partition rows are 20 bytes and counting is
+    * the whole job — the same accepted df-window cost q74 documents).
+    * Covered positions then merge into maximal spans doc-locally (the
+    * q17 lag/cumsum session shape on the RARE dup-position rows), and
+    * the spans (tiny) join back to a second (doc_id, text)-projection
+    * scan for the rebuild. Scan=2 is the deliberate trade — q80
+    * rejected agg+join-back because its join side RE-SEGMENTED the
+    * corpus; here the second scan is a raw two-column projection and
+    * buying it keeps all heavy exchanges at 20 bytes/row (the
+    * one-scan alternative shuffles every TOKEN row through the df
+    * pass and a doc-keyed rebuild — corpus text moved twice).
     *
     * Output per doc: token count, span/removed-token counts, and the
     * cleaned text (uncovered tokens rejoined; "" when everything was
@@ -626,9 +627,12 @@ object Dedup {
         s"transform(sequence(0, nwin - 1), " +
           s"i -> xxhash64(array_join(slice(tk, i + 1, $k), ' ')))")))
       .withColumnRenamed("col", "wkey")
-    val dupKeys = wins.groupBy("wkey")
-      .agg(count(lit(1)).as("df")).filter(col("df") >= 2).select("wkey")
-    val dupPos = wins.join(dupKeys, Seq("wkey")).select("doc_id", "pos")
+    val W0 = org.apache.spark.sql.expressions.Window
+    val dupPos = wins
+      .withColumn("df", count(lit(1)).over(
+        W0.partitionBy("wkey")
+          .rowsBetween(W0.unboundedPreceding, W0.unboundedFollowing)))
+      .filter(col("df") >= 2).select("doc_id", "pos")
     // maximal-span merge: windows [pos, pos+k-1] sorted by pos fuse
     // while each start is <= previous covered end + 1 (overlap OR
     // adjacency — both leave no uncovered gap)
