@@ -334,6 +334,16 @@ object SparkEntry {
       q.awaitTermination(); q.stop()
       s.read.parquet(s"$tmp/out")
     }),
+    // s12: q88's token accounting as the ingest loop's live meter —
+    // stateful streaming agg, one row of state per (source, lang),
+    // the tokenizer riding each doc's single pass through the engine.
+    "s12_stream_token_meter" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
+      Streams.runToMemory(Streams.streamTokenMeter(docs),
+        "s12_stream_token_meter", OutputMode.Complete())
+    }),
     "s04_stream_dedup"       -> ((s, d) => {
       import s.implicits._
       val schema = s.read.parquet(s"$d/documents.parquet").schema
@@ -1110,6 +1120,10 @@ object SparkEntry {
     "q84_bpe_encode_trained" -> bpeEncodeTrainedOracle,
     "q86_bpe_decode" -> bpeDecodeOracle,
     "q88_token_budget" -> tokenBudgetOracle,
+    // s12 = q88's totals through the real micro-batch engine (share
+    // column excluded — a batch-side derivation; nested aggs don't
+    // stream), so the oracle is the same generated encode re-grouped.
+    "s12_stream_token_meter" -> tokenMeterOracle,
     "q42_rollup_report" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
         |       COUNT(*) AS n_events,
@@ -1835,6 +1849,19 @@ object SparkEntry {
        |SELECT source, lang, n_docs, tokens,
        |       FLOOR((tokens / (SUM(tokens) OVER ())) * 10000.0 + 0.5) / 10000.0 AS token_share
        |FROM g ORDER BY source, lang""".stripMargin
+
+  /** s12: q88's per-(source, lang) doc/token totals — the streaming
+    * meter's drained state must equal the batch aggregate exactly. */
+  private def tokenMeterOracle: String =
+    s"""WITH RECURSIVE
+       |$bpeCtes,
+       |dt AS (SELECT d.doc_id, CAST(SUM(t.n) AS BIGINT) AS n_tokens
+       |       FROM wf d JOIN tok t USING (word) GROUP BY d.doc_id),
+       |t2 AS (SELECT doc.source, doc.lang, COALESCE(dt.n_tokens, 0) AS nt
+       |       FROM documents doc LEFT JOIN dt USING (doc_id))
+       |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(nt) AS BIGINT) AS tokens
+       |FROM t2 GROUP BY 1, 2 ORDER BY source, lang""".stripMargin
 
   /** q83/q84: the BPE TRAINING loop unrolled to generated SQL — R =
     * [[graft.functions.Bpe.defaultTrainRounds]] rounds, one source of

@@ -663,6 +663,30 @@ object Streams {
         (unix_micros(col("e_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
   }
 
+  /** s12: continuous token ACCOUNTING — q88's corpus token budget as
+    * the ingest loop's running meter: every micro-batch of landed
+    * documents updates per-(source, lang) document and BPE-token
+    * totals, so "how many tokens do we have, and where from" is a
+    * live number instead of a nightly batch recount.
+    *
+    * The real tokenizer (q81's `graft_bpe`) rides in the per-batch
+    * projection — metering costs one per-row encode on each doc's
+    * single pass through the engine, never a second corpus read. The
+    * aggregation is the engine's stateful-agg path with state = ONE
+    * row per (source, lang): group-cardinality KBs at any corpus
+    * scale, the cheapest possible streaming state (no watermark
+    * needed — totals never expire). Complete output mode re-emits the
+    * full (tiny) totals table per trigger; the drained result is
+    * row-identical to the batch q88 aggregate minus the share column
+    * (a batch-side derivation over the emitted totals — nested aggs
+    * don't stream), which is how the oracle checks it. */
+  def streamTokenMeter(documents: DataFrame): DataFrame =
+    documents.select(col("source"), col("lang"),
+        org.apache.spark.sql.functions.size(
+          graft.functions.Bpe.encode(col("text"))).cast("long").as("nt"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("tokens"))
+
   // ----- Verify/Bench harness -----------------------------------------
 
   private val runCounter = new java.util.concurrent.atomic.AtomicLong(0)

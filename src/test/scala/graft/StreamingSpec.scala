@@ -231,6 +231,26 @@ class StreamingSpec extends SparkSpec {
     batch.exceptAll(streamed).count() shouldBe 0L
   }
 
+  test("s12 token meter: totals accumulate across micro-batches and equal the batch aggregate") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, String, String)]
+    // batch 1
+    in.addData(("s1", "en", "the spark table"), ("s2", "de", "zzzz"))
+    // batch 2: s1/en grows, state row updated not replaced
+    in.addData(("s1", "en", "the the"))
+    val q = Streams.streamTokenMeter(in.toDF()
+        .toDF("source", "lang", "text"))
+      .writeStream.format("memory").queryName("s12_e2e")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("s12_e2e").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // "the spark table" -> 3 BPE tokens, "zzzz" -> 4 (z z z z),
+    // "the the" -> 2; totals accumulate per (source, lang)
+    rows shouldBe Set(("s1", "en", 2L, 5L), ("s2", "de", 1L, 4L))
+  }
+
   test("s06 TTL dedup: duplicate inside the horizon dropped, re-arrival after expiry passes") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
