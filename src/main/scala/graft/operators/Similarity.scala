@@ -598,11 +598,23 @@ object Similarity {
     * broadcast back (never collected — index metadata stays in-plan);
     * encode is a pure per-row map riding the scan; candidates =
     * broadcast queries × code table (the q25 broadcast-NLJ shape over
-    * a 4× smaller scan side — at 100 TB compose with q46's cells to
-    * prune work as well as storage: same codes, cell-keyed
-    * candidates); rerank survivors join the float table broadcast. */
+    * a 4× smaller scan side); rerank survivors join the float table
+    * broadcast.
+    *
+    * `nCells > 0` is the 100 TB composition REALIZED: q46's coarse
+    * cells prune WORK (each query ADC-scores only its nProbe probed
+    * cells) while the codes prune STORAGE — the IVF-SQ index, the
+    * same coarse+fine split q69 builds with a PQ fine quantizer.
+    * Cell assignment is the shared q46/q48/q57 quantizer
+    * ([[assignCellsFull]], `centroids:` takes q65's trained output),
+    * candidates become a cell-keyed equi-join instead of the flat
+    * NLJ, and everything downstream (ADC chain, stamped norms, exact
+    * re-rank) is byte-identical to the flat path. The declared query
+    * stays flat (the oracle mode); the composed mode's recall and
+    * exact-cosine contract are spec-pinned. */
   def annSq8(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-             rerank: Int = 32): DataFrame = {
+             rerank: Int = 32, nCells: Int = 0, nProbe: Int = 4,
+             centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
     val dim = 64
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     val e = prepared(embeddings)
@@ -616,7 +628,11 @@ object Similarity {
           (col(s"mx$d") - col(s"mn$d")) / lit(255.0)): _*).as("w"))
     // codes + stamped decoded norm² ride the scan; mn/w stay on the
     // tiny query side only, so candidate rows are codes, not bounds
-    val coded = e.crossJoin(broadcast(stats))
+    val cents =
+      if (nCells > 0) resolvedCentroids(embeddings, nCells, centroids)
+      else Array.empty[(Long, Array[Double])]
+    val base = if (nCells > 0) assignCellsFull(e, cents) else e
+    val coded = base.crossJoin(broadcast(stats))
       .withColumn("codes", zip_with(
         zip_with(col("v"), col("mn"), (a, b) => a - b),
         col("w"),
@@ -626,13 +642,36 @@ object Similarity {
         zip_with(col("codes"), col("w"), (c, ww) => c * ww),
         col("mn"), (x, m) => m + x))
       .withColumn("vn2", dot(col("vhat"), col("vhat")))
-      .select(col("vec_id").as("neighbor_id"), col("codes"), col("vn2"))
+      .select(Seq(col("vec_id").as("neighbor_id"), col("codes"), col("vn2")) ++
+        (if (nCells > 0) Seq(col("cell")) else Nil): _*)
     val q = e.filter(col("vec_id") < nQueries).crossJoin(broadcast(stats))
       .select(col("vec_id").as("query_id"),
         col("v").as("qv"), col("nrm").as("qn"),
         dot(col("v"), col("mn")).as("c0"),
         zip_with(col("v"), col("w"), (a, b) => a * b).as("t"))
-    val scored = coded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val candidates =
+      if (nCells == 0)
+        coded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      else {
+        // IVF-SQ: each query probes its top-nProbe cells (the q46
+        // probe selection — query-side literal scores on nQueries
+        // rows), candidates become a cell-keyed equi-join
+        val cellIds = lit(cents.map(_._1))
+        val wq = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cell"))
+        val probes = e.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"),
+            posexplode(seedCellScores(cents)(col("v"))))
+          .select(col("query_id"),
+            element_at(cellIds, col("pos").cast("int") + 1).as("cell"),
+            col("col").as("score"))
+          .withColumn("pr", row_number().over(wq))
+          .filter(col("pr") <= nProbe)
+          .select("query_id", "cell")
+        coded.join(broadcast(q.join(probes, Seq("query_id"))), Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+      }
+    val scored = candidates
       .withColumn("approx",
         (col("c0") + dot(col("t"), col("codes"))) / (col("qn") * sqrt(col("vn2"))))
     val wr = Window.partitionBy("query_id")

@@ -242,6 +242,23 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] { Similarity.annSq8(e, k = 5, rerank = 4) }
   }
 
+  test("q87 IVF-SQ composition (nCells>0): cell-pruned candidates, cosines stay exact") {
+    val e = tables.embeddings
+    def keyset(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allExact = Similarity.annBruteForce(e, nQueries = 10, k = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivfsq = Similarity.annSq8(e, nCells = 16, nProbe = 4)
+    val rows = ivfsq.collect()
+    rows should not be empty
+    // emitted cosines stay exact under the composed index too
+    rows.foreach { r => allExact((r.getLong(0), r.getLong(1))) shouldBe r.getDouble(2) }
+    // recall floor = q46's cell pruning (8-bit codes add ~no loss)
+    val exactTop = keyset(Similarity.annBruteForce(e, nQueries = 10, k = 5))
+    val recall = (exactTop & keyset(ivfsq)).size.toDouble / exactTop.size
+    recall should be >= 0.5
+  }
+
   test("q69 IVF-PQ recall@5 vs brute force on the real test corpus") {
     val e = tables.embeddings
     def keyset(df: DataFrame): Set[(Long, Long)] =
