@@ -90,6 +90,9 @@ object SparkEntry {
     // verdicts
     "q73_profile_sketch"     -> ((s, d) => Report.profileSketchCertified(Tables(s, d).events)),
     "q50_dup_report"         -> ((s, d) => Report.dupReport(Tables(s, d).documents)),
+    // q90: q60's directed containment lifted to SOURCE pairs — the
+    // catalog-level overlap matrix behind source selection.
+    "q90_source_overlap"     -> ((s, d) => Report.sourceOverlap(Tables(s, d).documents)),
     // Analytical engine
     "q12_pricing_summary"    -> ((s, d) => Relational.pricingSummary(Tables(s, d).lineitem)),
     "q13_join_agg"           -> ((s, d) => { val t = Tables(s, d)
@@ -683,6 +686,25 @@ object SparkEntry {
         |       FLOOR(CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE)
         |             * 10000.0 + 0.5) / 10000.0 AS dup_frac
         |FROM g ORDER BY lang""".stripMargin,
+    // q90: the shingle construction mirrors shingleCtes (Exprs.shingles
+    // through DuckDB list ops); the oracle joins by shingle TEXT where
+    // Spark joins by xxhash64 (the q71 convention); containments
+    // divide the same BIGINTs on both engines.
+    "q90_source_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT source, unnest(list_distinct(list_transform(
+        |        range(1, greatest(len(toks) - 1, 2)),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh FROM t),
+        |d AS (SELECT DISTINCT source, sh FROM s),
+        |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM d GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |        CAST(COUNT(*) AS BIGINT) AS n_shared
+        |      FROM d a JOIN d b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, p.n_shared, ca.n_sh AS n_a, cb.n_sh AS n_b,
+        |       p.n_shared / ca.n_sh AS containment_ab,
+        |       p.n_shared / cb.n_sh AS containment_ba
+        |FROM p JOIN c ca ON p.src_a = ca.source JOIN c cb ON p.src_b = cb.source
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
     // s05: stream-stream interval join ≡ batch self-join with the same
     // time-range predicate; gap is an integer-µs difference.
     "s05_stream_join" ->

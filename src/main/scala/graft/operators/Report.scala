@@ -121,4 +121,46 @@ object Report {
         (col("n_docs") - col("n_distinct")).as("n_dupes"),
         Exact.dround((col("n_docs") - col("n_distinct")).cast("double")
           / col("n_docs").cast("double"), 4).as("dup_frac"))
+
+  /** q90: SOURCE-level n-gram overlap matrix — q60's directed
+    * containment lifted from document pairs to source pairs: for every
+    * pair of sources sharing at least one shingle, the distinct-
+    * shingle intersection and both directed containments
+    * |A∩B|/|A|, |A∩B|/|B|. This is the corpus-catalog report behind
+    * source selection and mixture planning (q59): a mirror/scrape of
+    * an existing source shows up as containment ≈ 1 BEFORE any
+    * per-document dedup pass is paid, and cross-source boilerplate
+    * (shared templates, syndicated text) quantifies per pair — the
+    * macro view the per-doc operators (q21/q60) cannot give without
+    * n² doc pairs.
+    *
+    * Plan: one shingle pass → DISTINCT (source, shingle-hash) — the
+    * dictionary frame, collapsed map-side before its one exchange —
+    * per-source counts (partial agg) + a shingle-keyed self-join for
+    * pair intersections. Pair fan-out per shingle is C(ns, 2) where
+    * ns = sources carrying that shingle — bounded by the SOURCE
+    * CATALOG size (tens-to-hundreds of named sources; this operator
+    * is for catalog granularity, not per-domain cardinalities), and
+    * the pair agg collapses map-side. Containments divide the same
+    * integers on both engines (q60's convention); Spark keys the join
+    * by xxhash64, the oracle by shingle text (the q71 convention). */
+  def sourceOverlap(documents: DataFrame, n: Int = 3): DataFrame = {
+    val sh = documents
+      .select(col("source"), explode(Dedup.shingleSet(n)).as("s"))
+      .select(col("source"), xxhash64(col("s")).as("k"))
+      .distinct()
+    val counts = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.k") === col("b.k") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(counts.select(col("source").as("src_a"), col("n_sh").as("n_a")), Seq("src_a"))
+      .join(counts.select(col("source").as("src_b"), col("n_sh").as("n_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared") / col("n_a")).as("containment_ab"),
+        (col("n_shared") / col("n_b")).as("containment_ba"))
+      .orderBy("src_a", "src_b")
+  }
 }

@@ -74,6 +74,31 @@ class ReportSpec extends SparkSpec {
       r.getString(5), r.getString(6))).sortBy(_._1) shouldBe exact
   }
 
+  test("q90 source overlap: a mirror source reads containment 1.0, partial overlap exact, disjoint absent") {
+    import spark.implicits._
+    // srcM mirrors srcA doc-for-doc; srcP shares one doc's worth of
+    // shingles with srcA; srcZ is disjoint vocabulary
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon", "srcA"),
+      (2L, "zeta eta theta iota kappa", "srcA"),
+      (3L, "alpha beta gamma delta epsilon", "srcM"),
+      (4L, "zeta eta theta iota kappa", "srcM"),
+      (5L, "alpha beta gamma delta epsilon", "srcP"),
+      (6L, "one two three four five", "srcP"),
+      (7L, "q1 q2 q3 q4 q5", "srcZ")
+    ).toDF("doc_id", "text", "source")
+    val out = Report.sourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // 5-token docs -> 3 distinct 3-gram shingles each; srcA/srcM: 6 each, all shared
+    out(("srcA", "srcM")) shouldBe ((6L, 6L, 6L, 1.0, 1.0))
+    // srcP shares exactly doc 1's 3 shingles with srcA (and srcM)
+    out(("srcA", "srcP")) shouldBe ((3L, 6L, 6L, 0.5, 0.5))
+    out(("srcM", "srcP")) shouldBe ((3L, 6L, 6L, 0.5, 0.5))
+    // disjoint source never appears
+    out.keys.flatMap(k => Seq(k._1, k._2)) should not contain "srcZ"
+  }
+
   test("q50 dup report: per-language dup counts and deterministic fraction") {
     import spark.implicits._
     val df = Seq(
