@@ -143,12 +143,18 @@ object Report {
     * is for catalog granularity, not per-domain cardinalities), and
     * the pair agg collapses map-side. Containments divide the same
     * integers on both engines (q60's convention); Spark keys the join
-    * by xxhash64, the oracle by shingle text (the q71 convention). */
+    * by xxhash64, the oracle by shingle text (the q71 convention).
+    * The dictionary feeds THREE consumers (counts, both join sides) —
+    * localCheckpoint cuts the diamond (the q75 convention), so the
+    * corpus is shingled once, not three times (un-checkpointed this
+    * audits at scan=4/ex=11; checkpointed scan=0/ex=7 — the one real
+    * scan is inside the checkpoint, the q75 audit shape). */
   def sourceOverlap(documents: DataFrame, n: Int = 3): DataFrame = {
     val sh = documents
       .select(col("source"), explode(Dedup.shingleSet(n)).as("s"))
       .select(col("source"), xxhash64(col("s")).as("k"))
       .distinct()
+      .localCheckpoint()
     val counts = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.k") === col("b.k") && col("a.source") < col("b.source"))

@@ -324,6 +324,12 @@ class TextStatsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextOps.modelFilter(d, weights = Some(Seq(("good", 1L)).toDF("word", "w")))
     }
+    // ...and so does a doubled model key (it would fan out the join)
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.modelFilter(d,
+        weights = Some(Seq(("good", 3L), ("good", 2L)).toDF("tok", "wgt")))
+    }
+    ex.getMessage should include("duplicate tok")
   }
 
   test("q74 plan: one corpus scan, df via window (no groupBy+join diamond)") {
