@@ -93,6 +93,9 @@ object SparkEntry {
     // q90: q60's directed containment lifted to SOURCE pairs — the
     // catalog-level overlap matrix behind source selection.
     "q90_source_overlap"     -> ((s, d) => Report.sourceOverlap(Tables(s, d).documents)),
+    // q91: duplication-structure report — q36's clusters regrouped
+    // into a size histogram (the number dedup policy is set from).
+    "q91_cluster_histogram"  -> ((s, d) => Report.clusterHistogram(Tables(s, d).documents)),
     // Analytical engine
     "q12_pricing_summary"    -> ((s, d) => Relational.pricingSummary(Tables(s, d).lineitem)),
     "q13_join_agg"           -> ((s, d) => { val t = Tables(s, d)
@@ -1287,6 +1290,7 @@ object SparkEntry {
         |WHERE p.shared_fps >= 1 ORDER BY p.doc_a, p.doc_b""".stripMargin,
     "q22_dedup_minhash"   -> minhashOracle,
     "q36_dedup_clusters"  -> clustersOracle,
+    "q91_cluster_histogram" -> clusterHistogramOracle,
     "q75_corpus_pipeline" -> pipelineOracle,
     "q55_keeper_select"   -> keeperOracle,
     "q45_dedup_incremental" -> incrementalOracle,
@@ -1554,6 +1558,16 @@ object SparkEntry {
        |JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1) c
        |  USING (cluster_id)
        |ORDER BY l.doc_id""".stripMargin
+
+  /** q91: q36's cluster labels regrouped twice — sizes per cluster,
+    * then the size histogram. */
+  private def clusterHistogramOracle: String =
+    s"""$clusterLabCtes,
+       |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |       FROM lab GROUP BY 1)
+       |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+       |FROM cs GROUP BY 1 ORDER BY cluster_size""".stripMargin
 
   /** q55: keeper per cluster by (quality DESC, doc_id). The quality
     * CTE is q28's formula verbatim (same casts, same left-to-right

@@ -99,6 +99,23 @@ class ReportSpec extends SparkSpec {
     out.keys.flatMap(k => Seq(k._1, k._2)) should not contain "srcZ"
   }
 
+  test("q91 cluster histogram: known cluster structure, singletons absent") {
+    import spark.implicits._
+    // three verbatim copies -> one size-3 cluster; two copies -> one
+    // size-2 cluster; a unique doc never enters the pair graph
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "one two three four five six seven"),
+      (5L, "one two three four five six seven"),
+      (6L, "unique solitary text nothing shared here")
+    ).toDF("doc_id", "text")
+    val out = Report.clusterHistogram(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out shouldBe Map(3L -> ((1L, 3L)), 2L -> ((1L, 2L)))
+  }
+
   test("q50 dup report: per-language dup counts and deterministic fraction") {
     import spark.implicits._
     val df = Seq(
