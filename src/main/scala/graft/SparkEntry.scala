@@ -427,6 +427,11 @@ object SparkEntry {
     // SQL engine decodes PNG, so this is a rows-only driver check; the
     // encode→decode round trip is pinned bit-exactly in MultimodalSpec.
     "m04_image_decode"       -> ((s, d) => Multimodal.imageDecodeSummary(Tables(s, d).documents)),
+    // m07: perceptual image near-dup — dHash (decode → 9x8 integer
+    // grayscale grid → 64 gradient-sign bits) through the real JDK
+    // codec; pair machinery = q23's banded Hamming, shared. Rows-only
+    // driver check (no SQL engine decodes PNG); semantics spec-pinned.
+    "m07_image_dhash"        -> ((s, d) => Multimodal.imageDhashSummary(Tables(s, d).documents)),
     // m05: the REAL audio codec — synthesize spec-compliant WAVs from
     // the audio-mime docs through the JDK's actual RIFF encoder, parse
     // them back with the real decoder (format geometry, PCM content

@@ -906,10 +906,19 @@ object Dedup {
     * is exact. Scale: bucket-keyed join, cost Σ bucket² like q22.
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 6,
-                   bands: Int = 4): DataFrame = {
+                   bands: Int = 4): DataFrame =
+    hammingBandPairs(
+      documents.select(col("doc_id"), simhashFingerprint().as("fp")),
+      maxHamming, bands)
+
+  /** The banded-Hamming pair pass over any `(doc_id, fp)` 64-bit
+    * bitstring frame — q23's bucket-local expansion factored out so
+    * other Hamming-space fingerprints (m07's perceptual image dHash)
+    * reuse the identical candidate/verify machinery. */
+  private[operators] def hammingBandPairs(fps: DataFrame, maxHamming: Int = 6,
+                                          bands: Int = 4): DataFrame = {
     val width = 64
     val bandWidth = width / bands
-    val fps = documents.select(col("doc_id"), simhashFingerprint().as("fp"))
     val bandKeys = array((0 until bands).map(b =>
       concat(lit(s"$b|"), substring(col("fp"), b * bandWidth + 1, bandWidth))): _*)
     // Bucket-local pair expansion instead of a bucket self-join: a

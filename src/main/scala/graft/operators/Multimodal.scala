@@ -239,6 +239,90 @@ object Multimodal {
     }
   }
 
+  case class DHashRow(doc_id: Long, width: Int, height: Int, dhash: String)
+
+  /** m07: PERCEPTUAL image hash — the difference hash (dHash), the
+    * published workhorse of large-scale image dedup (the same
+    * family — aHash/dHash/pHash — every public image-dataset
+    * pipeline, e.g. LAION's dedup tooling, keys on): decode with the
+    * real JDK codec, integer nearest-neighbor downsample to a 9×8
+    * grayscale grid (m04's bit-deterministic `x·sw/dw` resize law —
+    * no Graphics2D, no float filtering), then 64 bits of
+    * "is the left neighbor brighter" gradient signs. Container- and
+    * scale-insensitive by construction: two encodings of the same
+    * pixels hash IDENTICALLY (the grid reads decoded pixels, not
+    * bytes), and global brightness/contrast shifts preserve gradient
+    * SIGNS, so near-identical images land within a few bits.
+    *
+    * The hash is emitted as q23's 64-char '0'/'1' bitstring so the
+    * whole SimHash toolchain applies unchanged: banding, bucket-local
+    * expansion and the codegen'd `graft_hamming` verify — see
+    * [[imageNearDupPairs]]. Same per-partition batch contract as
+    * every decode stage; undecodable payloads fail loudly. */
+  def dhashImages(media: Dataset[MediaRow]): Dataset[DHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        require(m.payload != null,
+          s"dhashImages: null payload for doc ${m.doc_id}")
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        require(img != null,
+          s"dhashImages: undecodable ${m.mime} payload for doc ${m.doc_id}")
+        val sw = img.getWidth; val sh = img.getHeight
+        // 9x8 integer-NN grayscale grid; gray = r+g+b (scale-free —
+        // only COMPARISONS matter, so no division, no rounding)
+        val g = Array.ofDim[Int](8, 9)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 9) {
+            val rgb = img.getRGB(x * sw / 9, y * sh / 8)
+            g(y)(x) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val bits = new java.lang.StringBuilder(64)
+        y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            bits.append(if (g(y)(x) > g(y)(x + 1)) '1' else '0')
+            x += 1
+          }
+          y += 1
+        }
+        DHashRow(m.doc_id, sw, sh, bits.toString)
+      }
+    }
+  }
+
+  /** m07 pair detection: perceptual near-dup image pairs within
+    * `maxHamming` bits — q23's banded-Hamming machinery verbatim
+    * ([[graft.operators.Dedup.hammingBandPairs]]: band buckets →
+    * bucket-local expansion → codegen'd Hamming verify, Σ bucket²
+    * cost, never n²), applied to the dHash fingerprints. */
+  def imageNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 6,
+                        bands: Int = 4): DataFrame =
+    Dedup.hammingBandPairs(
+      dhashImages(media).toDF().select(col("doc_id"), col("dhash").as("fp")),
+      maxHamming, bands)
+
+  /** m07 as a flat verification frame: synthesize real PNGs from the
+    * image-mime documents, hash them perceptually. Rows-only driver
+    * check (no SQL engine decodes PNG); determinism, container
+    * insensitivity, perturbation tolerance and the pair semantics are
+    * pinned in MultimodalSpec. */
+  def imageDhashSummary(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val media = binaryWithMeta(documents)
+      .filter(col("meta.mime") === "image/png")
+      .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
+      .as[MediaRow]
+    dhashImages(encodePng(media)).toDF()
+  }
+
   /** m04 as a flat verification frame: synthesize real PNGs from the
     * image-mime documents, decode them with the real codec, and carry
     * the geometry + content digest out. Driver-checked rows-only (no

@@ -97,6 +97,54 @@ class MultimodalSpec extends SparkSpec {
     out.mean_luma shouldBe luma.toDouble / (3.0 * w * h)
   }
 
+  test("m07 dHash: deterministic, container-insensitive, perturbation-tolerant, discriminative") {
+    import spark.implicits._
+    def pngOf(img: java.awt.image.BufferedImage, fmt: String = "png"): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, buf)
+      buf.toByteArray
+    }
+    // a 12x10 horizontal gradient — strong, stable left<right signs
+    val a = new java.awt.image.BufferedImage(12, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 12)
+      a.setRGB(x, y, (x * 20) << 16 | (x * 20) << 8 | (x * 20))
+    // b = a with ONE subpixel nudged by +1 — perceptually identical
+    val b = new java.awt.image.BufferedImage(12, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 12) b.setRGB(x, y, a.getRGB(x, y))
+    b.setRGB(3, 3, (a.getRGB(3, 3) & 0xffffff) + 1)
+    // c = the opposite gradient — structurally different
+    val c = new java.awt.image.BufferedImage(12, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 12)
+      c.setRGB(x, y, ((220 - x * 18) << 16) | ((220 - x * 18) << 8) | (220 - x * 18))
+    val rows = Multimodal.dhashImages(Seq(
+      MediaRow(1L, pngOf(a), "image/png"),
+      MediaRow(2L, pngOf(a), "image/png"),        // identical bytes
+      MediaRow(3L, pngOf(a, "bmp"), "image/bmp"), // same pixels, other container
+      MediaRow(4L, pngOf(b), "image/png"),
+      MediaRow(5L, pngOf(c), "image/png")
+    ).toDS()).collect().map(r => r.doc_id -> r.dhash).toMap
+    def ham(x: String, y: String): Int = x.zip(y).count(p => p._1 != p._2)
+    rows(1L) should have length 64
+    rows(2L) shouldBe rows(1L)                 // determinism
+    rows(3L) shouldBe rows(1L)                 // container-insensitive
+    ham(rows(1L), rows(4L)) should be <= 2     // one-subpixel nudge
+    ham(rows(1L), rows(5L)) should be > 6      // opposite gradient is far
+    // pair machinery: the three same-pixel images + the nudge pair up,
+    // the opposite gradient never does
+    val pairs = Multimodal.imageNearDupPairs(Seq(
+      MediaRow(1L, pngOf(a), "image/png"),
+      MediaRow(2L, pngOf(a), "image/png"),
+      MediaRow(4L, pngOf(b), "image/png"),
+      MediaRow(5L, pngOf(c), "image/png")
+    ).toDS()).collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    pairs((1L, 2L)) shouldBe 0
+    pairs.keySet should contain allOf ((1L, 4L), (2L, 4L))
+    pairs.keys.flatMap(k => Seq(k._1, k._2)) should not contain 5L
+  }
+
   test("m04 encodePng emits real PNGs; resize is exact nearest-neighbor") {
     import spark.implicits._
     val media = Seq(
