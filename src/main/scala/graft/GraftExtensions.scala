@@ -82,7 +82,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_bpe"),
       info("graft_bpe",
         "graft_bpe(text) - greedy BPE subword tokens (default merge table)"),
-      (args: Seq[Expression]) => Bpe.BpeEncode(args(0), Bpe.defaultMerges)))
+      (args: Seq[Expression]) => Bpe.BpeEncode(args(0), Bpe.defaultMerges)),
+    (FunctionIdentifier("graft_textembed"),
+      info("graft_textembed",
+        "graft_textembed(tokens, dim) - deterministic feature-hashing +/-1 projection embedding (array<long>)"),
+      (args: Seq[Expression]) =>
+        Exprs.TokenSigns(args(0), litInt(args(1), "embedding dim"))))
 
   /** Register into an already-built session (extensions normally apply
     * only at build time). */

@@ -171,6 +171,10 @@ object SparkEntry {
     // classifier — broadcast model table, map-side weight lookup,
     // integer keep verdict.
     "q89_model_filter"       -> ((s, d) => TextOps.modelFilter(Tables(s, d).documents)),
+    // q92: deterministic feature-hashing ±1 projection embeddings —
+    // integer vectors, one per-row pass, full identity hash-checked;
+    // the documents→Similarity composition bridge (embedFrame).
+    "q92_text_embed"         -> ((s, d) => TextOps.textEmbed(Tables(s, d).documents)),
     "q54_oov_rate"           -> ((s, d) => TextOps.oovRate(Tables(s, d).documents)),
     "q74_novelty_score"      -> ((s, d) => TextOps.noveltyScore(Tables(s, d).documents)),
     // q45: every doc_id ≡ 9 (mod 10) plays the incoming intake batch;
@@ -1150,6 +1154,7 @@ object SparkEntry {
     "q84_bpe_encode_trained" -> bpeEncodeTrainedOracle,
     "q86_bpe_decode" -> bpeDecodeOracle,
     "q88_token_budget" -> tokenBudgetOracle,
+    "q92_text_embed" -> textEmbedOracle,
     // s12 = q88's totals through the real micro-batch engine (share
     // column excluded — a batch-side derivation; nested aggs don't
     // stream), so the oracle is the same generated encode re-grouped.
@@ -1890,6 +1895,27 @@ object SparkEntry {
        |SELECT source, lang, n_docs, tokens,
        |       FLOOR((tokens / (SUM(tokens) OVER ())) * 10000.0 + 0.5) / 10000.0 AS token_share
        |FROM g ORDER BY source, lang""".stripMargin
+
+  /** q92: the feature-hashing ±1 embedding replayed per-dimension —
+    * the SAME Kirsch-Mitzenmacher chain as the minhash oracle
+    * (md5_number_lower/upper mod 2³¹−1, the proven-bit-exact idiom),
+    * parity instead of min; all-integer sums so the full embedding
+    * identity hash-checks. */
+  private def textEmbedOracle: String = {
+    val D = 64
+    val P = "2147483647"
+    val sums = (0 until D).map(d =>
+      s"CAST(SUM(CASE WHEN ((h1 + $d * h2) % $P) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS e$d")
+      .mkString(", ")
+    val embS = (0 until D).map(d => s"e$d").mkString("concat_ws(' ', ", ", ", ")")
+    val nrm = (0 until D).map(d => s"e$d * e$d").mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT doc_id, md5_number_lower(tok) % $P AS h1,
+       |        md5_number_upper(tok) % $P AS h2 FROM tk),
+       |e AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+       |SELECT doc_id, $embS AS emb, CAST($nrm AS BIGINT) AS nrm2
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
 
   /** s12: q88's per-(source, lang) doc/token totals — the streaming
     * meter's drained state must equal the batch aggregate exactly. */

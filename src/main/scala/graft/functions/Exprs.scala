@@ -626,6 +626,70 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** q92: deterministic TEXT EMBEDDING — the feature-hashing signed
+    * random projection (Weinberger et al. 2009's hashing trick ×
+    * Achlioptas-style ±1 projections, both public literature): the
+    * whole document's `dim`-dimensional bag-of-words embedding in ONE
+    * per-row pass. Each token contributes ±1 per dimension; the sign
+    * chain is the SAME Kirsch-Mitzenmacher walk MinHashSig uses (one
+    * md5 per token → h1, h2 mod p=2³¹−1 → g_d = (h1 + d·h2) mod p,
+    * sign = g_d's parity), so the DuckDB oracle replays it with the
+    * md5_number_lower/upper idiom already proven bit-exact.
+    *
+    * All-integer accumulation (array<long>) — no float summation
+    * order to diverge; the embedding is exactly reproducible on any
+    * engine, which is what makes downstream semantic dedup / ANN over
+    * TEXT corpora oracle-checkable end to end. */
+  case class TokenSigns(child: Expression, dim: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_textembed"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectTypes(prettyName, Seq("array<string>" -> isStringArray),
+        Seq(child.dataType))
+
+    @transient private lazy val md = MessageDigest.getInstance("MD5")
+    private val P = 2147483647L
+
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(in: Any): Any = {
+      val toks = in.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val acc = new Array[Long](dim)
+      val tmp = new Array[Byte](16)
+      var s = 0
+      while (s < n) {
+        if (!toks.isNullAt(s)) {
+          md.reset()
+          md.update(toks.getUTF8String(s).getBytes)
+          md.digest(tmp, 0, 16)
+          var hi = 0L; var lo = 0L
+          var b = 0
+          while (b < 8) { hi |= (tmp(b) & 0xffL) << (8 * b); b += 1 }
+          while (b < 16) { lo |= (tmp(b) & 0xffL) << (8 * (b - 8)); b += 1 }
+          val h2 = java.lang.Long.remainderUnsigned(hi, P)
+          var g = java.lang.Long.remainderUnsigned(lo, P)
+          var d = 0
+          while (d < dim) {
+            acc(d) += (if ((g & 1L) == 0L) 1L else -1L)
+            g += h2; if (g >= P) g -= P
+            d += 1
+          }
+        }
+        s += 1
+      }
+      val out = new Array[AnyRef](dim)
+      var d = 0
+      while (d < dim) { out(d) = java.lang.Long.valueOf(acc(d)); d += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ----- Column-level wrappers ----------------------------------------
 
   def dot(a: Column, b: Column): Column =
@@ -655,6 +719,9 @@ object Exprs {
 
   def winnow(tokens: Column, k: Int, w: Int): Column =
     GraftShim.column(WinnowFingerprints(GraftShim.expression(tokens), k, w))
+
+  def tokenSigns(tokens: Column, dim: Int): Column =
+    GraftShim.column(TokenSigns(GraftShim.expression(tokens), dim))
 
   def bloomMightContain(c: Column,
                         bloom: org.apache.spark.util.sketch.BloomFilter): Column = {

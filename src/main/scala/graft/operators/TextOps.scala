@@ -242,6 +242,36 @@ object TextOps {
   }
 
 
+  /** q92: deterministic TEXT EMBEDDINGS — the feature-hashing ±1
+    * random projection ([[graft.functions.Exprs.TokenSigns]]) over
+    * the whitespace tokens: every document gets a `dim`-dimensional
+    * integer bag-of-words embedding in ONE per-row pass (zero
+    * shuffle). This closes the gap between the text corpus and the
+    * semantic family: q24/q26/q46/q57/q63's machinery ran on the
+    * synthetic `embeddings` table; [[embedFrame]] hands them REAL
+    * text-derived vectors (verbatim duplicate texts embed
+    * identically → cosine 1 → flagged by SemDeDup, spec-pinned), the
+    * standard hashing-trick serving path when no learned encoder is
+    * deployable in-cluster.
+    *
+    * Integer embeddings are the point: no float summation order to
+    * diverge, so the full embedding IDENTITY is oracle-hash-checked
+    * (the declared query emits the joined vector + its exact integer
+    * norm²). */
+  def textEmbed(documents: DataFrame, dim: Int = 64): DataFrame = {
+    val emb = graft.functions.Exprs.tokenSigns(toks, dim)
+    documents.select(col("doc_id"),
+      array_join(emb, " ").as("emb"),
+      aggregate(emb, lit(0L), (a, x) => a + x * x).as("nrm2"))
+  }
+
+  /** q92's embeddings in the `(vec_id, embedding array<double>)` shape
+    * the Similarity family consumes — the composition bridge
+    * (SemDeDup / ANN over raw TEXT). */
+  def embedFrame(documents: DataFrame, dim: Int = 64): DataFrame =
+    documents.select(col("doc_id").as("vec_id"),
+      graft.functions.Exprs.tokenSigns(toks, dim).cast("array<double>").as("embedding"))
+
   private val stopwords = Seq("the", "a", "of", "and", "to")
 
   /** q28: quality scoring — uniq-token ratio, stopword ratio, length

@@ -217,6 +217,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q92 text embeddings: deterministic, bag-linear, and SemDeDup over raw text flags verbatim dups") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val d = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha beta gamma"),          // verbatim copy
+      (2L, "alpha alpha beta beta gamma gamma"), // doubled bag
+      (3L, "totally different words entirely here")
+    ).toDF("doc_id", "text")
+    val em = TextOps.embedFrame(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    em(0L) should have size 64
+    em(1L) shouldBe em(0L)                       // determinism
+    em(2L) shouldBe em(0L).map(_ * 2)            // bag linearity
+    em(0L) should not be em(3L)
+    // composition: the semantic family runs on TEXT-derived vectors —
+    // the verbatim copy embeds identically (cosine 1) and SemDeDup
+    // condemns it with its earlier mate
+    val sd = Similarity.semanticDedup(TextOps.embedFrame(d), tau = 0.9, nCells = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    sd(0L)._1 shouldBe 1                         // first carrier kept
+    sd(1L)._1 shouldBe 0                         // copy dropped...
+    sd(1L)._2 shouldBe Some(0L)                  // ...condemned by doc 0
+    sd(3L)._1 shouldBe 1
+  }
+
   test("q87 SQ8 recall@5 vs brute force; emitted cosines exact") {
     val e = tables.embeddings
     def keyset(df: DataFrame): Set[(Long, Long)] =
