@@ -175,6 +175,17 @@ object SparkEntry {
     // integer vectors, one per-row pass, full identity hash-checked;
     // the documents→Similarity composition bridge (embedFrame).
     "q92_text_embed"         -> ((s, d) => TextOps.textEmbed(Tables(s, d).documents)),
+    // q93: SemDeDup over RAW TEXT, oracle-checked end to end — q92's
+    // embeddings through q57's exact chain (tau=0.9: this corpus's
+    // bag cosines concentrate near 0.6, 0.9 isolates near-verbatim).
+    // maxCell is lifted to 32x target: hashed BAG embeddings are
+    // anisotropic (real text embeddings are too), so seed cells skew
+    // harder than the synthetic embeddings table's 8x allowance — the
+    // cap still bounds the in-cell pair pass; production balances
+    // cells with trainedCentroids instead (spec-pinned on q57).
+    "q93_semantic_dedup_text" -> ((s, d) =>
+      Similarity.semanticDedup(
+        TextOps.embedFrame(Tables(s, d).documents), tau = 0.9, maxCell = 4096)),
     "q54_oov_rate"           -> ((s, d) => TextOps.oovRate(Tables(s, d).documents)),
     "q74_novelty_score"      -> ((s, d) => TextOps.noveltyScore(Tables(s, d).documents)),
     // q45: every doc_id ≡ 9 (mod 10) plays the incoming intake batch;
@@ -1384,6 +1395,7 @@ object SparkEntry {
     "q70_ann_ivfpq_residual" -> annIvfPqOracle(residual = true),
     "q34_dedup_embedding_lsh" -> embeddingDedupLshOracle,
     "q57_semantic_dedup"  -> semanticDedupOracle,
+    "q93_semantic_dedup_text" -> semanticDedupTextOracle,
     "q63_decontaminate_semantic" -> semanticDecontamOracle,
     // q79 is EXACT past-broadcast q63 — same oracle, row-identical
     "q79_decontaminate_semantic_cells" -> semanticDecontamOracle,
@@ -2040,9 +2052,10 @@ object SparkEntry {
   /** q57: SemDeDup replayed in SQL — the q48 a0 assignment CTE (same
     * argmax tie-break), then the cluster-local pair pass with the
     * smallest condemning mate per vector via min + self-join-back. */
-  private def semanticDedupOracle: String =
-    s"""WITH $vecCtes,
-       |cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < $gateCells),
+  /** q57's chain over any `n(vec_id, v, nrm)` CTE — factored so q93
+    * replays the identical SemDeDup over TEXT-derived vectors. */
+  private def semanticDedupBody(cells: Int, tau: String): String =
+    s"""cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < $cells),
        |sc AS (SELECT x.vec_id, x.v, x.nrm, c.cell, (${sqlDot("x.v", "c.v")}) / c.nrm AS score
        |       FROM n x CROSS JOIN cent c),
        |a0 AS (SELECT vec_id, v, nrm, cell FROM (
@@ -2052,13 +2065,38 @@ object SparkEntry {
        |p AS (SELECT a.vec_id, b.vec_id AS bid,
        |        (${sqlDot("a.v", "b.v")}) / (a.nrm * b.nrm) AS cos_raw
        |      FROM a0 a JOIN a0 b ON a.cell = b.cell AND b.vec_id < a.vec_id),
-       |d AS (SELECT vec_id, min(bid) AS dup_of FROM p WHERE cos_raw >= 0.4 GROUP BY vec_id),
+       |d AS (SELECT vec_id, min(bid) AS dup_of FROM p WHERE cos_raw >= $tau GROUP BY vec_id),
        |dc AS (SELECT d.vec_id, d.dup_of, ROUND(p.cos_raw, 4) AS cos_sim
        |       FROM d JOIN p ON p.vec_id = d.vec_id AND p.bid = d.dup_of)
        |SELECT a0.vec_id, a0.cell AS cluster_id,
        |       CAST(dc.dup_of IS NULL AS INTEGER) AS keep, dc.dup_of, dc.cos_sim
        |FROM a0 LEFT JOIN dc ON a0.vec_id = dc.vec_id
        |ORDER BY a0.vec_id""".stripMargin
+
+  private def semanticDedupOracle: String =
+    s"WITH $vecCtes,\n" + semanticDedupBody(gateCells, "0.4")
+
+  /** q93: the full TEXT pipeline oracle — q92's embedding CTEs feed
+    * q57's SemDeDup body verbatim. Both gate SFs hold 500 documents,
+    * so the same suggestCells derivation as the embeddings gate
+    * applies (gateCells); tau = 0.9 (the q92 cosine distribution on
+    * this shared-vocabulary corpus concentrates near 0.6 — 0.9
+    * isolates verbatim/near-verbatim bags). */
+  private def semanticDedupTextOracle: String = {
+    val D = 64
+    val P = "2147483647"
+    val sums = (0 until D).map(d =>
+      s"CAST(SUM(CASE WHEN ((h1 + $d * h2) % $P) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS e$d")
+      .mkString(", ")
+    val vlist = (0 until D).map(d => s"CAST(e$d AS DOUBLE)").mkString("[", ", ", "]")
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT doc_id, md5_number_lower(tok) % $P AS h1,
+       |        md5_number_upper(tok) % $P AS h2 FROM tk),
+       |emb AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+       |e2 AS (SELECT doc_id AS vec_id, $vlist AS v FROM emb),
+       |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e2),
+       |""".stripMargin + semanticDedupBody(gateCells, "0.9")
+  }
 
   /** q64: the q48/q57 a0 assignment CTE, then a per-cell id rank cap. */
   private def samplePerCellOracle: String =
