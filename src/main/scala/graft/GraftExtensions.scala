@@ -29,6 +29,7 @@ import graft.functions.{Bpe, Exprs}
   * | `graft_repstats(toks)`       | [[graft.functions.Exprs.RepetitionStats]] |
   * | `graft_winnow(toks, k, w)`   | [[graft.functions.Exprs.WinnowFingerprints]] |
   * | `graft_bpe(text)`            | [[graft.functions.Bpe.BpeEncode]] |
+  * | `graft_textembed(toks, dim)` | [[graft.functions.Exprs.TokenSigns]] |
   *
   * (LshBuckets and BloomMightContain are deliberately not SQL-exposed —
   * their plane matrix / serialized sketch are constructor arguments,

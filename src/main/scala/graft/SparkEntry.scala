@@ -183,9 +183,14 @@ object SparkEntry {
     // harder than the synthetic embeddings table's 8x allowance — the
     // cap still bounds the in-cell pair pass; production balances
     // cells with trainedCentroids instead (spec-pinned on q57).
+    // embedFrame is localCheckpointed (the q75/q90 diamond rule):
+    // semanticDedup consumes its input in three plan subtrees, and
+    // for q93 the per-token embedding pass IS the dominant cost —
+    // uncheckpointed it would run three times.
     "q93_semantic_dedup_text" -> ((s, d) =>
       Similarity.semanticDedup(
-        TextOps.embedFrame(Tables(s, d).documents), tau = 0.9, maxCell = 4096)),
+        TextOps.embedFrame(Tables(s, d).documents).localCheckpoint(),
+        tau = 0.9, maxCell = 4096)),
     "q54_oov_rate"           -> ((s, d) => TextOps.oovRate(Tables(s, d).documents)),
     "q74_novelty_score"      -> ((s, d) => TextOps.noveltyScore(Tables(s, d).documents)),
     // q45: every doc_id ≡ 9 (mod 10) plays the incoming intake batch;
@@ -1908,25 +1913,33 @@ object SparkEntry {
        |       FLOOR((tokens / (SUM(tokens) OVER ())) * 10000.0 + 0.5) / 10000.0 AS token_share
        |FROM g ORDER BY source, lang""".stripMargin
 
-  /** q92: the feature-hashing ±1 embedding replayed per-dimension —
-    * the SAME Kirsch-Mitzenmacher chain as the minhash oracle
-    * (md5_number_lower/upper mod 2³¹−1, the proven-bit-exact idiom),
-    * parity instead of min; all-integer sums so the full embedding
-    * identity hash-checks. */
-  private def textEmbedOracle: String = {
-    val D = 64
+  /** q92/q93 shared: the feature-hashing ±1 embedding replayed
+    * per-dimension — the SAME Kirsch-Mitzenmacher chain as the
+    * minhash oracle (md5_number_lower/upper mod 2³¹−1, the
+    * proven-bit-exact idiom), parity instead of min; all-integer sums
+    * so the full embedding identity hash-checks. ONE generator for
+    * both oracles — the hashing chain cannot silently diverge between
+    * the declared-embedding and composed-SemDeDup surfaces. Emits
+    * `emb(doc_id, e0..e{D-1})`. */
+  private val embedDim = 64
+  private def textEmbedCtes: String = {
     val P = "2147483647"
-    val sums = (0 until D).map(d =>
+    val sums = (0 until embedDim).map(d =>
       s"CAST(SUM(CASE WHEN ((h1 + $d * h2) % $P) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS e$d")
       .mkString(", ")
-    val embS = (0 until D).map(d => s"e$d").mkString("concat_ws(' ', ", ", ", ")")
-    val nrm = (0 until D).map(d => s"e$d * e$d").mkString(" + ")
-    s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    s"""tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |h AS (SELECT doc_id, md5_number_lower(tok) % $P AS h1,
        |        md5_number_upper(tok) % $P AS h2 FROM tk),
-       |e AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+       |emb AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)""".stripMargin
+  }
+
+  private def textEmbedOracle: String = {
+    val embS = (0 until embedDim).map(d => s"e$d")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    val nrm = (0 until embedDim).map(d => s"e$d * e$d").mkString(" + ")
+    s"""WITH $textEmbedCtes
        |SELECT doc_id, $embS AS emb, CAST($nrm AS BIGINT) AS nrm2
-       |FROM e ORDER BY doc_id""".stripMargin
+       |FROM emb ORDER BY doc_id""".stripMargin
   }
 
   /** s12: q88's per-(source, lang) doc/token totals — the streaming
@@ -2083,16 +2096,9 @@ object SparkEntry {
     * this shared-vocabulary corpus concentrates near 0.6 — 0.9
     * isolates verbatim/near-verbatim bags). */
   private def semanticDedupTextOracle: String = {
-    val D = 64
-    val P = "2147483647"
-    val sums = (0 until D).map(d =>
-      s"CAST(SUM(CASE WHEN ((h1 + $d * h2) % $P) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS e$d")
-      .mkString(", ")
-    val vlist = (0 until D).map(d => s"CAST(e$d AS DOUBLE)").mkString("[", ", ", "]")
-    s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-       |h AS (SELECT doc_id, md5_number_lower(tok) % $P AS h1,
-       |        md5_number_upper(tok) % $P AS h2 FROM tk),
-       |emb AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+    val vlist = (0 until embedDim).map(d => s"CAST(e$d AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    s"""WITH $textEmbedCtes,
        |e2 AS (SELECT doc_id AS vec_id, $vlist AS v FROM emb),
        |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e2),
        |""".stripMargin + semanticDedupBody(gateCells, "0.9")

@@ -149,27 +149,6 @@ object Report {
     * corpus is shingled once, not three times (un-checkpointed this
     * audits at scan=4/ex=11; checkpointed scan=0/ex=7 — the one real
     * scan is inside the checkpoint, the q75 audit shape). */
-  /** q91: near-dup CLUSTER-SIZE histogram — the duplication-structure
-    * report over q36's resolved clusters: how many clusters of each
-    * size, and how many documents they hold. q50 reports exact-dup
-    * rates and q90 cross-source overlap; this is the third number a
-    * dedup policy is set from — a corpus of ten 1000-doc clusters
-    * dedups very differently from one of 5000 pairs (keeper-selection
-    * cost, recall risk, how much a single boilerplate family
-    * dominates), and cluster-size tails are the standard health check
-    * after any near-dup run.
-    *
-    * Cost = q36 (the label propagation does the work) + one
-    * cluster-cardinality groupBy + one size-cardinality groupBy —
-    * both collapse map-side on frames that are already tiny relative
-    * to the corpus (clustered docs only). */
-  def clusterHistogram(documents: DataFrame): DataFrame =
-    Dedup.dedupClusters(documents)
-      .groupBy("cluster_size")
-      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
-        count(lit(1)).as("n_docs"))
-      .orderBy("cluster_size")
-
   def sourceOverlap(documents: DataFrame, n: Int = 3): DataFrame = {
     val sh = documents
       .select(col("source"), explode(Dedup.shingleSet(n)).as("s"))
@@ -190,4 +169,25 @@ object Report {
         (col("n_shared") / col("n_b")).as("containment_ba"))
       .orderBy("src_a", "src_b")
   }
+
+  /** q91: near-dup CLUSTER-SIZE histogram — the duplication-structure
+    * report over q36's resolved clusters: how many clusters of each
+    * size, and how many documents they hold. q50 reports exact-dup
+    * rates and q90 cross-source overlap; this is the third number a
+    * dedup policy is set from — a corpus of ten 1000-doc clusters
+    * dedups very differently from one of 5000 pairs (keeper-selection
+    * cost, recall risk, how much a single boilerplate family
+    * dominates), and cluster-size tails are the standard health check
+    * after any near-dup run.
+    *
+    * Cost = q36 (the label propagation does the work) + one
+    * cluster-cardinality groupBy + one size-cardinality groupBy —
+    * both collapse map-side on frames that are already tiny relative
+    * to the corpus (clustered docs only). */
+  def clusterHistogram(documents: DataFrame): DataFrame =
+    Dedup.dedupClusters(documents)
+      .groupBy("cluster_size")
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("cluster_size")
 }

@@ -225,12 +225,17 @@ object TextOps {
     // fail-loud on duplicate model keys: a doubled tok would fan out
     // the lookup join and silently corrupt n_tokens AND raw_score.
     // Eager check, q24's guard rationale — the model frame is KB-scale
-    // by contract (it broadcasts), so one tiny agg is free.
-    val dup = wt.groupBy("tok").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"weights frame has duplicate tok '${dup.headOption.map(_.getString(0)).getOrElse("")}'" +
-        " — a doubled key would fan out the lookup join; dedupe the model")
+    // by contract (it broadcasts), so one tiny agg is free. Gated on
+    // CALLER-supplied frames: the default vocabulary is a groupBy
+    // output (unique by construction), and checking it would bolt an
+    // extra eager corpus pass onto every default-path call.
+    if (weights.isDefined) {
+      val dup = wt.groupBy("tok").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"weights frame has duplicate tok '${dup.headOption.map(_.getString(0)).getOrElse("")}'" +
+          " — a doubled key would fan out the lookup join; dedupe the model")
+    }
     documents.select(col("doc_id"), explode(toks).as("tok"))
       .join(broadcast(wt), Seq("tok"), "left")
       .groupBy("doc_id")
