@@ -381,6 +381,20 @@ object SparkEntry {
         Streams.runToMemory(Streams.streamDedup(docs).toDF, "s04_stream_dedup")
       }
     }),
+    // s13: continuous PERCEPTUAL image dedup — m07's dHash riding each
+    // micro-batch into s04's state-store dedup; a re-encoded copy of
+    // the same pixels in a later batch still drops. Rows-only driver
+    // check (no SQL decodes PNG); cross-batch semantics spec-pinned.
+    "s13_stream_image_dedup" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
+      val media = Multimodal.encodePng(Multimodal.imageMedia(docs))
+      Streams.scopedStateStoreConf(s) {
+        Streams.runToMemory(Streams.streamImageDedup(media).toDF,
+          "s13_stream_image_dedup")
+      }
+    }),
     // s11: q76 through the streaming loop — the previous snapshot is
     // persisted as a fingerprint store, the re-crawl streams through
     // per-batch probes, removed = store ∖ landed after the drain. The

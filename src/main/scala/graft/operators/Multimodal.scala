@@ -314,14 +314,19 @@ object Multimodal {
     * check (no SQL engine decodes PNG); determinism, container
     * insensitivity, perturbation tolerance and the pair semantics are
     * pinned in MultimodalSpec. */
-  def imageDhashSummary(documents: DataFrame): DataFrame = {
+  /** The image-mime media frame (m04/m07/s13 shared input shape) —
+    * works on batch AND streaming documents frames (pure row-wise
+    * projection). */
+  private[graft] def imageMedia(documents: DataFrame): Dataset[MediaRow] = {
     import documents.sparkSession.implicits._
-    val media = binaryWithMeta(documents)
+    binaryWithMeta(documents)
       .filter(col("meta.mime") === "image/png")
       .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
       .as[MediaRow]
-    dhashImages(encodePng(media)).toDF()
   }
+
+  def imageDhashSummary(documents: DataFrame): DataFrame =
+    dhashImages(encodePng(imageMedia(documents))).toDF()
 
   /** m04 as a flat verification frame: synthesize real PNGs from the
     * image-mime documents, decode them with the real codec, and carry

@@ -603,6 +603,32 @@ object Streams {
       }
   }
 
+  /** s13: CONTINUOUS perceptual image dedup — the multimodal member
+    * of the streaming-dedup family: each micro-batch of landed media
+    * decodes through the real JDK codec, hashes perceptually (m07's
+    * dHash — container/encoding-insensitive, so a re-encoded or
+    * re-served copy of the same pixels still dedups), and the first
+    * carrier per perceptual hash passes; later arrivals, including
+    * pixel-identical re-encodes in LATER batches, drop against the
+    * state store.
+    *
+    * Pure composition, by construction: the dHash stage is
+    * [[graft.operators.Multimodal.dhashImages]]'s per-partition map
+    * riding the micro-batch (decode parallelism = batch
+    * partitioning, no extra pass), and the dedup is [[streamDedup]]
+    * VERBATIM with the 64-bit hash string as the fingerprint — same
+    * state contract (RocksDB default, one boolean per seen hash),
+    * same min-doc_id-within-batch determinism, same re-delivery
+    * semantics, all already spec-pinned on s04. No SQL oracle (no
+    * engine decodes PNG): cross-batch perceptual-dedup semantics are
+    * pinned in StreamingSpec. */
+  def streamImageDedup(media: Dataset[graft.operators.Multimodal.MediaRow])
+      : Dataset[DocFp] = {
+    import media.sparkSession.implicits._
+    streamDedup(graft.operators.Multimodal.dhashImages(media)
+      .map(r => DocFp(r.dhash, r.doc_id)))
+  }
+
   // ----- s06: watermark-TTL streaming dedup -----------------------------
 
   /** s06: streaming dedup with a FORGETTING horizon — the 100 TB

@@ -251,6 +251,40 @@ class StreamingSpec extends SparkSpec {
     rows shouldBe Set(("s1", "en", 2L, 5L), ("s2", "de", 1L, 4L))
   }
 
+  test("s13 perceptual image dedup: a re-encoded copy in a LATER batch still drops") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Multimodal
+    def img(f: Int => Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(12, 10,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 10; x <- 0 until 12) im.setRGB(x, y, f(x))
+      im
+    }
+    def enc(im: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, buf)
+      buf.toByteArray
+    }
+    val a = img(x => (x * 20) << 16 | (x * 20) << 8 | (x * 20))
+    val c = img(x => ((220 - x * 18) << 16) | ((220 - x * 18) << 8) | (220 - x * 18))
+    val in = MemoryStream[Multimodal.MediaRow]
+    // batch 1: image A lands twice (ids 5 and 3 — min wins)
+    in.addData(Multimodal.MediaRow(5L, enc(a, "png"), "image/png"),
+      Multimodal.MediaRow(3L, enc(a, "png"), "image/png"))
+    // batch 2: A re-encoded as BMP (different BYTES, same pixels —
+    // an exact-hash dedup would miss it) + a genuinely new image
+    in.addData(Multimodal.MediaRow(9L, enc(a, "bmp"), "image/bmp"),
+      Multimodal.MediaRow(1L, enc(c, "png"), "image/png"))
+    val q = Streams.streamImageDedup(in.toDS()).toDF
+      .writeStream.format("memory").queryName("s13_e2e")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("s13_e2e").collect()
+      .map(r => r.getLong(1)).toSet
+    rows shouldBe Set(3L, 1L) // first perceptual carriers only
+  }
+
   test("s06 TTL dedup: duplicate inside the horizon dropped, re-arrival after expiry passes") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
