@@ -472,6 +472,10 @@ object SparkEntry {
     // digest, exact-integer-derived RMS). Rows-only driver check: no
     // SQL engine parses RIFF; the round trip is spec-pinned.
     "m05_audio_decode"       -> ((s, d) => Multimodal.audioDecodeSummary(Tables(s, d).documents)),
+    // m08: perceptual audio fingerprint — energy-envelope dHash
+    // (container- AND gain-independent); pair machinery = q23/m07's
+    // banded Hamming, shared. Rows-only driver check.
+    "m08_audio_fingerprint"  -> ((s, d) => Multimodal.audioFingerprintSummary(Tables(s, d).documents)),
     // m06: the moving-picture modality through a REAL multi-frame
     // container — animated GIF via the JDK's actual sequence
     // writer/parser (no MP4 codec ships with the JDK); true frame

@@ -466,14 +466,97 @@ object Multimodal {
     * format geometry + content digest out. Driver-checked rows-only
     * (no SQL engine parses RIFF); the encode→decode round trip is
     * pinned bit-exactly in MultimodalSpec. */
-  def audioDecodeSummary(documents: DataFrame): DataFrame = {
+  /** The audio-mime media frame (m05/m08 shared input shape). */
+  private[graft] def audioMedia(documents: DataFrame): Dataset[MediaRow] = {
     import documents.sparkSession.implicits._
-    val media = binaryWithMeta(documents)
+    binaryWithMeta(documents)
       .filter(col("meta.mime") === "audio/wav")
       .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
       .as[MediaRow]
-    decodeAudio(encodeWav(media)).toDF()
   }
+
+  def audioDecodeSummary(documents: DataFrame): DataFrame =
+    decodeAudio(encodeWav(audioMedia(documents))).toDF()
+
+  case class AudioFpRow(doc_id: Long, n_samples: Int, afp: String)
+
+  /** m08: PERCEPTUAL audio fingerprint — the energy-envelope
+    * difference hash (the acoustic-fingerprinting family's simplest
+    * published member: frame-energy envelopes compared pairwise, the
+    * audio analogue of m07's image dHash): decode through the real
+    * JDK codec, split the sample stream into 65 equal windows of
+    * EXACT integer energy (Σ s², no float accumulation), emit 64
+    * "is this window louder than the next" gradient-sign bits.
+    *
+    * Container-independent (hashes decoded samples — WAV and AIFF of
+    * the same PCM fingerprint identically, spec-pinned through both
+    * real JDK writers) and GAIN-independent by construction: scaling
+    * every sample by c scales every window energy by c², preserving
+    * all comparisons — a re-mastered louder copy still dedups, which
+    * the PCM digest (m05) can never do. Same bitstring convention as
+    * q23/m07, so [[graft.operators.Dedup.hammingBandPairs]] gives
+    * the banded pair machinery unchanged ([[audioNearDupPairs]]).
+    * Clips shorter than 65 samples leave some windows empty (energy
+    * 0) — still deterministic. Unparseable/non-16-bit payloads fail
+    * loudly (the m05 contract). */
+  def fingerprintAudio(media: Dataset[MediaRow]): Dataset[AudioFpRow] = {
+    import media.sparkSession.implicits._
+    val W = 65
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        require(m.payload != null,
+          s"fingerprintAudio: null payload for doc ${m.doc_id}")
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          catch {
+            case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              throw new IllegalArgumentException(
+                s"fingerprintAudio: unparseable ${m.mime} payload for doc ${m.doc_id}", e)
+          }
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16,
+          s"fingerprintAudio: expected 16-bit PCM for doc ${m.doc_id}, " +
+            s"got ${fmt.getSampleSizeInBits}-bit")
+        val pcm = ais.readAllBytes()
+        val bigEndian = fmt.isBigEndian
+        val n = pcm.length / 2
+        val e = new Array[Long](W)
+        var i = 0
+        while (i < n) {
+          val s =
+            if (bigEndian) ((pcm(2 * i) << 8) | (pcm(2 * i + 1) & 0xff)).toShort
+            else ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort
+          e((i.toLong * W / n).toInt) += s.toLong * s.toLong
+          i += 1
+        }
+        val bits = new java.lang.StringBuilder(W - 1)
+        var w = 0
+        while (w < W - 1) {
+          bits.append(if (e(w) > e(w + 1)) '1' else '0')
+          w += 1
+        }
+        AudioFpRow(m.doc_id, n, bits.toString)
+      }
+    }
+  }
+
+  /** m08 pair detection: perceptual near-dup audio pairs within
+    * `maxHamming` bits — q23/m07's banded-Hamming machinery on the
+    * energy-envelope fingerprints. */
+  def audioNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 6,
+                        bands: Int = 4): DataFrame =
+    Dedup.hammingBandPairs(
+      fingerprintAudio(media).toDF().select(col("doc_id"), col("afp").as("fp")),
+      maxHamming, bands)
+
+  /** m08 as a flat verification frame: synthesize real WAVs from the
+    * audio-mime documents, fingerprint them perceptually. Rows-only
+    * driver check (no SQL engine parses RIFF); container and gain
+    * invariance plus the pair semantics are pinned in
+    * MultimodalSpec. */
+  def audioFingerprintSummary(documents: DataFrame): DataFrame =
+    fingerprintAudio(encodeWav(audioMedia(documents))).toDF()
 
   /** One decoded, sampled frame leaving the multi-frame container
     * decode stage. */

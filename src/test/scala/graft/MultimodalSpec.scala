@@ -145,6 +145,57 @@ class MultimodalSpec extends SparkSpec {
     pairs.keys.flatMap(k => Seq(k._1, k._2)) should not contain 5L
   }
 
+  test("m08 audio fingerprint: container- and gain-independent, discriminative, pairs work") {
+    import spark.implicits._
+    // 16-bit mono PCM helpers through the REAL JDK writers
+    def wav(samples: Array[Short], aiff: Boolean = false): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        if (aiff) { // AIFF is big-endian
+          pcm(2 * i) = ((samples(i) >> 8) & 0xff).toByte
+          pcm(2 * i + 1) = (samples(i) & 0xff).toByte
+        } else {
+          pcm(2 * i) = (samples(i) & 0xff).toByte
+          pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        }
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, aiff)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        if (aiff) javax.sound.sampled.AudioFileFormat.Type.AIFF
+        else javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+      buf.toByteArray
+    }
+    // a 650-sample ramp — strong monotone envelope; amplitudes small
+    // enough that x2 gain cannot clip
+    val a = Array.tabulate[Short](650)(i => (i * 4).toShort)
+    val louder = a.map(s => (s * 2).toShort)
+    val b = a.reverse // opposite envelope
+    val rows = Multimodal.fingerprintAudio(Seq(
+      MediaRow(1L, wav(a), "audio/wav"),
+      MediaRow(2L, wav(a), "audio/wav"),          // identical bytes
+      MediaRow(3L, wav(a, aiff = true), "audio/aiff"), // same samples, AIFF container
+      MediaRow(4L, wav(louder), "audio/wav"),     // 2x gain — same envelope SHAPE
+      MediaRow(5L, wav(b), "audio/wav")
+    ).toDS()).collect().map(r => r.doc_id -> r.afp).toMap
+    def ham(x: String, y: String): Int = x.zip(y).count(p => p._1 != p._2)
+    rows(1L) should have length 64
+    rows(2L) shouldBe rows(1L)              // determinism
+    rows(3L) shouldBe rows(1L)              // container-independent
+    rows(4L) shouldBe rows(1L)              // gain-independent (c^2 scales all energies)
+    ham(rows(1L), rows(5L)) should be > 6   // reversed envelope is far
+    // pair machinery: copies + gain copy pair up; the reverse never does
+    val pairs = Multimodal.audioNearDupPairs(Seq(
+      MediaRow(1L, wav(a), "audio/wav"),
+      MediaRow(4L, wav(louder), "audio/wav"),
+      MediaRow(5L, wav(b), "audio/wav")
+    ).toDS()).collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    pairs((1L, 4L)) shouldBe 0
+    pairs.keys.flatMap(k => Seq(k._1, k._2)) should not contain 5L
+  }
+
   test("m04 encodePng emits real PNGs; resize is exact nearest-neighbor") {
     import spark.implicits._
     val media = Seq(
