@@ -420,39 +420,49 @@ object Multimodal {
     * sqrt, so the value is bit-deterministic across JVMs).
     * Unparseable payloads and non-16-bit formats fail LOUDLY with the
     * doc id — silent nulls at 100 TB hide a corrupt-media stratum. */
+  /** Shared m05/m08 decode front door: parse through the real JDK
+    * codec, enforce the 16-bit contract, fail loudly with the doc id.
+    * One copy, so the two consumers' validation can never diverge. */
+  private def readPcm16(m: MediaRow, who: String)
+      : (javax.sound.sampled.AudioFormat, Long, Array[Byte]) = {
+    require(m.payload != null, s"$who: null payload for doc ${m.doc_id}")
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"$who: unparseable ${m.mime} payload for doc ${m.doc_id}", e)
+      }
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16,
+      s"$who: expected 16-bit PCM for doc ${m.doc_id}, " +
+        s"got ${fmt.getSampleSizeInBits}-bit")
+    (fmt, ais.getFrameLength, ais.readAllBytes())
+  }
+
+  /** The i-th 16-bit sample of a PCM byte buffer. */
+  @inline private def sample16(pcm: Array[Byte], i: Int,
+                               bigEndian: Boolean): Short =
+    if (bigEndian) ((pcm(2 * i) << 8) | (pcm(2 * i + 1) & 0xff)).toShort
+    else ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort
+
   def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       val md = java.security.MessageDigest.getInstance("MD5") // per-partition init
       batch.map { m =>
-        require(m.payload != null,
-          s"decodeAudio: null payload for doc ${m.doc_id}")
-        val ais =
-          try javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(m.payload))
-          catch {
-            case e: javax.sound.sampled.UnsupportedAudioFileException =>
-              throw new IllegalArgumentException(
-                s"decodeAudio: unparseable ${m.mime} payload for doc ${m.doc_id}", e)
-          }
-        val fmt = ais.getFormat
-        require(fmt.getSampleSizeInBits == 16,
-          s"decodeAudio: expected 16-bit PCM for doc ${m.doc_id}, " +
-            s"got ${fmt.getSampleSizeInBits}-bit")
-        val frames = ais.getFrameLength
-        val pcm = ais.readAllBytes()
+        val (fmt, frames, pcm) = readPcm16(m, "decodeAudio")
         md.reset(); md.update(pcm)
         val bigEndian = fmt.isBigEndian
+        val nSamples = pcm.length / 2
         var i = 0
         var sumSq = 0L
-        while (i + 1 < pcm.length) {
-          val s =
-            if (bigEndian) ((pcm(i) << 8) | (pcm(i + 1) & 0xff)).toShort
-            else ((pcm(i + 1) << 8) | (pcm(i) & 0xff)).toShort
+        while (i < nSamples) {
+          val s = sample16(pcm, i, bigEndian)
           sumSq += s.toLong * s.toLong
-          i += 2
+          i += 1
         }
-        val nSamples = pcm.length / 2
         AudioRow(m.doc_id, fmt.getChannels, fmt.getSampleRate.toInt, frames,
           frames * 1000L / fmt.getSampleRate.toLong, m.payload.length,
           graft.Exact.hex(md.digest()),
@@ -461,11 +471,6 @@ object Multimodal {
     }
   }
 
-  /** m05 as a flat verification frame: synthesize real WAVs from the
-    * audio-mime documents, decode them with the real codec, carry the
-    * format geometry + content digest out. Driver-checked rows-only
-    * (no SQL engine parses RIFF); the encode→decode round trip is
-    * pinned bit-exactly in MultimodalSpec. */
   /** The audio-mime media frame (m05/m08 shared input shape). */
   private[graft] def audioMedia(documents: DataFrame): Dataset[MediaRow] = {
     import documents.sparkSession.implicits._
@@ -475,6 +480,11 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** m05 as a flat verification frame: synthesize real WAVs from the
+    * audio-mime documents, decode them with the real codec, carry the
+    * format geometry + content digest out. Driver-checked rows-only
+    * (no SQL engine parses RIFF); the encode→decode round trip is
+    * pinned bit-exactly in MultimodalSpec. */
   def audioDecodeSummary(documents: DataFrame): DataFrame =
     decodeAudio(encodeWav(audioMedia(documents))).toDF()
 
@@ -504,34 +514,33 @@ object Multimodal {
     val W = 65
     media.mapPartitions { batch =>
       batch.map { m =>
-        require(m.payload != null,
-          s"fingerprintAudio: null payload for doc ${m.doc_id}")
-        val ais =
-          try javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(m.payload))
-          catch {
-            case e: javax.sound.sampled.UnsupportedAudioFileException =>
-              throw new IllegalArgumentException(
-                s"fingerprintAudio: unparseable ${m.mime} payload for doc ${m.doc_id}", e)
-          }
-        val fmt = ais.getFormat
-        require(fmt.getSampleSizeInBits == 16,
-          s"fingerprintAudio: expected 16-bit PCM for doc ${m.doc_id}, " +
-            s"got ${fmt.getSampleSizeInBits}-bit")
-        val pcm = ais.readAllBytes()
+        val (fmt, _, pcm) = readPcm16(m, "fingerprintAudio")
+        // MONO only, fail-loud: interleaved channels would silently
+        // fold L/R into the energy windows, so a stereo file and its
+        // mono master fingerprint differently with no warning — mix
+        // down upstream (the published envelope methods do).
+        require(fmt.getChannels == 1,
+          s"fingerprintAudio: expected mono for doc ${m.doc_id}, got " +
+            s"${fmt.getChannels} channels — mix down before fingerprinting")
         val bigEndian = fmt.isBigEndian
         val n = pcm.length / 2
         val e = new Array[Long](W)
+        // window of sample i = floor(i·W/n), walked via precomputed
+        // boundaries (next first-index-of-window = ceil((w+1)·n/W)) —
+        // no per-sample division in the hot loop, same exact binning
         var i = 0
+        var w = 0
+        var next = if (n == 0) 0L else (n.toLong + W - 1) / W
         while (i < n) {
-          val s =
-            if (bigEndian) ((pcm(2 * i) << 8) | (pcm(2 * i + 1) & 0xff)).toShort
-            else ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort
-          e((i.toLong * W / n).toInt) += s.toLong * s.toLong
+          while (i >= next) {
+            w += 1; next = ((w + 1).toLong * n + W - 1) / W
+          }
+          val s = sample16(pcm, i, bigEndian)
+          e(w) += s.toLong * s.toLong
           i += 1
         }
         val bits = new java.lang.StringBuilder(W - 1)
-        var w = 0
+        w = 0
         while (w < W - 1) {
           bits.append(if (e(w) > e(w + 1)) '1' else '0')
           w += 1

@@ -194,6 +194,20 @@ class MultimodalSpec extends SparkSpec {
     ).toDS()).collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     pairs((1L, 4L)) shouldBe 0
     pairs.keys.flatMap(k => Seq(k._1, k._2)) should not contain 5L
+    // stereo fails loudly: interleaved channels would silently change
+    // the envelope (a stereo file and its mono master never pairing)
+    val stereoPcm = new Array[Byte](400)
+    val sfmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val sais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(stereoPcm), sfmt, 100L)
+    val sbuf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(sais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, sbuf)
+    val ex = intercept[Exception] {
+      Multimodal.fingerprintAudio(Seq(
+        MediaRow(9L, sbuf.toByteArray, "audio/wav")).toDS()).collect()
+    }
+    ex.getMessage should include("mix down")
   }
 
   test("m04 encodePng emits real PNGs; resize is exact nearest-neighbor") {
