@@ -526,6 +526,12 @@ object SparkEntry {
     }),
   )
 
+  /** Committed golden parquet for the media oracles (m04–m08, s13) —
+    * regenerated by `runMain graft.GoldenGen /root/repo/golden
+    * <sfDirs...>` whenever a synthesis law or the test corpus
+    * changes. */
+  private val GoldenDir = "/root/repo/golden"
+
   def oracleSql: Map[String, String] = Map(
     "q01_ingest_normalize" ->
       """SELECT * FROM (
@@ -1035,6 +1041,59 @@ object SparkEntry {
         |       CAST(LEAST(n - frame_idx * 64, 32) AS INTEGER) AS n_bytes,
         |       md5(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 32)) AS frame_hash
         |FROM f WHERE frame_idx * 64 < n ORDER BY doc_id, frame_idx""".stripMargin,
+    // m04–m08/s13: GOLDEN-DIGEST oracles (round-13, the r12 verdict's
+    // top task). DuckDB cannot decode PNG/RIFF/GIF, so the expected
+    // values come from the committed golden parquet (graft.GoldenGen:
+    // every value derives from the synthesis LAWS, never the decode
+    // path) keyed by md5(text) — a pure function of the payload, so
+    // one golden serves every SF whose texts it covers and DuckDB
+    // computes the join key itself. Hash equality of the declared
+    // query (law → real-codec encode → real-codec decode) against the
+    // golden (law only) IS the independent codec round-trip proof.
+    "m04_image_decode" ->
+      s"""SELECT d.doc_id, g.width, g.height, g.n_bytes, g.pixel_md5, g.mean_luma
+         |FROM documents d
+         |JOIN read_parquet('$GoldenDir/image.parquet/*.parquet') g
+         |  ON md5(d.text) = g.text_md5
+         |WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id""".stripMargin,
+    "m07_image_dhash" ->
+      s"""SELECT d.doc_id, g.width, g.height, g.dhash
+         |FROM documents d
+         |JOIN read_parquet('$GoldenDir/image.parquet/*.parquet') g
+         |  ON md5(d.text) = g.text_md5
+         |WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id""".stripMargin,
+    "m05_audio_decode" ->
+      s"""SELECT d.doc_id, g.channels, g.sample_rate, g.n_frames,
+         |       g.duration_ms, g.n_bytes, g.pcm_md5, g.rms
+         |FROM documents d
+         |JOIN read_parquet('$GoldenDir/audio.parquet/*.parquet') g
+         |  ON md5(d.text) = g.text_md5
+         |WHERE d.doc_id % 3 = 1 ORDER BY d.doc_id""".stripMargin,
+    "m08_audio_fingerprint" ->
+      s"""SELECT d.doc_id, g.n_samples, g.afp
+         |FROM documents d
+         |JOIN read_parquet('$GoldenDir/audio.parquet/*.parquet') g
+         |  ON md5(d.text) = g.text_md5
+         |WHERE d.doc_id % 3 = 1 ORDER BY d.doc_id""".stripMargin,
+    "m06_gif_frames" ->
+      s"""SELECT d.doc_id, g.frame_idx, g.n_frames, g.width, g.height,
+         |       g.pixel_md5, g.mean_luma
+         |FROM documents d
+         |JOIN read_parquet('$GoldenDir/gif.parquet/*.parquet') g
+         |  ON md5(d.text) = g.text_md5
+         |WHERE d.doc_id % 3 = 2 ORDER BY d.doc_id, g.frame_idx""".stripMargin,
+    // s13 = m07's dHash through the streaming dedup: first (smallest
+    // doc_id) carrier per perceptual hash — s04's min-doc_id contract
+    // over the golden dhash column.
+    "s13_stream_image_dedup" ->
+      s"""WITH dh AS (
+         |  SELECT d.doc_id, g.dhash
+         |  FROM documents d
+         |  JOIN read_parquet('$GoldenDir/image.parquet/*.parquet') g
+         |    ON md5(d.text) = g.text_md5
+         |  WHERE d.doc_id % 3 = 0)
+         |SELECT dhash AS fingerprint, MIN(doc_id) AS doc_id
+         |FROM dh GROUP BY 1 ORDER BY 1""".stripMargin,
     // q37: both engines build the SAME deterministic salted input from
     // doc_id (the synthetic corpus carries no organic PII), then verify
     // the redaction machinery: global regex replace + match counts.

@@ -86,6 +86,32 @@ object Bpe {
     * contrast, round-trips only the concatenated characters). */
   val EowMarker = "</w>"
 
+  /** Reversible marker escape for the MARKED encoding (round-12
+    * ADVICE): `</w>` plausibly occurs in real web/HTML-bearing text,
+    * and until round 12 one such word ABORTED a corpus-wide marked
+    * encode. Instead, marked mode escapes each word BEFORE
+    * segmentation — U+E000 (the escape char, private-use area) maps
+    * to U+E000 U+E001, the marker literal to U+E000 U+E002 — so
+    * after escaping the ONLY raw `</w>` in the token stream are the
+    * encoder-appended end-of-word markers, and [[decode]] inverts
+    * exactly. Escape order matters (escape raw U+E000 first, or the
+    * U+E000 introduced for markers would be re-escaped); unescape
+    * order is marker, then U+E000 U+E002, then U+E000 U+E001, and is
+    * unambiguous because after escaping every U+E000 is the prefix of
+    * exactly one 2-char escape token, tokens never overlap, and no
+    * other post-escape character is U+E000. Escaping must run at the
+    * WORD level (not per emitted symbol): a marker occurrence can
+    * span a symbol boundary in the joined stream, which a per-symbol
+    * escape would miss. Words without either character pass through
+    * untouched — the common path costs two indexOf probes. */
+  private[graft] val Esc = "\uE000"
+  private[graft] val EscEscaped = "\uE000\uE001"
+  private[graft] val MarkerEscaped = "\uE000\uE002"
+
+  private[graft] def escapeMarker(word: String): String =
+    if (word.indexOf(0xE000) < 0 && !word.contains(EowMarker)) word
+    else word.replace(Esc, EscEscaped).replace(EowMarker, MarkerEscaped)
+
   /** Greedy encoder over a merge table; serializable so the expression
     * ships it to executors. The memo table is per-THREAD (tasks in one
     * executor share nothing mutable) and bounded: at `MemoCap` entries
@@ -97,7 +123,9 @@ object Bpe {
     * unmarked symbols, so the subword segmentation — and the token
     * COUNT — are identical to the unmarked encoding; only the final
     * symbol's rendering changes). Words containing the marker literal
-    * fail loudly: they would make [[decode]] ambiguous. */
+    * or U+E000 are [[escapeMarker]]-escaped first so [[decode]] stays
+    * an exact inverse — no input aborts the task (round-12 ADVICE
+    * replaced the previous fail-loud require). */
   final class Encoder(merges: Seq[(String, String)],
                       marked: Boolean = false) extends Serializable {
     require(merges.nonEmpty, "empty merge table")
@@ -139,13 +167,15 @@ object Bpe {
       ThreadLocal.withInitial(() => new java.util.HashMap[String, Array[String]]())
 
     /** One word → its BPE symbols (greedy best-rank, leftmost ties). */
-    def encodeWord(word: String): Array[String] = {
+    def encodeWord(word0: String): Array[String] = {
       val m = memo.get()
-      val hit = m.get(word)
+      val hit = m.get(word0)
       if (hit != null) return hit
-      if (marked) require(!word.contains(EowMarker),
-        s"marked BPE encode: word '$word' contains the end-of-word " +
-          s"marker literal '$EowMarker' — decoding would be ambiguous")
+      // marked mode: reversible marker escape (see [[escapeMarker]]) —
+      // segmentation runs over the ESCAPED word, so decode's
+      // string-level unescape of the joined stream is exact even when
+      // the marker would span a symbol boundary
+      val word = if (marked) escapeMarker(word0) else word0
       // CODEPOINT symbols, not UTF-16 units: the trainer's
       // split(word, "") and the oracle's regexp '(?s).' both segment
       // by codepoint, and a lone surrogate is not a valid token.
@@ -184,7 +214,7 @@ object Bpe {
       if (marked && syms.length > 0)
         syms(syms.length - 1) = syms(syms.length - 1) + EowMarker
       if (m.size >= MemoCap) m.clear()
-      m.put(word, syms)
+      m.put(word0, syms)
       syms
     }
 
@@ -264,7 +294,14 @@ object Bpe {
     * words — the normalization every text operator here applies). */
   def decode(tokens: Column): Column = {
     import org.apache.spark.sql.functions._
-    rtrim(replace(array_join(tokens, ""), lit(EowMarker), lit(" ")))
+    // markers → spaces first (post-escape, every raw marker in the
+    // stream is encoder-appended), then the [[escapeMarker]] inverse
+    // (marker escapes back to the literal, escaped escapes back to
+    // U+E000 — this order is the unambiguous one, see escapeMarker)
+    rtrim(replace(replace(replace(array_join(tokens, ""),
+      lit(EowMarker), lit(" ")),
+      lit(MarkerEscaped), lit(EowMarker)),
+      lit(EscEscaped), lit(Esc)))
   }
 
   // ---------------------------------------------------------------- train

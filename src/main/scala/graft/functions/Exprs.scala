@@ -33,6 +33,31 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Exprs {
 
+  /** Kirsch–Mitzenmacher modulus, shared by every md5-seeded hash
+    * chain below (and by the DuckDB oracles' replay of them). */
+  private val KMP = 2147483647L // 2³¹ − 1
+
+  /** ONE md5 over `s` → the Kirsch–Mitzenmacher seed pair, both
+    * already reduced mod [[KMP]], packed `(g0 << 31) | h2` (each is
+    * < 2³¹, so the pack is lossless and allocation-free). g0 comes
+    * from digest bytes 8–15 (little-endian), h2 from bytes 0–7 — the
+    * exact extraction the oracles replay with DuckDB's
+    * `md5_number_lower/upper`. [[MinHashSig]] and [[TokenSigns]] both
+    * walk g_i = (g0 + i·h2) mod p from this ONE definition, so the
+    * two hash chains cannot silently diverge (round-12 ADVICE). */
+  private def kmSeeds(md: MessageDigest, tmp: Array[Byte],
+                      s: UTF8String): Long = {
+    md.reset()
+    md.update(s.getBytes)
+    md.digest(tmp, 0, 16)
+    var hi = 0L; var lo = 0L
+    var b = 0
+    while (b < 8) { hi |= (tmp(b) & 0xffL) << (8 * b); b += 1 }
+    while (b < 16) { lo |= (tmp(b) & 0xffL) << (8 * (b - 8)); b += 1 }
+    (java.lang.Long.remainderUnsigned(lo, KMP) << 31) |
+      java.lang.Long.remainderUnsigned(hi, KMP)
+  }
+
   /** Manual input-type validation shared by the expressions below.
     *
     * These expressions are SQL-exposed (see [[graft.GraftExtensions]]),
@@ -197,7 +222,6 @@ object Exprs {
         Seq(child.dataType))
 
     @transient private lazy val md = MessageDigest.getInstance("MD5")
-    private val P = 2147483647L
 
     override def nullIntolerant: Boolean = true
     override def nullSafeEval(in: Any): Any = {
@@ -211,21 +235,15 @@ object Exprs {
       while (s < nSh) {
         if (!sh.isNullAt(s)) {
           any = true
-          md.reset()
-          md.update(sh.getUTF8String(s).getBytes)
-          md.digest(tmp, 0, 16)
-          var hi = 0L; var lo = 0L
-          var b = 0
-          while (b < 8) { hi |= (tmp(b) & 0xffL) << (8 * b); b += 1 }
-          while (b < 16) { lo |= (tmp(b) & 0xffL) << (8 * (b - 8)); b += 1 }
-          val h2 = java.lang.Long.remainderUnsigned(hi, P)
+          val gh = kmSeeds(md, tmp, sh.getUTF8String(s))
+          val h2 = gh & 0x7fffffffL
           // g walks (h1 + i·h2) mod p incrementally: h1, h2 < p, so one
           // conditional subtract per step is a full reduction
-          var g = java.lang.Long.remainderUnsigned(lo, P)
+          var g = gh >>> 31
           var i = 0
           while (i < k) {
             if (g < mins(i)) mins(i) = g
-            g += h2; if (g >= P) g -= P
+            g += h2; if (g >= KMP) g -= KMP
             i += 1
           }
         }
@@ -651,7 +669,6 @@ object Exprs {
         Seq(child.dataType))
 
     @transient private lazy val md = MessageDigest.getInstance("MD5")
-    private val P = 2147483647L
 
     override def nullIntolerant: Boolean = true
     override def nullSafeEval(in: Any): Any = {
@@ -662,19 +679,13 @@ object Exprs {
       var s = 0
       while (s < n) {
         if (!toks.isNullAt(s)) {
-          md.reset()
-          md.update(toks.getUTF8String(s).getBytes)
-          md.digest(tmp, 0, 16)
-          var hi = 0L; var lo = 0L
-          var b = 0
-          while (b < 8) { hi |= (tmp(b) & 0xffL) << (8 * b); b += 1 }
-          while (b < 16) { lo |= (tmp(b) & 0xffL) << (8 * (b - 8)); b += 1 }
-          val h2 = java.lang.Long.remainderUnsigned(hi, P)
-          var g = java.lang.Long.remainderUnsigned(lo, P)
+          val gh = kmSeeds(md, tmp, toks.getUTF8String(s))
+          val h2 = gh & 0x7fffffffL
+          var g = gh >>> 31
           var d = 0
           while (d < dim) {
             acc(d) += (if ((g & 1L) == 0L) 1L else -1L)
-            g += h2; if (g >= P) g -= P
+            g += h2; if (g >= KMP) g -= KMP
             d += 1
           }
         }

@@ -135,28 +135,56 @@ object Multimodal {
     * Same per-partition batch contract as [[byteFeatures]]: encoder
     * buffers initialized once per partition, partition-preserving,
     * streamed through the iterator. */
+  /** The image synthesis LAW — the pure payload-bytes → pixels
+    * function [[encodePng]] renders through the real codec. Factored
+    * out (round-13) so the GOLDEN ORACLE generator
+    * ([[graft.GoldenGen]]) can state the expected decode output from
+    * the same single definition WITHOUT touching the decoder: golden
+    * values derive from this law, the declared query derives them
+    * from encode(law) → real-codec decode, and the driver's hash
+    * compare of the two IS the codec round-trip proof. Returns
+    * (width, height, packed 0xRRGGBB pixels row-major). */
+  private[graft] def imageLaw(payload: Array[Byte],
+                              maxDim: Int = 16): (Int, Int, Array[Int]) = {
+    val bytes = if (payload == null) Array.emptyByteArray else payload
+    val w = 1 + math.floorMod(bytes.length, maxDim)
+    val h = 1 + math.floorMod(bytes.map(_ & 0xff).sum, maxDim)
+    val px = new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) {
+      val r = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
+      val g = if (bytes.isEmpty) 0 else bytes((i * 7 + 3) % bytes.length) & 0xff
+      val b = if (bytes.isEmpty) 0 else bytes((i * 13 + 5) % bytes.length) & 0xff
+      px(i) = (r << 16) | (g << 8) | b
+      i += 1
+    }
+    (w, h, px)
+  }
+
+  /** Render a law pixel array into a real container via the REAL
+    * JDK PNG encoder — shared by [[encodePng]] and [[graft.GoldenGen]]
+    * (the golden's n_bytes column is the fixture synthesizer's own
+    * output size; everything else in the golden comes from the law
+    * alone). */
+  private[graft] def renderPng(w: Int, h: Int, px: Array[Int],
+                               buf: java.io.ByteArrayOutputStream): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < w * h) { img.setRGB(i % w, i / w, px(i)); i += 1 }
+    buf.reset()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
   def encodePng(media: Dataset[MediaRow], maxDim: Int = 16): Dataset[MediaRow] = {
     require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       val buf = new java.io.ByteArrayOutputStream(1 << 12) // per-partition init
       batch.map { m =>
-        val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
-        val w = 1 + math.floorMod(bytes.length, maxDim)
-        val h = 1 + math.floorMod(bytes.map(_ & 0xff).sum, maxDim)
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var i = 0
-        while (i < w * h) {
-          val r = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
-          val g = if (bytes.isEmpty) 0 else bytes((i * 7 + 3) % bytes.length) & 0xff
-          val b = if (bytes.isEmpty) 0 else bytes((i * 13 + 5) % bytes.length) & 0xff
-          img.setRGB(i % w, i / w, (r << 16) | (g << 8) | b)
-          i += 1
-        }
-        buf.reset()
-        javax.imageio.ImageIO.write(img, "png", buf)
-        MediaRow(m.doc_id, buf.toByteArray, "image/png")
+        val (w, h, px) = imageLaw(m.payload, maxDim)
+        MediaRow(m.doc_id, renderPng(w, h, px, buf), "image/png")
       }
     }
   }
@@ -248,17 +276,54 @@ object Multimodal {
     * real JDK codec, integer nearest-neighbor downsample to a 9×8
     * grayscale grid (m04's bit-deterministic `x·sw/dw` resize law —
     * no Graphics2D, no float filtering), then 64 bits of
-    * "is the left neighbor brighter" gradient signs. Container- and
-    * scale-insensitive by construction: two encodings of the same
-    * pixels hash IDENTICALLY (the grid reads decoded pixels, not
-    * bytes), and global brightness/contrast shifts preserve gradient
-    * SIGNS, so near-identical images land within a few bits.
+    * "is the left neighbor brighter" gradient signs. Container-
+    * insensitive and scale-TOLERANT: two encodings of the SAME pixels
+    * hash IDENTICALLY (the grid reads decoded pixels, not bytes) —
+    * that exact guarantee holds only for same-pixel re-encodes. A
+    * rescaled copy samples different source pixels through the
+    * integer-NN grid, so bits near grid boundaries can flip; rescales
+    * and global brightness/contrast shifts (which preserve gradient
+    * SIGNS) land NEAR — within a few bits — not equal (round-12
+    * ADVICE: the earlier 'scale-insensitive by construction' claim
+    * overstated this).
     *
     * The hash is emitted as q23's 64-char '0'/'1' bitstring so the
     * whole SimHash toolchain applies unchanged: banding, bucket-local
     * expansion and the codegen'd `graft_hamming` verify — see
     * [[imageNearDupPairs]]. Same per-partition batch contract as
     * every decode stage; undecodable payloads fail loudly. */
+  /** The 64-bit dHash of a pixel field — pure grid math over any
+    * (x, y) → 0xRRGGBB accessor, shared by [[dhashImages]] (decoded
+    * image) and [[graft.GoldenGen]] (law pixel array), so the hash
+    * definition cannot diverge between the query and its golden
+    * oracle. 9×8 integer-NN grayscale grid; gray = r+g+b (scale-free —
+    * only COMPARISONS matter, so no division, no rounding). */
+  private[graft] def dhashBits(sw: Int, sh: Int,
+                               px: (Int, Int) => Int): String = {
+    val g = Array.ofDim[Int](8, 9)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val rgb = px(x * sw / 9, y * sh / 8)
+        g(y)(x) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val bits = new java.lang.StringBuilder(64)
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        bits.append(if (g(y)(x) > g(y)(x + 1)) '1' else '0')
+        x += 1
+      }
+      y += 1
+    }
+    bits.toString
+  }
+
   def dhashImages(media: Dataset[MediaRow]): Dataset[DHashRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
@@ -270,30 +335,7 @@ object Multimodal {
         require(img != null,
           s"dhashImages: undecodable ${m.mime} payload for doc ${m.doc_id}")
         val sw = img.getWidth; val sh = img.getHeight
-        // 9x8 integer-NN grayscale grid; gray = r+g+b (scale-free —
-        // only COMPARISONS matter, so no division, no rounding)
-        val g = Array.ofDim[Int](8, 9)
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 9) {
-            val rgb = img.getRGB(x * sw / 9, y * sh / 8)
-            g(y)(x) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-            x += 1
-          }
-          y += 1
-        }
-        val bits = new java.lang.StringBuilder(64)
-        y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            bits.append(if (g(y)(x) > g(y)(x + 1)) '1' else '0')
-            x += 1
-          }
-          y += 1
-        }
-        DHashRow(m.doc_id, sw, sh, bits.toString)
+        DHashRow(m.doc_id, sw, sh, dhashBits(sw, sh, img.getRGB))
       }
     }
   }
@@ -382,29 +424,46 @@ object Multimodal {
     * bytes, so geometry and content round-trips are meaningful. Same
     * per-partition batch contract: encoder buffer initialized once per
     * partition, partition-preserving, streamed. */
+  /** The audio synthesis LAW — payload bytes → little-endian 16-bit
+    * mono PCM. Factored out (round-13, same rationale as
+    * [[imageLaw]]): the golden oracle's pcm digest / rms / sample
+    * count derive from this law alone; the declared query reaches the
+    * same values through the real RIFF writer AND parser. */
+  private[graft] def pcmLaw(payload: Array[Byte]): Array[Byte] = {
+    val bytes = if (payload == null) Array.emptyByteArray else payload
+    val n = 64 + math.floorMod(bytes.map(_ & 0xff).sum, 128)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = if (bytes.isEmpty) 0
+              else ((bytes(i % bytes.length) & 0xff) - 128) * 256
+      pcm(2 * i) = (s & 0xff).toByte // little-endian per renderWav's format
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    pcm
+  }
+
+  /** Wrap law PCM in a real RIFF/WAVE container via the REAL JDK
+    * writer — shared by [[encodeWav]] and [[graft.GoldenGen]]. */
+  private[graft] def renderWav(pcm: Array[Byte], sampleRate: Float,
+                               buf: java.io.ByteArrayOutputStream): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, (pcm.length / 2).toLong)
+    buf.reset()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
   def encodeWav(media: Dataset[MediaRow], sampleRate: Float = 8000f): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       val buf = new java.io.ByteArrayOutputStream(1 << 12) // per-partition init
       batch.map { m =>
-        val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
-        val n = 64 + math.floorMod(bytes.map(_ & 0xff).sum, 128)
-        val pcm = new Array[Byte](n * 2)
-        var i = 0
-        while (i < n) {
-          val s = if (bytes.isEmpty) 0
-                  else ((bytes(i % bytes.length) & 0xff) - 128) * 256
-          pcm(2 * i) = (s & 0xff).toByte // little-endian per the format below
-          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-          i += 1
-        }
-        val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-        buf.reset()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
-        MediaRow(m.doc_id, buf.toByteArray, "audio/wav")
+        MediaRow(m.doc_id, renderWav(pcmLaw(m.payload), sampleRate, buf),
+          "audio/wav")
       }
     }
   }
@@ -509,9 +568,40 @@ object Multimodal {
     * Clips shorter than 65 samples leave some windows empty (energy
     * 0) — still deterministic. Unparseable/non-16-bit payloads fail
     * loudly (the m05 contract). */
+  /** The 64-bit energy-envelope hash of a PCM buffer — pure window
+    * math, shared by [[fingerprintAudio]] (real-codec-parsed PCM) and
+    * [[graft.GoldenGen]] (law PCM), so the fingerprint definition
+    * cannot diverge between the query and its golden oracle. */
+  private[graft] def envelopeBits(pcm: Array[Byte],
+                                  bigEndian: Boolean): String = {
+    val W = 65
+    val n = pcm.length / 2
+    val e = new Array[Long](W)
+    // window of sample i = floor(i·W/n), walked via precomputed
+    // boundaries (next first-index-of-window = ceil((w+1)·n/W)) —
+    // no per-sample division in the hot loop, same exact binning
+    var i = 0
+    var w = 0
+    var next = if (n == 0) 0L else (n.toLong + W - 1) / W
+    while (i < n) {
+      while (i >= next) {
+        w += 1; next = ((w + 1).toLong * n + W - 1) / W
+      }
+      val s = sample16(pcm, i, bigEndian)
+      e(w) += s.toLong * s.toLong
+      i += 1
+    }
+    val bits = new java.lang.StringBuilder(W - 1)
+    w = 0
+    while (w < W - 1) {
+      bits.append(if (e(w) > e(w + 1)) '1' else '0')
+      w += 1
+    }
+    bits.toString
+  }
+
   def fingerprintAudio(media: Dataset[MediaRow]): Dataset[AudioFpRow] = {
     import media.sparkSession.implicits._
-    val W = 65
     media.mapPartitions { batch =>
       batch.map { m =>
         val (fmt, _, pcm) = readPcm16(m, "fingerprintAudio")
@@ -522,30 +612,8 @@ object Multimodal {
         require(fmt.getChannels == 1,
           s"fingerprintAudio: expected mono for doc ${m.doc_id}, got " +
             s"${fmt.getChannels} channels — mix down before fingerprinting")
-        val bigEndian = fmt.isBigEndian
-        val n = pcm.length / 2
-        val e = new Array[Long](W)
-        // window of sample i = floor(i·W/n), walked via precomputed
-        // boundaries (next first-index-of-window = ceil((w+1)·n/W)) —
-        // no per-sample division in the hot loop, same exact binning
-        var i = 0
-        var w = 0
-        var next = if (n == 0) 0L else (n.toLong + W - 1) / W
-        while (i < n) {
-          while (i >= next) {
-            w += 1; next = ((w + 1).toLong * n + W - 1) / W
-          }
-          val s = sample16(pcm, i, bigEndian)
-          e(w) += s.toLong * s.toLong
-          i += 1
-        }
-        val bits = new java.lang.StringBuilder(W - 1)
-        w = 0
-        while (w < W - 1) {
-          bits.append(if (e(w) > e(w + 1)) '1' else '0')
-          w += 1
-        }
-        AudioFpRow(m.doc_id, n, bits.toString)
+        AudioFpRow(m.doc_id, pcm.length / 2,
+          envelopeBits(pcm, fmt.isBigEndian))
       }
     }
   }
@@ -579,11 +647,40 @@ object Multimodal {
     * JDK has no MP4/H.264 codec, so animated GIF is the honest
     * JDK-only realization of the moving-picture modality: a true
     * container with per-frame images and a real parser. Frames are
-    * grayscale (r=g=b) so the 256-entry GIF palette represents every
-    * pixel EXACTLY and the decode round trip is bit-checkable, not
-    * merely deterministic. Frame count and pixels derive from the
-    * payload, so geometry and content round-trips are meaningful.
+    * grayscale (r=g=b) indexed against an EXPLICIT 256-gray
+    * `IndexColorModel`, so the writer emits that palette verbatim and
+    * the decode round trip is bit-checkable, not merely deterministic.
+    * (Round-13 fix, caught by the golden oracle — TWO codec traps at
+    * once: RGB frames take the writer's DEFAULT palette, so arbitrary
+    * grays quantize; and indexed frames default to INTERLACED output,
+    * which the JDK reader mis-deinterlaces for heights below the
+    * 8-row pass structure — rows come back permuted. 148/360 sampled
+    * frames were wrong at sf0.01. An image's own IndexColorModel plus
+    * `ImageWriteParam.MODE_DISABLED` progressive mode round-trips
+    * bit-exactly at every geometry 1×1..9×9 — spec-pinned on an
+    * adversarial all-gray ramp.) Frame count and pixels derive from
+    * the payload, so geometry and content round-trips are meaningful.
     * Same per-partition batch contract as every codec stage. */
+  /** The animated-GIF synthesis LAW — payload bytes → (width, height,
+    * frame count) geometry plus the per-frame gray value
+    * [[gifPixelLaw]]. Factored out (round-13, [[imageLaw]]'s
+    * rationale) so [[graft.GoldenGen]] states expected frame digests
+    * and luminance without touching the parser. */
+  private[graft] def gifLaw(payload: Array[Byte], maxDim: Int = 8,
+                            maxFrames: Int = 6): (Int, Int, Int) = {
+    val bytes = if (payload == null) Array.emptyByteArray else payload
+    val sum = bytes.map(_ & 0xff).sum
+    val w = 1 + math.floorMod(bytes.length, maxDim)
+    val h = 1 + math.floorMod(sum, maxDim)
+    val n = 2 + math.floorMod(sum + bytes.length, maxFrames - 1)
+    (w, h, n)
+  }
+
+  /** Gray value of pixel i in frame f under the GIF synthesis law. */
+  @inline private[graft] def gifPixelLaw(bytes: Array[Byte], f: Int,
+                                         i: Int): Int =
+    if (bytes.isEmpty) 0 else bytes((i * 31 + f * 7) % bytes.length) & 0xff
+
   def encodeGif(media: Dataset[MediaRow], maxDim: Int = 8,
                 maxFrames: Int = 6): Dataset[MediaRow] = {
     require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
@@ -591,34 +688,39 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       val buf = new java.io.ByteArrayOutputStream(1 << 12) // per-partition init
+      // full 256-gray palette, built once per partition: entry i =
+      // gray i, so every law pixel is IN the palette and the writer's
+      // index lookup is exact — no quantization, no dithering
+      val ramp = Array.tabulate[Byte](256)(_.toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
       batch.map { m =>
         val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
-        val sum = bytes.map(_ & 0xff).sum
-        val w = 1 + math.floorMod(bytes.length, maxDim)
-        val h = 1 + math.floorMod(sum, maxDim)
-        val n = 2 + math.floorMod(sum + bytes.length, maxFrames - 1)
+        val (w, h, n) = gifLaw(bytes, maxDim, maxFrames)
         buf.reset()
         val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
         val out = javax.imageio.ImageIO.createImageOutputStream(buf)
         // finally-guarded like decodeGifFrames: a mid-sequence failure
         // must not leak the stream's native cache or the writer in a
         // long-lived executor
+        // non-progressive: the default interlaced rendering trips the
+        // JDK reader's de-interlace on small heights (see scaladoc)
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
         try {
           writer.setOutput(out)
           writer.prepareWriteSequence(null)
           var f = 0
           while (f < n) {
             val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
             var i = 0
             while (i < w * h) {
-              val v = if (bytes.isEmpty) 0
-                      else bytes((i * 31 + f * 7) % bytes.length) & 0xff
+              val v = gifPixelLaw(bytes, f, i)
               img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
               i += 1
             }
             writer.writeToSequence(
-              new javax.imageio.IIOImage(img, null, null), null)
+              new javax.imageio.IIOImage(img, null, null), param)
             f += 1
           }
           writer.endWriteSequence()

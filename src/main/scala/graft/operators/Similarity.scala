@@ -387,42 +387,26 @@ object Similarity {
     * vectors AFTER the coarse seeds (the seeds' own residuals are
     * zero), assignment replicated driver-side with the same
     * score/tie rule the plan uses. */
-  def annIvfPq(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 4,
-               nQueries: Int = 10, k: Int = 5, m: Int = 8, ks: Int = 16,
-               rerank: Int = 32, residual: Boolean = false,
-               centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
-    val dim = 64
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val dsub = dim / m
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val cents = resolvedCentroids(embeddings, nCells, centroids)
-    val cellIds = lit(cents.map(_._1))
-    val e = prepared(embeddings)
+  /** Left-fold dot, the driver-side replica of graft_dot / the
+    * oracle's explicit term chain — identical accumulation order. */
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
 
-    // left-fold dot, the driver-side replica of graft_dot / the
-    // oracle's explicit term chain — identical accumulation order
-    def dotD(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
-
-    // corpus cell assignment: the dual-shape argmax (literal array at
-    // test geometry, broadcast table past the ~32-centroid codegen
-    // window — the same cliff assignCells documents). The QUERY-side
-    // literal expressions below (probe scores, the 128 ADC dots) are
-    // exempt: they run on nQueries rows, where even an interpreted
-    // fallback is microseconds.
-    val assigned = assignCellsFull(e, cents)
-
-    // PQ codebook: (s, code, slice, |c|²) — KBs, like the coarse
-    // centroids; code = vec_id rank among the source vectors. Raw
-    // mode slices the ks lowest-id vectors; residual mode slices the
-    // RESIDUALS (v − assigned centroid) of the next ks vectors —
-    // seeds' own residuals are zero, so the band after the coarse
-    // seeds is the training-free residual sample. Assignment is
-    // replicated driver-side with the same score and tie rule.
+  /** The TRAINING-FREE PQ codebook (q69/q70's declared mode): raw
+    * mode slices the ks lowest-id vectors; residual mode slices the
+    * RESIDUALS (v − assigned centroid) of the next ks vectors — seeds'
+    * own residuals are zero, so the band after the coarse seeds is the
+    * training-free residual sample. Assignment is replicated
+    * driver-side with the same score and tie rule. code = vec_id rank
+    * among the source vectors. Also round 0 of [[trainedCodebooks]].
+    * Fails loudly when the corpus cannot fill ks codes. */
+  private def seedBook(embeddings: DataFrame,
+                       cents: Array[(Long, Array[Double])], nCells: Int,
+                       m: Int, ks: Int, dsub: Int,
+                       residual: Boolean): Seq[(Int, Int, Array[Double])] = {
     val pqSeeds: Seq[(Array[Double], Int)] =
       if (!residual) seedCentroids(embeddings, ks).toSeq.zipWithIndex
         .map { case ((_, v), code) => (v, code) }
@@ -439,27 +423,169 @@ object Similarity {
           // argmax of dot(v,c)/|c|, ties toward the smaller cell id:
           // cents is id-sorted and maxBy keeps the FIRST maximum
           val (_, cvec) = cents.maxBy { case (_, c) =>
-            dotD(v, c) / math.sqrt(dotD(c, c))
+            dotArr(v, c) / math.sqrt(dotArr(c, c))
           }
           (v.indices.map(i => v(i) - cvec(i)).toArray, code)
         }
       }
-    // the flat (s, code) tables below stride by ks — a short codebook
-    // (corpus smaller than nCells + ks in residual mode, or < ks in
-    // raw mode) would make lookupSum's element_at index past the
-    // array: ANSI error at best, silent NULL scores (wrong neighbors)
-    // with ANSI off. Fail at build time instead.
     require(pqSeeds.length == ks,
       s"IVF-PQ codebook needs exactly ks=$ks seed vectors but the corpus " +
         s"yielded ${pqSeeds.length} (residual=$residual needs vec_ids " +
         s"[${if (residual) nCells else 0}, ${if (residual) nCells + ks else ks})); " +
         "shrink ks/nCells or grow the corpus")
+    for {
+      s <- 0 until m
+      (v, code) <- pqSeeds
+    } yield (s, code, v.slice(s * dsub, (s + 1) * dsub))
+  }
+
+  /** q94: LLOYD-TRAINED PQ codebooks — the round-12 verdict's recall
+    * lever made first-class: q65's fixed-point k-means machinery
+    * applied PER SUBVECTOR SPACE (m small k-means problems over the
+    * corpus sub-vectors, each codebook KB-scale), exactly how the
+    * public PQ literature (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search") and Faiss train their fine
+    * quantizers. Seeds = [[seedBook]] (so round 0 IS the q69/q70
+    * declared codebook — training strictly refines the training-free
+    * path), assignment = the encode argmin VERBATIM (err = |cb|² −
+    * 2⟨sub, cb⟩, ties toward the smaller code), update = member means
+    * in the same 2²⁰ fixed-point arithmetic as [[trainedCentroids]] —
+    * every round order-independent and engine-replicable, so the
+    * DuckDB oracle unrolls the identical rounds (q83's convention). A
+    * code that loses all members KEEPS its previous centroid (PQ's
+    * flat (s, code) stride cannot drop codes the way q65 drops cells;
+    * carrying the old centroid is deterministic and what Faiss does).
+    *
+    * Shape per round: ONE job — scan → explode to (vec_id, s, sub) →
+    * broadcast m·ks codebook join → argmin partial agg keyed
+    * (vec_id, s) → posexplode partial agg → collect of m·ks·dsub
+    * fixed-point sums (kilobytes — the q46 collect rationale).
+    * Residual mode trains over residual sub-vectors (v − assigned
+    * coarse centroid, computed in-plan from the broadcast centroid
+    * frame — the training analogue of q70's ccf trick).
+    *
+    * Output feeds [[annIvfPq]]'s `codebook:` override — the fine-
+    * quantizer mirror of `centroids:`/[[trainedCentroids]]. */
+  def trainedCodebooks(embeddings: DataFrame, nCells: Int = 16,
+                       m: Int = 8, ks: Int = 16, rounds: Int = 2,
+                       residual: Boolean = false,
+                       centroids: Option[Array[(Long, Array[Double])]] = None)
+      : Array[(Int, Int, Array[Double])] = {
+    require(rounds >= 0, "rounds must be >= 0")
+    val dim = 64
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val scale = 1L << 20
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = resolvedCentroids(embeddings, nCells, centroids)
+    val e = prepared(embeddings)
+    val sIdx = array((0 until m).map(lit): _*)
+    // training rows: (vec_id, s, sub) — residual subs are round-
+    // invariant, so they are derived once outside the loop
+    val subBase = {
+      val flat = e.select(col("vec_id"), explode(sIdx).as("s"), col("v"))
+        .withColumn("sub", slice(col("v"), col("s") * dsub + 1, lit(dsub)))
+      if (!residual) flat.select("vec_id", "s", "sub")
+      else {
+        val cellSubs = broadcast(cents.toSeq.flatMap { case (cellId, cvec) =>
+          (0 until m).map(s =>
+            (cellId, s, cvec.slice(s * dsub, (s + 1) * dsub)))
+        }.toDF("cell", "s", "csub"))
+        assignCellsFull(e, cents)
+          .select(col("vec_id"), col("cell"), explode(sIdx).as("s"), col("v"))
+          .withColumn("rawsub", slice(col("v"), col("s") * dsub + 1, lit(dsub)))
+          .join(cellSubs, Seq("cell", "s"))
+          .withColumn("sub", zip_with(col("rawsub"), col("csub"), _ - _))
+          .select("vec_id", "s", "sub")
+      }
+    }
+    var book: Seq[(Int, Int, Array[Double])] =
+      seedBook(embeddings, cents, nCells, m, ks, dsub, residual)
+    var r = 0
+    while (r < rounds) {
+      val bookDf = broadcast(book.map { case (s, code, cv) =>
+        (s, code, cv, cv.foldLeft(0.0)((a, x) => a + x * x))
+      }.toDF("s", "code", "cv", "c2"))
+      // (err, code) is unique per (vec_id, s) — sub rides as payload,
+      // never compared (trainedCentroids' struct convention)
+      val sums = subBase
+        .join(bookDf, Seq("s"))
+        .withColumn("err",
+          col("c2") - lit(2.0) * Exprs.dot(col("sub"), col("cv")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(col("err"), col("code"), col("sub"))).as("b"))
+        .select(col("s"), col("b.code").as("code"), posexplode(col("b.sub")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(sum(floor(col("col") * scale + lit(0.5)).cast("long")).as("fs"),
+          count(lit(1)).as("c"))
+        .collect()
+      // same arithmetic as trainedCentroids: CAST(fs AS DOUBLE) /
+      // (1048576.0 * c) — exact integer inputs, one IEEE division
+      val updated = sums.groupBy(row => (row.getInt(0), row.getInt(1)))
+        .map { case ((s, code), rows) =>
+          val arr = new Array[Double](dsub)
+          rows.foreach { row =>
+            arr(row.getInt(2)) =
+              row.getLong(3).toDouble / (scale.toDouble * row.getLong(4))
+          }
+          (s, code) -> arr
+        }
+      book = book.map { case (s, code, cv) =>
+        (s, code, updated.getOrElse((s, code), cv)) // empty code: keep
+      }
+      r += 1
+    }
+    book.toArray
+  }
+
+  def annIvfPq(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 4,
+               nQueries: Int = 10, k: Int = 5, m: Int = 8, ks: Int = 16,
+               rerank: Int = 32, residual: Boolean = false,
+               centroids: Option[Array[(Long, Array[Double])]] = None,
+               codebook: Option[Array[(Int, Int, Array[Double])]] = None): DataFrame = {
+    val dim = 64
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = resolvedCentroids(embeddings, nCells, centroids)
+    val cellIds = lit(cents.map(_._1))
+    val e = prepared(embeddings)
+
+    def dotD(a: Array[Double], b: Array[Double]): Double = dotArr(a, b)
+
+    // corpus cell assignment: the dual-shape argmax (literal array at
+    // test geometry, broadcast table past the ~32-centroid codegen
+    // window — the same cliff assignCells documents). The QUERY-side
+    // literal expressions below (probe scores, the 128 ADC dots) are
+    // exempt: they run on nQueries rows, where even an interpreted
+    // fallback is microseconds.
+    val assigned = assignCellsFull(e, cents)
+
+    // PQ codebook: (s, code, slice, |c|²) — KBs, like the coarse
+    // centroids. Default = the deterministic training-free seeds
+    // ([[seedBook]] — the oracle-replayed mode); `codebook` override =
+    // a caller-TRAINED table ([[trainedCodebooks]]'s output), the q46
+    // `centroids:` convention applied to the fine quantizer. Either
+    // way the flat (s, code) tables below stride by ks — a malformed
+    // book would make lookupSum's element_at index past the array:
+    // ANSI error at best, silent NULL scores (wrong neighbors) with
+    // ANSI off. Fail at build time instead.
+    val bookRaw: Seq[(Int, Int, Array[Double])] = codebook match {
+      case Some(cb) =>
+        require(cb.length == m * ks,
+          s"codebook override must have exactly m*ks=${m * ks} entries, got ${cb.length}")
+        require(cb.forall(_._3.length == dsub),
+          s"codebook override sub-vectors must have dim/m=$dsub dims")
+        require((0 until m).forall(s =>
+          cb.filter(_._1 == s).map(_._2).sorted.sameElements(0 until ks)),
+          s"codebook override must carry codes 0..${ks - 1} for every subspace 0..${m - 1}")
+        cb.toSeq
+      case None => seedBook(embeddings, cents, nCells, m, ks, dsub, residual)
+    }
     val book: Seq[(Int, Int, Array[Double], Double)] =
-      for {
-        s <- 0 until m
-        (v, code) <- pqSeeds
-      } yield {
-        val cv = v.slice(s * dsub, (s + 1) * dsub)
+      bookRaw.map { case (s, code, cv) =>
         (s, code, cv, cv.foldLeft(0.0)((a, x) => a + x * x))
       }
     val bookDf = book.toDF("s", "code", "cv", "c2")

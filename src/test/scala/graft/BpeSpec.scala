@@ -314,9 +314,33 @@ class BpeSpec extends SparkSpec {
     Seq("window", "spark", "zzzz", "table").foreach { w =>
       m.encodeWord(w).length shouldBe u.encodeWord(w).length
     }
-    // a word containing the marker literal would decode ambiguously
-    val ex = intercept[Exception] { m.encodeWord("x</w>y") }
-    ex.getMessage should include("end-of-word")
+    // a word containing the marker literal or the escape char is
+    // reversibly escaped, never aborted (round-12 ADVICE) — the
+    // emitted symbols carry the ESCAPED rendering, decode restores it
+    m.encodeWord("x</w>y").mkString should include(Bpe.MarkerEscaped)
+  }
+
+  test("q86 marker escape: adversarial marker/escape-char words round-trip losslessly") {
+    // every corner of the escape law: the marker literal, the escape
+    // char U+E000, the escaped-escape false-match shape (raw U+E000
+    // followed by raw U+E002), spanning-boundary markers, and plain
+    // HTML-ish text — all must decode back to the exact input
+    val adversarial = Seq(
+      "x</w>y", "</w>", "a</w>", "</w>b", "</w></w>",
+      "pre </w>mid post", "tag<</w>>done",
+      "\uE000", "\uE000\uE000", "\uE000\uE002", "\uE000</w>",
+      "\uE001", "\uE002", "\uE000\uE001\uE002</w>x")
+    val df = spark.createDataFrame(
+      adversarial.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("id", "text")
+    val bad = df.select(col("text"),
+        Bpe.decode(Bpe.encodeMarked(col("text"))).as("d"))
+      .filter(col("d") =!= col("text"))
+      .collect()
+    assert(bad.isEmpty,
+      s"escape round trip broke on: ${bad.map(_.getString(0)).mkString("[", ", ", "]")}")
+    // and the escape itself is the identity on marker-free words
+    Bpe.escapeMarker("customer") shouldBe "customer"
   }
 
   test("q86 decode inverts the marked encode: corpus-wide and on adversarial spacing") {

@@ -364,6 +364,34 @@ class MultimodalSpec extends SparkSpec {
       .map(_.frame_idx).sorted shouldBe Array(0, 2)
   }
 
+  test("m06 golden law: encode->decode reproduces law pixels on adversarial gray ramps at every geometry") {
+    import spark.implicits._
+    // Round-13 regression guard for BOTH codec traps the golden oracle
+    // caught: default-palette quantization (arbitrary, non-aligned
+    // grays) and the reader's broken de-interlace of small heights
+    // (any h < 8 with non-constant rows). Payloads are crafted so the
+    // law produces varied geometry and dense gray ramps.
+    val payloads = (0 until 24).map { k =>
+      (k.toLong, Array.tabulate[Byte](37 + 11 * k)(i => ((i * 37 + k) % 256).toByte))
+    }
+    val media = payloads.map { case (id, b) =>
+      Multimodal.MediaRow(id, b, "video/mp4")
+    }.toDS()
+    val got = Multimodal.decodeGifFrames(Multimodal.encodeGif(media))
+      .collect().map(r => (r.doc_id, r.frame_idx) -> (r.pixel_md5, r.mean_luma))
+      .toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    payloads.foreach { case (id, b) =>
+      val expect = GoldenGen.gifGolden("k", b, md)
+      expect.foreach { e =>
+        got((id, e.frame_idx)) shouldBe ((e.pixel_md5, e.mean_luma))
+      }
+      // geometry must vary enough to cover the de-interlace trap
+      val (_, h, _) = Multimodal.gifLaw(b)
+      h should be <= 8
+    }
+  }
+
   test("m06 unparseable payload fails loudly with the doc id") {
     import spark.implicits._
     val junk = Seq(Multimodal.MediaRow(77L,
