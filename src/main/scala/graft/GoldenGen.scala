@@ -47,7 +47,7 @@ object GoldenGen {
 
   case class ImageGolden(text_md5: String, width: Int, height: Int,
                          n_bytes: Int, pixel_md5: String, mean_luma: Double,
-                         dhash: String)
+                         dhash: String, grid_emb: String, grid_nrm2: Long)
   case class AudioGolden(text_md5: String, channels: Int, sample_rate: Int,
                          n_frames: Long, duration_ms: Long, n_bytes: Int,
                          pcm_md5: String, rms: Double, n_samples: Int,
@@ -73,9 +73,11 @@ object GoldenGen {
       lumaSum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
       i += 1
     }
+    val emb = Multimodal.gridLuma(w, h, 8, (x, y) => px(y * w + x))
     ImageGolden(key, w, h, png.length, Exact.hex(md.digest()),
       lumaSum.toDouble / (3.0 * w * h),
-      Multimodal.dhashBits(w, h, (x, y) => px(y * w + x)))
+      Multimodal.dhashBits(w, h, (x, y) => px(y * w + x)),
+      emb.mkString(" "), emb.foldLeft(0L)((a, x) => a + x * x))
   }
 
   /** m05/m08 expectations from the PCM law alone (the RIFF container

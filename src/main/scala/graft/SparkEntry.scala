@@ -171,6 +171,12 @@ object SparkEntry {
     // classifier — broadcast model table, map-side weight lookup,
     // integer keep verdict.
     "q89_model_filter"       -> ((s, d) => TextOps.modelFilter(Tables(s, d).documents)),
+    // q95: q89's TRAINING half (the q83 train+apply convention): learn
+    // sign-vote weights from the q28-quality heuristic labels (the
+    // CCNet/DCLM bootstrap — rules label, the model generalizes), then
+    // serve through q89's machinery verbatim; oracle replays label →
+    // train → serve end to end
+    "q95_model_train_filter" -> ((s, d) => TextOps.trainThenFilter(Tables(s, d).documents)),
     // q92: deterministic feature-hashing ±1 projection embeddings —
     // integer vectors, one per-row pass, full identity hash-checked;
     // the documents→Similarity composition bridge (embedFrame).
@@ -226,6 +232,16 @@ object SparkEntry {
     "q69_ann_ivfpq"          -> ((s, d) => Similarity.annIvfPq(Tables(s, d).embeddings)),
     "q70_ann_ivfpq_residual" -> ((s, d) =>
       Similarity.annIvfPq(Tables(s, d).embeddings, residual = true)),
+    // q94: IVF-PQ on LLOYD-TRAINED codebooks — q69's search body over
+    // trainedCodebooks' per-subspace fixed-point k-means output (2
+    // rounds, seeded from q69's training-free book); the fine-
+    // quantizer mirror of q65→q46's trainedCentroids path, oracle-
+    // replayed end to end (train rounds unrolled in SQL)
+    "q94_ann_ivfpq_trained"  -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      Similarity.annIvfPq(e,
+        codebook = Some(Similarity.trainedCodebooks(e, rounds = 2)))
+    }),
     "q57_semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(Tables(s, d).embeddings)),
     "q64_sample_percell"     -> ((s, d) => Similarity.samplePerCell(Tables(s, d).embeddings)),
     // q63: same eval split convention as q35/q47 (id ≡ 0 mod 7 plays
@@ -466,6 +482,11 @@ object SparkEntry {
     // codec; pair machinery = q23's banded Hamming, shared. Rows-only
     // driver check (no SQL engine decodes PNG); semantics spec-pinned.
     "m07_image_dhash"        -> ((s, d) => Multimodal.imageDhashSummary(Tables(s, d).documents)),
+    // m09: image -> VECTOR (the q92 analogue for images): decode
+    // through the real codec, integer-NN grid-luminance embedding —
+    // the multimodal on-ramp to SemDeDup/ANN; golden-oracle-checked
+    // (full vector identity + exact integer norm)
+    "m09_image_embed"        -> ((s, d) => Multimodal.imageEmbedSummary(Tables(s, d).documents)),
     // m05: the REAL audio codec — synthesize spec-compliant WAVs from
     // the audio-mime docs through the JDK's actual RIFF encoder, parse
     // them back with the real decoder (format geometry, PCM content
@@ -1062,6 +1083,13 @@ object SparkEntry {
          |JOIN read_parquet('$GoldenDir/image.parquet/*.parquet') g
          |  ON md5(d.text) = g.text_md5
          |WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id""".stripMargin,
+    "m09_image_embed" ->
+      s"""SELECT d.doc_id, g.width, g.height, g.grid_emb AS emb,
+         |       g.grid_nrm2 AS nrm2
+         |FROM documents d
+         |JOIN read_parquet('$GoldenDir/image.parquet/*.parquet') g
+         |  ON md5(d.text) = g.text_md5
+         |WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id""".stripMargin,
     "m05_audio_decode" ->
       s"""SELECT d.doc_id, g.channels, g.sample_rate, g.n_frames,
          |       g.duration_ms, g.n_bytes, g.pcm_md5, g.rms
@@ -1315,6 +1343,40 @@ object SparkEntry {
         |       CAST(SUM(COALESCE(wgt, 0)) AS BIGINT) / COUNT(*) AS score,
         |       CAST(SUM(COALESCE(wgt, 0)) AS BIGINT) >= 0 AS keep
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q95: the q28 label CTE (dround'd quality >= 0.65, bit-identical
+    // both engines) feeds per-class token counts over q89's top-V
+    // vocabulary; weights = SIGN of the rate cross-product compare in
+    // HUGEINT (the Spark side compares the same products in
+    // decimal(38) — both exact), then q89's serving body verbatim.
+    "q95_model_train_filter" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+        |lab AS (SELECT doc_id, toks,
+        |          FLOOR((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.4
+        |            + (1.0 - CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+        |                     / CAST(len(toks) AS DOUBLE)) * 0.3
+        |            + LEAST(n_chars / 500.0, 1.0) * 0.3) * 10000.0 + 0.5) / 10000.0 >= 0.65 AS label
+        |        FROM t),
+        |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY 1
+        |                       ORDER BY cnt DESC, tok LIMIT 512) x),
+        |ltk AS (SELECT l.label, unnest(l.toks) AS tok FROM lab l),
+        |cls AS (SELECT tok,
+        |          CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |          CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        |        FROM ltk JOIN v USING (tok) GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS pos_tot,
+        |               CAST(SUM(neg) AS BIGINT) AS neg_tot FROM cls),
+        |wt AS (SELECT tok,
+        |         CASE WHEN CAST(pos AS HUGEINT) * neg_tot > CAST(neg AS HUGEINT) * pos_tot THEN 1
+        |              WHEN CAST(pos AS HUGEINT) * neg_tot < CAST(neg AS HUGEINT) * pos_tot THEN -1
+        |              ELSE 0 END AS wgt
+        |       FROM cls CROSS JOIN tot),
+        |j AS (SELECT t2.doc_id, wt.wgt FROM tk t2 LEFT JOIN wt ON t2.tok = wt.tok)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |       CAST(SUM(COALESCE(wgt, 0)) AS BIGINT) AS raw_score,
+        |       CAST(SUM(COALESCE(wgt, 0)) AS BIGINT) / COUNT(*) AS score,
+        |       CAST(SUM(COALESCE(wgt, 0)) AS BIGINT) >= 0 AS keep
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q35_decontaminate" ->
       """WITH fp AS (SELECT doc_id,
         |              md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
@@ -1475,6 +1537,7 @@ object SparkEntry {
     "q46_ann_ivf"         -> annIvfOracle,
     "q69_ann_ivfpq"       -> annIvfPqOracle(),
     "q70_ann_ivfpq_residual" -> annIvfPqOracle(residual = true),
+    "q94_ann_ivfpq_trained" -> annIvfPqOracle(trainRounds = 2),
     "q34_dedup_embedding_lsh" -> embeddingDedupLshOracle,
     "q57_semantic_dedup"  -> semanticDedupOracle,
     "q93_semantic_dedup_text" -> semanticDedupTextOracle,
@@ -2350,13 +2413,27 @@ object SparkEntry {
     * fixed left-assoc lookup chains the Spark side builds — every sum
     * order matches term for term, so the approximate scores (and
     * therefore the rerank cut) are bit-identical. */
-  private def annIvfPqOracle(residual: Boolean = false): String = {
+  /** q69/q70/q94 shared generator. `trainRounds > 0` (q94) prepends
+    * the per-subspace Lloyd rounds of
+    * [[graft.operators.Similarity.trainedCodebooks]], unrolled in SQL
+    * (q65/q83's convention): round r assigns every (vec_id, s)
+    * sub-vector to its round-(r−1) argmin code (err = |cb|² − 2⟨sub,
+    * cb⟩, ties toward the smaller code — the encode rule verbatim)
+    * and recomputes member means in the same 2²⁰ fixed-point
+    * arithmetic as the q65 oracle; a code that loses all members
+    * KEEPS its previous centroid (LEFT JOIN + COALESCE — the Spark
+    * side's getOrElse). The search body downstream is byte-identical
+    * to q69's, reading the final book. */
+  private def annIvfPqOracle(residual: Boolean = false,
+                             trainRounds: Int = 0): String = {
     val (m, ks, dsub) = (8, 16, 8)
     def dot8(a: String, b: String): String =
       (1 to dsub).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
     def chain(arr: String, codes: String): String =
       (0 until m).map(s => s"$arr[${s * ks} + $codes[${s + 1}] + 1]")
         .mkString(" + ")
+    require(trainRounds == 0 || !residual,
+      "trained-codebook oracle is generated for the raw mode only")
     // codebook source: raw slices of the first ks vectors, or residual
     // slices (v − assigned centroid) of the NEXT ks vectors
     val bookSrc =
@@ -2434,6 +2511,25 @@ object SparkEntry {
            |       JOIN cent c ON c.cell = p.cell
            |       JOIN ccn x ON x.cell = p.cell
            |       WHERE a.neighbor_id <> p.query_id)""".stripMargin
+    val trainCtes = (1 to trainRounds).map { r =>
+      s""",
+         |tenc$r AS (SELECT t.vec_id, t.s, b.code, (b.c2 - 2*(${dot8("t.sv", "b.cv")})) AS err
+         |           FROM sv t JOIN book${r - 1} b USING (s)),
+         |tasg$r AS (SELECT vec_id, s, code FROM (
+         |             SELECT vec_id, s, code,
+         |                    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY err, code) AS rn
+         |             FROM tenc$r) t WHERE rn = 1),
+         |tsum$r AS (SELECT a.s, a.code, r.i,
+         |             SUM(CAST(FLOOR(t.sv[r.i] * 1048576.0 + 0.5) AS BIGINT)) AS fs,
+         |             COUNT(*) AS c
+         |           FROM tasg$r a JOIN sv t ON t.vec_id = a.vec_id AND t.s = a.s
+         |           CROSS JOIN range(1, ${dsub + 1}) r(i) GROUP BY 1, 2, 3),
+         |tcv$r AS (SELECT s, code, list(CAST(fs AS DOUBLE) / (1048576.0 * c) ORDER BY i) AS cv
+         |          FROM tsum$r GROUP BY 1, 2),
+         |bookc$r AS (SELECT b.s, b.code, COALESCE(n.cv, b.cv) AS cv
+         |            FROM book${r - 1} b LEFT JOIN tcv$r n USING (s, code)),
+         |book$r AS (SELECT s, code, cv, (${dot8("cv", "cv")}) AS c2 FROM bookc$r)""".stripMargin
+    }.mkString
     s"""WITH $vecCtes,
        |cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < 16),
        |sc AS (SELECT x.vec_id, c.cell, (${sqlDot("x.v", "c.v")}) / c.nrm AS score
@@ -2449,9 +2545,10 @@ object SparkEntry {
        |sv AS (SELECT vec_id, r.s, v[(r.s*$dsub+1):(r.s*$dsub+$dsub)] AS sv
        |       FROM n CROSS JOIN range(0, $m) r(s)),
        |$bookSrc,
-       |book AS (SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INTEGER) AS code,
+       |book0 AS (SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INTEGER) AS code,
        |                sv AS cv, (${dot8("sv", "sv")}) AS c2
-       |         FROM bsrc),
+       |         FROM bsrc)$trainCtes,
+       |book AS (SELECT s, code, cv, c2 FROM book$trainRounds),
        |c2f AS (SELECT list(c2 ORDER BY s, code) AS arr FROM book)$ccTables,
        |$encp,
        |$codesl,

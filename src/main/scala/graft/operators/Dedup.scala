@@ -118,6 +118,34 @@ object Dedup {
         max(col("df")).as("max_df"))
   }
 
+  /** [[dfCapAudit]]'s shape for [[substringDedup]]'s k-token windows
+    * (round-12 verdict #8): how many distinct window digests a
+    * `maxDf` cap would trip on, and how much posting mass they carry.
+    * Unlike the shingle cap (which silently undercounts), q85's cap
+    * ABORTS — so this audit is the sizing tool: run it once per
+    * (corpus, k) choice to pick a cap above the honest df tail, and
+    * to name the boilerplate to strip when the cap fires. `max_df` is
+    * the number to watch: the largest single window partition the
+    * count-window exchange would have to sort on one task. */
+  def substringDfAudit(documents: DataFrame, k: Int = 8,
+                       maxDf: Long = 10000L): DataFrame = {
+    require(maxDf > 0, "substringDfAudit audits a positive maxDf cap")
+    require(k >= 2, "window width k must be >= 2")
+    val tk = filter(split(col("text"), " "), x => x =!= "")
+    documents.select(col("doc_id"), tk.as("tk"))
+      .withColumn("nwin", size(col("tk")) - lit(k - 1))
+      .filter(col("nwin") > 0)
+      .select(explode(expr(
+        s"transform(sequence(0, nwin - 1), " +
+          s"i -> xxhash64(array_join(slice(tk, i + 1, $k), ' ')))")).as("wkey"))
+      .groupBy("wkey").agg(count(lit(1)).as("df"))
+      .agg(
+        count(lit(1)).as("total_windows"),
+        sum(when(col("df") > maxDf, 1).otherwise(0)).as("capped_windows"),
+        coalesce(sum(when(col("df") > maxDf, col("df"))), lit(0L)).as("capped_postings"),
+        max(col("df")).as("max_df"))
+  }
+
   /** The inverted-index pair pass over ANY per-document distinct-set
     * column (shingles for q21/q60, winnow fingerprints for q66): same
     * index key, same shingle-local expansion, same df-cap semantics. */
@@ -615,8 +643,23 @@ object Dedup {
     * Output per doc: token count, span/removed-token counts, and the
     * cleaned text (uncovered tokens rejoined; "" when everything was
     * repeated). k defaults to 8 tokens on this short-doc corpus; the
-    * paper's production setting is ~50. */
-  def substringDedup(documents: DataFrame, k: Int = 8): DataFrame = {
+    * paper's production setting is ~50.
+    *
+    * `maxDf > 0` is [[lineDedup]]'s skew guard brought to parity
+    * (round-12 verdict #8): the count-window partitions on the window
+    * digest, so ONE corpus-scale boilerplate window (a templated
+    * sentence in most documents) would land a corpus-scale partition
+    * on a single task. The cap is the same EAGER pre-flight — a
+    * map-side-combined per-digest count (partial aggs suffer no skew)
+    * that fails the run loudly BEFORE the window's exchange is paid.
+    * Fail-loud, not drop-silent: dropping a capped window would
+    * UNDERCOUNT coverage and silently leave the worst boilerplate IN
+    * the corpus — the opposite of the operator's contract. Size the
+    * cap (and find what to strip upstream) with
+    * [[substringDfAudit]] — q71's audit pattern for this window
+    * family. */
+  def substringDedup(documents: DataFrame, k: Int = 8,
+                     maxDf: Long = 0L): DataFrame = {
     require(k >= 2, "window width k must be >= 2")
     val tk = filter(split(col("text"), " "), x => x =!= "")
     val docs = documents.select(col("doc_id"), tk.as("tk"))
@@ -627,6 +670,18 @@ object Dedup {
         s"transform(sequence(0, nwin - 1), " +
           s"i -> xxhash64(array_join(slice(tk, i + 1, $k), ' ')))")))
       .withColumnRenamed("col", "wkey")
+    if (maxDf > 0L) {
+      val offender = wins
+        .groupBy(col("wkey")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf)
+        .orderBy(col("df").desc)
+        .limit(1).collect()
+      require(offender.isEmpty,
+        s"substringDedup: a window's df=${offender.headOption.map(_.getLong(1)).getOrElse(0L)} " +
+          s"exceeds maxDf=$maxDf — a corpus-scale boilerplate span " +
+          "would skew the count-window exchange onto one task; strip " +
+          "it upstream (see substringDfAudit) or raise the cap")
+    }
     val W0 = org.apache.spark.sql.expressions.Window
     val dupPos = wins
       .withColumn("df", count(lit(1)).over(

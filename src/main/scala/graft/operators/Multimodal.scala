@@ -370,6 +370,85 @@ object Multimodal {
   def imageDhashSummary(documents: DataFrame): DataFrame =
     dhashImages(encodePng(imageMedia(documents))).toDF()
 
+  case class ImageEmbRow(doc_id: Long, width: Int, height: Int,
+                         emb: Array[Long])
+
+  /** The grid-luminance sampling shared by [[embedImages]] (decoded
+    * image) and [[graft.GoldenGen]] (law pixel array) — m07's
+    * dhashBits factoring applied to the embedding, so the vector
+    * definition cannot diverge between the query and its golden
+    * oracle. Integer NN sampling (`x·sw/g`, m04's bit-deterministic
+    * resize law), gray = r+g+b (scale-free integers, the dHash
+    * convention). */
+  private[graft] def gridLuma(sw: Int, sh: Int, grid: Int,
+                              px: (Int, Int) => Int): Array[Long] = {
+    val emb = new Array[Long](grid * grid)
+    var j = 0
+    while (j < emb.length) {
+      val rgb = px((j % grid) * sw / grid, (j / grid) * sh / grid)
+      emb(j) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      j += 1
+    }
+    emb
+  }
+
+  /** m09: IMAGE → VECTOR — the multimodal on-ramp to the semantic
+    * family (round-12 verdict #6): m07 gives Hamming near-dup, but
+    * q57/q26/q46-style semantic machinery needs a VECTOR per image.
+    * This is the image analogue of q92's text embedding: decode
+    * through the real JDK codec, integer-NN sample a `grid`×`grid`
+    * luminance field (m04's bit-deterministic resize law — no float
+    * filtering, no codec-dependent interpolation), emit the
+    * `grid²`-dim INTEGER vector. Integer embeddings are the point
+    * (q92's rationale verbatim): no float summation order to diverge,
+    * so the full vector identity is golden-oracle-hash-checkable, and
+    * every downstream dot/norm chain is exact.
+    *
+    * The vector is a real perceptual embedding in the published
+    * sense: GIST-like downsampled luminance is the classic baseline
+    * image descriptor, cosine-near for re-encodes (identical),
+    * brightness-scaled copies (parallel vectors) and mild crops/
+    * rescales (NN grid tolerance) — exactly the dup classes SemDeDup
+    * over images targets. Same per-partition batch contract and
+    * fail-loud undecodable handling as every decode stage. */
+  def embedImages(media: Dataset[MediaRow], grid: Int = 8): Dataset[ImageEmbRow] = {
+    require(grid >= 1, s"grid must be >= 1, got $grid")
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        require(m.payload != null,
+          s"embedImages: null payload for doc ${m.doc_id}")
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        require(img != null,
+          s"embedImages: undecodable ${m.mime} payload for doc ${m.doc_id}")
+        val sw = img.getWidth; val sh = img.getHeight
+        ImageEmbRow(m.doc_id, sw, sh, gridLuma(sw, sh, grid, img.getRGB))
+      }
+    }
+  }
+
+  /** m09 as a flat verification frame: the embedding identity (space-
+    * joined, q92's `emb` convention) plus its exact integer norm² —
+    * golden-oracle-checked against the law pixels, so the decode →
+    * grid-sample stage is hash-verified end to end. */
+  def imageEmbedSummary(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{aggregate => fAggregate}
+    embedImages(encodePng(imageMedia(documents))).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        array_join(col("emb"), " ").as("emb"),
+        fAggregate(col("emb"), lit(0L), (a, x) => a + x * x).as("nrm2"))
+  }
+
+  /** m09's embeddings in the `(vec_id, embedding array<double>)` shape
+    * the Similarity family consumes — the composition bridge
+    * (SemDeDup / ANN over IMAGES), mirroring
+    * [[graft.operators.TextOps.embedFrame]] for text. */
+  def imageEmbedFrame(documents: DataFrame, grid: Int = 8): DataFrame =
+    embedImages(encodePng(imageMedia(documents)), grid).toDF()
+      .select(col("doc_id").as("vec_id"),
+        col("emb").cast("array<double>").as("embedding"))
+
   /** m04 as a flat verification frame: synthesize real PNGs from the
     * image-mime documents, decode them with the real codec, and carry
     * the geometry + content digest out. Driver-checked rows-only (no

@@ -961,6 +961,107 @@ object Similarity {
     cents
   }
 
+  /** Persist a trained centroid table ([[trainedCentroids]]'s output)
+    * as a parquet artifact — the missing lifecycle half the round-12
+    * verdict named: BPE merges (Bpe.writeMerges) and the band index
+    * (Dedup.writeBandIndex) both persist with validation stamps;
+    * production trains the quantizer ONCE and every later job loads
+    * it, so the centroid table needs the same write/read/validate
+    * discipline. The `_p_dim` stamp rides every row (the band index's
+    * `_p_*` convention): a reader validates the artifact's internal
+    * consistency against it, so a truncated or hand-edited file dies
+    * at READ, not by silently misquantizing the corpus. */
+  def writeCentroids(cents: Array[(Long, Array[Double])],
+                     spark: org.apache.spark.sql.SparkSession,
+                     path: String): Unit = {
+    import spark.implicits._
+    require(cents.nonEmpty, "writeCentroids: empty centroid table")
+    require(cents.map(_._1).distinct.length == cents.length,
+      "writeCentroids: duplicate cell ids")
+    require(cents.map(_._2.length).distinct.length == 1,
+      "writeCentroids: non-uniform dimension")
+    cents.toSeq.map { case (cell, cv) => (cell, cv, cv.length) }
+      .toDF("cell", "cv", "_p_dim")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a persisted centroid table back into the IVF family's
+    * `centroids:` override shape. Fail-loud at read ([[Bpe.readMerges]]'s
+    * convention): empty, duplicate-cell, dimension-drifted or
+    * stamp-inconsistent artifacts all die here with the path in the
+    * message. The returned array is id-sorted, so downstream
+    * tie-breaks keep the smaller-cell-id convention; the final
+    * corpus-dimension check still happens in [[resolvedCentroids]] at
+    * use (the artifact cannot know the corpus it will quantize). */
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Array[(Long, Array[Double])] = {
+    val rows = spark.read.parquet(path)
+      .select("cell", "cv", "_p_dim")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    require(rows.nonEmpty, s"centroid table at $path is empty")
+    require(rows.map(_._3).distinct.length == 1 &&
+      rows.forall(t => t._2.length == t._3),
+      s"centroid table at $path is corrupt: vector dims " +
+        s"${rows.map(_._2.length).distinct.mkString(",")} vs stamp " +
+        s"${rows.map(_._3).distinct.mkString(",")}")
+    require(rows.map(_._1).distinct.length == rows.length,
+      s"centroid table at $path has duplicate cell ids")
+    rows.map(t => (t._1, t._2)).sortBy(_._1)
+  }
+
+  /** Persist a trained PQ codebook ([[trainedCodebooks]]'s output) —
+    * same artifact discipline as [[writeCentroids]], with the PQ
+    * geometry (`_p_m`, `_p_ks`, `_p_dsub`) stamped per row so a
+    * reader can reject a book trained for a different geometry
+    * before [[annIvfPq]] would stride its flat tables wrong. */
+  def writeCodebook(book: Array[(Int, Int, Array[Double])],
+                    spark: org.apache.spark.sql.SparkSession,
+                    path: String): Unit = {
+    import spark.implicits._
+    require(book.nonEmpty, "writeCodebook: empty codebook")
+    val m = book.map(_._1).max + 1
+    val ks = book.map(_._2).max + 1
+    val dsub = book.head._3.length
+    require(book.length == m * ks && (0 until m).forall(s =>
+      book.filter(_._1 == s).map(_._2).sorted.sameElements(0 until ks)),
+      s"writeCodebook: book must carry codes 0..${ks - 1} for every " +
+        s"subspace 0..${m - 1}")
+    require(book.forall(_._3.length == dsub),
+      "writeCodebook: non-uniform sub-vector dimension")
+    book.toSeq.map { case (s, code, cv) => (s, code, cv, m, ks, dsub) }
+      .toDF("s", "code", "cv", "_p_m", "_p_ks", "_p_dsub")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a persisted PQ codebook back into [[annIvfPq]]'s `codebook:`
+    * override shape, validating the geometry stamps and full code
+    * coverage at read — fail-loud with the path, never a silent
+    * mis-stride. */
+  def readCodebook(spark: org.apache.spark.sql.SparkSession,
+                   path: String,
+                   m: Int = 8, ks: Int = 16): Array[(Int, Int, Array[Double])] = {
+    val rows = spark.read.parquet(path)
+      .select("s", "code", "cv", "_p_m", "_p_ks", "_p_dsub")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray,
+        r.getInt(3), r.getInt(4), r.getInt(5)))
+    require(rows.nonEmpty, s"codebook at $path is empty")
+    val stamps = rows.map(t => (t._4, t._5, t._6)).distinct
+    require(stamps.length == 1 && stamps.head._1 == m && stamps.head._2 == ks,
+      s"codebook at $path was trained for geometry " +
+        s"${stamps.map(t => s"m=${t._1} ks=${t._2}").mkString(",")}, " +
+        s"caller expects m=$m ks=$ks")
+    require(rows.forall(t => t._3.length == stamps.head._3),
+      s"codebook at $path is corrupt: sub-vector dims drift from the " +
+        s"_p_dsub=${stamps.head._3} stamp")
+    require(rows.length == m * ks && (0 until m).forall(s =>
+      rows.filter(_._1 == s).map(_._2).sorted.sameElements(0 until ks)),
+      s"codebook at $path is corrupt: does not carry codes 0..${ks - 1} " +
+        s"for every subspace 0..${m - 1}")
+    rows.map(t => (t._1, t._2, t._3)).sortBy(t => (t._1, t._2))
+  }
+
   /** q65: iterated Lloyd refinement — the production k-means loop that
     * [[kmeansRefine]] is one step of (topic/domain clustering trains
     * for several rounds, not one). Round r assigns every vector to its

@@ -247,6 +247,112 @@ object TextOps {
   }
 
 
+  /** q95's default LABELS: the q28 quality heuristic thresholded —
+    * the standard bootstrap every published data recipe uses when no
+    * human labels exist (CCNet seeds its LM filter on heuristic
+    * splits; DCLM distills a fastText model from rule-based labels):
+    * the cheap rules label, the model generalizes. `quality` is the
+    * dround'd score (bit-identical in both engines), so the threshold
+    * compare — and therefore the whole training set — replays
+    * exactly in SQL. */
+  def labelByQuality(documents: DataFrame,
+                     threshold: Double = 0.65): DataFrame = {
+    val (_, _, _, quality) = qualityMetrics
+    documents.select(col("doc_id"), col("text"),
+      (graft.Exact.dround(quality) >= threshold).as("label"))
+  }
+
+  /** q95: TRAIN the q89 model — the round-12 verdict's missing half
+    * ("the model filter serves broadcast weights but nothing learns
+    * them"). A one-pass class-rate SIGN classifier, the integer
+    * reduction of multinomial Naive Bayes: over the top-`vocabSize`
+    * vocabulary, token t votes +1 if its occurrence rate among
+    * POSITIVE-labeled docs exceeds its rate among negatives
+    * (pos(t)/pos_tot > neg(t)/neg_tot), −1 if lower, 0 on an exact
+    * tie — i.e. the SIGN of the NB log-odds without the logs (ln is
+    * not bit-stable across engines, q44's idf note; the sign of the
+    * rate difference is, as an INTEGER cross-product compare). The
+    * cross-products are compared in decimal(38) (DuckDB replays in
+    * HUGEINT), so the compare stays exact to ~10¹⁹-occurrence
+    * corpora — no overflow cliff at 100 TB.
+    *
+    * Deterministic and partial-agg friendly by construction: labels
+    * ride the SAME scan as the token explode (the quality metrics are
+    * per-row array expressions — no second corpus pass, no diamond),
+    * training is ONE token-keyed partial agg over the broadcast-vocab
+    * semi-join, and the totals window runs over the vocab-sized
+    * frame (KBs). Output is exactly [[modelFilter]]'s `(tok, wgt)`
+    * serving contract. Like q83's merge table and q65's centroids,
+    * the model is an ARTIFACT: persist with [[writeModel]], serve
+    * from [[readModel]]. */
+  def trainModel(documents: DataFrame, vocabSize: Int = 512,
+                 labels: Option[DataFrame] = None): DataFrame = {
+    val lab = labels.getOrElse(labelByQuality(documents))
+    require(Set("doc_id", "label").subsetOf(lab.columns.toSet),
+      s"labels must carry (doc_id, label), got ${lab.columns.mkString(", ")}")
+    val labeled =
+      if (lab.columns.contains("text")) lab // default path: one scan
+      else documents.select(col("doc_id"), col("text"))
+        .join(lab.select("doc_id", "label"), Seq("doc_id"))
+    val vocab = tokenCountFrame(documents)
+      .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+      .select("tok")
+    val cls = labeled
+      .select(col("label"), explode(toks).as("tok"))
+      .join(broadcast(vocab), Seq("tok"))
+      .groupBy("tok")
+      .agg(sum(when(col("label"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("label"), 0L).otherwise(1L)).as("neg"))
+    val w = Window.partitionBy() // vocab-sized frame: single partition is the point
+    val l = col("pos").cast("decimal(19,0)") * col("neg_tot").cast("decimal(19,0)")
+    val r = col("neg").cast("decimal(19,0)") * col("pos_tot").cast("decimal(19,0)")
+    cls
+      .withColumn("pos_tot", sum("pos").over(w))
+      .withColumn("neg_tot", sum("neg").over(w))
+      .select(col("tok"),
+        when(l > r, 1L).when(l < r, -1L).otherwise(0L).as("wgt"))
+  }
+
+  /** q95 declared query: train-then-filter END TO END — the q83
+    * (BPE train+apply) convention for the model filter: learn the
+    * sign-vote weights from the heuristic labels, then serve them
+    * through q89's machinery verbatim. Output shape = q89's. */
+  def trainThenFilter(documents: DataFrame, vocabSize: Int = 512): DataFrame =
+    modelFilter(documents,
+      weights = Some(trainModel(documents, vocabSize)))
+
+  /** Persist a trained model ([[trainModel]]'s output) — the
+    * Bpe.writeMerges artifact discipline: schema-checked at write,
+    * `_p_vocab` geometry stamp carried per row, fail-loud validation
+    * at [[readModel]]. */
+  def writeModel(model: DataFrame, path: String, vocabSize: Int = 512): Unit = {
+    require(model.columns.toSet == Set("tok", "wgt"),
+      s"writeModel expects trainModel's (tok, wgt) schema, got " +
+        s"${model.columns.mkString(", ")}")
+    model.withColumn("_p_vocab", lit(vocabSize))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a persisted model back into [[modelFilter]]'s `weights:`
+    * shape. Fail-loud at read (Bpe.readMerges' convention): empty,
+    * duplicate-tok (would fan out the serving join), over-vocab or
+    * stamp-drifted artifacts die here with the path in the message. */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+                path: String, vocabSize: Int = 512): DataFrame = {
+    val df = spark.read.parquet(path).select("tok", "wgt", "_p_vocab")
+    val rows = df.collect()
+    require(rows.nonEmpty, s"model at $path is empty")
+    require(rows.forall(_.getInt(2) == vocabSize),
+      s"model at $path was trained with vocabSize " +
+        s"${rows.map(_.getInt(2)).distinct.mkString(",")}, caller expects $vocabSize")
+    require(rows.length <= vocabSize,
+      s"model at $path carries ${rows.length} rows > vocab stamp $vocabSize")
+    val toks2 = rows.map(_.getString(0))
+    require(toks2.distinct.length == toks2.length,
+      s"model at $path has duplicate tok entries — the serving join would fan out")
+    df.select("tok", "wgt")
+  }
+
   /** q92: deterministic TEXT EMBEDDINGS — the feature-hashing ±1
     * random projection ([[graft.functions.Exprs.TokenSigns]]) over
     * the whitespace tokens: every document gets a `dim`-dimensional

@@ -629,6 +629,79 @@ object Streams {
       .map(r => DocFp(r.dhash, r.doc_id)))
   }
 
+  /** One semantic-dedup admission: the cell it quantized into and the
+    * admitted carrier. */
+  case class SemImageAdmit(cell: Long, doc_id: Long)
+
+  /** s14 composition (spec-pinned, round-12 verdict #6): CONTINUOUS
+    * SEMANTIC image dedup — s13 catches re-encodes of the SAME pixels
+    * (dHash equality); this catches near-copies with DIFFERENT pixels
+    * (brightness-scaled re-masters, mild edits) the way q57 does for
+    * batch corpora: each micro-batch's images embed through m09's
+    * grid-luminance vector, quantize to a coarse cell against a
+    * CALLER-TRAINED centroid table (index metadata, the s08
+    * persisted-index convention — train once with
+    * Similarity.trainedCentroids over imageEmbedFrame, serve
+    * everywhere), and an arrival is DROPPED when any already-admitted
+    * image in its cell sits within `tau` cosine; otherwise it is
+    * admitted and joins the cell's state.
+    *
+    * State per cell = the admitted (doc_id, vector) list — the
+    * SemDeDup keeper set, NOT the full history: dropped arrivals
+    * never enter state, so state size is bounded by the corpus's
+    * semantic diversity per cell (the same quantity that bounds q57's
+    * cell-local pair pass). Determinism: within a batch, each cell's
+    * arrivals are processed in doc_id order; across batches,
+    * first-batch-wins (s04's contract). Zero vectors (cosine
+    * undefined) never match anything and are always admitted. */
+  def streamImageSemanticDedup(media: Dataset[graft.operators.Multimodal.MediaRow],
+                               cents: Array[(Long, Array[Double])],
+                               tau: Double = 0.9,
+                               grid: Int = 8): Dataset[SemImageAdmit] = {
+    import media.sparkSession.implicits._
+    require(cents.nonEmpty, "streamImageSemanticDedup needs a centroid table")
+    defaultRocksDbForDedup(media.sparkSession)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val sorted = cents.sortBy(_._1) // ties toward the smaller cell id
+    val assigned = graft.operators.Multimodal.embedImages(media, grid)
+      .map { r =>
+        val v = r.emb.map(_.toDouble)
+        var bestCell = sorted.head._1
+        var bestScore = Double.NegativeInfinity
+        sorted.foreach { case (cell, c) =>
+          val s = dot(v, c) / math.sqrt(dot(c, c))
+          if (s > bestScore) { bestScore = s; bestCell = cell }
+        }
+        (bestCell, r.doc_id, v)
+      }
+    assigned.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cell: Long, it: Iterator[(Long, Long, Array[Double])],
+         state: GroupState[List[(Long, Array[Double])]]) =>
+          val admitted = scala.collection.mutable.ListBuffer
+            .empty[(Long, Array[Double])]
+          admitted ++= state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[SemImageAdmit]
+          it.toSeq.sortBy(_._2).foreach { case (_, id, v) =>
+            val nv = math.sqrt(dot(v, v))
+            val dup = nv > 0.0 && admitted.exists { case (_, u) =>
+              val nu = math.sqrt(dot(u, u))
+              nu > 0.0 && dot(u, v) / (nu * nv) >= tau
+            }
+            if (!dup) {
+              admitted += ((id, v))
+              out += SemImageAdmit(cell, id)
+            }
+          }
+          state.update(admitted.toList)
+          out.result().iterator
+      }
+  }
+
   // ----- s06: watermark-TTL streaming dedup -----------------------------
 
   /** s06: streaming dedup with a FORGETTING horizon — the 100 TB

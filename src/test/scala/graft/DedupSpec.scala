@@ -402,6 +402,36 @@ class DedupSpec extends SparkSpec {
     out(4L) shouldBe ((3L, "v1 v2"))
   }
 
+  test("q85 maxDf cap: boilerplate window aborts eagerly; clean corpus unchanged under cap; audit sizes it") {
+    import spark.implicits._
+    // 5 docs share the templated 3-token window "buy this now" (df 5);
+    // everything else is per-doc vocabulary (df 1)
+    val d = (0L until 5L).map(i =>
+      (i, s"u${i}a u${i}b buy this now u${i}c")).toDF("doc_id", "text")
+    // cap below the boilerplate df: fail-loud BEFORE the window pass,
+    // with the offending df in the message
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.substringDedup(d, k = 3, maxDf = 4L)
+    }
+    ex.getMessage should include("df=5")
+    ex.getMessage should include("maxDf=4")
+    // cap at-or-above the honest tail: output identical to uncapped
+    Dedup.substringDedup(d, k = 3, maxDf = 5L).collect().toSeq shouldBe
+      Dedup.substringDedup(d, k = 3).collect().toSeq
+    // the audit names exactly the sizing facts: windows per doc =
+    // 6 tokens - 2 = 4 -> 20 postings; the shared window collapses
+    // 5 postings onto one digest, all other digests are df 1
+    val a = Dedup.substringDfAudit(d, k = 3, maxDf = 4L).collect().head
+    a.getLong(0) shouldBe 16L // 15 df-1 digests + 1 df-5 digest
+    a.getLong(1) shouldBe 1L  // one window over the cap
+    a.getLong(2) shouldBe 5L  // carrying 5 postings
+    a.getLong(3) shouldBe 5L  // max_df
+    // a cap above max_df reports a clean corpus
+    val clean = Dedup.substringDfAudit(d, k = 3, maxDf = 5L).collect().head
+    clean.getLong(1) shouldBe 0L
+    clean.getLong(2) shouldBe 0L
+  }
+
   test("admitted-store compaction: append-grown store collapses, rows byte-identical") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_store").toString + "/admitted"

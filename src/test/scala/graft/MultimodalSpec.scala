@@ -392,6 +392,54 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m09 image embedding: container-insensitive, brightness-scaling near-parallel, law parity") {
+    import spark.implicits._
+    def img(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(11, 7,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 7; x <- 0 until 11) {
+        val v = f(x, y) & 0xff
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      im
+    }
+    def enc(im: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, buf)
+      buf.toByteArray
+    }
+    val a = img((x, y) => 30 + x * 17 + y * 5)
+    val media = Seq(
+      Multimodal.MediaRow(1L, enc(a, "png"), "image/png"),
+      Multimodal.MediaRow(2L, enc(a, "bmp"), "image/bmp")).toDS()
+    val out = Multimodal.embedImages(media).collect()
+      .map(r => r.doc_id -> r.emb.toSeq).toMap
+    // two containers of the SAME pixels embed IDENTICALLY
+    out(1L) shouldBe out(2L)
+    // a brightness-halved copy embeds near-parallel (cosine > 0.99)
+    // but NOT equal — the semantic-dup class exact hashing misses
+    val dim = img((x, y) => (30 + x * 17 + y * 5) / 2)
+    val dimEmb = Multimodal.embedImages(
+      Seq(Multimodal.MediaRow(3L, enc(dim, "png"), "image/png")).toDS())
+      .collect().head.emb
+    dimEmb.toSeq should not be out(1L)
+    val (u, v) = (out(1L).map(_.toDouble), dimEmb.map(_.toDouble))
+    val cos = u.zip(v).map { case (x, y) => x * y }.sum /
+      (math.sqrt(u.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum))
+    cos should be > 0.99
+    // law parity: the golden generator's vector (law pixels, no
+    // decode) equals the decode-path vector for a law-synthesized PNG
+    val payload = "the golden law parity probe".getBytes("UTF-8")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new java.io.ByteArrayOutputStream()
+    val g = GoldenGen.imageGolden("k", payload, md, buf)
+    val lawMedia = Multimodal.encodePng(
+      Seq(Multimodal.MediaRow(7L, payload, "text/plain")).toDS())
+    val got = Multimodal.embedImages(lawMedia).collect().head
+    got.emb.mkString(" ") shouldBe g.grid_emb
+    got.emb.foldLeft(0L)((s, x) => s + x * x) shouldBe g.grid_nrm2
+  }
+
   test("m06 unparseable payload fails loudly with the doc id") {
     import spark.implicits._
     val junk = Seq(Multimodal.MediaRow(77L,

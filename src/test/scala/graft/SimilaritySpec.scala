@@ -324,6 +324,110 @@ class SimilaritySpec extends SparkSpec {
     resRecall should be >= rawRecall
   }
 
+  test("q94 trained codebooks: recall@5 matches-or-beats the seed codebook corpus-wide") {
+    // the fine-quantizer mirror of the trained-centroid test above:
+    // per-subspace Lloyd rounds shrink quantization error, so the ADC
+    // shortlist ranks closer to the exact ranking at IDENTICAL
+    // storage (same m, ks) and identical probe cost. Measured over
+    // ALL vectors as queries (the 10-query set is the sample that
+    // favors seeds — raw-mode codes 0..15 ARE the first 16 vectors).
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val nq = e.count().toInt
+    def keyset(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keyset(Similarity.annBruteForce(e, nQueries = nq, k = 5))
+    val seedHits = keyset(Similarity.annIvfPq(e, nQueries = nq))
+    val cb = Similarity.trainedCodebooks(e, rounds = 2)
+    val trainedHits = keyset(
+      Similarity.annIvfPq(e, nQueries = nq, codebook = Some(cb)))
+    val seedRecall = (exact & seedHits).size.toDouble / exact.size
+    val trainedRecall = (exact & trainedHits).size.toDouble / exact.size
+    info(f"recall@5 corpus-wide: seed=$seedRecall%.3f trained=$trainedRecall%.3f")
+    withClue(s"seed=$seedRecall trained=$trainedRecall: ") {
+      trainedRecall should be >= seedRecall
+    }
+    // the PQ contract is unchanged under the override: every hit
+    // still carries the exact brute-force cosine (rerank is exact)
+    val allExact = Similarity.annBruteForce(e, nQueries = 10, k = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.annIvfPq(e, codebook = Some(cb)).collect().foreach { r =>
+      allExact((r.getLong(0), r.getLong(1))) shouldBe r.getDouble(2)
+    }
+  }
+
+  test("q94 residual-trained codebooks compose with residual PQ; malformed books fail loudly") {
+    val e = tables.embeddings
+    val exact = Similarity.annBruteForce(e, nQueries = 10, k = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cbRes = Similarity.trainedCodebooks(e, rounds = 1, residual = true)
+    val res = Similarity.annIvfPq(e, residual = true,
+      codebook = Some(cbRes)).collect()
+    res.length shouldBe 50 // full top-5 per query
+    res.foreach { r => exact((r.getLong(0), r.getLong(1))) shouldBe r.getDouble(2) }
+    // shape guards: wrong count, wrong sub-dim, missing codes
+    val good = Similarity.trainedCodebooks(e, rounds = 0)
+    an[Exception] should be thrownBy
+      Similarity.annIvfPq(e, codebook = Some(good.drop(1)))
+    an[Exception] should be thrownBy
+      Similarity.annIvfPq(e,
+        codebook = Some(good.map { case (s, c, v) => (s, c, v.drop(1)) }))
+    an[Exception] should be thrownBy
+      Similarity.annIvfPq(e,
+        codebook = Some(good.map { case (s, c, v) => (s, 0, v) }))
+    // rounds = 0 IS the seed book: override must reproduce q69 exactly
+    Similarity.annIvfPq(e, codebook = Some(good)).collect().toSeq shouldBe
+      Similarity.annIvfPq(e).collect().toSeq
+  }
+
+  test("centroid/codebook persistence: write -> read round-trips; corrupt artifacts fail at read") {
+    val e = tables.embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    // centroid artifact: bit-exact round trip, and the loaded table
+    // drives the IVF family identically to the in-memory one
+    val cents = Similarity.trainedCentroids(e, nCells = 16, rounds = 2)
+    Similarity.writeCentroids(cents, spark, s"$dir/cents.parquet")
+    val back = Similarity.readCentroids(spark, s"$dir/cents.parquet")
+    back.map(_._1).toSeq shouldBe cents.map(_._1).toSeq
+    back.zip(cents).foreach { case ((_, a), (_, b)) => a.toSeq shouldBe b.toSeq }
+    Similarity.annIvf(e, nQueries = 5, k = 5, centroids = Some(back))
+      .collect().toSeq shouldBe
+      Similarity.annIvf(e, nQueries = 5, k = 5, centroids = Some(cents))
+        .collect().toSeq
+    // codebook artifact: same contract through annIvfPq
+    val book = Similarity.trainedCodebooks(e, rounds = 1)
+    Similarity.writeCodebook(book, spark, s"$dir/book.parquet")
+    val bookBack = Similarity.readCodebook(spark, s"$dir/book.parquet")
+    bookBack.map(t => (t._1, t._2)).toSeq shouldBe book.map(t => (t._1, t._2)).toSeq
+    bookBack.zip(book).foreach { case ((_, _, a), (_, _, b)) => a.toSeq shouldBe b.toSeq }
+    Similarity.annIvfPq(e, nQueries = 5, codebook = Some(bookBack))
+      .collect().toSeq shouldBe
+      Similarity.annIvfPq(e, nQueries = 5, codebook = Some(book)).collect().toSeq
+    // corrupt artifacts die at READ with the path in the message:
+    // truncated centroid vectors (dim no longer matches the stamp)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, slice => fslice}
+    spark.read.parquet(s"$dir/cents.parquet")
+      .withColumn("cv", fslice(col("cv"), 1, 63))
+      .write.mode("overwrite").parquet(s"$dir/cents_bad.parquet")
+    val ex1 = intercept[Exception] {
+      Similarity.readCentroids(spark, s"$dir/cents_bad.parquet")
+    }
+    ex1.getMessage should include("cents_bad")
+    // codebook with a dropped code (coverage gap)
+    spark.read.parquet(s"$dir/book.parquet")
+      .filter(!(col("s") === 0 && col("code") === 3))
+      .write.mode("overwrite").parquet(s"$dir/book_bad.parquet")
+    val ex2 = intercept[Exception] {
+      Similarity.readCodebook(spark, s"$dir/book_bad.parquet")
+    }
+    ex2.getMessage should include("book_bad")
+    // codebook read with the wrong expected geometry
+    val ex3 = intercept[Exception] {
+      Similarity.readCodebook(spark, s"$dir/book.parquet", m = 16, ks = 8)
+    }
+    ex3.getMessage should include("geometry")
+  }
+
   test("q69 non-default PQ geometry (m=16 subspaces, ks=8 codes) still reranks exactly") {
     val e = tables.embeddings
     val exact = Similarity.annBruteForce(e, nQueries = 10, k = Int.MaxValue)

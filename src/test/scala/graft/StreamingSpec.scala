@@ -285,6 +285,70 @@ class StreamingSpec extends SparkSpec {
     rows shouldBe Set(3L, 1L) // first perceptual carriers only
   }
 
+  test("s14 semantic image dedup: a brightness-scaled near-copy in a LATER batch drops; distinct images admit") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Multimodal
+    def img(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = f(x, y) & 0xff
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      im
+    }
+    def enc(im: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, buf)
+      buf.toByteArray
+    }
+    // A: a gradient; A' = A at ~55% brightness (DIFFERENT pixels, so
+    // s13's dHash equality could only catch it by luck of gradient
+    // signs — the semantic test is the near-parallel vector); B: the
+    // reversed gradient (strongly dissimilar)
+    val a  = img((x, y) => 40 + x * 12)
+    val a2 = img((x, y) => (40 + x * 12) * 55 / 100)
+    val b  = img((x, y) => 235 - x * 12)
+    // centroid table: trained once from a batch frame (the s08
+    // persisted-index convention) — here two hand-planted centroids
+    // that split "rising" from "falling" gradients
+    val cents = Array(
+      0L -> (0 until 64).map(j => 40.0 + (j % 8) * 36.0).toArray,
+      1L -> (0 until 64).map(j => 700.0 - (j % 8) * 36.0).toArray)
+    val in = MemoryStream[Multimodal.MediaRow]
+    in.addData(Multimodal.MediaRow(5L, enc(a, "png"), "image/png"))
+    in.addData(Multimodal.MediaRow(9L, enc(a2, "png"), "image/png"),
+      Multimodal.MediaRow(1L, enc(b, "png"), "image/png"))
+    val q = Streams.scopedStateStoreConf(spark) {
+      Streams.streamImageSemanticDedup(in.toDS(), cents, tau = 0.98).toDF
+        .writeStream.format("memory").queryName("s14_e2e")
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    val admitted = spark.table("s14_e2e").collect()
+      .map(r => r.getLong(1)).toSet
+    // A admitted in batch 1; its brightness-scaled near-copy dropped
+    // in batch 2 (cosine ~1 against the admitted vector); B admitted
+    admitted shouldBe Set(5L, 1L)
+    // sanity: the two admitted images landed in DIFFERENT cells
+    spark.table("s14_e2e").collect().map(_.getLong(0)).distinct.length shouldBe 2
+    // batch parity: the same corpus through m09 -> q57 condemns the
+    // same near-copy (the composition the stream realizes continuously)
+    val docs = Seq((5L, a, "png"), (9L, a2, "png"), (1L, b, "png"))
+      .map { case (id, im, f) => Multimodal.MediaRow(id, enc(im, f), "image/png") }
+      .toDS()
+    val emb = Multimodal.embedImages(docs).toDF()
+      .select(col("doc_id").as("vec_id"),
+        col("emb").cast("array<double>").as("embedding"))
+    val sem = graft.operators.Similarity.semanticDedup(emb, tau = 0.98,
+        nCells = 2, centroids = Some(cents))
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("keep")).toMap
+    sem(5L) shouldBe 1
+    sem(9L) shouldBe 0 // condemned against 5
+    sem(1L) shouldBe 1
+  }
+
   test("s06 TTL dedup: duplicate inside the horizon dropped, re-arrival after expiry passes") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

@@ -332,6 +332,76 @@ class TextStatsSpec extends SparkSpec {
     ex.getMessage should include("duplicate tok")
   }
 
+  test("q95 trainModel learns the label signal on a corpus with known class vocabulary") {
+    import spark.implicits._
+    // two disjoint content vocabularies + shared filler: positives say
+    // 'signal', negatives say 'noise'. The labels are supplied
+    // explicitly, so the expected sign of every weight is known.
+    val d = (0L until 40L).map { i =>
+      val w = if (i % 2 == 0) "signal" else "noise"
+      (i, s"$w filler common $w words", i % 2 == 0)
+    }
+    val docs = d.map(t => (t._1, t._2)).toDF("doc_id", "text")
+    val labels = d.map(t => (t._1, t._3)).toDF("doc_id", "label")
+    val model = TextOps.trainModel(docs, vocabSize = 16,
+        labels = Some(labels))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    model("signal") shouldBe 1L
+    model("noise") shouldBe -1L
+    // tokens at identical rates in both classes vote zero
+    model("filler") shouldBe 0L
+    model("common") shouldBe 0L
+    // ...and serving the trained model recovers the labels exactly
+    // (separable corpus — the classifier must fit it)
+    val served = TextOps.modelFilter(docs,
+        weights = Some(TextOps.trainModel(docs, vocabSize = 16,
+          labels = Some(labels))))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    d.foreach { case (id, _, lab) => served(id) shouldBe lab }
+  }
+
+  test("q95 default labels distill the quality heuristic; model persistence round-trips") {
+    val docs = tables.documents
+    // the declared query agrees with the composition it names
+    val direct = TextOps.trainThenFilter(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val composed = TextOps.modelFilter(docs,
+        weights = Some(TextOps.trainModel(docs)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    direct shouldBe composed
+    // the trained model must actually track its training labels
+    // better than chance: agreement of keep-verdict with the label
+    // on the training corpus > the majority-class base rate
+    val labels = TextOps.labelByQuality(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val keeps = TextOps.trainThenFilter(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val agree = labels.count { case (id, l) => keeps(id) == l }.toDouble / labels.size
+    val base = math.max(labels.count(_._2), labels.size - labels.count(_._2))
+      .toDouble / labels.size
+    withClue(s"agreement=$agree base=$base: ") { agree should be > base }
+    // persistence: write -> read -> identical serving verdicts;
+    // corrupt artifacts fail at read
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString
+    val model = TextOps.trainModel(docs)
+    TextOps.writeModel(model, s"$dir/model.parquet")
+    val back = TextOps.readModel(spark, s"$dir/model.parquet")
+    TextOps.modelFilter(docs, weights = Some(back)).collect().toSeq shouldBe
+      TextOps.modelFilter(docs, weights = Some(model)).collect().toSeq
+    val exStamp = intercept[IllegalArgumentException] {
+      TextOps.readModel(spark, s"$dir/model.parquet", vocabSize = 64)
+    }
+    exStamp.getMessage should include("vocabSize")
+    import org.apache.spark.sql.functions.lit
+    model.limit(5).union(model.limit(5))
+      .withColumn("_p_vocab", lit(512))
+      .write.mode("overwrite").parquet(s"$dir/model_bad.parquet")
+    val exDup = intercept[IllegalArgumentException] {
+      TextOps.readModel(spark, s"$dir/model_bad.parquet")
+    }
+    exDup.getMessage should include("duplicate")
+  }
+
   test("q74 plan: one corpus scan, df via window (no groupBy+join diamond)") {
     val p = planOf(TextOps.noveltyScore(tables.documents))
     "Scan parquet".r.findAllIn(p).length shouldBe 1
