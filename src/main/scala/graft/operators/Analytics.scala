@@ -268,4 +268,77 @@ object Analytics {
       .withColumn("target_files",
         greatest(ceil(col("n_records") / lit(recordsPerFile.toDouble)).cast("int"), lit(1)))
       .orderBy("event_date")
+
+  /** Worker-tier throughput model for [[costProjection]] — the
+    * reference's fleet-sizing parameters
+    * (environments/_archive/archives/worker_calculator.py:44-87):
+    * (tier, read MB/s, parse rec/s, process rec/s, write MB/s, $/hr,
+    * DPU). Behavioral constants, not code — the projection must land
+    * on the same numbers the reference's calculator prints. */
+  private val workerSpecs: Seq[(String, Double, Double, Double, Double, Double, Int)] = Seq(
+    ("G.1X", 100.0, 100000.0, 250000.0, 350.0, 0.44, 1),
+    ("G.2X", 175.0, 175000.0, 500000.0, 625.0, 0.88, 2),
+    ("G.4X", 350.0, 350000.0, 1000000.0, 1250.0, 1.76, 4),
+    ("G.8X", 600.0, 600000.0, 1750000.0, 2500.0, 3.52, 8))
+
+  /** q96: RUN-COST / WORKER-SIZING projection — the reference's
+    * worker_calculator (worker_calculator.py:19 processing-time model,
+    * :178 daily-cost roll-up) as a frame operator: given per-job
+    * sizing rows `(job_name, records, bytes)` (from a corpus agg, or
+    * from q56's run reports), project each job across every worker
+    * tier — phase times (read/parse/process/write at the tier's
+    * throughputs + the size-banded startup overhead), the
+    * `numWorkers`-parallel wall time at the reference's 75%
+    * coordination efficiency, dollars and DPU-hours. The ops
+    * completion of the q56 story: reports say what a run DID, this
+    * says what the next one should COST, per candidate fleet shape.
+    *
+    * Deterministic arithmetic end to end (every phase is one or two
+    * IEEE divisions of exact integers by literal constants, summed in
+    * fixed left-assoc order; no rounding), so the DuckDB oracle
+    * replays it bit-for-bit. Plan: one partial agg builds the sizing
+    * frame upstream; the projection itself is a broadcast cross join
+    * against the 4-row literal spec table — group-cardinality cost,
+    * scale-free. */
+  def costProjection(sizing: DataFrame, numWorkers: Int = 8,
+                     compressionRatio: Double = 6.0): DataFrame = {
+    require(numWorkers >= 1, s"numWorkers must be >= 1, got $numWorkers")
+    require(compressionRatio > 0, "compressionRatio must be positive")
+    require(Set("job_name", "records", "bytes").subsetOf(sizing.columns.toSet),
+      s"sizing must carry (job_name, records, bytes), got ${sizing.columns.mkString(", ")}")
+    val spark = sizing.sparkSession
+    import spark.implicits._
+    val spec = workerSpecs.toDF(
+      "worker_type", "read_mbs", "parse_rps", "process_rps", "write_mbs",
+      "cost_hr", "dpu")
+    val mb = col("bytes") / lit(1048576.0)
+    val gb = col("bytes") / lit(1073741824.0)
+    val readSec = mb / col("read_mbs")
+    val parseSec = col("records") / col("parse_rps")
+    val processSec = col("records") / col("process_rps")
+    val writeSec = (mb / lit(compressionRatio)) / col("write_mbs")
+    // worker_calculator.py:110-118's size-banded startup overhead
+    val overhead = when(gb < 1.0, lit(30.0)).when(gb < 10.0, lit(45.0))
+      .when(gb < 100.0, lit(60.0)).otherwise(lit(90.0))
+    val single = readSec + parseSec + processSec + writeSec + overhead
+    val parallel =
+      if (numWorkers > 1) single / lit(numWorkers * 0.75) else single
+    sizing.crossJoin(broadcast(spec))
+      .select(col("job_name"), col("worker_type"), col("records"),
+        col("bytes"), gb.as("data_gb"),
+        single.as("single_worker_sec"),
+        parallel.as("parallel_sec"),
+        (col("cost_hr") * (parallel / lit(3600.0)) * numWorkers).as("cost_usd"),
+        (col("dpu") * numWorkers * (parallel / lit(3600.0))).as("dpu_hours"))
+      .orderBy("job_name", "worker_type")
+  }
+
+  /** The q96 declared-query sizing: per-source record and byte totals
+    * of the documents corpus — ONE partial agg, the same
+    * `octet_length` byte identity m01 pins against DuckDB's
+    * `strlen`. */
+  def corpusSizing(documents: DataFrame): DataFrame =
+    documents.groupBy(col("source").as("job_name"))
+      .agg(count(lit(1)).as("records"),
+        sum(octet_length(col("text")).cast("long")).as("bytes"))
 }

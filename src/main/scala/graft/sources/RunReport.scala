@@ -135,6 +135,35 @@ object RunReport {
   def readReports(spark: SparkSession, reportDir: String): DataFrame =
     spark.read.parquet(reportDir)
 
+  /** The reference's metrics-table DDL
+    * (metrics-app/create_metrics_table.py:10 — a (date_hour,
+    * timestamp)-keyed store the collector lambda writes and dashboards
+    * query) brought to the Spark catalog: the run-report table
+    * registers EXTERNAL over its parquet, and the reference's access
+    * path — partition key `date_hour` (yyyy-MM-dd-HH), sort key
+    * epoch-millis `timestamp` — is realized as a catalog VIEW over it,
+    * so the dashboard queries run as plain SQL
+    * (`SELECT ... FROM graft.run_metrics WHERE date_hour = ...`).
+    * A view, not a rewrite: the report files stay the source of truth
+    * (100 TB note: partition the report table by a date column and the
+    * date_hour predicate prunes files; the view is projection-only).
+    * Idempotent; db validated because it is interpolated into DDL. */
+  def registerMetricsTable(spark: SparkSession, reportDir: String,
+                           db: String = "graft"): Unit = {
+    require(db.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"database name must be a bare identifier, got '$db'")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $db.run_reports " +
+      s"USING PARQUET LOCATION '$reportDir'")
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW $db.run_metrics AS
+         |SELECT date_format(finished_at, 'yyyy-MM-dd-HH') AS date_hour,
+         |       unix_millis(finished_at) AS `timestamp`,
+         |       job_name, run_id, status, duration_seconds,
+         |       records_processed, output_files, output_bytes
+         |FROM $db.run_reports""".stripMargin)
+  }
+
   /** Adapt the report table to the event-log schema q05–q08 consume, so
     * the engine's OWN runs flow through the same daily-summary /
     * failure-filter / duration-stats / correlation analytics as any

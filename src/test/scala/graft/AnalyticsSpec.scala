@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 /** q51: the sketch-percentile path has no SQL oracle (GK sketches are
   * not bit-replicable across engines), so its correctness contract
@@ -88,6 +88,55 @@ class AnalyticsSpec extends SparkSpec {
         r.getBoolean(5) shouldBe true
         r.getBoolean(6) shouldBe true
       }
+    }
+  }
+
+  test("q96 cost projection: hand-computed tier arithmetic, worker scaling, input validation") {
+    import spark.implicits._
+    // 1 GiB / 1M records: every phase is hand-computable
+    val sizing = Seq(("j", 1000000L, 1073741824L)).toDF("job_name", "records", "bytes")
+    val out = Analytics.costProjection(sizing).collect()
+      .map(r => r.getString(1) -> r).toMap
+    out.keySet shouldBe Set("G.1X", "G.2X", "G.4X", "G.8X")
+    val g1 = out("G.1X")
+    // identical double chains: read 1024/100 + parse 1e6/1e5 +
+    // process 1e6/2.5e5 + write (1024/6)/350 + overhead 45 (gb = 1.0
+    // is NOT < 1 — the reference's band edges are inclusive-upper)
+    val single = 1024.0 / 100.0 + 1000000L / 100000.0 + 1000000L / 250000.0 +
+      (1024.0 / 6.0) / 350.0 + 45.0
+    g1.getDouble(5) shouldBe single
+    val par = single / (8 * 0.75)
+    g1.getDouble(6) shouldBe par
+    g1.getDouble(7) shouldBe 0.44 * (par / 3600.0) * 8
+    g1.getDouble(8) shouldBe 1 * 8 * (par / 3600.0)
+    // single-worker mode skips the efficiency divisor entirely
+    val solo = Analytics.costProjection(sizing, numWorkers = 1).collect()
+      .map(r => r.getString(1) -> r.getDouble(6)).toMap
+    solo("G.1X") shouldBe single
+    // a bigger tier is strictly faster on the same input
+    out("G.8X").getDouble(5) should be < single
+    // malformed sizing fails loudly
+    intercept[IllegalArgumentException] {
+      Analytics.costProjection(Seq(("j", 1L)).toDF("job_name", "n"))
+    }
+  }
+
+  test("catalog registration: external tables serve the Athena-style SQL surface with no data movement") {
+    Tables.registerExternal(spark, "/root/testdata/sf0.001")
+    // counts through the catalog match direct reads
+    spark.sql("SELECT COUNT(*) FROM graft.documents").collect().head.getLong(0) shouldBe
+      tables.documents.count()
+    // a real Athena-shaped query runs as plain SQL over the catalog
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) AS s
+        |FROM graft.lineitem GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    viaSql.length should be > 0
+    // idempotent re-registration
+    noException should be thrownBy
+      Tables.registerExternal(spark, "/root/testdata/sf0.001")
+    // injection-shaped db names die before any DDL runs
+    intercept[IllegalArgumentException] {
+      Tables.registerExternal(spark, "/tmp/x", db = "bad`name; DROP")
     }
   }
 }

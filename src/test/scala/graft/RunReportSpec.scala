@@ -100,4 +100,35 @@ class RunReportSpec extends SparkSpec {
     spark.read.parquet(s"$dir/out").count() shouldBe
       spark.read.parquet(s"${SparkSpec.sfDir}/documents.parquet").count()
   }
+
+  test("metrics-table DDL: run reports register in the catalog with the (date_hour, timestamp) access path") {
+    val dir = tmp("graft_mt")
+    RunReport.reportedWrite(
+      tables.documents, s"$dir/out", 2, "metrics_job", s"$dir/reports")
+    RunReport.registerMetricsTable(spark, s"$dir/reports")
+    // the raw report table is queryable as plain SQL
+    spark.sql("SELECT COUNT(*) FROM graft.run_reports")
+      .collect().head.getLong(0) shouldBe 1L
+    // the metrics view realizes the reference's access path: a
+    // yyyy-MM-dd-HH partition key + epoch-millis sort key
+    val m = spark.sql(
+      """SELECT date_hour, `timestamp`, job_name, status, records_processed
+        |FROM graft.run_metrics ORDER BY `timestamp`""".stripMargin).collect()
+    m.length shouldBe 1
+    m.head.getString(0) should fullyMatch regex "\\d{4}-\\d{2}-\\d{2}-\\d{2}"
+    m.head.getLong(1) should be > 0L
+    m.head.getString(2) shouldBe "metrics_job"
+    m.head.getString(3) shouldBe "SUCCESS"
+    // a dashboard-shaped point query over the key path runs as SQL
+    val dh = m.head.getString(0)
+    spark.sql(
+      s"SELECT COUNT(*) FROM graft.run_metrics WHERE date_hour = '$dh'")
+      .collect().head.getLong(0) shouldBe 1L
+    // idempotent + injection guard
+    noException should be thrownBy
+      RunReport.registerMetricsTable(spark, s"$dir/reports")
+    intercept[IllegalArgumentException] {
+      RunReport.registerMetricsTable(spark, s"$dir/reports", db = "x; DROP")
+    }
+  }
 }
