@@ -492,6 +492,33 @@ object SparkEntry {
     // the multimodal on-ramp to SemDeDup/ANN; golden-oracle-checked
     // (full vector identity + exact integer norm)
     "m09_image_embed"        -> ((s, d) => Multimodal.imageEmbedSummary(Tables(s, d).documents)),
+    // q97: SemDeDup over IMAGES end to end (q93's convention for the
+    // image modality): m09's centered integer embedding feeds q57's
+    // machinery verbatim. The corpus is salted with verbatim re-crawls
+    // (q76's split trick — doc_id+3000 keeps the mime class) so the
+    // condemnation path fires: a re-crawled image embeds identically
+    // (cosine 1) and is condemned against its original. Offset 300000
+    // ≡ 0 (mod 3) keeps the mime class and clears every SF's id space.
+    // Geometry: image vec_ids stride by 3 (the mime law), so seeds =
+    // vec_id < nCells yields only a third of the intended count —
+    // nCells = 3·suggestCells(n) restores the ~128-vector target cell
+    // (the q57 AutoGeometry law, corpus-derived so the 10x/30x probes
+    // scale; one eager count = index sizing, the q46 rationale). Both
+    // gate SFs hold 191 image+re-crawl docs → cells = 6 in the oracle.
+    // The frame is localCheckpointed (q93's diamond rule): the eager
+    // geometry count plus semanticDedup's three plan subtrees would
+    // otherwise re-run the synthesize+decode codec chain — q97's
+    // dominant cost — four times.
+    "q97_semantic_dedup_image" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val recrawl = docs
+        .filter(col("doc_id") % 21 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(300000L))
+      val frame = Multimodal.imageSemanticFrame(docs.unionByName(recrawl))
+        .localCheckpoint()
+      Similarity.semanticDedup(frame, tau = 0.9,
+        nCells = 3 * Similarity.suggestCells(frame.count()))
+    }),
     // m05: the REAL audio codec — synthesize spec-compliant WAVs from
     // the audio-mime docs through the JDK's actual RIFF encoder, parse
     // them back with the real decoder (format geometry, PCM content
@@ -1578,6 +1605,7 @@ object SparkEntry {
     "q34_dedup_embedding_lsh" -> embeddingDedupLshOracle,
     "q57_semantic_dedup"  -> semanticDedupOracle,
     "q93_semantic_dedup_text" -> semanticDedupTextOracle,
+    "q97_semantic_dedup_image" -> semanticDedupImageOracle,
     "q63_decontaminate_semantic" -> semanticDecontamOracle,
     // q79 is EXACT past-broadcast q63 — same oracle, row-identical
     "q79_decontaminate_semantic_cells" -> semanticDecontamOracle,
@@ -2279,6 +2307,33 @@ object SparkEntry {
        |e2 AS (SELECT doc_id AS vec_id, $vlist AS v FROM emb),
        |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e2),
        |""".stripMargin + semanticDedupBody(gateCells, "0.9")
+  }
+
+  /** q97: the image pipeline oracle — the golden grid vectors (law
+    * pixels, never the decoder) re-crawl-salted like the declared
+    * query, mean-centered in exact integers (64·v − Σv; flat frames
+    * to the canonical unit axis — see imageSemanticFrame's NaN
+    * rationale), feeding q57's SemDeDup body verbatim. */
+  private def semanticDedupImageOracle: String = {
+    val unit = ("1.0" +: Seq.fill(63)("0.0")).mkString("[", ", ", "]")
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 21 = 0),
+       |g AS (SELECT d.doc_id AS vec_id,
+       |        list_transform(string_split(gg.grid_emb, ' '), x -> CAST(x AS BIGINT)) AS v0
+       |      FROM docs2 d
+       |      JOIN read_parquet('$GoldenDir/image.parquet/*.parquet') gg
+       |        ON md5(d.text) = gg.text_md5
+       |      WHERE d.doc_id % 3 = 0),
+       |cvec AS (SELECT vec_id,
+       |        CASE WHEN list_min(v0) = list_max(v0) THEN $unit
+       |             ELSE list_transform(v0, x -> CAST(64 * x - list_sum(v0) AS DOUBLE)) END AS v
+       |      FROM g),
+       |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM cvec),
+       |""".stripMargin +
+      // 191 image+re-crawl docs at both gate SFs → 3·suggestCells(191)
+      semanticDedupBody(3 * Similarity.suggestCells(191), "0.9")
   }
 
   /** q64: the q48/q57 a0 assignment CTE, then a per-cell id rank cap. */

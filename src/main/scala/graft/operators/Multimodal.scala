@@ -449,6 +449,37 @@ object Multimodal {
       .select(col("doc_id").as("vec_id"),
         col("emb").cast("array<double>").as("embedding"))
 
+  /** q97's embedding frame: the m09 grid vector MEAN-CENTERED, in
+    * exact integer arithmetic — `v'_j = g²·v_j − Σv` (scaling by g²
+    * instead of dividing the mean keeps every component an integer;
+    * cosine is scale-invariant, so this IS the centered cosine). Raw
+    * luminance vectors all point into the positive orthant — measured
+    * median pairwise cosine 0.97 on the test corpus, no tau can
+    * separate dups — while centered vectors measure PATTERN
+    * correlation (median 0.0, max 0.876 across distinct images, 1.0
+    * for same-pixels copies): the continuous analogue of m07's
+    * gradient signs, and brightness/contrast-INVARIANT (an affine
+    * luma shift a·v+b centers to a·v', same direction).
+    *
+    * FLAT frames (constant luminance) center to the zero vector,
+    * whose cosine is 0/0 — NaN, with engine-DIVERGENT comparison
+    * semantics (Spark: NaN >= tau is false; DuckDB orders NaN above
+    * everything). They instead embed as a canonical unit-axis vector:
+    * every flat frame is the same blank image up to brightness —
+    * exactly the equivalence the centering encodes — so flat frames
+    * dedup among themselves (cosine 1) and compare harmlessly
+    * against everything else. */
+  def imageSemanticFrame(documents: DataFrame, grid: Int = 8): DataFrame = {
+    val unitE0 = lit((1.0 +: Array.fill(grid * grid - 1)(0.0)).toArray)
+    val s = aggregate(col("emb"), lit(0L), (a, x) => a + x)
+    embedImages(encodePng(imageMedia(documents)), grid).toDF()
+      .select(col("doc_id").as("vec_id"),
+        when(array_min(col("emb")) === array_max(col("emb")), unitE0)
+          .otherwise(transform(col("emb"),
+            x => (lit(grid.toLong * grid) * x - s).cast("double")))
+          .as("embedding"))
+  }
+
   /** m04 as a flat verification frame: synthesize real PNGs from the
     * image-mime documents, decode them with the real codec, and carry
     * the geometry + content digest out. Driver-checked rows-only (no

@@ -294,15 +294,21 @@ object TextOps {
       if (lab.columns.contains("text")) lab // default path: one scan
       else documents.select(col("doc_id"), col("text"))
         .join(lab.select("doc_id", "label"), Seq("doc_id"))
-    val vocab = tokenCountFrame(documents)
-      .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
-      .select("tok")
+    // ONE token-keyed partial agg computes the per-class counts for
+    // EVERY distinct token; the top-V vocabulary falls out of the same
+    // frame via TakeOrdered on (pos+neg) — identical to q89's
+    // (cnt desc, tok) vocabulary because pos+neg IS the token's total
+    // count. This replaced a separate tokenCountFrame pass + broadcast
+    // semi-join (round-13 rework): same weights, one fewer corpus
+    // scan+explode, and TakeOrdered (per-partition top-V, then merge)
+    // keeps the cut scalable where a global rank window would
+    // single-task the distinct-token frame.
     val cls = labeled
       .select(col("label"), explode(toks).as("tok"))
-      .join(broadcast(vocab), Seq("tok"))
       .groupBy("tok")
       .agg(sum(when(col("label"), 1L).otherwise(0L)).as("pos"),
         sum(when(col("label"), 0L).otherwise(1L)).as("neg"))
+      .orderBy((col("pos") + col("neg")).desc, col("tok")).limit(vocabSize)
     val w = Window.partitionBy() // vocab-sized frame: single partition is the point
     val l = col("pos").cast("decimal(19,0)") * col("neg_tot").cast("decimal(19,0)")
     val r = col("neg").cast("decimal(19,0)") * col("pos_tot").cast("decimal(19,0)")

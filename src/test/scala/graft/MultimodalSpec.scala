@@ -440,6 +440,38 @@ class MultimodalSpec extends SparkSpec {
     got.emb.foldLeft(0L)((s, x) => s + x * x) shouldBe g.grid_nrm2
   }
 
+  test("q97 image semantic dedup: verbatim re-crawls and flat frames condemn; distinct images keep") {
+    import spark.implicits._
+    // doc_ids ≡ 0 (mod 3) land in the image-mime class. 0/3 share a
+    // text (identical pixels -> identical centered vector); 6/9 are
+    // 16-char constant strings whose byte sums are ≡ 0 (mod 16), so
+    // the law gives 1×1 FLAT frames at different brightness — both
+    // map to the canonical unit axis (the centered-zero guard) and
+    // the later one condemns against the earlier; 12 is distinct.
+    val texts = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (6L, "pppppppppppppppp"),
+      (9L, "xxxxxxxxxxxxxxxx"),
+      (12L, "completely different content with other bytes here"))
+    val docs = texts.toDF("doc_id", "text")
+      .withColumn("n_chars", expr("length(text)"))
+    // the two flat docs really are 1×1 under the law
+    Multimodal.imageLaw("pppppppppppppppp".getBytes("UTF-8"))._1 shouldBe 1
+    Multimodal.imageLaw("pppppppppppppppp".getBytes("UTF-8"))._2 shouldBe 1
+    val out = graft.operators.Similarity.semanticDedup(
+        Multimodal.imageSemanticFrame(docs), tau = 0.9, nCells = 48)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Int]("keep"), Option(r.get(3)).map(_.asInstanceOf[Long]))))
+      .toMap
+    out(0L)._1 shouldBe 1
+    out(3L) shouldBe ((0, Some(0L)))   // verbatim pixels, cosine 1
+    out(6L)._1 shouldBe 1
+    out(9L) shouldBe ((0, Some(6L)))   // flat-vs-flat, unit-axis cosine 1
+    out(12L)._1 shouldBe 1
+  }
+
   test("m06 unparseable payload fails loudly with the doc id") {
     import spark.implicits._
     val junk = Seq(Multimodal.MediaRow(77L,
