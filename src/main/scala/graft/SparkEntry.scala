@@ -247,6 +247,17 @@ object SparkEntry {
       Similarity.annIvfPq(e,
         codebook = Some(Similarity.trainedCodebooks(e, rounds = 2)))
     }),
+    // q98: the residual half of the trained-codebook story — q70's
+    // residual search body over codebooks Lloyd-trained on the
+    // residual sub-vectors themselves (Jégou et al. §III's production
+    // form: train where you quantize); oracle unrolls the residual
+    // rounds the same way
+    "q98_ann_ivfpq_trained_res" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      Similarity.annIvfPq(e, residual = true,
+        codebook = Some(Similarity.trainedCodebooks(e, rounds = 2,
+          residual = true)))
+    }),
     "q57_semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(Tables(s, d).embeddings)),
     "q64_sample_percell"     -> ((s, d) => Similarity.samplePerCell(Tables(s, d).embeddings)),
     // q63: same eval split convention as q35/q47 (id ≡ 0 mod 7 plays
@@ -1602,6 +1613,7 @@ object SparkEntry {
     "q69_ann_ivfpq"       -> annIvfPqOracle(),
     "q70_ann_ivfpq_residual" -> annIvfPqOracle(residual = true),
     "q94_ann_ivfpq_trained" -> annIvfPqOracle(trainRounds = 2),
+    "q98_ann_ivfpq_trained_res" -> annIvfPqOracle(residual = true, trainRounds = 2),
     "q34_dedup_embedding_lsh" -> embeddingDedupLshOracle,
     "q57_semantic_dedup"  -> semanticDedupOracle,
     "q93_semantic_dedup_text" -> semanticDedupTextOracle,
@@ -2524,8 +2536,6 @@ object SparkEntry {
     def chain(arr: String, codes: String): String =
       (0 until m).map(s => s"$arr[${s * ks} + $codes[${s + 1}] + 1]")
         .mkString(" + ")
-    require(trainRounds == 0 || !residual,
-      "trained-codebook oracle is generated for the raw mode only")
     // codebook source: raw slices of the first ks vectors, or residual
     // slices (v − assigned centroid) of the NEXT ks vectors
     val bookSrc =
@@ -2603,10 +2613,27 @@ object SparkEntry {
            |       JOIN cent c ON c.cell = p.cell
            |       JOIN ccn x ON x.cell = p.cell
            |       WHERE a.neighbor_id <> p.query_id)""".stripMargin
-    val trainCtes = (1 to trainRounds).map { r =>
+    // training source: raw sub-vectors, or the residual sub-vectors
+    // (v - assigned coarse centroid, per subspace) residual-mode
+    // codebooks train over — the search body's ccf trick reads the
+    // FINAL book either way, so only the rounds need the variant
+    val trainSrc = if (residual) "svr" else "sv"
+    val svrCte =
+      if (!residual || trainRounds == 0) ""
+      else {
+        val rsub = (1 to dsub)
+          .map(i => s"q.v[t.s*$dsub + $i] - c.v[t.s*$dsub + $i]")
+          .mkString("[", ", ", "]")
+        s""",
+           |svr AS (SELECT t.vec_id, t.s, $rsub AS sv
+           |        FROM sv t JOIN asg a ON a.neighbor_id = t.vec_id
+           |        JOIN cent c ON c.cell = a.cell
+           |        JOIN n q ON q.vec_id = t.vec_id)""".stripMargin
+      }
+    val trainCtes = svrCte + (1 to trainRounds).map { r =>
       s""",
          |tenc$r AS (SELECT t.vec_id, t.s, b.code, (b.c2 - 2*(${dot8("t.sv", "b.cv")})) AS err
-         |           FROM sv t JOIN book${r - 1} b USING (s)),
+         |           FROM $trainSrc t JOIN book${r - 1} b USING (s)),
          |tasg$r AS (SELECT vec_id, s, code FROM (
          |             SELECT vec_id, s, code,
          |                    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY err, code) AS rn
@@ -2614,7 +2641,7 @@ object SparkEntry {
          |tsum$r AS (SELECT a.s, a.code, r.i,
          |             SUM(CAST(FLOOR(t.sv[r.i] * 1048576.0 + 0.5) AS BIGINT)) AS fs,
          |             COUNT(*) AS c
-         |           FROM tasg$r a JOIN sv t ON t.vec_id = a.vec_id AND t.s = a.s
+         |           FROM tasg$r a JOIN $trainSrc t ON t.vec_id = a.vec_id AND t.s = a.s
          |           CROSS JOIN range(1, ${dsub + 1}) r(i) GROUP BY 1, 2, 3),
          |tcv$r AS (SELECT s, code, list(CAST(fs AS DOUBLE) / (1048576.0 * c) ORDER BY i) AS cv
          |          FROM tsum$r GROUP BY 1, 2),

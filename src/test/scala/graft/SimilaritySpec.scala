@@ -355,6 +355,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q98 residual-trained codebooks: recall@5 matches-or-beats the residual seed book corpus-wide") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val nq = e.count().toInt
+    def keyset(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keyset(Similarity.annBruteForce(e, nQueries = nq, k = 5))
+    val seedHits = keyset(Similarity.annIvfPq(e, nQueries = nq, residual = true))
+    val cb = Similarity.trainedCodebooks(e, rounds = 2, residual = true)
+    val trainedHits = keyset(Similarity.annIvfPq(e, nQueries = nq,
+      residual = true, codebook = Some(cb)))
+    val seedRecall = (exact & seedHits).size.toDouble / exact.size
+    val trainedRecall = (exact & trainedHits).size.toDouble / exact.size
+    info(f"residual recall@5 corpus-wide: seed=$seedRecall%.3f trained=$trainedRecall%.3f")
+    withClue(s"seed=$seedRecall trained=$trainedRecall: ") {
+      trainedRecall should be >= seedRecall
+    }
+  }
+
   test("q94 residual-trained codebooks compose with residual PQ; malformed books fail loudly") {
     val e = tables.embeddings
     val exact = Similarity.annBruteForce(e, nQueries = 10, k = Int.MaxValue)
