@@ -51,7 +51,7 @@ object GoldenGen {
   case class AudioGolden(text_md5: String, channels: Int, sample_rate: Int,
                          n_frames: Long, duration_ms: Long, n_bytes: Int,
                          pcm_md5: String, rms: Double, n_samples: Int,
-                         afp: String)
+                         afp: String, env_emb: String)
   case class GifGolden(text_md5: String, frame_idx: Int, n_frames: Int,
                        width: Int, height: Int, pixel_md5: String,
                        mean_luma: Double)
@@ -102,7 +102,8 @@ object GoldenGen {
     AudioGolden(key, 1, 8000, n.toLong, n.toLong * 1000L / 8000L, wav.length,
       Exact.hex(md.digest()),
       if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n), n,
-      Multimodal.envelopeBits(pcm, bigEndian = false))
+      Multimodal.envelopeBits(pcm, bigEndian = false),
+      Multimodal.envelopeEnergies(pcm, 64, bigEndian = false).mkString(" "))
   }
 
   /** m06 expectations from the GIF law alone — one row per SAMPLED

@@ -540,6 +540,24 @@ object SparkEntry {
     // (container- AND gain-independent); pair machinery = q23/m07's
     // banded Hamming, shared. Rows-only driver check.
     "m08_audio_fingerprint"  -> ((s, d) => Multimodal.audioFingerprintSummary(Tables(s, d).documents)),
+    // m10: audio -> VECTOR (the m09 analogue for audio): decode
+    // through the real codec, 64 windows of exact integer energy —
+    // the envelope as an embedding; golden-oracle-checked identity
+    "m10_audio_embed"        -> ((s, d) => Multimodal.audioEmbedSummary(Tables(s, d).documents)),
+    // q99: SemDeDup over AUDIO end to end (q97's convention for the
+    // audio modality): centered energy envelopes through q57's
+    // machinery, corpus salted with verbatim re-crawls (offset
+    // ≡ 0 mod 3 preserves the audio class: (300000 + 21k + 1) % 3 = 1)
+    "q99_semantic_dedup_audio" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val recrawl = docs
+        .filter(col("doc_id") % 21 === 1)
+        .withColumn("doc_id", col("doc_id") + lit(300000L))
+      val frame = Multimodal.audioSemanticFrame(docs.unionByName(recrawl))
+        .localCheckpoint() // q97's diamond rule: the codec chain runs once
+      Similarity.semanticDedup(frame, tau = 0.9,
+        nCells = 3 * Similarity.suggestCells(frame.count()))
+    }),
     // m06: the moving-picture modality through a REAL multi-frame
     // container — animated GIF via the JDK's actual sequence
     // writer/parser (no MP4 codec ships with the JDK); true frame
@@ -1178,6 +1196,12 @@ object SparkEntry {
          |JOIN read_parquet('$GoldenDir/audio.parquet/*.parquet') g
          |  ON md5(d.text) = g.text_md5
          |WHERE d.doc_id % 3 = 1 ORDER BY d.doc_id""".stripMargin,
+    "m10_audio_embed" ->
+      s"""SELECT d.doc_id, g.n_samples, g.env_emb AS emb
+         |FROM documents d
+         |JOIN read_parquet('$GoldenDir/audio.parquet/*.parquet') g
+         |  ON md5(d.text) = g.text_md5
+         |WHERE d.doc_id % 3 = 1 ORDER BY d.doc_id""".stripMargin,
     "m06_gif_frames" ->
       s"""SELECT d.doc_id, g.frame_idx, g.n_frames, g.width, g.height,
          |       g.pixel_md5, g.mean_luma
@@ -1618,6 +1642,7 @@ object SparkEntry {
     "q57_semantic_dedup"  -> semanticDedupOracle,
     "q93_semantic_dedup_text" -> semanticDedupTextOracle,
     "q97_semantic_dedup_image" -> semanticDedupImageOracle,
+    "q99_semantic_dedup_audio" -> semanticDedupAudioOracle,
     "q63_decontaminate_semantic" -> semanticDecontamOracle,
     // q79 is EXACT past-broadcast q63 — same oracle, row-identical
     "q79_decontaminate_semantic_cells" -> semanticDecontamOracle,
@@ -2345,6 +2370,31 @@ object SparkEntry {
        |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM cvec),
        |""".stripMargin +
       // 191 image+re-crawl docs at both gate SFs → 3·suggestCells(191)
+      semanticDedupBody(3 * Similarity.suggestCells(191), "0.9")
+  }
+
+  /** q99: q97's image pipeline oracle transposed to audio — golden
+    * energy envelopes (PCM law, never the parser), integer centering
+    * (64·e − Σe), flat envelopes to the unit axis, q57's body. */
+  private def semanticDedupAudioOracle: String = {
+    val unit = ("1.0" +: Seq.fill(63)("0.0")).mkString("[", ", ", "]")
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 21 = 1),
+       |g AS (SELECT d.doc_id AS vec_id,
+       |        list_transform(string_split(gg.env_emb, ' '), x -> CAST(x AS BIGINT)) AS v0
+       |      FROM docs2 d
+       |      JOIN read_parquet('$GoldenDir/audio.parquet/*.parquet') gg
+       |        ON md5(d.text) = gg.text_md5
+       |      WHERE d.doc_id % 3 = 1),
+       |cvec AS (SELECT vec_id,
+       |        CASE WHEN list_min(v0) = list_max(v0) THEN $unit
+       |             ELSE list_transform(v0, x -> CAST(64 * x - list_sum(v0) AS DOUBLE)) END AS v
+       |      FROM g),
+       |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM cvec),
+       |""".stripMargin +
+      // 191 audio+re-crawl docs at both gate SFs → 3·suggestCells(191)
       semanticDedupBody(3 * Similarity.suggestCells(191), "0.9")
   }
 

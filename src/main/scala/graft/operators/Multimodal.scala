@@ -678,18 +678,17 @@ object Multimodal {
     * Clips shorter than 65 samples leave some windows empty (energy
     * 0) — still deterministic. Unparseable/non-16-bit payloads fail
     * loudly (the m05 contract). */
-  /** The 64-bit energy-envelope hash of a PCM buffer — pure window
-    * math, shared by [[fingerprintAudio]] (real-codec-parsed PCM) and
-    * [[graft.GoldenGen]] (law PCM), so the fingerprint definition
-    * cannot diverge between the query and its golden oracle. */
-  private[graft] def envelopeBits(pcm: Array[Byte],
-                                  bigEndian: Boolean): String = {
-    val W = 65
+  /** The W-window integer energy envelope of a PCM buffer — the pure
+    * window math under BOTH m08's difference hash and m10's audio
+    * embedding, shared with [[graft.GoldenGen]] (law PCM) so neither
+    * definition can diverge from its golden oracle. Window of sample
+    * i = floor(i·W/n), walked via precomputed boundaries (next
+    * first-index-of-window = ceil((w+1)·n/W)) — no per-sample
+    * division in the hot loop, same exact binning. */
+  private[graft] def envelopeEnergies(pcm: Array[Byte], W: Int,
+                                      bigEndian: Boolean): Array[Long] = {
     val n = pcm.length / 2
     val e = new Array[Long](W)
-    // window of sample i = floor(i·W/n), walked via precomputed
-    // boundaries (next first-index-of-window = ceil((w+1)·n/W)) —
-    // no per-sample division in the hot loop, same exact binning
     var i = 0
     var w = 0
     var next = if (n == 0) 0L else (n.toLong + W - 1) / W
@@ -701,9 +700,17 @@ object Multimodal {
       e(w) += s.toLong * s.toLong
       i += 1
     }
-    val bits = new java.lang.StringBuilder(W - 1)
-    w = 0
-    while (w < W - 1) {
+    e
+  }
+
+  /** The 64-bit energy-envelope hash of a PCM buffer — 65 windows of
+    * [[envelopeEnergies]], 64 louder-than-next gradient signs. */
+  private[graft] def envelopeBits(pcm: Array[Byte],
+                                  bigEndian: Boolean): String = {
+    val e = envelopeEnergies(pcm, 65, bigEndian)
+    val bits = new java.lang.StringBuilder(e.length - 1)
+    var w = 0
+    while (w < e.length - 1) {
       bits.append(if (e(w) > e(w + 1)) '1' else '0')
       w += 1
     }
@@ -726,6 +733,69 @@ object Multimodal {
           envelopeBits(pcm, fmt.isBigEndian))
       }
     }
+  }
+
+  case class AudioEmbRow(doc_id: Long, n_samples: Int, emb: Array[Long])
+
+  /** m10: AUDIO → VECTOR — the audio member of the embedding bridges
+    * (q92 text, m09 image): decode through the real JDK codec, bin
+    * the sample stream into `w` windows of EXACT integer energy
+    * ([[envelopeEnergies]] — m08's window law, energies instead of
+    * gradient signs), emit the `w`-dim INTEGER vector. The energy
+    * envelope is the classic compact audio descriptor; under COSINE
+    * it is gain-invariant outright (×c scales every energy by c²,
+    * and cosine ignores scale), so a re-mastered louder copy embeds
+    * parallel — the continuous form of m08's comparison-preservation
+    * argument. Integer vectors: the full identity is
+    * golden-oracle-hash-checkable (q92/m09's rationale). Same
+    * per-partition batch contract, fail-loud mono/16-bit guards as
+    * the m05/m08 stages. */
+  def embedAudio(media: Dataset[MediaRow], w: Int = 64): Dataset[AudioEmbRow] = {
+    require(w >= 1, s"window count must be >= 1, got $w")
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val (fmt, _, pcm) = readPcm16(m, "embedAudio")
+        require(fmt.getChannels == 1,
+          s"embedAudio: expected mono for doc ${m.doc_id}, got " +
+            s"${fmt.getChannels} channels — mix down before embedding")
+        AudioEmbRow(m.doc_id, pcm.length / 2,
+          envelopeEnergies(pcm, w, fmt.isBigEndian))
+      }
+    }
+  }
+
+  /** m10 as a flat verification frame (m09's convention): the
+    * embedding identity, space-joined — golden-checked against the
+    * PCM law, so decode → window-energy is hash-verified end to
+    * end. No norm² column: energies reach ~2³⁸, whose squares
+    * overflow BIGINT — norms live in the double domain downstream. */
+  def audioEmbedSummary(documents: DataFrame): DataFrame =
+    embedAudio(encodeWav(audioMedia(documents))).toDF()
+      .select(col("doc_id"), col("n_samples"),
+        array_join(col("emb"), " ").as("emb"))
+
+  /** q99's embedding frame: m10 windows MEAN-CENTERED in exact
+    * integers (w·e − Σe — the q97 law applied to energies: raw
+    * all-positive envelopes concentrate their cosines near 1, the
+    * centered ones measure LOUDNESS-PATTERN correlation and keep the
+    * gain-invariance). Flat envelopes (constant energy — silence,
+    * constant tones with window-aligned sample counts) center to
+    * zero and would NaN-diverge between engines; they embed as the
+    * canonical unit axis (q97's guard verbatim): every flat envelope
+    * is the same featureless clip up to gain. Centered values reach
+    * ~2⁴⁴ — exact in the double domain (< 2⁵³), and every downstream
+    * dot chain is the same fixed-order IEEE arithmetic on identical
+    * inputs in both engines. */
+  def audioSemanticFrame(documents: DataFrame, w: Int = 64): DataFrame = {
+    val unitE0 = lit((1.0 +: Array.fill(w - 1)(0.0)).toArray)
+    val s = aggregate(col("emb"), lit(0L), (a, x) => a + x)
+    embedAudio(encodeWav(audioMedia(documents)), w).toDF()
+      .select(col("doc_id").as("vec_id"),
+        when(array_min(col("emb")) === array_max(col("emb")), unitE0)
+          .otherwise(transform(col("emb"),
+            x => (lit(w.toLong) * x - s).cast("double")))
+          .as("embedding"))
   }
 
   /** m08 pair detection: perceptual near-dup audio pairs within

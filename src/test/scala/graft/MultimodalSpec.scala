@@ -145,6 +145,81 @@ class MultimodalSpec extends SparkSpec {
     pairs.keys.flatMap(k => Seq(k._1, k._2)) should not contain 5L
   }
 
+  test("m10 audio embedding: container-insensitive, gain near-parallel, law parity; q99 dedups the near-copy") {
+    import spark.implicits._
+    def wav2(samples: Array[Short], aiff: Boolean = false): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        if (aiff) {
+          pcm(2 * i) = ((samples(i) >> 8) & 0xff).toByte
+          pcm(2 * i + 1) = (samples(i) & 0xff).toByte
+        } else {
+          pcm(2 * i) = (samples(i) & 0xff).toByte
+          pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        }
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, aiff)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        if (aiff) javax.sound.sampled.AudioFileFormat.Type.AIFF
+        else javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+      buf.toByteArray
+    }
+    val a = Array.tabulate[Short](650)(i => (i * 4).toShort)
+    val louder = a.map(s => (s * 2).toShort)
+    val other = Array.tabulate[Short](650)(i => ((650 - i) * 4).toShort)
+    val media = Seq(
+      Multimodal.MediaRow(1L, wav2(a), "audio/wav"),
+      Multimodal.MediaRow(2L, wav2(a, aiff = true), "audio/aiff"),
+      Multimodal.MediaRow(3L, wav2(louder), "audio/wav"),
+      Multimodal.MediaRow(4L, wav2(other), "audio/wav")).toDS()
+    val out = Multimodal.embedAudio(media).collect()
+      .map(r => r.doc_id -> r.emb).toMap
+    // WAV and AIFF of the SAME samples embed identically
+    out(1L).toSeq shouldBe out(2L).toSeq
+    // a 2x-gain copy embeds exactly 4x (energies scale by c^2) —
+    // parallel under cosine, the gain-invariance claim made literal
+    out(3L).toSeq shouldBe out(1L).toSeq.map(_ * 4)
+    // a genuinely different envelope is far from parallel
+    def cos(u: Array[Long], v: Array[Long]): Double = {
+      val ud = u.map(_.toDouble); val vd = v.map(_.toDouble)
+      val m = ud.sum / 64.0; val n2 = vd.sum / 64.0
+      val uc = ud.map(_ - m); val vc = vd.map(_ - n2)
+      uc.zip(vc).map { case (x, y) => x * y }.sum /
+        (math.sqrt(uc.map(x => x * x).sum) * math.sqrt(vc.map(x => x * x).sum))
+    }
+    cos(out(1L), out(3L)) should be > 0.999
+    cos(out(1L), out(4L)) should be < 0.5
+    // law parity: golden env_emb (PCM law, no parser) equals the
+    // decode-path embedding for a law-synthesized WAV
+    val payload = "the audio golden law parity probe".getBytes("UTF-8")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new java.io.ByteArrayOutputStream()
+    val g = GoldenGen.audioGolden("k", payload, md, buf)
+    val lawMedia = Multimodal.encodeWav(
+      Seq(Multimodal.MediaRow(7L, payload, "text/plain")).toDS())
+    Multimodal.embedAudio(lawMedia).collect().head.emb.mkString(" ") shouldBe g.env_emb
+    // stereo fails loudly (the m08 contract)
+    val stereo = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](64)), fmt, 16L)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, b)
+      b.toByteArray
+    }
+    val ex = intercept[Exception] {
+      Multimodal.embedAudio(
+        Seq(Multimodal.MediaRow(9L, stereo, "audio/wav")).toDS()).collect()
+    }
+    ex.getMessage should include("mono")
+  }
+
   test("m08 audio fingerprint: container- and gain-independent, discriminative, pairs work") {
     import spark.implicits._
     // 16-bit mono PCM helpers through the REAL JDK writers
