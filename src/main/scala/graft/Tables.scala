@@ -77,6 +77,8 @@ object Tables {
                        db: String = "graft"): Unit = {
     require(db.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"database name must be a bare identifier, got '$db'")
+    require(!dir.contains("'"),
+      s"location path must not contain a quote, got '$dir'")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     names.foreach { t =>
       spark.sql(s"CREATE TABLE IF NOT EXISTS $db.$t " +

@@ -471,12 +471,15 @@ object Multimodal {
     * against everything else. */
   def imageSemanticFrame(documents: DataFrame, grid: Int = 8): DataFrame = {
     val unitE0 = lit((1.0 +: Array.fill(grid * grid - 1)(0.0)).toArray)
-    val s = aggregate(col("emb"), lit(0L), (a, x) => a + x)
+    // Σemb precomputed as a column — embedding the aggregate inside
+    // the transform lambda would re-evaluate it per element (g²× per
+    // row; round-13 review)
     embedImages(encodePng(imageMedia(documents)), grid).toDF()
+      .withColumn("s", aggregate(col("emb"), lit(0L), (a, x) => a + x))
       .select(col("doc_id").as("vec_id"),
         when(array_min(col("emb")) === array_max(col("emb")), unitE0)
           .otherwise(transform(col("emb"),
-            x => (lit(grid.toLong * grid) * x - s).cast("double")))
+            x => (lit(grid.toLong * grid) * x - col("s")).cast("double")))
           .as("embedding"))
   }
 
@@ -789,12 +792,14 @@ object Multimodal {
     * inputs in both engines. */
   def audioSemanticFrame(documents: DataFrame, w: Int = 64): DataFrame = {
     val unitE0 = lit((1.0 +: Array.fill(w - 1)(0.0)).toArray)
-    val s = aggregate(col("emb"), lit(0L), (a, x) => a + x)
+    // Σemb as a column, not inside the lambda (imageSemanticFrame's
+    // per-element re-evaluation note)
     embedAudio(encodeWav(audioMedia(documents)), w).toDF()
+      .withColumn("s", aggregate(col("emb"), lit(0L), (a, x) => a + x))
       .select(col("doc_id").as("vec_id"),
         when(array_min(col("emb")) === array_max(col("emb")), unitE0)
           .otherwise(transform(col("emb"),
-            x => (lit(w.toLong) * x - s).cast("double")))
+            x => (lit(w.toLong) * x - col("s")).cast("double")))
           .as("embedding"))
   }
 

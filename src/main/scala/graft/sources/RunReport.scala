@@ -152,6 +152,8 @@ object RunReport {
                            db: String = "graft"): Unit = {
     require(db.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"database name must be a bare identifier, got '$db'")
+    require(!reportDir.contains("'"),
+      s"location path must not contain a quote, got '$reportDir'")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     spark.sql(s"CREATE TABLE IF NOT EXISTS $db.run_reports " +
       s"USING PARQUET LOCATION '$reportDir'")
