@@ -202,6 +202,15 @@ object SparkEntry {
       Similarity.semanticDedup(
         TextOps.embedFrame(Tables(s, d).documents).localCheckpoint(),
         tau = 0.9, maxCell = 4096)),
+    // q100: semantic text SEARCH — the search sibling of q93's dedup
+    // composition: q92's embeddings through q46's IVF machinery
+    // verbatim (top-5 cosine neighbors per query doc, probe-pruned);
+    // the embed frame is checkpointed (q93's diamond rule — annIvf
+    // consumes it in three subtrees)
+    "q100_ann_text"          -> ((s, d) =>
+      Similarity.annIvf(
+        TextOps.embedFrame(Tables(s, d).documents).localCheckpoint(),
+        nQueries = 10, k = 5)),
     "q54_oov_rate"           -> ((s, d) => TextOps.oovRate(Tables(s, d).documents)),
     "q74_novelty_score"      -> ((s, d) => TextOps.noveltyScore(Tables(s, d).documents)),
     // q45: every doc_id ≡ 9 (mod 10) plays the incoming intake batch;
@@ -1643,6 +1652,7 @@ object SparkEntry {
     "q93_semantic_dedup_text" -> semanticDedupTextOracle,
     "q97_semantic_dedup_image" -> semanticDedupImageOracle,
     "q99_semantic_dedup_audio" -> semanticDedupAudioOracle,
+    "q100_ann_text" -> annTextOracle,
     "q63_decontaminate_semantic" -> semanticDecontamOracle,
     // q79 is EXACT past-broadcast q63 — same oracle, row-identical
     "q79_decontaminate_semantic_cells" -> semanticDecontamOracle,
@@ -2537,9 +2547,11 @@ object SparkEntry {
     * lowest-vec_id vectors; assignment and probe ranking both order by
     * (score DESC, cell), matching the Spark side's first-max argmax
     * and row_number ties exactly. */
-  private def annIvfOracle: String =
-    s"""WITH $vecCtes,
-       |cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < 16),
+  /** q46's chain over any `n(vec_id, v, nrm)` CTE — factored (the
+    * semanticDedupBody convention) so q100 replays the identical IVF
+    * search over TEXT-derived vectors. */
+  private def annIvfBody: String =
+    s"""cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < 16),
        |sc AS (SELECT x.vec_id, c.cell, (${sqlDot("x.v", "c.v")}) / c.nrm AS score
        |       FROM n x CROSS JOIN cent c),
        |asg AS (SELECT vec_id AS neighbor_id, cell FROM (
@@ -2560,6 +2572,22 @@ object SparkEntry {
        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS "rank"
        |      FROM s)
        |SELECT * FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+
+  private def annIvfOracle: String =
+    s"WITH $vecCtes,\n" + annIvfBody
+
+  /** q100: semantic text SEARCH — q92's embedding CTEs feeding q46's
+    * IVF body verbatim (the search sibling of q93's dedup
+    * composition): top-5 cosine neighbors per query document over the
+    * hashing-trick vectors, probe-pruned by the seed quantizer. */
+  private def annTextOracle: String = {
+    val vlist = (0 until embedDim).map(d => s"CAST(e$d AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    s"""WITH $textEmbedCtes,
+       |e2 AS (SELECT doc_id AS vec_id, $vlist AS v FROM emb),
+       |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e2),
+       |""".stripMargin + annIvfBody
+  }
 
   /** q69: IVF-PQ replayed — the q46 coarse CTEs, plus the PQ codebook
     * (seed subvector slices, code = vec_id rank), per-subspace argmin

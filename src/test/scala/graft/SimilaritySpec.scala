@@ -355,6 +355,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q100 text ANN: IVF search over hashing-trick embeddings, exact cosines, honest recall") {
+    import graft.operators.TextOps
+    val e = TextOps.embedFrame(tables.documents).localCheckpoint()
+    def keyset(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactTop = keyset(Similarity.annBruteForce(e, nQueries = 10, k = 5))
+    val hits = Similarity.annIvf(e, nQueries = 10, k = 5).collect()
+    hits.length shouldBe 50 // full top-5 per query
+    val recall = (exactTop & keyset(Similarity.annIvf(e, nQueries = 10, k = 5)))
+      .size.toDouble / exactTop.size
+    info(f"text-ANN recall@5: $recall%.3f")
+    recall should be >= 0.5 // probe-pruned floor on the bag-vector corpus
+    // every emitted cosine is the exact brute-force value (cell
+    // pruning is the only approximation — the q46 contract over text)
+    val allExact = Similarity.annBruteForce(e, nQueries = 10, k = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    hits.foreach { r => allExact((r.getLong(0), r.getLong(1))) shouldBe r.getDouble(2) }
+  }
+
+  test("fully-trained index: trained centroids AND trained codebooks compose in one PQ search") {
+    val e = tables.embeddings
+    val cents = Similarity.trainedCentroids(e, nCells = 16, rounds = 2)
+    // codebooks trained AGAINST the trained coarse quantizer (the
+    // production build order), then both feed one search
+    val cb = Similarity.trainedCodebooks(e, rounds = 1, residual = true,
+      centroids = Some(cents))
+    val out = Similarity.annIvfPq(e, residual = true,
+      centroids = Some(cents), codebook = Some(cb)).collect()
+    out.length shouldBe 50
+    // the exact-rerank contract holds under the fully trained index
+    val exact = Similarity.annBruteForce(e, nQueries = 10, k = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.foreach { r => exact((r.getLong(0), r.getLong(1))) shouldBe r.getDouble(2) }
+  }
+
   test("q98 residual-trained codebooks: recall@5 matches-or-beats the residual seed book corpus-wide") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val nq = e.count().toInt
