@@ -547,6 +547,46 @@ class MultimodalSpec extends SparkSpec {
     out(12L)._1 shouldBe 1
   }
 
+  test("committed golden parquet is NOT stale: recomputed law values match for a corpus sample") {
+    // The media oracles trust /root/repo/golden; a law change without
+    // `runMain graft.GoldenGen` would only surface at driver grading.
+    // This guard recomputes every golden family from the laws for a
+    // sample of gate-SF documents and compares against the committed
+    // artifact — stale goldens fail HERE, in the test suite.
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("text").limit(40).as[String].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new java.io.ByteArrayOutputStream()
+    def key(payload: Array[Byte]): String = {
+      md.reset(); md.update(payload); graft.Exact.hex(md.digest())
+    }
+    val img = spark.read.parquet("/root/repo/golden/image.parquet")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val aud = spark.read.parquet("/root/repo/golden/audio.parquet")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val gif = spark.read.parquet("/root/repo/golden/gif.parquet")
+      .collect().groupBy(_.getString(0))
+    docs.foreach { t =>
+      val payload = t.getBytes("UTF-8")
+      val k = key(payload)
+      val gi = GoldenGen.imageGolden(k, payload, md, buf)
+      val ri = img(k)
+      (ri.getInt(1), ri.getInt(2), ri.getInt(3), ri.getString(4),
+        ri.getDouble(5), ri.getString(6), ri.getString(7), ri.getLong(8)) shouldBe
+        ((gi.width, gi.height, gi.n_bytes, gi.pixel_md5, gi.mean_luma,
+          gi.dhash, gi.grid_emb, gi.grid_nrm2))
+      val ga = GoldenGen.audioGolden(k, payload, md, buf)
+      val ra = aud(k)
+      (ra.getLong(3), ra.getInt(5), ra.getString(6), ra.getDouble(7),
+        ra.getString(9), ra.getString(10)) shouldBe
+        ((ga.n_frames, ga.n_bytes, ga.pcm_md5, ga.rms, ga.afp, ga.env_emb))
+      val gg = GoldenGen.gifGolden(k, payload, md)
+        .map(x => (x.frame_idx, x.pixel_md5, x.mean_luma)).toSet
+      gif(k).map(r => (r.getInt(1), r.getString(5), r.getDouble(6))).toSet shouldBe gg
+    }
+  }
+
   test("m06 unparseable payload fails loudly with the doc id") {
     import spark.implicits._
     val junk = Seq(Multimodal.MediaRow(77L,
