@@ -216,6 +216,28 @@ object SparkEntry {
     // q45: every doc_id ≡ 9 (mod 10) plays the incoming intake batch;
     // the rest is the already-deduped corpus contributing only its
     // band index — the persisted-index production pattern.
+    // q101: q45's incremental pattern for the SEMANTIC family — the
+    // already-admitted corpus persists as a cell-partitioned
+    // admitted-vector store (centroid-stamped), the intake batch
+    // probes it: condemned iff within tau of any store cell-mate.
+    // The declared query exercises the FULL artifact lifecycle
+    // (write → validated read → probe), like s08's band index.
+    // The intake is salted with verbatim re-crawls of store vectors
+    // (q76's trick, offset past every id space) so the condemnation
+    // path FIRES and is hash-checked — the synthetic corpus has no
+    // organic cross-split pairs within tau.
+    "q101_semantic_dedup_incremental" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      val store = e.filter(col("vec_id") % 10 =!= 9)
+      val copies = store.filter(col("vec_id") % 50 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(300000L))
+      val intake = e.filter(col("vec_id") % 10 === 9).unionByName(copies)
+      val cents = Similarity.seedCentroids(store, 16)
+      val dir = scratchDir("graft_semstore")
+      Similarity.writeSemanticStore(store, s"$dir/store", cents)
+      Similarity.semanticProbeStore(intake,
+        Similarity.readSemanticStore(s, s"$dir/store", cents), cents)
+    }),
     "q45_dedup_incremental"  -> ((s, d) => {
       val docs = Tables(s, d).documents
       Dedup.incrementalMinhashPairs(
@@ -1653,6 +1675,34 @@ object SparkEntry {
     "q97_semantic_dedup_image" -> semanticDedupImageOracle,
     "q99_semantic_dedup_audio" -> semanticDedupAudioOracle,
     "q100_ann_text" -> annTextOracle,
+    // q101: the store/probe split replayed — cent = the STORE side's
+    // seed quantizer (vec_id < 16 minus the intake residue), both
+    // sides assigned by the shared argmax, hits = intake × store
+    // cell-mates within tau, smallest condemning mate per intake
+    "q101_semantic_dedup_incremental" ->
+      s"""WITH $vecCtes,
+         |e2 AS (SELECT vec_id, v, nrm FROM n
+         |       UNION ALL
+         |       SELECT vec_id + 300000, v, nrm FROM n
+         |       WHERE vec_id % 50 = 0 AND vec_id % 10 <> 9),
+         |cent AS (SELECT vec_id AS cell, v, nrm FROM n
+         |         WHERE vec_id < 16 AND vec_id % 10 <> 9),
+         |sc AS (SELECT x.vec_id, x.v, x.nrm, c.cell, (${sqlDot("x.v", "c.v")}) / c.nrm AS score
+         |       FROM e2 x CROSS JOIN cent c),
+         |a0 AS (SELECT vec_id, v, nrm, cell FROM (
+         |         SELECT vec_id, v, nrm, cell,
+         |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+         |         FROM sc) t WHERE rn = 1),
+         |hits AS (SELECT i.vec_id, i.cell, s.vec_id AS dup_of,
+         |           (${sqlDot("i.v", "s.v")}) / (i.nrm * s.nrm) AS cos_raw
+         |         FROM a0 i JOIN a0 s ON i.cell = s.cell
+         |         WHERE (i.vec_id % 10 = 9 OR i.vec_id >= 300000)
+         |           AND s.vec_id % 10 <> 9 AND s.vec_id < 300000),
+         |d AS (SELECT vec_id, cell, MIN(dup_of) AS dup_of
+         |      FROM hits WHERE cos_raw >= 0.4 GROUP BY 1, 2)
+         |SELECT d.vec_id, d.cell, d.dup_of, ROUND(h.cos_raw, 4) AS cos_sim
+         |FROM d JOIN hits h ON h.vec_id = d.vec_id AND h.dup_of = d.dup_of
+         |ORDER BY d.vec_id""".stripMargin,
     "q63_decontaminate_semantic" -> semanticDecontamOracle,
     // q79 is EXACT past-broadcast q63 — same oracle, row-identical
     "q79_decontaminate_semantic_cells" -> semanticDecontamOracle,

@@ -241,7 +241,7 @@ object Similarity {
     * the library) and embedded as array literals. vec_id is read as
     * long uniformly so the same helper serves int- and long-typed
     * sources without truncation. */
-  private def seedCentroids(embeddings: DataFrame,
+  private[graft] def seedCentroids(embeddings: DataFrame,
                             nCells: Int): Array[(Long, Array[Double])] = {
     val cents = embeddings
       .filter(col("vec_id") < nCells)
@@ -1060,6 +1060,96 @@ object Similarity {
       s"codebook at $path is corrupt: does not carry codes 0..${ks - 1} " +
         s"for every subspace 0..${m - 1}")
     rows.map(t => (t._1, t._2, t._3)).sortBy(t => (t._1, t._2))
+  }
+
+  /** Deterministic digest of a centroid table — the consistency stamp
+    * for the semantic store: probing a store with DIFFERENT centroids
+    * routes intake into the wrong cells and every cross-cell dup
+    * passes undetected (fails open, the band index's exact hazard). */
+  private def centStamp(cents: Array[(Long, Array[Double])]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(cents.sortBy(_._1)
+      .map { case (id, v) => s"$id:${v.mkString(",")}" }
+      .mkString(";").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.Exact.hex(md.digest())
+  }
+
+  /** q101 write half: persist an ADMITTED-VECTOR store — the semantic
+    * family's analogue of q45's band index (Dedup.writeBandIndex):
+    * production dedups a continuously-arriving corpus by probing each
+    * intake batch against the vectors already admitted, never by
+    * re-scanning history. Rows are (cell, vec_id, v) PARTITIONED BY
+    * CELL, so a probe reads only its probed cells' directories
+    * (partition pruning — the same access shape as the band index's
+    * bk_prefix layout). The centroid digest rides every row
+    * ([[centStamp]]): a probe with a different quantizer dies at READ,
+    * not by silently missing duplicates. */
+  def writeSemanticStore(embeddings: DataFrame, path: String,
+                         cents: Array[(Long, Array[Double])]): Unit = {
+    require(cents.nonEmpty, "writeSemanticStore needs a centroid table")
+    assignCellsFull(prepared(embeddings), cents)
+      .select(col("cell"), col("vec_id"), col("v"),
+        lit(cents.head._2.length).as("_p_dim"),
+        lit(centStamp(cents)).as("_p_cent"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** q101 read half: load + VALIDATE the admitted store against the
+    * caller's centroid table (fail-loud at read, the readBandIndex /
+    * readCodebook convention). Validation reads stamps from ONE
+    * pruned projection — never the vector payload. */
+  def readSemanticStore(spark: org.apache.spark.sql.SparkSession,
+                        path: String,
+                        cents: Array[(Long, Array[Double])]): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(Set("cell", "vec_id", "v", "_p_dim", "_p_cent")
+      .subsetOf(df.columns.toSet),
+      s"semantic store at $path lacks the expected columns, got " +
+        s"${df.columns.mkString(", ")}")
+    val stamps = df.select("_p_dim", "_p_cent").distinct().collect()
+    require(stamps.length == 1,
+      s"semantic store at $path carries mixed parameter stamps")
+    require(stamps.head.getInt(0) == cents.head._2.length,
+      s"semantic store at $path was built at dim ${stamps.head.getInt(0)}, " +
+        s"caller's centroids are dim ${cents.head._2.length}")
+    require(stamps.head.getString(1) == centStamp(cents),
+      s"semantic store at $path was built with a DIFFERENT centroid " +
+        "table — probing would route intake into the wrong cells and " +
+        "fail open; rebuild the store or load its centroids")
+    df.select("cell", "vec_id", "v")
+  }
+
+  /** q101: INCREMENTAL semantic dedup — probe an intake batch against
+    * the persisted admitted store: each intake vector is condemned iff
+    * any store mate in its cell sits within `tau` cosine; output is
+    * one row per hit, (vec_id, dup_of = smallest condemning store
+    * mate, its exact cosine) — q45's verdict-feed contract with q57's
+    * smallest-mate audit convention. Intake-vs-intake dups are out of
+    * scope by design (q45's rule: run q57 over the batch for those —
+    * it is batch-sized).
+    *
+    * Scale shape: intake assigns cells map-side (broadcast centroid
+    * argmax), the probe is a cell-keyed equi-join whose STORE side
+    * prunes to the batch's probed cells (partition layout above), and
+    * the per-intake argmin collapses map-side — Σ intake-cell × store-
+    * cell work, never batch × corpus. */
+  def semanticProbeStore(intake: DataFrame, store: DataFrame,
+                         cents: Array[(Long, Array[Double])],
+                         tau: Double = 0.4): DataFrame = {
+    val ai = assignCellsFull(prepared(intake), cents)
+      .select(col("vec_id"), col("cell"), col("v").as("iv"),
+        col("nrm").as("inrm"))
+    val sv = store.select(col("cell"), col("vec_id").as("dup_of"),
+      col("v").as("svv"), sqrt(Exprs.dot(col("v"), col("v"))).as("snrm"))
+    ai.join(sv, Seq("cell"))
+      .withColumn("cos_raw",
+        dot(col("iv"), col("svv")) / (col("inrm") * col("snrm")))
+      .filter(col("cos_raw") >= tau)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min(struct(col("dup_of"), col("cos_raw"))).as("b"))
+      .select(col("vec_id"), col("cell"), col("b.dup_of").as("dup_of"),
+        round(col("b.cos_raw"), 4).as("cos_sim"))
+      .orderBy("vec_id")
   }
 
   /** q65: iterated Lloyd refinement — the production k-means loop that

@@ -432,6 +432,40 @@ class SimilaritySpec extends SparkSpec {
       Similarity.annIvfPq(e).collect().toSeq
   }
 
+  test("q101 semantic store: probe condemns against admitted cell-mates; wrong centroids fail at read; probed cells prune") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = tables.embeddings
+    val store = e.filter(col("vec_id") % 10 =!= 9)
+    val cents = Similarity.trainedCentroids(store, nCells = 16, rounds = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semstore").toString
+    Similarity.writeSemanticStore(store, s"$dir/store", cents)
+    val loaded = Similarity.readSemanticStore(spark, s"$dir/store", cents)
+    loaded.count().toInt shouldBe store.count().toInt
+    // a verbatim copy of a store vector is condemned against it with
+    // cosine exactly 1; a copy of an INTAKE-side vector is not (q45's
+    // intake-vs-intake out-of-scope rule)
+    val copies = store.filter(col("vec_id") % 50 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(900000L))
+    val hits = Similarity.semanticProbeStore(
+        e.filter(col("vec_id") % 10 === 9).unionByName(copies), loaded, cents)
+      .collect()
+    val byId = hits.map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    copies.collect().map(_.getAs[Number]("vec_id").longValue()).foreach { id =>
+      byId(id) shouldBe ((id - 900000L, 1.0))
+    }
+    // probing with a DIFFERENT centroid table dies at read, loudly
+    val other = Similarity.trainedCentroids(store, nCells = 16, rounds = 2)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.readSemanticStore(spark, s"$dir/store", other)
+    }
+    ex.getMessage should include("DIFFERENT centroid")
+    // the probe's store scan is cell-partition-prunable: the loaded
+    // frame filters by cell at the parquet partition level
+    val pruned = loaded.filter(col("cell") === cents.head._1)
+    planOf(pruned) should include("PartitionFilters")
+  }
+
   test("centroid/codebook persistence: write -> read round-trips; corrupt artifacts fail at read") {
     val e = tables.embeddings
     val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
