@@ -73,4 +73,18 @@ class ExtensionsSpec extends SparkSpec {
       .collect().head.getString(0)
     viaSql shouldBe viaDf
   }
+
+  test("driver contract: every declared query has an oracle and every oracle has a query") {
+    // The driver grades oracle_sql.json's keys; a query registered
+    // without an oracle would silently skip correctness grading, and
+    // an orphaned oracle would FAIL the run on a missing parquet dump.
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    withClue(s"queries-without-oracle: ${(q -- o).toSeq.sorted.mkString(",")}; " +
+      s"oracles-without-query: ${(o -- q).toSeq.sorted.mkString(",")}: ") {
+      q shouldBe o
+    }
+    // and the flagship smoke query returns rows (the driver's check)
+    SparkEntry.entry(spark).count() should be > 0L
+  }
 }
