@@ -423,6 +423,50 @@ object SparkEntry {
       q.awaitTermination(); q.stop()
       s.read.parquet(s"$tmp/out")
     }),
+    // s15: the closed admit loop for the SEMANTIC family (s09's
+    // lifecycle over q101's vector store) — batch1 (ids ≡ 8 mod 10,
+    // plus verbatim copies of store vectors at +300000) probes the
+    // persisted store and admits its survivors; batch2 (ids ≡ 9, plus
+    // copies of batch1's ORGANIC members at +600000) then dedups
+    // against the corpus AND those survivors — the +600000 copies can
+    // only be condemned if batch1's admissions actually landed.
+    // Delivery order pinned as in s09: one file per micro-batch,
+    // mtimes force batch1 first; the oracle replays both probes with
+    // store1 = store0 ∪ (batch1 ∖ hits1).
+    "s15_stream_semantic_dedup_admit" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      val store = e.filter(col("vec_id") % 10 =!= 8 && col("vec_id") % 10 =!= 9)
+      val cents = Similarity.seedCentroids(store, 16)
+      val tmp = scratchDir("graft_s15_")
+      Similarity.writeSemanticStore(store, s"$tmp/store", cents)
+      def land(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+        val stage = s"$tmp/stage_$name"
+        df.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val dest = java.nio.file.Paths.get(s"$tmp/landing/$name.parquet")
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(part.toPath, dest)
+        require(dest.toFile.setLastModified(mtime),
+          s"could not pin mtime on $dest — s15 delivery order would be undefined")
+      }
+      val b1 = e.filter(col("vec_id") % 10 === 8).unionByName(
+        store.filter(col("vec_id") % 50 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(300000L)))
+      val b2 = e.filter(col("vec_id") % 10 === 9).unionByName(
+        e.filter(col("vec_id") % 10 === 8)
+          .withColumn("vec_id", col("vec_id") + lit(600000L)))
+      land(b1, "b1", 1000000L)
+      land(b2, "b2", 2000000L)
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val intake = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
+      val q = Streams.streamSemanticDedupAdmit(intake, s"$tmp/store", cents,
+        s"$tmp/out", s"$tmp/cp",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination(); q.stop()
+      s.read.parquet(s"$tmp/out")
+    }),
     // s12: q88's token accounting as the ingest loop's live meter —
     // stateful streaming agg, one row of state per (source, lang),
     // the tokenizer riding each doc's single pass through the engine.
@@ -456,6 +500,39 @@ object SparkEntry {
       Streams.scopedStateStoreConf(s) {
         Streams.runToMemory(Streams.streamImageDedup(media).toDF,
           "s13_stream_image_dedup")
+      }
+    }),
+    // s14: continuous SEMANTIC image dedup — q97 through the streaming
+    // loop (declared round 14). The corpus is q97's salted union
+    // (verbatim re-crawls at +300000, ≡ 0 mod 3 keeps the image
+    // class), the quantizer is trained ONCE batch-side (seedCentroids
+    // over the centered frame — index metadata, the s08 persisted-
+    // index convention; geometry = 3·suggestCells(n), q97's law), and
+    // the stream embeds/centers/assigns per micro-batch with per-cell
+    // state = cell membership, emitting q57's verdict rows. The
+    // drained result is row-identical to batch q97, so it shares the
+    // q97 oracle — the batch frame is localCheckpointed (q97's
+    // diamond rule) because the eager count + seed collect would
+    // otherwise re-run the synthesize+decode codec chain.
+    "s14_stream_image_semantic_dedup" -> ((s, d) => {
+      val docsB = Tables(s, d).documents
+      val recrawlB = docsB.filter(col("doc_id") % 21 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(300000L))
+      val frame = Multimodal.imageSemanticFrame(docsB.unionByName(recrawlB))
+        .localCheckpoint()
+      val cents = Similarity.seedCentroids(frame,
+        3 * Similarity.suggestCells(frame.count()))
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docsS = s.readStream.schema(schema)
+        .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
+      val unionS = docsS.unionByName(
+        docsS.filter(col("doc_id") % 21 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(300000L)))
+      val media = Multimodal.encodePng(Multimodal.imageMedia(unionS))
+      Streams.scopedStateStoreConf(s) {
+        Streams.runToMemory(
+          Streams.streamImageSemanticDedup(media, cents, tau = 0.9).toDF,
+          "s14_stream_image_semantic_dedup")
       }
     }),
     // s11: q76 through the streaming loop — the previous snapshot is
@@ -1673,6 +1750,11 @@ object SparkEntry {
     "q57_semantic_dedup"  -> semanticDedupOracle,
     "q93_semantic_dedup_text" -> semanticDedupTextOracle,
     "q97_semantic_dedup_image" -> semanticDedupImageOracle,
+    // s14 drains to q97's rows by construction (same salted corpus,
+    // same centered embeddings, same seed quantizer) — the stream's
+    // cross-batch state semantics are additionally pinned in
+    // StreamingSpec; here the full verdict frame is hash-checked
+    "s14_stream_image_semantic_dedup" -> semanticDedupImageOracle,
     "q99_semantic_dedup_audio" -> semanticDedupAudioOracle,
     "q100_ann_text" -> annTextOracle,
     // q101: the store/probe split replayed — cent = the STORE side's
@@ -1703,6 +1785,51 @@ object SparkEntry {
          |SELECT d.vec_id, d.cell, d.dup_of, ROUND(h.cos_raw, 4) AS cos_sim
          |FROM d JOIN hits h ON h.vec_id = d.vec_id AND h.dup_of = d.dup_of
          |ORDER BY d.vec_id""".stripMargin,
+    // s15: the two-batch admit loop replayed — batch1 probes store0,
+    // its survivors join the store, batch2 probes store0 ∪ adm1; the
+    // drained union is out1 ∪ out2 (batches are id-disjoint)
+    "s15_stream_semantic_dedup_admit" ->
+      s"""WITH $vecCtes,
+         |e2 AS (SELECT vec_id, v, nrm FROM n
+         |       UNION ALL
+         |       SELECT vec_id + 300000, v, nrm FROM n
+         |       WHERE vec_id % 50 = 0 AND vec_id % 10 NOT IN (8, 9)
+         |       UNION ALL
+         |       SELECT vec_id + 600000, v, nrm FROM n
+         |       WHERE vec_id % 10 = 8),
+         |cent AS (SELECT vec_id AS cell, v, nrm FROM n
+         |         WHERE vec_id < 16 AND vec_id % 10 NOT IN (8, 9)),
+         |sc AS (SELECT x.vec_id, x.v, x.nrm, c.cell, (${sqlDot("x.v", "c.v")}) / c.nrm AS score
+         |       FROM e2 x CROSS JOIN cent c),
+         |a0 AS (SELECT vec_id, v, nrm, cell FROM (
+         |         SELECT vec_id, v, nrm, cell,
+         |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+         |         FROM sc) t WHERE rn = 1),
+         |store0 AS (SELECT * FROM a0
+         |           WHERE vec_id % 10 NOT IN (8, 9) AND vec_id < 300000),
+         |b1 AS (SELECT * FROM a0 WHERE (vec_id % 10 = 8 AND vec_id < 300000)
+         |          OR (vec_id >= 300000 AND vec_id < 600000)),
+         |b2 AS (SELECT * FROM a0 WHERE (vec_id % 10 = 9 AND vec_id < 300000)
+         |          OR vec_id >= 600000),
+         |h1 AS (SELECT i.vec_id, i.cell, s.vec_id AS dup_of,
+         |         (${sqlDot("i.v", "s.v")}) / (i.nrm * s.nrm) AS cos_raw
+         |       FROM b1 i JOIN store0 s ON i.cell = s.cell),
+         |d1 AS (SELECT vec_id, cell, MIN(dup_of) AS dup_of
+         |       FROM h1 WHERE cos_raw >= 0.4 GROUP BY 1, 2),
+         |adm1 AS (SELECT * FROM b1
+         |         WHERE vec_id NOT IN (SELECT vec_id FROM d1)),
+         |store1 AS (SELECT * FROM store0 UNION ALL SELECT * FROM adm1),
+         |h2 AS (SELECT i.vec_id, i.cell, s.vec_id AS dup_of,
+         |         (${sqlDot("i.v", "s.v")}) / (i.nrm * s.nrm) AS cos_raw
+         |       FROM b2 i JOIN store1 s ON i.cell = s.cell),
+         |d2 AS (SELECT vec_id, cell, MIN(dup_of) AS dup_of
+         |       FROM h2 WHERE cos_raw >= 0.4 GROUP BY 1, 2)
+         |SELECT d1.vec_id, d1.cell, d1.dup_of, ROUND(h1.cos_raw, 4) AS cos_sim
+         |FROM d1 JOIN h1 ON h1.vec_id = d1.vec_id AND h1.dup_of = d1.dup_of
+         |UNION ALL
+         |SELECT d2.vec_id, d2.cell, d2.dup_of, ROUND(h2.cos_raw, 4) AS cos_sim
+         |FROM d2 JOIN h2 ON h2.vec_id = d2.vec_id AND h2.dup_of = d2.dup_of
+         |ORDER BY vec_id""".stripMargin,
     "q63_decontaminate_semantic" -> semanticDecontamOracle,
     // q79 is EXACT past-broadcast q63 — same oracle, row-identical
     "q79_decontaminate_semantic_cells" -> semanticDecontamOracle,
@@ -2369,8 +2496,12 @@ object SparkEntry {
     * smallest condemning mate per vector via min + self-join-back. */
   /** q57's chain over any `n(vec_id, v, nrm)` CTE — factored so q93
     * replays the identical SemDeDup over TEXT-derived vectors. */
-  private def semanticDedupBody(cells: Int, tau: String): String =
-    s"""cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < $cells),
+  /** `cells` is spliced as a SQL expression so geometry can be DERIVED
+    * inside the oracle (a scalar subquery over the corpus CTE) instead
+    * of hardcoded — the round-13 advice: a corpus-count change must
+    * move both sides' quantizer together, not fail as a hash diff. */
+  private def semanticDedupBody(cells: String, tau: String): String =
+    s"""cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < ($cells)),
        |sc AS (SELECT x.vec_id, x.v, x.nrm, c.cell, (${sqlDot("x.v", "c.v")}) / c.nrm AS score
        |       FROM n x CROSS JOIN cent c),
        |a0 AS (SELECT vec_id, v, nrm, cell FROM (
@@ -2389,7 +2520,7 @@ object SparkEntry {
        |ORDER BY a0.vec_id""".stripMargin
 
   private def semanticDedupOracle: String =
-    s"WITH $vecCtes,\n" + semanticDedupBody(gateCells, "0.4")
+    s"WITH $vecCtes,\n" + semanticDedupBody(gateCells.toString, "0.4")
 
   /** q93: the full TEXT pipeline oracle — q92's embedding CTEs feed
     * q57's SemDeDup body verbatim. Both gate SFs hold 500 documents,
@@ -2403,14 +2534,25 @@ object SparkEntry {
     s"""WITH $textEmbedCtes,
        |e2 AS (SELECT doc_id AS vec_id, $vlist AS v FROM emb),
        |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e2),
-       |""".stripMargin + semanticDedupBody(gateCells, "0.9")
+       |""".stripMargin + semanticDedupBody(gateCells.toString, "0.9")
   }
 
-  /** q97: the image pipeline oracle — the golden grid vectors (law
-    * pixels, never the decoder) re-crawl-salted like the declared
-    * query, mean-centered in exact integers (64·v − Σv; flat frames
-    * to the canonical unit axis — see imageSemanticFrame's NaN
-    * rationale), feeding q57's SemDeDup body verbatim. */
+  /** The modality-SemDeDup quantizer geometry, derived INSIDE the
+    * oracle (round-13 advice): 3·suggestCells(n) where n counts the
+    * modality's docs in the salted corpus — the exact number the
+    * Spark side's `frame.count()` sees — so a corpus change moves
+    * both quantizers together instead of surfacing as a hash diff.
+    * suggestCells(n) = max(1, ceil(n/128)). */
+  private def modalityCellsSql(residue: Int): String =
+    s"SELECT 3 * GREATEST(1, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) " +
+      s"FROM docs2 WHERE doc_id % 3 = $residue"
+
+  /** q97 (and s14, which drains to the SAME rows): the image pipeline
+    * oracle — the golden grid vectors (law pixels, never the decoder)
+    * re-crawl-salted like the declared query, mean-centered in exact
+    * integers (64·v − Σv; flat frames to the canonical unit axis —
+    * see imageSemanticFrame's NaN rationale), feeding q57's SemDeDup
+    * body with SQL-derived geometry. */
   private def semanticDedupImageOracle: String = {
     val unit = ("1.0" +: Seq.fill(63)("0.0")).mkString("[", ", ", "]")
     s"""WITH docs2 AS (
@@ -2429,8 +2571,7 @@ object SparkEntry {
        |      FROM g),
        |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM cvec),
        |""".stripMargin +
-      // 191 image+re-crawl docs at both gate SFs → 3·suggestCells(191)
-      semanticDedupBody(3 * Similarity.suggestCells(191), "0.9")
+      semanticDedupBody(modalityCellsSql(0), "0.9")
   }
 
   /** q99: q97's image pipeline oracle transposed to audio — golden
@@ -2454,8 +2595,7 @@ object SparkEntry {
        |      FROM g),
        |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM cvec),
        |""".stripMargin +
-      // 191 audio+re-crawl docs at both gate SFs → 3·suggestCells(191)
-      semanticDedupBody(3 * Similarity.suggestCells(191), "0.9")
+      semanticDedupBody(modalityCellsSql(1), "0.9")
   }
 
   /** q64: the q48/q57 a0 assignment CTE, then a per-cell id rank cap. */

@@ -381,8 +381,8 @@ object Dedup {
     * before the swap leaves the live tree untouched; between the two
     * renames, restore by renaming the precompact copy back). One
     * implementation so a future object-store-safe rename lands once. */
-  private def compactSwap(spark: org.apache.spark.sql.SparkSession,
-                          path: String, what: String)
+  private[operators] def compactSwap(spark: org.apache.spark.sql.SparkSession,
+                                     path: String, what: String)
                          (writeTo: String => Unit)
                          (validateTmp: String => Unit): (Long, Long) = {
     import org.apache.hadoop.fs.Path

@@ -469,12 +469,20 @@ object Multimodal {
     * exactly the equivalence the centering encodes — so flat frames
     * dedup among themselves (cosine 1) and compare harmlessly
     * against everything else. */
-  def imageSemanticFrame(documents: DataFrame, grid: Int = 8): DataFrame = {
+  def imageSemanticFrame(documents: DataFrame, grid: Int = 8): DataFrame =
+    centeredEmbedFrame(encodePng(imageMedia(documents)), grid)
+
+  /** The centering law over an already-decodable media set — factored
+    * (round 14) so the streaming s14 spec and any caller holding raw
+    * image payloads can build the SAME centered frame without the
+    * document-synthesis stage. */
+  private[graft] def centeredEmbedFrame(media: Dataset[MediaRow],
+                                        grid: Int = 8): DataFrame = {
     val unitE0 = lit((1.0 +: Array.fill(grid * grid - 1)(0.0)).toArray)
     // Σemb precomputed as a column — embedding the aggregate inside
     // the transform lambda would re-evaluate it per element (g²× per
     // row; round-13 review)
-    embedImages(encodePng(imageMedia(documents)), grid).toDF()
+    embedImages(media, grid).toDF()
       .withColumn("s", aggregate(col("emb"), lit(0L), (a, x) => a + x))
       .select(col("doc_id").as("vec_id"),
         when(array_min(col("emb")) === array_max(col("emb")), unitE0)

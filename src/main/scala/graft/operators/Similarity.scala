@@ -1087,22 +1087,107 @@ object Similarity {
   def writeSemanticStore(embeddings: DataFrame, path: String,
                          cents: Array[(Long, Array[Double])]): Unit = {
     require(cents.nonEmpty, "writeSemanticStore needs a centroid table")
+    semanticStoreRows(embeddings, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** One store row per vector: cell assignment, the vector, its
+    * norm² STAMPED AT WRITE (`nrm2` = graft_dot(v,v), computed once —
+    * probes take sqrt(nrm2) instead of re-running a dim-length
+    * multiply-add per store row per probe; round-13 verdict), and the
+    * geometry stamps. */
+  private def semanticStoreRows(embeddings: DataFrame,
+                                cents: Array[(Long, Array[Double])]): DataFrame =
     assignCellsFull(prepared(embeddings), cents)
       .select(col("cell"), col("vec_id"), col("v"),
+        Exprs.dot(col("v"), col("v")).as("nrm2"),
         lit(cents.head._2.length).as("_p_dim"),
         lit(centStamp(cents)).as("_p_cent"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** q101 append half: admit a batch's SURVIVORS into an existing
+    * store — the semantic analogue of
+    * [[graft.operators.Dedup.appendToBandIndex]]: probe first
+    * ([[semanticProbeStore]]), keep the un-condemned, then append
+    * THEIR rows so later batches dedup against them too. The existing
+    * store's stamps are validated FIRST ([[readSemanticStore]]):
+    * appending vectors quantized under a different centroid table
+    * would scatter them into the wrong cell directories and every
+    * cross-cell dup would pass undetected — the same silent fail-open
+    * the read guard blocks, here blocked on the write side.
+    * Append-mode parquet under the same cell partitioning: each batch
+    * adds files only to the cell directories it actually admits into,
+    * no rewrite, no read-modify-write race. */
+  def appendToSemanticStore(embeddings: DataFrame, path: String,
+                            cents: Array[(Long, Array[Double])]): Unit = {
+    readSemanticStore(embeddings.sparkSession, path, cents)
+    appendToSemanticStoreValidated(embeddings, path, cents)
+  }
+
+  /** [[appendToSemanticStore]] minus the stamp re-validation — for
+    * callers that ALREADY read the store with these centroids in the
+    * same unit of work (s15's per-batch loop reads + validates via
+    * [[readSemanticStore]] two statements earlier; re-validating here
+    * would re-list the whole cell-partitioned tree and re-run the
+    * size aggregate on every micro-batch). Never call without a
+    * same-centroids read in hand. */
+  private[graft] def appendToSemanticStoreValidated(
+      embeddings: DataFrame, path: String,
+      cents: Array[(Long, Array[Double])]): Unit =
+    semanticStoreRows(embeddings, cents)
+      .write.mode("append").partitionBy("cell").parquet(path)
+
+  /** Compact an append-grown semantic store in place —
+    * [[graft.operators.Dedup.compactBandIndex]]'s contract for the
+    * vector store: each admitted batch leaves one small parquet file
+    * per touched cell directory, so after N batches a probe's pruned
+    * scan still opens O(N) files per probed cell. Rewrites to one
+    * sorted file per cell (clustered by vec_id) via the shared
+    * crash-safe rewrite→validate→swap choreography (quiesce admits
+    * first — offline maintenance, like any table OPTIMIZE). Exact
+    * duplicate rows from an at-least-once replayed admit collapse
+    * (distinct over the full row — same vector, same stamps);
+    * validation re-reads the rewrite under the same centroid table
+    * and compares distinct row counts, aborting with the live store
+    * untouched on any loss. Returns (files_before, files_after). */
+  def compactSemanticStore(spark: org.apache.spark.sql.SparkSession,
+                           path: String,
+                           cents: Array[(Long, Array[Double])],
+                           maxRecordsPerFile: Long = 0L): (Long, Long) = {
+    val store = readSemanticStore(spark, path, cents)
+    graft.operators.Dedup.compactSwap(spark, path, what = "semantic store")(
+      tmp =>
+        store.distinct()
+          .select(col("cell"), col("vec_id"), col("v"), col("nrm2"),
+            lit(cents.head._2.length).as("_p_dim"),
+            lit(centStamp(cents)).as("_p_cent"))
+          .repartition(col("cell"))
+          .sortWithinPartitions("vec_id")
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+          .partitionBy("cell").parquet(tmp)
+    ) { tmp =>
+      val wantRows = store.distinct().count()
+      val gotRows = readSemanticStore(spark, tmp, cents).distinct().count()
+      require(gotRows == wantRows,
+        s"compaction of $path would lose rows ($wantRows distinct before, " +
+          s"$gotRows after) — aborting with the live store untouched")
+    }
   }
 
   /** q101 read half: load + VALIDATE the admitted store against the
     * caller's centroid table (fail-loud at read, the readBandIndex /
-    * readCodebook convention). Validation reads stamps from ONE
-    * pruned projection — never the vector payload. */
+    * readCodebook convention). Stamp checks read ONE pruned
+    * projection; the vector payload itself is then validated by a
+    * single min/max-size aggregate — size() reads list OFFSETS, not
+    * values — so a truncated or hand-edited `v` payload dies HERE
+    * (round-13 advice: DotProduct truncates to the shorter operand,
+    * so a short vector would otherwise silently mis-score every
+    * probe against its cell). */
   def readSemanticStore(spark: org.apache.spark.sql.SparkSession,
                         path: String,
                         cents: Array[(Long, Array[Double])]): DataFrame = {
     val df = spark.read.parquet(path)
-    require(Set("cell", "vec_id", "v", "_p_dim", "_p_cent")
+    require(Set("cell", "vec_id", "v", "nrm2", "_p_dim", "_p_cent")
       .subsetOf(df.columns.toSet),
       s"semantic store at $path lacks the expected columns, got " +
         s"${df.columns.mkString(", ")}")
@@ -1116,7 +1201,15 @@ object Similarity {
       s"semantic store at $path was built with a DIFFERENT centroid " +
         "table — probing would route intake into the wrong cells and " +
         "fail open; rebuild the store or load its centroids")
-    df.select("cell", "vec_id", "v")
+    val sz = df.select(min(size(col("v"))).as("lo"), max(size(col("v"))).as("hi"))
+      .first()
+    require(sz.getInt(0) == stamps.head.getInt(0) &&
+      sz.getInt(1) == stamps.head.getInt(0),
+      s"semantic store at $path is corrupt: vector sizes span " +
+        s"[${sz.getInt(0)}, ${sz.getInt(1)}] but the _p_dim stamp says " +
+        s"${stamps.head.getInt(0)} — a short vector would silently " +
+        "mis-score (DotProduct truncates); rebuild the store")
+    df.select("cell", "vec_id", "v", "nrm2")
   }
 
   /** q101: INCREMENTAL semantic dedup — probe an intake batch against
@@ -1139,8 +1232,11 @@ object Similarity {
     val ai = assignCellsFull(prepared(intake), cents)
       .select(col("vec_id"), col("cell"), col("v").as("iv"),
         col("nrm").as("inrm"))
+    // norm² was stamped at write (semanticStoreRows) — sqrt of the
+    // stamp is the exact same double as recomputing the dot, minus a
+    // dim-length multiply-add per store row per probe
     val sv = store.select(col("cell"), col("vec_id").as("dup_of"),
-      col("v").as("svv"), sqrt(Exprs.dot(col("v"), col("v"))).as("snrm"))
+      col("v").as("svv"), sqrt(col("nrm2")).as("snrm"))
     ai.join(sv, Seq("cell"))
       .withColumn("cos_raw",
         dot(col("iv"), col("svv")) / (col("inrm") * col("snrm")))

@@ -460,6 +460,61 @@ object Streams {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** s15: the CLOSED continuous loop for the SEMANTIC family — s09's
+    * admit lifecycle transposed from the band index to q101's
+    * admitted-vector store: every micro-batch of intake embeddings
+    * (1) reads + stamp-validates the CURRENT store
+    * ([[graft.operators.Similarity.readSemanticStore]] — a quantizer
+    * drift or truncated vector dies here, per batch, not as silently
+    * missed duplicates), (2) probes it
+    * ([[graft.operators.Similarity.semanticProbeStore]] — condemned
+    * iff within `tau` cosine of any store cell-mate, smallest mate as
+    * dup_of), (3) appends its SURVIVORS' rows to the store so batch
+    * N+1 dedups against the corpus AND every earlier batch's admitted
+    * novelty. Nothing is ever re-embedded or re-assigned: per-batch
+    * cost is batch assignment + a cell-pruned store read.
+    *
+    * Same orderings and caveats as [[streamIncrementalDedupAdmit]]:
+    * batch, hits, and survivors are localCheckpointed BEFORE any
+    * write (the probe must not observe its own batch's append);
+    * intake-vs-intake dups within one batch are out of scope (q45's
+    * rule — both admit, exactly like the batch operator); replayed
+    * batches re-append (at-least-once — re-admitted rows are exact
+    * duplicates, which [[graft.operators.Similarity.compactSemanticStore]]
+    * collapses at the next maintenance window). Batch-boundary
+    * determinism: which batch a vector shares decides what can
+    * condemn it, so the batch-replay oracle fixes delivery order (the
+    * s03/s09 single-file-per-trigger convention). */
+  def streamSemanticDedupAdmit(intake: DataFrame, storePath: String,
+                               cents: Array[(Long, Array[Double])],
+                               outDir: String, checkpointDir: String,
+                               tau: Double = 0.4,
+                               trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = intake.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val store = graft.operators.Similarity
+          .readSemanticStore(sp, storePath, cents)
+        val b = batch.localCheckpoint()
+        val hits = graft.operators.Similarity
+          .semanticProbeStore(b, store, cents, tau).localCheckpoint()
+        val survivors = b
+          .join(hits.select(col("vec_id")).distinct(), Seq("vec_id"),
+            "left_anti")
+          .localCheckpoint()
+        hits.write.mode("append").parquet(outDir)
+        // stamps validated by THIS batch's readSemanticStore above —
+        // the unchecked append skips a second full store listing
+        graft.operators.Similarity
+          .appendToSemanticStoreValidated(survivors, storePath, cents)
+        b.unpersist(); hits.unpersist(); survivors.unpersist()
+        ()
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
   // ----- s03: stateful manifest batcher -------------------------------
 
   /** One tracked file: prefix plays the reference's date_prefix, key its
@@ -629,37 +684,54 @@ object Streams {
       .map(r => DocFp(r.dhash, r.doc_id)))
   }
 
-  /** One semantic-dedup admission: the cell it quantized into and the
-    * admitted carrier. */
-  case class SemImageAdmit(cell: Long, doc_id: Long)
+  /** One semantic-dedup verdict leaving the stream — q57's output row
+    * (vec_id, cluster_id, keep, dup_of, cos_sim), so the drained
+    * stream is row-comparable to the batch operator. */
+  case class SemImageVerdict(vec_id: Long, cluster_id: Long, keep: Int,
+                             dup_of: Option[Long], cos_sim: Option[Double])
 
-  /** s14 composition (spec-pinned, round-12 verdict #6): CONTINUOUS
+  /** s14 (declared round 14; spec-pinned since round 12): CONTINUOUS
     * SEMANTIC image dedup — s13 catches re-encodes of the SAME pixels
     * (dHash equality); this catches near-copies with DIFFERENT pixels
-    * (brightness-scaled re-masters, mild edits) the way q57 does for
-    * batch corpora: each micro-batch's images embed through m09's
-    * grid-luminance vector, quantize to a coarse cell against a
-    * CALLER-TRAINED centroid table (index metadata, the s08
-    * persisted-index convention — train once with
-    * Similarity.trainedCentroids over imageEmbedFrame, serve
-    * everywhere), and an arrival is DROPPED when any already-admitted
-    * image in its cell sits within `tau` cosine; otherwise it is
-    * admitted and joins the cell's state.
+    * (brightness-scaled re-masters, mild edits) the way q57/q97 do
+    * for batch corpora. Each micro-batch's images embed through m09's
+    * grid-luminance vector, MEAN-CENTER in exact integers (the
+    * imageSemanticFrame law: v'_j = g²·v_j − Σv, flat frames to the
+    * canonical unit axis — raw luminance vectors all point into the
+    * positive orthant with median pairwise cosine 0.97, so no tau can
+    * separate dups on raw vectors; see imageSemanticFrame's measured
+    * rationale), quantize to a coarse cell against a CALLER-SUPPLIED
+    * CENTERED-SPACE centroid table (index metadata, the s08
+    * persisted-index convention — seedCentroids/trainedCentroids over
+    * imageSemanticFrame, train once, serve everywhere), and emit
+    * q57's verdict row per arrival: condemned (keep=0) when any
+    * EARLIER image (smaller doc_id, within the batch or in any prior
+    * batch) in its cell sits within `tau` cosine, with the smallest
+    * such mate as dup_of and its cosine (Spark-round 4) riding along.
     *
-    * State per cell = the admitted (doc_id, vector) list — the
-    * SemDeDup keeper set, NOT the full history: dropped arrivals
-    * never enter state, so state size is bounded by the corpus's
-    * semantic diversity per cell (the same quantity that bounds q57's
-    * cell-local pair pass). Determinism: within a batch, each cell's
-    * arrivals are processed in doc_id order; across batches,
-    * first-batch-wins (s04's contract). Zero vectors (cosine
-    * undefined) never match anything and are always admitted. */
+    * State per cell = the cell's (doc_id, vector, norm) membership —
+    * exactly the batch operator's per-cell list, so the drained
+    * stream over a corpus is ROW-IDENTICAL to q57 on the centered
+    * frame (the q97 oracle grades it end to end), and state carries
+    * the same fail-loud `maxCell` guard as the batch cappedCell: a
+    * cell outgrowing the cap is a geometry bug (grow nCells with
+    * corpus size), not a silent truncation. Determinism: within a
+    * batch, each cell's arrivals are processed in doc_id order;
+    * across batches, arrival order IS history (an earlier batch's
+    * members condemn later arrivals regardless of id order — the
+    * s04 first-batch-wins contract). Centered vectors are never zero
+    * (flat frames map to the unit axis), so cosine is always
+    * defined. */
   def streamImageSemanticDedup(media: Dataset[graft.operators.Multimodal.MediaRow],
                                cents: Array[(Long, Array[Double])],
                                tau: Double = 0.9,
-                               grid: Int = 8): Dataset[SemImageAdmit] = {
+                               grid: Int = 8,
+                               maxCell: Int = 1024): Dataset[SemImageVerdict] = {
     import media.sparkSession.implicits._
     require(cents.nonEmpty, "streamImageSemanticDedup needs a centroid table")
+    require(cents.map(_._2.length).distinct.length == 1 &&
+      cents.head._2.length == grid * grid,
+      s"centroid dimension must be grid²=${grid * grid} (centered space)")
     defaultRocksDbForDedup(media.sparkSession)
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
@@ -667,37 +739,58 @@ object Streams {
       acc
     }
     val sorted = cents.sortBy(_._1) // ties toward the smaller cell id
+    val g2 = grid.toLong * grid
+    val unitE0 = 1.0 +: Array.fill(grid * grid - 1)(0.0)
     val assigned = graft.operators.Multimodal.embedImages(media, grid)
       .map { r =>
-        val v = r.emb.map(_.toDouble)
+        // centering law, exact integers (imageSemanticFrame): cosine
+        // over g²·v − Σv is the centered cosine; flat → unit axis
+        val s = r.emb.sum
+        val flat = r.emb.min == r.emb.max
+        val v = if (flat) unitE0
+                else r.emb.map(x => (g2 * x - s).toDouble)
         var bestCell = sorted.head._1
         var bestScore = Double.NegativeInfinity
         sorted.foreach { case (cell, c) =>
-          val s = dot(v, c) / math.sqrt(dot(c, c))
-          if (s > bestScore) { bestScore = s; bestCell = cell }
+          val sc = dot(v, c) / math.sqrt(dot(c, c))
+          if (sc > bestScore) { bestScore = sc; bestCell = cell }
         }
         (bestCell, r.doc_id, v)
       }
     assigned.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (cell: Long, it: Iterator[(Long, Long, Array[Double])],
-         state: GroupState[List[(Long, Array[Double])]]) =>
-          val admitted = scala.collection.mutable.ListBuffer
-            .empty[(Long, Array[Double])]
-          admitted ++= state.getOption.getOrElse(Nil)
-          val out = List.newBuilder[SemImageAdmit]
+         state: GroupState[List[(Long, Array[Double], Double)]]) =>
+          val members = scala.collection.mutable.ListBuffer
+            .empty[(Long, Array[Double], Double)]
+          members ++= state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[SemImageVerdict]
           it.toSeq.sortBy(_._2).foreach { case (_, id, v) =>
+            require(members.size < maxCell || maxCell <= 0,
+              s"streamImageSemanticDedup: cell $cell holds ${members.size} " +
+                s"vectors (cap $maxCell) — grow nCells with corpus size " +
+                "(~n/targetCellSize, as SemDeDup does) or raise maxCell " +
+                "if the geometry is deliberate")
             val nv = math.sqrt(dot(v, v))
-            val dup = nv > 0.0 && admitted.exists { case (_, u) =>
-              val nu = math.sqrt(dot(u, u))
-              nu > 0.0 && dot(u, v) / (nu * nv) >= tau
+            // smallest condemning mate among EARLIER (smaller-id)
+            // members — the batch min(struct(vec_b, cos)) convention
+            var dupOf = -1L; var dupCos = 0.0
+            members.foreach { case (bid, u, nu) =>
+              if (bid < id && (dupOf < 0 || bid < dupOf)) {
+                val c = dot(u, v) / (nu * nv)
+                if (c >= tau) { dupOf = bid; dupCos = c }
+              }
             }
-            if (!dup) {
-              admitted += ((id, v))
-              out += SemImageAdmit(cell, id)
-            }
+            if (dupOf >= 0) {
+              // Spark round(_, 4): HALF_UP over the shortest decimal
+              // representation — bit-matches the batch column
+              val r4 = java.math.BigDecimal.valueOf(dupCos)
+                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+              out += SemImageVerdict(id, cell, 0, Some(dupOf), Some(r4))
+            } else out += SemImageVerdict(id, cell, 1, None, None)
+            members += ((id, v, nv))
           }
-          state.update(admitted.toList)
+          state.update(members.toList)
           out.result().iterator
       }
   }

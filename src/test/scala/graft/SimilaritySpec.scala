@@ -466,6 +466,62 @@ class SimilaritySpec extends SparkSpec {
     planOf(pruned) should include("PartitionFilters")
   }
 
+  test("q101 store lifecycle: append admits new vectors into the probe horizon; compaction shrinks files probe-identically; corrupt payloads die at read") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = tables.embeddings
+    val store = e.filter(col("vec_id") % 10 =!= 9)
+    val batch = e.filter(col("vec_id") % 10 === 9)
+    val cents = Similarity.seedCentroids(store, 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semlife").toString
+    Similarity.writeSemanticStore(store, s"$dir/store", cents)
+    // before the append, a verbatim copy of a BATCH vector passes the
+    // probe (batch members are not in the store yet; tau=0.99 so only
+    // verbatim-copy condemnations can fire — organic sub-tau mates
+    // would make the assertion corpus-dependent)...
+    val copies = batch.filter(col("vec_id") % 20 === 9)
+      .withColumn("vec_id", col("vec_id") + lit(900000L))
+    def probeCopies(): Map[Long, Long] =
+      Similarity.semanticProbeStore(copies,
+          Similarity.readSemanticStore(spark, s"$dir/store", cents), cents,
+          tau = 0.99)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    probeCopies() shouldBe empty
+    // ...after admitting the batch, the same copies are condemned
+    // against their admitted sources — the s15 admission contract
+    Similarity.appendToSemanticStore(batch, s"$dir/store", cents)
+    val after = probeCopies()
+    copies.collect().map(_.getAs[Number]("vec_id").longValue()).foreach { id =>
+      after(id) shouldBe (id - 900000L)
+    }
+    // appending under a DIFFERENT quantizer dies on the write side
+    val other = Similarity.trainedCentroids(store, nCells = 16, rounds = 1)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.appendToSemanticStore(batch, s"$dir/store", other)
+    // compaction: the append-grown tree shrinks, the stamps survive,
+    // and the probe verdicts are row-identical before/after
+    val preRows = Similarity.semanticProbeStore(copies,
+        Similarity.readSemanticStore(spark, s"$dir/store", cents), cents)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val (filesBefore, filesAfter) =
+      Similarity.compactSemanticStore(spark, s"$dir/store", cents)
+    filesAfter should be < filesBefore
+    val postRows = Similarity.semanticProbeStore(copies,
+        Similarity.readSemanticStore(spark, s"$dir/store", cents), cents)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    postRows shouldBe preRows
+    // a truncated vector payload dies at read (the _p_dim stamp is
+    // checked against the store's actual vector sizes — DotProduct
+    // would otherwise silently truncate every probe against it)
+    spark.read.parquet(s"$dir/store")
+      .withColumn("v", org.apache.spark.sql.functions.slice(col("v"), 1, 3))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/bad")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.readSemanticStore(spark, s"$dir/bad", cents)
+    }
+    ex.getMessage should include("corrupt: vector sizes")
+  }
+
   test("centroid/codebook persistence: write -> read round-trips; corrupt artifacts fail at read") {
     val e = tables.embeddings
     val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString

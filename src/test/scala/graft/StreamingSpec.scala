@@ -305,48 +305,54 @@ class StreamingSpec extends SparkSpec {
     }
     // A: a gradient; A' = A at ~55% brightness (DIFFERENT pixels, so
     // s13's dHash equality could only catch it by luck of gradient
-    // signs — the semantic test is the near-parallel vector); B: the
-    // reversed gradient (strongly dissimilar)
+    // signs — the semantic test is the near-parallel CENTERED vector;
+    // raw vectors concentrate near cosine 1, the round-13 advice
+    // finding the stream-side centering fixes); B: the reversed
+    // gradient (centers to ~the negation of A — strongly dissimilar)
     val a  = img((x, y) => 40 + x * 12)
     val a2 = img((x, y) => (40 + x * 12) * 55 / 100)
     val b  = img((x, y) => 235 - x * 12)
     // centroid table: trained once from a batch frame (the s08
-    // persisted-index convention) — here two hand-planted centroids
-    // that split "rising" from "falling" gradients
-    val cents = Array(
-      0L -> (0 until 64).map(j => 40.0 + (j % 8) * 36.0).toArray,
-      1L -> (0 until 64).map(j => 700.0 - (j % 8) * 36.0).toArray)
+    // persisted-index convention) — here two hand-planted
+    // CENTERED-SPACE centroids (the stream quantizes centered
+    // vectors) that split "rising" from "falling" gradients
+    val rising = (0 until 64).map(j => (j % 8) * 2.0 - 7.0).toArray
+    val cents = Array(0L -> rising, 1L -> rising.map(-_))
     val in = MemoryStream[Multimodal.MediaRow]
     in.addData(Multimodal.MediaRow(5L, enc(a, "png"), "image/png"))
     in.addData(Multimodal.MediaRow(9L, enc(a2, "png"), "image/png"),
       Multimodal.MediaRow(1L, enc(b, "png"), "image/png"))
     val q = Streams.scopedStateStoreConf(spark) {
-      Streams.streamImageSemanticDedup(in.toDS(), cents, tau = 0.98).toDF
+      Streams.streamImageSemanticDedup(in.toDS(), cents, tau = 0.9).toDF
         .writeStream.format("memory").queryName("s14_e2e")
         .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
     }
     q.awaitTermination()
-    val admitted = spark.table("s14_e2e").collect()
-      .map(r => r.getLong(1)).toSet
-    // A admitted in batch 1; its brightness-scaled near-copy dropped
-    // in batch 2 (cosine ~1 against the admitted vector); B admitted
-    admitted shouldBe Set(5L, 1L)
-    // sanity: the two admitted images landed in DIFFERENT cells
-    spark.table("s14_e2e").collect().map(_.getLong(0)).distinct.length shouldBe 2
-    // batch parity: the same corpus through m09 -> q57 condemns the
-    // same near-copy (the composition the stream realizes continuously)
+    val verdicts = spark.table("s14_e2e").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // A admitted in batch 1; its brightness-scaled near-copy condemned
+    // in batch 2 (centered cosine ~1 against the CROSS-BATCH state);
+    // B admitted (centered cosine ~-1)
+    verdicts shouldBe Map(5L -> 1, 9L -> 0, 1L -> 1)
+    // the condemned row names its keeper and the two admitted images
+    // landed in DIFFERENT cells
+    val byId = spark.table("s14_e2e").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    byId(9L).getLong(3) shouldBe 5L
+    byId(5L).getLong(1) should not be byId(1L).getLong(1)
+    // batch parity: the same corpus through the centered frame -> q57
+    // yields ROW-IDENTICAL verdicts (the composition the stream
+    // realizes continuously — and what lets the q97 oracle grade s14)
     val docs = Seq((5L, a, "png"), (9L, a2, "png"), (1L, b, "png"))
       .map { case (id, im, f) => Multimodal.MediaRow(id, enc(im, f), "image/png") }
       .toDS()
-    val emb = Multimodal.embedImages(docs).toDF()
-      .select(col("doc_id").as("vec_id"),
-        col("emb").cast("array<double>").as("embedding"))
-    val sem = graft.operators.Similarity.semanticDedup(emb, tau = 0.98,
+    val frame = Multimodal.centeredEmbedFrame(docs)
+    val batch = graft.operators.Similarity.semanticDedup(frame, tau = 0.9,
         nCells = 2, centroids = Some(cents))
-      .collect().map(r => r.getLong(0) -> r.getAs[Int]("keep")).toMap
-    sem(5L) shouldBe 1
-    sem(9L) shouldBe 0 // condemned against 5
-    sem(1L) shouldBe 1
+      .collect().map(r => r.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val streamed = spark.table("s14_e2e").collect()
+      .map(r => r.toSeq).sortBy(_.head.asInstanceOf[Long])
+    streamed shouldBe batch
   }
 
   test("s06 TTL dedup: duplicate inside the horizon dropped, re-arrival after expiry passes") {
@@ -578,6 +584,41 @@ class StreamingSpec extends SparkSpec {
     val admitted = spark.read.parquet(s"$tmp/admitted").collect()
       .map(_.getAs[Long]("doc_id")).toSet
     admitted shouldBe Set(10L, 12L, 22L)
+  }
+
+  test("s15 semantic admit loop: later batches dedup against earlier survivors, not dropped vectors; the store grows by admitted novelty only") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val s0 = Array(1f, 0f, 0f, 0f)
+    val s1 = Array(0f, 1f, 0f, 0f)
+    val x  = Array(0f, 0f, 1f, 0f) // orthogonal to the store — novel
+    val y  = Array(0f, 0f, 0f, 1f) // orthogonal to everything — novel
+    val store = Seq((5L, s0), (6L, s1)).toDF("vec_id", "embedding")
+    val cents = graft.operators.Similarity.seedCentroids(store, 16)
+    val tmp = java.nio.file.Files.createTempDirectory("s15spec_").toString
+    graft.operators.Similarity.writeSemanticStore(store, s"$tmp/store", cents)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Streams.streamSemanticDedupAdmit(
+      in.toDF().toDF("vec_id", "embedding"), s"$tmp/store", cents,
+      s"$tmp/out", s"$tmp/cp", tau = 0.9)
+    // batch 1: id 2 duplicates store vector 5 (dropped — and its id is
+    // SMALLER than 5, so a later min-mate can tell admitted from
+    // dropped); id 10 is novel and survives
+    in.addData((2L, s0), (10L, x))
+    q.processAllAvailable()
+    // batch 2: 20 dups batch-1 SURVIVOR 10 (the admit effect); 21 dups
+    // store 5 and must flag dup_of=5, NOT the dropped 2 (2 < 5 would
+    // win the min if it had been admitted); 30 is novel
+    in.addData((20L, x), (21L, s0), (30L, y))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.read.parquet(s"$tmp/out").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    hits shouldBe Set((2L, 5L), (20L, 10L), (21L, 5L))
+    val admitted = graft.operators.Similarity
+      .readSemanticStore(spark, s"$tmp/store", cents)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    admitted shouldBe Set(5L, 6L, 10L, 30L)
   }
 
   test("s09 re-delivered doc with drifted text is not admitted twice — first admission wins") {
