@@ -289,6 +289,20 @@ object SparkEntry {
         codebook = Some(Similarity.trainedCodebooks(e, rounds = 2,
           residual = true)))
     }),
+    // q102: the FULLY-trained index (declared r14, was spec-pinned) —
+    // the production build order in one search: Lloyd-train the
+    // coarse quantizer (q65's machinery), train residual codebooks
+    // AGAINST those centroids (q94's machinery — residual mode is
+    // where centroid choice reaches the codes), then serve both. The
+    // oracle unrolls BOTH training loops in one statement
+    // (centRounds=2 + trainRounds=2).
+    "q102_ann_ivfpq_full_trained" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      val cents = Similarity.trainedCentroids(e, nCells = 16, rounds = 2)
+      Similarity.annIvfPq(e, residual = true, centroids = Some(cents),
+        codebook = Some(Similarity.trainedCodebooks(e, rounds = 2,
+          residual = true, centroids = Some(cents))))
+    }),
     "q57_semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(Tables(s, d).embeddings)),
     "q64_sample_percell"     -> ((s, d) => Similarity.samplePerCell(Tables(s, d).embeddings)),
     // q63: same eval split convention as q35/q47 (id ≡ 0 mod 7 plays
@@ -1746,6 +1760,8 @@ object SparkEntry {
     "q70_ann_ivfpq_residual" -> annIvfPqOracle(residual = true),
     "q94_ann_ivfpq_trained" -> annIvfPqOracle(trainRounds = 2),
     "q98_ann_ivfpq_trained_res" -> annIvfPqOracle(residual = true, trainRounds = 2),
+    "q102_ann_ivfpq_full_trained" ->
+      annIvfPqOracle(residual = true, trainRounds = 2, centRounds = 2),
     "q34_dedup_embedding_lsh" -> embeddingDedupLshOracle,
     "q57_semantic_dedup"  -> semanticDedupOracle,
     "q93_semantic_dedup_text" -> semanticDedupTextOracle,
@@ -2796,8 +2812,15 @@ object SparkEntry {
     * KEEPS its previous centroid (LEFT JOIN + COALESCE — the Spark
     * side's getOrElse). The search body downstream is byte-identical
     * to q69's, reading the final book. */
+  /** `centRounds` > 0 swaps the seed coarse quantizer for q65's
+    * Lloyd-TRAINED centroids, unrolled as CTEs (assign → fixed-point
+    * means, reassign between rounds — kmeansIterateOracle's chain
+    * verbatim); every downstream CTE reads `cent`, so the trained and
+    * seed geometries share the whole search body. q102 composes this
+    * with `trainRounds` — BOTH training loops in one statement. */
   private def annIvfPqOracle(residual: Boolean = false,
-                             trainRounds: Int = 0): String = {
+                             trainRounds: Int = 0,
+                             centRounds: Int = 0): String = {
     val (m, ks, dsub) = (8, 16, 8)
     def dot8(a: String, b: String): String =
       (1 to dsub).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
@@ -2917,8 +2940,44 @@ object SparkEntry {
          |            FROM book${r - 1} b LEFT JOIN tcv$r n USING (s, code)),
          |book$r AS (SELECT s, code, cv, (${dot8("cv", "cv")}) AS c2 FROM bookc$r)""".stripMargin
     }.mkString
+    val centCtes =
+      if (centRounds == 0)
+        "cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < 16)"
+      else {
+        val head =
+          s"""kc0 AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+             |ksc0 AS (SELECT x.vec_id, x.v, c.cell, (${sqlDot("x.v", "c.cv")}) / c.cnrm AS score
+             |       FROM n x CROSS JOIN kc0 c),
+             |ka0 AS (SELECT vec_id, v, cell FROM (
+             |         SELECT vec_id, v, cell,
+             |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+             |         FROM ksc0) t WHERE rn = 1)""".stripMargin
+        val roundCtes = (1 to centRounds).map { r =>
+          val mean =
+            s""",
+               |kg$r AS (SELECT cell, i, SUM(CAST(FLOOR(v[i] * 1048576.0 + 0.5) AS BIGINT)) AS s,
+               |             COUNT(*) AS c
+               |      FROM ka${r - 1} CROSS JOIN range(1, 65) r(i) GROUP BY 1, 2),
+               |kc$r AS (SELECT cell, list(CAST(s AS DOUBLE) / (1048576.0 * c) ORDER BY i) AS cv FROM kg$r GROUP BY 1),
+               |kv$r AS (SELECT cell, cv, sqrt(${sqlDot("cv", "cv")}) AS cnrm FROM kc$r)""".stripMargin
+          val reassign =
+            if (r == centRounds) ""
+            else
+              s""",
+                 |ksc$r AS (SELECT a.vec_id, a.v, c.cell, (${sqlDot("a.v", "c.cv")}) / c.cnrm AS score
+                 |       FROM ka${r - 1} a CROSS JOIN kv$r c),
+                 |ka$r AS (SELECT vec_id, v, cell FROM (
+                 |         SELECT vec_id, v, cell,
+                 |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+                 |         FROM ksc$r) t WHERE rn = 1)""".stripMargin
+          mean + reassign
+        }.mkString
+        head + roundCtes +
+          s""",
+             |cent AS (SELECT cell, cv AS v, cnrm AS nrm FROM kv$centRounds)""".stripMargin
+      }
     s"""WITH $vecCtes,
-       |cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < 16),
+       |$centCtes,
        |sc AS (SELECT x.vec_id, c.cell, (${sqlDot("x.v", "c.v")}) / c.nrm AS score
        |       FROM n x CROSS JOIN cent c),
        |asg AS (SELECT vec_id AS neighbor_id, cell FROM (
