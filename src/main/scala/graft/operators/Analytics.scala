@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Exact
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -317,9 +317,7 @@ object Analytics {
     val parseSec = col("records") / col("parse_rps")
     val processSec = col("records") / col("process_rps")
     val writeSec = (mb / lit(compressionRatio)) / col("write_mbs")
-    // worker_calculator.py:110-118's size-banded startup overhead
-    val overhead = when(gb < 1.0, lit(30.0)).when(gb < 10.0, lit(45.0))
-      .when(gb < 100.0, lit(60.0)).otherwise(lit(90.0))
+    val overhead = overheadCol(gb)
     val single = readSec + parseSec + processSec + writeSec + overhead
     val parallel =
       if (numWorkers > 1) single / lit(numWorkers * 0.75) else single
@@ -341,4 +339,94 @@ object Analytics {
     documents.groupBy(col("source").as("job_name"))
       .agg(count(lit(1)).as("records"),
         sum(octet_length(col("text")).cast("long")).as("bytes"))
+
+  /** worker_calculator.py:110-118's size-banded startup overhead —
+    * factored so the spec-table (q96) and measured (q103) projections
+    * band identically. */
+  private def overheadCol(gb: Column): Column =
+    when(gb < 1.0, lit(30.0)).when(gb < 10.0, lit(45.0))
+      .when(gb < 100.0, lit(60.0)).otherwise(lit(90.0))
+
+  /** Measured throughput profiles from run-report history — the
+    * round-13 verdict's q96 calibration: the spec table projects what
+    * the REFERENCE's calculator assumed; this derives GB/s and
+    * records/s per job from what the engine actually DID
+    * ([[graft.sources.RunReport]] rows, or any frame carrying
+    * (job_name, records_processed, output_bytes, duration_seconds,
+    * status)). Failed runs are excluded (their duration measures the
+    * failure, not the throughput). Durations aggregate through the
+    * shared millisecond fixed-point (FLOOR(d·1000 + 0.5) summed as
+    * BIGINT — order-independent and oracle-replayable; report
+    * durations are exact ms multiples by construction). Rates are
+    * END-TO-END: one run's wall-clock covers read+parse+process+write,
+    * so a measured profile carries ONE records/s and ONE MB/s, not
+    * the spec table's four phase rates. */
+  def measuredRates(reports: DataFrame): DataFrame = {
+    require(Set("job_name", "records_processed", "output_bytes",
+      "duration_seconds", "status").subsetOf(reports.columns.toSet),
+      "reports must carry (job_name, records_processed, output_bytes, " +
+        s"duration_seconds, status), got ${reports.columns.mkString(", ")}")
+    reports.filter(col("status") === "SUCCESS")
+      .groupBy(col("job_name"))
+      .agg(sum(col("records_processed")).as("r_total"),
+        sum(col("output_bytes")).as("b_total"),
+        (sum(floor(col("duration_seconds") * 1000.0 + lit(0.5)).cast("long"))
+          .cast("double") / lit(1000.0)).as("sec_total"))
+      .filter(col("sec_total") > 0 && col("r_total") > 0)
+      .select(concat(lit("measured:"), col("job_name")).as("worker_type"),
+        (col("r_total") / col("sec_total")).as("eff_rps"),
+        ((col("b_total") / lit(1048576.0)) / col("sec_total")).as("eff_mbs"))
+  }
+
+  /** q103: the cost projection CALIBRATED from measured history —
+    * what-it-DID driving what-it-COSTS (round-13 verdict #6). Each
+    * sizing row is projected under every measured profile
+    * ([[measuredRates]]): projected single-worker time = records at
+    * the profile's measured end-to-end rate + the same size-banded
+    * startup overhead the spec table uses; parallel/cost laws are
+    * [[costProjection]]'s verbatim (0.75 parallel efficiency, cost =
+    * $/DPU-hr × workers × hours at 1 DPU per worker — the G.1X
+    * equivalence, the tier the measured local profile corresponds
+    * to). Same output shape as q96 (plus the measured rates for
+    * audit), so downstream reports union the two projections. */
+  def costProjectionMeasured(sizing: DataFrame, reports: DataFrame,
+                             numWorkers: Int = 8,
+                             costHrPerDpu: Double = 0.44): DataFrame = {
+    require(numWorkers >= 1, s"numWorkers must be >= 1, got $numWorkers")
+    require(Set("job_name", "records", "bytes").subsetOf(sizing.columns.toSet),
+      s"sizing must carry (job_name, records, bytes), got ${sizing.columns.mkString(", ")}")
+    val rates = measuredRates(reports)
+    val gb = col("bytes") / lit(1073741824.0)
+    val single = col("records") / col("eff_rps") + overheadCol(gb)
+    val parallel =
+      if (numWorkers > 1) single / lit(numWorkers * 0.75) else single
+    sizing.crossJoin(broadcast(rates))
+      .select(col("job_name"), col("worker_type"), col("records"),
+        col("bytes"), gb.as("data_gb"),
+        col("eff_rps"), col("eff_mbs"),
+        single.as("single_worker_sec"),
+        parallel.as("parallel_sec"),
+        (lit(costHrPerDpu) * (parallel / lit(3600.0)) * numWorkers).as("cost_usd"),
+        (lit(numWorkers) * (parallel / lit(3600.0))).as("dpu_hours"))
+      .orderBy("job_name", "worker_type")
+  }
+
+  /** The deterministic run HISTORY the q103 declared query calibrates
+    * from: the events table read as a historical run log — the
+    * inverse of [[graft.sources.RunReport.asEventLog]]'s mapping. One
+    * run per event_type: records = event count, bytes = payload
+    * octets (the m01 strlen identity), wall-clock = the span between
+    * the shard's first and last event in exact integer microseconds.
+    * REAL reportedWrite history serves the same API with genuinely
+    * measured timings (RunReportSpec pins that path); the declared
+    * query needs a replayable history, and a metrics table derived
+    * from an event log is exactly what q56's registered metrics
+    * surface serves. */
+  def runHistoryFromEvents(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type").as("job_name"))
+      .agg(count(lit(1)).as("records_processed"),
+        sum(octet_length(col("props")).cast("long")).as("output_bytes"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          / lit(1000000.0)).as("duration_seconds"))
+      .withColumn("status", lit("SUCCESS"))
 }

@@ -38,6 +38,43 @@ class RunReportSpec extends SparkSpec {
     back.head.getAs[Long]("records_processed") shouldBe n
   }
 
+  test("q103 measured rates calibrate the cost projection from REAL run history") {
+    val dir = tmp("graft_cal")
+    val docs = tables.documents
+    // two real reportedWrites = the measured history (genuinely
+    // measured wall-clocks — the path the declared q103 query stands
+    // in for with a deterministic events-derived history)
+    RunReport.reportedWrite(docs, s"$dir/out1", 4, "docs_ingest", s"$dir/reports")
+    RunReport.reportedWrite(tables.events, s"$dir/out2", 4, "events_ingest",
+      s"$dir/reports")
+    val reports = RunReport.readReports(spark, s"$dir/reports")
+    val rates = Analytics.measuredRates(reports).collect()
+    rates.length shouldBe 2 // one profile per job
+    rates.foreach { r =>
+      r.getString(0) should startWith("measured:")
+      // measured rates are positive and finite — what-it-DID numbers
+      r.getDouble(1) should be > 0.0
+      r.getDouble(2) should be > 0.0
+      r.getDouble(1).isInfinity shouldBe false
+    }
+    // a FAILED run never contributes throughput (its wall-clock
+    // measures the failure): same totals with a failed row mixed in
+    val withFailed = reports.unionByName(reports.limit(1)
+      .withColumn("status", lit("FAILED"))
+      .withColumn("duration_seconds", lit(9999.0)))
+    Analytics.measuredRates(withFailed).collect().map(_.toSeq).sortBy(_.head.toString) shouldBe
+      rates.map(_.toSeq).sortBy(_.head.toString)
+    // the calibrated projection composes: every sizing row is costed
+    // under every measured profile, times scale with the measured rate
+    val proj = Analytics.costProjectionMeasured(
+      Analytics.corpusSizing(docs), reports).collect()
+    proj.length shouldBe rates.length * Analytics.corpusSizing(docs).count()
+    proj.foreach { r =>
+      r.getAs[Double]("single_worker_sec") should be > 0.0
+      r.getAs[Double]("cost_usd") should be > 0.0
+    }
+  }
+
   test("q56 a failing write emits a FAILED report, then rethrows") {
     val dir = tmp("graft_rr_fail")
     val poisoned = tables.documents
