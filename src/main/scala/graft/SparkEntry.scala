@@ -201,10 +201,13 @@ object SparkEntry {
     // embeddings through q57's exact chain (tau=0.9: this corpus's
     // bag cosines concentrate near 0.6, 0.9 isolates near-verbatim).
     // maxCell is lifted to 32x target: hashed BAG embeddings are
-    // anisotropic (real text embeddings are too), so seed cells skew
-    // harder than the synthetic embeddings table's 8x allowance — the
-    // cap still bounds the in-cell pair pass; production balances
-    // cells with trainedCentroids instead (spec-pinned on q57).
+    // anisotropic (real text embeddings are too) — a MEASURED law
+    // since r14 (SimilaritySpec "q93 anisotropy law", SkewProbe):
+    // seed skew 1.18x on the synthetic table vs 3.99x on bags at
+    // sf0.1, and it GROWS with scale, so the 8x allowance is in
+    // reach of the trend at probe scales while 32x keeps >=8x
+    // headroom; production balances cells with trainedCentroids
+    // instead (measured: worst bag cell 499 -> 231 at 2 rounds).
     // embedFrame is localCheckpointed (the q75/q90 diamond rule):
     // semanticDedup consumes its input in three plan subtrees, and
     // for q93 the per-token embedding pass IS the dominant cost —

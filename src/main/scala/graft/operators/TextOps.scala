@@ -312,12 +312,23 @@ object TextOps {
     val w = Window.partitionBy() // vocab-sized frame: single partition is the point
     val l = col("pos").cast("decimal(19,0)") * col("neg_tot").cast("decimal(19,0)")
     val r = col("neg").cast("decimal(19,0)") * col("pos_tot").cast("decimal(19,0)")
+    // the training cut travels WITH the model as column metadata
+    // (round-13 advice): writeModel validates its stamp against it,
+    // so trainModel(vocabSize=16) → writeModel(default 512) dies at
+    // write instead of persisting a geometry lie
+    val vocabMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(VocabMetaKey, vocabSize.toLong).build()
     cls
       .withColumn("pos_tot", sum("pos").over(w))
       .withColumn("neg_tot", sum("neg").over(w))
       .select(col("tok"),
-        when(l > r, 1L).when(l < r, -1L).otherwise(0L).as("wgt"))
+        when(l > r, 1L).when(l < r, -1L).otherwise(0L).as("wgt", vocabMeta))
   }
+
+  /** Column-metadata key carrying [[trainModel]]'s vocabulary cut on
+    * the `wgt` column — the model's own record of how it was
+    * trained. */
+  private val VocabMetaKey = "graft.vocab_size"
 
   /** q95 declared query: train-then-filter END TO END — the q83
     * (BPE train+apply) convention for the model filter: learn the
@@ -335,6 +346,18 @@ object TextOps {
     require(model.columns.toSet == Set("tok", "wgt"),
       s"writeModel expects trainModel's (tok, wgt) schema, got " +
         s"${model.columns.mkString(", ")}")
+    // the model knows its own training cut (trainModel's column
+    // metadata) — a caller-supplied stamp that disagrees with how the
+    // model was ACTUALLY trained would persist a geometry lie that
+    // readModel then happily accepts (round-13 advice); die here
+    val meta = model.schema("wgt").metadata
+    if (meta.contains(VocabMetaKey)) {
+      val trained = meta.getLong(VocabMetaKey)
+      require(trained == vocabSize,
+        s"writeModel: stamp vocabSize=$vocabSize disagrees with the " +
+          s"model's own training cut $trained (trainModel's metadata) — " +
+          "pass the same vocabSize the model was trained with")
+    }
     model.withColumn("_p_vocab", lit(vocabSize))
       .coalesce(1).write.mode("overwrite").parquet(path)
   }

@@ -545,6 +545,52 @@ class SimilaritySpec extends SparkSpec {
     ex.getMessage should include("corrupt: vector sizes")
   }
 
+  test("q93 anisotropy law (measured): hashed-bag seed cells skew several-fold past the synthetic corpus and GROW with scale; the 32x cap holds with headroom; trained centroids rebalance") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions.{col, count => fCount, lit, max => fMax}
+    // the r13 verdict #8 law, as numbers instead of prose (SkewProbe
+    // r14, seed quantizer at the declared suggestCells geometry,
+    // skew = max cell / (n/nCells)):
+    //   synthetic embeddings: 1.06x (sf0.01) -> 1.18x (sf0.1)
+    //   hashed-bag text:      1.70x (sf0.01) -> 3.99x (sf0.1)
+    // Bag skew is several-fold worse AND grows with corpus scale
+    // (more seed cells = worse anisotropy exposure), which is exactly
+    // why q93 lifts maxCell to 32x target: at the 10x/30x probe
+    // scales the default 8x allowance is in reach of the trend. Pin
+    // both measured facts so a future embedding/geometry change that
+    // worsens the distribution fails HERE, not as a probe abort.
+    def maxCellOf(frame: org.apache.spark.sql.DataFrame,
+                  cents: Array[(Long, Array[Double])]): Long =
+      Similarity.assignCells(frame.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")), cents)
+        .groupBy("cell").agg(fCount(lit(1)).as("n"))
+        .agg(fMax("n")).first().getLong(0)
+    def seedSkew(frame: org.apache.spark.sql.DataFrame): (Long, Double, Int) = {
+      val n = frame.count(); val nc = Similarity.suggestCells(n)
+      val mx = maxCellOf(frame, Similarity.seedCentroids(frame, nc))
+      (mx, mx.toDouble / (n.toDouble / nc), nc)
+    }
+    val syn = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .localCheckpoint()
+    val bag = TextOps.embedFrame(
+      spark.read.parquet("/root/testdata/sf0.1/documents.parquet"))
+      .localCheckpoint()
+    val (synMax, synSkew, _) = seedSkew(syn)
+    val (bagMax, bagSkew, bagNc) = seedSkew(bag)
+    info(f"seed skew: synthetic=$synSkew%.2f (max $synMax) hashed-bag=$bagSkew%.2f (max $bagMax)")
+    synSkew should be < 1.5 // the synthetic corpus is near-uniform
+    bagSkew should be > 2.0 * synSkew // bags are the anisotropic case
+    // the declared 32x cap bounds the pair pass with >= 8x headroom
+    // over today's worst measured cell — room for the scale trend
+    bagMax * 8 should be <= 4096L
+    // production's answer is BALANCE, not a bigger cap: Lloyd rounds
+    // pull the worst bag cell down on the same corpus and geometry
+    val trainedMax = maxCellOf(bag,
+      Similarity.trainedCentroids(bag, nCells = bagNc, rounds = 2))
+    info(s"trained max bag cell = $trainedMax vs seed $bagMax")
+    trainedMax should be < bagMax
+  }
+
   test("centroid/codebook persistence: write -> read round-trips; corrupt artifacts fail at read") {
     val e = tables.embeddings
     val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString

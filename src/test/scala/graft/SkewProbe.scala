@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc cell-skew measurement backing q93's anisotropy-cap law:
+  * `Test/runMain graft.operators.SkewProbe` prints max-cell sizes and skew
+  * ratios for the synthetic embeddings vs hashed-bag text embeddings
+  * at the seed quantizer's declared geometries. */
+object SkewProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").appName("graft-skew-probe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def skew(name: String, frame: org.apache.spark.sql.DataFrame): Unit = {
+      val f = frame.localCheckpoint()
+      val n = f.count(); val nc = Similarity.suggestCells(n)
+      val cents = Similarity.seedCentroids(f, nc)
+      val e = f.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val mx = Similarity.assignCells(e, cents).groupBy("cell").count()
+        .agg(max("count")).first().getLong(0)
+      println(f"SKEW $name%-24s n=$n%6d nc=$nc%4d max=$mx%6d ratio=${mx.toDouble / (n.toDouble / nc)}%.2f")
+    }
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      skew(s"synthetic $sf",
+        spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet"))
+      skew(s"hashed-bag $sf",
+        TextOps.embedFrame(
+          spark.read.parquet(s"/root/testdata/$sf/documents.parquet")))
+    }
+    spark.stop()
+  }
+}

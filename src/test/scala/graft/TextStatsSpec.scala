@@ -400,6 +400,19 @@ class TextStatsSpec extends SparkSpec {
       TextOps.readModel(spark, s"$dir/model_bad.parquet")
     }
     exDup.getMessage should include("duplicate")
+    // a stamp that disagrees with how the model was ACTUALLY trained
+    // dies at WRITE (the model carries its own cut as metadata) —
+    // trainModel(16) + writeModel(default 512) was the round-13
+    // advice's silent geometry lie
+    val small = TextOps.trainModel(docs, vocabSize = 16)
+    val exWrite = intercept[IllegalArgumentException] {
+      TextOps.writeModel(small, s"$dir/model16.parquet") // default 512
+    }
+    exWrite.getMessage should include("training cut 16")
+    // the matching stamp round-trips
+    TextOps.writeModel(small, s"$dir/model16.parquet", vocabSize = 16)
+    TextOps.readModel(spark, s"$dir/model16.parquet", vocabSize = 16)
+      .count().toInt should be <= 16
   }
 
   test("q74 plan: one corpus scan, df via window (no groupBy+join diamond)") {
