@@ -116,6 +116,30 @@ object Bench {
       }
       if (!failed) { floors(name) = best; samples(name) = last }
     }
+    // Self-flagging against STANDING floors (round-13 verdict #2): a
+    // contaminated chain used to need a human diffing BENCH_r{N}
+    // against BASELINE.md to notice a 3x cell; now any cell whose
+    // in-run floor exceeds 2x its committed standing floor (the
+    // judge's own weak-cell rule) is named in the emitted JSON, so a
+    // load-polluted artifact can never be committed silently.
+    // bench_floors.json = {"query": floor_sec, ...}, maintained from
+    // quiet min-of-3 chains (ScaleFloorProbe / best committed Bench);
+    // absent file or absent key = no gate (new queries flag from the
+    // round AFTER their floor lands). Gate only at the standard SF
+    // (scale probes run the same binary at 10x/30x corpora where 2x
+    // the sf0.1 floor is expected, not suspicious).
+    val standingFloors: Map[String, Double] =
+      if (sfDir != "/root/testdata/sf0.1") Map.empty
+      else (try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_floors.json")), "UTF-8")
+        "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty[String, Double] })
+    val flagged = floors.collect {
+      case (k, v) if standingFloors.get(k).exists(f => f > 0 && v > 2 * f) =>
+        k -> (v / standingFloors(k))
+    }
     def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     val qs = floors.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -123,10 +147,12 @@ object Bench {
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
+    val fl = flagged.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val total = floors.values.sum
     val sampleTotal = samples.values.sum
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","kind":"floor","sample_total":${r3(sampleTotal)},"n_ok":${floors.size},"n_err":${errors.size},"queries":$qs,"samples":$ss,"errors":$es,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","kind":"floor","sample_total":${r3(sampleTotal)},"n_ok":${floors.size},"n_err":${errors.size},"n_flagged":${flagged.size},"flagged_vs_standing":$fl,"queries":$qs,"samples":$ss,"errors":$es,"sf":"${esc(sfDir)}"}"""
     // Full-name line goes to the file (and stdout, for humans/greps)...
     println(line)
     try java.nio.file.Files.writeString(
@@ -155,8 +181,10 @@ object Bench {
     // a many-failure run can't re-bloat the compact line past the tail
     val esC = errors.map { case (k, v) => "\"" + key(k) + "\":\"" + esc(v.take(60)) + "\"" }
       .mkString("{", ",", "}")
+    val flC = flagged.map { case (k, v) => "\"" + key(k) + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","kind":"floor","sample_total":${r3(sampleTotal)},"n_ok":${floors.size},"n_err":${errors.size},"queries":$qsC,"errors":$esC,"sf":"${esc(sfDir)}","full_names":"bench_metric.json"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","kind":"floor","sample_total":${r3(sampleTotal)},"n_ok":${floors.size},"n_err":${errors.size},"n_flagged":${flagged.size},"flagged_vs_standing":$flC,"queries":$qsC,"errors":$esC,"sf":"${esc(sfDir)}","full_names":"bench_metric.json"}""")
     spark.stop()
   }
 }
