@@ -318,6 +318,23 @@ object SparkEntry {
           residual = true, centroids = Some(cents))))
     }),
     "q57_semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(Tables(s, d).embeddings)),
+    // q104: q57 under the TRAINED quantizer (declared r14) — the
+    // production SemDeDup build order (the paper trains; the q93
+    // anisotropy law measured why: trained centroids pulled the worst
+    // hashed-bag cell 499 -> 231). Same verdict columns, same body;
+    // only the cent CTE changes — the oracle splices the q65 Lloyd
+    // chain (trainedCentCtes) in front of the identical SemDeDup
+    // body, with the seed count DERIVED on both sides (the q97
+    // geometry law: suggestCells from the corpus count, so the
+    // 10x/30x probes train the scale-correct k and the 1024 cap
+    // never fires on balanced cells; one eager count = index sizing,
+    // the q46 rationale).
+    "q104_semantic_dedup_trained" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      val nc = Similarity.suggestCells(e.count())
+      Similarity.semanticDedup(e,
+        centroids = Some(Similarity.trainedCentroids(e, nCells = nc, rounds = 2)))
+    }),
     "q64_sample_percell"     -> ((s, d) => Similarity.samplePerCell(Tables(s, d).embeddings)),
     // q63: same eval split convention as q35/q47 (id ≡ 0 mod 7 plays
     // the benchmark set), corpus = the rest
@@ -1812,6 +1829,13 @@ object SparkEntry {
       annIvfPqOracle(residual = true, trainRounds = 2, centRounds = 2),
     "q34_dedup_embedding_lsh" -> embeddingDedupLshOracle,
     "q57_semantic_dedup"  -> semanticDedupOracle,
+    // q104: the trained-quantizer chain feeding q57's body unchanged;
+    // seed count derived from the corpus (suggestCells), both sides
+    "q104_semantic_dedup_trained" ->
+      (s"WITH $vecCtes,\n" +
+        trainedCentCtes(2,
+          "SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) FROM e") +
+        ",\n" + semanticDedupBodyFromCent("0.4")),
     "q93_semantic_dedup_text" -> semanticDedupTextOracle,
     "q97_semantic_dedup_image" -> semanticDedupImageOracle,
     // s14 drains to q97's rows by construction (same salted corpus,
@@ -2565,8 +2589,14 @@ object SparkEntry {
     * of hardcoded — the round-13 advice: a corpus-count change must
     * move both sides' quantizer together, not fail as a hash diff. */
   private def semanticDedupBody(cells: String, tau: String): String =
-    s"""cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < ($cells)),
-       |sc AS (SELECT x.vec_id, x.v, x.nrm, c.cell, (${sqlDot("x.v", "c.v")}) / c.nrm AS score
+    s"cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < ($cells)),\n" +
+      semanticDedupBodyFromCent(tau)
+
+  /** The SemDeDup chain over whatever `cent(cell, v, nrm)` CTE the
+    * caller already defined — factored (r14) so q104 can splice the
+    * TRAINED quantizer chain in front of the identical body. */
+  private def semanticDedupBodyFromCent(tau: String): String =
+    s"""sc AS (SELECT x.vec_id, x.v, x.nrm, c.cell, (${sqlDot("x.v", "c.v")}) / c.nrm AS score
        |       FROM n x CROSS JOIN cent c),
        |a0 AS (SELECT vec_id, v, nrm, cell FROM (
        |         SELECT vec_id, v, nrm, cell,
@@ -2860,12 +2890,52 @@ object SparkEntry {
     * KEEPS its previous centroid (LEFT JOIN + COALESCE — the Spark
     * side's getOrElse). The search body downstream is byte-identical
     * to q69's, reading the final book. */
+  /** q65's Lloyd-trained coarse quantizer unrolled as CTEs over the
+    * `n(vec_id, v, nrm)` frame — assign → fixed-point means, reassign
+    * between rounds (kmeansIterateOracle's chain verbatim), ending in
+    * a `cent(cell, v, nrm)` CTE every downstream body reads
+    * unchanged. Shared by q102 (trained PQ search) and q104 (trained
+    * SemDeDup). Seeds = the `seeds` lowest-vec_id vectors, the
+    * trainedCentroids convention. */
+  private def trainedCentCtes(centRounds: Int, seeds: String = "16"): String = {
+    val head =
+      s"""kc0 AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < ($seeds)),
+         |ksc0 AS (SELECT x.vec_id, x.v, c.cell, (${sqlDot("x.v", "c.cv")}) / c.cnrm AS score
+         |       FROM n x CROSS JOIN kc0 c),
+         |ka0 AS (SELECT vec_id, v, cell FROM (
+         |         SELECT vec_id, v, cell,
+         |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+         |         FROM ksc0) t WHERE rn = 1)""".stripMargin
+    val roundCtes = (1 to centRounds).map { r =>
+      val mean =
+        s""",
+           |kg$r AS (SELECT cell, i, SUM(CAST(FLOOR(v[i] * 1048576.0 + 0.5) AS BIGINT)) AS s,
+           |             COUNT(*) AS c
+           |      FROM ka${r - 1} CROSS JOIN range(1, 65) r(i) GROUP BY 1, 2),
+           |kc$r AS (SELECT cell, list(CAST(s AS DOUBLE) / (1048576.0 * c) ORDER BY i) AS cv FROM kg$r GROUP BY 1),
+           |kv$r AS (SELECT cell, cv, sqrt(${sqlDot("cv", "cv")}) AS cnrm FROM kc$r)""".stripMargin
+      val reassign =
+        if (r == centRounds) ""
+        else
+          s""",
+             |ksc$r AS (SELECT a.vec_id, a.v, c.cell, (${sqlDot("a.v", "c.cv")}) / c.cnrm AS score
+             |       FROM ka${r - 1} a CROSS JOIN kv$r c),
+             |ka$r AS (SELECT vec_id, v, cell FROM (
+             |         SELECT vec_id, v, cell,
+             |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+             |         FROM ksc$r) t WHERE rn = 1)""".stripMargin
+      mean + reassign
+    }.mkString
+    head + roundCtes +
+      s""",
+         |cent AS (SELECT cell, cv AS v, cnrm AS nrm FROM kv$centRounds)""".stripMargin
+  }
+
   /** `centRounds` > 0 swaps the seed coarse quantizer for q65's
-    * Lloyd-TRAINED centroids, unrolled as CTEs (assign → fixed-point
-    * means, reassign between rounds — kmeansIterateOracle's chain
-    * verbatim); every downstream CTE reads `cent`, so the trained and
-    * seed geometries share the whole search body. q102 composes this
-    * with `trainRounds` — BOTH training loops in one statement. */
+    * Lloyd-TRAINED centroids ([[trainedCentCtes]]); every downstream
+    * CTE reads `cent`, so the trained and seed geometries share the
+    * whole search body. q102 composes this with `trainRounds` — BOTH
+    * training loops in one statement. */
   private def annIvfPqOracle(residual: Boolean = false,
                              trainRounds: Int = 0,
                              centRounds: Int = 0): String = {
@@ -2991,39 +3061,7 @@ object SparkEntry {
     val centCtes =
       if (centRounds == 0)
         "cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < 16)"
-      else {
-        val head =
-          s"""kc0 AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
-             |ksc0 AS (SELECT x.vec_id, x.v, c.cell, (${sqlDot("x.v", "c.cv")}) / c.cnrm AS score
-             |       FROM n x CROSS JOIN kc0 c),
-             |ka0 AS (SELECT vec_id, v, cell FROM (
-             |         SELECT vec_id, v, cell,
-             |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
-             |         FROM ksc0) t WHERE rn = 1)""".stripMargin
-        val roundCtes = (1 to centRounds).map { r =>
-          val mean =
-            s""",
-               |kg$r AS (SELECT cell, i, SUM(CAST(FLOOR(v[i] * 1048576.0 + 0.5) AS BIGINT)) AS s,
-               |             COUNT(*) AS c
-               |      FROM ka${r - 1} CROSS JOIN range(1, 65) r(i) GROUP BY 1, 2),
-               |kc$r AS (SELECT cell, list(CAST(s AS DOUBLE) / (1048576.0 * c) ORDER BY i) AS cv FROM kg$r GROUP BY 1),
-               |kv$r AS (SELECT cell, cv, sqrt(${sqlDot("cv", "cv")}) AS cnrm FROM kc$r)""".stripMargin
-          val reassign =
-            if (r == centRounds) ""
-            else
-              s""",
-                 |ksc$r AS (SELECT a.vec_id, a.v, c.cell, (${sqlDot("a.v", "c.cv")}) / c.cnrm AS score
-                 |       FROM ka${r - 1} a CROSS JOIN kv$r c),
-                 |ka$r AS (SELECT vec_id, v, cell FROM (
-                 |         SELECT vec_id, v, cell,
-                 |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
-                 |         FROM ksc$r) t WHERE rn = 1)""".stripMargin
-          mean + reassign
-        }.mkString
-        head + roundCtes +
-          s""",
-             |cent AS (SELECT cell, cv AS v, cnrm AS nrm FROM kv$centRounds)""".stripMargin
-      }
+      else trainedCentCtes(centRounds)
     s"""WITH $vecCtes,
        |$centCtes,
        |sc AS (SELECT x.vec_id, c.cell, (${sqlDot("x.v", "c.v")}) / c.nrm AS score

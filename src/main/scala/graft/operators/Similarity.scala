@@ -921,20 +921,24 @@ object Similarity {
     require(rounds >= 1, "rounds must be >= 1")
     val scale = 1L << 20
     val spark = embeddings.sparkSession
-    val e = prepared(embeddings)
-    def scored(cents: Array[(Long, Array[Double])]): DataFrame =
-      scoredAgainst(e, cents)
+    val e = prepared(embeddings).localCheckpoint()
     var cents = seedCentroids(embeddings, nCells)
     var moved = Double.MaxValue
     var r = 0
     while (r < rounds && moved > tol) {
-      // (score, -cell) is unique per vector (cell ids are distinct),
-      // so v rides in the struct as payload, never compared
-      val sums = scored(cents)
-        .groupBy("vec_id")
-        .agg(max(struct(col("score"), (-col("cell")).as("nc"), col("cell"),
-          col("v"))).as("b"))
-        .select(col("b.cell").as("cell"), posexplode(col("b.v")))
+      // Assignment rides [[assignCells]] — the dual-shape argmax
+      // whose two-level branch keeps training O(n·2√c) past 256
+      // centroids instead of the flat crossJoin's O(n·c): at
+      // AutoGeometry c grows with n, so a flat per-round score is
+      // O(n²/targetCell) — q104's first 30× probe measured exactly
+      // that (second decade 4.8 vs linear 3). Gate geometries stay on
+      // the exact literal branch (same argmax, same tie rule — the
+      // oracle replays it). Ids join back to the checkpointed frame
+      // to pick up v: an n-sized equi-join per round, payloads never
+      // fan out through the centroid table.
+      val sums = assignCells(e, cents)
+        .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+        .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(floor(col("col") * scale + lit(0.5)).cast("long")).as("s"),
           count(lit(1)).as("c"))
