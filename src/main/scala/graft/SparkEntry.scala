@@ -317,6 +317,24 @@ object SparkEntry {
         codebook = Some(Similarity.trainedCodebooks(e, rounds = 2,
           residual = true, centroids = Some(cents))))
     }),
+    // q105: the production SERVING point for the trained index
+    // (declared r14) — q102's index, wider serve: nProbe 4→8,
+    // rerank 32→64. The RecallProbe sweep decomposed q102's miss
+    // budget with the exact-rerank contract: at nProbe=4 deep rerank
+    // saturates the IVF probe ceiling (0.578 — every further miss is
+    // a PROBE miss), so serving recall is bought with probe width,
+    // and rerank must track it (at nProbe=8: 0.62 @32 vs 0.74 @64 —
+    // the candidate pool doubled, the cut must too). Per-query cost
+    // stays constant in corpus size: nProbe·targetCell ADC rows +
+    // rerank float rows, independent of n once cells are sized.
+    "q105_ann_ivfpq_served" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      val cents = Similarity.trainedCentroids(e, nCells = 16, rounds = 2)
+      Similarity.annIvfPq(e, residual = true, nProbe = 8, rerank = 64,
+        centroids = Some(cents),
+        codebook = Some(Similarity.trainedCodebooks(e, rounds = 2,
+          residual = true, centroids = Some(cents))))
+    }),
     "q57_semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(Tables(s, d).embeddings)),
     // q104: q57 under the TRAINED quantizer (declared r14) — the
     // production SemDeDup build order (the paper trains; the q93
@@ -1827,6 +1845,11 @@ object SparkEntry {
     "q98_ann_ivfpq_trained_res" -> annIvfPqOracle(residual = true, trainRounds = 2),
     "q102_ann_ivfpq_full_trained" ->
       annIvfPqOracle(residual = true, trainRounds = 2, centRounds = 2),
+    // q105: q102's statement with only the two serving constants
+    // widened — probes rn <= 8, rerank cut ar <= 64
+    "q105_ann_ivfpq_served" ->
+      annIvfPqOracle(residual = true, trainRounds = 2, centRounds = 2,
+        nProbe = 8, rerank = 64),
     "q34_dedup_embedding_lsh" -> embeddingDedupLshOracle,
     "q57_semantic_dedup"  -> semanticDedupOracle,
     // q104: the trained-quantizer chain feeding q57's body unchanged;
@@ -2938,7 +2961,9 @@ object SparkEntry {
     * training loops in one statement. */
   private def annIvfPqOracle(residual: Boolean = false,
                              trainRounds: Int = 0,
-                             centRounds: Int = 0): String = {
+                             centRounds: Int = 0,
+                             nProbe: Int = 4,
+                             rerank: Int = 32): String = {
     val (m, ks, dsub) = (8, 16, 8)
     def dot8(a: String, b: String): String =
       (1 to dsub).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
@@ -3073,7 +3098,7 @@ object SparkEntry {
        |probes AS (SELECT vec_id AS query_id, cell FROM (
        |          SELECT vec_id, cell,
        |                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
-       |          FROM sc WHERE vec_id < 10) t WHERE rn <= 4),
+       |          FROM sc WHERE vec_id < 10) t WHERE rn <= $nProbe),
        |sv AS (SELECT vec_id, r.s, v[(r.s*$dsub+1):(r.s*$dsub+$dsub)] AS sv
        |       FROM n CROSS JOIN range(0, $m) r(s)),
        |$bookSrc,
@@ -3092,7 +3117,7 @@ object SparkEntry {
        |short AS (SELECT query_id, neighbor_id FROM (
        |            SELECT query_id, neighbor_id,
        |                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS ar
-       |            FROM ap) t WHERE ar <= 32),
+       |            FROM ap) t WHERE ar <= $rerank),
        |s2 AS (SELECT sh.query_id, sh.neighbor_id,
        |         ROUND((${sqlDot("q.v", "c.v")}) / (q.nrm * c.nrm), 4) AS cos_sim
        |       FROM short sh JOIN n q ON q.vec_id = sh.query_id

@@ -59,6 +59,31 @@ object RecallProbe {
         centroids = Some(cents4),
         codebook = Some(Similarity.trainedCodebooks(e, rounds = 4,
           residual = true, centroids = Some(cents4)))))
+
+    // ---- round-14 sweep: which serving knob closes the remaining
+    // gap — probe width (nProbe) or candidate depth (rerank)? The
+    // exact-rerank contract means every miss is either a PROBE miss
+    // (true neighbor's cell never probed) or a CANDIDATE miss (cell
+    // probed, but the codes ranked it below the rerank cut); the
+    // sweep separates them by raising one knob at a time over the
+    // q102 configuration.
+    println("---- q102 serving sweep (nProbe x rerank) ----")
+    val book2 = Similarity.trainedCodebooks(e, rounds = 2,
+      residual = true, centroids = Some(cents2))
+    for (np <- Seq(2, 4, 6, 8, 16); rr <- Seq(32, 64, 128)) {
+      val r = recall(Similarity.annIvfPq(e, nQueries = nq, residual = true,
+        nProbe = np, rerank = rr,
+        centroids = Some(cents2), codebook = Some(book2)))
+      println(f"q102 nProbe=$np%-2d rerank=$rr%-3d              recall@5 = $r%.4f")
+    }
+    // IVF (no PQ) at the same probe widths = the probe-miss ceiling:
+    // anything IVF misses at nProbe=p is unreachable for PQ at the
+    // same width no matter how deep the rerank.
+    for (np <- Seq(2, 4, 6, 8, 16)) {
+      val r = recall(Similarity.annIvf(e, nQueries = nq, k = 5,
+        nProbe = np, centroids = Some(cents2)))
+      println(f"ivf-exact nProbe=$np%-2d (probe ceiling)        recall@5 = $r%.4f")
+    }
     spark.stop()
   }
 }

@@ -413,6 +413,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q105 served index: wider serve beats q102 corpus-wide; full-depth rerank IS exact-over-probed") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .localCheckpoint()
+    val nq = e.count().toInt
+    val cents = Similarity.trainedCentroids(e, nCells = 16, rounds = 2)
+    val cb = Similarity.trainedCodebooks(e, rounds = 2, residual = true,
+      centroids = Some(cents))
+    def keyset(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactTop = keyset(Similarity.annBruteForce(e, nQueries = nq, k = 5))
+    def recall(s: Set[(Long, Long)]): Double =
+      (exactTop & s).size.toDouble / exactTop.size
+    // the serving law the r14 sweep measured: recall is bought with
+    // probe width, and the rerank cut must track the candidate pool
+    // (RecallProbe: nProbe=8 reads 0.62 at rerank=32 but 0.74 at 64 —
+    // half the widened pool's gain is forfeited at the old cut)
+    val q102R = recall(keyset(Similarity.annIvfPq(e, nQueries = nq,
+      residual = true, centroids = Some(cents), codebook = Some(cb))))
+    val q105R = recall(keyset(Similarity.annIvfPq(e, nQueries = nq,
+      residual = true, nProbe = 8, rerank = 64,
+      centroids = Some(cents), codebook = Some(cb))))
+    info(f"recall@5 corpus-wide: q102=$q102R%.3f q105=$q105R%.3f")
+    withClue(s"q102=$q102R q105=$q105R: ") { q105R should be > q102R }
+    // the decomposition that justifies the law: with the rerank cut
+    // at full candidate depth, PQ's top-k is EXACTLY exact search
+    // over the probed cells (same probe argmax, same exact cosine
+    // rank, same tie-break) — the codes order the shortlist but the
+    // floats pick the winners, so every residual miss is a PROBE
+    // miss. Structural (rerank >= any possible candidate pool), not
+    // corpus luck: keysets are compared, not just the recall scalar.
+    val pqFull = keyset(Similarity.annIvfPq(e, nQueries = nq,
+      residual = true, rerank = nq,
+      centroids = Some(cents), codebook = Some(cb)))
+    val ivfExact = keyset(Similarity.annIvf(e, nQueries = nq, k = 5,
+      centroids = Some(cents)))
+    pqFull shouldBe ivfExact
+  }
+
   test("q98 residual-trained codebooks: recall@5 matches-or-beats the residual seed book corpus-wide") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val nq = e.count().toInt
