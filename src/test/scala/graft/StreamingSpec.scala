@@ -621,6 +621,63 @@ class StreamingSpec extends SparkSpec {
     admitted shouldBe Set(5L, 6L, 10L, 30L)
   }
 
+  test("s15 compaction in the loop: a mid-stream maintenance compact collapses replayed admits and the restarted loop probes the compacted store identically") {
+    import spark.implicits._
+    val s0 = Array(1f, 0f, 0f, 0f)
+    val x  = Array(0f, 0f, 1f, 0f)
+    val y  = Array(0f, 0f, 0f, 1f)
+    val store = Seq((5L, s0), (6L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.operators.Similarity.seedCentroids(store, 16)
+    val tmp = java.nio.file.Files.createTempDirectory("s15compact_").toString
+    graft.operators.Similarity.writeSemanticStore(store, s"$tmp/store", cents)
+    val landing = s"$tmp/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    def land(rows: (Long, Array[Float])*): Unit =
+      rows.toSeq.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("append").parquet(landing)
+    def drain(): Unit = {
+      val intake = spark.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(landing)
+      val q = Streams.streamSemanticDedupAdmit(intake, s"$tmp/store", cents,
+        s"$tmp/out", s"$tmp/cp", tau = 0.9,
+        trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination(); q.stop()
+    }
+    // batch 1: 2 dups store vector 5; 10 is novel and is admitted
+    land((2L, s0), (10L, x))
+    drain()
+    // at-least-once replay between triggers: the survivor row lands
+    // AGAIN as an exact duplicate (same vector, same stamps)
+    graft.operators.Similarity.appendToSemanticStore(
+      Seq((10L, x)).toDF("vec_id", "embedding"), s"$tmp/store", cents)
+    graft.operators.Similarity
+      .readSemanticStore(spark, s"$tmp/store", cents)
+      .count() shouldBe 4 // 5, 6, 10, 10-replayed
+    // the maintenance window: offline compact while admits are
+    // quiesced (the query between drains IS the quiesce)
+    val (before, after) = graft.operators.Similarity
+      .compactSemanticStore(spark, s"$tmp/store", cents)
+    assert(after <= before)
+    val compacted = graft.operators.Similarity
+      .readSemanticStore(spark, s"$tmp/store", cents)
+    compacted.count() shouldBe 3 // the replayed admit collapsed
+    compacted.collect().map(_.getAs[Long]("vec_id")).sorted shouldBe
+      Array(5L, 6L, 10L)
+    // the restarted loop (same checkpoint — the processed landing file
+    // is never re-probed) reads the compacted store transparently:
+    // 20 is condemned by the COMPACTED copy of survivor 10, 30 admits
+    land((20L, x), (30L, y))
+    drain()
+    val hits = spark.read.parquet(s"$tmp/out").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    hits shouldBe Set((2L, 5L), (20L, 10L))
+    graft.operators.Similarity
+      .readSemanticStore(spark, s"$tmp/store", cents)
+      .collect().map(_.getAs[Long]("vec_id")).toSet shouldBe
+      Set(5L, 6L, 10L, 30L)
+  }
+
   test("s09 re-delivered doc with drifted text is not admitted twice — first admission wins") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
