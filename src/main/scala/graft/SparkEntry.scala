@@ -216,6 +216,22 @@ object SparkEntry {
       Similarity.semanticDedup(
         TextOps.embedFrame(Tables(s, d).documents).localCheckpoint(),
         tau = 0.9, maxCell = 4096)),
+    // q106: q93 under the TRAINED quantizer — the exact remedy the
+    // q93 row documents for its anisotropy lift ("production balances
+    // cells with trainedCentroids"), now declared: hashed BAG
+    // embeddings skew seed cells ~4x target (SkewProbe, sf0.1) and 2
+    // Lloyd rounds pull the worst cell 499 -> 231, so the in-cell
+    // pair pass stays near its n²/c floor on real text. Same tau,
+    // same verdict columns; the oracle splices trainedCentCtes
+    // between q92's embedding CTEs and the unchanged q57 body
+    // (seed count derived from the doc corpus on both sides).
+    "q106_semantic_dedup_text_trained" -> ((s, d) => {
+      val f = TextOps.embedFrame(Tables(s, d).documents).localCheckpoint()
+      val nc = Similarity.suggestCells(f.count())
+      Similarity.semanticDedup(f, tau = 0.9, maxCell = 4096,
+        centroids = Some(Similarity.trainedCentroids(f, nCells = nc,
+          rounds = 2)))
+    }),
     // q100: semantic text SEARCH — the search sibling of q93's dedup
     // composition: q92's embeddings through q46's IVF machinery
     // verbatim (top-5 cosine neighbors per query doc, probe-pruned);
@@ -1860,6 +1876,19 @@ object SparkEntry {
           "SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) FROM e") +
         ",\n" + semanticDedupBodyFromCent("0.4")),
     "q93_semantic_dedup_text" -> semanticDedupTextOracle,
+    // q106: q93's embedding CTEs -> the trained-quantizer chain ->
+    // q57's body; seeds derived from the embedded doc corpus
+    "q106_semantic_dedup_text_trained" -> {
+      val vlist = (0 until embedDim).map(d => s"CAST(e$d AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      s"""WITH $textEmbedCtes,
+         |e2 AS (SELECT doc_id AS vec_id, $vlist AS v FROM emb),
+         |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e2),
+         |""".stripMargin +
+        trainedCentCtes(2,
+          "SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) FROM e2") +
+        ",\n" + semanticDedupBodyFromCent("0.9")
+    },
     "q97_semantic_dedup_image" -> semanticDedupImageOracle,
     // s14 drains to q97's rows by construction (same salted corpus,
     // same centered embeddings, same seed quantizer) — the stream's
