@@ -2344,15 +2344,18 @@ object SparkEntry {
   private def kmeansIterateOracle(rounds: Int): String = {
     val head =
       s"""WITH $vecCtes,
-         |cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < 16),
-         |sc0 AS (SELECT x.vec_id, x.v, x.nrm, c.cell, (${sqlDot("x.v", "c.v")}) / c.nrm AS score
-         |       FROM n x CROSS JOIN cent c),
+         |n0 AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+         |sc0 AS (SELECT x.vec_id, x.v, x.nrm, c.cell, (${sqlDot("x.v", "c.cv")}) / c.cnrm AS score
+         |       FROM n x CROSS JOIN n0 c),
          |a0 AS (SELECT vec_id, v, nrm, cell FROM (
          |         SELECT vec_id, v, nrm, cell,
          |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
          |         FROM sc0) t WHERE rn = 1)""".stripMargin
     val roundCtes = (1 to rounds).map { r =>
       val prev = s"a${r - 1}"
+      // keep-on-empty (r14): a cell with no members this round KEEPS
+      // its previous centroid — LEFT JOIN + COALESCE against the
+      // previous round's table, the codebook oracle's convention
       val centroid =
         s""",
            |g$r AS (SELECT cell, i, SUM(CAST(FLOOR(v[i] * 1048576.0 + 0.5) AS BIGINT)) AS s,
@@ -2360,7 +2363,9 @@ object SparkEntry {
            |      FROM $prev CROSS JOIN range(1, 65) r(i) GROUP BY 1, 2),
            |d$r AS (SELECT cell, i, CAST(s AS DOUBLE) / (1048576.0 * c) AS cd FROM g$r),
            |c$r AS (SELECT cell, list(cd ORDER BY i) AS cv FROM d$r GROUP BY 1),
-           |n$r AS (SELECT cell, cv, sqrt(${sqlDot("cv", "cv")}) AS cnrm FROM c$r)""".stripMargin
+           |k$r AS (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv
+           |       FROM n${r - 1} p LEFT JOIN c$r u USING (cell)),
+           |n$r AS (SELECT cell, cv, sqrt(${sqlDot("cv", "cv")}) AS cnrm FROM k$r)""".stripMargin
       val reassign =
         if (r == rounds) "" // the final assignment is the output query below
         else
@@ -2951,21 +2956,25 @@ object SparkEntry {
     * trainedCentroids convention. */
   private def trainedCentCtes(centRounds: Int, seeds: String = "16"): String = {
     val head =
-      s"""kc0 AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < ($seeds)),
+      s"""kv0 AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < ($seeds)),
          |ksc0 AS (SELECT x.vec_id, x.v, c.cell, (${sqlDot("x.v", "c.cv")}) / c.cnrm AS score
-         |       FROM n x CROSS JOIN kc0 c),
+         |       FROM n x CROSS JOIN kv0 c),
          |ka0 AS (SELECT vec_id, v, cell FROM (
          |         SELECT vec_id, v, cell,
          |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
          |         FROM ksc0) t WHERE rn = 1)""".stripMargin
     val roundCtes = (1 to centRounds).map { r =>
+      // keep-on-empty: the codebook oracle's LEFT JOIN + COALESCE —
+      // a memberless cell carries its previous centroid forward
       val mean =
         s""",
            |kg$r AS (SELECT cell, i, SUM(CAST(FLOOR(v[i] * 1048576.0 + 0.5) AS BIGINT)) AS s,
            |             COUNT(*) AS c
            |      FROM ka${r - 1} CROSS JOIN range(1, 65) r(i) GROUP BY 1, 2),
            |kc$r AS (SELECT cell, list(CAST(s AS DOUBLE) / (1048576.0 * c) ORDER BY i) AS cv FROM kg$r GROUP BY 1),
-           |kv$r AS (SELECT cell, cv, sqrt(${sqlDot("cv", "cv")}) AS cnrm FROM kc$r)""".stripMargin
+           |kk$r AS (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv
+           |       FROM kv${r - 1} p LEFT JOIN kc$r u USING (cell)),
+           |kv$r AS (SELECT cell, cv, sqrt(${sqlDot("cv", "cv")}) AS cnrm FROM kk$r)""".stripMargin
       val reassign =
         if (r == centRounds) ""
         else

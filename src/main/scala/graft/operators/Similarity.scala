@@ -909,9 +909,11 @@ object Similarity {
     * [[semanticDedup]]) quantize on TRAINED centroids instead of the
     * deterministic seeds: production builds the index by feeding this
     * output into their `centroids` override, while the declared
-    * (oracle-replayed) queries keep the seed default. Cell ids are the
-    * surviving seeds' vec_ids (a cell that loses all members is
-    * dropped, exactly as q65 documents); the array is id-sorted,
+    * (oracle-replayed) queries keep the seed default. Cell ids are
+    * the seeds' vec_ids and the table always keeps all `nCells`
+    * entries: a cell that loses its members KEEPS its previous
+    * centroid (the codebook-training convention, adopted r14 — see
+    * the keep-on-empty note in the loop); the array is id-sorted,
     * kilobytes of index metadata on the driver — the q46 collect
     * rationale. Same fixed-point arithmetic, same early-exit contract
     * as the q65 scaladoc below. */
@@ -954,12 +956,24 @@ object Similarity {
           }
           (cell, arr)
       }
-      moved =
-        if (!next.map(_._1).sameElements(cents.map(_._1))) Double.MaxValue
-        else next.zip(cents).iterator.map { case ((_, a), (_, b)) =>
-          a.zip(b).map { case (x, y) => math.abs(x - y) }.max
-        }.max
-      cents = next
+      // a cell that loses all members KEEPS its previous centroid —
+      // the codebook-training convention (LEFT JOIN + COALESCE in the
+      // oracle), adopted here in r14: dropping lost cells shrinks k
+      // and concentrates the survivors, and the skew decomposition
+      // measured the damage on a replica-dense anisotropic corpus
+      // (10× bag corpus: 391 seeds → 272 survivors, worst cell 2590
+      // seed → 4332 trained-drop — THROUGH the 32× cap; keep-on-empty
+      // retains the capacity and a kept direction re-captures members
+      // at any later round or at final assignment). Ids never drop,
+      // so the early-exit compare is a plain per-id coordinate delta.
+      val byCell = next.toMap
+      val merged = cents.map { case (cell, old) =>
+        (cell, byCell.getOrElse(cell, old))
+      }
+      moved = merged.zip(cents).iterator.map { case ((_, a), (_, b)) =>
+        a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+      }.max
+      cents = merged
       r += 1
     }
     cents
@@ -1267,9 +1281,12 @@ object Similarity {
     * [[assignCells]]) → posexplode partial agg → collect of
     * nCells·dim fixed-point sums (kilobytes of index metadata, the
     * q46 collect rationale — per-vector data never reaches the
-    * driver). A cell that loses all members is dropped (k shrinks;
-    * deterministic, and the oracle's GROUP BY reproduces it). Seeds
-    * are the shared q46/q48 quantizer.
+    * driver). A cell that loses all members KEEPS its previous
+    * centroid (r14, the codebook-training convention — the oracle's
+    * LEFT JOIN + COALESCE reproduces it; dropping shrank k and the
+    * skew decomposition measured the survivors concentrating through
+    * the 32× cap on a replica-dense corpus). Seeds are the shared
+    * q46/q48 quantizer.
     *
     * `tol` stops early when every surviving centroid coordinate moved
     * ≤ tol between rounds (a driver-side array compare — free). The
@@ -1645,13 +1662,28 @@ object Similarity {
         .toSeq.toDF("gidx", "cell", "cv")
         .select(col("gidx"), col("cell"), col("cv"),
           sqrt(Exprs.dot(col("cv"), col("cv"))).as("cnrm"))
+      // MULTI-PROBE coarse level (r14): take the top-2 blocks per
+      // vector, not 1 — block means of ~√c arbitrary directions are
+      // weak representatives in 64-dim (near-zero noise vectors), so
+      // the single-probe block choice is itself a funnel: the skew
+      // decomposition measured two-level worst cells 15-75% over the
+      // exact flat argmax on the anisotropic 10×/30× bag corpora
+      // (4179 vs 3629; 3624 vs 2074). Probing the runner-up block
+      // recovers most rank-2 misroutes for one extra √c member
+      // argmax per vector — still O(n·3√c) total, and the degenerate
+      // extremes stay EQUAL to flat (1 group: only block; singleton
+      // groups: top-2 reps are the top-2 true centroids and the
+      // member argmax over both IS the global argmax — the spec's
+      // two pins hold unchanged).
       val coarse = e.crossJoin(broadcast(repDf))
-        .select(col("vec_id"),
+        .select(col("vec_id"), col("v"),
           struct((dot(col("v"), col("cv")) / col("cnrm")).as("score"),
-            (-col("gidx")).as("ng"), col("gidx"), col("v")).as("cand"))
+            (-col("gidx")).as("ng"), col("gidx")).as("cand"))
         .groupBy("vec_id")
-        .agg(max(col("cand")).as("b"))
-        .select(col("vec_id"), col("b.gidx").as("gidx"), col("b.v").as("v"))
+        .agg(slice(sort_array(collect_list(col("cand")), asc = false),
+          1, 2).as("top"), first(col("v")).as("v"))
+        .select(col("vec_id"), col("v"),
+          explode(col("top.gidx")).as("gidx"))
       coarse.join(broadcast(memDf), Seq("gidx"))
         .select(col("vec_id"),
           struct((dot(col("v"), col("cv")) / col("cnrm")).as("score"),

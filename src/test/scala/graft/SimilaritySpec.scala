@@ -174,6 +174,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("trainedCentroids keep-on-empty: a cell that loses all members keeps its centroid and can re-capture at assignment") {
+    // duplicate SEEDS are the replica-corpus death mechanism: vec 1
+    // is an exact copy of vec 0, so round-1 assignment tie-breaks
+    // BOTH (and the orthogonal vec 2, tied at score 0) into cell 0 —
+    // cell 1 is memberless immediately. Drop semantics shrank k and
+    // concentrated survivors (the 10x skew decomposition); the
+    // codebook convention keeps the previous centroid instead.
+    val d = vecs(
+      (0L, Map(0 -> 1.0f)),
+      (1L, Map(0 -> 1.0f)),   // exact duplicate of seed 0
+      (2L, Map(1 -> 1.0f)))
+    val cents = Similarity.trainedCentroids(d, nCells = 2, rounds = 2)
+    cents.map(_._1).toSeq shouldBe Seq(0L, 1L) // capacity retained
+    // the memberless cell carried its seed direction forward verbatim
+    cents.find(_._1 == 1L).get._2(0) shouldBe 1.0
+    cents.find(_._1 == 1L).get._2.drop(1).forall(_ == 0.0) shouldBe true
+    // and the kept direction re-captures members at assignment: cell
+    // 0's mean drifted toward the orthogonal member, so the pure-e0
+    // duplicates now score higher on the KEPT cell — the restored
+    // capacity is real, not bookkeeping
+    import org.apache.spark.sql.functions.col
+    val asg = Similarity.assignCells(
+      d.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      cents).collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    asg(0L) shouldBe 1L
+    asg(1L) shouldBe 1L
+  }
+
   test("q48 one k-means step clusters vectors by direction") {
     val d = vecs(
       (0L, Map(0 -> 1.0f)),               // seed cell 0: e0

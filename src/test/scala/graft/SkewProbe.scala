@@ -31,6 +31,30 @@ object SkewProbe {
         TextOps.embedFrame(
           spark.read.parquet(s"/root/testdata/$sf/documents.parquet")))
     }
+    // decomposition mode (r14): for each extra dir argument, separate
+    // TRAINING funnel from ASSIGNMENT funnel on the bag corpus —
+    // worst cell under seeds vs trained centroids, each assigned by
+    // the exact flat argmax vs the two-level approximation.
+    args.foreach { dir =>
+      val f = TextOps.embedFrame(
+        spark.read.parquet(s"$dir/documents.parquet")).localCheckpoint()
+      val n = f.count(); val nc = Similarity.suggestCells(n)
+      val e = f.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")).localCheckpoint()
+      def mx(cents: Array[(Long, Array[Double])], twoLevel: Boolean): Long =
+        Similarity.assignCells(e, cents,
+            twoLevelMin = if (twoLevel) 257 else Int.MaxValue)
+          .groupBy("cell").count().agg(max("count")).first().getLong(0)
+      val seeds = Similarity.seedCentroids(f, nc)
+      val trained = Similarity.trainedCentroids(f, nCells = nc, rounds = 2)
+      val trained4 = Similarity.trainedCentroids(f, nCells = nc, rounds = 4)
+      for ((cn, cents) <- Seq("seed" -> seeds, "trained-r2" -> trained,
+             "trained-r4" -> trained4);
+           (an, tl) <- Seq("flat" -> false, "two-level" -> true)) {
+        val m = mx(cents, tl)
+        println(f"DECOMP $dir $cn%-10s $an%-10s n=$n%7d nc=$nc%4d surv=${cents.length}%4d max=$m%6d ratio=${m.toDouble / (n.toDouble / nc)}%.2f")
+      }
+    }
     spark.stop()
   }
 }
