@@ -144,6 +144,11 @@ object SparkEntry {
     "q37_pii_redact"         -> ((s, d) => Corpus.piiRedactVerification(Tables(s, d).documents)),
     "q38_sample_stratified"  -> ((s, d) => Corpus.sampleStratified(Tables(s, d).documents)),
     "q59_source_mix"         -> ((s, d) => Corpus.sourceMix(Tables(s, d).documents)),
+    // q107: temperature-scaled LANGUAGE mixing (α = 0.5) — q59's LP
+    // with the target proportions derived from the observed counts by
+    // the multilingual sampling recipe; sqrt-composed weights keep the
+    // thresholds bit-identical across engines.
+    "q107_temperature_mix"   -> ((s, d) => Corpus.temperatureMix(Tables(s, d).documents)),
     "q40_pack_sequences"     -> ((s, d) => Corpus.packSequences(Tables(s, d).documents)),
     // q72: q40's sharded scale plan — shardSize 64 yields ~8 shards at
     // the grading SF, so the parallel path (not a degenerate one-shard
@@ -182,6 +187,11 @@ object SparkEntry {
     // q88: corpus token accounting per (source, lang) under the real
     // tokenizer measure — docs, tokens, token share.
     "q88_token_budget"       -> ((s, d) => TextOps.tokenBudget(Tables(s, d).documents)),
+    // q108: tokenizer fertility/compression per (source, lang) — the
+    // multilingual tokenizer-health table (subwords per word, chars
+    // per token), one scan + one group-cardinality agg
+    "q108_tokenizer_fertility" -> ((s, d) =>
+      TextOps.tokenizerFertility(Tables(s, d).documents)),
     "q44_tfidf_terms"        -> ((s, d) => TextOps.tfidfTopTerms(Tables(s, d).documents)),
     // q89: the serving form of a linear bag-of-words quality
     // classifier — broadcast model table, map-side weight lookup,
@@ -1489,6 +1499,20 @@ object SparkEntry {
         |      FROM documents)
         |SELECT b.doc_id, b.source, b.bucket FROM b JOIN r ON b.source = r.source
         |WHERE b.bucket < r.thr ORDER BY b.doc_id""".stripMargin,
+    // q107: temperature mixing replayed — w = sqrt(n) (correctly-
+    // rounded IEEE sqrt, bit-identical across engines), then q59's
+    // K·w/n·65536 left-associated floor chain verbatim
+    "q107_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS w FROM c),
+        |k AS (SELECT MIN(n / w) AS k FROM w),
+        |r AS (SELECT w.lang, CAST(FLOOR(k.k * w.w / w.n * 65536) AS INTEGER) AS thr
+        |      FROM w CROSS JOIN k),
+        |b AS (SELECT doc_id, lang,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS bucket
+        |      FROM documents)
+        |SELECT b.doc_id, b.lang, b.bucket FROM b JOIN r ON b.lang = r.lang
+        |WHERE b.bucket < r.thr ORDER BY b.doc_id""".stripMargin,
     // q39: the oracle is DuckDB's NATIVE ASOF JOIN — an independent
     // first-class implementation checking graft's union-and-sweep
     // encoding. Actions deduped per (user, ts) by MAX(event_id) so ties
@@ -1595,6 +1619,7 @@ object SparkEntry {
     "q84_bpe_encode_trained" -> bpeEncodeTrainedOracle,
     "q86_bpe_decode" -> bpeDecodeOracle,
     "q88_token_budget" -> tokenBudgetOracle,
+    "q108_tokenizer_fertility" -> tokenizerFertilityOracle,
     "q92_text_embed" -> textEmbedOracle,
     // s12 = q88's totals through the real micro-batch engine (share
     // column excluded — a batch-side derivation; nested aggs don't
@@ -2515,6 +2540,28 @@ object SparkEntry {
        |SELECT doc_id, $embS AS emb, CAST($nrm AS BIGINT) AS nrm2
        |FROM emb ORDER BY doc_id""".stripMargin
   }
+
+  /** q108: fertility/compression per (source, lang) — the q88 BPE
+    * recursive-CTE chain for subword counts, whitespace word counts
+    * from the same split the Spark side uses, chars from the table's
+    * n_chars column; ratios mirror Exact.dround. */
+  private def tokenizerFertilityOracle: String =
+    s"""WITH RECURSIVE
+       |$bpeCtes,
+       |dt AS (SELECT d.doc_id, CAST(SUM(t.n) AS BIGINT) AS n_tokens
+       |       FROM wf d JOIN tok t USING (word) GROUP BY d.doc_id),
+       |t2 AS (SELECT doc.source, doc.lang, doc.n_chars,
+       |         CAST(len(list_filter(string_split(doc.text, ' '), x -> x <> '')) AS BIGINT) AS ws,
+       |         COALESCE(dt.n_tokens, 0) AS nt
+       |       FROM documents doc LEFT JOIN dt USING (doc_id)),
+       |g AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |        CAST(SUM(ws) AS BIGINT) AS words, CAST(SUM(nt) AS BIGINT) AS tokens,
+       |        CAST(SUM(n_chars) AS BIGINT) AS chars
+       |      FROM t2 GROUP BY 1, 2)
+       |SELECT source, lang, n_docs, words, tokens, chars,
+       |       FLOOR(tokens / words * 10000.0 + 0.5) / 10000.0 AS fertility,
+       |       FLOOR(chars / tokens * 10000.0 + 0.5) / 10000.0 AS chars_per_token
+       |FROM g ORDER BY source, lang""".stripMargin
 
   /** s12: q88's per-(source, lang) doc/token totals — the streaming
     * meter's drained state must equal the batch aggregate exactly. */

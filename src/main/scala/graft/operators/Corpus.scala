@@ -168,6 +168,51 @@ object Corpus {
       .select("doc_id", "source", "bucket")
   }
 
+  /** q107: TEMPERATURE-scaled language mixing — q59 with the target
+    * proportions DERIVED from the observed per-language counts by the
+    * multilingual sampling recipe (mBERT / XLM-R / PaLM, public
+    * literature): sample language `l` proportional to `n_l^α` with
+    * α < 1, which upweights low-resource languages relative to their
+    * raw share. The closed form is q59's LP with `w_l = n_l^α`:
+    * `K = min_l(n_l / w_l) = min_l(n_l^{1−α})` — the SMALLEST language
+    * binds (kept whole), every larger one downsamples at rate
+    * `K·w_l/n_l = (n_min/n_l)^{1−α}`.
+    *
+    * α is restricted to quarters (`quarters`/4 ∈ {0.25, 0.5, 0.75},
+    * default 0.5 — the "T = 2" point of the recipe) so `n^α` stays a
+    * composition of IEEE-754 `sqrt`s — sqrt is CORRECTLY ROUNDED by
+    * the standard, so both engines compute bit-identical weights and
+    * the FLOOR'd 16-bit thresholds agree exactly (a free-α `pow(n, α)`
+    * goes through exp/ln, which no standard pins — the classic
+    * cross-engine transcendental trap). n^¼ = √√n, n^½ = √n,
+    * n^¾ = √n·√√n — each a chain of correctly-rounded ops.
+    *
+    * Same scale shape as q59: per-language counts are ONE partial-agg
+    * groupBy (language-cardinality rows), the min and thresholds stay
+    * in-plan, thresholds broadcast back onto the scan, and the q38
+    * md5 gate keeps membership a pure row function (re-runs reproduce
+    * the corpus, the oracle verifies row-for-row). */
+  def temperatureMix(documents: DataFrame, quarters: Int = 2): DataFrame = {
+    require(quarters >= 1 && quarters <= 3,
+      s"quarters must be 1..3 (α = quarters/4), got $quarters")
+    def pow4(n: Column): Column = quarters match {
+      case 1 => sqrt(sqrt(n))
+      case 2 => sqrt(n)
+      case 3 => sqrt(n) * sqrt(sqrt(n))
+    }
+    val counts = documents.groupBy("lang").agg(count(lit(1)).as("n"))
+    val w = counts.withColumn("w", pow4(col("n")))
+    val k = w.agg(min(col("n") / col("w")).as("k"))
+    val thr = w.crossJoin(k)
+      .select(col("lang"),
+        floor(col("k") * col("w") / col("n") * 65536).cast("int").as("thr"))
+    documents
+      .withColumn("bucket", bucket16)
+      .join(broadcast(thr), Seq("lang"))
+      .filter(col("bucket") < col("thr"))
+      .select("doc_id", "lang", "bucket")
+  }
+
   /** q40: token-budget sequence packing — assign documents to fixed
     * token-budget chunks (the planning step before concatenating docs
     * into training context windows), per language, in doc_id order.

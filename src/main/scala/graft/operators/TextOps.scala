@@ -188,6 +188,41 @@ object TextOps {
       .select("source", "lang", "n_docs", "tokens", "token_share")
   }
 
+  /** q108: TOKENIZER FERTILITY report — subword tokens per whitespace
+    * word (`fertility`) and characters per subword token
+    * (`chars_per_token`) per (source, lang): the standard tokenizer-
+    * health metrics a multilingual data pipeline tracks (fertility ≫ 1
+    * on a language means the tokenizer fragments it — that language
+    * pays more sequence budget per word and trains worse; compression
+    * in chars/token is the capacity the corpus actually buys). Public
+    * literature: fertility is the canonical cross-lingual tokenizer
+    * metric (ACL tokenizer-evaluation line of work); every BPE
+    * retraining decision starts from this table.
+    *
+    * One corpus scan: the q81 native BPE encode and the whitespace
+    * word count are both per-row expressions, then ONE
+    * (source, lang)-keyed partial agg — group-cardinality output.
+    * Ratios via `Exact.dround` (small-denominator rationals — the
+    * cross-engine round() trap). `chars` sums the table's `n_chars`
+    * column (data, not derived — the reference's file-size column
+    * convention). */
+  def tokenizerFertility(documents: DataFrame): DataFrame = {
+    val ws = size(filter(toks, t => t =!= "")).cast("long")
+    val bpe = size(graft.functions.Bpe.encode(col("text"))).cast("long")
+    documents
+      .select(col("source"), col("lang"), ws.as("ws"), bpe.as("nt"),
+        col("n_chars"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("ws").as("words"),
+        sum("nt").as("tokens"), sum("n_chars").as("chars"))
+      .withColumn("fertility",
+        graft.Exact.dround(col("tokens") / col("words")))
+      .withColumn("chars_per_token",
+        graft.Exact.dround(col("chars") / col("tokens")))
+      .select("source", "lang", "n_docs", "words", "tokens", "chars",
+        "fertility", "chars_per_token")
+  }
+
   /** q89: MODEL-based quality filter — the linear bag-of-words
     * document scorer every published data recipe ships between the
     * heuristic rules (q67) and the expensive passes: a fastText /

@@ -374,4 +374,33 @@ class BpeSpec extends SparkSpec {
     val shareSum = out.map(_.getDouble(4)).sum
     shareSum shouldBe 1.0 +- 0.01 // 4-dp rounding per group
   }
+
+  test("q108 fertility: known single-char corpus reads 1.0; totals match direct counts") {
+    import spark.implicits._
+    // every word is one char -> BPE emits one token per word:
+    // fertility exactly 1.0; chars_per_token = n_chars / tokens
+    val d = Seq((1L, "a b c", "en", "s0", 5L), (2L, "x y", "en", "s0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.tokenizerFertility(d).collect().head
+    r.getAs[Long]("n_docs") shouldBe 2L
+    r.getAs[Long]("words") shouldBe 5L
+    r.getAs[Long]("tokens") shouldBe 5L
+    r.getAs[Long]("chars") shouldBe 8L
+    r.getAs[Double]("fertility") shouldBe 1.0
+    r.getAs[Double]("chars_per_token") shouldBe 1.6 // dround(8/5)
+  }
+
+  test("q108 fertility on the real corpus: group totals match the direct encode") {
+    val out = TextOps.tokenizerFertility(tables.documents).collect()
+    out.length shouldBe tables.documents
+      .select("source", "lang").distinct().count().toInt
+    val perDoc: org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.size(Bpe.encode(col("text"))).cast("long")
+    val direct = tables.documents.select(perDoc.as("n"))
+      .agg(sum(col("n")).as("t")).collect().head.getLong(0)
+    out.map(_.getAs[Long]("tokens")).sum shouldBe direct
+    // fertility ≥ 1 everywhere: BPE can split words, never fuse across
+    // whitespace — the invariant the metric rests on
+    out.foreach(_.getAs[Double]("fertility") should be >= 1.0)
+  }
 }

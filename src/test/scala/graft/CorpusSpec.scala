@@ -100,6 +100,53 @@ class CorpusSpec extends SparkSpec {
     bySource("src2") should be < bySource("src1")
   }
 
+  test("q107 temperature mix: smallest language binds at α=0.5, larger ones gate at sqrt ratio") {
+    import spark.implicits._
+    // n_a = 16, n_b = 4; α = 0.5 → w = (4, 2); K = min(16/4, 4/2) = 2
+    // thr_a = floor(2·4/16·65536) = 32768 (EXACT arithmetic — 16 and 4
+    // are perfect squares, so the binding lang's rate is exactly 1.0
+    // and b keeps all docs including bucket ≥ 32768 ones)
+    val d = ((1L to 16L).map(i => (i, s"text $i", "aa")) ++
+      (20L to 23L).map(i => (i, s"text $i", "bb"))).toDF("doc_id", "text", "lang")
+    val out = Corpus.temperatureMix(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    out.filter(_._2 == "bb").map(_._1).sorted shouldBe Array(20L, 21L, 22L, 23L)
+    out.filter(_._2 == "aa").foreach(_._3 should be < 32768)
+  }
+
+  test("q107 temperature flattens the mixture: kept shares sit between raw and uniform") {
+    // real corpus: en dominates raw; after α=0.5 the kept-count ratio
+    // max/min must shrink vs the raw ratio (that is what temperature
+    // sampling is FOR) while staying above 1 (α < 1, not uniform).
+    val raw = tables.documents.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Corpus.temperatureMix(tables.documents).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    kept.keySet shouldBe raw.keySet
+    val rawRatio = raw.values.max.toDouble / raw.values.min
+    val keptRatio = kept.values.max.toDouble / kept.values.min
+    keptRatio should be < rawRatio
+    keptRatio should be > 1.0
+    // binding (smallest) language is kept whole — α=0.5 exactness note
+    val minLang = raw.minBy(_._2)._1
+    kept(minLang) shouldBe raw(minLang)
+  }
+
+  test("q107 α is quarters-only (sqrt-composable); out-of-range rejected") {
+    an[IllegalArgumentException] should be thrownBy
+      Corpus.temperatureMix(tables.documents, quarters = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Corpus.temperatureMix(tables.documents, quarters = 4)
+    // α = 0.25 flattens HARDER than α = 0.5 (closer to uniform)
+    val k25 = Corpus.temperatureMix(tables.documents, quarters = 1).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    val k50 = Corpus.temperatureMix(tables.documents, quarters = 2).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    val r25 = k25.values.max.toDouble / k25.values.min
+    val r50 = k50.values.max.toDouble / k50.values.min
+    r25 should be < r50
+  }
+
   test("q40 chunking: a doc starts in the chunk its running offset lands in") {
     // three docs of 5 tokens each, budget 8:
     // offsets 0, 5, 10 -> chunks 0, 0, 1
