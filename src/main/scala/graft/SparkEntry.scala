@@ -192,6 +192,12 @@ object SparkEntry {
     // per token), one scan + one group-cardinality agg
     "q108_tokenizer_fertility" -> ((s, d) =>
       TextOps.tokenizerFertility(Tables(s, d).documents)),
+    // q109: certified heavy hitters — exact top-20 tokens + in-plan
+    // certification of the native Misra-Gries mergeable sketch (the
+    // q51/q73 pattern applied to frequency; verdicts deterministic by
+    // the MG theorems, so the sketch path is hash-checkable)
+    "q109_heavy_hitters" -> ((s, d) =>
+      TextOps.heavyHittersCertified(Tables(s, d).documents)),
     "q44_tfidf_terms"        -> ((s, d) => TextOps.tfidfTopTerms(Tables(s, d).documents)),
     // q89: the serving form of a linear bag-of-words quality
     // classifier — broadcast model table, map-side weight lookup,
@@ -1620,6 +1626,19 @@ object SparkEntry {
     "q86_bpe_decode" -> bpeDecodeOracle,
     "q88_token_budget" -> tokenBudgetOracle,
     "q108_tokenizer_fertility" -> tokenizerFertilityOracle,
+    // q109: the exact top-20 recomputed; `certified` is TRUE by the
+    // Misra-Gries theorems (never-overestimate, N/c underestimate
+    // bound, guaranteed membership above N/c) REGARDLESS of Spark's
+    // partitioning/merge order — q51/q73's verdict convention, so a
+    // violated bound hash-mismatches here
+    "q109_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |           FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+        |e AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY tok),
+        |k AS (SELECT tok, cnt FROM e ORDER BY cnt DESC, tok LIMIT 20)
+        |SELECT k.tok, k.cnt, n.n, TRUE AS certified
+        |FROM k CROSS JOIN n ORDER BY cnt DESC, tok""".stripMargin,
     "q92_text_embed" -> textEmbedOracle,
     // s12 = q88's totals through the real micro-batch engine (share
     // column excluded — a batch-side derivation; nested aggs don't

@@ -223,6 +223,45 @@ object TextOps {
         "fertility", "chars_per_token")
   }
 
+  /** q109: CERTIFIED heavy hitters — the corpus's top-k tokens with an
+    * in-plan certification of the Misra–Gries mergeable sketch
+    * ([[graft.functions.Sketch.MisraGriesAgg]]), the q51/q73 pattern
+    * applied to FREQUENCY: the exact top-k is the certification
+    * baseline, the sketch is the declared 100 TB path (no token-keyed
+    * shuffle — per-partition summaries merge associatively at a single
+    * reduce, `counters` entries each, while the exact side shuffles
+    * every distinct token).
+    *
+    * Certified per top token (deterministically TRUE by the MG
+    * theorems, independent of partition count and merge order — which
+    * is what makes a partition-order-dependent sketch hash-checkable):
+    * if `cnt·c > N` the token MUST be in the summary with
+    * `est ≤ cnt` and `(cnt − est)·c ≤ N`; below that frequency the
+    * sketch makes no promise and the verdict is vacuously true. A
+    * violated bound emits `false` and fails the oracle compare — the
+    * fail-loud shape, not an assert.
+    *
+    * Scale: the exact baseline costs one (token)-keyed shuffle — the
+    * certification cost, exactly like q73's Expand. Production at
+    * 100 TB drops the exact side and keeps the sketch agg: one scan,
+    * map-side summaries, KB-scale merge. */
+  def heavyHittersCertified(documents: DataFrame, k: Int = 20,
+                            counters: Int = 64): DataFrame = {
+    val tokRows = documents
+      .select(explode(toks).as("tok")).filter(col("tok") =!= "")
+    val sk = tokRows.agg(
+      graft.functions.Sketch.misraGries(col("tok"), counters).as("mg"),
+      count(lit(1)).as("n"))
+    val topk = tokRows.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(k)
+    val est = element_at(col("mg"), col("tok"))
+    topk.crossJoin(broadcast(sk))
+      .select(col("tok"), col("cnt"), col("n"),
+        ((col("cnt") * counters <= col("n")) ||
+          (est.isNotNull && est <= col("cnt") &&
+            (col("cnt") - est) * counters <= col("n"))).as("certified"))
+  }
+
   /** q89: MODEL-based quality filter — the linear bag-of-words
     * document scorer every published data recipe ships between the
     * heuristic rules (q67) and the expensive passes: a fastText /
