@@ -149,6 +149,12 @@ object SparkEntry {
     // the multilingual sampling recipe; sqrt-composed weights keep the
     // thresholds bit-identical across engines.
     "q107_temperature_mix"   -> ((s, d) => Corpus.temperatureMix(Tables(s, d).documents)),
+    // q110: DSIR-style domain-match selection (Xie et al. 2023) —
+    // hashed-bigram bag models for target (src0) vs raw, per-doc
+    // importance score as an exact integer probability difference
+    // (decimal(38) / HUGEINT — the q95 no-logs rule), deterministic
+    // top-k instead of Gumbel sampling.
+    "q110_dsir_select"       -> ((s, d) => Corpus.domainSelect(Tables(s, d).documents)),
     "q40_pack_sequences"     -> ((s, d) => Corpus.packSequences(Tables(s, d).documents)),
     // q72: q40's sharded scale plan — shardSize 64 yields ~8 shards at
     // the grading SF, so the parallel path (not a degenerate one-shard
@@ -1519,6 +1525,32 @@ object SparkEntry {
         |      FROM documents)
         |SELECT b.doc_id, b.lang, b.bucket FROM b JOIN r ON b.lang = r.lang
         |WHERE b.bucket < r.thr ORDER BY b.doc_id""".stripMargin,
+    // q110: hashed-bigram bag models for target (src0) vs raw, weight
+    // per bucket = cnt_t·N_r − cnt_r·N_t in HUGEINT (the exact integer
+    // probability difference — no logs, q95's rule), deterministic
+    // top-100 on (score desc, doc_id). Featureless raw docs score 0
+    // via the LEFT join.
+    "q110_dsir_select" ->
+      """WITH t AS (SELECT doc_id, source, lang, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, source,
+        |        CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+        |          i -> CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1]), 1, 4)) AS INTEGER) % 256)
+        |        ELSE [] END AS bs FROM t),
+        |x AS (SELECT doc_id, source, unnest(bs) AS b FROM g),
+        |c AS (SELECT b, SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS cnt_t,
+        |             SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS cnt_r
+        |      FROM x GROUP BY 1),
+        |w AS (SELECT b, CAST(cnt_t AS HUGEINT) * (SELECT SUM(cnt_r) FROM c)
+        |             - CAST(cnt_r AS HUGEINT) * (SELECT SUM(cnt_t) FROM c) AS wgt
+        |      FROM c),
+        |sc AS (SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats, SUM(w.wgt) AS raw
+        |       FROM x JOIN w USING (b) WHERE x.source <> 'src0' GROUP BY 1)
+        |SELECT d.doc_id, d.source, d.lang,
+        |       COALESCE(sc.n_feats, 0) AS n_feats,
+        |       CAST(COALESCE(sc.raw, 0) AS DECIMAL(38,0)) AS score
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |WHERE d.source <> 'src0'
+        |ORDER BY score DESC, d.doc_id LIMIT 100""".stripMargin,
     // q39: the oracle is DuckDB's NATIVE ASOF JOIN — an independent
     // first-class implementation checking graft's union-and-sweep
     // encoding. Actions deduped per (user, ts) by MAX(event_id) so ties

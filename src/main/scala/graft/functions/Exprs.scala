@@ -193,7 +193,54 @@ object Exprs {
       copy(child = newChild)
   }
 
-  object Shingles { private val Space = UTF8String.fromString(" ") }
+  object Shingles { private[Exprs] val Space = UTF8String.fromString(" ") }
+
+  /** Word n-grams WITH multiplicity (the bag [[Shingles]] is the set
+    * of): positions 1 .. len−(n−1), in order, duplicates kept — what a
+    * bag-of-features model (q110's DSIR buckets) counts, where the
+    * dedup in [[Shingles]] would silently flatten every repeated
+    * phrase to weight 1. Same NULL/short-doc laws as Shingles: < n
+    * tokens → empty array, a window containing a NULL token is
+    * skipped (keeps containsNull=false honest). Native one-pass
+    * kernel for winnow's reason: the `transform(sequence(...))` HOF
+    * form evaluates interpretively per ELEMENT and re-evaluates the
+    * un-materialized `split` child per access — measured O(len²)
+    * per doc (3.4 s vs 0.3 s at the bench SF). */
+  case class Ngrams(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_ngrams"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectTypes(prettyName, Seq("array<string>" -> isStringArray),
+        Seq(child.dataType))
+
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(in: Any): Any = {
+      val toks = in.asInstanceOf[ArrayData]
+      val len = toks.numElements()
+      val m = len - (n - 1)
+      val out = new java.util.ArrayList[AnyRef](math.max(m, 0))
+      var i = 0
+      while (i < m) {
+        val parts = new Array[UTF8String](2 * n - 1)
+        var nullTok = false
+        var j = 0
+        while (j < n) {
+          if (j > 0) parts(2 * j - 1) = Shingles.Space
+          if (toks.isNullAt(i + j)) nullTok = true
+          else parts(2 * j) = toks.getUTF8String(i + j)
+          j += 1
+        }
+        if (!nullTok) out.add(UTF8String.concat(parts: _*))
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
 
   /** k Kirsch-Mitzenmacher min-hashes of a shingle set: ONE md5 per
     * shingle (not k) → the digest's two 64-bit halves, read
@@ -709,6 +756,9 @@ object Exprs {
 
   def shingles(tokens: Column, n: Int): Column =
     GraftShim.column(Shingles(GraftShim.expression(tokens), n))
+
+  def ngrams(tokens: Column, n: Int): Column =
+    GraftShim.column(Ngrams(GraftShim.expression(tokens), n))
 
   def minhashSig(shingles: Column, k: Int): Column =
     GraftShim.column(MinHashSig(GraftShim.expression(shingles), k))

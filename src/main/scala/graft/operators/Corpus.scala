@@ -213,6 +213,109 @@ object Corpus {
       .select("doc_id", "lang", "bucket")
   }
 
+  /** Hashed-bigram feature buckets for [[domainSelect]]: adjacent
+    * whitespace-token pairs, each md5-hashed to 16 bits and folded
+    * into `nBuckets` — the hashing-trick featurization DSIR uses
+    * (Xie et al. 2023 §3.1 hashes unigrams+bigrams into 10⁴ buckets;
+    * bigrams alone keep the oracle CTE one list_transform). Pure
+    * per-row array expression — zero shuffle, codegen'd. */
+  /** Exploded hashed-bigram buckets per document. The bigram walk is
+    * the native one-pass [[graft.functions.Exprs.Ngrams]] bag kernel
+    * (the `transform(sequence(...))` HOF form re-evaluates the
+    * un-materialized `split` child per element — O(len²)/doc,
+    * measured 10×); the md5/conv/pmod chain runs on the EXPLODED flat
+    * column, inside whole-stage codegen. */
+  private def bigramFeats(documents: DataFrame, nBuckets: Int,
+                          keepFeatureless: Boolean = false): DataFrame = {
+    val bag = graft.functions.Exprs.ngrams(split(col("text"), " "), 2)
+    val exploded =
+      if (keepFeatureless) explode_outer(bag) // empty bag → one NULL row
+      else explode(bag)
+    documents
+      .select(col("doc_id"), col("source"), col("lang"), exploded.as("bg"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        pmod(conv(substring(md5(col("bg").cast("binary")), 1, 4), 16, 10)
+          .cast("int"), lit(nBuckets)).as("b"))
+  }
+
+  /** q110: DSIR-style DOMAIN-MATCH SELECTION (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169 — public) — rank the raw pool by how much its
+    * hashed-bigram feature distribution looks like a TARGET domain,
+    * and keep the top `k`. The paper's recipe: featurize target and
+    * raw with hashed n-grams, fit a bag-of-features model for each,
+    * weight every raw document by the importance log-ratio
+    * `Σ_b c_b(x)·(log p̂_t[b] − log p̂_r[b])`, Gumbel-top-k sample.
+    * Canonical use: target = a small curated corpus (the paper uses
+    * Wikipedia+books), raw = the web crawl; here target is a SOURCE
+    * tag, the same role q59/q107 give the column.
+    *
+    * Two deliberate deviations from the paper, both load-bearing for
+    * the exactness contract:
+    *  1. the per-bucket weight is the scaled PROBABILITY DIFFERENCE
+    *     `cnt_t[b]·N_r − cnt_r[b]·N_t` (= `N_t·N_r·(p̂_t[b]−p̂_r[b])`,
+    *     an integer), not the log-ratio — q95's rationale: `ln` is
+    *     not bit-stable across engines, the cross-product compare IS
+    *     (decimal(38) here, HUGEINT in DuckDB), and no smoothing
+    *     constant is needed because nothing divides. Rankings differ
+    *     from the log-ratio's in general (documented, like q95's
+    *     sign-NB vs NB), but both order by "more target-like than
+    *     raw-like, feature by feature".
+    *  2. selection is deterministic top-k on `(score desc, doc_id)`
+    *     rather than Gumbel-sampled — the q38/q59 house rule that
+    *     corpus membership must be a pure function of the input so
+    *     re-runs reproduce the corpus and the oracle replays it
+    *     row-for-row.
+    *
+    * Scale shape: TWO corpus scans, both map-side partial aggs. Scan
+    * one explodes bigram buckets and computes per-bucket class counts
+    * in ONE `groupBy(b)` (trainModel's pos/neg trick — the target/raw
+    * split rides a `when`, not two jobs); the weight frame is
+    * `nBuckets` rows, totals ride a window over that KB-scale frame,
+    * and it BROADCASTS into scan two, where the per-document score is
+    * a partial-agg sum and TakeOrdered (per-partition top-k, then
+    * merge) picks the winners — no global sort, no driver data path.
+    * At 100 TB: counts fit long (< 9·10¹⁸ bigrams), products fit
+    * decimal(38) to ~10¹⁹-feature corpora, candidate cost is linear
+    * in the raw pool. Fails loudly when the target source contributes
+    * zero features (an inner-join would silently score everything
+    * `−cnt_r·N_t` and "select" the shortest documents). */
+  def domainSelect(documents: DataFrame, targetSource: String = "src0",
+                   k: Int = 100, nBuckets: Int = 256): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val isTarget = col("source") === targetSource
+    val feats = bigramFeats(documents, nBuckets)
+    val counts = feats.groupBy("b")
+      .agg(sum(when(isTarget, 1L).otherwise(0L)).as("cnt_t"),
+        sum(when(isTarget, 0L).otherwise(1L)).as("cnt_r"))
+    val w = Window.partitionBy() // nBuckets-row frame: single partition is the point
+    val weights = counts
+      .withColumn("n_t", sum("cnt_t").over(w))
+      .withColumn("n_r", sum("cnt_r").over(w))
+      .withColumn("n_t", when(col("n_t") === 0, raise_error(lit(
+        s"domainSelect: target source '$targetSource' contributed zero " +
+          "bigram features — nothing to match against; check the source " +
+          "tag or the target corpus"))).otherwise(col("n_t")))
+      .select(col("b"),
+        (col("cnt_t").cast("decimal(19,0)") * col("n_r").cast("decimal(19,0)") -
+          col("cnt_r").cast("decimal(19,0)") * col("n_t").cast("decimal(19,0)"))
+          .as("wgt"))
+    // explode_outer + LEFT weight join: a featureless doc (< 2 tokens)
+    // rides the SAME scan as a NULL-bucket row — count(b) gives it
+    // n_feats 0 and the coalesce scores it 0 — so no second corpus
+    // scan or doc_id re-join is needed to keep it in the pool
+    // (ex 5→4, scan 3→2 in the plan audit).
+    bigramFeats(documents, nBuckets, keepFeatureless = true)
+      .filter(!isTarget)
+      .join(broadcast(weights), Seq("b"), "left")
+      .groupBy("doc_id", "source", "lang")
+      .agg(count(col("b")).as("n_feats"),
+        sum(coalesce(col("wgt"), lit(0).cast("decimal(38,0)"))).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** q40: token-budget sequence packing — assign documents to fixed
     * token-budget chunks (the planning step before concatenating docs
     * into training context windows), per language, in doc_id order.

@@ -147,6 +147,65 @@ class CorpusSpec extends SparkSpec {
     r25 should be < r50
   }
 
+  private def srcDocs(rows: (Long, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, text, src) => (id, text, "en", src) }
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("q110 Ngrams kernel: bag semantics — duplicates kept, order preserved, short docs empty") {
+    import spark.implicits._
+    val r = Seq("a b a b", "solo", "x y")
+      .toDF("text")
+      .select(
+        graft.functions.Exprs.ngrams(F.split(F.col("text"), " "), 2).as("bag"),
+        graft.functions.Exprs.shingles(F.split(F.col("text"), " "), 2).as("set"))
+      .collect()
+    r(0).getSeq[String](0) shouldBe Seq("a b", "b a", "a b") // multiplicity KEPT
+    r(0).getSeq[String](1) shouldBe Seq("a b", "b a")        // Shingles dedupes
+    r(1).getSeq[String](0) shouldBe Seq.empty                // < n tokens
+    r(2).getSeq[String](0) shouldBe Seq("x y")
+  }
+
+  test("q110 ranks the target-bigram-sharing raw doc first, off-domain last") {
+    // target corpus is all "alpha beta" bigrams; raw doc 10 shares that
+    // bigram, 11 shares nothing, 12 is single-token (featureless → 0).
+    val d = srcDocs(
+      (1L, "alpha beta alpha beta", "src0"),
+      (2L, "alpha beta gamma", "src0"),
+      (10L, "alpha beta delta", "web"),
+      (11L, "epsilon zeta epsilon zeta", "web"),
+      (12L, "solo", "web"))
+    val out = Corpus.domainSelect(d, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDecimal(4)))
+    out.map(_._1) shouldBe Array(10L, 12L, 11L)
+    out(0)._2.signum shouldBe 1   // matches the target distribution
+    out(1)._2.signum shouldBe 0   // featureless: score exactly 0
+    out(2)._2.signum shouldBe -1  // pure raw-only mass: negative
+    // target rows never appear in the selection pool
+    out.map(_._1) should not contain 1L
+  }
+
+  test("q110 is deterministic and excludes the target source from the pool") {
+    val d = tables.documents
+    val a = Corpus.domainSelect(d, k = 20).collect()
+    val b = Corpus.domainSelect(d, k = 20).collect()
+    a.map(_.getLong(0)).toSeq shouldBe b.map(_.getLong(0)).toSeq
+    a.length shouldBe 20
+    a.foreach(_.getString(1) should not be "src0")
+    // emitted in rank order: scores non-increasing
+    val scores = a.map(_.getDecimal(4))
+    scores.sliding(2).foreach { p => p(0).compareTo(p(1)) should be >= 0 }
+  }
+
+  test("q110 fails loudly when the target source contributes no features") {
+    val d = srcDocs((1L, "only raw words here", "web"))
+    val ex = intercept[Exception] {
+      Corpus.domainSelect(d, targetSource = "ghost").collect()
+    }
+    ex.getMessage should include ("zero bigram features")
+  }
+
   test("q40 chunking: a doc starts in the chunk its running offset lands in") {
     // three docs of 5 tokens each, budget 8:
     // offsets 0, 5, 10 -> chunks 0, 0, 1
