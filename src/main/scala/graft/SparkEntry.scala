@@ -578,6 +578,20 @@ object SparkEntry {
       Streams.runToMemory(Streams.streamTokenMeter(docs),
         "s12_stream_token_meter", OutputMode.Complete())
     }),
+    // s16: continuous heavy-hitter monitoring — q109's MG summary as
+    // streaming state (one ≤64-entry buffer), drained Complete, then
+    // certified batch-side against the exact top-20 (q109's verdict
+    // expression; TRUE under any legal MG merge tree, so the oracle
+    // is q109's verbatim — the s11/s12 reuse convention).
+    "s16_stream_heavy_hitters" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
+      val sk = Streams.runToMemory(Streams.streamHeavyHitterSketch(docs),
+        "s16_stream_heavy_hitters", OutputMode.Complete())
+      TextOps.heavyHittersCertify(sk, Tables(s, d).documents)
+    }),
     "s04_stream_dedup"       -> ((s, d) => {
       import s.implicits._
       val schema = s.read.parquet(s"$d/documents.parquet").schema
@@ -1663,19 +1677,17 @@ object SparkEntry {
     // bound, guaranteed membership above N/c) REGARDLESS of Spark's
     // partitioning/merge order — q51/q73's verdict convention, so a
     // violated bound hash-mismatches here
-    "q109_heavy_hitters" ->
-      """WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
-        |           FROM documents),
-        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
-        |e AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY tok),
-        |k AS (SELECT tok, cnt FROM e ORDER BY cnt DESC, tok LIMIT 20)
-        |SELECT k.tok, k.cnt, n.n, TRUE AS certified
-        |FROM k CROSS JOIN n ORDER BY cnt DESC, tok""".stripMargin,
+    "q109_heavy_hitters" -> heavyHittersOracle,
     "q92_text_embed" -> textEmbedOracle,
     // s12 = q88's totals through the real micro-batch engine (share
     // column excluded — a batch-side derivation; nested aggs don't
     // stream), so the oracle is the same generated encode re-grouped.
     "s12_stream_token_meter" -> tokenMeterOracle,
+    // s16 = q109 through the real micro-batch engine: the streamed MG
+    // summary is partition/merge-order-dependent but its verdicts are
+    // not (the MG theorems), and the emitted columns are the exact
+    // top-k + totals — so the q109 oracle applies row-identically.
+    "s16_stream_heavy_hitters" -> heavyHittersOracle,
     "q42_rollup_report" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
         |       COUNT(*) AS n_events,
@@ -2613,6 +2625,20 @@ object SparkEntry {
        |       FLOOR(tokens / words * 10000.0 + 0.5) / 10000.0 AS fertility,
        |       FLOOR(chars / tokens * 10000.0 + 0.5) / 10000.0 AS chars_per_token
        |FROM g ORDER BY source, lang""".stripMargin
+
+  /** q109/s16: exact top-20 tokens + totals with `TRUE AS certified` —
+    * the MG verdicts are deterministically true under ANY legal
+    * update/merge tree over the same token multiset (the Misra–Gries
+    * theorems), batch two-phase agg and streaming state-store merge
+    * alike, so one oracle covers both paths. */
+  private def heavyHittersOracle: String =
+    """WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |           FROM documents),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+      |e AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY tok),
+      |k AS (SELECT tok, cnt FROM e ORDER BY cnt DESC, tok LIMIT 20)
+      |SELECT k.tok, k.cnt, n.n, TRUE AS certified
+      |FROM k CROSS JOIN n ORDER BY cnt DESC, tok""".stripMargin
 
   /** s12: q88's per-(source, lang) doc/token totals — the streaming
     * meter's drained state must equal the batch aggregate exactly. */

@@ -252,10 +252,25 @@ object TextOps {
     val sk = tokRows.agg(
       graft.functions.Sketch.misraGries(col("tok"), counters).as("mg"),
       count(lit(1)).as("n"))
+    heavyHittersCertify(sk, documents, k, counters)
+  }
+
+  /** The certification half of [[heavyHittersCertified]], factored so
+    * a summary built ELSEWHERE — s16's streaming-stateful-agg sketch,
+    * a summary merged across shards — certifies through the identical
+    * verdict expression: exact top-`k` from `documents` (the
+    * certification baseline), MG bounds checked against the supplied
+    * `(mg, n)` single-row frame. The verdicts are TRUE for any summary
+    * produced by a legal MG update/merge tree over the same token
+    * multiset — which is exactly why s16 can share q109's oracle. */
+  def heavyHittersCertify(sketch: DataFrame, documents: DataFrame,
+                          k: Int = 20, counters: Int = 64): DataFrame = {
+    val tokRows = documents
+      .select(explode(toks).as("tok")).filter(col("tok") =!= "")
     val topk = tokRows.groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(k)
     val est = element_at(col("mg"), col("tok"))
-    topk.crossJoin(broadcast(sk))
+    topk.crossJoin(broadcast(sketch))
       .select(col("tok"), col("cnt"), col("n"),
         ((col("cnt") * counters <= col("n")) ||
           (est.isNotNull && est <= col("cnt") &&

@@ -872,6 +872,33 @@ object Streams {
     * row-identical to the batch q88 aggregate minus the share column
     * (a batch-side derivation over the emitted totals — nested aggs
     * don't stream), which is how the oracle checks it. */
+  /** s16: continuous HEAVY-HITTER monitoring — q109's Misra–Gries
+    * summary riding the engine's STATEFUL-AGG path: every micro-batch
+    * of landed documents folds its tokens into one persistent sketch
+    * buffer (state = a single ≤`counters`-entry summary, KBs at any
+    * corpus scale — the same group-cardinality state law as s12), so
+    * "what's flooding the intake" is a live answer instead of a
+    * nightly recount. No watermark (the summary never expires);
+    * Complete mode re-emits the one-row summary per trigger.
+    *
+    * The cross-batch path IS the MG merge: per batch the engine
+    * map-side-updates partial summaries, merges them into the stored
+    * buffer, and the Agarwal et al. reduction keeps the buffer ≤
+    * `counters` entries with the N/(c+1) bound intact — the summary
+    * after draining n batches is a legal MG summary of the full token
+    * multiset, so [[graft.operators.TextOps.heavyHittersCertify]]'s
+    * verdicts over it are deterministically TRUE and s16 shares
+    * q109's oracle verbatim (the s11/s12 reuse convention; the
+    * certification is the declared query's batch-side derivation,
+    * like s12's share column — nested aggs don't stream). */
+  def streamHeavyHitterSketch(documents: DataFrame,
+                              counters: Int = 64): DataFrame =
+    documents
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .agg(graft.functions.Sketch.misraGries(col("tok"), counters).as("mg"),
+        count(lit(1)).as("n"))
+
   def streamTokenMeter(documents: DataFrame): DataFrame =
     documents.select(col("source"), col("lang"),
         org.apache.spark.sql.functions.size(

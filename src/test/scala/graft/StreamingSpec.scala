@@ -251,6 +251,36 @@ class StreamingSpec extends SparkSpec {
     rows shouldBe Set(("s1", "en", 2L, 5L), ("s2", "de", 1L, 4L))
   }
 
+  test("s16 heavy-hitter sketch: state merges across micro-batches and the MG bounds hold") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val b1 = "hh hh hh hh hh aa bb"          // 7 tokens, hh ×5
+    val b2 = "hh hh hh hh cc dd ee ff gg"    // 9 tokens, hh ×4
+    in.addData((1L, b1))
+    in.addData((2L, b2)) // second batch: distincts exceed counters → eviction + merge reduction
+    val q = Streams.streamHeavyHitterSketch(
+        in.toDF().toDF("doc_id", "text"), counters = 4)
+      .writeStream.format("memory").queryName("s16_e2e")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val row = spark.table("s16_e2e").collect().head
+    val mg = row.getAs[Map[String, Long]]("mg")
+    row.getAs[Long]("n") shouldBe 16L
+    mg.size should be <= 4
+    // hh (count 9) > N/(c+1) = 3.2 → MUST survive the cross-batch
+    // merge with est ≤ 9 and underestimate ≤ N/(c+1)
+    mg.contains("hh") shouldBe true
+    mg("hh") should be <= 9L
+    (9L - mg("hh")).toDouble should be <= 16.0 / 5
+    // and the drained sketch certifies through q109's verdict expression
+    val docs = Seq((1L, b1, "en"), (2L, b2, "en")).toDF("doc_id", "text", "lang")
+    val cert = graft.operators.TextOps.heavyHittersCertify(
+      spark.table("s16_e2e"), docs, k = 5, counters = 4).collect()
+    cert.length shouldBe 5
+    cert.foreach(_.getAs[Boolean]("certified") shouldBe true)
+  }
+
   test("s13 perceptual image dedup: a re-encoded copy in a LATER batch still drops") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
