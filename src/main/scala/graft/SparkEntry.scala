@@ -155,6 +155,12 @@ object SparkEntry {
     // (decimal(38) / HUGEINT — the q95 no-logs rule), deterministic
     // top-k instead of Gumbel sampling.
     "q110_dsir_select"       -> ((s, d) => Corpus.domainSelect(Tables(s, d).documents)),
+    // q111: pairwise source-distribution divergence (total variation
+    // over hashed-unigram buckets) — the corpus-drift diagnostic run
+    // before re-deriving mixture weights; exact integer numerator +
+    // one IEEE division (TVD is rational; KL's logs are not
+    // bit-stable, q95's rule).
+    "q111_source_divergence" -> ((s, d) => Corpus.sourceDivergence(Tables(s, d).documents)),
     "q40_pack_sequences"     -> ((s, d) => Corpus.packSequences(Tables(s, d).documents)),
     // q72: q40's sharded scale plan — shardSize 64 yields ~8 shards at
     // the grading SF, so the parallel path (not a degenerate one-shard
@@ -1565,6 +1571,30 @@ object SparkEntry {
         |FROM documents d LEFT JOIN sc USING (doc_id)
         |WHERE d.source <> 'src0'
         |ORDER BY score DESC, d.doc_id LIMIT 100""".stripMargin,
+    // q111: densified (source × observed bucket) count frame, pair
+    // TVD over the common denominator — HUGEINT numerator summed
+    // exactly, den = 2·N_a·N_b, tvd = one double division of the two.
+    "q111_source_divergence" ->
+      """WITH tk AS (SELECT source,
+        |        CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) % 256 AS b
+        |      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |            FROM documents)),
+        |c AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY 1, 2),
+        |d AS (SELECT s.source, bu.b, COALESCE(c.cnt, 0) AS cnt
+        |      FROM (SELECT DISTINCT source FROM c) s
+        |      CROSS JOIN (SELECT DISTINCT b FROM c) bu
+        |      LEFT JOIN c USING (source, b)),
+        |w AS (SELECT source, b, cnt, SUM(cnt) OVER (PARTITION BY source) AS n FROM d),
+        |p AS (SELECT a.source AS src_a, x.source AS src_b, a.b,
+        |             a.cnt AS ca, a.n AS na, x.cnt AS cb, x.n AS nb
+        |      FROM w a JOIN w x ON a.b = x.b WHERE a.source < x.source)
+        |SELECT src_a, src_b,
+        |       CAST(SUM(ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na))
+        |            AS DECIMAL(38,0)) AS num,
+        |       CAST(2 * CAST(na AS HUGEINT) * nb AS DECIMAL(38,0)) AS den,
+        |       CAST(SUM(ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS DOUBLE)
+        |         / CAST(2 * CAST(na AS HUGEINT) * nb AS DOUBLE) AS tvd
+        |FROM p GROUP BY src_a, src_b, na, nb ORDER BY src_a, src_b""".stripMargin,
     // q39: the oracle is DuckDB's NATIVE ASOF JOIN — an independent
     // first-class implementation checking graft's union-and-sweep
     // encoding. Actions deduped per (user, ts) by MAX(event_id) so ties

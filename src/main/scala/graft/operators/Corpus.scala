@@ -316,6 +316,66 @@ object Corpus {
       .limit(k)
   }
 
+  /** q111: pairwise SOURCE-DISTRIBUTION DIVERGENCE — total-variation
+    * distance between every two sources' hashed-unigram token
+    * distributions: TVD(s,t) = ½·Σ_b |p̂_s[b] − p̂_t[b]|. The standard
+    * corpus-drift / mixture diagnostic ("is src3 still the same kind
+    * of text as src7", "did the new crawl shift") a pipeline runs
+    * before re-deriving mixture weights (q59/q107) — and TVD, not KL,
+    * because KL needs logs (not bit-stable cross-engine, q95's rule)
+    * and is infinite on disjoint support, while TVD is a RATIONAL:
+    * over the common denominator, TVD = Σ_b |c_s[b]·N_t − c_t[b]·N_s|
+    * / (2·N_s·N_t) — an exact integer numerator (decimal(38)/HUGEINT)
+    * and ONE IEEE division, both emitted so the hash check pins the
+    * integers and the double alike.
+    *
+    * Tokens fold into `nBuckets` md5 buckets (q110's featurization,
+    * unigram flavor): the distribution frame is |sources|·nBuckets
+    * rows — KBs — so everything past the first partial agg is
+    * index-metadata-scale regardless of corpus size. Missing buckets
+    * matter (|0 − p̂_t[b]| still contributes), so the sparse counts
+    * frame is DENSIFIED (sources × observed buckets, absent → 0)
+    * before the bucket-keyed pair join; `source < source` keeps each
+    * unordered pair once. One corpus scan, one partial agg; the pair
+    * pass costs |S|²·nBuckets rows on a KB frame — `source` is the
+    * mixture-level tag (10s–100s of values, q59's contract), not a
+    * domain key. */
+  def sourceDivergence(documents: DataFrame, nBuckets: Int = 256): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    // counts is |sources|·nBuckets rows (KBs) but is consumed THREE
+    // times (densify needs its source set, bucket set, and the counts
+    // themselves) — localCheckpoint pins it so the corpus scan+explode
+    // runs ONCE, not per branch (the q75/q97 diamond rule; unpinned
+    // this plan read the corpus 3× — scan=6 in the audit).
+    val counts = documents
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("source"),
+        pmod(conv(substring(md5(col("tok").cast("binary")), 1, 4), 16, 10)
+          .cast("int"), lit(nBuckets)).as("b"))
+      .groupBy("source", "b").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val dense = counts.select("source").distinct()
+      .crossJoin(counts.select("b").distinct())
+      .join(counts, Seq("source", "b"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("source")))
+    val a = dense.select(col("source").as("src_a"), col("b"),
+      col("cnt").as("ca"), col("n").as("na"))
+    val bSide = dense.select(col("source").as("src_b"), col("b"),
+      col("cnt").as("cb"), col("n").as("nb"))
+    val d19 = "decimal(19,0)"
+    a.join(broadcast(bSide), Seq("b"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b", "na", "nb")
+      .agg(sum(abs(
+        col("ca").cast(d19) * col("nb").cast(d19) -
+          col("cb").cast(d19) * col("na").cast(d19))).as("num"))
+      .select(col("src_a"), col("src_b"), col("num"),
+        (lit(2).cast(d19) * col("na").cast(d19) * col("nb").cast(d19))
+          .cast("decimal(38,0)").as("den"))
+      .withColumn("tvd", col("num").cast("double") / col("den").cast("double"))
+  }
+
   /** q40: token-budget sequence packing — assign documents to fixed
     * token-budget chunks (the planning step before concatenating docs
     * into training context windows), per language, in doc_id order.

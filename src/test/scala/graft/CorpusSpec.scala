@@ -206,6 +206,36 @@ class CorpusSpec extends SparkSpec {
     ex.getMessage should include ("zero bigram features")
   }
 
+  test("q111 TVD: disjoint sources hit 1, proportional sources hit exactly 0") {
+    // A and B share token shape (2:1 mix of x/y at different sizes) →
+    // the integer cross-products cancel EXACTLY (|2·6−4·3|=0); C is
+    // token-disjoint from both → TVD 1. Integer numerators, no
+    // rounding anywhere.
+    val d = srcDocs(
+      (1L, "x x y", "A"),
+      (2L, "x x x x y y", "B"),
+      (3L, "z w z w", "C"))
+    val rows = Corpus.sourceDivergence(d).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getDecimal(2), r.getDecimal(3), r.getDouble(4)))).toMap
+    rows.keySet shouldBe Set(("A", "B"), ("A", "C"), ("B", "C"))
+    rows(("A", "B"))._1.signum shouldBe 0     // exact zero numerator
+    rows(("A", "B"))._3 shouldBe 0.0
+    rows(("A", "C"))._3 shouldBe 1.0          // disjoint support
+    rows(("B", "C"))._3 shouldBe 1.0
+  }
+
+  test("q111 TVD: a hand-computed partial overlap, missing buckets counted") {
+    // A = {x:2, y:1} (n=3), B = {x:1, z:1} (n=2)
+    // TVD = ½(|2/3−1/2| + |1/3−0| + |0−1/2|) = ½(1/6+1/3+1/2) = 1/2
+    // numerator over common den: |2·2−1·3| + |1·2−0| + |0−1·3| = 6; den = 12
+    val d = srcDocs((1L, "x x y", "A"), (2L, "x z", "B"))
+    val r = Corpus.sourceDivergence(d).collect().head
+    r.getDecimal(2).longValueExact() shouldBe 6L
+    r.getDecimal(3).longValueExact() shouldBe 12L
+    r.getDouble(4) shouldBe 0.5
+  }
+
   test("q40 chunking: a doc starts in the chunk its running offset lands in") {
     // three docs of 5 tokens each, budget 8:
     // offsets 0, 5, 10 -> chunks 0, 0, 1
