@@ -161,6 +161,11 @@ object SparkEntry {
     // one IEEE division (TVD is rational; KL's logs are not
     // bit-stable, q95's rule).
     "q111_source_divergence" -> ((s, d) => Corpus.sourceDivergence(Tables(s, d).documents)),
+    // q112: epoch-factor mixing — the published mixture-table recipe
+    // (fractional epochs per source) materialized as a deterministic
+    // training-plan multiset: floor(e) full epochs + the q38 md5 gate
+    // for the fraction; unlisted sources pass through at one epoch.
+    "q112_epoch_mix"         -> ((s, d) => Corpus.epochMix(Tables(s, d).documents)),
     "q40_pack_sequences"     -> ((s, d) => Corpus.packSequences(Tables(s, d).documents)),
     // q72: q40's sharded scale plan — shardSize 64 yields ~8 shards at
     // the grading SF, so the parallel path (not a degenerate one-shard
@@ -1595,6 +1600,7 @@ object SparkEntry {
         |       CAST(SUM(ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS DOUBLE)
         |         / CAST(2 * CAST(na AS HUGEINT) * nb AS DOUBLE) AS tvd
         |FROM p GROUP BY src_a, src_b, na, nb ORDER BY src_a, src_b""".stripMargin,
+    "q112_epoch_mix" -> epochMixOracle,
     // q39: the oracle is DuckDB's NATIVE ASOF JOIN — an independent
     // first-class implementation checking graft's union-and-sweep
     // encoding. Actions deduped per (user, ts) by MAX(event_id) so ties
@@ -2655,6 +2661,27 @@ object SparkEntry {
        |       FLOOR(tokens / words * 10000.0 + 0.5) / 10000.0 AS fertility,
        |       FLOOR(chars / tokens * 10000.0 + 0.5) / 10000.0 AS chars_per_token
        |FROM g ORDER BY source, lang""".stripMargin
+
+  /** q112: the epoch-factor recipe spliced from the SAME Scala value
+    * the Spark side reads ([[graft.operators.Corpus.DefaultEpochs]] —
+    * the generated-oracle single-source-of-truth convention); floor(e)
+    * full epochs + the 16-bit md5 gate for the fraction, unlisted
+    * sources at exactly one epoch (frac = 0 → gate never fires). */
+  private def epochMixOracle: String = {
+    val vals = graft.operators.Corpus.DefaultEpochs
+      .map { case (s, e) => s"('$s', $e)" }.mkString(", ")
+    s"""WITH f(source, ep) AS (SELECT * FROM (VALUES $vals) t(source, ep)),
+       |d AS (SELECT doc_id, dd.source, lang,
+       |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS bucket,
+       |        COALESCE(f.ep, 1.0) AS ep
+       |      FROM documents dd LEFT JOIN f ON dd.source = f.source),
+       |r AS (SELECT doc_id, source, lang,
+       |        CAST(FLOOR(ep) + CASE WHEN bucket < FLOOR((ep - FLOOR(ep)) * 65536)
+       |          THEN 1 ELSE 0 END AS INTEGER) AS reps
+       |      FROM d)
+       |SELECT doc_id, source, lang, CAST(unnest(range(0, reps)) AS INTEGER) AS epoch
+       |FROM r WHERE reps >= 1 ORDER BY doc_id, epoch""".stripMargin
+  }
 
   /** q109/s16: exact top-20 tokens + totals with `TRUE AS certified` —
     * the MG verdicts are deterministically true under ANY legal

@@ -376,6 +376,56 @@ object Corpus {
       .withColumn("tvd", col("num").cast("double") / col("den").cast("double"))
   }
 
+  /** q112's default recipe: a few sources upsampled past one epoch,
+    * one heavily downsampled — the shape of every published mixture
+    * table (curated corpora repeat, bulk crawl gets a fraction). */
+  private[graft] val DefaultEpochs: Seq[(String, Double)] =
+    Seq("src0" -> 2.5, "src1" -> 1.25, "src2" -> 0.5)
+
+  /** q112: EPOCH-FACTOR mixing — materialize the training-plan
+    * multiset for a mixture recipe where sources repeat a FRACTIONAL
+    * number of epochs (the published-recipe convention: LLaMA's
+    * mixture table samples Wikipedia/Books ~2.45/2.23 epochs and
+    * C4/CC under one — Touvron et al. 2023, public; GPT-3's table is
+    * the same shape). Every document of source `s` with factor `e`
+    * emits `floor(e)` full-epoch rows plus one more iff its q38
+    * 16-bit md5 gate falls under `frac(e)` — so the corpus-level
+    * expectation is exactly `e` epochs while membership stays a PURE
+    * ROW FUNCTION: re-runs reproduce the plan, adding data never
+    * flips existing rows, and the oracle replays row-for-row (the
+    * q38/q59/q107 house rule; sampling WITH replacement via RNG
+    * would be none of those). Sources not in the recipe pass through
+    * at exactly one epoch (the "everything else once" convention of
+    * the published tables — and the fail-safe default: an unlisted
+    * source surfaces in the output at its raw size, never silently
+    * vanishes).
+    *
+    * Output: one row per (doc_id, epoch) — `epoch` is the repeat
+    * ordinal, so downstream packing (q40/q82) can shard by epoch and
+    * a drop of epoch k for one doc never renumbers another's rows.
+    *
+    * Scale: one scan, recipe as a broadcast-free literal CASE chain
+    * (q38's rationale), per-row explode of a `reps`-length sequence
+    * (≤ ⌈max e⌉ rows/doc), zero shuffle. */
+  def epochMix(documents: DataFrame,
+               epochs: Seq[(String, Double)] = DefaultEpochs): DataFrame = {
+    require(epochs.forall(_._2 >= 0), "epoch factors must be >= 0")
+    val ep = epochs.foldLeft(lit(1.0)) { case (acc, (s, e)) =>
+      when(col("source") === s, lit(e)).otherwise(acc)
+    }
+    documents
+      .select(col("doc_id"), col("source"), col("lang"), bucket16.as("bucket"),
+        ep.as("ep"))
+      .withColumn("reps",
+        (floor(col("ep")) +
+          when(col("bucket") <
+            floor((col("ep") - floor(col("ep"))) * 65536), 1L)
+            .otherwise(0L)).cast("int"))
+      .filter(col("reps") >= 1) // sequence(0, -1) would DESCEND, not empty
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(sequence(lit(0), col("reps") - 1)).as("epoch"))
+  }
+
   /** q40: token-budget sequence packing — assign documents to fixed
     * token-budget chunks (the planning step before concatenating docs
     * into training context windows), per language, in doc_id order.

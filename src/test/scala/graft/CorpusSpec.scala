@@ -236,6 +236,41 @@ class CorpusSpec extends SparkSpec {
     r.getDouble(4) shouldBe 0.5
   }
 
+  test("q112 epoch mix: integer factors repeat exactly, fractions gate, unlisted pass once") {
+    import spark.implicits._
+    val d = srcDocs(
+      (1L, "t", "twice"), (2L, "t", "twice"),
+      (3L, "t", "half"), (4L, "t", "half"),
+      (5L, "t", "ghost")) // unlisted → exactly one epoch
+    val out = Corpus.epochMix(d, Seq("twice" -> 2.0, "half" -> 0.5)).collect()
+      .map(r => (r.getLong(0), r.getInt(3)))
+    // integer factor: every doc exactly floor(2.0)=2 rows, epochs 0 and 1
+    out.filter(_._1 == 1L).map(_._2).sorted shouldBe Array(0, 1)
+    out.filter(_._1 == 2L).map(_._2).sorted shouldBe Array(0, 1)
+    // fractional: each doc gets 0 or 1 rows by its md5 gate
+    out.filter(t => t._1 == 3L || t._1 == 4L).foreach(_._2 shouldBe 0)
+    // unlisted source: exactly one epoch, never dropped
+    out.filter(_._1 == 5L).map(_._2) shouldBe Array(0)
+  }
+
+  test("q112 epoch mix: corpus-level rates approach the factors and re-runs are identical") {
+    val d = tables.documents
+    val a = Corpus.epochMix(d).collect().map(r => (r.getLong(0), r.getInt(3))).sorted
+    val b = Corpus.epochMix(d).collect().map(r => (r.getLong(0), r.getInt(3))).sorted
+    a shouldBe b
+    val bySource = Corpus.epochMix(d).groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val raw = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // src0 ×2.5: between 2× and 3×; src2 ×0.5: strictly fewer than raw
+    bySource("src0").toDouble / raw("src0") should (be >= 2.0 and be <= 3.0)
+    bySource("src2") should be < raw("src2")
+    // unlisted sources exactly once
+    (raw.keySet -- Set("src0", "src1", "src2")).foreach { s =>
+      bySource(s) shouldBe raw(s)
+    }
+  }
+
   test("q40 chunking: a doc starts in the chunk its running offset lands in") {
     // three docs of 5 tokens each, budget 8:
     // offsets 0, 5, 10 -> chunks 0, 0, 1
