@@ -603,6 +603,19 @@ object SparkEntry {
         "s16_stream_heavy_hitters", OutputMode.Complete())
       TextOps.heavyHittersCertify(sk, Tables(s, d).documents)
     }),
+    // s17: live drift monitor — q111's (source, bucket) histogram as
+    // streaming state, drained Complete, TVD derived batch-side over
+    // the drained counts (they equal the batch counts row-for-row —
+    // the s12 accumulate law) so the q111 oracle applies verbatim.
+    "s17_stream_drift" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
+      val counts = Streams.runToMemory(Streams.streamSourceHistogram(docs),
+        "s17_stream_drift", OutputMode.Complete())
+      Corpus.divergenceFromCounts(counts.localCheckpoint())
+    }),
     "s04_stream_dedup"       -> ((s, d) => {
       import s.implicits._
       val schema = s.read.parquet(s"$d/documents.parquet").schema
@@ -1579,27 +1592,7 @@ object SparkEntry {
     // q111: densified (source × observed bucket) count frame, pair
     // TVD over the common denominator — HUGEINT numerator summed
     // exactly, den = 2·N_a·N_b, tvd = one double division of the two.
-    "q111_source_divergence" ->
-      """WITH tk AS (SELECT source,
-        |        CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) % 256 AS b
-        |      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
-        |            FROM documents)),
-        |c AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY 1, 2),
-        |d AS (SELECT s.source, bu.b, COALESCE(c.cnt, 0) AS cnt
-        |      FROM (SELECT DISTINCT source FROM c) s
-        |      CROSS JOIN (SELECT DISTINCT b FROM c) bu
-        |      LEFT JOIN c USING (source, b)),
-        |w AS (SELECT source, b, cnt, SUM(cnt) OVER (PARTITION BY source) AS n FROM d),
-        |p AS (SELECT a.source AS src_a, x.source AS src_b, a.b,
-        |             a.cnt AS ca, a.n AS na, x.cnt AS cb, x.n AS nb
-        |      FROM w a JOIN w x ON a.b = x.b WHERE a.source < x.source)
-        |SELECT src_a, src_b,
-        |       CAST(SUM(ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na))
-        |            AS DECIMAL(38,0)) AS num,
-        |       CAST(2 * CAST(na AS HUGEINT) * nb AS DECIMAL(38,0)) AS den,
-        |       CAST(SUM(ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS DOUBLE)
-        |         / CAST(2 * CAST(na AS HUGEINT) * nb AS DOUBLE) AS tvd
-        |FROM p GROUP BY src_a, src_b, na, nb ORDER BY src_a, src_b""".stripMargin,
+    "q111_source_divergence" -> sourceDivergenceOracle,
     "q112_epoch_mix" -> epochMixOracle,
     // q39: the oracle is DuckDB's NATIVE ASOF JOIN — an independent
     // first-class implementation checking graft's union-and-sweep
@@ -1724,6 +1717,10 @@ object SparkEntry {
     // not (the MG theorems), and the emitted columns are the exact
     // top-k + totals — so the q109 oracle applies row-identically.
     "s16_stream_heavy_hitters" -> heavyHittersOracle,
+    // s17 = q111 through the real micro-batch engine: drained
+    // (source, bucket) state equals the batch counts row-for-row, so
+    // the densify+TVD tail emits q111's exact output.
+    "s17_stream_drift" -> sourceDivergenceOracle,
     "q42_rollup_report" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
         |       COUNT(*) AS n_events,
@@ -2682,6 +2679,34 @@ object SparkEntry {
        |SELECT doc_id, source, lang, CAST(unnest(range(0, reps)) AS INTEGER) AS epoch
        |FROM r WHERE reps >= 1 ORDER BY doc_id, epoch""".stripMargin
   }
+
+  /** q111/s17: densified (source × observed bucket) counts, pairwise
+    * TVD over the common denominator — HUGEINT numerator summed
+    * exactly, den = 2·N_a·N_b, tvd = ONE double division of the two.
+    * s17 shares it verbatim: the drained streaming state equals the
+    * batch counts row-for-row, so the densify+TVD tail emits q111's
+    * exact output. */
+  private def sourceDivergenceOracle: String =
+    """WITH tk AS (SELECT source,
+      |        CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) % 256 AS b
+      |      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents)),
+      |c AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY 1, 2),
+      |d AS (SELECT s.source, bu.b, COALESCE(c.cnt, 0) AS cnt
+      |      FROM (SELECT DISTINCT source FROM c) s
+      |      CROSS JOIN (SELECT DISTINCT b FROM c) bu
+      |      LEFT JOIN c USING (source, b)),
+      |w AS (SELECT source, b, cnt, SUM(cnt) OVER (PARTITION BY source) AS n FROM d),
+      |p AS (SELECT a.source AS src_a, x.source AS src_b, a.b,
+      |             a.cnt AS ca, a.n AS na, x.cnt AS cb, x.n AS nb
+      |      FROM w a JOIN w x ON a.b = x.b WHERE a.source < x.source)
+      |SELECT src_a, src_b,
+      |       CAST(SUM(ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na))
+      |            AS DECIMAL(38,0)) AS num,
+      |       CAST(2 * CAST(na AS HUGEINT) * nb AS DECIMAL(38,0)) AS den,
+      |       CAST(SUM(ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS DOUBLE)
+      |         / CAST(2 * CAST(na AS HUGEINT) * nb AS DOUBLE) AS tvd
+      |FROM p GROUP BY src_a, src_b, na, nb ORDER BY src_a, src_b""".stripMargin
 
   /** q109/s16: exact top-20 tokens + totals with `TRUE AS certified` —
     * the MG verdicts are deterministically true under ANY legal

@@ -347,13 +347,31 @@ object Corpus {
     // themselves) — localCheckpoint pins it so the corpus scan+explode
     // runs ONCE, not per branch (the q75/q97 diamond rule; unpinned
     // this plan read the corpus 3× — scan=6 in the audit).
-    val counts = documents
+    val counts = tokenBucketCounts(documents, nBuckets).localCheckpoint()
+    divergenceFromCounts(counts)
+  }
+
+  /** q111's first half, shared with s17's streaming state: per-source
+    * hashed-unigram bucket counts — ONE scan, one partial agg,
+    * |sources|·nBuckets output rows. In a stream this exact frame is
+    * the stateful agg (state = the same KB-scale rows), which is why
+    * the drained s17 counts equal the batch counts row-for-row (the
+    * s12 accumulate law) and the TVD tail below applies unchanged. */
+  private[graft] def tokenBucketCounts(documents: DataFrame,
+                                       nBuckets: Int = 256): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    documents
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .select(col("source"),
         pmod(conv(substring(md5(col("tok").cast("binary")), 1, 4), 16, 10)
           .cast("int"), lit(nBuckets)).as("b"))
       .groupBy("source", "b").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+  }
+
+  /** q111's second half: densify + pairwise exact-rational TVD over a
+    * `(source, b, cnt)` counts frame (KB-scale — batch-derived or
+    * drained from s17's stream state). */
+  private[graft] def divergenceFromCounts(counts: DataFrame): DataFrame = {
     val dense = counts.select("source").distinct()
       .crossJoin(counts.select("b").distinct())
       .join(counts, Seq("source", "b"), "left")

@@ -899,6 +899,21 @@ object Streams {
       .agg(graft.functions.Sketch.misraGries(col("tok"), counters).as("mg"),
         count(lit(1)).as("n"))
 
+  /** s17: live distribution-DRIFT monitor — q111's per-source
+    * hashed-unigram histogram as streaming state: every micro-batch
+    * folds its tokens into the per-(source, bucket) counts (state =
+    * |sources|·nBuckets rows, KBs at any corpus scale — the s12
+    * group-cardinality state law), so "has the crawl shifted" is a
+    * question you ask the LIVE state, not a nightly recount. The TVD
+    * itself is the declared query's batch-side derivation over the
+    * drained counts ([[graft.operators.Corpus.divergenceFromCounts]]
+    * — nested aggs don't stream, s12's share-column rule), and
+    * because the drained counts equal the batch counts row-for-row,
+    * s17 shares q111's oracle VERBATIM (the s11/s12/s16 convention). */
+  def streamSourceHistogram(documents: DataFrame,
+                            nBuckets: Int = 256): DataFrame =
+    graft.operators.Corpus.tokenBucketCounts(documents, nBuckets)
+
   def streamTokenMeter(documents: DataFrame): DataFrame =
     documents.select(col("source"), col("lang"),
         org.apache.spark.sql.functions.size(

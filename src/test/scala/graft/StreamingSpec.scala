@@ -281,6 +281,37 @@ class StreamingSpec extends SparkSpec {
     cert.foreach(_.getAs[Boolean]("certified") shouldBe true)
   }
 
+  test("s17 drift monitor: histogram state accumulates across batches and the drained TVD equals batch q111") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String, String)]
+    in.addData((1L, "x x y", "A"), (2L, "x z", "B"))
+    in.addData((3L, "x x x x y y", "A")) // later batch UPDATES A's state rows
+    val docs = in.toDF().toDF("doc_id", "text", "source")
+    val q = Streams.streamSourceHistogram(docs)
+      .writeStream.format("memory").queryName("s17_e2e")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val drained = spark.table("s17_e2e").localCheckpoint()
+    // the drained state equals the batch counts on the union corpus...
+    val batchDocs = Seq((1L, "x x y", "A"), (3L, "x x x x y y", "A"),
+      (2L, "x z", "B")).toDF("doc_id", "text", "source")
+    val batchCounts = graft.operators.Corpus.tokenBucketCounts(batchDocs)
+    drained.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .sorted shouldBe
+      batchCounts.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .sorted
+    // ...so the TVD tail emits the batch q111 result row-for-row
+    val streamTvd = graft.operators.Corpus.divergenceFromCounts(drained)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(4)))
+    val batchTvd = graft.operators.Corpus.sourceDivergence(batchDocs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(4)))
+    streamTvd.sorted shouldBe batchTvd.sorted
+    // hand value: A = {x:6, y:3} (2:1), B = {x:1, z:1} →
+    // TVD = ½(|2/3−1/2| + |1/3−0| + |0−1/2|) = 1/2
+    streamTvd.head._3 shouldBe 0.5
+  }
+
   test("s13 perceptual image dedup: a re-encoded copy in a LATER batch still drops") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
