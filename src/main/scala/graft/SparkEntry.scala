@@ -166,6 +166,11 @@ object SparkEntry {
     // training-plan multiset: floor(e) full epochs + the q38 md5 gate
     // for the fraction; unlisted sources pass through at one epoch.
     "q112_epoch_mix"         -> ((s, d) => Corpus.epochMix(Tables(s, d).documents)),
+    // q113: deterministic global shuffle into training shards — a
+    // salted 48-bit md5 key picks shard and in-shard position, so the
+    // training order is random-looking, reproducible, append-stable,
+    // and oracle-replayable (q38's purity rule applied to ORDER).
+    "q113_shuffle_shards"    -> ((s, d) => Corpus.shuffleShards(Tables(s, d).documents)),
     "q40_pack_sequences"     -> ((s, d) => Corpus.packSequences(Tables(s, d).documents)),
     // q72: q40's sharded scale plan — shardSize 64 yields ~8 shards at
     // the grading SF, so the parallel path (not a degenerate one-shard
@@ -1594,6 +1599,17 @@ object SparkEntry {
     // exactly, den = 2·N_a·N_b, tvd = one double division of the two.
     "q111_source_divergence" -> sourceDivergenceOracle,
     "q112_epoch_mix" -> epochMixOracle,
+    // q113: salted 48-bit md5 shuffle key → shard = h mod 16, pos =
+    // rank by (h, doc_id) within the shard.
+    "q113_shuffle_shards" ->
+      """WITH h AS (SELECT doc_id, source,
+        |             CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |               AS BIGINT) AS hkey
+        |           FROM documents)
+        |SELECT doc_id, source, CAST(hkey % 16 AS INTEGER) AS shard,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY hkey % 16 ORDER BY hkey, doc_id) - 1
+        |         AS BIGINT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
     // q39: the oracle is DuckDB's NATIVE ASOF JOIN — an independent
     // first-class implementation checking graft's union-and-sweep
     // encoding. Actions deduped per (user, ts) by MAX(event_id) so ties

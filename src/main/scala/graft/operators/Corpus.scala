@@ -444,6 +444,38 @@ object Corpus {
         explode(sequence(lit(0), col("reps") - 1)).as("epoch"))
   }
 
+  /** q113: DETERMINISTIC GLOBAL SHUFFLE into training shards — the
+    * step between mixing (q59/q107/q112) and writing: training order
+    * must be corpus-wide random-looking (adjacent docs from one
+    * source/crawl-run bias SGD batches — every published pipeline
+    * shuffles before sharding) yet REPRODUCIBLE and append-stable,
+    * which rules out RNG shuffles: order here is a pure function of
+    * doc_id — a salted 48-bit md5 key picks both the shard
+    * (`h mod nShards`) and the position within it (rank by `(h,
+    * doc_id)`), so re-runs emit the identical plan, adding documents
+    * never reorders existing pairs RELATIVE to each other, and the
+    * oracle replays row-for-row (q38's purity rule applied to
+    * ordering). The salt decorrelates the shuffle key from the q38/
+    * q112 SAMPLING gates (same md5(doc_id) everywhere would make
+    * kept-docs cluster in low shuffle positions).
+    *
+    * Scale: the per-shard rank window is a sort of n/nShards rows —
+    * exactly the sort the shard's parquet writer performs anyway, and
+    * shards sort INDEPENDENTLY (q40's sharded note realized: this is
+    * the parallel form by construction). One scan, one window. */
+  def shuffleShards(documents: DataFrame, nShards: Int = 16): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = conv(substring(md5(
+      concat(lit("shuffle:"), col("doc_id").cast("string")).cast("binary")),
+      1, 12), 16, 10).cast("long")
+    val w = Window.partitionBy("shard").orderBy(col("hkey"), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"), h.as("hkey"))
+      .withColumn("shard", pmod(col("hkey"), lit(nShards)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select("doc_id", "source", "shard", "pos")
+  }
+
   /** q40: token-budget sequence packing — assign documents to fixed
     * token-budget chunks (the planning step before concatenating docs
     * into training context windows), per language, in doc_id order.

@@ -271,6 +271,49 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q113 shuffle: positions are dense per shard, re-runs identical, appends stable") {
+    val d = tables.documents
+    val a = Corpus.shuffleShards(d).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    val b = Corpus.shuffleShards(d).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    a.sorted shouldBe b.sorted               // pure function of the input
+    a.length shouldBe d.count()
+    // dense 0..k-1 positions within every shard
+    a.groupBy(_._2).values.foreach { rows =>
+      rows.map(_._3).sorted shouldBe (0L until rows.length).toArray
+    }
+    // appending new docs never reorders existing pairs RELATIVE to
+    // each other: drop half the corpus, shuffle, compare pair order
+    val half = d.filter(F.col("doc_id") % 2 === 0)
+    val small = Corpus.shuffleShards(half).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    val fullRank = a.map(t => (t._1, (t._2, t._3))).toMap
+    small.groupBy(_._2).values.foreach { rows =>
+      val ordered = rows.sortBy(_._3).map(_._1)
+      ordered.map(fullRank).map(_._2).sliding(2).foreach { p =>
+        if (p.length == 2) p(0) should be < p(1)
+      }
+    }
+    // every doc appears exactly once across all shards
+    a.map(_._1).toSet.size.toLong shouldBe d.count()
+  }
+
+  test("q113 shuffle decorrelates from the q38 sampling gate") {
+    // same md5(doc_id) for gate and order would put every q38-kept doc
+    // in the low half of each shard; the salt must break that.
+    val d = tables.documents
+    val kept = Corpus.sampleStratified(d).collect().map(_.getLong(0)).toSet
+    val pos = Corpus.shuffleShards(d).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    val shardSize = pos.groupBy(_._2).view.mapValues(_.length).toMap
+    // fraction of kept docs landing in the UPPER half of their shard
+    val upper = pos.filter(t => kept(t._1))
+      .count(t => t._3 * 2 >= shardSize(t._2))
+    val frac = upper.toDouble / kept.size
+    frac should (be > 0.3 and be < 0.7) // correlated ordering would pin this near 0
+  }
+
   test("q40 chunking: a doc starts in the chunk its running offset lands in") {
     // three docs of 5 tokens each, budget 8:
     // offsets 0, 5, 10 -> chunks 0, 0, 1
