@@ -602,7 +602,6 @@ object SparkEntry {
     "s16_stream_heavy_hitters" -> ((s, d) => {
       val schema = s.read.parquet(s"$d/documents.parquet").schema
       val docs = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
       val sk = Streams.runToMemory(Streams.streamHeavyHitterSketch(docs),
         "s16_stream_heavy_hitters", OutputMode.Complete())
@@ -615,7 +614,6 @@ object SparkEntry {
     "s17_stream_drift" -> ((s, d) => {
       val schema = s.read.parquet(s"$d/documents.parquet").schema
       val docs = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
       val counts = Streams.runToMemory(Streams.streamSourceHistogram(docs),
         "s17_stream_drift", OutputMode.Complete())
