@@ -213,14 +213,19 @@ object Corpus {
       .select("doc_id", "lang", "bucket")
   }
 
-  /** Hashed-bigram feature buckets for [[domainSelect]]: adjacent
-    * whitespace-token pairs, each md5-hashed to 16 bits and folded
-    * into `nBuckets` — the hashing-trick featurization DSIR uses
-    * (Xie et al. 2023 §3.1 hashes unigrams+bigrams into 10⁴ buckets;
-    * bigrams alone keep the oracle CTE one list_transform). Pure
-    * per-row array expression — zero shuffle, codegen'd. */
-  /** Exploded hashed-bigram buckets per document. The bigram walk is
-    * the native one-pass [[graft.functions.Exprs.Ngrams]] bag kernel
+  /** The shared 16-bit-md5 → bucket fold (q110's featurization, also
+    * q111/s17's unigram flavor): `('0x' || substr(md5(x),1,4)) %
+    * nBuckets` on the oracle side — ONE encoding, one helper, so the
+    * Spark and SQL sides cannot desynchronize per call site (the
+    * [[bucket16]] discipline applied to feature hashing). */
+  private def mdBucket(c: Column, nBuckets: Int): Column =
+    pmod(conv(substring(md5(c.cast("binary")), 1, 4), 16, 10)
+      .cast("int"), lit(nBuckets))
+
+  /** Exploded hashed-bigram buckets per document — the hashing-trick
+    * featurization DSIR uses (Xie et al. 2023 §3.1 hashes
+    * unigrams+bigrams into 10⁴ buckets). The bigram walk is the
+    * native one-pass [[graft.functions.Exprs.Ngrams]] bag kernel
     * (the `transform(sequence(...))` HOF form re-evaluates the
     * un-materialized `split` child per element — O(len²)/doc,
     * measured 10×); the md5/conv/pmod chain runs on the EXPLODED flat
@@ -234,8 +239,7 @@ object Corpus {
     documents
       .select(col("doc_id"), col("source"), col("lang"), exploded.as("bg"))
       .select(col("doc_id"), col("source"), col("lang"),
-        pmod(conv(substring(md5(col("bg").cast("binary")), 1, 4), 16, 10)
-          .cast("int"), lit(nBuckets)).as("b"))
+        mdBucket(col("bg"), nBuckets).as("b"))
   }
 
   /** q110: DSIR-style DOMAIN-MATCH SELECTION (Xie et al. 2023, "Data
@@ -270,11 +274,13 @@ object Corpus {
     * Scale shape: TWO corpus scans, both map-side partial aggs. Scan
     * one explodes bigram buckets and computes per-bucket class counts
     * in ONE `groupBy(b)` (trainModel's pos/neg trick — the target/raw
-    * split rides a `when`, not two jobs); the weight frame is
-    * `nBuckets` rows, totals ride a window over that KB-scale frame,
-    * and it BROADCASTS into scan two, where the per-document score is
-    * a partial-agg sum and TakeOrdered (per-partition top-k, then
-    * merge) picks the winners — no global sort, no driver data path.
+    * split rides a `when`, not two jobs) into a localCheckpointed
+    * `nBuckets`-row frame; totals and the fail-loud guard read that
+    * KB frame eagerly (index-metadata weight, the q46 collect
+    * rationale), the weight frame BROADCASTS into scan two, where the
+    * per-document score is a partial-agg sum and TakeOrdered
+    * (per-partition top-k, then merge) picks the winners — no global
+    * sort, no driver DATA path.
     * At 100 TB: counts fit long (< 9·10¹⁸ bigrams), products fit
     * decimal(38) to ~10¹⁹-feature corpora, candidate cost is linear
     * in the raw pool. Fails loudly when the target source contributes
@@ -285,27 +291,34 @@ object Corpus {
     require(k > 0, s"k must be positive, got $k")
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val isTarget = col("source") === targetSource
-    val feats = bigramFeats(documents, nBuckets)
-    val counts = feats.groupBy("b")
+    // the counts frame is nBuckets rows (KBs): localCheckpoint pins the
+    // corpus scan behind it ONCE (q111's diamond rule), which also lets
+    // the zero-feature guard run as an EAGER driver-side require over
+    // the pinned frame — the first cut's per-row raise_error could
+    // never fire on an all-featureless corpus, because an empty counts
+    // frame has no rows to evaluate the when() on (round-14 review).
+    val counts = bigramFeats(documents, nBuckets).groupBy("b")
       .agg(sum(when(isTarget, 1L).otherwise(0L)).as("cnt_t"),
         sum(when(isTarget, 0L).otherwise(1L)).as("cnt_r"))
-    val w = Window.partitionBy() // nBuckets-row frame: single partition is the point
-    val weights = counts
-      .withColumn("n_t", sum("cnt_t").over(w))
-      .withColumn("n_r", sum("cnt_r").over(w))
-      .withColumn("n_t", when(col("n_t") === 0, raise_error(lit(
-        s"domainSelect: target source '$targetSource' contributed zero " +
-          "bigram features — nothing to match against; check the source " +
-          "tag or the target corpus"))).otherwise(col("n_t")))
-      .select(col("b"),
-        (col("cnt_t").cast("decimal(19,0)") * col("n_r").cast("decimal(19,0)") -
-          col("cnt_r").cast("decimal(19,0)") * col("n_t").cast("decimal(19,0)"))
-          .as("wgt"))
+      .localCheckpoint()
+    val totals = counts
+      .agg(coalesce(sum("cnt_t"), lit(0L)), coalesce(sum("cnt_r"), lit(0L)))
+      .first()
+    val (nT, nR) = (totals.getLong(0), totals.getLong(1))
+    require(nT > 0,
+      s"domainSelect: target source '$targetSource' contributed zero " +
+        "bigram features — nothing to match against; check the source " +
+        "tag or the target corpus")
+    val weights = counts.select(col("b"),
+      (col("cnt_t").cast("decimal(19,0)") * lit(nR).cast("decimal(19,0)") -
+        col("cnt_r").cast("decimal(19,0)") * lit(nT).cast("decimal(19,0)"))
+        .as("wgt"))
     // explode_outer + LEFT weight join: a featureless doc (< 2 tokens)
     // rides the SAME scan as a NULL-bucket row — count(b) gives it
     // n_feats 0 and the coalesce scores it 0 — so no second corpus
     // scan or doc_id re-join is needed to keep it in the pool
-    // (ex 5→4, scan 3→2 in the plan audit).
+    // (with the checkpointed counts the audit reads ex=2 scan=1,
+    // down from the first cut's ex=5 scan=3).
     bigramFeats(documents, nBuckets, keepFeatureless = true)
       .filter(!isTarget)
       .join(broadcast(weights), Seq("b"), "left")
@@ -362,9 +375,7 @@ object Corpus {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     documents
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("source"),
-        pmod(conv(substring(md5(col("tok").cast("binary")), 1, 4), 16, 10)
-          .cast("int"), lit(nBuckets)).as("b"))
+      .select(col("source"), mdBucket(col("tok"), nBuckets).as("b"))
       .groupBy("source", "b").agg(count(lit(1)).as("cnt"))
   }
 
@@ -428,6 +439,13 @@ object Corpus {
   def epochMix(documents: DataFrame,
                epochs: Seq[(String, Double)] = DefaultEpochs): DataFrame = {
     require(epochs.forall(_._2 >= 0), "epoch factors must be >= 0")
+    // a duplicated source would diverge silently between engines: the
+    // CASE chain below is last-wins while the oracle's VALUES join
+    // fans out one row per duplicate (round-14 review) — die here
+    require(epochs.map(_._1).distinct.size == epochs.size,
+      s"epochMix recipe lists a source twice: ${epochs.map(_._1)
+        .groupBy(identity).collect { case (s, v) if v.size > 1 => s }
+        .mkString(", ")}")
     val ep = epochs.foldLeft(lit(1.0)) { case (acc, (s, e)) =>
       when(col("source") === s, lit(e)).otherwise(acc)
     }

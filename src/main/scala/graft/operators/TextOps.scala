@@ -245,11 +245,16 @@ object TextOps {
     * certification cost, exactly like q73's Expand. Production at
     * 100 TB drops the exact side and keeps the sketch agg: one scan,
     * map-side summaries, KB-scale merge. */
+  /** The ONE tokenization both q109 halves share: the sketch's token
+    * multiset and the certification baseline's must be the same
+    * multiset or the MG bounds stop being provable — a single helper
+    * makes drift impossible (round-14 review). */
+  private def hhTokRows(documents: DataFrame): DataFrame =
+    documents.select(explode(toks).as("tok")).filter(col("tok") =!= "")
+
   def heavyHittersCertified(documents: DataFrame, k: Int = 20,
                             counters: Int = 64): DataFrame = {
-    val tokRows = documents
-      .select(explode(toks).as("tok")).filter(col("tok") =!= "")
-    val sk = tokRows.agg(
+    val sk = hhTokRows(documents).agg(
       graft.functions.Sketch.misraGries(col("tok"), counters).as("mg"),
       count(lit(1)).as("n"))
     heavyHittersCertify(sk, documents, k, counters)
@@ -265,9 +270,7 @@ object TextOps {
     * multiset — which is exactly why s16 can share q109's oracle. */
   def heavyHittersCertify(sketch: DataFrame, documents: DataFrame,
                           k: Int = 20, counters: Int = 64): DataFrame = {
-    val tokRows = documents
-      .select(explode(toks).as("tok")).filter(col("tok") =!= "")
-    val topk = tokRows.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val topk = hhTokRows(documents).groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(k)
     val est = element_at(col("mg"), col("tok"))
     topk.crossJoin(broadcast(sketch))

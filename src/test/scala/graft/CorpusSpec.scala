@@ -204,6 +204,22 @@ class CorpusSpec extends SparkSpec {
       Corpus.domainSelect(d, targetSource = "ghost").collect()
     }
     ex.getMessage should include ("zero bigram features")
+    // the all-featureless corpus (every doc < 2 tokens) must die the
+    // same way — the first cut's per-row raise_error never fired here
+    // because an empty counts frame has no rows (round-14 review)
+    val short = srcDocs((1L, "solo", "src0"), (2L, "tiny", "web"))
+    val ex2 = intercept[Exception] {
+      Corpus.domainSelect(short).collect()
+    }
+    ex2.getMessage should include ("zero bigram features")
+  }
+
+  test("q112 rejects a recipe that lists a source twice") {
+    val d = srcDocs((1L, "t", "a"))
+    val ex = intercept[IllegalArgumentException] {
+      Corpus.epochMix(d, Seq("a" -> 2.0, "b" -> 1.0, "a" -> 1.0))
+    }
+    ex.getMessage should include ("twice")
   }
 
   test("q111 TVD: disjoint sources hit 1, proportional sources hit exactly 0") {
