@@ -127,6 +127,11 @@ object SparkEntry {
     // LLM-training-data operators
     "q20_dedup_exact"        -> ((s, d) => TextOps.dedupExact(Tables(s, d).documents)),
     "q21_dedup_ngram"        -> ((s, d) => Dedup.ngramJaccardPairs(Tables(s, d).documents)),
+    // q114: leak-proof eval holdout — q38's deterministic split with
+    // the cross-split near-dup audit built in (side-tagged q21 index,
+    // only eval x train pairs expand); verdict = leaked + smallest
+    // condemning trainer.
+    "q114_holdout_split"     -> ((s, d) => Dedup.holdoutSplit(Tables(s, d).documents)),
     // q71: the df-cap blind-spot audit as a first-class query — maxDf
     // sized to the test corpus (max df there is ~7) so BOTH branches
     // (kept and dropped shingles) are exercised at the grading SF;
@@ -1850,6 +1855,7 @@ object SparkEntry {
         |WHERE fingerprint IN (SELECT fingerprint FROM fp WHERE doc_id % 7 = 0)
         |ORDER BY doc_id""".stripMargin,
     "q21_dedup_ngram"     -> ngramOracle,
+    "q114_holdout_split"  -> holdoutOracle,
     // q74: same text-vs-xxhash64 grouping note as q71; novelty mirrors
     // Exact.dround (FLOOR(x·10⁴+0.5)/10⁴) on the same integer operands
     "q74_novelty_score" ->
@@ -2216,6 +2222,27 @@ object SparkEntry {
       |            ELSE 'changed' END AS verdict
       |FROM pf FULL OUTER JOIN cf ON pf.doc_id = cf.doc_id
       |ORDER BY 1""".stripMargin
+
+  /** q114: q38's gate (thr = floor(0.05·65536) = 3276) + q21's
+    * shingle/pair machinery restricted to eval×train pairs; leaked
+    * verdict with the smallest condemning trainer. */
+  private def holdoutOracle: String =
+    s"""WITH ${shingleCtes()},
+       |g AS (SELECT doc_id,
+       |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < 3276 AS is_eval
+       |      FROM documents),
+       |x AS (SELECT s.doc_id, g.is_eval, unnest(sh) AS shingle FROM s JOIN g USING (doc_id)),
+       |z AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+       |p AS (SELECT e.doc_id AS e, t2.doc_id AS t, COUNT(*) AS inter
+       |      FROM x e JOIN x t2 ON e.shingle = t2.shingle AND e.is_eval AND NOT t2.is_eval
+       |      GROUP BY 1, 2),
+       |j AS (SELECT p.e, p.t FROM p JOIN z ze ON p.e = ze.doc_id JOIN z zt ON p.t = zt.doc_id
+       |      WHERE CAST(inter AS DOUBLE) / (CAST(ze.n_sh + zt.n_sh AS DOUBLE) - CAST(inter AS DOUBLE)) >= 0.5),
+       |l AS (SELECT e AS doc_id, MIN(t) AS leak_dup_of FROM j GROUP BY 1)
+       |SELECT d.doc_id, d.source, d.lang,
+       |       l.leak_dup_of IS NOT NULL AS leaked, l.leak_dup_of
+       |FROM documents d JOIN g USING (doc_id) LEFT JOIN l USING (doc_id)
+       |WHERE g.is_eval ORDER BY d.doc_id""".stripMargin
 
   private def ngramOracle: String =
     s"""WITH ${shingleCtes()},

@@ -77,7 +77,7 @@ object Corpus {
 
   /** Shared 16-bit md5 sampling gate (q38/q59): first 4 hex digits of
     * `md5(doc_id)` as an int in [0, 65536). */
-  private def bucket16: Column = conv(
+  private[operators] def bucket16: Column = conv(
     substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4),
     16, 10).cast("int")
 

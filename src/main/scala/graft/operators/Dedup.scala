@@ -169,6 +169,64 @@ object Dedup {
         min(col("a.n_sh")).as("n_a"), min(col("b.n_sh")).as("n_b"))
   }
 
+  /** q114: LEAK-PROOF EVAL HOLDOUT — the deterministic train/eval
+    * split with the cross-split near-dup audit built in. Splitting by
+    * hash alone leaks: a near-copy of a training document landing in
+    * the holdout inflates every eval metric (the published concern —
+    * GPT-3's appendix-C train/test overlap study and every
+    * decontamination recipe since; q35/q47 guard against EXTERNAL
+    * benchmarks, this guards the corpus's own held-out split). Every
+    * gated eval document gets an auditable verdict: `leaked` iff some
+    * TRAIN document sits within `tau` n-gram Jaccard, with the
+    * smallest such trainer as `leak_dup_of` (q57's
+    * smallest-condemning-mate convention). The clean holdout is
+    * `filter(!leaked)`; emitting the verdict table keeps the audit
+    * trail.
+    *
+    * Split gate = q38's 16-bit md5 of doc_id (pure row function:
+    * re-runs reproduce the split, adding data never flips a doc's
+    * side). Pair pass = q21's inverted index with SIDE TAGS carried
+    * through the posting lists, so only eval×train pairs expand —
+    * Σ df_eval·df_train per shingle, never the full df² (an eval
+    * fraction f cuts pair work ~f·(1−f)/0.5 vs the all-pairs pass);
+    * same maxDf skew cap, same underestimate-only law. Short docs
+    * (< n tokens) have no shingles, cannot leak verbatim n-grams, and
+    * keep `leaked = false`. */
+  def holdoutSplit(documents: DataFrame, evalFrac: Double = 0.05,
+                   n: Int = 3, tau: Double = 0.5, maxDf: Int = 0): DataFrame = {
+    require(evalFrac > 0 && evalFrac < 1,
+      s"evalFrac must be in (0, 1), got $evalFrac")
+    val thr = math.floor(evalFrac * 65536).toInt
+    val isEval = Corpus.bucket16 < thr
+    val idx = documents
+      .select(col("doc_id"), isEval.as("is_eval"), shingleSet(n).as("sh"))
+      .select(col("doc_id"), col("is_eval"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("is_eval"), col("n_sh"),
+        xxhash64(col("s")).as("shingle"))
+    val grouped = idx.groupBy("shingle")
+      .agg(collect_list(struct(col("doc_id"), col("is_eval"), col("n_sh")))
+        .as("ds"))
+      .filter(size(col("ds")) > 1)
+    val capped = if (maxDf > 0) grouped.filter(size(col("ds")) <= maxDf)
+                 else grouped
+    val leaks = capped
+      .select(explode(col("ds")).as("e"), col("ds"))
+      .filter(col("e.is_eval"))
+      .select(col("e"), explode(col("ds")).as("t"))
+      .filter(!col("t.is_eval"))
+      .groupBy(col("e.doc_id").as("doc_id"), col("t.doc_id").as("t"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("e.n_sh")).as("n_e"), min(col("t.n_sh")).as("n_t"))
+      .filter(jaccard(col("inter"), col("n_e"), col("n_t")) >= tau)
+      .groupBy("doc_id").agg(min(col("t")).as("leak_dup_of"))
+    documents.filter(isEval)
+      .select("doc_id", "source", "lang")
+      .join(leaks, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("leak_dup_of").isNotNull.as("leaked"), col("leak_dup_of"))
+  }
+
   /** q60: directed n-gram CONTAINMENT pairs — C(src→dst) =
     * |sh(src) ∩ sh(dst)| / |sh(src)|, the asymmetric complement of
     * q21's Jaccard. Jaccard misses near-supersets: an eval question

@@ -38,6 +38,39 @@ class DedupSpec extends SparkSpec {
       Array((1L, 2L))
   }
 
+  test("q114 holdout: a verbatim train copy in eval is flagged with its smallest trainer; clean and short eval docs pass") {
+    import spark.implicits._
+    // gate (md5(doc_id) 16-bit < 3276): 27/59/60 are EVAL, 1/2/3 TRAIN
+    val d = Seq(
+      (1L, base, "en", "src0"),                       // train
+      (2L, base, "en", "src0"),                       // train twin (leak source)
+      (3L, "totally different words entirely here now", "en", "src0"),
+      (27L, base, "en", "src0"),                      // eval: verbatim of 1 and 2
+      (59L, "unrelated eval text with its own novel phrasing", "en", "src0"),
+      (60L, "tiny", "en", "src0"))                    // eval: < n tokens, cannot leak
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.holdoutSplit(d).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    out.keySet shouldBe Set(27L, 59L, 60L)            // train rows never emitted
+    out(27L) shouldBe (true, 1L)                      // leaked, SMALLEST trainer
+    out(59L) shouldBe (false, -1L)
+    out(60L) shouldBe (false, -1L)                    // shingle-less: kept, unflagged
+  }
+
+  test("q114 holdout: the split is a pure row function and eval/train partition the corpus") {
+    val d = tables.documents
+    val a = Dedup.holdoutSplit(d).collect().map(_.getLong(0)).sorted
+    val b = Dedup.holdoutSplit(d).collect().map(_.getLong(0)).sorted
+    a shouldBe b
+    // a LARGER tau can only flag fewer (monotone verdict)
+    val loose = Dedup.holdoutSplit(d, tau = 0.3).collect()
+      .count(_.getBoolean(3))
+    val tight = Dedup.holdoutSplit(d, tau = 0.9).collect()
+      .count(_.getBoolean(3))
+    tight should be <= loose
+  }
+
   test("q21 ngram-Jaccard: identical docs score 1.0; disjoint docs never pair") {
     val d = docs((1L, base), (2L, base), (3L, "one two three four five six"))
     val rows = Dedup.ngramJaccardPairs(d).collect()
