@@ -324,6 +324,13 @@ object SparkEntry {
       val docs = Tables(s, d).documents
       Dedup.decontaminateNgram(docs, docs.filter(col("doc_id") % 7 === 0))
     }),
+    // q115: contamination EXCISION — q47's hit machinery but surgical:
+    // remove exactly the covered token spans, keep the doc; cleaned
+    // text emitted as md5+length (q37's payload convention).
+    "q115_decontaminate_excise" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      Dedup.decontaminateExcise(docs, docs.filter(col("doc_id") % 7 === 0))
+    }),
     "q48_kmeans_refine"      -> ((s, d) => Similarity.kmeansRefine(Tables(s, d).embeddings)),
     // q65: three Lloyd rounds — fixed count so the oracle can unroll
     // the identical rounds (tol=0 never skips a round's bit-replay)
@@ -1988,6 +1995,7 @@ object SparkEntry {
         |FROM tkt t LEFT JOIN pd USING (doc_id) LEFT JOIN cl USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
     "q47_decontaminate_ngram" -> decontamNgramOracle,
+    "q115_decontaminate_excise" -> exciseOracle,
     "q48_kmeans_refine"   -> kmeansOracle,
     "q65_kmeans_train"    -> kmeansIterateOracle(3),
     "q23_dedup_simhash"   -> simhashOracle,
@@ -2457,6 +2465,44 @@ object SparkEntry {
     * (eval_doc, shingle)-unique on both engines; the Spark side counts
     * distinct xxhash64 digests, the oracle distinct shingle strings —
     * identical sets absent a 2⁻⁶⁴ collision. */
+  /** q115: positional 3-grams (duplicates KEPT — q62's positional
+    * convention, not the distinct shingle CTE) hit the eval set's
+    * distinct shingles from a different doc; covered token positions
+    * = hit pos + 0..2; rebuild = kept tokens in order. The oracle
+    * joins on shingle TEXT where Spark joins on xxhash64 (q71's note —
+    * identical modulo ~n²/2⁶⁵ collisions). */
+  private def exciseOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+      |        THEN list_transform(range(1, len(tk) - 1),
+      |               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+      |        ELSE [] END AS gs FROM t),
+      |x AS (SELECT doc_id, unnest(gs) AS s, generate_subscripts(gs, 1) AS p FROM g),
+      |r AS (SELECT DISTINCT doc_id AS eval_doc, s FROM x WHERE doc_id % 7 = 0),
+      |h AS (SELECT DISTINCT x.doc_id, x.p
+      |      FROM x JOIN r ON x.s = r.s AND x.doc_id <> r.eval_doc),
+      |cd AS (SELECT DISTINCT doc_id FROM h),
+      |cov AS (SELECT DISTINCT h.doc_id, h.p + d.d AS j
+      |        FROM h CROSS JOIN (SELECT unnest(range(3)) AS d) d),
+      |tok AS (SELECT t.doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS j
+      |        FROM t JOIN cd USING (doc_id)),
+      |kept AS (SELECT tok.doc_id, tok.tok, tok.j FROM tok
+      |         ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.j = cov.j),
+      |ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |              string_agg(tok, ' ' ORDER BY j) AS clean
+      |       FROM kept GROUP BY 1),
+      |rb AS (SELECT cd.doc_id, COALESCE(ka.n_kept, 0) AS n_kept,
+      |              COALESCE(ka.clean, '') AS clean
+      |       FROM cd LEFT JOIN ka USING (doc_id))
+      |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+      |       CAST(CASE WHEN rb.doc_id IS NOT NULL THEN len(tk) - rb.n_kept
+      |            ELSE 0 END AS BIGINT) AS n_excised,
+      |       CAST(length(CASE WHEN rb.doc_id IS NOT NULL THEN rb.clean
+      |            ELSE array_to_string(tk, ' ') END) AS BIGINT) AS clean_len,
+      |       md5(CASE WHEN rb.doc_id IS NOT NULL THEN rb.clean
+      |           ELSE array_to_string(tk, ' ') END) AS clean_hash
+      |FROM t LEFT JOIN rb USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   private def decontamNgramOracle: String =
     s"""WITH ${shingleCtes()},
        |x AS (SELECT doc_id, unnest(sh) AS shingle FROM s),

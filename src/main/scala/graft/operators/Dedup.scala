@@ -1281,6 +1281,88 @@ object Dedup {
     * (doc_id, n_shared_shingles, n_eval_docs); thresholding is the
     * caller's policy (production typically drops at ≥1 shared 13-gram;
     * the 3-gram default here tracks the corpus' tiny documents). */
+  /** q115: contamination EXCISION — the surgical complement to q47:
+    * instead of DROPPING a document that shares n-grams with the eval
+    * benchmark, remove exactly the contaminated SPANS and keep the
+    * rest (the "decontaminate by excision" option in published
+    * pipelines — dropping whole documents over one embedded eval
+    * question wastes the other 99% of a long doc). A candidate token
+    * is excised iff some hit n-gram window covers it (hit = the
+    * positional n-gram starting at `i` matches any eval shingle from
+    * a DIFFERENT doc; token j is covered iff i ≤ j ≤ i+n−1) — no
+    * interval merging needed, coverage is per-token.
+    *
+    * Emits every candidate doc with the audit counts and the CLEANED
+    * text compressed to md5+length (q37's verification-payload
+    * convention — the rebuilt string itself would dominate the output
+    * at 16 bytes/doc vs KBs). Clean docs emit their SPACE-NORMALIZED
+    * text's hash (the rebuild is a split→join round-trip, so the
+    * normalized form is the honest identity on both engines).
+    *
+    * Scale shape: positional n-grams are [[graft.functions.Exprs.Ngrams]]
+    * (order + multiplicity preserved → posexplode gives positions)
+    * joined against the BROADCAST eval shingle index (q47's shape) —
+    * match rows only survive, so the hit/coverage frames are
+    * contaminated-docs-sized. The token-explode + rebuild aggregation
+    * runs ONLY for contaminated docs (semi-join on the tiny hit set);
+    * clean docs pass through as a per-row `array_join` with zero
+    * explode. All-excised docs emit n_excised = n_tokens with the
+    * empty-string hash, not a silent pass-through. */
+  def decontaminateExcise(candidates: DataFrame, reference: DataFrame,
+                          n: Int = 3): DataFrame = {
+    val tk = split(col("text"), " ")
+    val refIdx = reference
+      .select(col("doc_id").as("eval_doc"), explode(shingleSet(n)).as("g"))
+      .select(col("eval_doc"), xxhash64(col("g")).as("s"))
+      .distinct()
+    // hits is contaminated-docs-sized (match rows only survive the
+    // broadcast join) but feeds THREE consumers (contaminated set,
+    // coverage, and through them the rebuild) — localCheckpoint pins
+    // it so the positional explode + hit join runs ONCE, not per
+    // branch (the q111 diamond rule; unpinned this read ex=15 scan=8
+    // and went 4.3x in the second decade).
+    val hits = candidates
+      .select(col("doc_id"), posexplode(Exprs.ngrams(tk, n)))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), xxhash64(col("col")).as("s"))
+      .join(broadcast(refIdx), Seq("s"))
+      .filter(col("doc_id") =!= col("eval_doc"))
+      .select("doc_id", "p").distinct()
+      .localCheckpoint()
+    val contaminated = hits.select("doc_id").distinct()
+    val covered = hits
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (n - 1))).as("j"))
+      .distinct()
+    val keptAgg = candidates
+      .join(broadcast(contaminated), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(tk))
+      .select(col("doc_id"), (col("pos") + 1).as("j"), col("col").as("tok"))
+      .join(broadcast(covered), Seq("doc_id", "j"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("j"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean"))
+    val rebuilt = contaminated.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean"), lit("")).as("clean"),
+        lit(true).as("was_hit"))
+    candidates
+      .select(col("doc_id"), size(tk).cast("long").as("n_tokens"),
+        array_join(tk, " ").as("norm"))
+      // rebuilt carries full cleaned texts — contaminated-docs-sized,
+      // which on a dup-dense corpus is CORPUS-sized, so this is a
+      // doc_id-keyed shuffle join by design, never a broadcast
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("was_hit"), col("n_tokens") - col("n_kept"))
+          .otherwise(0L).as("n_excised"),
+        length(when(col("was_hit"), col("clean")).otherwise(col("norm")))
+          .cast("long").as("clean_len"),
+        md5(when(col("was_hit"), col("clean")).otherwise(col("norm"))
+          .cast("binary")).as("clean_hash"))
+  }
+
   def decontaminateNgram(candidates: DataFrame, reference: DataFrame,
                          n: Int = 3): DataFrame = {
     def idx(df: DataFrame, idCol: String) =

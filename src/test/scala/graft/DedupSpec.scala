@@ -71,6 +71,37 @@ class DedupSpec extends SparkSpec {
     tight should be <= loose
   }
 
+  test("q115 excision removes exactly the covered span; clean docs hash their normalized text; full-overlap docs empty out") {
+    import spark.implicits._
+    val d = Seq(
+      (7L, "secret eval question here"),                 // eval (7 % 7 = 0)
+      (1L, "intro words then secret eval question here and more text tail"),
+      (2L, "completely unrelated clean document"),
+      (14L, "secret eval question here"))                // eval twin: fully covered
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminateExcise(d, d.filter(F.col("doc_id") % 7 === 0))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // doc 1: trigram hits at p=4,5 cover tokens 4..7 → 4 excised of 11
+    out(1L)._1 shouldBe 11L
+    out(1L)._2 shouldBe 4L
+    val clean1 = "intro words then and more text tail"
+    out(1L)._3 shouldBe clean1.length.toLong
+    out(1L)._4 shouldBe java.security.MessageDigest.getInstance("MD5")
+      .digest(clean1.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 2: untouched, hash of the space-normalized original
+    out(2L)._2 shouldBe 0L
+    out(2L)._3 shouldBe "completely unrelated clean document".length.toLong
+    // doc 14: every token covered by doc 7's shingles → empties out,
+    // NOT a silent pass-through
+    out(14L)._2 shouldBe 4L
+    out(14L)._3 shouldBe 0L
+    out(14L)._4 shouldBe "d41d8cd98f00b204e9800998ecf8427e" // md5("")
+    // doc 7 (eval member): self-matches excluded, but doc 14's
+    // identical shingles condemn it symmetrically
+    out(7L)._2 shouldBe 4L
+  }
+
   test("q21 ngram-Jaccard: identical docs score 1.0; disjoint docs never pair") {
     val d = docs((1L, base), (2L, base), (3L, "one two three four five six"))
     val rows = Dedup.ngramJaccardPairs(d).collect()
