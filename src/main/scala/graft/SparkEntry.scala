@@ -226,6 +226,12 @@ object SparkEntry {
     "q109_heavy_hitters" -> ((s, d) =>
       TextOps.heavyHittersCertified(Tables(s, d).documents)),
     "q44_tfidf_terms"        -> ((s, d) => TextOps.tfidfTopTerms(Tables(s, d).documents)),
+    // q116: mixed-language detection — q27's marker argmax per
+    // 16-token SEGMENT (CCNet's per-paragraph convention) with an
+    // explicit und verdict; dominant lang, adjacent-segment switches,
+    // is_mixed. Marker lists spliced into the oracle from the same
+    // Scala value.
+    "q116_lang_mix_detect"   -> ((s, d) => TextOps.langMixDetect(Tables(s, d).documents)),
     // q89: the serving form of a linear bag-of-words quality
     // classifier — broadcast model table, map-side weight lookup,
     // integer keep verdict.
@@ -1179,6 +1185,7 @@ object SparkEntry {
     "q20_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin,
+    "q116_lang_mix_detect" -> langMixOracle,
     "q27_lang_id" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, lang,
@@ -2465,6 +2472,52 @@ object SparkEntry {
     * (eval_doc, shingle)-unique on both engines; the Spark side counts
     * distinct xxhash64 digests, the oracle distinct shingle strings —
     * identical sets absent a 2⁻⁶⁴ collision. */
+  /** q116: q27's marker scores per 16-token segment, spliced from the
+    * SAME `TextOps.markers` value; seg lang = precedence-chain argmax
+    * with an explicit und on zero evidence; dominant = (count desc,
+    * lang asc) first row; switches via LAG over segment order. */
+  private def langMixOracle: String = {
+    val scoreSql = graft.operators.TextOps.markers.map { case (l, ms) =>
+      val in = ms.map(m => s"'$m'").mkString(", ")
+      s"SUM(CASE WHEN tok IN ($in) THEN 1 ELSE 0 END) AS s_$l"
+    }.mkString(",\n|             ")
+    val gx = graft.operators.TextOps.markers
+      .map { case (l, _) => s"s_$l" }.mkString(", ")
+    val chain = graft.operators.TextOps.markers
+      .map { case (l, _) => s"WHEN s_$l = g THEN '$l'" }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |x AS (SELECT doc_id, unnest(tk) AS tok,
+       |             CAST((generate_subscripts(tk, 1) - 1) // 16 AS INTEGER) AS seg
+       |      FROM t),
+       |sc AS (SELECT doc_id, seg,
+       |             $scoreSql
+       |       FROM x GROUP BY 1, 2),
+       |sl AS (SELECT doc_id, seg,
+       |         CASE WHEN greatest($gx) = 0 THEN 'und' ELSE
+       |           CASE $chain END END AS sl
+       |       FROM (SELECT *, greatest($gx) AS g FROM sc)),
+       |sw AS (SELECT doc_id,
+       |         CAST(COUNT(*) AS BIGINT) AS n_segments,
+       |         CAST(SUM(CASE WHEN sl = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und,
+       |         CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL AND sl <> prev
+       |           THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_switches
+       |       FROM (SELECT doc_id, sl,
+       |               LAG(sl) OVER (PARTITION BY doc_id ORDER BY seg) AS prev
+       |             FROM sl)
+       |       GROUP BY 1),
+       |d0 AS (SELECT doc_id, sl, COUNT(*) AS c FROM sl WHERE sl <> 'und' GROUP BY 1, 2),
+       |dm AS (SELECT doc_id, sl AS dominant_lang, n_langs FROM (
+       |         SELECT doc_id, sl, c,
+       |                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, sl) AS rn,
+       |                COUNT(*) OVER (PARTITION BY doc_id) AS n_langs
+       |         FROM d0) WHERE rn = 1)
+       |SELECT sw.doc_id, sw.n_segments, sw.n_und,
+       |       COALESCE(dm.dominant_lang, 'und') AS dominant_lang,
+       |       sw.n_switches,
+       |       COALESCE(dm.n_langs, 0) > 1 AS is_mixed
+       |FROM sw LEFT JOIN dm USING (doc_id) ORDER BY sw.doc_id""".stripMargin
+  }
+
   /** q115: positional 3-grams (duplicates KEPT — q62's positional
     * convention, not the distinct shingle CTE) hit the eval set's
     * distinct shingles from a different doc; covered token positions

@@ -893,7 +893,7 @@ object TextOps {
     * these are per-language stopword/character-n-gram sets; the test
     * corpus shares one vocabulary, so the heuristic's *mechanism*
     * (score-per-language → argmax) is what's exercised. */
-  private val markers: Seq[(String, Seq[String])] = Seq(
+  private[graft] val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "value", "fast", "slow"),
     "de" -> Seq("table", "row", "merge"),
     "es" -> Seq("query", "scan", "filter"),
@@ -919,6 +919,77 @@ object TextOps {
       pred.as("predicted_lang")) ++
       markers.map { case (l, _) => col(s"s_$l").as(s"score_$l") }
     scored.select(outCols: _*)
+  }
+
+  /** q116: MIXED-LANGUAGE detection — q27's language-ID applied per
+    * fixed-size token SEGMENT instead of per document (the CCNet
+    * convention: language is judged per paragraph, because a document
+    * that flips language mid-stream is a poor monolingual training
+    * example even when its dominant language is right, and a
+    * whole-doc argmax hides the flip). Every `segTokens`-token window
+    * gets q27's marker-score argmax with the same en>de>es>fr>zh tie
+    * precedence, refined with an explicit `und` verdict when NO
+    * marker fires (q27's chain silently predicts "en" on scoreless
+    * text — fine for a forced-choice labeler, wrong for a segment
+    * detector where "no evidence" must not count as a language).
+    *
+    * Per doc: segment count, `und` count, the DOMINANT non-und
+    * language (most segments; ties by count desc then lang asc —
+    * min(struct(−c, lang)), q55's negation trick for string keys),
+    * the number of adjacent-segment language SWITCHES (the mix
+    * signal — ordered by segment, `und` participates so a
+    * lang→und→lang sandwich counts twice), and `is_mixed` = more
+    * than one distinct non-und language.
+    *
+    * Scale: one corpus scan (posexplode) → ONE (doc, seg)-keyed
+    * partial agg of the marker counts; everything after runs on the
+    * segments frame (tokens/segTokens rows). The per-doc switch scan
+    * is a sorted-array expression over each doc's own segments —
+    * no window over the corpus. */
+  def langMixDetect(documents: DataFrame, segTokens: Int = 16): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    val scoreCols = markers.map { case (l, ms) =>
+      sum(when(col("tok").isin(ms.map(s => s: Any): _*), 1L).otherwise(0L))
+        .as(s"s_$l")
+    }
+    val segScores = documents
+      .select(col("doc_id"), posexplode(toks))
+      .select(col("doc_id"), (col("pos") / segTokens).cast("int").as("seg"),
+        col("col").as("tok"))
+      .groupBy("doc_id", "seg")
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    val best = markers.map { case (l, _) => col(s"s_$l") }
+      .reduce((a, b) => greatest(a, b))
+    val pred = markers.foldRight(lit("und")) { case ((lang, _), acc) =>
+      when(col(s"s_$lang") === best, lang).otherwise(acc)
+    }
+    val segs = segScores.select(col("doc_id"), col("seg"),
+      when(best === 0, "und").otherwise(pred).as("sl"))
+      .localCheckpoint() // segments frame: two consumers, KB-per-doc scale
+    val perDoc = segs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("sl") === "und", 1L).otherwise(0L)).as("n_und"),
+        array_sort(collect_list(struct(col("seg"), col("sl")))).as("arr"))
+      .select(col("doc_id"), col("n_segments"), col("n_und"), {
+        val langs = transform(col("arr"), x => x.getField("sl"))
+        val m = greatest(size(langs) - 1, lit(0))
+        aggregate(
+          zip_with(slice(langs, lit(1), m), slice(langs, lit(2), m),
+            (a, b) => when(a =!= b, 1).otherwise(0)),
+          lit(0L), (acc, x) => acc + x).as("n_switches")
+      })
+    val dom = segs.filter(col("sl") =!= "und")
+      .groupBy("doc_id", "sl").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(min(struct((-col("c")).as("nc"), col("sl"))).as("b"),
+        count(lit(1)).as("n_langs"))
+      .select(col("doc_id"), col("b.sl").as("dominant_lang"),
+        col("n_langs"))
+    perDoc.join(dom, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"), col("n_und"),
+        coalesce(col("dominant_lang"), lit("und")).as("dominant_lang"),
+        col("n_switches"),
+        (coalesce(col("n_langs"), lit(0L)) > 1).as("is_mixed"))
   }
 
   /** q54: vocabulary coverage / out-of-vocabulary rate — per doc, the

@@ -256,6 +256,33 @@ class TextStatsSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
   }
 
+  test("q116 mixed-language detection: segment verdicts, switches, dominant, und refinement") {
+    import spark.implicits._
+    // seg 0: 16 'en' markers; seg 1: 16 'fr' markers; seg 2: 16
+    // markerless tokens (und). Switches: en->fr, fr->und = 2.
+    val mixed = (Seq.fill(16)("the") ++ Seq.fill(16)("join") ++
+      Seq.fill(16)("zzz")).mkString(" ")
+    val pure = Seq.fill(20)("the").mkString(" ")          // 2 segs, both en
+    val d = Seq((1L, mixed, "en"), (2L, pure, "en"), (3L, "zzz yyy", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.langMixDetect(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    out(1L) shouldBe (3L, 1L, "en", 2L, true)   // en beats fr on (count, lang asc)? both 1 seg — tie → 'en' < 'fr' asc
+    out(2L) shouldBe (2L, 0L, "en", 0L, false)
+    out(3L) shouldBe (1L, 1L, "und", 0L, false) // no evidence: und, NOT q27's forced 'en'
+  }
+
+  test("q116 dominant ties break by count desc then language asc, like the oracle") {
+    import spark.implicits._
+    // 1 en seg vs 2 fr segs: fr dominates despite en precedence in q27
+    val t = (Seq.fill(16)("the") ++ Seq.fill(32)("join")).mkString(" ")
+    val d = Seq((1L, t, "en")).toDF("doc_id", "text", "lang")
+    val r = TextOps.langMixDetect(d).collect().head
+    r.getString(3) shouldBe "fr"
+    r.getBoolean(5) shouldBe true
+  }
+
   test("q54 OOV rate against a known top-V vocabulary with deterministic ties") {
     // counts: a=3, b=1, c=1, d=1 -> top-2 by (cnt desc, tok asc) = {a, b}
     val d = docs((1L, "a a b", "en"), (2L, "a c d", "en"))
