@@ -101,6 +101,14 @@ object SparkEntry {
     // pins the bound on the raw valueStats(exact=false) path.
     "q51_percentile_sketch"  -> ((s, d) => Analytics.sketchPercentileCertified(Tables(s, d).events)),
     "q49_profile"            -> ((s, d) => Report.profile(Tables(s, d).events)),
+    // q117: the corpus DATASHEET — seven operator families composed
+    // into one (section, item, value) report: size/composition,
+    // quality value-at-rank, duplication, contamination (q47's eval
+    // convention), language purity.
+    "q117_datasheet"         -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      Report.datasheet(docs, docs.filter(col("doc_id") % 7 === 0))
+    }),
     // q73: q49's 100 TB HLL flag, certified in-plan (q51's pattern) —
     // the oracle hash-checks the exact columns plus all-true sketch
     // verdicts
@@ -1186,6 +1194,7 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin,
     "q116_lang_mix_detect" -> langMixOracle,
+    "q117_datasheet" -> datasheetOracle,
     "q27_lang_id" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, lang,
@@ -2476,15 +2485,23 @@ object SparkEntry {
     * SAME `TextOps.markers` value; seg lang = precedence-chain argmax
     * with an explicit und on zero evidence; dominant = (count desc,
     * lang asc) first row; switches via LAG over segment order. */
-  private def langMixOracle: String = {
-    val scoreSql = graft.operators.TextOps.markers.map { case (l, ms) =>
+  // q116/q117 shared SQL snippets, generated from TextOps.markers (the
+  // single-source-of-truth convention): per-segment marker scores, the
+  // greatest() argument list, and the precedence argmax chain.
+  private def markerScoreSql: String =
+    graft.operators.TextOps.markers.map { case (l, ms) =>
       val in = ms.map(m => s"'$m'").mkString(", ")
       s"SUM(CASE WHEN tok IN ($in) THEN 1 ELSE 0 END) AS s_$l"
-    }.mkString(",\n|             ")
-    val gx = graft.operators.TextOps.markers
-      .map { case (l, _) => s"s_$l" }.mkString(", ")
-    val chain = graft.operators.TextOps.markers
-      .map { case (l, _) => s"WHEN s_$l = g THEN '$l'" }.mkString(" ")
+    }.mkString(", ")
+  private def markerGreatest: String = graft.operators.TextOps.markers
+    .map { case (l, _) => s"s_$l" }.mkString(", ")
+  private def markerChain: String = graft.operators.TextOps.markers
+    .map { case (l, _) => s"WHEN s_$l = g THEN '$l'" }.mkString(" ")
+
+  private def langMixOracle: String = {
+    val scoreSql = markerScoreSql
+    val gx = markerGreatest
+    val chain = markerChain
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |x AS (SELECT doc_id, unnest(tk) AS tok,
        |             CAST((generate_subscripts(tk, 1) - 1) // 16 AS INTEGER) AS seg
@@ -2517,6 +2534,60 @@ object SparkEntry {
        |       COALESCE(dm.n_langs, 0) > 1 AS is_mixed
        |FROM sw LEFT JOIN dm USING (doc_id) ORDER BY sw.doc_id""".stripMargin
   }
+
+  /** q117: the datasheet's seven sections in ONE statement — a shared
+    * CTE prefix (shingleCtes' t/s reused for tokens and the q47
+    * contamination hit set, q28's quality formula verbatim, the q116
+    * marker snippets) and a UNION ALL arm per (section, item). The
+    * quality section is exact VALUE-AT-RANK (ceil(q·n), no
+    * interpolation — quantile_cont midpoints of 4-dp values land on
+    * the round()-divergent half-boundaries). The p-rank labels assume
+    * the three ranks are distinct (true for any n ≥ 4; gate corpora
+    * are 500). */
+  private def datasheetOracle: String =
+    s"""WITH ${shingleCtes()},
+       |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |               CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS n_tokens,
+       |               CAST(SUM(n_chars) AS DOUBLE) AS n_chars FROM documents),
+       |mq AS (SELECT t.doc_id,
+       |         CAST(len(toks) AS DOUBLE) AS n_tok,
+       |         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq,
+       |         CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE) AS n_stop,
+       |         LEAST(d.n_chars / 500.0, 1.0) AS len_sat
+       |       FROM t JOIN documents d USING (doc_id)),
+       |qv AS (SELECT doc_id,
+       |         FLOOR((n_uniq / n_tok * 0.4 + (1.0 - n_stop / n_tok) * 0.3 + len_sat * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality
+       |       FROM mq),
+       |rk AS (SELECT quality, ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS rn FROM qv),
+       |dup AS (SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS DOUBLE) AS ndup
+       |        FROM (SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY 1)),
+       |xs AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+       |rs AS (SELECT doc_id AS eval_doc, shingle FROM xs WHERE doc_id % 7 = 0),
+       |cont AS (SELECT CAST(COUNT(DISTINCT xs.doc_id) AS DOUBLE) AS nhit
+       |         FROM xs JOIN rs ON xs.shingle = rs.shingle AND xs.doc_id <> rs.eval_doc),
+       |lx AS (SELECT doc_id, unnest(toks) AS tok,
+       |              CAST((generate_subscripts(toks, 1) - 1) // 16 AS INTEGER) AS seg FROM t),
+       |lsc AS (SELECT doc_id, seg, $markerScoreSql FROM lx GROUP BY 1, 2),
+       |lsl AS (SELECT doc_id, seg,
+       |          CASE WHEN greatest($markerGreatest) = 0 THEN 'und' ELSE
+       |            CASE $markerChain END END AS sl
+       |        FROM (SELECT *, greatest($markerGreatest) AS g FROM lsc)),
+       |lmx AS (SELECT CAST(COALESCE(SUM(CASE WHEN nl > 1 THEN 1 ELSE 0 END), 0) AS DOUBLE) AS nmix
+       |        FROM (SELECT doc_id, COUNT(DISTINCT sl) AS nl FROM lsl WHERE sl <> 'und' GROUP BY 1))
+       |SELECT 'corpus' AS section, 'n_docs' AS item, n_docs AS value FROM tot
+       |UNION ALL SELECT 'corpus', 'n_tokens', n_tokens FROM tot
+       |UNION ALL SELECT 'corpus', 'n_chars', n_chars FROM tot
+       |UNION ALL SELECT 'by_source', source, CAST(COUNT(*) AS DOUBLE) FROM documents GROUP BY source
+       |UNION ALL SELECT 'by_lang', lang, CAST(COUNT(*) AS DOUBLE) FROM documents GROUP BY lang
+       |UNION ALL SELECT 'quality', 'p25', quality FROM rk CROSS JOIN tot WHERE rn = CAST(CEIL(n_docs * 0.25) AS BIGINT)
+       |UNION ALL SELECT 'quality', 'p50', quality FROM rk CROSS JOIN tot WHERE rn = CAST(CEIL(n_docs * 0.5) AS BIGINT)
+       |UNION ALL SELECT 'quality', 'p75', quality FROM rk CROSS JOIN tot WHERE rn = CAST(CEIL(n_docs * 0.75) AS BIGINT)
+       |UNION ALL SELECT 'exact_dup', 'n_dup_docs', ndup FROM dup
+       |UNION ALL SELECT 'exact_dup', 'dup_frac', ndup / n_docs FROM dup CROSS JOIN tot
+       |UNION ALL SELECT 'contamination', 'n_hit_docs', nhit FROM cont
+       |UNION ALL SELECT 'contamination', 'hit_frac', nhit / n_docs FROM cont CROSS JOIN tot
+       |UNION ALL SELECT 'lang_mix', 'n_mixed', nmix FROM lmx
+       |UNION ALL SELECT 'lang_mix', 'mixed_frac', nmix / n_docs FROM lmx CROSS JOIN tot""".stripMargin
 
   /** q115: positional 3-grams (duplicates KEPT — q62's positional
     * convention, not the distinct shingle CTE) hit the eval set's

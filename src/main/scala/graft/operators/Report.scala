@@ -190,4 +190,77 @@ object Report {
       .agg(countDistinct(col("cluster_id")).as("n_clusters"),
         count(lit(1)).as("n_docs"))
       .orderBy("cluster_size")
+
+  /** q117: the corpus DATASHEET — the one-stop "what is this dataset"
+    * report (Datasheets for Datasets, Gebru et al. 2018/2021, public)
+    * a training run publishes next to its corpus: size and
+    * composition, quality distribution, duplication, benchmark
+    * contamination, and language purity — SEVEN operator families
+    * composed into one long-skinny `(section, item, value)` table so
+    * the whole datasheet is a single queryable artifact.
+    *
+    * Sections: `corpus` (docs/whitespace-tokens/chars), `by_source`
+    * and `by_lang` (composition counts), `quality` (q28 quality at
+    * exact VALUE-AT-RANK p25/p50/p75 — q51's rank convention, no
+    * interpolation, so the emitted doubles are corpus values and
+    * hash-exact; interpolated quantile_cont midpoints of 4-dp values
+    * land on half-boundaries where round diverges), `exact_dup`
+    * (q20's md5 groups: docs sharing a body + fraction),
+    * `contamination` (q47's hit set vs `evalReference` + fraction),
+    * `lang_mix` (q116's is_mixed count + fraction). All fractions are
+    * ONE IEEE division of identically-derived doubles.
+    *
+    * Scale: each section is a partial-agg aggregate (the quality
+    * value-at-rank is the one global sort — q51's certification-cost
+    * note applies; production swaps in the sketch). The 1-row totals
+    * frame is localCheckpointed and broadcast into every fraction. */
+  def datasheet(documents: DataFrame, evalReference: DataFrame): DataFrame = {
+    val tk = split(col("text"), " ")
+    val totals = documents.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(size(tk).cast("long")).cast("double").as("n_tokens"),
+      sum(col("n_chars")).cast("double").as("n_chars"))
+      .localCheckpoint()
+    val corpus = totals.selectExpr(
+      "stack(3, 'n_docs', n_docs, 'n_tokens', n_tokens, 'n_chars', n_chars) AS (item, value)")
+      .select(lit("corpus").as("section"), col("item"), col("value"))
+    val bySource = documents.groupBy("source")
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("by_source").as("section"), col("source").as("item"), col("value"))
+    val byLang = documents.groupBy("lang")
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("by_lang").as("section"), col("lang").as("item"), col("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality"), col("doc_id")) // global: the certification cost
+    val quality = TextOps.qualityScore(documents)
+      .select(col("doc_id"), col("quality"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(totals.select(col("n_docs"))))
+      .select(lit("quality").as("section"),
+        when(col("rn") === ceil(col("n_docs") * 0.25).cast("long"), "p25")
+          .when(col("rn") === ceil(col("n_docs") * 0.5).cast("long"), "p50")
+          .when(col("rn") === ceil(col("n_docs") * 0.75).cast("long"), "p75")
+          .as("item"),
+        col("quality").as("value"))
+      .filter(col("item").isNotNull)
+    val dup = documents
+      .groupBy(md5(col("text").cast("binary"))).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+        .cast("double").as("ndup"))
+      .crossJoin(broadcast(totals))
+      .selectExpr("stack(2, 'n_dup_docs', ndup, 'dup_frac', ndup / n_docs) AS (item, value)")
+      .select(lit("exact_dup").as("section"), col("item"), col("value"))
+    val cont = Dedup.decontaminateNgram(documents, evalReference)
+      .agg(count(lit(1)).cast("double").as("nhit")) // output is 1 row/hit doc
+      .crossJoin(broadcast(totals))
+      .selectExpr("stack(2, 'n_hit_docs', nhit, 'hit_frac', nhit / n_docs) AS (item, value)")
+      .select(lit("contamination").as("section"), col("item"), col("value"))
+    val mix = TextOps.langMixDetect(documents)
+      .agg(sum(when(col("is_mixed"), 1L).otherwise(0L)).cast("double").as("nmix"))
+      .crossJoin(broadcast(totals))
+      .selectExpr("stack(2, 'n_mixed', nmix, 'mixed_frac', nmix / n_docs) AS (item, value)")
+      .select(lit("lang_mix").as("section"), col("item"), col("value"))
+    corpus.unionByName(bySource).unionByName(byLang).unionByName(quality)
+      .unionByName(dup).unionByName(cont).unionByName(mix)
+  }
 }

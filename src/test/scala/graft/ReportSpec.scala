@@ -131,4 +131,35 @@ class ReportSpec extends SparkSpec {
       ("de", 1L, 1L, 0L, 0.0),
       ("en", 3L, 2L, 1L, 0.3333))
   }
+
+  test("q117 datasheet: sections are internally consistent with their source operators") {
+    import org.apache.spark.sql.functions.col
+    val d = tables.documents
+    val sheet = Report.datasheet(d, d.filter(col("doc_id") % 7 === 0))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val n = d.count().toDouble
+    sheet(("corpus", "n_docs")) shouldBe n
+    // composition sections partition the corpus
+    sheet.collect { case (("by_source", _), v) => v }.sum shouldBe n
+    sheet.collect { case (("by_lang", _), v) => v }.sum shouldBe n
+    // quality quantiles are corpus VALUES in order (value-at-rank, no interpolation)
+    val qs = graft.operators.TextOps.qualityScore(d)
+      .collect().map(_.getDouble(4)).toSet
+    Seq("p25", "p50", "p75").foreach { p =>
+      qs should contain (sheet(("quality", p)))
+    }
+    sheet(("quality", "p25")) should be <= sheet(("quality", "p50"))
+    sheet(("quality", "p50")) should be <= sheet(("quality", "p75"))
+    // fractions = count / n_docs exactly
+    sheet(("exact_dup", "dup_frac")) shouldBe
+      sheet(("exact_dup", "n_dup_docs")) / n
+    sheet(("contamination", "hit_frac")) shouldBe
+      sheet(("contamination", "n_hit_docs")) / n
+    sheet(("lang_mix", "mixed_frac")) shouldBe
+      sheet(("lang_mix", "n_mixed")) / n
+    // contamination count matches q47's hit set on the same split
+    val hits = Dedup.decontaminateNgram(d, d.filter(col("doc_id") % 7 === 0))
+      .count().toDouble
+    sheet(("contamination", "n_hit_docs")) shouldBe hits
+  }
 }
