@@ -2542,8 +2542,9 @@ object SparkEntry {
     * quality section is exact VALUE-AT-RANK (ceil(q·n), no
     * interpolation — quantile_cont midpoints of 4-dp values land on
     * the round()-divergent half-boundaries). The p-rank labels assume
-    * the three ranks are distinct (true for any n ≥ 4; gate corpora
-    * are 500). */
+    * the three ranks are distinct (true for any n ≥ 3 — ceil(0.25·3),
+    * ceil(0.5·3), ceil(0.75·3) = 1,2,3; the Spark side requires it
+    * eagerly; gate corpora are 500). */
   private def datasheetOracle: String =
     s"""WITH ${shingleCtes()},
        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,

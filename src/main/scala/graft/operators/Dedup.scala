@@ -150,23 +150,38 @@ object Dedup {
     * column (shingles for q21/q60, winnow fingerprints for q66): same
     * index key, same shingle-local expansion, same df-cap semantics. */
   private def setPairCounts(documents: DataFrame, setCol: Column,
-                            maxDf: Int): DataFrame = {
-    val docs = documents.select(col("doc_id"), setCol.as("sh"))
-    val idx = docs
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("shingle"))
-    val grouped = idx.groupBy("shingle")
-      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-    val capped = if (maxDf > 0) grouped.filter(size(col("ds")) <= maxDf)
-                 else grouped
-    capped
+                            maxDf: Int): DataFrame =
+    postingLists(documents, setCol, maxDf)
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"),
         min(col("a.n_sh")).as("n_a"), min(col("b.n_sh")).as("n_b"))
+
+  /** The ONE inverted-index posting-list build (q21/q60/q66/q114):
+    * one set-column scan → xxhash64 keys → per-shingle posting list
+    * with the df>1 filter and the maxDf skew cap. `tag` optionally
+    * rides each posting as `is_eval` (q114's side bit) so variants
+    * that restrict WHICH pairs expand share the index construction —
+    * a cap-semantics fix lands in every consumer at once (round-14
+    * review: q114 had re-implemented this nearly line-for-line). */
+  private def postingLists(documents: DataFrame, setCol: Column,
+                           maxDf: Int,
+                           tag: Option[Column] = None): DataFrame = {
+    val head = Seq(col("doc_id")) ++ tag.map(_.as("is_eval")).toSeq
+    val idx = documents
+      .select(head :+ setCol.as("sh"): _*)
+      .select(Seq(col("doc_id")) ++ tag.map(_ => col("is_eval")).toSeq ++
+        Seq(size(col("sh")).as("n_sh"), explode(col("sh")).as("s")): _*)
+      .withColumn("shingle", xxhash64(col("s"))).drop("s")
+    val entry =
+      if (tag.isDefined) struct(col("doc_id"), col("is_eval"), col("n_sh"))
+      else struct(col("doc_id"), col("n_sh"))
+    val grouped = idx.groupBy("shingle")
+      .agg(collect_list(entry).as("ds"))
+      .filter(size(col("ds")) > 1)
+    if (maxDf > 0) grouped.filter(size(col("ds")) <= maxDf) else grouped
   }
 
   /** q114: LEAK-PROOF EVAL HOLDOUT — the deterministic train/eval
@@ -198,19 +213,8 @@ object Dedup {
       s"evalFrac must be in (0, 1), got $evalFrac")
     val thr = math.floor(evalFrac * 65536).toInt
     val isEval = Corpus.bucket16 < thr
-    val idx = documents
-      .select(col("doc_id"), isEval.as("is_eval"), shingleSet(n).as("sh"))
-      .select(col("doc_id"), col("is_eval"), size(col("sh")).as("n_sh"),
-        explode(col("sh")).as("s"))
-      .select(col("doc_id"), col("is_eval"), col("n_sh"),
-        xxhash64(col("s")).as("shingle"))
-    val grouped = idx.groupBy("shingle")
-      .agg(collect_list(struct(col("doc_id"), col("is_eval"), col("n_sh")))
-        .as("ds"))
-      .filter(size(col("ds")) > 1)
-    val capped = if (maxDf > 0) grouped.filter(size(col("ds")) <= maxDf)
-                 else grouped
-    val leaks = capped
+    val leaks = postingLists(documents, shingleSet(n), maxDf,
+        tag = Some(isEval))
       .select(explode(col("ds")).as("e"), col("ds"))
       .filter(col("e.is_eval"))
       .select(col("e"), explode(col("ds")).as("t"))
@@ -1300,7 +1304,12 @@ object Dedup {
     * normalized form is the honest identity on both engines).
     *
     * Scale shape: positional n-grams are [[graft.functions.Exprs.Ngrams]]
-    * (order + multiplicity preserved → posexplode gives positions)
+    * (order + multiplicity preserved → posexplode gives positions —
+    * VALID only because the tokens come from this function's own
+    * `split(text)`, which never yields NULL tokens; Ngrams SKIPS
+    * null-containing windows, so a pre-tokenized variant would need a
+    * position-carrying kernel or every position after a skip excises
+    * the wrong span)
     * joined against the BROADCAST eval shingle index (q47's shape) —
     * match rows only survive, so the hit/coverage frames are
     * contaminated-docs-sized. The token-explode + rebuild aggregation
@@ -1332,11 +1341,16 @@ object Dedup {
     val covered = hits
       .select(col("doc_id"), explode(sequence(col("p"), col("p") + (n - 1))).as("j"))
       .distinct()
+    // contaminated/covered are per-DOC and per-TOKEN frames of the hit
+    // set — on a dup-dense corpus that is corpus-scale (the same
+    // reasoning as the final join below), so BOTH joins stay key-
+    // shuffled; broadcasting `covered` would materialize every covered
+    // token position on every executor (round-14 review)
     val keptAgg = candidates
-      .join(broadcast(contaminated), Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(tk))
       .select(col("doc_id"), (col("pos") + 1).as("j"), col("col").as("tok"))
-      .join(broadcast(covered), Seq("doc_id", "j"), "left_anti")
+      .join(covered, Seq("doc_id", "j"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(

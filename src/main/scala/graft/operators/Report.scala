@@ -221,6 +221,13 @@ object Report {
       sum(size(tk).cast("long")).cast("double").as("n_tokens"),
       sum(col("n_chars")).cast("double").as("n_chars"))
       .localCheckpoint()
+    // the quality p-rank labels assume ceil(0.25n) < ceil(0.5n) <
+    // ceil(0.75n): true for n >= 3; below that the when-chain would
+    // emit fewer rows than the oracle's three UNION arms (round-14
+    // review) — die loudly instead. One first() on the pinned 1-row
+    // frame, no extra scan.
+    require(totals.first().getDouble(0) >= 3,
+      "datasheet needs at least 3 documents for distinct quality p-ranks")
     val corpus = totals.selectExpr(
       "stack(3, 'n_docs', n_docs, 'n_tokens', n_tokens, 'n_chars', n_chars) AS (item, value)")
       .select(lit("corpus").as("section"), col("item"), col("value"))
