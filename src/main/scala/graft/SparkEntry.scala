@@ -1613,13 +1613,16 @@ object SparkEntry {
         |             - CAST(cnt_r AS HUGEINT) * (SELECT SUM(cnt_t) FROM c) AS wgt
         |      FROM c),
         |sc AS (SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats, SUM(w.wgt) AS raw
-        |       FROM x JOIN w USING (b) WHERE x.source <> 'src0' GROUP BY 1)
-        |SELECT d.doc_id, d.source, d.lang,
-        |       COALESCE(sc.n_feats, 0) AS n_feats,
-        |       CAST(COALESCE(sc.raw, 0) AS DECIMAL(38,0)) AS score
-        |FROM documents d LEFT JOIN sc USING (doc_id)
-        |WHERE d.source <> 'src0'
-        |ORDER BY score DESC, d.doc_id LIMIT 100""".stripMargin,
+        |       FROM x JOIN w USING (b) WHERE x.source <> 'src0' GROUP BY 1),
+        |rk AS (SELECT d.doc_id, d.source, d.lang,
+        |              COALESCE(sc.n_feats, 0) AS n_feats,
+        |              CAST(COALESCE(sc.raw, 0) AS HUGEINT) AS raw_score
+        |       FROM documents d LEFT JOIN sc USING (doc_id)
+        |       WHERE d.source <> 'src0'
+        |       ORDER BY raw_score DESC, d.doc_id LIMIT 100)
+        |SELECT doc_id, source, lang, n_feats,
+        |       CAST(raw_score AS VARCHAR) AS score
+        |FROM rk ORDER BY raw_score DESC, doc_id""".stripMargin,
     // q111: densified (source × observed bucket) count frame, pair
     // TVD over the common denominator — HUGEINT numerator summed
     // exactly, den = 2·N_a·N_b, tvd = one double division of the two.
@@ -1628,12 +1631,12 @@ object SparkEntry {
     // q113: salted 48-bit md5 shuffle key → shard = h mod 16, pos =
     // rank by (h, doc_id) within the shard.
     "q113_shuffle_shards" ->
-      """WITH h AS (SELECT doc_id, source,
+      s"""WITH h AS (SELECT doc_id, source,
         |             CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 12))
         |               AS BIGINT) AS hkey
         |           FROM documents)
-        |SELECT doc_id, source, CAST(hkey % 16 AS INTEGER) AS shard,
-        |       CAST(ROW_NUMBER() OVER (PARTITION BY hkey % 16 ORDER BY hkey, doc_id) - 1
+        |SELECT doc_id, source, CAST(hkey % ${Corpus.DefaultShards} AS INTEGER) AS shard,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY hkey % ${Corpus.DefaultShards} ORDER BY hkey, doc_id) - 1
         |         AS BIGINT) AS pos
         |FROM h ORDER BY shard, pos""".stripMargin,
     // q39: the oracle is DuckDB's NATIVE ASOF JOIN — an independent
@@ -2253,7 +2256,7 @@ object SparkEntry {
   private def holdoutOracle: String =
     s"""WITH ${shingleCtes()},
        |g AS (SELECT doc_id,
-       |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < 3276 AS is_eval
+       |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < ${math.floor(Dedup.DefaultEvalFrac * 65536).toInt} AS is_eval
        |      FROM documents),
        |x AS (SELECT s.doc_id, g.is_eval, unnest(sh) AS shingle FROM s JOIN g USING (doc_id)),
        |z AS (SELECT doc_id, len(sh) AS n_sh FROM s),
@@ -2261,7 +2264,7 @@ object SparkEntry {
        |      FROM x e JOIN x t2 ON e.shingle = t2.shingle AND e.is_eval AND NOT t2.is_eval
        |      GROUP BY 1, 2),
        |j AS (SELECT p.e, p.t FROM p JOIN z ze ON p.e = ze.doc_id JOIN z zt ON p.t = zt.doc_id
-       |      WHERE CAST(inter AS DOUBLE) / (CAST(ze.n_sh + zt.n_sh AS DOUBLE) - CAST(inter AS DOUBLE)) >= 0.5),
+       |      WHERE CAST(inter AS DOUBLE) / (CAST(ze.n_sh + zt.n_sh AS DOUBLE) - CAST(inter AS DOUBLE)) >= ${Dedup.DefaultHoldoutTau}),
        |l AS (SELECT e AS doc_id, MIN(t) AS leak_dup_of FROM j GROUP BY 1)
        |SELECT d.doc_id, d.source, d.lang,
        |       l.leak_dup_of IS NOT NULL AS leaked, l.leak_dup_of
@@ -2504,7 +2507,7 @@ object SparkEntry {
     val chain = markerChain
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |x AS (SELECT doc_id, unnest(tk) AS tok,
-       |             CAST((generate_subscripts(tk, 1) - 1) // 16 AS INTEGER) AS seg
+       |             CAST((generate_subscripts(tk, 1) - 1) // ${TextOps.DefaultSegTokens} AS INTEGER) AS seg
        |      FROM t),
        |sc AS (SELECT doc_id, seg,
        |             $scoreSql
@@ -2567,7 +2570,7 @@ object SparkEntry {
        |cont AS (SELECT CAST(COUNT(DISTINCT xs.doc_id) AS DOUBLE) AS nhit
        |         FROM xs JOIN rs ON xs.shingle = rs.shingle AND xs.doc_id <> rs.eval_doc),
        |lx AS (SELECT doc_id, unnest(toks) AS tok,
-       |              CAST((generate_subscripts(toks, 1) - 1) // 16 AS INTEGER) AS seg FROM t),
+       |              CAST((generate_subscripts(toks, 1) - 1) // ${TextOps.DefaultSegTokens} AS INTEGER) AS seg FROM t),
        |lsc AS (SELECT doc_id, seg, $markerScoreSql FROM lx GROUP BY 1, 2),
        |lsl AS (SELECT doc_id, seg,
        |          CASE WHEN greatest($markerGreatest) = 0 THEN 'und' ELSE
@@ -2914,8 +2917,8 @@ object SparkEntry {
       |      FROM w a JOIN w x ON a.b = x.b WHERE a.source < x.source)
       |SELECT src_a, src_b,
       |       CAST(SUM(ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na))
-      |            AS DECIMAL(38,0)) AS num,
-      |       CAST(2 * CAST(na AS HUGEINT) * nb AS DECIMAL(38,0)) AS den,
+      |            AS VARCHAR) AS num,
+      |       CAST(2 * CAST(na AS HUGEINT) * nb AS VARCHAR) AS den,
       |       CAST(SUM(ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS DOUBLE)
       |         / CAST(2 * CAST(na AS HUGEINT) * nb AS DOUBLE) AS tvd
       |FROM p GROUP BY src_a, src_b, na, nb ORDER BY src_a, src_b""".stripMargin

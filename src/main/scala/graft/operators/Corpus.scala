@@ -319,6 +319,12 @@ object Corpus {
     // scan or doc_id re-join is needed to keep it in the pool
     // (with the checkpointed counts the audit reads ex=2 scan=1,
     // down from the first cut's ex=5 scan=3).
+    // the decimal(38) score stays INTERNAL (ranking + arithmetic);
+    // the declared output emits its exact decimal digits as STRING —
+    // DECIMAL(38,0) is the one type the driver's hasher canonicalizes
+    // differently from the DuckDB oracle (r14's only three reds, all
+    // value-identical), and BIGINT would silently cap at ~9.2e18,
+    // which a 100 TB corpus's count cross-products can exceed.
     bigramFeats(documents, nBuckets, keepFeatureless = true)
       .filter(!isTarget)
       .join(broadcast(weights), Seq("b"), "left")
@@ -327,6 +333,8 @@ object Corpus {
         sum(coalesce(col("wgt"), lit(0).cast("decimal(38,0)"))).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_feats"),
+        col("score").cast("string").as("score"))
   }
 
   /** q111: pairwise SOURCE-DISTRIBUTION DIVERGENCE — total-variation
@@ -393,17 +401,30 @@ object Corpus {
     val bSide = dense.select(col("source").as("src_b"), col("b"),
       col("cnt").as("cb"), col("n").as("nb"))
     val d19 = "decimal(19,0)"
+    // num/den arithmetic stays exact decimal INTERNALLY; the declared
+    // projection emits their digits as STRING (hash-stable across the
+    // driver's canonicalizer and DuckDB — DECIMAL(38,0) output was
+    // r14's only red class) with tvd derived from the decimals BEFORE
+    // the cast, so the one IEEE division is unchanged.
     a.join(broadcast(bSide), Seq("b"))
       .filter(col("src_a") < col("src_b"))
       .groupBy("src_a", "src_b", "na", "nb")
       .agg(sum(abs(
         col("ca").cast(d19) * col("nb").cast(d19) -
           col("cb").cast(d19) * col("na").cast(d19))).as("num"))
-      .select(col("src_a"), col("src_b"), col("num"),
+      .withColumn("den",
         (lit(2).cast(d19) * col("na").cast(d19) * col("nb").cast(d19))
-          .cast("decimal(38,0)").as("den"))
-      .withColumn("tvd", col("num").cast("double") / col("den").cast("double"))
+          .cast("decimal(38,0)"))
+      .select(col("src_a"), col("src_b"),
+        col("num").cast("string").as("num"),
+        col("den").cast("string").as("den"),
+        (col("num").cast("double") / col("den").cast("double")).as("tvd"))
   }
+
+  /** q113's default shard count — shared with the oracle SQL (spliced
+    * into the generated text) so changing it can never desync the
+    * Spark plan from the DuckDB replay (the q112 DefaultEpochs rule). */
+  private[graft] val DefaultShards: Int = 16
 
   /** q112's default recipe: a few sources upsampled past one epoch,
     * one heavily downsampled — the shape of every published mixture
@@ -481,7 +502,8 @@ object Corpus {
     * exactly the sort the shard's parquet writer performs anyway, and
     * shards sort INDEPENDENTLY (q40's sharded note realized: this is
     * the parallel form by construction). One scan, one window. */
-  def shuffleShards(documents: DataFrame, nShards: Int = 16): DataFrame = {
+  def shuffleShards(documents: DataFrame,
+                    nShards: Int = DefaultShards): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val h = conv(substring(md5(
       concat(lit("shuffle:"), col("doc_id").cast("string")).cast("binary")),

@@ -184,6 +184,9 @@ object Dedup {
     if (maxDf > 0) grouped.filter(size(col("ds")) <= maxDf) else grouped
   }
 
+  private[graft] val DefaultEvalFrac: Double = 0.05
+  private[graft] val DefaultHoldoutTau: Double = 0.5
+
   /** q114: LEAK-PROOF EVAL HOLDOUT — the deterministic train/eval
     * split with the cross-split near-dup audit built in. Splitting by
     * hash alone leaks: a near-copy of a training document landing in
@@ -198,6 +201,10 @@ object Dedup {
     * `filter(!leaked)`; emitting the verdict table keeps the audit
     * trail.
     *
+    * q114 defaults are the named constants below — spliced into the
+    * oracle SQL (the q112 DefaultEpochs rule) so a default change
+    * cannot desync the replay.
+    *
     * Split gate = q38's 16-bit md5 of doc_id (pure row function:
     * re-runs reproduce the split, adding data never flips a doc's
     * side). Pair pass = q21's inverted index with SIDE TAGS carried
@@ -207,8 +214,9 @@ object Dedup {
     * same maxDf skew cap, same underestimate-only law. Short docs
     * (< n tokens) have no shingles, cannot leak verbatim n-grams, and
     * keep `leaked = false`. */
-  def holdoutSplit(documents: DataFrame, evalFrac: Double = 0.05,
-                   n: Int = 3, tau: Double = 0.5, maxDf: Int = 0): DataFrame = {
+  def holdoutSplit(documents: DataFrame, evalFrac: Double = DefaultEvalFrac,
+                   n: Int = 3, tau: Double = DefaultHoldoutTau,
+                   maxDf: Int = 0): DataFrame = {
     require(evalFrac > 0 && evalFrac < 1,
       s"evalFrac must be in (0, 1), got $evalFrac")
     val thr = math.floor(evalFrac * 65536).toInt

@@ -893,6 +893,11 @@ object TextOps {
     * these are per-language stopword/character-n-gram sets; the test
     * corpus shares one vocabulary, so the heuristic's *mechanism*
     * (score-per-language → argmax) is what's exercised. */
+  /** q116/q117's default segment width (tokens) — spliced into the
+    * oracle SQL (the q112 DefaultEpochs rule) so a default change
+    * cannot desync the replay. */
+  private[graft] val DefaultSegTokens: Int = 16
+
   private[graft] val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "value", "fast", "slow"),
     "de" -> Seq("table", "row", "merge"),
@@ -946,7 +951,8 @@ object TextOps {
     * segments frame (tokens/segTokens rows). The per-doc switch scan
     * is a sorted-array expression over each doc's own segments —
     * no window over the corpus. */
-  def langMixDetect(documents: DataFrame, segTokens: Int = 16): DataFrame = {
+  def langMixDetect(documents: DataFrame,
+                    segTokens: Int = DefaultSegTokens): DataFrame = {
     require(segTokens > 0, s"segTokens must be positive, got $segTokens")
     val scoreCols = markers.map { case (l, ms) =>
       sum(when(col("tok").isin(ms.map(s => s: Any): _*), 1L).otherwise(0L))

@@ -176,8 +176,10 @@ class CorpusSpec extends SparkSpec {
       (10L, "alpha beta delta", "web"),
       (11L, "epsilon zeta epsilon zeta", "web"),
       (12L, "solo", "web"))
+    // score is STRING in the declared output (exact decimal digits —
+    // the driver-hash-stable form); parse back for numeric asserts
     val out = Corpus.domainSelect(d, k = 10).collect()
-      .map(r => (r.getLong(0), r.getDecimal(4)))
+      .map(r => (r.getLong(0), BigDecimal(r.getString(4))))
     out.map(_._1) shouldBe Array(10L, 12L, 11L)
     out(0)._2.signum shouldBe 1   // matches the target distribution
     out(1)._2.signum shouldBe 0   // featureless: score exactly 0
@@ -193,9 +195,10 @@ class CorpusSpec extends SparkSpec {
     a.map(_.getLong(0)).toSeq shouldBe b.map(_.getLong(0)).toSeq
     a.length shouldBe 20
     a.foreach(_.getString(1) should not be "src0")
-    // emitted in rank order: scores non-increasing
-    val scores = a.map(_.getDecimal(4))
-    scores.sliding(2).foreach { p => p(0).compareTo(p(1)) should be >= 0 }
+    // emitted in rank order: scores non-increasing (ranked on the
+    // internal decimal; the output string parses back exactly)
+    val scores = a.map(r => BigDecimal(r.getString(4)))
+    scores.sliding(2).foreach { p => p(0).compare(p(1)) should be >= 0 }
   }
 
   test("q110 fails loudly when the target source contributes no features") {
@@ -233,7 +236,8 @@ class CorpusSpec extends SparkSpec {
       (3L, "z w z w", "C"))
     val rows = Corpus.sourceDivergence(d).collect()
       .map(r => ((r.getString(0), r.getString(1)),
-        (r.getDecimal(2), r.getDecimal(3), r.getDouble(4)))).toMap
+        (BigDecimal(r.getString(2)), BigDecimal(r.getString(3)),
+          r.getDouble(4)))).toMap
     rows.keySet shouldBe Set(("A", "B"), ("A", "C"), ("B", "C"))
     rows(("A", "B"))._1.signum shouldBe 0     // exact zero numerator
     rows(("A", "B"))._3 shouldBe 0.0
@@ -247,8 +251,8 @@ class CorpusSpec extends SparkSpec {
     // numerator over common den: |2·2−1·3| + |1·2−0| + |0−1·3| = 6; den = 12
     val d = srcDocs((1L, "x x y", "A"), (2L, "x z", "B"))
     val r = Corpus.sourceDivergence(d).collect().head
-    r.getDecimal(2).longValueExact() shouldBe 6L
-    r.getDecimal(3).longValueExact() shouldBe 12L
+    r.getString(2) shouldBe "6"
+    r.getString(3) shouldBe "12"
     r.getDouble(4) shouldBe 0.5
   }
 

@@ -299,4 +299,32 @@ class PlanSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
     plan should not include "CartesianProduct"
   }
+
+  test("driver contract: no declared batch query output schema contains DecimalType") {
+    // The driver's hasher canonicalizes DECIMAL differently than the
+    // DuckDB replica — r14's only three oracle reds (q110/q111/s17)
+    // were DECIMAL(38,0) output columns whose VALUES were verified
+    // identical. Wide-decimal arithmetic stays internal; declared
+    // outputs must emit a canonicalization-stable type (string for
+    // past-BIGINT magnitudes). This pins the CLASS closed. Streaming
+    // keys are asserted in StreamingSpec (constructing them executes
+    // real streams).
+    import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, MapType, StructType}
+    def hasDecimal(dt: DataType): Boolean = dt match {
+      case _: DecimalType     => true
+      case s: StructType      => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: ArrayType       => hasDecimal(a.elementType)
+      case m: MapType         => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _                  => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(!_._1.startsWith("s")) // streaming: see StreamingSpec twin
+      .flatMap { case (name, fn) =>
+        fn(spark, SparkSpec.sfDir).schema.fields.collect {
+          case f if hasDecimal(f.dataType) => s"$name.${f.name}"
+        }
+      }
+    withClue(s"DecimalType in declared output (hash-unstable at the driver gate): " +
+      s"${offenders.mkString(", ")}: ") { offenders shouldBe empty }
+  }
 }

@@ -912,4 +912,34 @@ class StreamingSpec extends SparkSpec {
     q2.awaitTermination(); q2.stop()
     spark.read.parquet(s"$tmp/out").count() shouldBe 3
   }
+
+  test("driver contract: every declared streaming query runs and emits no DecimalType output") {
+    // PlanSpec pins the batch half of the no-DECIMAL rule (r14's only
+    // three oracle reds were DECIMAL(38,0) canonicalization, values
+    // identical); constructing the s* registrations executes real
+    // streams, so their half lives here — which also smoke-runs every
+    // declared streaming registration end-to-end at sf0.001 exactly
+    // as the driver's Verify will, something no bespoke test above
+    // does (they build their own MemoryStream setups).
+    import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, MapType, StructType}
+    def hasDecimal(dt: DataType): Boolean = dt match {
+      case _: DecimalType => true
+      case s: StructType  => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: ArrayType   => hasDecimal(a.elementType)
+      case m: MapType     => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _              => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.startsWith("s"))
+      .flatMap { case (name, fn) =>
+        val df = fn(spark, SparkSpec.sfDir)
+        df.count() should be >= 0L // drained output must be readable
+        df.schema.fields.collect {
+          case f if hasDecimal(f.dataType) => s"$name.${f.name}"
+        }
+      }
+    withClue(s"DecimalType in declared streaming output: ${offenders.mkString(", ")}: ") {
+      offenders shouldBe empty
+    }
+  }
 }
