@@ -184,11 +184,18 @@ object SparkEntry {
     // training order is random-looking, reproducible, append-stable,
     // and oracle-replayable (q38's purity rule applied to ORDER).
     "q113_shuffle_shards"    -> ((s, d) => Corpus.shuffleShards(Tables(s, d).documents)),
+    // q118: RefinedWeb-style per-domain quota — deterministic salted
+    // md5-rank gate caps each source at DefaultDomainQuota docs
+    "q118_domain_quota"      -> ((s, d) => Corpus.domainQuota(Tables(s, d).documents)),
     "q40_pack_sequences"     -> ((s, d) => Corpus.packSequences(Tables(s, d).documents)),
     // q72: q40's sharded scale plan — shardSize 64 yields ~8 shards at
     // the grading SF, so the parallel path (not a degenerate one-shard
     // run) is what the shared q40 oracle hash-checks
     "q72_pack_sharded"       -> ((s, d) => Corpus.packSequencesSharded(Tables(s, d).documents)),
+    // q119: best-fit-decreasing bin packing in bounded shards — docs
+    // stay whole (q40 splits straddlers); the oracle's recursive CTE
+    // replays every placement move-for-move
+    "q119_pack_bfd"          -> ((s, d) => Corpus.packBfd(Tables(s, d).documents)),
     "q77_zorder_layout"      -> ((s, d) => Corpus.layoutZOrder(Tables(s, d).documents)),
     "q41_repetition"         -> ((s, d) => TextOps.repetitionSignals(Tables(s, d).documents)),
     "q53_chunk_sliding"      -> ((s, d) => Corpus.chunkSliding(Tables(s, d).documents)),
@@ -526,6 +533,22 @@ object SparkEntry {
         .filter(col("doc_id") % 10 === 9)
       val q = Streams.streamIncrementalDedup(intake, index, existing,
         s"$tmp/out", s"$tmp/cp",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination(); q.stop()
+      s.read.parquet(s"$tmp/out")
+    }),
+    // s18: streaming decontamination — the eval-set bloom + exact
+    // verify riding every micro-batch (the intake-side contamination
+    // guard); per-doc verdicts are batching-independent, so the
+    // drained union is q35's batch output and its oracle applies
+    "s18_stream_decontaminate" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val tmp = scratchDir("graft_s18_")
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val intake = s.readStream.schema(schema)
+        .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
+      val q = Streams.streamDecontaminate(intake,
+        docs.filter(col("doc_id") % 7 === 0), s"$tmp/out", s"$tmp/cp",
         trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       q.awaitTermination(); q.stop()
       s.read.parquet(s"$tmp/out")
@@ -1639,6 +1662,19 @@ object SparkEntry {
         |       CAST(ROW_NUMBER() OVER (PARTITION BY hkey % ${Corpus.DefaultShards} ORDER BY hkey, doc_id) - 1
         |         AS BIGINT) AS pos
         |FROM h ORDER BY shard, pos""".stripMargin,
+    // q118: the salted quota-rank gate replayed — rank by md5 within
+    // the domain, keep rank <= cap, pre-cap total carried per row
+    "q118_domain_quota" ->
+      s"""WITH h AS (SELECT doc_id, source AS domain,
+        |             CAST(('0x' || substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |               AS BIGINT) AS hkey
+        |           FROM documents),
+        |r AS (SELECT doc_id, domain,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY domain ORDER BY hkey, doc_id) AS BIGINT) AS rk,
+        |        CAST(COUNT(*) OVER (PARTITION BY domain) AS BIGINT) AS n_domain
+        |      FROM h)
+        |SELECT doc_id, domain, rk, n_domain FROM r
+        |WHERE rk <= ${Corpus.DefaultDomainQuota} ORDER BY doc_id""".stripMargin,
     // q39: the oracle is DuckDB's NATIVE ASOF JOIN — an independent
     // first-class implementation checking graft's union-and-sweep
     // encoding. Actions deduped per (user, ts) by MAX(event_id) so ties
@@ -1691,6 +1727,12 @@ object SparkEntry {
          |       COUNT(DISTINCT lang) AS n_langs
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // q119: the BFD placement spec replayed MOVE-FOR-MOVE — a recursive
+    // CTE carries each (lang, shard) group's bin-remainder list through
+    // the decreasing order; best fit = first position of the min
+    // fitting remainder (list_position's first-occurrence = the
+    // lowest-bin-id tie rule)
+    "q119_pack_bfd" -> packBfdOracle,
     "q40_pack_sequences" ->
       """WITH t AS (SELECT lang, doc_id,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -1863,23 +1905,13 @@ object SparkEntry {
         |       CAST(SUM(COALESCE(wgt, 0)) AS BIGINT) / COUNT(*) AS score,
         |       CAST(SUM(COALESCE(wgt, 0)) AS BIGINT) >= 0 AS keep
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q35_decontaminate" ->
-      """WITH fp AS (SELECT doc_id,
-        |              md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
-        |            FROM documents)
-        |SELECT doc_id, fingerprint FROM fp
-        |WHERE fingerprint IN (SELECT fingerprint FROM fp WHERE doc_id % 7 = 0)
-        |ORDER BY doc_id""".stripMargin,
-    // q58 deliberately shares q35's oracle: the bloom prefilter must be
-    // output-invisible (no false negatives; exact verify kills the fpp
-    // tail), so the SQL truth is the same exact semi-join
-    "q58_decontaminate_bloom" ->
-      """WITH fp AS (SELECT doc_id,
-        |              md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
-        |            FROM documents)
-        |SELECT doc_id, fingerprint FROM fp
-        |WHERE fingerprint IN (SELECT fingerprint FROM fp WHERE doc_id % 7 = 0)
-        |ORDER BY doc_id""".stripMargin,
+    "q35_decontaminate" -> decontaminateOracle,
+    // q58/s18 deliberately share q35's oracle: the bloom prefilter must
+    // be output-invisible (no false negatives; exact verify kills the
+    // fpp tail), and per-doc verdicts are batching-independent, so the
+    // SQL truth is the same exact semi-join for all three
+    "q58_decontaminate_bloom" -> decontaminateOracle,
+    "s18_stream_decontaminate" -> decontaminateOracle,
     "q21_dedup_ngram"     -> ngramOracle,
     "q114_holdout_split"  -> holdoutOracle,
     // q74: same text-vs-xxhash64 grouping note as q71; novelty mirrors
@@ -2901,6 +2933,58 @@ object SparkEntry {
     * s17 shares it verbatim: the drained streaming state equals the
     * batch counts row-for-row, so the densify+TVD tail emits q111's
     * exact output. */
+  /** q35/q58/s18: exact contamination semi-join — fingerprint the
+    * corpus, flag docs whose fingerprint appears in the reference set
+    * (every seventh doc, the declared queries' convention). Shared by
+    * the exact path (q35), the bloom-prefiltered scale path (q58 —
+    * output-invisible prefilter), and the streaming intake guard (s18
+    * — per-doc verdicts are batching-independent). */
+  private def decontaminateOracle: String =
+    """WITH fp AS (SELECT doc_id,
+      |              md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+      |            FROM documents)
+      |SELECT doc_id, fingerprint FROM fp
+      |WHERE fingerprint IN (SELECT fingerprint FROM fp WHERE doc_id % 7 = 0)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q119: best-fit-decreasing packing replayed exactly. The recursive
+    * CTE advances every (lang, shard) group one placement per
+    * iteration, carrying the group's bin-remainder LIST as state:
+    * best fit = list_position of the minimum remainder that still
+    * fits (first occurrence ≡ the kernel's lowest-bin-id tie rule);
+    * no fit → append a bin (oversize docs go negative and never fit
+    * anything else, exactly the kernel's spec). Recursion depth =
+    * max docs per shard = shardSize, bounded by construction. */
+  private def packBfdOracle: String = {
+    val b = graft.operators.Corpus.DefaultPackBudget
+    val ss = graft.operators.Corpus.DefaultShardSize
+    val best = "list_position(p.rems, list_min(list_filter(p.rems, r -> r >= o.n)))"
+    s"""WITH RECURSIVE t AS (
+       |  SELECT lang, CAST(doc_id // $ss AS BIGINT) AS shard, doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |o AS (SELECT lang, shard, doc_id, n,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY lang, shard ORDER BY n DESC, doc_id) AS BIGINT) AS step
+       |      FROM t),
+       |pack(lang, shard, step, rems, doc_id, n, bin) AS (
+       |  SELECT lang, shard, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+       |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER)
+       |  FROM (SELECT DISTINCT lang, shard FROM o)
+       |  UNION ALL
+       |  SELECT o.lang, o.shard, o.step,
+       |         CASE WHEN $best IS NULL
+       |              THEN list_append(p.rems, $b - o.n)
+       |              ELSE list_transform(range(1, len(p.rems) + 1),
+       |                     i -> p.rems[i] - CASE WHEN i = $best THEN o.n ELSE CAST(0 AS BIGINT) END)
+       |         END,
+       |         o.doc_id, o.n,
+       |         CAST(COALESCE($best, len(p.rems) + 1) - 1 AS INTEGER)
+       |  FROM pack p JOIN o ON o.lang = p.lang AND o.shard = p.shard AND o.step = p.step + 1
+       |)
+       |SELECT lang, shard, doc_id, n AS n_tokens, bin
+       |FROM pack WHERE step >= 1 ORDER BY lang, shard, doc_id""".stripMargin
+  }
+
   private def sourceDivergenceOracle: String =
     """WITH tk AS (SELECT source,
       |        CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) % 256 AS b

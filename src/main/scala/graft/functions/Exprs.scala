@@ -748,6 +748,87 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Best-fit-decreasing bin packing over ONE bounded shard (q119).
+    * Input: array<struct<n: bigint, doc_id: bigint>> — the shard's
+    * documents with token counts, ANY order (collect_list order is
+    * nondeterministic; the kernel imposes its own). Deterministic
+    * placement spec, replayed verbatim by the DuckDB oracle's
+    * recursive CTE:
+    *
+    *   1. DECREASING: process docs by (n desc, doc_id asc).
+    *   2. BEST FIT: place each doc in the bin with the SMALLEST
+    *      remaining capacity that still fits (rem >= n); among equal
+    *      remainders the lowest bin id wins.
+    *   3. No bin fits → open a new bin with rem = budget − n. An
+    *      oversize doc (n > budget) thus monopolizes a bin whose rem
+    *      goes negative and never fits anything else — the writer
+    *      splits it (q40's straddler note); it is never silently
+    *      truncated or dropped.
+    *
+    * Output: array<struct<doc_id, n, bin>> in placement order. The
+    * shard is BOUNDED by construction (q72's doc_id-range sharding),
+    * so the O(m·bins) scan is constant-bounded per row and the
+    * collect_list feeding it can never blow an agg buffer. */
+  case class BfdPack(child: Expression, budget: Long)
+      extends UnaryExpression with CodegenFallback {
+    require(budget > 0, s"budget must be positive, got $budget")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("bin", IntegerType, nullable = false))), containsNull = false)
+    override def prettyName: String = "graft_bfd_pack"
+
+    private val isPackInput: DataType => Boolean = {
+      case ArrayType(StructType(fs), _) =>
+        fs.length == 2 && fs(0).dataType == LongType && fs(1).dataType == LongType
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectTypes(prettyName,
+        Seq("array<struct<bigint,bigint>>" -> isPackInput), Seq(child.dataType))
+
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(in: Any): Any = {
+      val arr = in.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val ns = new Array[Long](m)
+      val ids = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val row = arr.getStruct(i, 2)
+        ns(i) = row.getLong(0)
+        ids(i) = row.getLong(1)
+        i += 1
+      }
+      val order = Array.range(0, m)
+        .sortBy(j => (-ns(j), ids(j)))(Ordering.Tuple2(Ordering.Long, Ordering.Long))
+      val rem = new java.util.ArrayList[java.lang.Long]()
+      val out = new Array[Any](m)
+      var k = 0
+      while (k < m) {
+        val j = order(k)
+        var best = -1
+        var bestRem = Long.MaxValue
+        var b = 0
+        while (b < rem.size()) {
+          val r = rem.get(b)
+          if (r >= ns(j) && r < bestRem) { best = b; bestRem = r }
+          b += 1
+        }
+        val bin =
+          if (best >= 0) { rem.set(best, bestRem - ns(j)); best }
+          else { rem.add(budget - ns(j)); rem.size() - 1 }
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](ids(j), ns(j), bin))
+        k += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ----- Column-level wrappers ----------------------------------------
 
   def dot(a: Column, b: Column): Column =
@@ -783,6 +864,9 @@ object Exprs {
 
   def tokenSigns(tokens: Column, dim: Int): Column =
     GraftShim.column(TokenSigns(GraftShim.expression(tokens), dim))
+
+  def bfdPack(shardDocs: Column, budget: Long): Column =
+    GraftShim.column(BfdPack(GraftShim.expression(shardDocs), budget))
 
   def bloomMightContain(c: Column,
                         bloom: org.apache.spark.util.sketch.BloomFilter): Column = {

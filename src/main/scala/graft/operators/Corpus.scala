@@ -516,6 +516,58 @@ object Corpus {
       .select("doc_id", "source", "shard", "pos")
   }
 
+  /** q118's default per-domain cap — spliced into the oracle SQL (the
+    * q112 DefaultEpochs rule) so a default change cannot desync the
+    * replay. */
+  private[graft] val DefaultDomainQuota: Int = 15
+
+  /** q118: PER-DOMAIN QUOTA CAP — cap the number of documents kept
+    * per source domain at `maxPerDomain`, the published crawl-curation
+    * step between dedup and mixing (RefinedWeb, Penedo et al. 2023,
+    * public: after dedup, domains are capped so no single site
+    * dominates the corpus; CommonCrawl-derived sets apply the same
+    * per-registered-domain limit). Which documents survive the cap is
+    * a DETERMINISTIC RANK GATE, not an RNG draw (the q38/q113 purity
+    * rule): rank within the domain by a salted 48-bit md5 of doc_id
+    * (tie broken by doc_id), keep rank ≤ cap. Re-runs reproduce the
+    * kept set exactly, the relative order of existing docs never
+    * changes when data is appended (the md5 key is a pure row
+    * function), and the oracle replays row-for-row. The salt
+    * ("quota:") decorrelates this gate from q38's sampling gate and
+    * q113's shuffle key — an uncapped doc is not thereby biased into
+    * or out of any other gate.
+    *
+    * Output keeps the audit trail: every SURVIVOR with its in-domain
+    * rank and the domain's PRE-CAP total (`n_domain`), so downstream
+    * can see exactly how much each domain was cut (n_domain − cap,
+    * floored at 0) without a second scan.
+    *
+    * Scale: one scan + ONE shuffle keyed on domain; the per-domain
+    * rank window sorts each domain's rows independently (domains are
+    * many — parallelism is the domain count). Only rank ≤ cap
+    * survives, so a hot domain costs one sorted partition of its own
+    * rows — the same per-key sort q113 accepts per shard; if one
+    * domain is a data-scale fraction of a 100 TB corpus, pre-prune
+    * with a per-partition bounded top-cap (each map partition keeps
+    * its cap-smallest hkeys per domain — a superset of the global
+    * keep set) before this window; the gate itself is unchanged. */
+  def domainQuota(documents: DataFrame,
+                  maxPerDomain: Int = DefaultDomainQuota,
+                  domain: Column = col("source")): DataFrame = {
+    require(maxPerDomain > 0, s"maxPerDomain must be positive, got $maxPerDomain")
+    val h = conv(substring(md5(
+      concat(lit("quota:"), col("doc_id").cast("string")).cast("binary")),
+      1, 12), 16, 10).cast("long")
+    val byDomain = Window.partitionBy("domain")
+    documents
+      .select(col("doc_id"), domain.as("domain"), h.as("hkey"))
+      .withColumn("rk",
+        row_number().over(byDomain.orderBy(col("hkey"), col("doc_id"))).cast("long"))
+      .withColumn("n_domain", count(lit(1)).over(byDomain))
+      .filter(col("rk") <= maxPerDomain)
+      .select("doc_id", "domain", "rk", "n_domain")
+  }
+
   /** q40: token-budget sequence packing — assign documents to fixed
     * token-budget chunks (the planning step before concatenating docs
     * into training context windows), per language, in doc_id order.
@@ -615,6 +667,57 @@ object Corpus {
         sum(col("n_tokens")).as("chunk_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
+  }
+
+  /** q119's default bin capacity (tokens) — spliced into the oracle
+    * SQL (the q112 DefaultEpochs rule). Smaller than q40's 2048: q119
+    * is BIN PACKING (docs never straddle), so the capacity is the
+    * hard per-sequence budget, not a running-offset granularity. */
+  private[graft] val DefaultPackBudget: Int = 128
+
+  /** q72/q119's doc_id-range shard width — spliced into the q119
+    * oracle SQL (the q112 DefaultEpochs rule). */
+  private[graft] val DefaultShardSize: Long = 64L
+
+  /** q119: BEST-FIT-DECREASING token packing — q40/q72 assign docs to
+    * chunks by RUNNING OFFSET, which splits any doc that straddles a
+    * boundary; published packing work bin-packs instead so documents
+    * stay whole and fewer context windows carry truncated text (the
+    * "fewer truncations" line of the packing literature; BFD carries
+    * the classical 11/9·OPT + 6/9 guarantee, Johnson 1973, public).
+    * Global BFD is inherently sequential, so this is the BOUNDED-SHARD
+    * form: shard by q72's convention (doc_id range per language —
+    * shards pack independently and in parallel, bin ids are in-shard),
+    * then run the deterministic BFD kernel
+    * ([[graft.functions.Exprs.BfdPack]]) inside each shard. The
+    * placement spec (n desc / doc_id tiebreak; smallest-fitting-rem
+    * bin, lowest id on ties; oversize docs monopolize a bin for the
+    * writer to split) is replayed move-for-move by the oracle's
+    * recursive CTE, so the hash gate pins every placement, not just
+    * bin counts.
+    *
+    * Scale: one scan + ONE shuffle keyed on (lang, shard); the
+    * collect_list per group is BOUNDED by shardSize (q72's doc_id-
+    * range sharding), so the agg buffer cannot blow up and the
+    * in-kernel O(m·bins) cost is a constant per shard. Bin count per
+    * shard ≥ ceil(shard tokens / budget) — the information-theoretic
+    * floor — and the kernel never re-reads text (token counts ride
+    * the struct). */
+  def packBfd(documents: DataFrame, budget: Int = DefaultPackBudget,
+              shardSize: Long = DefaultShardSize,
+              nTokens: Column =
+                size(split(col("text"), " ")).cast("long")): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    documents
+      .select(col("lang"), col("doc_id"), nTokens.as("n"))
+      .withColumn("shard", floor(col("doc_id") / shardSize).cast("long"))
+      .groupBy("lang", "shard")
+      .agg(collect_list(struct(col("n"), col("doc_id"))).as("ds"))
+      .select(col("lang"), col("shard"),
+        explode(graft.functions.Exprs.bfdPack(col("ds"), budget)).as("p"))
+      .select(col("lang"), col("shard"), col("p.doc_id").as("doc_id"),
+        col("p.n").as("n_tokens"), col("p.bin").as("bin"))
   }
 
   /** q53: sliding-window chunking — the complement of [[packSequences]]:

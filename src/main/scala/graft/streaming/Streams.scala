@@ -357,6 +357,52 @@ object Streams {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** s18: STREAMING DECONTAMINATION — q58's bloom-prefiltered exact
+    * decontamination riding each micro-batch (the s08 static-index
+    * pattern applied to the eval sketch instead of the band index):
+    * the intake-side guard every training pipeline wants BEFORE
+    * documents land in the corpus, so benchmark text never needs a
+    * retroactive purge. The reference (eval/benchmark) set contributes
+    * two once-per-stream artifacts, both built at START (not per
+    * batch): its distinct fingerprint frame (localCheckpointed — the
+    * corpus-side never re-reads the eval set) and the bloom sketch
+    * over those fingerprints (KB-scale driver state riding the
+    * closure, like s08's band index). Per micro-batch: fingerprint the
+    * batch (pure row function), kill ~99% map-side inside the batch
+    * scan via [[graft.functions.Exprs.BloomMightContain]] — BEFORE any
+    * exchange — then exact-verify the survivors in a semi-join against
+    * the checkpointed reference frame (no false negatives from the
+    * bloom; the fpp tail dies in the verify), and append the
+    * contaminated (doc_id, fingerprint) verdicts to the sink.
+    *
+    * Per-doc verdicts are pure row functions of (doc, reference) —
+    * independent of batching — so the drained union equals q35/q58's
+    * batch output row-identically and q35's oracle applies verbatim.
+    * Same at-least-once caveat as [[reportedIngest]] on crash replay. */
+  def streamDecontaminate(intake: DataFrame, reference: DataFrame,
+                          outDir: String, checkpointDir: String,
+                          fpp: Double = 0.01,
+                          trigger: Option[Trigger] = None): StreamingQuery = {
+    val refFp = reference
+      .select(graft.operators.TextOps.fingerprintCol.as("fingerprint"))
+      .distinct().localCheckpoint()
+    val bloom = refFp.stat.bloomFilter("fingerprint",
+      math.max(refFp.count(), 1L), fpp)
+    val w = intake.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .withColumn("fingerprint", graft.operators.TextOps.fingerprintCol)
+          .filter(graft.functions.Exprs.bloomMightContain(col("fingerprint"), bloom))
+          .join(refFp, Seq("fingerprint"), "left_semi")
+          .select("doc_id", "fingerprint")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
   /** s09: the CLOSED continuous-dedup loop — s08 plus per-batch
     * ADMISSION. s08 probes a static corpus index, so two intake
     * batches that duplicate EACH OTHER both pass; here every batch,

@@ -334,6 +334,117 @@ class CorpusSpec extends SparkSpec {
     frac should (be > 0.3 and be < 0.7) // correlated ordering would pin this near 0
   }
 
+  test("q118 quota: cap is exact, under-cap domains keep everything, re-runs identical") {
+    val d = tables.documents
+    val a = Corpus.domainQuota(d, maxPerDomain = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val b = Corpus.domainQuota(d, maxPerDomain = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    a.sorted shouldBe b.sorted               // pure function of the input
+    val preCap = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_._2)
+    // cap exactness: every domain keeps min(cap, its pre-cap total),
+    // ranks are dense 1..k, and n_domain carries the PRE-CAP total
+    preCap.foreach { case (dom, n) =>
+      val rows = kept.getOrElse(dom, Array.empty)
+      rows.length.toLong shouldBe math.min(10L, n)
+      rows.map(_._3).sorted shouldBe (1L to rows.length).toArray
+      rows.foreach(_._4 shouldBe n)
+    }
+    // survivors are a subset of the corpus, no doc twice
+    a.map(_._1).distinct.length shouldBe a.length
+  }
+
+  test("q118 quota rank gate is append-stable and decorrelated from the q38 gate") {
+    val d = tables.documents
+    // relative keep-order of existing docs never changes when data is
+    // appended: the half-corpus ranking is the full ranking restricted
+    val full = Corpus.domainQuota(d, maxPerDomain = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val half = Corpus.domainQuota(d.filter(F.col("doc_id") % 2 === 0),
+        maxPerDomain = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val fullRank = full.map(t => (t._1, t._3)).toMap
+    half.groupBy(_._2).values.foreach { rows =>
+      rows.sortBy(_._3).map(t => fullRank(t._1)).sliding(2).foreach { p =>
+        if (p.length == 2) p(0) should be < p(1)
+      }
+    }
+    // decorrelation: q38-kept docs must not cluster in low quota ranks
+    val kept = Corpus.sampleStratified(d).collect().map(_.getLong(0)).toSet
+    val nDom = full.groupBy(_._2).view.mapValues(_.length).toMap
+    val upper = full.filter(t => kept(t._1))
+      .count(t => t._3 * 2 >= nDom(t._2))
+    val frac = upper.toDouble / kept.size
+    frac should (be > 0.3 and be < 0.7)
+  }
+
+  test("q119 BFD: best-fit choice, new-bin fallback, and the lower bound on a hand instance") {
+    import spark.implicits._
+    // one shard (ids < 64), budget 10, sizes 8,6,5,3,2 in decreasing
+    // order: 8->bin0(rem 2), 6->bin1(4), 5->bin2(5), 3->best fit is
+    // bin1 (rem 4 < bin2's 5), 2->bin0 (rem 2 exactly)
+    val d = Seq(
+      (1L, "w w w w w w w w", "en"), (2L, "w w w w w w", "en"),
+      (3L, "w w w w w", "en"), (4L, "w w w", "en"), (5L, "w w", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Corpus.packBfd(d, budget = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("bin")).toMap
+    got shouldBe Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0)
+  }
+
+  test("q119 BFD: equal remainders break to the lowest bin id; oversize docs monopolize a bin") {
+    import spark.implicits._
+    // sizes 6,6,4,2,2 at budget 10: the 4 fits bin0 and bin1 at equal
+    // rem 4 -> bin0 wins; then 2,2 land in bin1.
+    val tie = Seq(
+      (1L, "w w w w w w", "en"), (2L, "w w w w w w", "en"),
+      (3L, "w w w w", "en"), (4L, "w w", "en"), (5L, "w w", "en"))
+      .toDF("doc_id", "text", "lang")
+    val gotTie = Corpus.packBfd(tie, budget = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("bin")).toMap
+    gotTie shouldBe Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1, 5L -> 1)
+    // an oversize doc (12 > 10) gets its own bin and nothing joins it
+    val over = Seq(
+      (1L, Seq.fill(12)("w").mkString(" "), "en"),
+      (2L, "w w w", "en"), (3L, "w w w", "en"))
+      .toDF("doc_id", "text", "lang")
+    val gotOver = Corpus.packBfd(over, budget = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("bin")).toMap
+    gotOver(1L) shouldBe 0
+    gotOver(2L) should not be 0
+    gotOver(3L) shouldBe gotOver(2L) // 3+3 share the second bin
+  }
+
+  test("q119 BFD on the real corpus: bins never overfill, every doc packed once, lower bound holds") {
+    val d = tables.documents
+    val rows = Corpus.packBfd(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Int]("bin")))
+    rows.length.toLong shouldBe d.count()
+    rows.map(_._3).distinct.length shouldBe rows.length
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((_, _), shard) =>
+      val byBin = shard.groupBy(_._5)
+      // a bin is over budget ONLY as an oversize singleton
+      byBin.values.foreach { bin =>
+        val tot = bin.map(_._4).sum
+        if (tot > Corpus.DefaultPackBudget) bin.length shouldBe 1
+      }
+      // information-theoretic floor: can't use fewer bins than the
+      // token total demands
+      val lb = math.ceil(shard.map(_._4).sum.toDouble / Corpus.DefaultPackBudget).toInt
+      byBin.size should be >= lb
+      // bin ids dense from 0
+      byBin.keySet shouldBe (0 until byBin.size).toSet
+    }
+    // pure function of the input: re-runs identical
+    val again = Corpus.packBfd(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Int]("bin")))
+    again.sorted shouldBe rows.sorted
+  }
+
   test("q40 chunking: a doc starts in the chunk its running offset lands in") {
     // three docs of 5 tokens each, budget 8:
     // offsets 0, 5, 10 -> chunks 0, 0, 1

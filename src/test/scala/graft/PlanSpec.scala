@@ -300,6 +300,22 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("q118 domain quota is ONE domain-keyed shuffle — no join, no global sort") {
+    val plan = planOf(operators.Corpus.domainQuota(tables.documents))
+    plan should not include "Join"
+    plan should include ("Window")
+    // one hash exchange on domain; the window sort is per-domain
+    plan.split("Exchange").length - 1 shouldBe 1
+  }
+
+  test("q119 BFD packing is ONE (lang, shard)-keyed shuffle + in-group kernel — no window, no join") {
+    val plan = planOf(operators.Corpus.packBfd(tables.documents))
+    plan should not include "Join"
+    plan should not include "Window"
+    plan should include ("Generate") // the per-shard placement explode
+    plan.split("Exchange").length - 1 shouldBe 1
+  }
+
   test("driver contract: no declared batch query output schema contains DecimalType") {
     // The driver's hasher canonicalizes DECIMAL differently than the
     // DuckDB replica — r14's only three oracle reds (q110/q111/s17)

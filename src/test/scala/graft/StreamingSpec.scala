@@ -579,6 +579,41 @@ class StreamingSpec extends SparkSpec {
     streamed.map(x => (x._1, x._2)) shouldBe Set((10L, 1L), (12L, 1L))
   }
 
+  test("s18 streaming decontamination: per-batch bloom+verify verdicts equal batch q35 across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val evalTxt = "the quick brown fox jumps over the lazy dog"
+    val clean1 = "completely original training text one"
+    val clean2 = "another clean document with its own words"
+    val reference = Seq((100L, evalTxt)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("s18spec_").toString
+    val in = MemoryStream[(Long, String)]
+    in.addData((1L, clean1), (2L, evalTxt))          // batch 1: one hit
+    in.addData((3L, "The  QUICK brown fox jumps over the lazy dog "),
+      (4L, clean2))                                  // batch 2: normalized hit
+    val q = Streams.streamDecontaminate(in.toDF().toDF("doc_id", "text"),
+      reference, s"$tmp/out", s"$tmp/cp",
+      trigger = Some(Trigger.AvailableNow()))
+    q.awaitTermination(); q.stop()
+    val streamed = spark.read.parquet(s"$tmp/out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // batch truth: the same docs through q35's exact path
+    val batch = graft.operators.TextOps.decontaminate(
+      Seq((1L, clean1), (2L, evalTxt),
+        (3L, "The  QUICK brown fox jumps over the lazy dog "), (4L, clean2))
+        .toDF("doc_id", "text"), reference)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    streamed shouldBe batch
+    // the fingerprint normalizes case/whitespace, so doc 3 is a hit
+    streamed.map(_._1) shouldBe Set(2L, 3L)
+    // restart on the same checkpoint with no new data: nothing replays
+    val q2 = Streams.streamDecontaminate(in.toDF().toDF("doc_id", "text"),
+      reference, s"$tmp/out", s"$tmp/cp",
+      trigger = Some(Trigger.AvailableNow()))
+    q2.awaitTermination(); q2.stop()
+    spark.read.parquet(s"$tmp/out").count() shouldBe 2
+  }
+
   test("s09 admit loop: later batches dedup against earlier survivors, not dropped docs") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
