@@ -109,6 +109,14 @@ object SparkEntry {
       val docs = Tables(s, d).documents
       Report.datasheet(docs, docs.filter(col("doc_id") % 7 === 0))
     }),
+    // q121: the datasheet's 100 TB quality path made gradable — the
+    // quality section rides approx_percentile, certified in-plan
+    // against exact ±1%-rank value windows (q51's convention); the
+    // uncertified certify=false form is the sort-free production shape
+    "q121_datasheet_sketch"  -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      Report.datasheetSketch(docs, docs.filter(col("doc_id") % 7 === 0))
+    }),
     // q73: q49's 100 TB HLL flag, certified in-plan (q51's pattern) —
     // the oracle hash-checks the exact columns plus all-true sketch
     // verdicts
@@ -168,6 +176,9 @@ object SparkEntry {
     // (decimal(38) / HUGEINT — the q95 no-logs rule), deterministic
     // top-k instead of Gumbel sampling.
     "q110_dsir_select"       -> ((s, d) => Corpus.domainSelect(Tables(s, d).documents)),
+    // q120: CCNet's perplexity filter — hashed-bigram LM on the target
+    // source, integer-log2 surprise, per-language head/middle/tail
+    "q120_perplexity_filter" -> ((s, d) => Corpus.perplexityFilter(Tables(s, d).documents)),
     // q111: pairwise source-distribution divergence (total variation
     // over hashed-unigram buckets) — the corpus-drift diagnostic run
     // before re-deriving mixture weights; exact integer numerator +
@@ -667,6 +678,22 @@ object SparkEntry {
       val counts = Streams.runToMemory(Streams.streamSourceHistogram(docs),
         "s17_stream_drift", OutputMode.Complete())
       Corpus.divergenceFromCounts(counts.localCheckpoint())
+    }),
+    // s19: q118's per-domain quota as intake-side admission state —
+    // one counter per domain; one-drain delivery pins the oracle to
+    // the first-cap-by-doc_id replay
+    "s19_stream_domain_quota" -> ((s, d) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+      Streams.scopedStateStoreConf(s) {
+        Streams.runToMemory(
+          Streams.streamDomainQuota(docs, Corpus.DefaultDomainQuota).toDF,
+          "s19_stream_domain_quota")
+      }
     }),
     "s04_stream_dedup"       -> ((s, d) => {
       import s.implicits._
@@ -1218,6 +1245,7 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin,
     "q116_lang_mix_detect" -> langMixOracle,
     "q117_datasheet" -> datasheetOracle,
+    "q121_datasheet_sketch" -> datasheetSketchOracle,
     "q27_lang_id" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, lang,
@@ -1650,6 +1678,7 @@ object SparkEntry {
     // TVD over the common denominator — HUGEINT numerator summed
     // exactly, den = 2·N_a·N_b, tvd = one double division of the two.
     "q111_source_divergence" -> sourceDivergenceOracle,
+    "q120_perplexity_filter" -> perplexityOracle,
     "q112_epoch_mix" -> epochMixOracle,
     // q113: salted 48-bit md5 shuffle key → shard = h mod 16, pos =
     // rank by (h, doc_id) within the shard.
@@ -1664,6 +1693,15 @@ object SparkEntry {
         |FROM h ORDER BY shard, pos""".stripMargin,
     // q118: the salted quota-rank gate replayed — rank by md5 within
     // the domain, keep rank <= cap, pre-cap total carried per row
+    // s19: streaming quota = first-come admission; one-drain delivery
+    // (the declared query) makes arrival order doc_id order, so the
+    // replay is the doc_id-rank prefix per domain
+    "s19_stream_domain_quota" ->
+      s"""SELECT doc_id, domain, rk FROM (
+        |  SELECT doc_id, source AS domain,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rk
+        |  FROM documents) r
+        |WHERE rk <= ${Corpus.DefaultDomainQuota} ORDER BY doc_id""".stripMargin,
     "q118_domain_quota" ->
       s"""WITH h AS (SELECT doc_id, source AS domain,
         |             CAST(('0x' || substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 12))
@@ -2580,7 +2618,21 @@ object SparkEntry {
     * the three ranks are distinct (true for any n ≥ 3 — ceil(0.25·3),
     * ceil(0.5·3), ceil(0.75·3) = 1,2,3; the Spark side requires it
     * eagerly; gate corpora are 500). */
-  private def datasheetOracle: String =
+  private def datasheetOracle: String = datasheetOracleWith(
+    """UNION ALL SELECT 'quality', 'p25', quality FROM rk CROSS JOIN tot WHERE rn = CAST(CEIL(n_docs * 0.25) AS BIGINT)
+      |UNION ALL SELECT 'quality', 'p50', quality FROM rk CROSS JOIN tot WHERE rn = CAST(CEIL(n_docs * 0.5) AS BIGINT)
+      |UNION ALL SELECT 'quality', 'p75', quality FROM rk CROSS JOIN tot WHERE rn = CAST(CEIL(n_docs * 0.75) AS BIGINT)""".stripMargin)
+
+  /** q121: identical to [[datasheetOracle]] except the quality arms —
+    * the certified sketch emits three healthy verdicts (q51's
+    * `TRUE AS ..._ok` convention as 1.0 doubles in the datasheet's
+    * value column); a broken sketch hash-fails against them. */
+  private def datasheetSketchOracle: String = datasheetOracleWith(
+    """UNION ALL SELECT 'quality', 'p25_ok', 1.0
+      |UNION ALL SELECT 'quality', 'p50_ok', 1.0
+      |UNION ALL SELECT 'quality', 'p75_ok', 1.0""".stripMargin)
+
+  private def datasheetOracleWith(qualityArms: String): String =
     s"""WITH ${shingleCtes()},
        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
        |               CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS n_tokens,
@@ -2615,9 +2667,7 @@ object SparkEntry {
        |UNION ALL SELECT 'corpus', 'n_chars', n_chars FROM tot
        |UNION ALL SELECT 'by_source', source, CAST(COUNT(*) AS DOUBLE) FROM documents GROUP BY source
        |UNION ALL SELECT 'by_lang', lang, CAST(COUNT(*) AS DOUBLE) FROM documents GROUP BY lang
-       |UNION ALL SELECT 'quality', 'p25', quality FROM rk CROSS JOIN tot WHERE rn = CAST(CEIL(n_docs * 0.25) AS BIGINT)
-       |UNION ALL SELECT 'quality', 'p50', quality FROM rk CROSS JOIN tot WHERE rn = CAST(CEIL(n_docs * 0.5) AS BIGINT)
-       |UNION ALL SELECT 'quality', 'p75', quality FROM rk CROSS JOIN tot WHERE rn = CAST(CEIL(n_docs * 0.75) AS BIGINT)
+       |$qualityArms
        |UNION ALL SELECT 'exact_dup', 'n_dup_docs', ndup FROM dup
        |UNION ALL SELECT 'exact_dup', 'dup_frac', ndup / n_docs FROM dup CROSS JOIN tot
        |UNION ALL SELECT 'contamination', 'n_hit_docs', nhit FROM cont
@@ -2933,6 +2983,54 @@ object SparkEntry {
     * s17 shares it verbatim: the drained streaming state equals the
     * batch counts row-for-row, so the densify+TVD tail emits q111's
     * exact output. */
+  /** q120: the perplexity filter replayed — the hashed-bigram LM's
+    * pair/prefix counts from the target source, the all-integer
+    * quantized-log2 surprise (`//` mirrors Spark's `div`,
+    * `printf('%b')` length mirrors `bin()` length — both exact
+    * integer bit-lengths), one IEEE division into bits/token, and
+    * CCNet's per-language NTILE(3) buckets with featureless docs
+    * fenced into their own 'und' partition. */
+  private def perplexityOracle: String = {
+    val q = graft.operators.Corpus.PplQ
+    val f = 1 << graft.operators.Corpus.PplFBits
+    s"""WITH t AS (SELECT doc_id, source, lang, string_split(text, ' ') AS tk FROM documents),
+       |g AS (SELECT doc_id, source, lang,
+       |        CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+       |          i -> [CAST(('0x' || substr(md5(tk[i]), 1, 4)) AS INTEGER) % 256,
+       |                CAST(('0x' || substr(md5(tk[i+1]), 1, 4)) AS INTEGER) % 256])
+       |        ELSE [] END AS bs FROM t),
+       |xb AS (SELECT doc_id, source, lang, p[1] AS b1, p[2] AS b2
+       |       FROM (SELECT doc_id, source, lang, unnest(bs) AS p FROM g)),
+       |lm AS (SELECT b1, b2, CAST(COUNT(*) AS BIGINT) AS c_pair
+       |       FROM xb WHERE source = 'src0' GROUP BY 1, 2),
+       |pf AS (SELECT b1, CAST(SUM(c_pair) AS BIGINT) AS c_prefix FROM lm GROUP BY 1),
+       |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |              CAST(SUM(msb * $f + ((r - (CAST(1 AS BIGINT) << msb)) * $f)
+       |                       // (CAST(1 AS BIGINT) << msb)) AS BIGINT) AS surprise
+       |       FROM (SELECT doc_id, r, length(printf('%b', r)) - 1 AS msb
+       |             FROM (SELECT xb.doc_id,
+       |                     (CAST($q AS BIGINT) * (COALESCE(pf.c_prefix, 0) + 256))
+       |                       // (COALESCE(lm.c_pair, 0) + 1) AS r
+       |                   FROM xb LEFT JOIN lm USING (b1, b2) LEFT JOIN pf USING (b1)
+       |                   WHERE xb.source <> 'src0'))
+       |       GROUP BY doc_id),
+       |base AS (SELECT d.doc_id, d.source, d.lang,
+       |                COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+       |                COALESCE(sc.surprise, 0) AS surprise,
+       |                CASE WHEN COALESCE(sc.n_bigrams, 0) > 0
+       |                     THEN CAST(sc.surprise AS DOUBLE) / CAST(sc.n_bigrams * $f AS DOUBLE)
+       |                END AS ppl_bits
+       |         FROM documents d LEFT JOIN sc USING (doc_id)
+       |         WHERE d.source <> 'src0'),
+       |nt AS (SELECT *, NTILE(3) OVER (PARTITION BY lang, n_bigrams = 0
+       |                                ORDER BY ppl_bits ASC NULLS LAST, doc_id) AS nt
+       |       FROM base)
+       |SELECT doc_id, source, lang, n_bigrams, surprise, ppl_bits,
+       |       CASE WHEN n_bigrams = 0 THEN 'und' WHEN nt = 1 THEN 'head'
+       |            WHEN nt = 2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM nt ORDER BY doc_id""".stripMargin
+  }
+
   /** q35/q58/s18: exact contamination semi-join — fingerprint the
     * corpus, flag docs whose fingerprint appears in the reference set
     * (every seventh doc, the declared queries' convention). Shared by

@@ -337,6 +337,124 @@ object Corpus {
         col("score").cast("string").as("score"))
   }
 
+  /** q120's probability quantizer (2^16) and fractional log2 bits —
+    * spliced into the oracle SQL (the q112 DefaultEpochs rule). */
+  private[graft] val PplQ: Long = 65536L
+  private[graft] val PplFBits: Int = 4
+
+  /** q120: N-GRAM LM PERPLEXITY FILTER — CCNet's actual quality filter
+    * (Wenzek et al. 2020, public: score every document by its
+    * perplexity under an LM trained on the target domain, bucket into
+    * head/middle/tail per language, train on the head), under the
+    * house no-logs discipline. The LM is a hashed-bigram conditional
+    * model over the TARGET source (q110's featurization: per-token md5
+    * buckets, the Xie et al. hashing trick) with Laplace smoothing, so
+    * every bigram — seen or not — has a defined probability
+    * p(b2|b1) = (c(b1,b2)+1) / (c(b1)+B).
+    *
+    * No floating log anywhere (ln/log2 are not bit-stable across
+    * engines — q44's idf note, q95's rule): per-bigram SURPRISE is an
+    * INTEGER log2 with [[PplFBits]] fractional bits, computed entirely
+    * in integer arithmetic both engines replay exactly —
+    * r = (Q·(c_prefix+B)) div (c_pair+1) (the quantized inverse
+    * probability, integer division), msb = bitlen(r)−1 (length of the
+    * binary literal — exact in Spark's `bin` and DuckDB's
+    * `printf('%b')` alike), frac = ((r − 2^msb)·2^F) div 2^msb (the
+    * standard linear-interpolation fractional log2). Per-doc surprise
+    * is then an exact integer SUM (order-independent — a float-log sum
+    * would be partial-agg-order-dependent and hash-unstable), and
+    * `ppl_bits` = surprise / (n·2^F) — bits per token, ONE IEEE
+    * division of identically-derived integers (q111's convention).
+    *
+    * Buckets are CCNet's: per LANGUAGE, ntile(3) over (ppl_bits,
+    * doc_id) → head/middle/tail; featureless docs (< 2 tokens — no
+    * bigrams, no evidence) bucket 'und' with NULL bits rather than
+    * polluting the tertiles. Target-source docs are excluded from
+    * scoring (the filter serves the raw pool — q110's convention).
+    *
+    * Scale: training is ONE scan of the target + a (≤ B²)-row partial
+    * agg; the LM rides as TWO broadcast KB frames (pairs + prefixes).
+    * Scoring is one scan of the pool with map-side broadcast joins —
+    * no corpus shuffle until the per-doc agg. The per-language ntile
+    * is the one global-ish sort (CCNet's percentile thresholds); at
+    * 100 TB swap in q51's certified-sketch thresholds — the bucket
+    * boundary becomes approx_percentile(ppl_bits, [1/3, 2/3]) and the
+    * scan is threshold-filtered map-side instead (documented, same
+    * convention as q117's quality section). Integer headroom is
+    * fail-loud: surprise stays exact while c_prefix < 2^43 (~8.8e12
+    * target tokens — the target is a curated domain sample, not the
+    * pool); past that the require names the remedy (wider F / decimal
+    * division). */
+  def perplexityFilter(documents: DataFrame, targetSource: String = "src0",
+                       nBuckets: Int = 256): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val isTarget = col("source") === targetSource
+    // token buckets ride the EXPLODED bigram column (q110's Ngrams
+    // note: transform-over-split is O(len²)/doc) — the bigram string
+    // splits back into its two tokens losslessly (tokens cannot
+    // contain the space they were split on)
+    def pairBuckets(df: DataFrame, keepFeatureless: Boolean): DataFrame = {
+      val bag = graft.functions.Exprs.ngrams(split(col("text"), " "), 2)
+      val ex = if (keepFeatureless) explode_outer(bag) else explode(bag)
+      df.select(col("doc_id"), col("source"), col("lang"), ex.as("bg"))
+        .withColumn("p", split(col("bg"), " "))
+        .select(col("doc_id"), col("source"), col("lang"),
+          mdBucket(element_at(col("p"), 1), nBuckets).as("b1"),
+          mdBucket(element_at(col("p"), 2), nBuckets).as("b2"))
+    }
+    // LM = pair counts + prefix counts derived from the SAME frame (a
+    // window over the ≤ B²-row agg — no second target scan), pinned
+    // once behind a localCheckpoint (the q111 diamond rule: consumed
+    // as two broadcasts + the guard)
+    val lm = pairBuckets(documents.filter(isTarget), keepFeatureless = false)
+      .groupBy("b1", "b2").agg(count(lit(1)).as("c_pair"))
+      .withColumn("c_prefix", sum("c_pair").over(Window.partitionBy("b1")))
+      .localCheckpoint()
+    val guard = lm.agg(coalesce(sum("c_pair"), lit(0L)),
+      coalesce(max("c_prefix"), lit(0L))).first()
+    require(guard.getLong(0) > 0,
+      s"perplexityFilter: target source '$targetSource' contributed zero " +
+        "bigrams — no language model to score against; check the source " +
+        "tag or the target corpus")
+    require(guard.getLong(1) < (1L << 43),
+      s"perplexityFilter: target prefix count ${guard.getLong(1)} exceeds " +
+        "2^43 — the integer log2 kernel's exactness bound; widen PplFBits " +
+        "headroom via decimal division before trusting the scores")
+    val prefixes = lm.select("b1", "c_prefix").distinct()
+    val scored = pairBuckets(documents.filter(!isTarget), keepFeatureless = true)
+      .join(broadcast(lm.select("b1", "b2", "c_pair")), Seq("b1", "b2"), "left")
+      .join(broadcast(prefixes), Seq("b1"), "left")
+      .withColumn("r",
+        expr(s"($PplQ * (coalesce(c_prefix, 0L) + $nBuckets)) div (coalesce(c_pair, 0L) + 1)"))
+      .withColumn("msb", (length(bin(col("r"))) - 1).cast("int"))
+      .withColumn("s",
+        expr(s"msb * ${1 << PplFBits} + ((r - shiftleft(1L, msb)) * ${1 << PplFBits}) div shiftleft(1L, msb)"))
+      .groupBy("doc_id", "source", "lang")
+      // the when-guard: a featureless doc's explode_outer NULL row
+      // still evaluates r/s over coalesced-to-0 counts — its phantom
+      // surprise must not leak into the sum
+      .agg(count(col("b1")).as("n_bigrams"),
+        coalesce(sum(when(col("b1").isNotNull, col("s"))), lit(0L))
+          .as("surprise"))
+    // und docs ride the SAME window pass in their own (lang, und)
+    // partition — their ntile is computed then overridden, so no
+    // union/diamond re-scans the scored frame
+    val w = Window.partitionBy(col("lang"), col("n_bigrams") === 0)
+      .orderBy(col("ppl_bits").asc_nulls_last, col("doc_id"))
+    scored
+      .withColumn("ppl_bits",
+        when(col("n_bigrams") > 0, col("surprise").cast("double") /
+          (col("n_bigrams") * (1L << PplFBits)).cast("double")))
+      .withColumn("nt", ntile(3).over(w))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_bigrams"),
+        col("surprise"),
+        col("ppl_bits"),
+        when(col("n_bigrams") === 0, "und")
+          .when(col("nt") === 1, "head")
+          .when(col("nt") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** q111: pairwise SOURCE-DISTRIBUTION DIVERGENCE — total-variation
     * distance between every two sources' hashed-unigram token
     * distributions: TVD(s,t) = ½·Σ_b |p̂_s[b] − p̂_t[b]|. The standard

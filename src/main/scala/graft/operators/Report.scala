@@ -215,12 +215,7 @@ object Report {
     * note applies; production swaps in the sketch). The 1-row totals
     * frame is localCheckpointed and broadcast into every fraction. */
   def datasheet(documents: DataFrame, evalReference: DataFrame): DataFrame = {
-    val tk = split(col("text"), " ")
-    val totals = documents.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      sum(size(tk).cast("long")).cast("double").as("n_tokens"),
-      sum(col("n_chars")).cast("double").as("n_chars"))
-      .localCheckpoint()
+    val totals = datasheetTotals(documents)
     // the quality p-rank labels assume ceil(0.25n) < ceil(0.5n) <
     // ceil(0.75n): true for n >= 3; below that the when-chain would
     // emit fewer rows than the oracle's three UNION arms (round-14
@@ -228,15 +223,6 @@ object Report {
     // frame, no extra scan.
     require(totals.first().getDouble(0) >= 3,
       "datasheet needs at least 3 documents for distinct quality p-ranks")
-    val corpus = totals.selectExpr(
-      "stack(3, 'n_docs', n_docs, 'n_tokens', n_tokens, 'n_chars', n_chars) AS (item, value)")
-      .select(lit("corpus").as("section"), col("item"), col("value"))
-    val bySource = documents.groupBy("source")
-      .agg(count(lit(1)).cast("double").as("value"))
-      .select(lit("by_source").as("section"), col("source").as("item"), col("value"))
-    val byLang = documents.groupBy("lang")
-      .agg(count(lit(1)).cast("double").as("value"))
-      .select(lit("by_lang").as("section"), col("lang").as("item"), col("value"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("quality"), col("doc_id")) // global: the certification cost
     val quality = TextOps.qualityScore(documents)
@@ -250,6 +236,89 @@ object Report {
           .as("item"),
         col("quality").as("value"))
       .filter(col("item").isNotNull)
+    datasheetAround(documents, evalReference, totals, quality)
+  }
+
+  /** q121: [[datasheet]] with its quality section on the SKETCH path,
+    * q51's convention made real for the composed report: at 100 TB the
+    * exact value-at-rank global sort is the one non-partial-agg stage,
+    * so production rides `approx_percentile`. Two modes, one method:
+    *
+    *  - `certify = true` (the DECLARED query): the sketch quantiles
+    *    are checked IN-PLAN against exact ±1%-rank value windows
+    *    (q51's bounds, clamped and rank-adjacent-safe for small n) and
+    *    the quality section emits `p25_ok/p50_ok/p75_ok` = 1.0 — so
+    *    the DuckDB oracle (`1.0` literals) hash-fails a broken sketch.
+    *    The rank windows reuse the same global sort the exact path
+    *    pays; certification cost, not production cost.
+    *  - `certify = false` (the PRODUCTION path): the quality section
+    *    emits the raw `approx_percentile` values as `p25/p50/p75` with
+    *    NO sort anywhere in the plan — every datasheet stage is then a
+    *    partial agg, the shape that holds at 100 TB. Not driver-graded
+    *    (sketch values are not bit-replicable cross-engine — q51/q73's
+    *    rationale), covered by ReportSpec's rank-window assertions.
+    */
+  def datasheetSketch(documents: DataFrame, evalReference: DataFrame,
+                      certify: Boolean = true): DataFrame = {
+    val totals = datasheetTotals(documents)
+    val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")
+    val ap = expr(
+      s"approx_percentile(quality, array(${ps.map(_._1).mkString(",")}), 10000)")
+    val base = TextOps.qualityScore(documents).select(col("doc_id"), col("quality"))
+    val quality =
+      if (!certify) {
+        val items = ps.zipWithIndex.map { case ((_, nm), i) =>
+          s"'$nm', element_at(ap, ${i + 1})" }.mkString(", ")
+        base.agg(ap.as("ap"))
+          .selectExpr(s"stack(${ps.length}, $items) AS (item, value)")
+          .select(lit("quality").as("section"), col("item"), col("value"))
+      } else {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("quality").asc_nulls_last, col("doc_id"))
+        val ranked = base
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("n", count(col("quality")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+        val bounds = ps.flatMap { case (p, nm) =>
+          val lo = greatest(lit(1L), floor(col("n") * lit(p - 0.01)))
+          val hi = least(col("n"), ceil(col("n") * lit(p + 0.01)))
+          Seq(max(when(col("rk") <= lo, col("quality"))).as(s"lo_$nm"),
+            min(when(col("rk") >= hi && col("rk") <= col("n"), col("quality")))
+              .as(s"hi_$nm"))
+        }
+        val agged = ranked.agg(ap.as("ap"), bounds: _*)
+        val items = ps.zipWithIndex.map { case ((_, nm), i) =>
+          s"'${nm}_ok', CAST(element_at(ap, ${i + 1}) >= lo_$nm AND " +
+            s"element_at(ap, ${i + 1}) <= hi_$nm AS DOUBLE)" }.mkString(", ")
+        agged.selectExpr(s"stack(${ps.length}, $items) AS (item, value)")
+          .select(lit("quality").as("section"), col("item"), col("value"))
+      }
+    datasheetAround(documents, evalReference, totals, quality)
+  }
+
+  /** The datasheet's corpus-wide totals — ONE 1-row partial agg,
+    * localCheckpointed so every fraction broadcasts the same frame. */
+  private def datasheetTotals(documents: DataFrame): DataFrame =
+    documents.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).cast("double").as("n_tokens"),
+      sum(col("n_chars")).cast("double").as("n_chars"))
+      .localCheckpoint()
+
+  /** The six quality-independent datasheet sections composed around a
+    * caller-supplied quality section — shared by the exact (q117) and
+    * sketch (q121) forms so the two can never drift. */
+  private def datasheetAround(documents: DataFrame, evalReference: DataFrame,
+                              totals: DataFrame, quality: DataFrame): DataFrame = {
+    val corpus = totals.selectExpr(
+      "stack(3, 'n_docs', n_docs, 'n_tokens', n_tokens, 'n_chars', n_chars) AS (item, value)")
+      .select(lit("corpus").as("section"), col("item"), col("value"))
+    val bySource = documents.groupBy("source")
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("by_source").as("section"), col("source").as("item"), col("value"))
+    val byLang = documents.groupBy("lang")
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("by_lang").as("section"), col("lang").as("item"), col("value"))
     val dup = documents
       .groupBy(md5(col("text").cast("binary"))).agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))

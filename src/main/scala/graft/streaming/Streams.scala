@@ -704,6 +704,48 @@ object Streams {
       }
   }
 
+  /** s19's row shape: an admitted document with its admission rank
+    * within the domain and the domain's running admitted count. */
+  case class DomainAdmit(doc_id: Long, domain: String, rk: Long)
+
+  /** s19: STREAMING PER-DOMAIN QUOTA — q118's cap as ADMISSION STATE:
+    * each domain's state is one counter of documents admitted so far;
+    * a micro-batch's docs admit in doc_id order while the counter is
+    * below the cap, and everything after the cap drops FOREVER (the
+    * intake-side form of RefinedWeb's per-domain limit — the stream
+    * cannot md5-rank documents that haven't arrived yet, so streaming
+    * quota is first-come admission, q118's batch gate being the
+    * re-rankable after-the-fact form; the two are documented
+    * complements, not equivalents).
+    *
+    * Determinism: within a micro-batch each domain's docs are sorted
+    * by doc_id before admission (partition race order must not pick
+    * the survivors — [[streamDedup]]'s min-doc_id convention widened
+    * to a prefix); across batches, arrival order decides (the s03/s09
+    * batch-boundary rule: the declared query pins delivery to one
+    * drain, making the oracle the first-cap-by-doc_id replay).
+    *
+    * Scale: state is ONE long per distinct domain — far below even
+    * the dedup family's per-fingerprint floor; the per-batch sort is
+    * per (domain, batch) slice. RocksDB backend via the dedup default. */
+  def streamDomainQuota(docs: Dataset[(Long, String)],
+                        maxPerDomain: Int): Dataset[DomainAdmit] = {
+    require(maxPerDomain > 0, s"maxPerDomain must be positive, got $maxPerDomain")
+    import docs.sparkSession.implicits._
+    defaultRocksDbForDedup(docs.sparkSession)
+    docs.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (domain: String, it: Iterator[(Long, String)], state: GroupState[Long]) =>
+          val admittedSoFar = state.getOption.getOrElse(0L)
+          val room = math.max(0L, maxPerDomain - admittedSoFar)
+          val admitted = it.map(_._1).toSeq.sorted.take(room.toInt)
+          if (admitted.nonEmpty) state.update(admittedSoFar + admitted.length)
+          admitted.iterator.zipWithIndex.map { case (id, i) =>
+            DomainAdmit(id, domain, admittedSoFar + i + 1)
+          }
+      }
+  }
+
   /** s13: CONTINUOUS perceptual image dedup — the multimodal member
     * of the streaming-dedup family: each micro-batch of landed media
     * decodes through the real JDK codec, hashes perceptually (m07's

@@ -334,6 +334,55 @@ class CorpusSpec extends SparkSpec {
     frac should (be > 0.3 and be < 0.7) // correlated ordering would pin this near 0
   }
 
+  test("q120 perplexity filter separates in-domain from out-of-domain text") {
+    // target (src0) is all "alpha beta" bigrams; docA repeats exactly
+    // those bigrams, docB shares nothing with the target vocabulary.
+    // The LM must read docA as LOW surprise and docB as HIGH — the
+    // separability CCNet's filter exists to provide.
+    val d = srcDocs(
+      (1L, "alpha beta alpha beta alpha beta", "src0"),
+      (2L, "alpha beta alpha beta", "src0"),
+      (10L, "alpha beta alpha beta alpha", "web"),
+      (11L, "zulu yankee xray whiskey victor uniform", "web"),
+      (12L, "solo", "web"))
+    val out = Corpus.perplexityFilter(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4),
+        Option(r.get(5)).map(_.asInstanceOf[Double]), r.getString(6))).toMap
+    out.keySet shouldBe Set(10L, 11L, 12L)   // target docs excluded
+    val (nA, sA, bitsA, _) = out(10L)
+    val (nB, sB, bitsB, _) = out(11L)
+    nA shouldBe 4L; nB shouldBe 5L
+    bitsA.get should be < bitsB.get          // in-domain reads cheaper
+    sA should be < sB
+    // featureless doc: no evidence, 'und' bucket, NULL bits, zero sum
+    out(12L) shouldBe ((0L, 0L, None, "und"))
+  }
+
+  test("q120 tertiles: per-language ntile sizes obey the ceil/floor law and runs are deterministic") {
+    val d = tables.documents
+    val a = Corpus.perplexityFilter(d).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4), r.getString(6)))
+    val b = Corpus.perplexityFilter(d).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4), r.getString(6)))
+    a.sorted shouldBe b.sorted               // integer surprise: no agg-order drift
+    a.filter(_._5 == "und").foreach(_._3 shouldBe 0L)
+    a.groupBy(_._2).foreach { case (_, docs) =>
+      val scored = docs.filter(_._3 > 0L)
+      val byBucket = scored.groupBy(_._5).view.mapValues(_.length).toMap
+      val n = scored.length
+      if (n >= 3) {
+        Seq("head", "middle", "tail").foreach { bk =>
+          byBucket.getOrElse(bk, 0) should (be >= n / 3 and be <= n / 3 + 1)
+        }
+      }
+    }
+    // the filter fails loudly with no target evidence (q110's rule)
+    val ex = intercept[Exception] {
+      Corpus.perplexityFilter(tables.documents, targetSource = "ghost")
+    }
+    ex.getMessage should include ("zero bigrams")
+  }
+
   test("q118 quota: cap is exact, under-cap domains keep everything, re-runs identical") {
     val d = tables.documents
     val a = Corpus.domainQuota(d, maxPerDomain = 10).collect()

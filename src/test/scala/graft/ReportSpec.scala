@@ -132,6 +132,40 @@ class ReportSpec extends SparkSpec {
       ("en", 3L, 2L, 1L, 0.3333))
   }
 
+  test("q121 datasheet sketch: certified verdicts all healthy, production path is sort-free and in-window") {
+    import org.apache.spark.sql.functions.col
+    val d = tables.documents
+    val eval = d.filter(col("doc_id") % 7 === 0)
+    // declared (certified) form: quality section = three 1.0 verdicts,
+    // the other six sections byte-identical to q117's
+    val cert = Report.datasheetSketch(d, eval)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    Seq("p25_ok", "p50_ok", "p75_ok").foreach { p =>
+      cert(("quality", p)) shouldBe 1.0
+    }
+    val exact = Report.datasheet(d, eval)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    cert.filterNot(_._1._1 == "quality") shouldBe
+      exact.filterNot(_._1._1 == "quality")
+    // production form (certify = false): NO sort anywhere in the plan —
+    // every datasheet stage is a partial agg — and the sketch values
+    // land inside the exact ±1%-rank windows q51's contract demands
+    val prod = Report.datasheetSketch(d, eval, certify = false)
+    val plan = prod.queryExecution.executedPlan.toString
+    plan should not include "Sort"
+    val prodQ = prod.collect()
+      .filter(_.getString(0) == "quality")
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    val sorted = graft.operators.TextOps.qualityScore(d)
+      .collect().map(_.getDouble(4)).sorted
+    val n = sorted.length
+    Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75").foreach { case (p, nm) =>
+      val lo = sorted(math.max(1, math.floor(n * (p - 0.01)).toInt) - 1)
+      val hi = sorted(math.min(n.toLong, math.ceil(n * (p + 0.01)).toLong).toInt - 1)
+      prodQ(nm) should (be >= lo and be <= hi)
+    }
+  }
+
   test("q117 datasheet: sections are internally consistent with their source operators") {
     import org.apache.spark.sql.functions.col
     val d = tables.documents

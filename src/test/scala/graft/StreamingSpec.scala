@@ -614,6 +614,32 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(s"$tmp/out").count() shouldBe 2
   }
 
+  test("s19 streaming domain quota: counters persist across batches, in-batch admission is doc_id-ordered") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.scopedStateStoreConf(spark) {
+      Streams.streamDomainQuota(in.toDS(), 3).toDF
+        .writeStream.format("memory").queryName("s19_e2e")
+        .outputMode(OutputMode.Append).start()
+    }
+    try {
+      // batch 1: domain A over-supplies (cap 3) out of id order; B under
+      in.addData((5L, "A"), (1L, "A"), (9L, "A"), (3L, "A"), (2L, "B"))
+      q.processAllAvailable()
+      // batch 2: A is already full — even doc 4 (< doc 5) cannot displace
+      // an earlier admission; B's slice sorts to 6,7,8 and its two
+      // remaining slots go to 6 and 7
+      in.addData((4L, "A"), (6L, "B"), (8L, "B"), (7L, "B"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("s19_e2e").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    out shouldBe Set(
+      (1L, "A", 1L), (3L, "A", 2L), (5L, "A", 3L), // doc 9 over cap, doc 4 late
+      (2L, "B", 1L), (6L, "B", 2L), (7L, "B", 3L)) // doc 8 over cap
+  }
+
   test("s09 admit loop: later batches dedup against earlier survivors, not dropped docs") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
