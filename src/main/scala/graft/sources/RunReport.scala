@@ -135,6 +135,51 @@ object RunReport {
   def readReports(spark: SparkSession, reportDir: String): DataFrame =
     spark.read.parquet(reportDir)
 
+  /** The reference's LITERAL log layout, write side: one
+    * self-describing JSON document per run under `logsDir/<job_name>/`
+    * (lambda_manifest_builder writes `logs/lambda/…json`,
+    * glue_batch_job `logs/glue/…json`; Athena.sql:42-110 queries them
+    * as external JSON tables). Parquet ([[emit]]) stays graft's
+    * primary report store — columnar stats, pushdown, no per-file
+    * schema drift — but consumers still speaking the `logs/`
+    * convention get the byte-level round trip here. The document is
+    * rendered by the engine's own JSON writer (`to_json` over the Run
+    * row — the exact serialization [[readJsonLogs]]' reader parses
+    * back), timestamps in UTC ISO-8601; the single small file is
+    * written driver-side (a report row is a few hundred bytes —
+    * running a distributed job to emit it would be the tail wagging
+    * the dog). */
+  def emitJsonLog(spark: SparkSession, run: Run, logsDir: String): Unit = {
+    val enc = org.apache.spark.sql.Encoders.product[Run]
+    val doc = spark.createDataset(Seq(run))(enc).toDF()
+      .select(to_json(struct(col("*")),
+        java.util.Map.of("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")))
+      .first().getString(0)
+    val dir = new org.apache.hadoop.fs.Path(logsDir, run.job_name)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val f = new org.apache.hadoop.fs.Path(dir, s"${run.run_id}.json")
+    val out = fs.create(f, true)
+    try out.write((doc + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The reference's log layout, read side: `spark.read.json` over the
+    * one-JSON-per-run tree with the Run schema given EXPLICITLY — the
+    * Athena external-table round trip (the DDL names its columns; so
+    * do we), and the 100 TB discipline: schema inference over a
+    * landing tree is a full extra pass ([[Ingest.readNdjson]]'s rule).
+    * Returns [[readReports]]' exact shape, so [[asEventLog]] and
+    * [[registerMetricsTable]] compose unchanged on top of raw logs. */
+  def readJsonLogs(spark: SparkSession, logsDir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[Run]
+    spark.read.schema(enc.schema)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .option("recursiveFileLookup", "true")
+      .json(logsDir)
+      .select(enc.schema.fieldNames.map(col).toSeq: _*)
+  }
+
   /** The reference's metrics-table DDL
     * (metrics-app/create_metrics_table.py:10 — a (date_hour,
     * timestamp)-keyed store the collector lambda writes and dashboards

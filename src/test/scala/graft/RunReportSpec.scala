@@ -38,6 +38,33 @@ class RunReportSpec extends SparkSpec {
     back.head.getAs[Long]("records_processed") shouldBe n
   }
 
+  test("q56 the logs/ JSON round trip: one JSON per run, read back identical to the parquet table") {
+    val dir = tmp("graft_rrjson")
+    val r1 = RunReport.reportedWrite(
+      tables.documents, s"$dir/out1", 2, "lambda", s"$dir/reports")
+    val r2 = RunReport.reportedWrite(
+      tables.events, s"$dir/out2", 2, "glue", s"$dir/reports")
+    RunReport.emitJsonLog(spark, r1, s"$dir/logs")
+    RunReport.emitJsonLog(spark, r2, s"$dir/logs")
+    // the reference's literal layout: logs/<job>/<run_id>.json, one
+    // self-describing document per invocation (Athena.sql:42-110)
+    def visible(d: String) = new java.io.File(d).listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")) // checksum sidecars
+    visible(s"$dir/logs/lambda") shouldBe Array(s"${r1.run_id}.json")
+    visible(s"$dir/logs/glue") shouldBe Array(s"${r2.run_id}.json")
+    // read side = the Athena external JSON table: explicit schema,
+    // recursive tree, EXACT row equality with the parquet report store
+    val fromJson = RunReport.readJsonLogs(spark, s"$dir/logs")
+      .collect().map(_.toSeq).toSet
+    val fromParquet = RunReport.readReports(spark, s"$dir/reports")
+      .collect().map(_.toSeq).toSet
+    fromJson shouldBe fromParquet
+    // and the downstream adapters compose unchanged on raw logs
+    Analytics.failedEvents(
+      RunReport.asEventLog(RunReport.readJsonLogs(spark, s"$dir/logs")))
+      .count() shouldBe 0L
+  }
+
   test("q103 measured rates calibrate the cost projection from REAL run history") {
     val dir = tmp("graft_cal")
     val docs = tables.documents
