@@ -275,15 +275,19 @@ object Report {
       } else {
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("quality").asc_nulls_last, col("doc_id"))
-        val ranked = base
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .withColumn("n", count(col("quality")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy()))
+        // n rides as a LITERAL from the checkpointed totals (one cheap
+        // first(), no data moved): a count() window over partitionBy()
+        // would be a SECOND single-partition pass over the corpus —
+        // measured 2.4× q117's 30x floor before this cut. quality is
+        // a total function of the row (q28's arithmetic — never null),
+        // so count(*) ≡ count(quality) here.
+        val nDocs = totals.first().getDouble(0).toLong
+        val ranked = base.withColumn("rk", row_number().over(w).cast("long"))
         val bounds = ps.flatMap { case (p, nm) =>
-          val lo = greatest(lit(1L), floor(col("n") * lit(p - 0.01)))
-          val hi = least(col("n"), ceil(col("n") * lit(p + 0.01)))
+          val lo = math.max(1L, math.floor(nDocs * (p - 0.01)).toLong)
+          val hi = math.min(nDocs, math.ceil(nDocs * (p + 0.01)).toLong)
           Seq(max(when(col("rk") <= lo, col("quality"))).as(s"lo_$nm"),
-            min(when(col("rk") >= hi && col("rk") <= col("n"), col("quality")))
+            min(when(col("rk") >= hi && col("rk") <= nDocs, col("quality")))
               .as(s"hi_$nm"))
         }
         val agged = ranked.agg(ap.as("ap"), bounds: _*)
