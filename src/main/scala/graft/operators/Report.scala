@@ -261,6 +261,12 @@ object Report {
   def datasheetSketch(documents: DataFrame, evalReference: DataFrame,
                       certify: Boolean = true): DataFrame = {
     val totals = datasheetTotals(documents)
+    // die loudly on an empty corpus (the exact path's convention): an
+    // empty ranked frame would otherwise emit NULL _ok verdicts — a
+    // health check that silently reads as "absent", not "failed"
+    require(totals.first().getDouble(0) >= 1,
+      "datasheetSketch needs a non-empty corpus — an empty input would " +
+        "emit NULL quality verdicts instead of certified ones")
     val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")
     val ap = expr(
       s"approx_percentile(quality, array(${ps.map(_._1).mkString(",")}), 10000)")
@@ -281,7 +287,7 @@ object Report {
         // measured 2.4× q117's 30x floor before this cut. quality is
         // a total function of the row (q28's arithmetic — never null),
         // so count(*) ≡ count(quality) here.
-        val nDocs = totals.first().getDouble(0).toLong
+        val nDocs = totals.first().getDouble(0).toLong // checkpointed: free
         val ranked = base.withColumn("rk", row_number().over(w).cast("long"))
         val bounds = ps.flatMap { case (p, nm) =>
           val lo = math.max(1L, math.floor(nDocs * (p - 0.01)).toLong)

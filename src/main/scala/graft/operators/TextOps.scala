@@ -889,15 +889,15 @@ object TextOps {
       .select("lang", "term", "tf", "df", "score", "rnk")
   }
 
-  /** Marker vocabularies for the language-ID heuristic. On real corpora
-    * these are per-language stopword/character-n-gram sets; the test
-    * corpus shares one vocabulary, so the heuristic's *mechanism*
-    * (score-per-language → argmax) is what's exercised. */
   /** q116/q117's default segment width (tokens) — spliced into the
     * oracle SQL (the q112 DefaultEpochs rule) so a default change
     * cannot desync the replay. */
   private[graft] val DefaultSegTokens: Int = 16
 
+  /** Marker vocabularies for the language-ID heuristic. On real corpora
+    * these are per-language stopword/character-n-gram sets; the test
+    * corpus shares one vocabulary, so the heuristic's *mechanism*
+    * (score-per-language → argmax) is what's exercised. */
   private[graft] val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "value", "fast", "slow"),
     "de" -> Seq("table", "row", "merge"),

@@ -151,9 +151,15 @@ object RunReport {
     * the dog). */
   def emitJsonLog(spark: SparkSession, run: Run, logsDir: String): Unit = {
     val enc = org.apache.spark.sql.Encoders.product[Run]
+    // timeZone pinned to UTC explicitly: to_json otherwise renders in
+    // the SESSION zone, and the documented contract ("timestamps in
+    // UTC ISO-8601") must hold for external consumers regardless of
+    // how the writing session is configured
     val doc = spark.createDataset(Seq(run))(enc).toDF()
       .select(to_json(struct(col("*")),
-        java.util.Map.of("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")))
+        java.util.Map.of(
+          "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+          "timeZone", "UTC")))
       .first().getString(0)
     val dir = new org.apache.hadoop.fs.Path(logsDir, run.job_name)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -175,6 +181,7 @@ object RunReport {
     val enc = org.apache.spark.sql.Encoders.product[Run]
     spark.read.schema(enc.schema)
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .option("timeZone", "UTC") // the write side's pinned zone
       .option("recursiveFileLookup", "true")
       .json(logsDir)
       .select(enc.schema.fieldNames.map(col).toSeq: _*)
