@@ -474,6 +474,9 @@ object SparkEntry {
     // boilerplate-removal pass (keep the corpus-wide first occurrence
     // of each repeated segment, rebuild every doc)
     "q80_line_dedup"         -> ((s, d) => Dedup.lineDedup(Tables(s, d).documents)),
+    // q122: the other line-level correction — frequent segments
+    // removed from EVERY carrier (C4/RefinedWeb), q80's complement
+    "q122_boilerplate_strip" -> ((s, d) => Dedup.boilerplateStrip(Tables(s, d).documents)),
     // q85: ExactSubstr — every maximal repeated token span of length
     // >= k removed from every occurrence (Lee et al. 2021), via exact
     // duplicated-k-window coverage; q80's sliding complement.
@@ -2042,6 +2045,26 @@ object SparkEntry {
         |k AS (SELECT doc_id, seg_idx, seg,
         |        (ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1) AS keep
         |      FROM s)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        |       COALESCE(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), '') AS cleaned_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q122: q80's segmentation verbatim, keep = df <= threshold (empty
+    // segments structural, always kept) — the rank-free complement
+    "q122_boilerplate_strip" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id, tk,
+        |        GREATEST(1, CAST(CEIL(len(tk) / 12.0) AS INTEGER)) AS nseg
+        |      FROM t),
+        |x AS (SELECT doc_id, tk, unnest(range(0, nseg)) AS seg_idx FROM c),
+        |s AS (SELECT doc_id, CAST(seg_idx AS INTEGER) AS seg_idx,
+        |        array_to_string(tk[seg_idx*12+1 : seg_idx*12+12], ' ') AS seg
+        |      FROM x),
+        |d AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS df FROM s WHERE seg <> '' GROUP BY 1),
+        |k AS (SELECT s.doc_id, s.seg_idx, s.seg,
+        |        (s.seg = '' OR d.df <= ${Dedup.DefaultStripDf}) AS keep
+        |      FROM s LEFT JOIN d USING (seg))
         |SELECT doc_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_segments,
         |       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,

@@ -585,32 +585,51 @@ object Dedup {
     * geometry bucket caps. Empty segments (blank lines) are exempt
     * from rank and cap alike: they are document structure, always
     * kept, each in its own window partition. */
+  /** Shared q80/q122 segmentation: the corpus re-cut into the
+    * line-operators' units — literal separator-delimited lines in
+    * production (split on the QUOTED separator; a trailing separator
+    * yields a final empty segment, kept as structure), deterministic
+    * fixed-`width`-token windows on the separator-free gate corpus. */
+  private def segmentize(documents: DataFrame, width: Int,
+                         separator: String): DataFrame =
+    if (separator.nonEmpty)
+      documents.select(col("doc_id"),
+        posexplode(split(col("text"),
+          java.util.regex.Pattern.quote(separator), -1)))
+        .withColumnRenamed("pos", "seg_idx")
+        .withColumnRenamed("col", "seg")
+    else
+      documents
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .withColumn("nseg",
+          greatest(lit(1), ceil(size(col("tk")) / lit(width.toDouble)).cast("int")))
+        .select(col("doc_id"),
+          posexplode(expr(s"transform(sequence(0, nseg - 1), " +
+            s"i -> array_join(slice(tk, i * $width + 1, $width), ' '))")))
+        .withColumnRenamed("pos", "seg_idx")
+        .withColumnRenamed("col", "seg")
+
+  /** Shared q80/q122 rebuild: per-doc totals + the cleaned text
+    * (surviving segments rejoined in order — sort_array, because
+    * collect_list alone is arrival-ordered). Expects (doc_id,
+    * seg_idx, seg, keep). */
+  private def rebuildDocs(kept: DataFrame, joiner: String): DataFrame =
+    kept
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        array_join(
+          expr("transform(sort_array(collect_list(" +
+            "CASE WHEN keep THEN struct(seg_idx, seg) END)), x -> x.seg)"),
+          joiner).as("cleaned_text"))
+      .orderBy("doc_id")
+
   def lineDedup(documents: DataFrame, width: Int = 12, maxDf: Long = 0L,
                 separator: String = ""): DataFrame = {
     require(width >= 1, "segment width must be >= 1")
     val joiner = if (separator.isEmpty) " " else separator
-    val segs =
-      if (separator.nonEmpty)
-        // production contract: segments ARE the separator-delimited
-        // lines (split on the LITERAL separator — quoted, split() takes
-        // a regex); a trailing separator yields a final empty segment.
-        // Empty segments bypass the dedup rank below (always kept), so
-        // reassembly round-trips the separator count in EVERY doc
-        documents.select(col("doc_id"),
-          posexplode(split(col("text"),
-            java.util.regex.Pattern.quote(separator), -1)))
-          .withColumnRenamed("pos", "seg_idx")
-          .withColumnRenamed("col", "seg")
-      else
-        documents
-          .select(col("doc_id"), split(col("text"), " ").as("tk"))
-          .withColumn("nseg",
-            greatest(lit(1), ceil(size(col("tk")) / lit(width.toDouble)).cast("int")))
-          .select(col("doc_id"),
-            posexplode(expr(s"transform(sequence(0, nseg - 1), " +
-              s"i -> array_join(slice(tk, i * $width + 1, $width), ' '))")))
-          .withColumnRenamed("pos", "seg_idx")
-          .withColumnRenamed("col", "seg")
+    val segs = segmentize(documents, width, separator)
     // Empty segments (blank lines / trailing separators in separator
     // mode) are STRUCTURE, not content: ranking them corpus-wide
     // would hand every document except one its paragraph breaks'
@@ -656,16 +675,60 @@ object Dedup {
           "upstream or raise the cap")
     }
     val ranked = segs.withColumn("keep", row_number().over(w) === 1)
-    ranked
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_segments"),
-        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
-        array_join(
-          expr("transform(sort_array(collect_list(" +
-            "CASE WHEN keep THEN struct(seg_idx, seg) END)), x -> x.seg)"),
-          joiner).as("cleaned_text"))
-      .orderBy("doc_id")
+    rebuildDocs(ranked, joiner)
+  }
+
+  /** q122's default df threshold — spliced into the oracle SQL (the
+    * q112 DefaultEpochs rule). */
+  private[graft] val DefaultStripDf: Long = 2L
+
+  /** q122: BOILERPLATE STRIP — remove EVERY occurrence of a segment
+    * whose corpus-wide document-frequency exceeds `dfThreshold`, the
+    * other published line-level correction: q80 (CCNet's keep-first
+    * line dedup) keeps ONE carrier of each repeated line, but a
+    * navigation header / cookie banner / footer is noise in ALL its
+    * occurrences including the first — C4 and RefinedWeb's line-wise
+    * corrections drop frequent lines outright (Raffel et al. 2020,
+    * Penedo et al. 2023, public). The two operators are complements
+    * and share one segmentation + rebuild ([[segmentize]]/
+    * [[rebuildDocs]] — q80's contract verbatim: literal lines via
+    * `separator`, fixed-width windows on the separator-free gate
+    * corpus; empty segments are document structure, always kept).
+    *
+    * Keep rule: `df(segment) <= dfThreshold` — RANK-FREE, unlike
+    * q80's first-carrier ordering, which changes the scale story: the
+    * df rides a COUNT window over the segment-digest partition (the
+    * same single exchange as q80's rank window), and a corpus-scale
+    * boilerplate segment skewing that partition costs TIME on one
+    * task but can never change an answer (no survivor to mispick), so
+    * there is no q80-style fail-loud cap here; on corpora where that
+    * skew is real, swap the window for a partial-agg df frame +
+    * AQE-skew shuffle join (scan=2 that parallelizes — the q72
+    * trade), semantics unchanged. One scan, one exchange, linear. */
+  def boilerplateStrip(documents: DataFrame, width: Int = 12,
+                       dfThreshold: Long = DefaultStripDf,
+                       separator: String = ""): DataFrame = {
+    require(width >= 1, "segment width must be >= 1")
+    require(dfThreshold >= 1, s"dfThreshold must be >= 1, got $dfThreshold")
+    val joiner = if (separator.isEmpty) " " else separator
+    val segs = segmentize(documents, width, separator)
+    val isEmptySeg = col("seg") === ""
+    // empty segments bypass the count exactly as they bypass q80's
+    // rank (structure, always kept; df("") is corpus-scale — the one
+    // skew this operator should not even pay for)
+    val w =
+      if (separator.nonEmpty)
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(isEmptySeg,
+            when(isEmptySeg, col("doc_id")).otherwise(xxhash64(col("seg"))),
+            when(isEmptySeg, col("seg_idx").cast("long")).otherwise(lit(0L)))
+      else
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(xxhash64(col("seg")))
+    val kept = segs
+      .withColumn("df", count(lit(1)).over(w))
+      .withColumn("keep", isEmptySeg || col("df") <= dfThreshold)
+    rebuildDocs(kept, joiner)
   }
 
   /** q85: corpus-wide EXACT-SUBSTRING dedup — remove every maximal

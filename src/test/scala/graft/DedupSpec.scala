@@ -396,6 +396,47 @@ class DedupSpec extends SparkSpec {
       Seq("five\n\nsix", "one\n\ntwo", "three\n\nfour")
   }
 
+  test("q122 boilerplate strip: over-threshold segments removed from EVERY carrier, q80's complement") {
+    import spark.implicits._
+    // width=2, threshold=2: "a b" occurs 3x (docs 1,2,3) -> stripped
+    // everywhere INCLUDING doc 1 (q80 would keep doc 1's); "c d"
+    // occurs exactly 2x -> at threshold, kept in BOTH carriers (q80
+    // would remove doc 2's)
+    val d = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d"),
+      (3L, "a b x y"),
+      (4L, "u v")
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateStrip(d, width = 2, dfThreshold = 2L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((2L, 1L, "c d"))       // first carrier stripped too
+    out(2L) shouldBe ((2L, 1L, "c d"))       // df=2 segment survives twice
+    out(3L) shouldBe ((2L, 1L, "x y"))
+    out(4L) shouldBe ((1L, 0L, "u v"))
+    // newline mode: the 3-page header/footer vanish from ALL pages;
+    // blank lines are structure and survive everywhere
+    val pages = Seq(
+      (10L, "NAV: home\n\nfirst body\nfooter"),
+      (11L, "NAV: home\n\nsecond body\nfooter"),
+      (12L, "NAV: home\n\nthird body\nfooter")
+    ).toDF("doc_id", "text")
+    val po = Dedup.boilerplateStrip(pages, separator = "\n", dfThreshold = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    po(10L) shouldBe ((2L, "\nfirst body"))
+    po(11L) shouldBe ((2L, "\nsecond body"))
+    po(12L) shouldBe ((2L, "\nthird body"))
+    // the strip FIRES on the real gate corpus (repeated fixed-width
+    // segments exist at sf0.001) and re-runs are identical
+    val real = tables.documents
+    val a = Dedup.boilerplateStrip(real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    a.map(_._3).sum should be > 0L
+    val b = Dedup.boilerplateStrip(real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    a.sorted shouldBe b.sorted
+  }
+
   test("q80 maxDf cap: corpus-scale boilerplate segment fails loudly, in-cap corpus unchanged") {
     import spark.implicits._
     val d = Seq(
