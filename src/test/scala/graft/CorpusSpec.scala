@@ -358,6 +358,42 @@ class CorpusSpec extends SparkSpec {
     out(12L) shouldBe ((0L, 0L, None, "und"))
   }
 
+  test("q120 integer-log2 surprise matches a from-first-principles replay, bit for bit") {
+    // independent JVM-side replay of the DECLARED arithmetic spec
+    // (md5 bucket, Laplace r, bitlen msb, interpolated frac) — collision-
+    // proof: the replay derives the same buckets the operator does
+    def bk(t: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      (((md(0) & 0xff) << 8) | (md(1) & 0xff)) % 256
+    }
+    def pairs(text: String): Seq[(Int, Int)] = {
+      val b = text.split(" ").map(bk)
+      b.dropRight(1).zip(b.drop(1)).toSeq
+    }
+    val target = "x y x y x"
+    val rawDocs = Seq(10L -> "x y", 11L -> "q z w", 12L -> "x y x")
+    val cPair = pairs(target).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cPrefix = pairs(target).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def surprise(text: String): (Long, Long) = {
+      val ss = pairs(text).map { case (b1, b2) =>
+        val r = (65536L * (cPrefix.getOrElse(b1, 0L) + 256L)) /
+          (cPair.getOrElse((b1, b2), 0L) + 1L)
+        val msb = 63 - java.lang.Long.numberOfLeadingZeros(r)
+        val frac = ((r - (1L << msb)) * 16L) / (1L << msb)
+        msb * 16L + frac
+      }
+      (ss.size.toLong, ss.sum)
+    }
+    val d = srcDocs((1L, target, "src0") +:
+      rawDocs.map { case (id, t) => (id, t, "web") }: _*)
+    val got = Corpus.perplexityFilter(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    rawDocs.foreach { case (id, t) =>
+      got(id) shouldBe surprise(t)
+    }
+  }
+
   test("q120 tertiles: per-language ntile sizes obey the ceil/floor law and runs are deterministic") {
     val d = tables.documents
     val a = Corpus.perplexityFilter(d).collect()

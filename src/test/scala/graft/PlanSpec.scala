@@ -316,6 +316,20 @@ class PlanSpec extends SparkSpec {
     plan.split("Exchange").length - 1 shouldBe 1
   }
 
+  test("q120 perplexity scoring broadcasts the LM — the corpus is never shuffled before the per-doc agg") {
+    val plan = planOf(operators.Corpus.perplexityFilter(tables.documents))
+    plan.split("BroadcastHashJoin").length - 1 should be >= 2 // pair + prefix frames
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("q122 boilerplate strip keeps q80's single-exchange shape — no join, count window only") {
+    val plan = planOf(Dedup.boilerplateStrip(tables.documents))
+    plan should not include "Join"
+    plan should include ("Window")
+    plan should not include "CartesianProduct"
+  }
+
   test("driver contract: no declared batch query output schema contains DecimalType") {
     // The driver's hasher canonicalizes DECIMAL differently than the
     // DuckDB replica — r14's only three oracle reds (q110/q111/s17)
