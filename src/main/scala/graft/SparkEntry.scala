@@ -179,6 +179,11 @@ object SparkEntry {
     // q120: CCNet's perplexity filter — hashed-bigram LM on the target
     // source, integer-log2 surprise, per-language head/middle/tail
     "q120_perplexity_filter" -> ((s, d) => Corpus.perplexityFilter(Tables(s, d).documents)),
+    // q124: q120's PRODUCTION shape — sketch tertile thresholds
+    // certified in-plan against exact ±1%-rank windows (q51/q121's
+    // convention); the sort-free certify=false path is spec-pinned
+    "q124_perplexity_sketch" -> ((s, d) =>
+      Corpus.perplexityFilterSketch(Tables(s, d).documents)),
     // q111: pairwise source-distribution divergence (total variation
     // over hashed-unigram buckets) — the corpus-drift diagnostic run
     // before re-deriving mixture weights; exact integer numerator +
@@ -198,6 +203,12 @@ object SparkEntry {
     // q118: RefinedWeb-style per-domain quota — deterministic salted
     // md5-rank gate caps each source at DefaultDomainQuota docs
     "q118_domain_quota"      -> ((s, d) => Corpus.domainQuota(Tables(s, d).documents)),
+    // q126: q118's hot-domain execution plan (r15 verdict #4) — salted
+    // bounded pre-prune (keep-set superset per salt slice) before the
+    // unchanged exact gate; output row-identical to q118 at any salt
+    // count, hash-checked via the shared oracle
+    "q126_domain_quota_pruned" -> ((s, d) =>
+      Corpus.domainQuota(Tables(s, d).documents, salts = 16)),
     "q40_pack_sequences"     -> ((s, d) => Corpus.packSequences(Tables(s, d).documents)),
     // q72: q40's sharded scale plan — shardSize 64 yields ~8 shards at
     // the grading SF, so the parallel path (not a degenerate one-shard
@@ -650,12 +661,17 @@ object SparkEntry {
     // s12: q88's token accounting as the ingest loop's live meter —
     // stateful streaming agg, one row of state per (source, lang),
     // the tokenizer riding each doc's single pass through the engine.
+    // State partitions pinned to the group-cardinality default (r15
+    // verdict #1's structural fix: 32 stores for ~40 rows of state is
+    // pure per-trigger commit overhead — see scopedShufflePartitions).
     "s12_stream_token_meter" -> ((s, d) => {
       val schema = s.read.parquet(s"$d/documents.parquet").schema
       val docs = s.readStream.schema(schema)
         .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
-      Streams.runToMemory(Streams.streamTokenMeter(docs),
-        "s12_stream_token_meter", OutputMode.Complete())
+      Streams.scopedShufflePartitions(s, Streams.GroupStatePartitions) {
+        Streams.runToMemory(Streams.streamTokenMeter(docs),
+          "s12_stream_token_meter", OutputMode.Complete())
+      }
     }),
     // s16: continuous heavy-hitter monitoring — q109's MG summary as
     // streaming state (one ≤64-entry buffer), drained Complete, then
@@ -678,9 +694,40 @@ object SparkEntry {
       val schema = s.read.parquet(s"$d/documents.parquet").schema
       val docs = s.readStream.schema(schema)
         .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
-      val counts = Streams.runToMemory(Streams.streamSourceHistogram(docs),
-        "s17_stream_drift", OutputMode.Complete())
+      // group-cardinality state (|sources|·256 rows) → pinned small
+      // state-partition count, the s12 rationale
+      val counts = Streams.scopedShufflePartitions(s, Streams.GroupStatePartitions) {
+        Streams.runToMemory(Streams.streamSourceHistogram(docs),
+          "s17_stream_drift", OutputMode.Complete())
+      }
       Corpus.divergenceFromCounts(counts.localCheckpoint())
+    }),
+    // s20: q40's packing as intake state — per-language running token
+    // offset, each arrival emitting its chunk assignment live; the
+    // drained assignments regrouped by (lang, chunk_id) ARE batch
+    // q40's chunk table (one-drain delivery = doc_id order), so the
+    // oracle is q40's verbatim. Group-cardinality state (one long per
+    // lang) → the s12 state-partition pin.
+    "s20_stream_pack_meter" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{size, split, count, sum, min, max}
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .as[(String, Long, Long)]
+      val assigns = Streams.scopedStateStoreConf(s) {
+        Streams.scopedShufflePartitions(s, Streams.GroupStatePartitions) {
+          Streams.runToMemory(Streams.streamPackMeter(docs).toDF,
+            "s20_stream_pack_meter")
+        }
+      }
+      assigns.groupBy("lang", "chunk_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("chunk_tokens"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
     }),
     // s19: q118's per-domain quota as intake-side admission state —
     // one counter per domain; one-drain delivery pins the oracle to
@@ -693,9 +740,12 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .as[(Long, String)]
       Streams.scopedStateStoreConf(s) {
-        Streams.runToMemory(
-          Streams.streamDomainQuota(docs, Corpus.DefaultDomainQuota).toDF,
-          "s19_stream_domain_quota")
+        // one counter per domain = group-cardinality state (s12's rule)
+        Streams.scopedShufflePartitions(s, Streams.GroupStatePartitions) {
+          Streams.runToMemory(
+            Streams.streamDomainQuota(docs, Corpus.DefaultDomainQuota).toDF,
+            "s19_stream_domain_quota")
+        }
       }
     }),
     "s04_stream_dedup"       -> ((s, d) => {
@@ -718,9 +768,18 @@ object SparkEntry {
       val docs = s.readStream.schema(schema)
         .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
       val media = Multimodal.encodePng(Multimodal.imageMedia(docs))
+      // per-key state (one row per distinct dHash) → size the store
+      // count from the expected key volume (a parquet metadata count,
+      // the AutoGeometry sizing convention); at gate SFs this lands on
+      // the floor, cutting 32 RocksDB instances per trigger to 4 — the
+      // r15 verdict's repeat-flag structural fix. Decode parallelism is
+      // scan-side (file splits) and unaffected.
+      val nKeys = s.read.parquet(s"$d/documents.parquet").count()
       Streams.scopedStateStoreConf(s) {
-        Streams.runToMemory(Streams.streamImageDedup(media).toDF,
-          "s13_stream_image_dedup")
+        Streams.scopedShufflePartitions(s, Streams.suggestStatePartitions(nKeys)) {
+          Streams.runToMemory(Streams.streamImageDedup(media).toDF,
+            "s13_stream_image_dedup")
+        }
       }
     }),
     // s14: continuous SEMANTIC image dedup — q97 through the streaming
@@ -1682,6 +1741,7 @@ object SparkEntry {
     // exactly, den = 2·N_a·N_b, tvd = one double division of the two.
     "q111_source_divergence" -> sourceDivergenceOracle,
     "q120_perplexity_filter" -> perplexityOracle,
+    "q124_perplexity_sketch" -> perplexitySketchOracle,
     "q112_epoch_mix" -> epochMixOracle,
     // q113: salted 48-bit md5 shuffle key → shard = h mod 16, pos =
     // rank by (h, doc_id) within the shard.
@@ -1705,17 +1765,12 @@ object SparkEntry {
         |         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rk
         |  FROM documents) r
         |WHERE rk <= ${Corpus.DefaultDomainQuota} ORDER BY doc_id""".stripMargin,
-    "q118_domain_quota" ->
-      s"""WITH h AS (SELECT doc_id, source AS domain,
-        |             CAST(('0x' || substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 12))
-        |               AS BIGINT) AS hkey
-        |           FROM documents),
-        |r AS (SELECT doc_id, domain,
-        |        CAST(ROW_NUMBER() OVER (PARTITION BY domain ORDER BY hkey, doc_id) AS BIGINT) AS rk,
-        |        CAST(COUNT(*) OVER (PARTITION BY domain) AS BIGINT) AS n_domain
-        |      FROM h)
-        |SELECT doc_id, domain, rk, n_domain FROM r
-        |WHERE rk <= ${Corpus.DefaultDomainQuota} ORDER BY doc_id""".stripMargin,
+    "q118_domain_quota" -> domainQuotaOracle,
+    // q126: the salted pre-pruned form is ROW-IDENTICAL to the plain
+    // gate by construction — it shares q118's oracle verbatim, so the
+    // identity is driver-hash-checked every round (the q72/s11
+    // convention), not just spec-claimed
+    "q126_domain_quota_pruned" -> domainQuotaOracle,
     // q39: the oracle is DuckDB's NATIVE ASOF JOIN — an independent
     // first-class implementation checking graft's union-and-sweep
     // encoding. Actions deduped per (user, ts) by MAX(event_id) so ties
@@ -1735,18 +1790,7 @@ object SparkEntry {
     // floor-divide are bit-identical on both engines.
     // q72 shares q40's oracle verbatim: the sharded plan must be
     // hash-identical to the single-window plan, checked by the driver
-    "q72_pack_sharded" ->
-      """WITH t AS (SELECT lang, doc_id,
-        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |           FROM documents),
-        |c AS (SELECT lang, doc_id, n_tokens,
-        |        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |      FROM t)
-        |SELECT lang, CAST(FLOOR((cum - n_tokens) / 2048.0) AS INTEGER) AS chunk_id,
-        |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
-        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin,
+    "q72_pack_sharded" -> packOracle,
     // q77: the interleave term is generated by the same (bits=8) loop
     // shape as Corpus.zOrderKey so the two engines cannot drift.
     "q77_zorder_layout" -> {
@@ -1774,18 +1818,12 @@ object SparkEntry {
     // fitting remainder (list_position's first-occurrence = the
     // lowest-bin-id tie rule)
     "q119_pack_bfd" -> packBfdOracle,
-    "q40_pack_sequences" ->
-      """WITH t AS (SELECT lang, doc_id,
-        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |           FROM documents),
-        |c AS (SELECT lang, doc_id, n_tokens,
-        |        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |      FROM t)
-        |SELECT lang, CAST(FLOOR((cum - n_tokens) / 2048.0) AS INTEGER) AS chunk_id,
-        |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
-        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin,
+    "q40_pack_sequences" -> packOracle,
+    // s20: the drained per-doc assignments regrouped by (lang,
+    // chunk_id) equal batch q40's chunk table exactly (one-drain
+    // delivery = doc_id order = q40's window order), so the oracle is
+    // q40's verbatim — the q72/s11 shared-oracle convention
+    "s20_stream_pack_meter" -> packOracle,
     // q41: all counts are integers and each ratio is ONE IEEE division
     // (no rounding step needed for parity). Out-of-bounds list index →
     // NULL in DuckDB ≡ try_element_at → NULL in Spark: both produce
@@ -2032,16 +2070,11 @@ object SparkEntry {
     // q80: segment ROW_NUMBER first-carrier mirrors Spark's
     // min(struct(doc_id, seg_idx)); string_agg skips the removed
     // (NULL) segments and COALESCE matches array_join's '' on
-    // all-boilerplate docs
+    // all-boilerplate docs. Width spliced from Dedup.DefaultSegmentWidth
+    // (round-15 advice — one constant, both engines).
     "q80_line_dedup" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |c AS (SELECT doc_id, tk,
-        |        GREATEST(1, CAST(CEIL(len(tk) / 12.0) AS INTEGER)) AS nseg
-        |      FROM t),
-        |x AS (SELECT doc_id, tk, unnest(range(0, nseg)) AS seg_idx FROM c),
-        |s AS (SELECT doc_id, CAST(seg_idx AS INTEGER) AS seg_idx,
-        |        array_to_string(tk[seg_idx*12+1 : seg_idx*12+12], ' ') AS seg
-        |      FROM x),
+      (segmentCtes() +
+      """,
         |k AS (SELECT doc_id, seg_idx, seg,
         |        (ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1) AS keep
         |      FROM s)
@@ -2049,18 +2082,12 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_segments,
         |       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
         |       COALESCE(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), '') AS cleaned_text
-        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // q122: q80's segmentation verbatim, keep = df <= threshold (empty
     // segments structural, always kept) — the rank-free complement
     "q122_boilerplate_strip" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |c AS (SELECT doc_id, tk,
-        |        GREATEST(1, CAST(CEIL(len(tk) / 12.0) AS INTEGER)) AS nseg
-        |      FROM t),
-        |x AS (SELECT doc_id, tk, unnest(range(0, nseg)) AS seg_idx FROM c),
-        |s AS (SELECT doc_id, CAST(seg_idx AS INTEGER) AS seg_idx,
-        |        array_to_string(tk[seg_idx*12+1 : seg_idx*12+12], ' ') AS seg
-        |      FROM x),
+      (segmentCtes() +
+      s""",
         |d AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS df FROM s WHERE seg <> '' GROUP BY 1),
         |k AS (SELECT s.doc_id, s.seg_idx, s.seg,
         |        (s.seg = '' OR d.df <= ${Dedup.DefaultStripDf}) AS keep
@@ -2069,7 +2096,7 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_segments,
         |       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
         |       COALESCE(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), '') AS cleaned_text
-        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // q85: duplicated-k-window coverage (k=8) — the oracle keys windows
     // by their exact TEXT where Spark keys by xxhash64 (the q71
     // convention); interval merge and rebuild mirror the Spark plan
@@ -2464,6 +2491,59 @@ object SparkEntry {
        |q AS (SELECT doc_id,
        |        FLOOR((n_uniq / n_tok * 0.4 + (1.0 - n_stop / n_tok) * 0.3 + len_sat * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality
        |      FROM qm)""".stripMargin
+
+  /** q40/q72/s20's shared oracle: chunk = floor(tokens-before-doc /
+    * budget) over a per-lang running sum — integer token counts, so
+    * the cumsum and the floor-divide are bit-identical on both
+    * engines. q72 (the sharded plan) and s20 (the streaming meter)
+    * are output-identical to q40 by construction, so all three share
+    * it — the equality is driver-hash-checked every round. */
+  private def packOracle: String =
+    """WITH t AS (SELECT lang, doc_id,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT lang, doc_id, n_tokens,
+      |        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM t)
+      |SELECT lang, CAST(FLOOR((cum - n_tokens) / 2048.0) AS INTEGER) AS chunk_id,
+      |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
+      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin
+
+  /** q118/q126's shared oracle: the salted quota-rank gate replayed —
+    * rank by md5 within the domain, keep rank <= cap, pre-cap total
+    * carried per row. q126 (the salted pre-pruned execution plan) is
+    * output-identical by construction and shares it verbatim. */
+  private def domainQuotaOracle: String =
+    s"""WITH h AS (SELECT doc_id, source AS domain,
+       |             CAST(('0x' || substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 12))
+       |               AS BIGINT) AS hkey
+       |           FROM documents),
+       |r AS (SELECT doc_id, domain,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY domain ORDER BY hkey, doc_id) AS BIGINT) AS rk,
+       |        CAST(COUNT(*) OVER (PARTITION BY domain) AS BIGINT) AS n_domain
+       |      FROM h)
+       |SELECT doc_id, domain, rk, n_domain FROM r
+       |WHERE rk <= ${graft.operators.Corpus.DefaultDomainQuota} ORDER BY doc_id""".stripMargin
+
+  /** q80/q122's shared fixed-window segmentation as oracle CTEs —
+    * WITH t/c/x/s over `from`, width spliced from
+    * `Dedup.DefaultSegmentWidth` (the q112 DefaultEpochs rule; q80 and
+    * q122 consume it with their keep rules, q123's correction stage
+    * with the fused rule). Emits `s(doc_id, seg_idx, seg)`. */
+  private def segmentCtes(from: String = "documents",
+                          prefix: String = ""): String = {
+    val wd = graft.operators.Dedup.DefaultSegmentWidth
+    s"""WITH ${prefix}t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $from),
+       |${prefix}c AS (SELECT doc_id, tk,
+       |        GREATEST(1, CAST(CEIL(len(tk) / $wd.0) AS INTEGER)) AS nseg
+       |      FROM ${prefix}t),
+       |${prefix}x AS (SELECT doc_id, tk, unnest(range(0, nseg)) AS seg_idx FROM ${prefix}c),
+       |${prefix}s AS (SELECT doc_id, CAST(seg_idx AS INTEGER) AS seg_idx,
+       |        array_to_string(tk[seg_idx*$wd+1 : seg_idx*$wd+$wd], ' ') AS seg
+       |      FROM ${prefix}x)""".stripMargin
+  }
 
   /** q75: every stage is the corresponding declared oracle's SQL over
     * the running survivor set — exact keeper (q20/q30), minhash-LSH
@@ -3013,7 +3093,13 @@ object SparkEntry {
     * integer bit-lengths), one IEEE division into bits/token, and
     * CCNet's per-language NTILE(3) buckets with featureless docs
     * fenced into their own 'und' partition. */
-  private def perplexityOracle: String = {
+  /** q120/q124's shared LM + scoring CTE chain (train on src0, score
+    * the pool, derive bits/token) — ends at `base(doc_id, source,
+    * lang, n_bigrams, surprise, ppl_bits)`. q120 adds the exact ntile
+    * bucketing; q124 regroups base per language with 1.0 verdict
+    * literals (the in-plan certification is the Spark side's job —
+    * q51/q73/q121's convention). */
+  private def perplexityCtes: String = {
     val q = graft.operators.Corpus.PplQ
     val f = 1 << graft.operators.Corpus.PplFBits
     s"""WITH t AS (SELECT doc_id, source, lang, string_split(text, ' ') AS tk FROM documents),
@@ -3044,7 +3130,11 @@ object SparkEntry {
        |                     THEN CAST(sc.surprise AS DOUBLE) / CAST(sc.n_bigrams * $f AS DOUBLE)
        |                END AS ppl_bits
        |         FROM documents d LEFT JOIN sc USING (doc_id)
-       |         WHERE d.source <> 'src0'),
+       |         WHERE d.source <> 'src0')""".stripMargin
+  }
+
+  private def perplexityOracle: String =
+    s"""$perplexityCtes,
        |nt AS (SELECT *, NTILE(3) OVER (PARTITION BY lang, n_bigrams = 0
        |                                ORDER BY ppl_bits ASC NULLS LAST, doc_id) AS nt
        |       FROM base)
@@ -3052,7 +3142,16 @@ object SparkEntry {
        |       CASE WHEN n_bigrams = 0 THEN 'und' WHEN nt = 1 THEN 'head'
        |            WHEN nt = 2 THEN 'middle' ELSE 'tail' END AS bucket
        |FROM nt ORDER BY doc_id""".stripMargin
-  }
+
+  /** q124: deterministic columns replayed from the shared chain,
+    * verdict booleans as 1.0 literals — a broken sketch fails the
+    * hash on the Spark side (q73/q121's oracle convention). */
+  private def perplexitySketchOracle: String =
+    s"""$perplexityCtes
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_scored,
+       |       1.0 AS t1_ok, 1.0 AS t2_ok
+       |FROM base WHERE n_bigrams > 0
+       |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** q35/q58/s18: exact contamination semi-join — fingerprint the
     * corpus, flag docs whose fingerprint appears in the reference set

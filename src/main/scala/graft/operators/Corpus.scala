@@ -387,6 +387,30 @@ object Corpus {
     * division). */
   def perplexityFilter(documents: DataFrame, targetSource: String = "src0",
                        nBuckets: Int = 256): DataFrame = {
+    val scored = perplexityScored(documents, targetSource, nBuckets)
+    // und docs ride the SAME window pass in their own (lang, und)
+    // partition — their ntile is computed then overridden, so no
+    // union/diamond re-scans the scored frame
+    val w = Window.partitionBy(col("lang"), col("n_bigrams") === 0)
+      .orderBy(col("ppl_bits").asc_nulls_last, col("doc_id"))
+    scored
+      .withColumn("nt", ntile(3).over(w))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_bigrams"),
+        col("surprise"),
+        col("ppl_bits"),
+        when(col("n_bigrams") === 0, "und")
+          .when(col("nt") === 1, "head")
+          .when(col("nt") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** q120/q124's shared scoring half — train the hashed-bigram LM on
+    * the target source, score every pool document's integer surprise
+    * and derived bits/token. Emits (doc_id, source, lang, n_bigrams,
+    * surprise, ppl_bits); bucketing is the caller's (q120: exact
+    * per-language ntile; q124: certified sketch thresholds). */
+  private def perplexityScored(documents: DataFrame, targetSource: String,
+                               nBuckets: Int): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val isTarget = col("source") === targetSource
     // token buckets ride the EXPLODED bigram column (q110's Ngrams
@@ -436,23 +460,87 @@ object Corpus {
       .agg(count(col("b1")).as("n_bigrams"),
         coalesce(sum(when(col("b1").isNotNull, col("s"))), lit(0L))
           .as("surprise"))
-    // und docs ride the SAME window pass in their own (lang, und)
-    // partition — their ntile is computed then overridden, so no
-    // union/diamond re-scans the scored frame
-    val w = Window.partitionBy(col("lang"), col("n_bigrams") === 0)
-      .orderBy(col("ppl_bits").asc_nulls_last, col("doc_id"))
     scored
       .withColumn("ppl_bits",
         when(col("n_bigrams") > 0, col("surprise").cast("double") /
           (col("n_bigrams") * (1L << PplFBits)).cast("double")))
-      .withColumn("nt", ntile(3).over(w))
-      .select(col("doc_id"), col("source"), col("lang"), col("n_bigrams"),
-        col("surprise"),
-        col("ppl_bits"),
-        when(col("n_bigrams") === 0, "und")
-          .when(col("nt") === 1, "head")
-          .when(col("nt") === 2, "middle")
-          .otherwise("tail").as("bucket"))
+  }
+
+  /** q124: q120's PRODUCTION shape declared — the approx_percentile
+    * threshold swap q120's scaladoc prescribes for 100 TB, certified
+    * the q51/q121 way. q120's per-language `ntile(3)` is the one
+    * global-ish sort in the CCNet recipe; at scale the tertile
+    * boundaries come from a MERGEABLE quantile sketch instead
+    * (approx_percentile — map-side partials, no per-group sort) and
+    * the scan is threshold-filtered map-side. Sketch values are not
+    * bit-replicable cross-engine (q51/q73's rationale), so:
+    *
+    *  - `certify = true` (the DECLARED query): per language, the two
+    *    sketch tertile boundaries are checked IN-PLAN against exact
+    *    ±1%-rank VALUE windows (q51's bounds over the same (ppl_bits,
+    *    doc_id) order q120 sorts by; lo/hi ranks floor/ceil-clamped so
+    *    the window is non-empty at any group size) and the query emits
+    *    per-language verdict booleans `t1_ok/t2_ok` = 1.0 plus the
+    *    deterministic `n_scored` — the DuckDB oracle (1.0 literals +
+    *    the replayed counts) hash-fails a broken sketch. The exact
+    *    rank window is the certification cost, same sort q120 pays.
+    *  - `certify = false` (the PRODUCTION path): per-document buckets
+    *    from the sketch thresholds with NO Sort anywhere in the plan —
+    *    one partial-agg job derives the per-language boundary frame
+    *    (language-cardinality rows), broadcast back onto the scored
+    *    frame, bucket = a map-side when-chain (head: bits < t1;
+    *    middle: < t2; else tail; und: no bigrams). Boundary SEMANTICS
+    *    at the cut differ from ntile's rank split by at most the
+    *    sketch error — the documented production approximation.
+    *    Spec-pinned sort-free (CorpusSpec, Report.scala:261's
+    *    convention), not driver-graded. */
+  def perplexityFilterSketch(documents: DataFrame,
+                             targetSource: String = "src0",
+                             nBuckets: Int = 256,
+                             certify: Boolean = true): DataFrame = {
+    val scored = perplexityScored(documents, targetSource, nBuckets)
+    val ap = expr(
+      "approx_percentile(ppl_bits, array(0.3333333333333333, 0.6666666666666666), 10000)")
+    if (!certify) {
+      val thr = scored.filter(col("n_bigrams") > 0)
+        .groupBy("lang").agg(ap.as("t"))
+        .select(col("lang"), element_at(col("t"), 1).as("t1"),
+          element_at(col("t"), 2).as("t2"))
+      scored.join(broadcast(thr), Seq("lang"), "left")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_bigrams"),
+          col("surprise"), col("ppl_bits"),
+          when(col("n_bigrams") === 0, "und")
+            .when(col("ppl_bits") < col("t1"), "head")
+            .when(col("ppl_bits") < col("t2"), "middle")
+            .otherwise("tail").as("bucket"))
+    } else {
+      // exact rank windows ride ONE per-language window pass (rk and
+      // the group count share the lang partition — one exchange); the
+      // sketch and the six conditional rank-window aggs then collapse
+      // in a single language-keyed partial agg.
+      val w = Window.partitionBy("lang")
+        .orderBy(col("ppl_bits").asc, col("doc_id"))
+      val ranked = scored.filter(col("n_bigrams") > 0)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("nl",
+          count(lit(1)).over(Window.partitionBy("lang")).cast("long"))
+      def loR(p: Double) = greatest(lit(1L),
+        floor(col("nl") * (p - 0.01)).cast("long"))
+      def hiR(p: Double) = least(col("nl"),
+        ceil(col("nl") * (p + 0.01)).cast("long"))
+      val (p1, p2) = (1.0 / 3.0, 2.0 / 3.0)
+      ranked.groupBy("lang")
+        .agg(count(lit(1)).as("n_scored"), ap.as("t"),
+          max(when(col("rk") <= loR(p1), col("ppl_bits"))).as("lo1"),
+          min(when(col("rk") >= hiR(p1), col("ppl_bits"))).as("hi1"),
+          max(when(col("rk") <= loR(p2), col("ppl_bits"))).as("lo2"),
+          min(when(col("rk") >= hiR(p2), col("ppl_bits"))).as("hi2"))
+        .select(col("lang"), col("n_scored"),
+          (element_at(col("t"), 1) >= col("lo1") &&
+            element_at(col("t"), 1) <= col("hi1")).cast("double").as("t1_ok"),
+          (element_at(col("t"), 2) >= col("lo2") &&
+            element_at(col("t"), 2) <= col("hi2")).cast("double").as("t2_ok"))
+    }
   }
 
   /** q111: pairwise SOURCE-DISTRIBUTION DIVERGENCE — total-variation
@@ -665,25 +753,59 @@ object Corpus {
     * many — parallelism is the domain count). Only rank ≤ cap
     * survives, so a hot domain costs one sorted partition of its own
     * rows — the same per-key sort q113 accepts per shard; if one
-    * domain is a data-scale fraction of a 100 TB corpus, pre-prune
-    * with a per-partition bounded top-cap (each map partition keeps
-    * its cap-smallest hkeys per domain — a superset of the global
-    * keep set) before this window; the gate itself is unchanged. */
+    * domain is a data-scale fraction of a 100 TB corpus, pass
+    * `salts > 0` (q126's declared form): a SALTED bounded pre-prune
+    * runs first — rank within (domain, salt) and keep only rank ≤ cap
+    * per salt slice, a provable SUPERSET of the global keep set (a
+    * global keeper's in-slice rank can only be ≤ its global rank) —
+    * so the exact gate's window then sees ≤ salts·cap rows per domain
+    * and the hot domain's sort spreads over `salts` tasks (q52's
+    * salting pattern applied to top-k instead of a join). The gate
+    * arithmetic is UNCHANGED, so the pruned form is row-identical to
+    * the plain one at any salt count — q126 shares q118's oracle and
+    * the driver hash-checks the identity every round (the q72/s11
+    * convention). `n_domain` (the pre-cap audit total) then comes
+    * from a map-side partial-agg count over the same slim projection
+    * broadcast back — a second pass over 24-byte rows that
+    * PARALLELIZES, traded against the count window that would drag
+    * the whole domain through one task (the q72 two-pass rule). */
   def domainQuota(documents: DataFrame,
                   maxPerDomain: Int = DefaultDomainQuota,
-                  domain: Column = col("source")): DataFrame = {
+                  domain: Column = col("source"),
+                  salts: Int = 0): DataFrame = {
     require(maxPerDomain > 0, s"maxPerDomain must be positive, got $maxPerDomain")
     val h = conv(substring(md5(
       concat(lit("quota:"), col("doc_id").cast("string")).cast("binary")),
       1, 12), 16, 10).cast("long")
     val byDomain = Window.partitionBy("domain")
-    documents
+    val base = documents
       .select(col("doc_id"), domain.as("domain"), h.as("hkey"))
-      .withColumn("rk",
-        row_number().over(byDomain.orderBy(col("hkey"), col("doc_id"))).cast("long"))
-      .withColumn("n_domain", count(lit(1)).over(byDomain))
-      .filter(col("rk") <= maxPerDomain)
-      .select("doc_id", "domain", "rk", "n_domain")
+    if (salts <= 0) {
+      base
+        .withColumn("rk",
+          row_number().over(byDomain.orderBy(col("hkey"), col("doc_id"))).cast("long"))
+        .withColumn("n_domain", count(lit(1)).over(byDomain))
+        .filter(col("rk") <= maxPerDomain)
+        .select("doc_id", "domain", "rk", "n_domain")
+    } else {
+      // salt = an hkey-independent pure row function (xxhash64 vs the
+      // md5 rank key — decorrelated, the q113 salt rule), so each salt
+      // slice is an arbitrary-but-deterministic 1/salts sample
+      val wSalt = Window.partitionBy("domain", "salt")
+        .orderBy(col("hkey"), col("doc_id"))
+      val pruned = base
+        .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salts.toLong)))
+        .withColumn("prk", row_number().over(wSalt))
+        .filter(col("prk") <= maxPerDomain)
+        .select("doc_id", "domain", "hkey")
+      val counts = base.groupBy("domain").agg(count(lit(1)).as("n_domain"))
+      pruned
+        .withColumn("rk",
+          row_number().over(byDomain.orderBy(col("hkey"), col("doc_id"))).cast("long"))
+        .filter(col("rk") <= maxPerDomain)
+        .join(broadcast(counts), Seq("domain"))
+        .select("doc_id", "domain", "rk", "n_domain")
+    }
   }
 
   /** q40: token-budget sequence packing — assign documents to fixed
@@ -745,7 +867,7 @@ object Corpus {
     * split mid-chunk differently than skew does anyway); parallelism
     * = #shards per language. */
   def packSequencesSharded(documents: DataFrame, budget: Int = 2048,
-                           shardSize: Long = 64L,
+                           shardSize: Long = DefaultShardSize,
                            nTokens: Column =
                              size(split(col("text"), " ")).cast("long")): DataFrame = {
     require(shardSize > 0, "shardSize must be positive")
@@ -793,8 +915,12 @@ object Corpus {
     * hard per-sequence budget, not a running-offset granularity. */
   private[graft] val DefaultPackBudget: Int = 128
 
-  /** q72/q119's doc_id-range shard width — spliced into the q119
-    * oracle SQL (the q112 DefaultEpochs rule). */
+  /** q72/q119's doc_id-range shard width — [[packSequencesSharded]]
+    * and [[packBfd]] both default to it, and the q119 oracle splices
+    * it (the q112 DefaultEpochs rule). q72's oracle carries no shard
+    * constant by design (the sharded plan is output-identical to q40's
+    * single window at ANY width — driver-hash-checked), so only the
+    * q119 replay depends on the value. */
   private[graft] val DefaultShardSize: Long = 64L
 
   /** q119: BEST-FIT-DECREASING token packing — q40/q72 assign docs to
@@ -829,7 +955,11 @@ object Corpus {
     require(shardSize > 0, s"shardSize must be positive, got $shardSize")
     documents
       .select(col("lang"), col("doc_id"), nTokens.as("n"))
-      .withColumn("shard", floor(col("doc_id") / shardSize).cast("long"))
+      // integer `div`, not floor(double /): the oracle's `//` is exact
+      // integer division, and the double round trip drifts past 2^53
+      // (round-15 advice — doc_ids are non-negative, so truncating and
+      // flooring division agree)
+      .withColumn("shard", expr(s"doc_id div ${shardSize}L").cast("long"))
       .groupBy("lang", "shard")
       .agg(collect_list(struct(col("n"), col("doc_id"))).as("ds"))
       .select(col("lang"), col("shard"),

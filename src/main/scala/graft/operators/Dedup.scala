@@ -625,7 +625,15 @@ object Dedup {
           joiner).as("cleaned_text"))
       .orderBy("doc_id")
 
-  def lineDedup(documents: DataFrame, width: Int = 12, maxDf: Long = 0L,
+  /** q80/q122's fixed-window segment width on the separator-free gate
+    * corpus — spliced into both oracle SQLs (the q112 DefaultEpochs
+    * rule: one constant, two engines, no silent desync — round-15
+    * advice; production corpora pass `separator = "\n"` and never
+    * touch it). */
+  private[graft] val DefaultSegmentWidth: Int = 12
+
+  def lineDedup(documents: DataFrame, width: Int = DefaultSegmentWidth,
+                maxDf: Long = 0L,
                 separator: String = ""): DataFrame = {
     require(width >= 1, "segment width must be >= 1")
     val joiner = if (separator.isEmpty) " " else separator
@@ -705,7 +713,7 @@ object Dedup {
     * skew is real, swap the window for a partial-agg df frame +
     * AQE-skew shuffle join (scan=2 that parallelizes — the q72
     * trade), semantics unchanged. One scan, one exchange, linear. */
-  def boilerplateStrip(documents: DataFrame, width: Int = 12,
+  def boilerplateStrip(documents: DataFrame, width: Int = DefaultSegmentWidth,
                        dfThreshold: Long = DefaultStripDf,
                        separator: String = ""): DataFrame = {
     require(width >= 1, "segment width must be >= 1")
@@ -728,6 +736,46 @@ object Dedup {
     val kept = segs
       .withColumn("df", count(lit(1)).over(w))
       .withColumn("keep", isEmptySeg || col("df") <= dfThreshold)
+    rebuildDocs(kept, joiner)
+  }
+
+  /** q123's correction stage: q122's remove-everywhere strip and
+    * q80's keep-first dedup FUSED over ONE segmentation — a real
+    * pipeline runs both line corrections, and running them as two
+    * operators would re-segment the corpus twice AND make the second
+    * pass see shifted window boundaries; over one segmentation the
+    * fused keep rule is exactly "q122 then q80": a segment survives
+    * iff it is structure (empty — q122's rule, always kept), or its
+    * corpus df ≤ `dfThreshold` (q122: boilerplate goes from EVERY
+    * carrier) AND this occurrence is the corpus-wide first carrier
+    * (q80: remaining repeats keep one) — partitions with df > t drop
+    * whole, partitions with df ≤ t keep their rank-1 row, so fusion ≡
+    * sequential composition on the shared segmentation by
+    * construction. ONE exchange: the df count and the first-carrier
+    * rank are two window functions over the SAME digest partition
+    * key (one shuffle + one sort, q80's plan). Same output shape as
+    * q80/q122 ([[rebuildDocs]]). */
+  def lineCorrect(documents: DataFrame, width: Int = DefaultSegmentWidth,
+                  dfThreshold: Long = DefaultStripDf,
+                  separator: String = ""): DataFrame = {
+    require(width >= 1, "segment width must be >= 1")
+    require(dfThreshold >= 1, s"dfThreshold must be >= 1, got $dfThreshold")
+    val joiner = if (separator.isEmpty) " " else separator
+    val segs = segmentize(documents, width, separator)
+    val isEmptySeg = col("seg") === ""
+    // empty segments bypass rank and count alike in BOTH modes (q122's
+    // empty rule — structure, always kept; q80's fixed-width mode has
+    // no organic empties, so adopting it changes nothing there)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(isEmptySeg,
+        when(isEmptySeg, col("doc_id")).otherwise(xxhash64(col("seg"))),
+        when(isEmptySeg, col("seg_idx").cast("long")).otherwise(lit(0L)))
+    val kept = segs
+      .withColumn("df", count(lit(1)).over(w))
+      .withColumn("rn",
+        row_number().over(w.orderBy(col("doc_id"), col("seg_idx"))))
+      .withColumn("keep",
+        isEmptySeg || (col("df") <= dfThreshold && col("rn") === 1))
     rebuildDocs(kept, joiner)
   }
 

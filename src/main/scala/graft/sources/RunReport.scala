@@ -155,10 +155,15 @@ object RunReport {
     // the SESSION zone, and the documented contract ("timestamps in
     // UTC ISO-8601") must hold for external consumers regardless of
     // how the writing session is configured
+    // SSSSSS (micros): Spark timestamps carry microsecond precision, so
+    // the fraction width must too — an SSS format silently truncated a
+    // micros-precision Run, making readJsonLogs diverge from
+    // readReports (round-15 advice; today's Runs are ms-precision, but
+    // the round trip must not depend on that)
     val doc = spark.createDataset(Seq(run))(enc).toDF()
       .select(to_json(struct(col("*")),
         java.util.Map.of(
-          "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+          "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
           "timeZone", "UTC")))
       .first().getString(0)
     val dir = new org.apache.hadoop.fs.Path(logsDir, run.job_name)
@@ -180,7 +185,7 @@ object RunReport {
   def readJsonLogs(spark: SparkSession, logsDir: String): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.product[Run]
     spark.read.schema(enc.schema)
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .option("timeZone", "UTC") // the write side's pinned zone
       .option("recursiveFileLookup", "true")
       .json(logsDir)

@@ -419,6 +419,68 @@ class CorpusSpec extends SparkSpec {
     ex.getMessage should include ("zero bigrams")
   }
 
+  test("q124 perplexity sketch: certified verdicts healthy, production path sort-free and near the exact tertiles") {
+    val d = tables.documents
+    // declared (certified) form: per-language verdicts all 1.0, langs
+    // and n_scored replayed by the exact filter
+    val cert = Corpus.perplexityFilterSketch(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val exact = Corpus.perplexityFilter(d).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getString(6)))
+    val scoredByLang = exact.filter(_._3 > 0L).groupBy(_._2)
+      .view.mapValues(_.length.toLong).toMap
+    cert.keySet shouldBe scoredByLang.keySet
+    cert.foreach { case (lang, (n, t1ok, t2ok)) =>
+      n shouldBe scoredByLang(lang)
+      t1ok shouldBe 1.0
+      t2ok shouldBe 1.0
+    }
+    // production form: NO Sort anywhere in the plan (the q121
+    // convention — Report.scala:261); buckets are value-monotone per
+    // language, the und set is identical, and assignments agree with
+    // the exact ntile split up to boundary/tie semantics
+    val prod = Corpus.perplexityFilterSketch(d, certify = false)
+    prod.queryExecution.executedPlan.toString should not include "Sort"
+    val rows = prod.collect()
+      .map(r => (r.getLong(0), r.getString(2),
+        Option(r.get(5)).map(_.asInstanceOf[Double]), r.getString(6)))
+    val pb = rows.map(t => t._1 -> t._4).toMap
+    val eb = exact.map(t => t._1 -> t._4).toMap
+    pb.keySet shouldBe eb.keySet
+    pb.filter(_._2 == "und") shouldBe eb.filter(_._2 == "und")
+    rows.filter(_._4 != "und").groupBy(_._2).foreach { case (_, ds) =>
+      def bits(bk: String) = ds.filter(_._4 == bk).flatMap(_._3)
+      if (bits("head").nonEmpty && bits("middle").nonEmpty)
+        bits("head").max should be < bits("middle").min
+      if (bits("middle").nonEmpty && bits("tail").nonEmpty)
+        bits("middle").max should be <= bits("tail").min
+    }
+    val diff = eb.count { case (id, b) => pb(id) != b }
+    diff should be <= math.max(4, eb.size / 10)
+  }
+
+  test("q126 pruned quota: salted pre-prune is row-identical to the plain gate on a skewed corpus") {
+    import spark.implicits._
+    // one mega-domain (80% of rows) + a tail of small ones — the exact
+    // skew shape the pre-prune exists for; identity must hold at every
+    // salt count (superset law: a global keeper's in-slice rank <= its
+    // global rank, so no keeper is ever pre-pruned away)
+    val d = (1L to 400L)
+      .map(i => (i, if (i <= 320) "hot.example" else s"site${i % 16}"))
+      .toDF("doc_id", "source")
+    val plain = Corpus.domainQuota(d, maxPerDomain = 7).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    plain.count(_._2 == "hot.example") shouldBe 7
+    Seq(1, 2, 8, 64).foreach { s =>
+      val pruned = Corpus.domainQuota(d, maxPerDomain = 7, salts = s).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      pruned shouldBe plain
+    }
+  }
+
   test("q118 quota: cap is exact, under-cap domains keep everything, re-runs identical") {
     val d = tables.documents
     val a = Corpus.domainQuota(d, maxPerDomain = 10).collect()

@@ -640,6 +640,45 @@ class StreamingSpec extends SparkSpec {
       (2L, "B", 1L), (6L, "B", 2L), (7L, "B", 3L)) // doc 8 over cap
   }
 
+  test("s20 streaming pack meter: offsets carry across batches, in-batch order is doc_id, equals batch q40") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Long, Long)]
+    val q = Streams.scopedStateStoreConf(spark) {
+      Streams.streamPackMeter(in.toDS(), budget = 10).toDF
+        .writeStream.format("memory").queryName("s20_e2e")
+        .outputMode(OutputMode.Append).start()
+    }
+    try {
+      // batch 1 delivered OUT of id order: in-batch assignment must
+      // sort by doc_id (en offsets 0/4/9 -> all chunk 0; de 0 -> 0)
+      in.addData(("en", 2L, 5L), ("en", 1L, 4L), ("en", 3L, 3L), ("de", 1L, 7L))
+      q.processAllAvailable()
+      // batch 2: offsets CARRY — en resumes at 12 (doc 4 -> chunk 1),
+      // de at 7 (doc 2 -> chunk 0, doc 3 at offset 12 -> chunk 1)
+      in.addData(("en", 4L, 6L), ("de", 3L, 2L), ("de", 2L, 5L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("s20_e2e").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    out shouldBe Set(
+      ("en", 1L, 4L, 0), ("en", 2L, 5L, 0), ("en", 3L, 3L, 0), ("en", 4L, 6L, 1),
+      ("de", 1L, 7L, 0), ("de", 2L, 5L, 0), ("de", 3L, 2L, 1))
+    // batch truth: the same rows through q40's window (arrival order
+    // was doc_id order per language, the declared query's delivery)
+    val batch = graft.operators.Corpus.packSequences(
+      Seq(("en", 1L, "a b c d"), ("en", 2L, "a b c d e"), ("en", 3L, "a b c"),
+        ("en", 4L, "a b c d e f"), ("de", 1L, "a b c d e f g"),
+        ("de", 2L, "a b c d e"), ("de", 3L, "a b"))
+        .toDF("lang", "doc_id", "text"), budget = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val regrouped = out.groupBy(t => (t._1, t._4)).map { case ((l, c), ds) =>
+      (l, c, ds.size.toLong, ds.map(_._3).sum)
+    }.toSet
+    regrouped shouldBe batch.map(t => (t._1, t._2, t._3, t._4))
+  }
+
   test("s09 admit loop: later batches dedup against earlier survivors, not dropped docs") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
