@@ -161,6 +161,20 @@ object SparkEntry {
     // keeper → quality prune → decontaminate) with first-drop-wins
     // attribution — the end-to-end composition proof, oracle-checked
     "q75_corpus_pipeline"    -> ((s, d) => Pipeline.corpusPipeline(Tables(s, d).documents)),
+    // q123: the FULL published curation recipe (r15 verdict #2) — the
+    // r12-r15 gates composed end to end: exact dedup → fused q80+q122
+    // line correction (text rewritten for every later stage) →
+    // near-dup keeper → domain quota → heuristic + perplexity quality
+    // → exact + n-gram decontamination, first-drop-wins attribution.
+    // Salted with verbatim re-crawls at +500000 (the q97/q101
+    // convention) — the gate corpus carries no organic byte-dups, and
+    // a recipe whose dup_exact arm cannot fire would be a weak gate.
+    "q123_curation_recipe"   -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      Pipeline.curationRecipe(docs.unionByName(
+        docs.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(500000L))))
+    }),
     "q55_keeper_select"      -> ((s, d) => Dedup.keeperSelection(Tables(s, d).documents)),
     "q37_pii_redact"         -> ((s, d) => Corpus.piiRedactVerification(Tables(s, d).documents)),
     "q38_sample_stratified"  -> ((s, d) => Corpus.sampleStratified(Tables(s, d).documents)),
@@ -1374,33 +1388,10 @@ object SparkEntry {
     // q67: the C4+Gopher rule bundle replayed — every ratio is the
     // same two integers divided once, the CASE order is the rule order
     "q67_heuristic_filter" ->
-      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-        |m AS (SELECT doc_id, text,
-        |        len(toks) AS n_words,
-        |        CAST(len(text) - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_word_len,
-        |        CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
-        |          / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
-        |        CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-        |          / CAST(len(toks) AS DOUBLE) AS alpha_frac,
-        |        CAST(list_contains(toks, 'the') AS INTEGER) + CAST(list_contains(toks, 'be') AS INTEGER)
-        |          + CAST(list_contains(toks, 'to') AS INTEGER) + CAST(list_contains(toks, 'of') AS INTEGER)
-        |          + CAST(list_contains(toks, 'and') AS INTEGER) + CAST(list_contains(toks, 'that') AS INTEGER)
-        |          + CAST(list_contains(toks, 'have') AS INTEGER) + CAST(list_contains(toks, 'with') AS INTEGER)
-        |          AS n_stopwords
-        |      FROM t),
-        |f AS (SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stopwords,
-        |        CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
-        |             WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'mean_word_len'
-        |             WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
-        |             WHEN alpha_frac < 0.8 THEN 'alpha_frac'
-        |             WHEN n_stopwords < 2 THEN 'stopwords'
-        |             WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
-        |             WHEN contains(text, '{') THEN 'braces'
-        |             ELSE NULL END AS first_fail
-        |      FROM m)
-        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stopwords,
-        |       CAST(first_fail IS NULL AS INTEGER) AS pass, first_fail
-        |FROM f ORDER BY doc_id""".stripMargin,
+      (s"WITH ${heuristicCtes()}\n" +
+        """SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stopwords,
+          |       CAST(first_fail IS NULL AS INTEGER) AS pass, first_fail
+          |FROM f ORDER BY doc_id""".stripMargin),
     "q29_token_count" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
@@ -2055,6 +2046,7 @@ object SparkEntry {
     "q36_dedup_clusters"  -> clustersOracle,
     "q91_cluster_histogram" -> clusterHistogramOracle,
     "q75_corpus_pipeline" -> pipelineOracle,
+    "q123_curation_recipe" -> curationOracle,
     "q55_keeper_select"   -> keeperOracle,
     "q45_dedup_incremental" -> incrementalOracle,
     "s08_stream_dedup_incremental" -> incrementalOracle,
@@ -2073,7 +2065,7 @@ object SparkEntry {
     // all-boilerplate docs. Width spliced from Dedup.DefaultSegmentWidth
     // (round-15 advice — one constant, both engines).
     "q80_line_dedup" ->
-      (segmentCtes() +
+      ("WITH " + segmentCtes() +
       """,
         |k AS (SELECT doc_id, seg_idx, seg,
         |        (ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1) AS keep
@@ -2086,7 +2078,7 @@ object SparkEntry {
     // q122: q80's segmentation verbatim, keep = df <= threshold (empty
     // segments structural, always kept) — the rank-free complement
     "q122_boilerplate_strip" ->
-      (segmentCtes() +
+      ("WITH " + segmentCtes() +
       s""",
         |d AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS df FROM s WHERE seg <> '' GROUP BY 1),
         |k AS (SELECT s.doc_id, s.seg_idx, s.seg,
@@ -2348,10 +2340,11 @@ object SparkEntry {
         |       COUNT(DISTINCT props), MIN(props), MAX(props)
         |FROM events""".stripMargin
 
-  private def shingleCtes(from: String = "documents"): String =
-    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $from),
-      |s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 1, 2)),
-      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t)""".stripMargin
+  private def shingleCtes(from: String = "documents",
+                          prefix: String = ""): String =
+    s"""${prefix}t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $from),
+      |${prefix}s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 1, 2)),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM ${prefix}t)""".stripMargin
 
   /** q76 / s11 shared truth: the full-outer diff of the two synthetic
     * snapshots. Batch q76 and streaming s11 must be row-identical. */
@@ -2511,6 +2504,43 @@ object SparkEntry {
       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin
 
+  /** q67/q123's heuristic-gate CTEs — the Gopher/C4 rule bundle with
+    * its first-fail verdict, parameterized on the input table, CTE
+    * prefix, and the two corpus-tuned thresholds (q123 splices
+    * Pipeline.RecipeMinWords/RecipeMinStopwords; q67 keeps the stock
+    * web-scale settings). Emits `${prefix}f(doc_id, n_words,
+    * mean_word_len, symbol_ratio, alpha_frac, n_stopwords,
+    * first_fail)`. */
+  private def heuristicCtes(from: String = "documents", prefix: String = "",
+                            minWords: Int = 50,
+                            minStopwords: Int = 2): String = {
+    val P = prefix
+    s"""${P}t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM $from),
+       |${P}m AS (SELECT doc_id, text,
+       |        len(toks) AS n_words,
+       |        CAST(len(text) - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+       |        CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+       |          / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+       |        CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+       |          / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+       |        CAST(list_contains(toks, 'the') AS INTEGER) + CAST(list_contains(toks, 'be') AS INTEGER)
+       |          + CAST(list_contains(toks, 'to') AS INTEGER) + CAST(list_contains(toks, 'of') AS INTEGER)
+       |          + CAST(list_contains(toks, 'and') AS INTEGER) + CAST(list_contains(toks, 'that') AS INTEGER)
+       |          + CAST(list_contains(toks, 'have') AS INTEGER) + CAST(list_contains(toks, 'with') AS INTEGER)
+       |          AS n_stopwords
+       |      FROM ${P}t),
+       |${P}f AS (SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stopwords,
+       |        CASE WHEN n_words < $minWords OR n_words > 100000 THEN 'word_count'
+       |             WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'mean_word_len'
+       |             WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+       |             WHEN alpha_frac < 0.8 THEN 'alpha_frac'
+       |             WHEN n_stopwords < $minStopwords THEN 'stopwords'
+       |             WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+       |             WHEN contains(text, '{') THEN 'braces'
+       |             ELSE NULL END AS first_fail
+       |      FROM ${P}m)""".stripMargin
+  }
+
   /** q118/q126's shared oracle: the salted quota-rank gate replayed —
     * rank by md5 within the domain, keep rank <= cap, pre-cap total
     * carried per row. q126 (the salted pre-pruned execution plan) is
@@ -2535,7 +2565,7 @@ object SparkEntry {
   private def segmentCtes(from: String = "documents",
                           prefix: String = ""): String = {
     val wd = graft.operators.Dedup.DefaultSegmentWidth
-    s"""WITH ${prefix}t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $from),
+    s"""${prefix}t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $from),
        |${prefix}c AS (SELECT doc_id, tk,
        |        GREATEST(1, CAST(CEIL(len(tk) / $wd.0) AS INTEGER)) AS nseg
        |      FROM ${prefix}t),
@@ -2589,6 +2619,117 @@ object SparkEntry {
        |  UNION ALL SELECT doc_id, 'kept', CAST(NULL AS BIGINT) FROM surv3
        |            WHERE doc_id NOT IN (SELECT doc_id FROM cont))
        |SELECT doc_id, verdict, kept_by FROM res ORDER BY doc_id""".stripMargin
+
+  /** q123: the full curation recipe replayed stage by stage in ONE
+    * statement, every stage the corresponding declared oracle's CTEs
+    * over the running survivor set: exact keeper on raw text →
+    * corrected text (the FUSED q80+q122 keep rule over the shared
+    * segmentation — `keep = empty ∨ (df ≤ t ∧ rn = 1)`) → q22/q36
+    * clusters + q55 keeper over the CORRECTED text → q118's quota
+    * rank → q67's first-fail gate (the spliced corpus-tuned
+    * thresholds) → q120's tertile tail over the survivors → q35 exact
+    * + q47 n-gram contamination vs the RAW eval slice, exact winning
+    * the reason. All constants spliced from the shared Scala defaults
+    * (the q112 rule). */
+  private def curationOracle: String = {
+    val stripDf = graft.operators.Dedup.DefaultStripDf
+    val cap = graft.operators.Corpus.DefaultDomainQuota
+    val mw = graft.operators.Pipeline.RecipeMinWords
+    val ms = graft.operators.Pipeline.RecipeMinStopwords
+    s"""WITH RECURSIVE
+       |docs AS MATERIALIZED (
+       |  SELECT * FROM documents
+       |  UNION ALL
+       |  SELECT * REPLACE (doc_id + 500000 AS doc_id) FROM documents
+       |  WHERE doc_id % 11 = 0),
+       |fpp AS MATERIALIZED (SELECT doc_id,
+       |          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+       |        FROM docs),
+       |k1 AS (SELECT fingerprint, MIN(doc_id) AS kept_by FROM fpp GROUP BY 1),
+       |l1 AS MATERIALIZED (SELECT f.doc_id, f.fingerprint, k.kept_by
+       |        FROM fpp f JOIN k1 k USING (fingerprint)),
+       |surv1 AS MATERIALIZED (SELECT d.* FROM docs d JOIN l1 ON d.doc_id = l1.doc_id
+       |          WHERE l1.doc_id = l1.kept_by),
+       |${segmentCtes("surv1", "g")},
+       |gd AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS df FROM gs WHERE seg <> '' GROUP BY 1),
+       |gk AS (SELECT s.doc_id, s.seg_idx, s.seg, d.df,
+       |         ROW_NUMBER() OVER (PARTITION BY s.seg ORDER BY s.doc_id, s.seg_idx) AS rn
+       |       FROM gs s LEFT JOIN gd d USING (seg)),
+       |corr AS MATERIALIZED (SELECT doc_id,
+       |           COALESCE(string_agg(
+       |             CASE WHEN seg = '' OR (COALESCE(df, 0) <= $stripDf AND rn = 1)
+       |                  THEN seg END, ' ' ORDER BY seg_idx), '') AS text
+       |         FROM gk GROUP BY doc_id),
+       |cd AS MATERIALIZED (SELECT c.doc_id, d.source, d.lang, c.text,
+       |              CAST(length(c.text) AS INTEGER) AS n_chars
+       |       FROM corr c JOIN docs d USING (doc_id)),
+       |${clusterLabCtesBody("cd")},
+       |${qualityCtes("cd")},
+       |keep2 AS MATERIALIZED (SELECT cluster_id, doc_id AS kept_by FROM (
+       |    SELECT l.cluster_id, l.doc_id,
+       |           ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+       |                              ORDER BY q.quality DESC, l.doc_id) AS krn
+       |    FROM lab l JOIN q ON l.doc_id = q.doc_id) kk WHERE krn = 1),
+       |dup_near AS MATERIALIZED (SELECT l.doc_id, k.kept_by FROM lab l JOIN keep2 k USING (cluster_id)
+       |             WHERE l.doc_id <> k.kept_by),
+       |surv2 AS MATERIALIZED (SELECT cd.* FROM cd
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM dup_near)),
+       |qh AS (SELECT doc_id, source AS domain,
+       |         CAST(('0x' || substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 12))
+       |           AS BIGINT) AS hkey
+       |       FROM surv2),
+       |qr AS (SELECT doc_id,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY domain ORDER BY hkey, doc_id) AS BIGINT) AS rk
+       |       FROM qh),
+       |over_quota AS MATERIALIZED (SELECT doc_id FROM qr WHERE rk > $cap),
+       |surv3 AS MATERIALIZED (SELECT * FROM surv2
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM over_quota)),
+       |${heuristicCtes("surv3", "h", mw, ms)},
+       |heur_fail AS MATERIALIZED (SELECT doc_id, first_fail FROM hf WHERE first_fail IS NOT NULL),
+       |surv4 AS MATERIALIZED (SELECT * FROM surv3
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM heur_fail)),
+       |${perplexityCtes("surv4", "pp")},
+       |ppnt AS (SELECT doc_id, n_bigrams,
+       |           NTILE(3) OVER (PARTITION BY lang, n_bigrams = 0
+       |                          ORDER BY ppl_bits ASC NULLS LAST, doc_id) AS nt
+       |         FROM ppbase),
+       |ppl_tail AS MATERIALIZED (SELECT doc_id FROM ppnt WHERE n_bigrams > 0 AND nt = 3),
+       |surv5 AS MATERIALIZED (SELECT * FROM surv4
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM ppl_tail)),
+       |sfp AS MATERIALIZED (SELECT doc_id,
+       |          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+       |        FROM surv5),
+       |ev AS MATERIALIZED (SELECT fingerprint FROM fpp WHERE doc_id % 7 = 0),
+       |cont_exact AS MATERIALIZED (SELECT doc_id FROM sfp
+       |               WHERE fingerprint IN (SELECT fingerprint FROM ev)),
+       |evdocs AS (SELECT doc_id, text FROM docs WHERE doc_id % 7 = 0),
+       |${shingleCtes("surv5", "n1")},
+       |${shingleCtes("evdocs", "n2")},
+       |n1x AS (SELECT doc_id, unnest(sh) AS shingle FROM n1s),
+       |n2x AS (SELECT doc_id AS eval_doc, unnest(sh) AS shingle FROM n2s),
+       |cont_ngram AS MATERIALIZED (SELECT x.doc_id
+       |               FROM n1x x JOIN n2x r ON x.shingle = r.shingle
+       |                 AND x.doc_id <> r.eval_doc
+       |               GROUP BY x.doc_id
+       |               HAVING COUNT(DISTINCT x.shingle) >= ${graft.operators.Pipeline.RecipeMinShingles}),
+       |res AS (
+       |  SELECT doc_id, 'dup_exact' AS verdict, kept_by,
+       |         CAST(NULL AS VARCHAR) AS reason
+       |  FROM l1 WHERE doc_id <> kept_by
+       |  UNION ALL SELECT doc_id, 'dup_near', kept_by, NULL FROM dup_near
+       |  UNION ALL SELECT doc_id, 'over_quota', CAST(NULL AS BIGINT), NULL FROM over_quota
+       |  UNION ALL SELECT doc_id, 'heuristic_fail', NULL, first_fail FROM heur_fail
+       |  UNION ALL SELECT doc_id, 'ppl_tail', NULL, 'tail' FROM ppl_tail
+       |  UNION ALL SELECT doc_id, 'contaminated', NULL,
+       |       CASE WHEN doc_id IN (SELECT doc_id FROM cont_exact)
+       |            THEN 'exact' ELSE 'ngram' END
+       |    FROM (SELECT doc_id FROM cont_exact
+       |          UNION SELECT doc_id FROM cont_ngram)
+       |  UNION ALL SELECT doc_id, 'kept', NULL, NULL FROM surv5
+       |    WHERE doc_id NOT IN (SELECT doc_id FROM cont_exact)
+       |      AND doc_id NOT IN (SELECT doc_id FROM cont_ngram))
+       |SELECT doc_id, verdict, kept_by, reason FROM res ORDER BY doc_id""".stripMargin
+  }
 
   private def keeperOracle: String =
     s"""$clusterLabCtes,
@@ -3099,42 +3240,44 @@ object SparkEntry {
     * bucketing; q124 regroups base per language with 1.0 verdict
     * literals (the in-plan certification is the Spark side's job —
     * q51/q73/q121's convention). */
-  private def perplexityCtes: String = {
+  private def perplexityCtes(from: String = "documents",
+                             prefix: String = ""): String = {
     val q = graft.operators.Corpus.PplQ
     val f = 1 << graft.operators.Corpus.PplFBits
-    s"""WITH t AS (SELECT doc_id, source, lang, string_split(text, ' ') AS tk FROM documents),
-       |g AS (SELECT doc_id, source, lang,
+    val P = prefix
+    s"""${P}t AS (SELECT doc_id, source, lang, string_split(text, ' ') AS tk FROM $from),
+       |${P}g AS (SELECT doc_id, source, lang,
        |        CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
        |          i -> [CAST(('0x' || substr(md5(tk[i]), 1, 4)) AS INTEGER) % 256,
        |                CAST(('0x' || substr(md5(tk[i+1]), 1, 4)) AS INTEGER) % 256])
-       |        ELSE [] END AS bs FROM t),
-       |xb AS (SELECT doc_id, source, lang, p[1] AS b1, p[2] AS b2
-       |       FROM (SELECT doc_id, source, lang, unnest(bs) AS p FROM g)),
-       |lm AS (SELECT b1, b2, CAST(COUNT(*) AS BIGINT) AS c_pair
-       |       FROM xb WHERE source = 'src0' GROUP BY 1, 2),
-       |pf AS (SELECT b1, CAST(SUM(c_pair) AS BIGINT) AS c_prefix FROM lm GROUP BY 1),
-       |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |        ELSE [] END AS bs FROM ${P}t),
+       |${P}xb AS (SELECT doc_id, source, lang, p[1] AS b1, p[2] AS b2
+       |       FROM (SELECT doc_id, source, lang, unnest(bs) AS p FROM ${P}g)),
+       |${P}lm AS (SELECT b1, b2, CAST(COUNT(*) AS BIGINT) AS c_pair
+       |       FROM ${P}xb WHERE source = 'src0' GROUP BY 1, 2),
+       |${P}pf AS (SELECT b1, CAST(SUM(c_pair) AS BIGINT) AS c_prefix FROM ${P}lm GROUP BY 1),
+       |${P}sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        |              CAST(SUM(msb * $f + ((r - (CAST(1 AS BIGINT) << msb)) * $f)
        |                       // (CAST(1 AS BIGINT) << msb)) AS BIGINT) AS surprise
        |       FROM (SELECT doc_id, r, length(printf('%b', r)) - 1 AS msb
-       |             FROM (SELECT xb.doc_id,
-       |                     (CAST($q AS BIGINT) * (COALESCE(pf.c_prefix, 0) + 256))
-       |                       // (COALESCE(lm.c_pair, 0) + 1) AS r
-       |                   FROM xb LEFT JOIN lm USING (b1, b2) LEFT JOIN pf USING (b1)
-       |                   WHERE xb.source <> 'src0'))
+       |             FROM (SELECT ${P}xb.doc_id,
+       |                     (CAST($q AS BIGINT) * (COALESCE(${P}pf.c_prefix, 0) + 256))
+       |                       // (COALESCE(${P}lm.c_pair, 0) + 1) AS r
+       |                   FROM ${P}xb LEFT JOIN ${P}lm USING (b1, b2) LEFT JOIN ${P}pf USING (b1)
+       |                   WHERE ${P}xb.source <> 'src0'))
        |       GROUP BY doc_id),
-       |base AS (SELECT d.doc_id, d.source, d.lang,
-       |                COALESCE(sc.n_bigrams, 0) AS n_bigrams,
-       |                COALESCE(sc.surprise, 0) AS surprise,
-       |                CASE WHEN COALESCE(sc.n_bigrams, 0) > 0
-       |                     THEN CAST(sc.surprise AS DOUBLE) / CAST(sc.n_bigrams * $f AS DOUBLE)
+       |${P}base AS (SELECT d.doc_id, d.source, d.lang,
+       |                COALESCE(${P}sc.n_bigrams, 0) AS n_bigrams,
+       |                COALESCE(${P}sc.surprise, 0) AS surprise,
+       |                CASE WHEN COALESCE(${P}sc.n_bigrams, 0) > 0
+       |                     THEN CAST(${P}sc.surprise AS DOUBLE) / CAST(${P}sc.n_bigrams * $f AS DOUBLE)
        |                END AS ppl_bits
-       |         FROM documents d LEFT JOIN sc USING (doc_id)
+       |         FROM $from d LEFT JOIN ${P}sc USING (doc_id)
        |         WHERE d.source <> 'src0')""".stripMargin
   }
 
   private def perplexityOracle: String =
-    s"""$perplexityCtes,
+    s"""WITH ${perplexityCtes()},
        |nt AS (SELECT *, NTILE(3) OVER (PARTITION BY lang, n_bigrams = 0
        |                                ORDER BY ppl_bits ASC NULLS LAST, doc_id) AS nt
        |       FROM base)
@@ -3147,7 +3290,7 @@ object SparkEntry {
     * verdict booleans as 1.0 literals — a broken sketch fails the
     * hash on the Spark side (q73/q121's oracle convention). */
   private def perplexitySketchOracle: String =
-    s"""$perplexityCtes
+    s"""WITH ${perplexityCtes()}
        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_scored,
        |       1.0 AS t1_ok, 1.0 AS t2_ok
        |FROM base WHERE n_bigrams > 0

@@ -38,6 +38,66 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q123 partition law: every doc exactly one verdict, every arm fires, attribution columns exact") {
+    val d0 = tables.documents
+    val d = d0.unionByName(
+      d0.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(500000L)))
+    val out = Pipeline.curationRecipe(d).collect()
+    // partition law: every input doc exactly once
+    out.length.toLong shouldBe d.count()
+    out.map(_.getLong(0)).distinct.length shouldBe out.length
+    // all seven arms fire on the salted corpus
+    val byVerdict = out.groupBy(_.getString(1)).map { case (k, v) => k -> v.length }
+    byVerdict.keySet shouldBe Set("kept", "dup_exact", "dup_near",
+      "over_quota", "heuristic_fail", "ppl_tail", "contaminated")
+    byVerdict.values.foreach(_ should be > 0)
+    // attribution: kept_by on dup verdicts only (and never self);
+    // reason on heuristic/ppl/contamination verdicts only
+    out.foreach { r =>
+      val v = r.getString(1)
+      withClue(s"doc=${r.getLong(0)} verdict=$v: ") {
+        (!r.isNullAt(2)) shouldBe Set("dup_exact", "dup_near").contains(v)
+        if (!r.isNullAt(2)) r.getLong(2) should not be r.getLong(0)
+        val reason = Option(r.getString(3))
+        v match {
+          case "heuristic_fail" => reason should not be empty
+          case "ppl_tail"       => reason shouldBe Some("tail")
+          case "contaminated"   =>
+            Set("exact", "ngram") should contain (reason.get)
+          case _                => reason shouldBe None
+        }
+      }
+    }
+    // every re-crawled copy lost stage 1 to its original (min-doc keeper)
+    out.filter(_.getLong(0) >= 500000L).foreach { r =>
+      r.getString(1) shouldBe "dup_exact"
+      r.getLong(2) shouldBe (r.getLong(0) - 500000L)
+    }
+  }
+
+  test("q123 first-drop-wins: a doc's verdict is its FIRST failing stage, later stages never see it") {
+    val d = tables.documents
+    val out = Pipeline.curationRecipe(d)
+    // exact-dup keepers that then failed a later gate carry that later
+    // verdict, never dup_exact (first-drop semantics run FORWARD);
+    // conversely every over_quota doc would have passed stages 1-3:
+    // re-running the quota stage over the stage-3 survivor set must
+    // reproduce exactly the over_quota + downstream-verdict docs
+    val nonDup = out.filter(!col("verdict").isin("dup_exact", "dup_near"))
+      .select("doc_id")
+    val corrected = d.join(nonDup, Seq("doc_id"))
+    val quotaKept = Corpus.domainQuota(corrected).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val overQ = out.filter(col("verdict") === "over_quota")
+      .collect().map(_.getLong(0)).toSet
+    val downstream = out.filter(col("verdict")
+        .isin("heuristic_fail", "ppl_tail", "contaminated", "kept"))
+      .collect().map(_.getLong(0)).toSet
+    overQ.intersect(quotaKept) shouldBe empty
+    downstream shouldBe quotaKept
+  }
+
   test("q75 kept set guarantees: fingerprint-unique, eval-clean, keepers survive or drop later") {
     val d = tables.documents
     val out = Pipeline.corpusPipeline(d)
