@@ -458,6 +458,11 @@ object SparkEntry {
         codebook = Some(Similarity.trainedCodebooks(e, rounds = 2,
           residual = true, centroids = Some(cents))))
     }),
+    // q125: the recall/cost frontier as a graded report (r15 verdict
+    // #6) — one fully-trained index, the RecallProbe sweep's four
+    // serving configs, recall@5 per config vs the exact baseline
+    "q125_ann_frontier"      -> ((s, d) =>
+      Similarity.annServingFrontier(Tables(s, d).embeddings)),
     "q57_semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(Tables(s, d).embeddings)),
     // q104: q57 under the TRAINED quantizer (declared r14) — the
     // production SemDeDup build order (the paper trains; the q93
@@ -2146,6 +2151,8 @@ object SparkEntry {
     "q105_ann_ivfpq_served" ->
       annIvfPqOracle(residual = true, trainRounds = 2, centRounds = 2,
         nProbe = 8, rerank = 64),
+    "q125_ann_frontier" ->
+      annFrontierOracle(Similarity.DefaultFrontier),
     "q34_dedup_embedding_lsh" -> embeddingDedupLshOracle,
     "q57_semantic_dedup"  -> semanticDedupOracle,
     // q104: the trained-quantizer chain feeding q57's body unchanged;
@@ -3865,17 +3872,69 @@ object SparkEntry {
     * CTE reads `cent`, so the trained and seed geometries share the
     * whole search body. q102 composes this with `trainRounds` — BOTH
     * training loops in one statement. */
-  private def annIvfPqOracle(residual: Boolean = false,
-                             trainRounds: Int = 0,
-                             centRounds: Int = 0,
-                             nProbe: Int = 4,
-                             rerank: Int = 32): String = {
+  /** PQ oracle building blocks shared by [[annIvfPqOracle]] and the
+    * q125 frontier oracle: the m=8/ks=16/dsub=8 geometry's sub-vector
+    * dot and flat-array lookup chain. */
+  private def pqDot8(a: String, b: String): String =
+    (1 to 8).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+  private def pqChain(arr: String, codes: String): String =
+    (0 until 8).map(s => s"$arr[${s * 16} + $codes[${s + 1}] + 1]")
+      .mkString(" + ")
+
+  /** One serving configuration's search CTEs over the SHARED index
+    * CTEs of [[annIvfPqIndexCtes]] — probes (rn ≤ nProbe), ADC
+    * scoring, the rerank cut, exact re-rank, top-5. Suffix every CTE
+    * so multiple configs coexist in one statement (q125). */
+  private def annIvfPqSearchCtes(sfx: String, nProbe: Int, rerank: Int,
+                                 residual: Boolean): String = {
+    val ap =
+      if (!residual)
+        s"""ap$sfx AS (SELECT p.query_id, a.neighbor_id,
+           |         (${pqChain("d.adc", "cv.codes")}) / (q.nrm * sqrt(cv.vn2)) AS approx
+           |       FROM probes$sfx p JOIN asg a USING (cell)
+           |       JOIN codesv cv ON cv.vec_id = a.neighbor_id
+           |       JOIN adc d ON d.query_id = p.query_id
+           |       JOIN n q ON q.vec_id = p.query_id
+           |       WHERE a.neighbor_id <> p.query_id)""".stripMargin
+      else
+        s"""ap$sfx AS (SELECT p.query_id, a.neighbor_id,
+           |         ( ((${sqlDot("q.v", "c.v")}) / c.nrm) * sqrt(x.c2c)
+           |           + (${pqChain("d.adc", "cv.codes")}) ) / (q.nrm * sqrt(cv.vn2)) AS approx
+           |       FROM probes$sfx p JOIN asg a USING (cell)
+           |       JOIN codesv cv ON cv.vec_id = a.neighbor_id
+           |       JOIN adc d ON d.query_id = p.query_id
+           |       JOIN n q ON q.vec_id = p.query_id
+           |       JOIN cent c ON c.cell = p.cell
+           |       JOIN ccn x ON x.cell = p.cell
+           |       WHERE a.neighbor_id <> p.query_id)""".stripMargin
+    s"""probes$sfx AS (SELECT vec_id AS query_id, cell FROM (
+       |          SELECT vec_id, cell,
+       |                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+       |          FROM sc WHERE vec_id < 10) t WHERE rn <= $nProbe),
+       |$ap,
+       |short$sfx AS (SELECT query_id, neighbor_id FROM (
+       |            SELECT query_id, neighbor_id,
+       |                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS ar
+       |            FROM ap$sfx) t WHERE ar <= $rerank),
+       |s2$sfx AS (SELECT sh.query_id, sh.neighbor_id,
+       |         ROUND((${sqlDot("q.v", "c.v")}) / (q.nrm * c.nrm), 4) AS cos_sim
+       |       FROM short$sfx sh JOIN n q ON q.vec_id = sh.query_id
+       |       JOIN n c ON c.vec_id = sh.neighbor_id),
+       |r$sfx AS (SELECT query_id, neighbor_id, cos_sim,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS "rank"
+       |      FROM s2$sfx)""".stripMargin
+  }
+
+  /** The config-INDEPENDENT index half of the PQ oracle: vectors,
+    * (possibly trained) coarse centroids, assignment, (possibly
+    * trained, possibly residual) codebooks, encodes, per-query ADC
+    * tables — everything [[annIvfPqSearchCtes]] probes. */
+  private def annIvfPqIndexCtes(residual: Boolean = false,
+                                trainRounds: Int = 0,
+                                centRounds: Int = 0): String = {
     val (m, ks, dsub) = (8, 16, 8)
-    def dot8(a: String, b: String): String =
-      (1 to dsub).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
-    def chain(arr: String, codes: String): String =
-      (0 until m).map(s => s"$arr[${s * ks} + $codes[${s + 1}] + 1]")
-        .mkString(" + ")
+    def dot8(a: String, b: String): String = pqDot8(a, b)
+    def chain(arr: String, codes: String): String = pqChain(arr, codes)
     // codebook source: raw slices of the first ks vectors, or residual
     // slices (v − assigned centroid) of the NEXT ks vectors
     val bookSrc =
@@ -3931,28 +3990,6 @@ object SparkEntry {
         s"""codesv AS (SELECT c.vec_id, c.codes,
            |             (x.c2c + 2*(${chain("x.ccf", "c.codes")}) + (${chain("f.arr", "c.codes")})) AS vn2
            |           FROM codesl c JOIN ccn x USING (cell) CROSS JOIN c2f f)""".stripMargin
-    // residual numerator adds dot(q, c) — written as (dot/|c|)·|c|, the
-    // exact arithmetic the Spark side uses (probe score × √c2c)
-    val ap =
-      if (!residual)
-        s"""ap AS (SELECT p.query_id, a.neighbor_id,
-           |         (${chain("d.adc", "cv.codes")}) / (q.nrm * sqrt(cv.vn2)) AS approx
-           |       FROM probes p JOIN asg a USING (cell)
-           |       JOIN codesv cv ON cv.vec_id = a.neighbor_id
-           |       JOIN adc d ON d.query_id = p.query_id
-           |       JOIN n q ON q.vec_id = p.query_id
-           |       WHERE a.neighbor_id <> p.query_id)""".stripMargin
-      else
-        s"""ap AS (SELECT p.query_id, a.neighbor_id,
-           |         ( ((${sqlDot("q.v", "c.v")}) / c.nrm) * sqrt(x.c2c)
-           |           + (${chain("d.adc", "cv.codes")}) ) / (q.nrm * sqrt(cv.vn2)) AS approx
-           |       FROM probes p JOIN asg a USING (cell)
-           |       JOIN codesv cv ON cv.vec_id = a.neighbor_id
-           |       JOIN adc d ON d.query_id = p.query_id
-           |       JOIN n q ON q.vec_id = p.query_id
-           |       JOIN cent c ON c.cell = p.cell
-           |       JOIN ccn x ON x.cell = p.cell
-           |       WHERE a.neighbor_id <> p.query_id)""".stripMargin
     // training source: raw sub-vectors, or the residual sub-vectors
     // (v - assigned coarse centroid, per subspace) residual-mode
     // codebooks train over — the search body's ccf trick reads the
@@ -4001,10 +4038,6 @@ object SparkEntry {
        |          SELECT vec_id, cell,
        |                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
        |          FROM sc) t WHERE rn = 1),
-       |probes AS (SELECT vec_id AS query_id, cell FROM (
-       |          SELECT vec_id, cell,
-       |                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
-       |          FROM sc WHERE vec_id < 10) t WHERE rn <= $nProbe),
        |sv AS (SELECT vec_id, r.s, v[(r.s*$dsub+1):(r.s*$dsub+$dsub)] AS sv
        |       FROM n CROSS JOIN range(0, $m) r(s)),
        |$bookSrc,
@@ -4018,20 +4051,61 @@ object SparkEntry {
        |$codesv,
        |adcp AS (SELECT t.vec_id AS query_id, t.s, b.code, (${dot8("t.sv", "b.cv")}) AS pd
        |         FROM sv t JOIN book b USING (s) WHERE t.vec_id < 10),
-       |adc AS (SELECT query_id, list(pd ORDER BY s, code) AS adc FROM adcp GROUP BY query_id),
-       |$ap,
-       |short AS (SELECT query_id, neighbor_id FROM (
-       |            SELECT query_id, neighbor_id,
-       |                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS ar
-       |            FROM ap) t WHERE ar <= $rerank),
-       |s2 AS (SELECT sh.query_id, sh.neighbor_id,
-       |         ROUND((${sqlDot("q.v", "c.v")}) / (q.nrm * c.nrm), 4) AS cos_sim
-       |       FROM short sh JOIN n q ON q.vec_id = sh.query_id
-       |       JOIN n c ON c.vec_id = sh.neighbor_id),
-       |r AS (SELECT query_id, neighbor_id, cos_sim,
-       |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS "rank"
-       |      FROM s2)
+       |adc AS (SELECT query_id, list(pd ORDER BY s, code) AS adc FROM adcp GROUP BY query_id)""".stripMargin
+  }
+
+  private def annIvfPqOracle(residual: Boolean = false,
+                             trainRounds: Int = 0,
+                             centRounds: Int = 0,
+                             nProbe: Int = 4,
+                             rerank: Int = 32): String =
+    s"""${annIvfPqIndexCtes(residual, trainRounds, centRounds)},
+       |${annIvfPqSearchCtes("", nProbe, rerank, residual)}
        |SELECT * FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+
+  /** q125: the serving frontier replayed — ONE shared trained index,
+    * every (nProbe, rerank) config's full search chain suffixed _cN,
+    * the exact brute-force top-5 as the recall baseline, and per
+    * config the hit count + recall@5 (one IEEE division of counts). */
+  private def annFrontierOracle(configs: Seq[(Int, Int)]): String = {
+    val searches = configs.zipWithIndex.map { case ((np, rr), i) =>
+      annIvfPqSearchCtes(s"_c$i", np, rr, residual = true)
+    }.mkString(",\n")
+    // MATERIALIZE the shared index + baseline CTEs: DuckDB inlines
+    // CTEs by default, and |configs| search chains re-expanding the
+    // whole two-loop training chain (plus per-arm re-expansion of the
+    // n² brute-force baseline) made the inlined statement effectively
+    // unplannable — measured 1.3 s materialized vs >240 s inlined at
+    // sf0.001 (the q123/q83 MATERIALIZED convention).
+    def materialize(text: String): String =
+      Seq("n", "cent", "sc", "asg", "sv", "bsrc", "book", "c2f", "ccn",
+        "encp", "codesl", "codesv", "adcp", "adc", "svr", "bfs", "bfr")
+        .foldLeft(text) { (t, c) =>
+          t.replaceAll("(?m)^" + c + " AS \\(", c + " AS MATERIALIZED (")
+        }
+    val arms = configs.zipWithIndex.map { case ((np, rr), i) =>
+      s"""  SELECT $np AS n_probe, $rr AS rerank,
+         |    (SELECT COUNT(*) FROM bfr) AS n_exact,
+         |    (SELECT COUNT(*) FROM r_c$i j
+         |       JOIN bfr USING (query_id, neighbor_id)
+         |       WHERE j."rank" <= 5) AS n_hit""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    materialize(
+      s"""${annIvfPqIndexCtes(residual = true, trainRounds = 2, centRounds = 2)},
+         |$searches,
+         |bfs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |          ROUND((${sqlDot("a.v", "b.v")}) / (a.nrm * b.nrm), 4) AS cos_sim
+         |        FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+         |bfr AS (SELECT query_id, neighbor_id FROM (
+         |          SELECT query_id, neighbor_id,
+         |                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+         |          FROM bfs) t WHERE rk <= 5),
+         |u AS (
+         |$arms)
+         |SELECT n_probe, rerank, CAST(n_exact AS BIGINT) AS n_exact,
+         |       CAST(n_hit AS BIGINT) AS n_hit,
+         |       CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall5
+         |FROM u ORDER BY n_probe, rerank""".stripMargin)
   }
 
   private def annLshOracle: String =

@@ -94,6 +94,67 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
 
+  /** q125's serving-config spec table — the exact four-point sweep the
+    * q105 serving decision was argued from (RecallProbe's r14
+    * decomposition: probe width vs rerank depth); spliced into the
+    * oracle (the q112 DefaultEpochs rule). */
+  private[graft] val DefaultFrontier: Seq[(Int, Int)] =
+    Seq((4, 32), (4, 64), (8, 32), (8, 64))
+
+  /** q125: the RECALL/COST FRONTIER as a declared report — q96's shape
+    * (a literal spec table × a measured value per row) applied to ANN
+    * serving: ONE fully-trained index (q102's build: Lloyd centroids +
+    * residual-trained codebooks), searched at every (nProbe, rerank)
+    * config in `configs`, each config's top-k keyset scored against
+    * the exact brute-force top-k — so serving-point selection (the
+    * q105 argument) is a GRADED query instead of a test-side sweep.
+    * Output per config: (n_probe, rerank, n_exact, n_hit, recall5) —
+    * recall5 = ONE IEEE division of two counts, and the counts are
+    * exact set intersections of deterministic keysets, so the DuckDB
+    * oracle replays the whole sweep bit-for-bit (the per-config search
+    * chains share one index-CTE block, exactly as the Spark side
+    * shares one trained index).
+    *
+    * Cost: the one-time index build (q102's training — the dominant
+    * term, paid once and shared) + |configs| probe-pruned searches +
+    * one brute-force baseline over nQueries query points. The
+    * brute-force baseline is the certification cost (it IS the recall
+    * denominator); production reuses a held-out labeled query set.
+    * The config columns double as the COST model: per query, a config
+    * reads nProbe·targetCell ADC rows and rerank float rows —
+    * constant in corpus size (q105's law), so the frontier report is
+    * literally recall vs those two knobs. */
+  def annServingFrontier(embeddings: DataFrame,
+                         configs: Seq[(Int, Int)] = DefaultFrontier,
+                         nQueries: Int = 10, k: Int = 5): DataFrame = {
+    require(configs.nonEmpty, "annServingFrontier needs at least one config")
+    require(configs.forall { case (np, rr) => np > 0 && rr > 0 },
+      "every (nProbe, rerank) config must be positive")
+    // one checkpoint: the embedding scan feeds training (driver-side
+    // Lloyd jobs), the baseline, and |configs| searches — the q93
+    // diamond rule
+    val e = embeddings.localCheckpoint()
+    val cents = trainedCentroids(e, nCells = 16, rounds = 2)
+    val book = trainedCodebooks(e, rounds = 2, residual = true,
+      centroids = Some(cents))
+    val exact = annBruteForce(e, nQueries, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val nExact = exact.count()
+    configs.map { case (np, rr) =>
+      annIvfPq(e, nProbe = np, rerank = rr, nQueries = nQueries, k = k,
+        residual = true, centroids = Some(cents), codebook = Some(book))
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(np).as("n_probe"), lit(rr).as("rerank"),
+          lit(nExact).as("n_exact"), col("n_hit"))
+    }.reduce(_ unionByName _)
+      .select(col("n_probe"), col("rerank"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double"))
+          .as("recall5"))
+      .orderBy("n_probe", "rerank")
+  }
+
   /** Deterministic ±1 hyperplane matrix: sign(t, p, d) = top bit of
     * md5("h{t}_{p}_{d}"). Pure public construction (sign-random-
     * projection LSH, Charikar 2002) with md5 as the PRNG so the same

@@ -479,6 +479,27 @@ class SimilaritySpec extends SparkSpec {
     pqFull shouldBe ivfExact
   }
 
+  test("q125 frontier: report shape exact, rerank tracks the pool, widest config tops the sweep") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val rows = Similarity.annServingFrontier(e).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    rows.keySet shouldBe Similarity.DefaultFrontier.toSet
+    // denominator = the exact top-5 keyset over 10 query points
+    rows.values.foreach { case (nExact, nHit, r5) =>
+      nExact shouldBe 50L
+      nHit should be <= nExact
+      r5 shouldBe nHit.toDouble / nExact.toDouble
+    }
+    // the serving laws the report exists to expose (r14 decomposition):
+    // deeper rerank at fixed probe width never loses (same candidate
+    // pool, deeper exact re-rank), and the widest config is the sweep's
+    // max — the q105-over-q102 relation as frontier rows
+    rows((4, 64))._3 should be >= rows((4, 32))._3
+    rows((8, 64))._3 should be >= rows((8, 32))._3
+    rows((8, 64))._3 shouldBe rows.values.map(_._3).max
+  }
+
   test("q98 residual-trained codebooks: recall@5 matches-or-beats the residual seed book corpus-wide") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val nq = e.count().toInt
