@@ -2695,7 +2695,11 @@ object SparkEntry {
        |heur_fail AS MATERIALIZED (SELECT doc_id, first_fail FROM hf WHERE first_fail IS NOT NULL),
        |surv4 AS MATERIALIZED (SELECT * FROM surv3
        |          WHERE doc_id NOT IN (SELECT doc_id FROM heur_fail)),
-       |${perplexityCtes("surv4", "pp")},
+       |pplsrc AS MATERIALIZED (
+       |  SELECT doc_id, source, lang, text FROM cd WHERE source = 'src0'
+       |  UNION ALL
+       |  SELECT doc_id, source, lang, text FROM surv4 WHERE source <> 'src0'),
+       |${perplexityCtes("pplsrc", "pp")},
        |ppnt AS (SELECT doc_id, n_bigrams,
        |           NTILE(3) OVER (PARTITION BY lang, n_bigrams = 0
        |                          ORDER BY ppl_bits ASC NULLS LAST, doc_id) AS nt

@@ -159,9 +159,19 @@ object Pipeline {
       .join(heur.filter(col("pass") === 1).select("doc_id"), Seq("doc_id"))
       .localCheckpoint()
 
-    // stage 5b: perplexity tail drop (LM trained on surviving target
-    // docs' corrected text; target-source and und docs pass)
-    val pplTail = Corpus.perplexityFilter(surv4, targetSource)
+    // stage 5b: perplexity tail drop. The LM trains on the TARGET
+    // DOMAIN's corrected text (stage-2 output), NOT on the pool's own
+    // quota/heuristic survivors — CCNet trains its LM on the curated
+    // target corpus as-is, and routing training data through the
+    // pool's gates starves the LM exactly when the pool is noisy
+    // (measured: on the 10x probe corpus every quota-surviving target
+    // doc failed the heuristic gate and the fail-loud zero-bigram
+    // guard fired). Scored docs = surv4's non-target rows (the frame
+    // union puts target docs in once, as training data only);
+    // target-source and und docs pass the gate.
+    val pplFrame = cd.filter(col("source") === targetSource)
+      .unionByName(surv4.filter(col("source") =!= targetSource))
+    val pplTail = Corpus.perplexityFilter(pplFrame, targetSource)
       .filter(col("bucket") === "tail")
       .select(col("doc_id"), lit("ppl_tail").as("verdict"), nullL.as("kept_by"),
         lit("tail").as("reason"))
