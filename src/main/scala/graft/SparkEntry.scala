@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, lit, timestamp_seconds, when}
 import org.apache.spark.sql.streaming.OutputMode
-import graft.operators.{Analytics, Corpus, Dedup, Etl, Multimodal, Pipeline, Relational, Report, Similarity, TextOps}
+import graft.operators.{Analytics, Corpus, Dedup, Etl, Multimodal, Pipeline, Relational, Report, Retrieval, Similarity, TextOps}
 import graft.streaming.Streams
 
 /** Driver contract — see SURVEY.md §2 for the capability each key
@@ -341,6 +341,18 @@ object SparkEntry {
       Similarity.annIvf(
         TextOps.embedFrame(Tables(s, d).documents).localCheckpoint(),
         nQueries = 10, k = 5)),
+    // q127: BM25 top-k — the LEXICAL retrieval leg (inverted-index
+    // posting-list join, integer-exact scoring; see Retrieval.scala).
+    // Same 10-lowest-doc_id query set as q25/q100, so the three
+    // search legs (lexical / IVF-semantic / fused) are comparable
+    // row-for-row.
+    "q127_bm25_topk"         -> ((s, d) =>
+      Retrieval.bm25TopK(Tables(s, d).documents)),
+    // q128: hybrid retrieval — reciprocal rank fusion of q127's
+    // lexical pool and the q92-embedding exact-cosine pool (both
+    // top-20), the standard two-list RRF combiner.
+    "q128_rrf_fusion"        -> ((s, d) =>
+      Retrieval.rrfFusion(Tables(s, d).documents)),
     "q54_oov_rate"           -> ((s, d) => TextOps.oovRate(Tables(s, d).documents)),
     "q74_novelty_score"      -> ((s, d) => TextOps.noveltyScore(Tables(s, d).documents)),
     // q45: every doc_id ≡ 9 (mod 10) plays the incoming intake batch;
@@ -2184,6 +2196,8 @@ object SparkEntry {
     "s14_stream_image_semantic_dedup" -> semanticDedupImageOracle,
     "q99_semantic_dedup_audio" -> semanticDedupAudioOracle,
     "q100_ann_text" -> annTextOracle,
+    "q127_bm25_topk" -> bm25Oracle,
+    "q128_rrf_fusion" -> rrfFusionOracle,
     // q101: the store/probe split replayed — cent = the STORE side's
     // seed quantizer (vec_id < 16 minus the intake residue), both
     // sides assigned by the shared argmax, hits = intake × store
@@ -3795,6 +3809,96 @@ object SparkEntry {
 
   private def annIvfOracle: String =
     s"WITH $vecCtes,\n" + annIvfBody
+
+  /** q127/q128's shared BM25 chain — [[graft.operators.Retrieval]]
+    * replayed term for term: tf with the doc-partitioned dl window,
+    * the quantized avgdl, the df cap, the Robertson idf through the
+    * q120 integer-log2 kernel (`printf('%b')` length ≡ Spark `bin()`
+    * length), the all-integer contribution division, and the exact
+    * integer score sum. Every coefficient spliced from the Retrieval
+    * constants. Ends at `{P}pool(query_id, doc_id, n_terms, score_fp,
+    * rank)` capped at `poolK`. */
+  private def bm25Ctes(poolK: Int, prefix: String = ""): String = {
+    val R = graft.operators.Retrieval
+    val f = 1L << R.Bm25FBits
+    def il2(x: String): String = {
+      val m = s"(length(printf('%b', $x)) - 1)"
+      s"(CAST($m AS BIGINT) * $f + (($x - (CAST(1 AS BIGINT) << $m)) * $f) // (CAST(1 AS BIGINT) << $m))"
+    }
+    val P = prefix
+    s"""${P}tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |${P}tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM ${P}tk GROUP BY 1, 2),
+       |${P}tfd AS (SELECT doc_id, term, tf,
+       |         CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl FROM ${P}tf),
+       |${P}st AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |         (CAST(SUM(tf) AS BIGINT) * ${R.AvgdlQ}) // CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS avgdl_q
+       |       FROM ${P}tf),
+       |${P}qt AS (SELECT DISTINCT doc_id AS query_id, term FROM ${P}tf WHERE doc_id < 10),
+       |${P}idf AS (SELECT term,
+       |         ${il2("(2 * n_docs + 2)")} - ${il2("(2 * df + 1)")} AS idf_q, avgdl_q
+       |       FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM ${P}tf GROUP BY 1), ${P}st
+       |       WHERE df * 1000000 <= ${R.DefaultMaxDfPpm} * n_docs
+       |         AND term IN (SELECT term FROM ${P}qt)),
+       |${P}cd AS (SELECT q.query_id, c.doc_id,
+       |         (i.idf_q * (${R.CNum} * c.tf * i.avgdl_q))
+       |           // (10 * c.tf * i.avgdl_q + ${R.CDen1} * i.avgdl_q + ${R.CDen2} * c.dl) AS contrib
+       |       FROM ${P}qt q JOIN ${P}idf i USING (term) JOIN ${P}tfd c USING (term)
+       |       WHERE c.doc_id <> q.query_id),
+       |${P}sc AS (SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |         CAST(SUM(contrib) AS BIGINT) AS score_fp FROM ${P}cd GROUP BY 1, 2),
+       |${P}pool AS (SELECT query_id, doc_id, n_terms, score_fp, "rank" FROM (
+       |         SELECT query_id, doc_id, n_terms, score_fp,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY score_fp DESC, doc_id) AS INTEGER) AS "rank"
+       |         FROM ${P}sc) t WHERE "rank" <= $poolK)""".stripMargin
+  }
+
+  /** q127: the BM25 pool at k = 5, displayed score = one exact
+    * power-of-two scaling of the integer score (dround mirror). */
+  private def bm25Oracle: String = {
+    val f = 1L << graft.operators.Retrieval.Bm25FBits
+    s"""WITH ${bm25Ctes(5)}
+       |SELECT query_id, doc_id, n_terms,
+       |  FLOOR((CAST(score_fp AS DOUBLE) / $f.0) * 10000 + 0.5) / 10000 AS score,
+       |  "rank"
+       |FROM pool ORDER BY query_id, "rank"""".stripMargin
+  }
+
+  /** q128: RRF fusion replayed — the q127 chain (prefix b, poolK) +
+    * the q92→q25 exact-cosine chain (textEmbedCtes + the annBrute
+    * body at poolK), full-outer-joined per (query, doc); rrf = the
+    * same two IEEE divisions and one add, ranked on the RAW double
+    * (bit-identical by construction) and displayed through dround. */
+  private def rrfFusionOracle: String = {
+    val R = graft.operators.Retrieval
+    val vlist = (0 until embedDim).map(d => s"CAST(e$d AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    s"""WITH ${bm25Ctes(R.DefaultPoolK, "b")},
+       |$textEmbedCtes,
+       |e2 AS (SELECT doc_id AS vec_id, $vlist AS v FROM emb),
+       |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e2),
+       |ss AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |         ROUND((${sqlDot("q.v", "c.v")}) / (q.nrm * c.nrm), 4) AS cos_sim
+       |       FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |spool AS (SELECT query_id, doc_id, "rank" FROM (
+       |         SELECT query_id, doc_id,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS "rank"
+       |         FROM ss) t WHERE "rank" <= ${R.DefaultPoolK}),
+       |fu AS (SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+       |         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       |         l."rank" AS r_lex, s."rank" AS r_sem,
+       |         COALESCE(1.0 / (${R.RrfK}.0 + CAST(l."rank" AS DOUBLE)), 0.0)
+       |           + COALESCE(1.0 / (${R.RrfK}.0 + CAST(s."rank" AS DOUBLE)), 0.0) AS rrf_raw
+       |       FROM bpool l FULL OUTER JOIN spool s
+       |         ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+       |r AS (SELECT query_id, doc_id, r_lex, r_sem,
+       |        FLOOR(rrf_raw * 1000000 + 0.5) / 1000000 AS rrf,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY rrf_raw DESC, doc_id) AS INTEGER) AS "rank"
+       |      FROM fu)
+       |SELECT * FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+  }
 
   /** q100: semantic text SEARCH — q92's embedding CTEs feeding q46's
     * IVF body verbatim (the search sibling of q93's dedup

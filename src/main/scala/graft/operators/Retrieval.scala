@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical and hybrid retrieval over the document corpus — the search
+  * family's THIRD leg. The surface already has embedding search
+  * (q25/q46/q100's cosine/IVF chain) and shingle containment
+  * (q60/q66); what a curation pipeline still lacks is the classic
+  * inverted-index ranking a contamination analyst or eval-set builder
+  * reaches for first: "which corpus documents match this query TEXT"
+  * (BM25, Robertson & Spärck Jones's probabilistic relevance
+  * framework — public literature) and its fusion with the semantic
+  * ranks (reciprocal rank fusion, Cormack et al. 2009 — the standard
+  * hybrid-retrieval combiner).
+  *
+  * House determinism discipline throughout: NO floating log or float
+  * summation anywhere near the ranking key. The BM25 score is an
+  * exact INTEGER in [[Bm25FBits]]-bit fixed point — idf via the q120
+  * integer-log2 kernel, the tf saturation as one integer division per
+  * (query, term, doc) with every coefficient derived from spliced
+  * integer constants — summed per doc (order-independent), so the
+  * rank order is integer-exact in both engines and the displayed
+  * score is one exact power-of-two scaling at the very end.
+  */
+object Retrieval {
+
+  /** Fixed-point fractional bits of the idf (and therefore the score):
+    * the q120 [[Corpus.PplFBits]] convention, wider here because idf
+    * differences between mid-frequency terms are finer than bigram
+    * surprise steps. Spliced into the oracle SQL. */
+  private[graft] val Bm25FBits: Int = 16
+
+  /** avgdl is carried as the quantized integer `avgdl_q =
+    * (Σdl · AvgdlQ) div N` (3 fractional bits) so the per-candidate
+    * denominator stays in BIGINT with ~2^50 headroom at any corpus
+    * size — carrying Σdl and N separately instead would overflow
+    * int64 near 10^18 token-weighted products (the q120 2^43 lesson:
+    * quantize the corpus-scale factor, keep the per-row arithmetic
+    * exact). The quantization IS the declared semantic — both engines
+    * replay it. */
+  private[graft] val AvgdlQ: Long = 8L
+
+  /** k1 = K1Tenths/10 = 1.2 and b = BQuarters/4 = 0.75 — the standard
+    * BM25 defaults, held as integers so the score arithmetic has no
+    * float constants. The derived coefficients below are what the
+    * kernel actually multiplies by. */
+  private[graft] val K1Tenths: Long = 12L
+  private[graft] val BQuarters: Long = 3L
+
+  /** tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with avgdl = avgdl_q/8,
+    * multiplied through by 10·avgdl_q (positive, rank-invariant):
+    * num = CNum·tf·avgdl_q, den = 10·tf·avgdl_q + CDen1·avgdl_q +
+    * CDen2·dl — all BIGINT. */
+  private[graft] val CNum: Long = 10L + K1Tenths                         // 22
+  private[graft] val CDen1: Long = K1Tenths * (4L - BQuarters) / 4L      // 3
+  private[graft] val CDen2: Long = K1Tenths * BQuarters * AvgdlQ / 4L    // 72
+
+  /** Document-frequency cap in parts-per-million: query terms with
+    * df·10⁶ > cap·N are dropped before the posting join (standard
+    * stopword pruning, and the SKEW fence — an uncapped ubiquitous
+    * term would drag ~N rows through one term key at 100 TB). On a
+    * Zipfian real-corpus vocabulary 0.9 prunes only true stopwords;
+    * the synthetic gate corpus (one ~35-word vocabulary, df ≈ 0.8
+    * uniformly) passes wholesale — which is the HARDER arithmetic
+    * test: every query scores near-full posting lists. Spliced into
+    * the oracle. */
+  private[graft] val DefaultMaxDfPpm: Long = 900000L
+
+  /** RRF's smoothing constant (Cormack et al.'s k = 60) and the
+    * per-list pool depth feeding the fusion. Spliced into the oracle. */
+  private[graft] val RrfK: Int = 60
+  private[graft] val DefaultPoolK: Int = 20
+
+  private def toks = split(col("text"), " ")
+
+  /** q127: BM25 TOP-K LEXICAL SEARCH — the inverted-index ranking leg.
+    * The `nQueries` lowest doc_ids play the query set (q25/q100's
+    * convention); every other document sharing at least one surviving
+    * query term is scored
+    *
+    *   score_fp = Σ_t idf_q(t) · CNum·tf·A div (10·tf·A + CDen1·A + CDen2·dl)
+    *
+    * with A = avgdl_q, idf_q(t) = ilog2F(2N+2) − ilog2F(2df+1) — the
+    * Robertson idf (N−df+0.5)/(df+0.5)+1 = (2N+2)/(2df+1) cleared of
+    * its halves, each side through the integer log2 (so idf_q ≥ 0
+    * always; the +1 floor is built in). Query terms are DISTINCT
+    * (Lucene's unique-clause treatment); per-term contributions are
+    * exact integers, so the per-doc SUM is order-independent and the
+    * rank key is bit-stable without any float discipline downstream.
+    *
+    * Scale: ONE corpus scan builds tf(doc, term) with dl attached by a
+    * doc-partitioned window sum (no second scan, no join); the
+    * vocabulary-scale df agg is term-partitioned (high cardinality, no
+    * skew); the query side collapses to a KB frame (nQueries docs ×
+    * distinct capped terms × idf) that BROADCASTS into the posting
+    * join, so the corpus shuffles once by term and only posting-list
+    * rows of query terms survive the join. The df cap bounds the
+    * hottest posting list at maxDfPpm·N/10⁶. The final top-k runs the
+    * q44 two-stage shard ranking — candidates never funnel through
+    * nQueries reducers. Integer headroom: idf_q < 64·2^F, contrib
+    * factors bounded by per-DOC lengths (tf, dl ≤ maxdl) and the
+    * quantized avgdl_q — ~2^53 worst case at maxdl = 10⁵, corpus-size
+    * independent by construction. */
+  def bm25TopK(documents: DataFrame, nQueries: Int = 10, k: Int = 5,
+               maxDfPpm: Long = DefaultMaxDfPpm,
+               rankShards: Int = 32): DataFrame = {
+    val scored = bm25Scored(documents, nQueries, maxDfPpm)
+    rankPool(scored, k, rankShards)
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        graft.Exact.dround(col("score_fp").cast("double") /
+          lit((1L << Bm25FBits).toDouble)).as("score"),
+        col("rank"))
+  }
+
+  /** The scoring half (query_id, doc_id, n_terms, score_fp) — shared
+    * by q127's ranking and q128's fusion pool. */
+  private[graft] def bm25Scored(documents: DataFrame, nQueries: Int,
+                                maxDfPpm: Long): DataFrame = {
+    val f = 1L << Bm25FBits
+    // tf with dl riding the same doc-partitioned exchange (the q120
+    // c_prefix idiom); checkpointed — consumed by the stats agg, the
+    // df agg, the query-term extraction AND the posting join (diamond)
+    val tfd = documents
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
+      .localCheckpoint()
+    val stats = tfd.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      sum(col("tf")).as("l_tokens"))
+      .select(col("n_docs"),
+        expr(s"(l_tokens * $AvgdlQ) div n_docs").as("avgdl_q"))
+    val dfm = tfd.groupBy("term").agg(count(lit(1)).as("df"))
+    // idf only ever materializes for QUERY terms: the distinct query
+    // vocabulary (KB) broadcasts into the vocabulary-scale df frame,
+    // so no full-vocabulary idf is computed, let alone shuffled
+    val qterms = tfd.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("term")).distinct()
+    def il2(x: String): String = {
+      val m = s"(length(bin($x)) - 1)"
+      s"(CAST($m AS BIGINT) * $f + (($x - shiftleft(1L, $m)) * $f) div shiftleft(1L, $m))"
+    }
+    val qidf = dfm.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .filter(col("df") * lit(1000000L) <= lit(maxDfPpm) * col("n_docs"))
+      .withColumn("idf_q",
+        expr(il2("(2L * n_docs + 2L)")) - expr(il2("(2L * df + 1L)")))
+      .select(col("term"), col("idf_q"), col("avgdl_q"))
+      .join(broadcast(qterms), Seq("term"))
+    val cand = tfd.join(broadcast(qidf), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("contrib", expr(
+        s"(idf_q * ($CNum * tf * avgdl_q)) div " +
+          s"(10L * tf * avgdl_q + $CDen1 * avgdl_q + $CDen2 * dl)"))
+    cand.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("contrib").as("score_fp"))
+  }
+
+  /** q44's two-stage shard ranking over the integer score key: stage 1
+    * ranks within (query_id, doc-hash shard) keeping each shard's top
+    * k (a query-level top-k row ranks ≤ k inside its own shard), stage
+    * 2 ranks the ≤ k·shards survivors — candidates never funnel
+    * through one reducer per query. */
+  private def rankPool(scored: DataFrame, k: Int, rankShards: Int): DataFrame = {
+    val ord = Seq(col("score_fp").desc, col("doc_id"))
+    val s1 = scored
+      .withColumn("_shard", pmod(xxhash64(col("doc_id")), lit(rankShards)))
+      .withColumn("_r1", row_number().over(
+        Window.partitionBy("query_id", "_shard").orderBy(ord: _*)))
+      .filter(col("_r1") <= k)
+      .drop("_shard", "_r1")
+    s1.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(ord: _*)))
+      .filter(col("rank") <= k)
+  }
+
+  /** q128: HYBRID RETRIEVAL — reciprocal rank fusion of the lexical
+    * (q127 BM25) and semantic (q92 embeddings → q25 exact cosine)
+    * top-`poolK` pools over the SAME query set:
+    *
+    *   rrf = 1/(RrfK + r_lex) + 1/(RrfK + r_sem)
+    *
+    * (a missing list contributes 0 — COALESCE, the standard RRF
+    * treatment of non-retrieved documents). The ranks are integers
+    * from two independently bit-stable orderings (integer BM25 score;
+    * ROUND(cos,4) over the exact-integer text embeddings), so the rrf
+    * double is the SAME two IEEE divisions and one add in both
+    * engines — deterministic without any summation-order care because
+    * there are exactly two lists, combined in a fixed order.
+    *
+    * Scale: the two pools are nQueries·poolK rows each — the fusion
+    * join is KB-sized regardless of corpus size; everything
+    * corpus-scale happened inside the two (independently scale-shaped)
+    * retrieval legs. The embed frame is localCheckpointed (the q100
+    * diamond rule — annBruteForce consumes it as both query and
+    * candidate side). */
+  def rrfFusion(documents: DataFrame, nQueries: Int = 10, k: Int = 5,
+                poolK: Int = DefaultPoolK,
+                maxDfPpm: Long = DefaultMaxDfPpm): DataFrame = {
+    val lex = rankPool(bm25Scored(documents, nQueries, maxDfPpm), poolK, 32)
+      .select(col("query_id"), col("doc_id"), col("rank").as("r_lex"))
+    val sem = Similarity.annBruteForce(
+        TextOps.embedFrame(documents).localCheckpoint(),
+        nQueries = nQueries, k = poolK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("r_sem"))
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("r_lex").cast("double")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("r_sem").cast("double")), lit(0.0)))
+    val ord = Seq(col("rrf").desc, col("doc_id"))
+    fused
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(ord: _*)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("r_lex"), col("r_sem"),
+        graft.Exact.dround(col("rrf"), 6).as("rrf"), col("rank"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** q127 BM25 / q128 RRF laws: the integer score against an
+  * independent reimplementation (Long.numberOfLeadingZeros bit length
+  * vs the plan's bin()-string length), the df cap, the two-stage
+  * shard-ranking identity, the RRF arithmetic law, and the plan
+  * shape (broadcast posting join, no cartesian). */
+class RetrievalSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // independent integer-log2: bit position via numberOfLeadingZeros
+  // (the production expression derives it from bin()'s string length)
+  private def il2(x: Long): Long = {
+    val f = 1L << 16
+    val msb = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    msb.toLong * f + ((x - (1L << msb)) * f) / (1L << msb)
+  }
+
+  // 5 docs; "stop" appears in all 5 (df·10⁶ = 5e6 > 0.9e6·5) → capped
+  private val corpus = docs(
+    0L  -> "apple banana stop",
+    10L -> "apple apple banana stop",
+    11L -> "apple zebra stop",
+    12L -> "zebra zebra stop",
+    13L -> "banana stop")
+
+  test("q127 integer BM25 score matches an independent computation") {
+    val r = Retrieval.bm25TopK(corpus, nQueries = 1, k = 5)
+      .collect().map(x => x.getLong(1) -> ((x.getLong(2), x.getDouble(3), x.getInt(4)))).toMap
+    // N=5, L=15 → avgdl_q = 24; df(apple)=3, df(banana)=3; stop capped
+    val A = 15L * 8 / 5
+    val idf = il2(2 * 5 + 2) - il2(2 * 3 + 1)
+    def contrib(tf: Long, dl: Long): Long =
+      (idf * (22 * tf * A)) / (10 * tf * A + 3 * A + 72 * dl)
+    def score(fp: Long): Double =
+      math.floor((fp.toDouble / 65536.0) * 10000 + 0.5) / 10000
+    // doc 10: apple tf=2 + banana tf=1, dl=4; doc 11: apple, dl=3;
+    // doc 13: banana, dl=2; doc 12 shares NO surviving query term
+    r.keySet shouldBe Set(10L, 11L, 13L)
+    r(10L) shouldBe ((2L, score(contrib(2, 4) + contrib(1, 4)), 1))
+    r(13L) shouldBe ((1L, score(contrib(1, 2)), 2))
+    r(11L) shouldBe ((1L, score(contrib(1, 3)), 3))
+  }
+
+  test("q127 df cap: a query whose every term is capped retrieves nothing") {
+    // "stop" is the only query term → capped away → empty result
+    val only = docs(5L -> "stop", 10L -> "stop one", 11L -> "stop two",
+      12L -> "stop three", 13L -> "stop four", 14L -> "stop five",
+      15L -> "stop six", 16L -> "stop seven", 17L -> "stop eight",
+      18L -> "stop nine")
+    Retrieval.bm25TopK(only, nQueries = 6, k = 5).count() shouldBe 0L
+  }
+
+  test("q127 two-stage shard ranking is identical at any shard count") {
+    val t = tables.documents
+    val base = Retrieval.bm25TopK(t, rankShards = 1).collect().sortBy(r => (r.getLong(0), r.getInt(4)))
+    for (shards <- Seq(4, 32)) {
+      val s = Retrieval.bm25TopK(t, rankShards = shards).collect()
+        .sortBy(r => (r.getLong(0), r.getInt(4)))
+      s should contain theSameElementsInOrderAs base
+    }
+  }
+
+  test("q128 rrf is exactly the two-division law over the pool ranks") {
+    val rows = Retrieval.rrfFusion(tables.documents).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val rl = Option(r.get(2)).map(_.asInstanceOf[Int])
+      val rs = Option(r.get(3)).map(_.asInstanceOf[Int])
+      val expected = rl.map(v => 1.0 / (60.0 + v)).getOrElse(0.0) +
+        rs.map(v => 1.0 / (60.0 + v)).getOrElse(0.0)
+      r.getDouble(4) shouldBe math.floor(expected * 1000000 + 0.5) / 1000000
+      (rl.isDefined || rs.isDefined) shouldBe true
+    }
+    // the fixture corpus has verbatim-ish text pairs: at least one doc
+    // must be retrieved by BOTH legs (the fusion's raison d'être)
+    rows.count(r => !r.isNullAt(2) && !r.isNullAt(3)) should be > 0
+  }
+
+  test("q128 pool ranks are the legs' own ranks") {
+    val fused = Retrieval.rrfFusion(tables.documents)
+      .select("query_id", "doc_id", "r_lex", "r_sem").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Int]),
+          Option(r.get(3)).map(_.asInstanceOf[Int])))).toMap
+    val lex = Retrieval.bm25TopK(tables.documents, k = Retrieval.DefaultPoolK)
+      .select("query_id", "doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val sem = Similarity.annBruteForce(
+        TextOps.embedFrame(tables.documents).localCheckpoint(),
+        nQueries = 10, k = Retrieval.DefaultPoolK)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    fused.foreach { case (key, (rl, rs)) =>
+      rl.foreach(v => lex(key) shouldBe v)
+      rs.foreach(v => sem(key) shouldBe v)
+      rl.isEmpty shouldBe !lex.contains(key)
+      rs.isEmpty shouldBe !sem.contains(key)
+    }
+  }
+
+  test("q127 plan: broadcast posting join, no cartesian, no SMJ") {
+    val plan = planOf(Retrieval.bm25TopK(tables.documents))
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+  }
+}
