@@ -353,6 +353,22 @@ object SparkEntry {
     // top-20), the standard two-list RRF combiner.
     "q128_rrf_fusion"        -> ((s, d) =>
       Retrieval.rrfFusion(Tables(s, d).documents)),
+    // q129: the PERSISTED inverted index — q127's production artifact
+    // lifecycle (write postings/lexicon/stats → validated read →
+    // shard-pruned serve), exercised end to end like q101's store;
+    // serves the q127 query set with self-exclusion, so the output is
+    // row-identical to q127 and shares its oracle VERBATIM (the q126
+    // identity convention — the driver hash-checks it every round).
+    "q129_bm25_index_served" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val dir = scratchDir("graft_bm25idx")
+      Retrieval.writeBm25Index(docs, s"$dir/index")
+      Retrieval.bm25ServeIndex(
+        Retrieval.readBm25Index(s, s"$dir/index"),
+        docs.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("query_id"), col("text")),
+        excludeId = true)
+    }),
     "q54_oov_rate"           -> ((s, d) => TextOps.oovRate(Tables(s, d).documents)),
     "q74_novelty_score"      -> ((s, d) => TextOps.noveltyScore(Tables(s, d).documents)),
     // q45: every doc_id ≡ 9 (mod 10) plays the incoming intake batch;
@@ -2198,6 +2214,9 @@ object SparkEntry {
     "q100_ann_text" -> annTextOracle,
     "q127_bm25_topk" -> bm25Oracle,
     "q128_rrf_fusion" -> rrfFusionOracle,
+    // identity with q127 by construction (build→read→serve changes the
+    // execution shape, not the arithmetic) — one oracle, hash-checked
+    "q129_bm25_index_served" -> bm25Oracle,
     // q101: the store/probe split replayed — cent = the STORE side's
     // seed quantizer (vec_id < 16 minus the intake residue), both
     // sides assigned by the shared argmax, hits = intake × store

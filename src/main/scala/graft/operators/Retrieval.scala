@@ -73,7 +73,50 @@ object Retrieval {
   private[graft] val RrfK: Int = 60
   private[graft] val DefaultPoolK: Int = 20
 
+  /** Posting shard count of the persisted index (q129): postings are
+    * partitioned by `pmod(xxhash64(term), IndexShards)` so a serve
+    * touches only the shards its query terms hash into (partition
+    * pruning) while the directory count stays bounded at any
+    * vocabulary size. Stamped into the artifact. */
+  private[graft] val IndexShards: Int = 64
+
   private def toks = split(col("text"), " ")
+
+  /** The q120 integer-log2 SQL fragment over a long expression —
+    * shared by the ad-hoc idf (q127) and the build-time idf (q129) so
+    * the two cannot drift. */
+  private def il2(x: String): String = {
+    val f = 1L << Bm25FBits
+    val m = s"(length(bin($x)) - 1)"
+    s"(CAST($m AS BIGINT) * $f + (($x - shiftleft(1L, $m)) * $f) div shiftleft(1L, $m))"
+  }
+
+  private def idfExpr: String =
+    s"${il2("(2L * n_docs + 2L)")} - ${il2("(2L * df + 1L)")}"
+
+  /** The per-(query, term, doc) integer contribution — `avgdl` is a
+    * column name (q127) or a literal (q129's serve, where avgdl_q is
+    * a collected scalar). */
+  private def contribExpr(avgdl: String): String =
+    s"(idf_q * ($CNum * tf * $avgdl)) div " +
+      s"(10L * tf * $avgdl + $CDen1 * $avgdl + $CDen2 * dl)"
+
+  /** One corpus scan → (doc_id, term, tf, dl): tf grouped, dl riding a
+    * doc-partitioned window sum (the q120 c_prefix idiom — no second
+    * scan, no join). Shared by the ad-hoc path and the index build. */
+  private def postingsFrame(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
+
+  /** (n_docs, avgdl_q) one-row frame from the postings. */
+  private def statsFrame(postings: DataFrame): DataFrame =
+    postings.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      sum(col("tf")).as("l_tokens"))
+      .select(col("n_docs"),
+        expr(s"(l_tokens * $AvgdlQ) div n_docs").as("avgdl_q"))
 
   /** q127: BM25 TOP-K LEXICAL SEARCH — the inverted-index ranking leg.
     * The `nQueries` lowest doc_ids play the query set (q25/q100's
@@ -118,44 +161,137 @@ object Retrieval {
     * by q127's ranking and q128's fusion pool. */
   private[graft] def bm25Scored(documents: DataFrame, nQueries: Int,
                                 maxDfPpm: Long): DataFrame = {
-    val f = 1L << Bm25FBits
     // tf with dl riding the same doc-partitioned exchange (the q120
     // c_prefix idiom); checkpointed — consumed by the stats agg, the
     // df agg, the query-term extraction AND the posting join (diamond)
-    val tfd = documents
-      .select(col("doc_id"), explode(toks).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
-      .localCheckpoint()
-    val stats = tfd.agg(
-      countDistinct(col("doc_id")).as("n_docs"),
-      sum(col("tf")).as("l_tokens"))
-      .select(col("n_docs"),
-        expr(s"(l_tokens * $AvgdlQ) div n_docs").as("avgdl_q"))
+    val tfd = postingsFrame(documents).localCheckpoint()
+    val stats = statsFrame(tfd)
     val dfm = tfd.groupBy("term").agg(count(lit(1)).as("df"))
     // idf only ever materializes for QUERY terms: the distinct query
     // vocabulary (KB) broadcasts into the vocabulary-scale df frame,
     // so no full-vocabulary idf is computed, let alone shuffled
     val qterms = tfd.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("term")).distinct()
-    def il2(x: String): String = {
-      val m = s"(length(bin($x)) - 1)"
-      s"(CAST($m AS BIGINT) * $f + (($x - shiftleft(1L, $m)) * $f) div shiftleft(1L, $m))"
-    }
     val qidf = dfm.join(broadcast(qterms.select("term").distinct()), Seq("term"))
       .crossJoin(broadcast(stats))
       .filter(col("df") * lit(1000000L) <= lit(maxDfPpm) * col("n_docs"))
-      .withColumn("idf_q",
-        expr(il2("(2L * n_docs + 2L)")) - expr(il2("(2L * df + 1L)")))
+      .withColumn("idf_q", expr(idfExpr))
       .select(col("term"), col("idf_q"), col("avgdl_q"))
       .join(broadcast(qterms), Seq("term"))
     val cand = tfd.join(broadcast(qidf), Seq("term"))
       .filter(col("doc_id") =!= col("query_id"))
-      .withColumn("contrib", expr(
-        s"(idf_q * ($CNum * tf * avgdl_q)) div " +
-          s"(10L * tf * avgdl_q + $CDen1 * avgdl_q + $CDen2 * dl)"))
+      .withColumn("contrib", expr(contribExpr("avgdl_q")))
     cand.groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("contrib").as("score_fp"))
+  }
+
+  /** q129: the PERSISTED inverted index — BM25's production artifact
+    * lifecycle (the q101/s08 store convention applied to lexical
+    * search): build once (postings + lexicon + stats written as
+    * parquet), serve many query batches against the artifact without
+    * ever re-scanning the corpus.
+    *
+    * Layout under `path`:
+    *  - `postings/` — (doc_id, term, tf, dl), partitioned by
+    *    `_p_shard = pmod(xxhash64(term), IndexShards)`: a serve
+    *    touches ONLY the shards its query terms hash into (partition
+    *    pruning, spec-pinned), the distributed analogue of reading
+    *    just the query terms' posting lists.
+    *  - `lexicon/` — (term, df, idf_q): the vocabulary-scale idf is
+    *    paid ONCE at build; serves broadcast only their query slice.
+    *  - `stats/` — one row (n_docs, avgdl_q) + parameter stamps
+    *    (_p_fbits, _p_shards): an index built under different score
+    *    arithmetic or shard geometry fails LOUD at read (the
+    *    readSemanticStore guard discipline — a stale-stamp index
+    *    would silently mis-rank or mis-prune).
+    *
+    * The df cap stays a SERVE-time policy (the artifact is complete;
+    * `maxDfPpm` filters the broadcast lexicon slice), so one index
+    * serves any pruning policy. */
+  def writeBm25Index(documents: DataFrame, path: String): Unit = {
+    val tfd = postingsFrame(documents).localCheckpoint()
+    tfd.withColumn("_p_shard", pmod(xxhash64(col("term")), lit(IndexShards)))
+      .write.mode("overwrite").partitionBy("_p_shard")
+      .parquet(s"$path/postings")
+    tfd.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(statsFrame(tfd)))
+      .withColumn("idf_q", expr(idfExpr))
+      .select("term", "df", "idf_q")
+      .write.mode("overwrite").parquet(s"$path/lexicon")
+    statsFrame(tfd)
+      .withColumn("_p_fbits", lit(Bm25FBits))
+      .withColumn("_p_shards", lit(IndexShards))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Validated index handle: loud on missing pieces, mixed or drifted
+    * stamps. `nDocs`/`avgdlQ` are collected scalars (one-row stats —
+    * the q101 centroid-table pattern). */
+  final case class Bm25Index(postings: DataFrame, lexicon: DataFrame,
+                             nDocs: Long, avgdlQ: Long)
+
+  def readBm25Index(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Bm25Index = {
+    val stats = spark.read.parquet(s"$path/stats").collect()
+    require(stats.length == 1,
+      s"bm25 index at $path: stats must be ONE row, got ${stats.length}")
+    val st = stats.head
+    require(st.getAs[Int]("_p_fbits") == Bm25FBits,
+      s"bm25 index at $path was built with ${st.getAs[Int]("_p_fbits")} " +
+        s"fractional idf bits, this library scores with $Bm25FBits — " +
+        "stored idf_q would silently mis-rank; rebuild the index")
+    require(st.getAs[Int]("_p_shards") == IndexShards,
+      s"bm25 index at $path was sharded at ${st.getAs[Int]("_p_shards")}, " +
+        s"caller prunes at $IndexShards — shard pruning would drop " +
+        "posting lists and fail open; rebuild the index")
+    val postings = spark.read.parquet(s"$path/postings")
+    require(Set("doc_id", "term", "tf", "dl", "_p_shard")
+      .subsetOf(postings.columns.toSet),
+      s"bm25 index at $path: postings lack expected columns, got " +
+        postings.columns.mkString(", "))
+    val lexicon = spark.read.parquet(s"$path/lexicon")
+    require(Set("term", "df", "idf_q").subsetOf(lexicon.columns.toSet),
+      s"bm25 index at $path: lexicon lacks expected columns, got " +
+        lexicon.columns.mkString(", "))
+    Bm25Index(postings, lexicon,
+      st.getAs[Long]("n_docs"), st.getAs[Long]("avgdl_q"))
+  }
+
+  /** Serve a query batch `(query_id, text)` against a persisted index:
+    * query terms → their lexicon slice (df-capped, broadcast) → ONLY
+    * the posting shards those terms hash into (partition pruning) →
+    * the exact q127 arithmetic and two-stage top-k. `excludeId` drops
+    * candidates whose doc_id equals the query_id (for corpus-member
+    * queries — the declared q129 serves the q127 query set and is
+    * row-identical to it, the q126 identity convention). */
+  def bm25ServeIndex(index: Bm25Index, queries: DataFrame, k: Int = 5,
+                     maxDfPpm: Long = DefaultMaxDfPpm,
+                     excludeId: Boolean = false,
+                     rankShards: Int = 32): DataFrame = {
+    val qterms = queries
+      .select(col("query_id"), explode(toks).as("term")).distinct()
+      .localCheckpoint() // consumed by the shard probe AND two joins
+    val shards = qterms
+      .select(pmod(xxhash64(col("term")), lit(IndexShards)).as("sh"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val qidf = index.lexicon
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .filter(col("df") * lit(1000000L) <= lit(maxDfPpm) * lit(index.nDocs))
+      .select(col("term"), col("idf_q"))
+      .join(broadcast(qterms), Seq("term"))
+    val pruned = index.postings
+      .filter(col("_p_shard").cast("long").isin(shards: _*))
+    val joined = pruned.join(broadcast(qidf), Seq("term"))
+    val cand = (if (excludeId) joined.filter(col("doc_id") =!= col("query_id"))
+                else joined)
+      .withColumn("contrib", expr(contribExpr(index.avgdlQ.toString + "L")))
+    val scored = cand.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("contrib").as("score_fp"))
+    rankPool(scored, k, rankShards)
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        graft.Exact.dround(col("score_fp").cast("double") /
+          lit((1L << Bm25FBits).toDouble)).as("score"),
+        col("rank"))
   }
 
   /** q44's two-stage shard ranking over the integer score key: stage 1

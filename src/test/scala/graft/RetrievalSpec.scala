@@ -107,6 +107,60 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("q129 persisted-index serve is row-identical to the ad-hoc q127") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx_spec").toString
+    val docs = tables.documents
+    Retrieval.writeBm25Index(docs, s"$dir/index")
+    val idx = Retrieval.readBm25Index(spark, s"$dir/index")
+    val served = Retrieval.bm25ServeIndex(idx,
+        docs.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("query_id"), col("text")),
+        excludeId = true)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val adhoc = Retrieval.bm25TopK(docs)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    served should contain theSameElementsInOrderAs adhoc
+  }
+
+  test("q129 serve prunes posting shards by the query terms' hashes") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx_prune").toString
+    Retrieval.writeBm25Index(corpus, s"$dir/index")
+    val idx = Retrieval.readBm25Index(spark, s"$dir/index")
+    // one-term query → the posting scan carries a partition filter on
+    // the shard column (inputFiles can't see pruning — it lists the
+    // base relation; the executed scan node's selectedPartitions is
+    // the truth)
+    val served = Retrieval.bm25ServeIndex(idx,
+      docs(100L -> "apple").withColumnRenamed("doc_id", "query_id"))
+    val written = new java.io.File(s"$dir/index/postings").listFiles()
+      .count(_.getName.startsWith("_p_shard="))
+    val scans = served.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("postings")) =>
+        f.selectedPartitions.partitionCount
+    }
+    scans should not be empty
+    scans.max should be < written
+    // arithmetic unchanged under pruning: apple carriers rank by tf/dl
+    served.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(0L, 10L, 11L)
+  }
+
+  test("q129 read fails loud on a parameter-stamp drift") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx_stamp").toString
+    Retrieval.writeBm25Index(corpus, s"$dir/index")
+    // simulate an index built under different score arithmetic
+    // (localCheckpoint materializes the rows, making the same-path
+    // overwrite safe)
+    spark.read.parquet(s"$dir/index/stats")
+      .withColumn("_p_fbits", lit(8)).localCheckpoint()
+      .write.mode("overwrite").parquet(s"$dir/index/stats")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.readBm25Index(spark, s"$dir/index")
+    }
+    e.getMessage should include("fractional idf bits")
+  }
+
   test("q127 plan: broadcast posting join, no cartesian, no SMJ") {
     val plan = planOf(Retrieval.bm25TopK(tables.documents))
     plan should include("BroadcastHashJoin")
