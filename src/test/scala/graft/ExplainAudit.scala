@@ -15,7 +15,11 @@ import org.apache.spark.sql.SparkSession
   * the executed plan), q57 SMJ (the in-cell same-size pair join),
   * q36/q55 SMJ (size-unknown after localCheckpoint; AQE converts to
   * broadcast at runtime when small), q75 SMJ ×2 (inherits q36/q55's
-  * joins through the pipeline's cluster-keeper stage).
+  * joins through the pipeline's cluster-keeper stage), q127/q128 BNLJ
+  * (the one-row corpus-stats crossJoin; q128 adds q25's non-equi
+  * broadcast brute-force join), q128 SMJ (the full-outer fusion join
+  * over the two nQueries·poolK pools — full outer cannot broadcast,
+  * and both sides are KB at any corpus size).
   *
   * Run: Test/runMain graft.ExplainAudit [sfDir]
   */
