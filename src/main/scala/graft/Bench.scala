@@ -170,6 +170,33 @@ object Bench {
       }
       if (!failed) { floors(name) = best; samples(name) = last }
     }
+    // End-of-chain re-probe (round 16): the r16 closing chains flagged
+    // cells whose quiet SOLO probes sat at-or-near their standing
+    // floors — transient load windows that OUTLAST the in-place retry,
+    // whose extra reps are adjacent in time to the very window that
+    // triggered them. A final pass at chain end re-measures every
+    // still-flagging cell up to twice more, with maximal JIT warmth
+    // and maximal time-decorrelation from its original window. Floor
+    // semantics unchanged (min of full executions); a REAL regression
+    // re-measures slow here and still flags.
+    val reprobe = floors.collect {
+      case (k, v) if standingFloors.get(k).exists(f => f > 0 && v > 2 * f) => k
+    }.toSeq
+    reprobe.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      var extra = 0
+      while (extra < 2 &&
+        standingFloors.get(name).exists(f => floors(name) > 2 * f)) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          val t = (System.nanoTime() - t0) / 1e9
+          samples(name) = t
+          if (t < floors(name)) floors(name) = t
+        } catch { case _: Throwable => () } // keep the main loop's result
+        extra += 1
+      }
+    }
     val flagged = floors.collect {
       case (k, v) if standingFloors.get(k).exists(f => f > 0 && v > 2 * f) =>
         k -> (v / standingFloors(k))
