@@ -182,6 +182,11 @@ object Bench {
     val reprobe = floors.collect {
       case (k, v) if standingFloors.get(k).exists(f => f > 0 && v > 2 * f) => k
     }.toSeq
+    // Re-probe failures keep the main loop's floor/sample (a flaky
+    // chain-end rep must not erase a full day of good measurements)
+    // but are RECORDED (r16 advice): a silent swallow left chain-end
+    // flakiness invisible in the artifact.
+    val reprobeErrors = scala.collection.mutable.LinkedHashMap[String, String]()
     reprobe.foreach { name =>
       val fn = SparkEntry.queries(name)
       var extra = 0
@@ -191,9 +196,12 @@ object Bench {
         try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           val t = (System.nanoTime() - t0) / 1e9
-          samples(name) = t
+          samples(name) = t // last-rep semantics: a successful re-probe IS the last rep
           if (t < floors(name)) floors(name) = t
-        } catch { case _: Throwable => () } // keep the main loop's result
+        } catch {
+          case e: Throwable => reprobeErrors(name) =
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
         extra += 1
       }
     }
@@ -212,21 +220,28 @@ object Bench {
       .mkString("{", ",", "}")
     val total = floors.values.sum
     val sampleTotal = samples.values.sum
+    val rpe = reprobeErrors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","kind":"floor","sample_total":${r3(sampleTotal)},"n_ok":${floors.size},"n_err":${errors.size},"n_flagged":${flagged.size},"flagged_vs_standing":$fl,"queries":$qs,"samples":$ss,"errors":$es,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","kind":"floor","sample_total":${r3(sampleTotal)},"n_ok":${floors.size},"n_err":${errors.size},"n_flagged":${flagged.size},"flagged_vs_standing":$fl,"reprobe_errors":$rpe,"queries":$qs,"samples":$ss,"errors":$es,"sf":"${esc(sfDir)}"}"""
     // Full-name line goes to the file (and stdout, for humans/greps)...
     println(line)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_metric.json"), line + "\n")
     catch { case _: Throwable => () }
-    // ...but the driver captures only a ~2 KB stdout TAIL, and at the
-    // 82-query surface the full-name line outgrew it (BENCH_r09
-    // parsed:null — the line's head, with the JSON opener, was cut).
-    // So the LAST line printed is a compact equivalent that always
-    // fits: query keys shortened to their unique q/s/m-number prefix
-    // ("q22_dedup_minhash" → "q22"; full names stay in
-    // bench_metric.json). Falls back to full names on prefix collision
-    // so compaction can never alias two timings.
+    // ...but the driver captures only a ~2 KB stdout TAIL (shared with
+    // sbt's own closing "[success] Total time" line), and the LAST
+    // complete JSON line inside that window is what gets parsed. At
+    // the 82-query surface the full-name line outgrew it (BENCH_r09
+    // parsed:null); the r9 fix — short keys ("q22_dedup_minhash" →
+    // "q22"), floors only — bought five rounds, then the SURFACE
+    // outgrew that too (~144 queries ≈ 1.9 KB; BENCH_r14..r16
+    // parsed:null again, r16 verdict #1b). Per-query floors cannot
+    // fit 159+ keys in 2 KB under any honest encoding, so the line is
+    // now TIERED: print the compact per-query line when it fits the
+    // window, and otherwise END with a summary line (totals + flags +
+    // error counts + a pointer to bench_metric.json, which the driver
+    // commits with the round) that is size-bounded by construction.
     def short(k: String): String = k.indexOf('_') match {
       case -1 => k
       case i  => k.substring(0, i)
@@ -244,8 +259,22 @@ object Bench {
       .mkString("{", ",", "}")
     val flC = flagged.map { case (k, v) => "\"" + key(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","kind":"floor","sample_total":${r3(sampleTotal)},"n_ok":${floors.size},"n_err":${errors.size},"n_flagged":${flagged.size},"flagged_vs_standing":$flC,"queries":$qsC,"errors":$esC,"sf":"${esc(sfDir)}","full_names":"bench_metric.json"}""")
+    def summaryLine(withFlags: Boolean): String = {
+      val flagsPart = if (withFlags) s""","flagged_vs_standing":$flC""" else ""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","kind":"floor","sample_total":${r3(sampleTotal)},"n_ok":${floors.size},"n_err":${errors.size},"n_flagged":${flagged.size},"n_reprobe_err":${reprobeErrors.size}$flagsPart,"sf":"${esc(sfDir)}","queries_file":"bench_metric.json"}"""
+    }
+    // 2000-char driver window minus sbt's ~120-char closing line and
+    // slack: the last printed line must stay under this or its HEAD
+    // (with the JSON opener) is what gets cut.
+    val TailBudget = 1600
+    val compactLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","kind":"floor","sample_total":${r3(sampleTotal)},"n_ok":${floors.size},"n_err":${errors.size},"n_flagged":${flagged.size},"flagged_vs_standing":$flC,"queries":$qsC,"errors":$esC,"sf":"${esc(sfDir)}","full_names":"bench_metric.json"}"""
+    val lastLine =
+      if (compactLine.length <= TailBudget) compactLine
+      else if (summaryLine(withFlags = true).length <= TailBudget) summaryLine(withFlags = true)
+      else summaryLine(withFlags = false)
+    if (lastLine ne compactLine) println(compactLine) // humans/greps still get it
+    println(lastLine)
     spark.stop()
   }
 }

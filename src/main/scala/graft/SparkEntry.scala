@@ -36,6 +36,17 @@ object SparkEntry {
     p.toString
   }
 
+  /** q129's per-process index scratch: ONE dir + ONE shutdown hook for
+    * the whole JVM (r16 advice — a per-invocation scratchDir
+    * accumulated hooks and on-disk index copies over long bench
+    * chains: 3+ reps plus retries/re-probes). Safe to share because
+    * the q129 build writes mode("overwrite") — each invocation
+    * replaces the artifact in place. The STREAMING scratch users
+    * (s08/s09/s15/s18) stay per-invocation on purpose: reusing a
+    * checkpoint dir would make later reps resume state instead of
+    * reprocessing (Bench's "a floor is a full execution" contract). */
+  private lazy val bm25IdxDir: String = scratchDir("graft_bm25idx")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Core ETL surface
     "q01_ingest_normalize"   -> ((s, d) => Etl.ingestNormalize(Tables(s, d).events)),
@@ -361,7 +372,7 @@ object SparkEntry {
     // identity convention — the driver hash-checks it every round).
     "q129_bm25_index_served" -> ((s, d) => {
       val docs = Tables(s, d).documents
-      val dir = scratchDir("graft_bm25idx")
+      val dir = bm25IdxDir
       Retrieval.writeBm25Index(docs, s"$dir/index")
       Retrieval.bm25ServeIndex(
         Retrieval.readBm25Index(s, s"$dir/index"),
@@ -1073,7 +1084,7 @@ object SparkEntry {
     "q03_manifest_batching" ->
       """WITH b AS (
         |  SELECT lang, doc_id, n_chars,
-        |         CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) - 1) / 10.0) AS INTEGER) AS batch_id
+        |         CAST((ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) - 1) // 10 AS INTEGER) AS batch_id
         |  FROM documents)
         |SELECT lang, batch_id, COUNT(*) AS n_files,
         |       MIN(doc_id) AS first_file, MAX(doc_id) AS last_file,
@@ -1475,7 +1486,7 @@ object SparkEntry {
     "s03_stream_batcher" ->
       """WITH b AS (
         |  SELECT lang, doc_id, n_chars,
-        |         CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) - 1) / 10.0) AS INTEGER) AS batch_id
+        |         CAST((ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) - 1) // 10 AS INTEGER) AS batch_id
         |  FROM documents)
         |SELECT lang, batch_id, COUNT(*) AS n_files,
         |       MIN(doc_id) AS first_file, MAX(doc_id) AS last_file,
@@ -2525,12 +2536,13 @@ object SparkEntry {
        |        FLOOR((n_uniq / n_tok * 0.4 + (1.0 - n_stop / n_tok) * 0.3 + len_sat * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality
        |      FROM qm)""".stripMargin
 
-  /** q40/q72/s20's shared oracle: chunk = floor(tokens-before-doc /
-    * budget) over a per-lang running sum — integer token counts, so
-    * the cumsum and the floor-divide are bit-identical on both
-    * engines. q72 (the sharded plan) and s20 (the streaming meter)
-    * are output-identical to q40 by construction, so all three share
-    * it — the equality is driver-hash-checked every round. */
+  /** q40/q72/s20's shared oracle: chunk = (tokens-before-doc) div
+    * budget over a per-lang running sum — integer token counts and
+    * INTEGER division on both engines (Spark `div` ≡ DuckDB `//`; the
+    * r16 sweep retired the last floor(double /) from rank/partition
+    * arithmetic). q72 (the sharded plan) and s20 (the streaming
+    * meter) are output-identical to q40 by construction, so all three
+    * share it — the equality is driver-hash-checked every round. */
   private def packOracle: String =
     """WITH t AS (SELECT lang, doc_id,
       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -2539,7 +2551,7 @@ object SparkEntry {
       |        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |      FROM t)
-      |SELECT lang, CAST(FLOOR((cum - n_tokens) / 2048.0) AS INTEGER) AS chunk_id,
+      |SELECT lang, CAST((cum - n_tokens) // 2048 AS INTEGER) AS chunk_id,
       |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin
@@ -3154,7 +3166,7 @@ object SparkEntry {
        |        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |      FROM t2)
-       |SELECT lang, CAST(FLOOR((cum - n_tokens) / 2048.0) AS INTEGER) AS chunk_id,
+       |SELECT lang, CAST((cum - n_tokens) // 2048 AS INTEGER) AS chunk_id,
        |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin
@@ -3836,8 +3848,13 @@ object SparkEntry {
     * length), the all-integer contribution division, and the exact
     * integer score sum. Every coefficient spliced from the Retrieval
     * constants. Ends at `{P}pool(query_id, doc_id, n_terms, score_fp,
-    * rank)` capped at `poolK`. */
-  private def bm25Ctes(poolK: Int, prefix: String = ""): String = {
+    * rank)` capped at `poolK`. `nQueries` is threaded like poolK (r16
+    * advice): the Spark operators parameterize it, so the generator
+    * must stay total over the operator's parameter space — a declared
+    * query using a non-default nQueries would otherwise silently
+    * drift from a hardcoded `doc_id < 10`. */
+  private def bm25Ctes(poolK: Int, prefix: String = "",
+                       nQueries: Int = 10): String = {
     val R = graft.operators.Retrieval
     val f = 1L << R.Bm25FBits
     def il2(x: String): String = {
@@ -3852,7 +3869,7 @@ object SparkEntry {
        |${P}st AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
        |         (CAST(SUM(tf) AS BIGINT) * ${R.AvgdlQ}) // CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS avgdl_q
        |       FROM ${P}tf),
-       |${P}qt AS (SELECT DISTINCT doc_id AS query_id, term FROM ${P}tf WHERE doc_id < 10),
+       |${P}qt AS (SELECT DISTINCT doc_id AS query_id, term FROM ${P}tf WHERE doc_id < $nQueries),
        |${P}idf AS (SELECT term,
        |         ${il2("(2 * n_docs + 2)")} - ${il2("(2 * df + 1)")} AS idf_q, avgdl_q
        |       FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM ${P}tf GROUP BY 1), ${P}st

@@ -803,7 +803,14 @@ object Corpus {
         .withColumn("rk",
           row_number().over(byDomain.orderBy(col("hkey"), col("doc_id"))).cast("long"))
         .filter(col("rk") <= maxPerDomain)
-        .join(broadcast(counts), Seq("domain"))
+        // NO broadcast hint on the audit join (r16 verdict): this
+        // salted path is the registered-domain hot-key plan, but a
+        // real crawl has 10⁷–10⁸ domains and the pre-cap counts frame
+        // is domain-cardinality — forcing it into executor memory
+        // would OOM exactly where this plan is supposed to win. Let
+        // the optimizer pick: below threshold it still broadcasts;
+        // past it the counts shuffle by domain like everything else.
+        .join(counts, Seq("domain"))
         .select("doc_id", "domain", "rk", "n_domain")
     }
   }
@@ -837,8 +844,12 @@ object Corpus {
     val withChunk = documents
       .select(col("lang"), col("doc_id"), nTokens.as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      // integer `div`, not floor(double /): offsets are non-negative
+      // longs, so truncating and flooring division agree — and the
+      // double round trip drifts past 2^53 (the q119 packBfd fix,
+      // swept to its siblings per the r16 verdict; oracle uses `//`)
       .withColumn("chunk_id",
-        floor((col("cum_tokens") - col("n_tokens")) / lit(budget.toDouble)).cast("int"))
+        expr(s"(cum_tokens - n_tokens) div ${budget}L").cast("int"))
     withChunk.groupBy("lang", "chunk_id")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -873,7 +884,9 @@ object Corpus {
     require(shardSize > 0, "shardSize must be positive")
     val toks = documents
       .select(col("lang"), col("doc_id"), nTokens.as("n_tokens"))
-      .withColumn("shard", floor(col("doc_id") / shardSize))
+      // integer `div` (house rule; doc_ids non-negative, so truncating
+      // and flooring agree and there is no 2^53 double hazard)
+      .withColumn("shard", expr(s"doc_id div ${shardSize}L"))
     val wIn = Window.partitionBy("lang", "shard")
       .orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -898,9 +911,10 @@ object Corpus {
         coalesce(sum(col("shard_tokens")).over(wSh), lit(0L)))
       .select("lang", "shard", "offset")
     within.join(broadcast(offsets), Seq("lang", "shard"))
+      // same integer-div rule as q40 — identical operands, identical
+      // quotient, so the q40-oracle equality still holds bit-for-bit
       .withColumn("chunk_id",
-        floor((col("offset") + col("cum_in") - col("n_tokens")) /
-          lit(budget.toDouble)).cast("int"))
+        expr(s"(offset + cum_in - n_tokens) div ${budget}L").cast("int"))
       .groupBy("lang", "chunk_id")
       .agg(
         count(lit(1)).as("n_docs"),

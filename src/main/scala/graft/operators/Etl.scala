@@ -84,8 +84,11 @@ object Etl {
     val w = Window.partitionBy(partCols: _*).orderBy("doc_id")
     documents
       .withColumn("rn", row_number().over(w))
+      // integer `div` (house rule, r16 sweep): rn is 1-based and
+      // positive, so truncating and flooring division agree, and the
+      // batch id stays exact past the 2^53 double ceiling
       .withColumn("batch_id",
-        (floor((col("rn") - 1) / maxPerManifest.toDouble).cast("int") * salt
+        (expr(s"(rn - 1) div $maxPerManifest").cast("int") * salt
           + shard).cast("int"))
       .groupBy("lang", "batch_id")
       .agg(

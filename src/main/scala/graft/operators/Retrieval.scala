@@ -110,13 +110,42 @@ object Retrieval {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
 
-  /** (n_docs, avgdl_q) one-row frame from the postings. */
+  /** Largest `maxdl · avgdl_q` product the contribution numerator
+    * tolerates: idf_q < 64·2^F (the log2 kernel's range) and the
+    * numerator is idf_q · CNum · tf · avgdl_q with tf ≤ dl ≤ maxdl,
+    * so the worst case is (64·2^F)·CNum·maxdl·avgdl_q ≈ 2^62 at
+    * maxdl = avgdl = 10^5 — inside int64, but a corpus beyond THIS
+    * bound would wrap silently in Spark (non-ANSI) while the DuckDB
+    * oracle errors loudly. The guard below fails loud instead. */
+  private[graft] val MaxDlAvgdlBound: Long =
+    Long.MaxValue / ((64L << Bm25FBits) * CNum)
+
+  /** (n_docs, l_tokens, max_dl, avgdl_q) one-row frame from the
+    * postings. Shape note (r16 advice): postings collapse to one row
+    * per doc FIRST (map-side partial max — dl repeats on every term
+    * row), then one global agg; the single-agg `countDistinct + sum`
+    * form was an Expand double-pass over the full postings frame.
+    * l_tokens = Σ per-doc dl = Σ tf (same number, and l_tokens rides
+    * the artifact so an index APPEND can merge stats associatively).
+    * avgdl_q is fenced against [[MaxDlAvgdlBound]] in-plan — the
+    * raise_error rides the one-row frame, zero extra scans. */
   private def statsFrame(postings: DataFrame): DataFrame =
-    postings.agg(
-      countDistinct(col("doc_id")).as("n_docs"),
-      sum(col("tf")).as("l_tokens"))
-      .select(col("n_docs"),
-        expr(s"(l_tokens * $AvgdlQ) div n_docs").as("avgdl_q"))
+    postings.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("l_tokens"),
+        max(col("dl")).as("max_dl"))
+      .select(col("n_docs"), col("l_tokens"), col("max_dl"),
+        when(col("max_dl") *
+            expr(s"(l_tokens * $AvgdlQ) div n_docs") > MaxDlAvgdlBound,
+          raise_error(concat(
+            lit("bm25: max_dl*avgdl_q exceeds the int64 score-exactness " +
+              "bound ("), col("max_dl").cast("string"), lit(" * "),
+            expr(s"(l_tokens * $AvgdlQ) div n_docs").cast("string"),
+            lit(s" > $MaxDlAvgdlBound) — the fixed-point contribution " +
+              "would wrap; truncate pathological documents or narrow " +
+              "Bm25FBits"))))
+          .otherwise(expr(s"(l_tokens * $AvgdlQ) div n_docs"))
+          .as("avgdl_q"))
 
   /** q127: BM25 TOP-K LEXICAL SEARCH — the inverted-index ranking leg.
     * The `nQueries` lowest doc_ids play the query set (q25/q100's
@@ -144,8 +173,10 @@ object Retrieval {
     * q44 two-stage shard ranking — candidates never funnel through
     * nQueries reducers. Integer headroom: idf_q < 64·2^F, contrib
     * factors bounded by per-DOC lengths (tf, dl ≤ maxdl) and the
-    * quantized avgdl_q — ~2^53 worst case at maxdl = 10⁵, corpus-size
-    * independent by construction. */
+    * quantized avgdl_q — the numerator reaches ~2^62 at
+    * tf = dl = avgdl = 10⁵ (corpus-size independent by construction),
+    * and [[statsFrame]] fails LOUD past [[MaxDlAvgdlBound]] instead of
+    * letting non-ANSI Spark wrap where the DuckDB oracle would error. */
   def bm25TopK(documents: DataFrame, nQueries: Int = 10, k: Int = 5,
                maxDfPpm: Long = DefaultMaxDfPpm,
                rankShards: Int = 32): DataFrame = {
@@ -225,10 +256,11 @@ object Retrieval {
   }
 
   /** Validated index handle: loud on missing pieces, mixed or drifted
-    * stamps. `nDocs`/`avgdlQ` are collected scalars (one-row stats —
-    * the q101 centroid-table pattern). */
+    * stamps. `nDocs`/`lTokens`/`avgdlQ` are collected scalars (one-row
+    * stats — the q101 centroid-table pattern); `lTokens` rides so an
+    * APPEND can merge stats associatively (q131). */
   final case class Bm25Index(postings: DataFrame, lexicon: DataFrame,
-                             nDocs: Long, avgdlQ: Long)
+                             nDocs: Long, lTokens: Long, avgdlQ: Long)
 
   def readBm25Index(spark: org.apache.spark.sql.SparkSession,
                     path: String): Bm25Index = {
@@ -254,7 +286,8 @@ object Retrieval {
       s"bm25 index at $path: lexicon lacks expected columns, got " +
         lexicon.columns.mkString(", "))
     Bm25Index(postings, lexicon,
-      st.getAs[Long]("n_docs"), st.getAs[Long]("avgdl_q"))
+      st.getAs[Long]("n_docs"), st.getAs[Long]("l_tokens"),
+      st.getAs[Long]("avgdl_q"))
   }
 
   /** Serve a query batch `(query_id, text)` against a persisted index:

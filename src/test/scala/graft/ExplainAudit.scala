@@ -19,7 +19,13 @@ import org.apache.spark.sql.SparkSession
   * (the one-row corpus-stats crossJoin; q128 adds q25's non-equi
   * broadcast brute-force join), q128 SMJ (the full-outer fusion join
   * over the two nQueries·poolK pools — full outer cannot broadcast,
-  * and both sides are KB at any corpus size).
+  * and both sides are KB at any corpus size), q123 SMJ ×2 (inherits
+  * q36/q55's size-unknown-after-localCheckpoint joins through the
+  * recipe's cluster-keeper stage — q75's documented pair, same
+  * provenance), q125 SMJ ×4 (one per serving config in the sweep:
+  * the per-config left-semi of served neighbors against the shared
+  * localCheckpointed exact baseline — size-unknown, AQE converts at
+  * runtime when small).
   *
   * Run: Test/runMain graft.ExplainAudit [sfDir]
   */
