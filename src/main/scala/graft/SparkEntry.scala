@@ -47,6 +47,17 @@ object SparkEntry {
     * reprocessing (Bench's "a floor is a full execution" contract). */
   private lazy val bm25IdxDir: String = scratchDir("graft_bm25idx")
 
+  /** q130's per-process index scratch — same rationale and overwrite
+    * contract as [[bm25IdxDir]]. */
+  private lazy val annIdxDir: String = scratchDir("graft_annidx")
+
+  /** q131's per-process index scratch — separate from [[bm25IdxDir]]
+    * (q131 rebuilds base + append per invocation; sharing q129's dir
+    * would race the two queries' artifacts within one run). The
+    * build's mode("overwrite") resets the dir each rep, so the append
+    * never compounds across reps. */
+  private lazy val bm25AppendDir: String = scratchDir("graft_bm25app")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Core ETL surface
     "q01_ingest_normalize"   -> ((s, d) => Etl.ingestNormalize(Tables(s, d).events)),
@@ -380,6 +391,25 @@ object SparkEntry {
           .select(col("doc_id").as("query_id"), col("text")),
         excludeId = true)
     }),
+    // q131: INCREMENTAL index append (r16 verdict #4 — the q45/q101/
+    // s08 intake convention on the lexical leg): build the index on
+    // the standing corpus (doc_id ≢ 9 mod 10), APPEND the intake
+    // batch (≡ 9 — q45's split), serve the q127 query set. df/dl/
+    // stats merge associatively, so append ≡ from-scratch rebuild
+    // EXACTLY and the serve shares q127's oracle verbatim — the
+    // identity is driver-hash-checked every round, and RetrievalSpec
+    // additionally pins merged-lexicon/stats equality with a rebuild.
+    "q131_bm25_index_appended" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val dir = bm25AppendDir
+      Retrieval.writeBm25Index(docs.filter(col("doc_id") % 10 =!= 9), s"$dir/index")
+      Retrieval.appendBm25Index(s, docs.filter(col("doc_id") % 10 === 9), s"$dir/index")
+      Retrieval.bm25ServeIndex(
+        Retrieval.readBm25Index(s, s"$dir/index"),
+        docs.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("query_id"), col("text")),
+        excludeId = true)
+    }),
     "q54_oov_rate"           -> ((s, d) => TextOps.oovRate(Tables(s, d).documents)),
     "q74_novelty_score"      -> ((s, d) => TextOps.noveltyScore(Tables(s, d).documents)),
     // q45: every doc_id ≡ 9 (mod 10) plays the incoming intake batch;
@@ -502,6 +532,20 @@ object SparkEntry {
     // serving configs, recall@5 per config vs the exact baseline
     "q125_ann_frontier"      -> ((s, d) =>
       Similarity.annServingFrontier(Tables(s, d).embeddings)),
+    // q130: the PERSISTED trained ANN index (r16 verdict #3 — q129's
+    // artifact convention on the q102/q105 chain): train + encode +
+    // write once (centroids/codebook/cell-partitioned codes, stamped),
+    // validated read, then q105's serving config (nProbe=8, rerank=64)
+    // served FROM the artifact — no retraining, probed cells pruned at
+    // the codes scan. Row-identical to q105 by construction (shared
+    // search body), so it shares q105's oracle verbatim (the q126/q129
+    // identity convention — the driver hash-checks it every round).
+    "q130_ann_index_served"  -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      val dir = annIdxDir
+      Similarity.writeAnnIndex(e, s"$dir/index")
+      Similarity.annServeIndex(Similarity.readAnnIndex(s, s"$dir/index"), e)
+    }),
     "q57_semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(Tables(s, d).embeddings)),
     // q104: q57 under the TRAINED quantizer (declared r14) — the
     // production SemDeDup build order (the paper trains; the q93
@@ -632,6 +676,27 @@ object SparkEntry {
         .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
       val q = Streams.streamDecontaminate(intake,
         docs.filter(col("doc_id") % 7 === 0), s"$tmp/out", s"$tmp/cp",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination(); q.stop()
+      s.read.parquet(s"$tmp/out")
+    }),
+    // s21: streaming retrieval — the q127 query set delivered as a
+    // micro-batch stream, each batch served against the persisted
+    // q129 index (per-batch lexicon broadcast + shard pruning); one
+    // AvailableNow drain = one batch (the s18/s20 delivery), and
+    // per-query results are batching-independent anyway, so the
+    // drained union is q127's output verbatim
+    "s21_stream_bm25_serve" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val tmp = scratchDir("graft_s21_")
+      Retrieval.writeBm25Index(docs, s"$tmp/index")
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val queries = s.readStream.schema(schema)
+        .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val q = Streams.streamBm25Serve(queries, s"$tmp/index",
+        s"$tmp/out", s"$tmp/cp",
         trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       q.awaitTermination(); q.stop()
       s.read.parquet(s"$tmp/out")
@@ -2190,6 +2255,12 @@ object SparkEntry {
     "q105_ann_ivfpq_served" ->
       annIvfPqOracle(residual = true, trainRounds = 2, centRounds = 2,
         nProbe = 8, rerank = 64),
+    // q130: the persisted-index serve is row-identical to q105 (same
+    // trained chain, same serving constants, search body SHARED in
+    // code) — identity convention, oracle verbatim
+    "q130_ann_index_served" ->
+      annIvfPqOracle(residual = true, trainRounds = 2, centRounds = 2,
+        nProbe = 8, rerank = 64),
     "q125_ann_frontier" ->
       annFrontierOracle(Similarity.DefaultFrontier),
     "q34_dedup_embedding_lsh" -> embeddingDedupLshOracle,
@@ -2197,7 +2268,7 @@ object SparkEntry {
     // q104: the trained-quantizer chain feeding q57's body unchanged;
     // seed count derived from the corpus (suggestCells), both sides
     "q104_semantic_dedup_trained" ->
-      (s"WITH $vecCtes,\n" +
+      materializeTrainedCtes(s"WITH $vecCtes,\n" +
         trainedCentCtes(2,
           "SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) FROM e") +
         ",\n" + semanticDedupBodyFromCent("0.4")),
@@ -2207,13 +2278,13 @@ object SparkEntry {
     "q106_semantic_dedup_text_trained" -> {
       val vlist = (0 until embedDim).map(d => s"CAST(e$d AS DOUBLE)")
         .mkString("[", ", ", "]")
-      s"""WITH $textEmbedCtes,
+      materializeTrainedCtes(s"""WITH $textEmbedCtes,
          |e2 AS (SELECT doc_id AS vec_id, $vlist AS v FROM emb),
          |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e2),
          |""".stripMargin +
         trainedCentCtes(2,
           "SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) FROM e2") +
-        ",\n" + semanticDedupBodyFromCent("0.9")
+        ",\n" + semanticDedupBodyFromCent("0.9"))
     },
     "q97_semantic_dedup_image" -> semanticDedupImageOracle,
     // s14 drains to q97's rows by construction (same salted corpus,
@@ -2228,12 +2299,19 @@ object SparkEntry {
     // identity with q127 by construction (build→read→serve changes the
     // execution shape, not the arithmetic) — one oracle, hash-checked
     "q129_bm25_index_served" -> bm25Oracle,
+    // q131: append ≡ rebuild (associative df/dl/stats merges) ≡ q127 —
+    // one oracle, hash-checked
+    "q131_bm25_index_appended" -> bm25Oracle,
+    // s21: per-query results are batching-independent functions of
+    // (query, index); one-drain delivery of the q127 query set → the
+    // drained union IS q127's output (the s18/s20 convention)
+    "s21_stream_bm25_serve" -> bm25Oracle,
     // q101: the store/probe split replayed — cent = the STORE side's
     // seed quantizer (vec_id < 16 minus the intake residue), both
     // sides assigned by the shared argmax, hits = intake × store
     // cell-mates within tau, smallest condemning mate per intake
     "q101_semantic_dedup_incremental" ->
-      s"""WITH $vecCtes,
+      materializeTrainedCtes(s"""WITH $vecCtes,
          |e2 AS (SELECT vec_id, v, nrm FROM n
          |       UNION ALL
          |       SELECT vec_id + 300000, v, nrm FROM n
@@ -2255,12 +2333,12 @@ object SparkEntry {
          |      FROM hits WHERE cos_raw >= 0.4 GROUP BY 1, 2)
          |SELECT d.vec_id, d.cell, d.dup_of, ROUND(h.cos_raw, 4) AS cos_sim
          |FROM d JOIN hits h ON h.vec_id = d.vec_id AND h.dup_of = d.dup_of
-         |ORDER BY d.vec_id""".stripMargin,
+         |ORDER BY d.vec_id""".stripMargin),
     // s15: the two-batch admit loop replayed — batch1 probes store0,
     // its survivors join the store, batch2 probes store0 ∪ adm1; the
     // drained union is out1 ∪ out2 (batches are id-disjoint)
     "s15_stream_semantic_dedup_admit" ->
-      s"""WITH $vecCtes,
+      materializeTrainedCtes(s"""WITH $vecCtes,
          |e2 AS (SELECT vec_id, v, nrm FROM n
          |       UNION ALL
          |       SELECT vec_id + 300000, v, nrm FROM n
@@ -2300,7 +2378,7 @@ object SparkEntry {
          |UNION ALL
          |SELECT d2.vec_id, d2.cell, d2.dup_of, ROUND(h2.cos_raw, 4) AS cos_sim
          |FROM d2 JOIN h2 ON h2.vec_id = d2.vec_id AND h2.dup_of = d2.dup_of
-         |ORDER BY vec_id""".stripMargin,
+         |ORDER BY vec_id""".stripMargin),
     "q63_decontaminate_semantic" -> semanticDecontamOracle,
     // q79 is EXACT past-broadcast q63 — same oracle, row-identical
     "q79_decontaminate_semantic_cells" -> semanticDecontamOracle,
@@ -2633,7 +2711,7 @@ object SparkEntry {
     * window, q61's per-lang prune window over surv2, q35's fingerprint
     * semi-join. One WITH RECURSIVE chain; verdicts unioned with
     * first-drop-wins by construction. */
-  private def pipelineOracle: String =
+  private def pipelineOracle: String = materializeTrainedCtes(
     s"""WITH RECURSIVE
        |fpp AS (SELECT doc_id,
        |          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
@@ -2670,7 +2748,7 @@ object SparkEntry {
        |  UNION ALL SELECT doc_id, 'contaminated', CAST(NULL AS BIGINT) FROM cont
        |  UNION ALL SELECT doc_id, 'kept', CAST(NULL AS BIGINT) FROM surv3
        |            WHERE doc_id NOT IN (SELECT doc_id FROM cont))
-       |SELECT doc_id, verdict, kept_by FROM res ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, verdict, kept_by FROM res ORDER BY doc_id""".stripMargin)
 
   /** q123: the full curation recipe replayed stage by stage in ONE
     * statement, every stage the corresponding declared oracle's CTEs
@@ -3096,7 +3174,7 @@ object SparkEntry {
              |         FROM sc$r) t WHERE rn = 1)""".stripMargin
       centroid + reassign
     }.mkString
-    head + roundCtes +
+    materializeTrainedCtes(head + roundCtes +
       s""",
          |fs AS (SELECT a.vec_id, c.cell,
          |         (${sqlDot("a.v", "c.cv")}) / c.cnrm AS score,
@@ -3105,7 +3183,7 @@ object SparkEntry {
          |fr AS (SELECT vec_id, cell AS cluster_id, cos_sim,
          |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
          |      FROM fs)
-         |SELECT vec_id, cluster_id, cos_sim FROM fr WHERE rn = 1 ORDER BY vec_id""".stripMargin
+         |SELECT vec_id, cluster_id, cos_sim FROM fr WHERE rn = 1 ORDER BY vec_id""".stripMargin)
   }
 
   /** q81/q82: the greedy BPE merge loop replayed as a DuckDB recursive
@@ -4198,14 +4276,49 @@ object SparkEntry {
        |adc AS (SELECT query_id, list(pd ORDER BY s, code) AS adc FROM adcp GROUP BY query_id)""".stripMargin
   }
 
+  /** Force-MATERIALIZE the shared/expensive CTEs of the trained-chain
+    * oracles: DuckDB inlines CTEs by default, and a multi-consumer
+    * training/encode chain re-expands per consumer — the q123/q83
+    * lesson, measured again on q125 (1.3 s materialized vs >240 s
+    * inlined at sf0.001). r16 found the UN-materialized q102/q105
+    * replays dominating the whole oracle gate (~200 s each at sf0.01,
+    * 84% of the driver-gate wall — the likely cause of the driver's
+    * empty correctness artifact if its harness is time-budgeted), so
+    * the transformation is hoisted here and applied to EVERY oracle
+    * that splices a training chain. Names cover the PQ index/search
+    * chain, the Lloyd centroid rounds (kv/ksc/ka/kg/kc/kk ≤ 4), and
+    * the codebook training rounds (book/tenc/tasg/tsum/tcv/bookc ≤ 4);
+    * materializing a single-consumer CTE is harmless (MATERIALIZED is
+    * a planner hint, never a semantics change). */
+  private def materializeTrainedCtes(text: String): String = {
+    val base = Seq("n", "cent", "sc", "asg", "sv", "bsrc", "c2f", "ccn",
+      "encp", "codesl", "codesv", "adcp", "adc", "svr", "bfs", "bfr",
+      // the SemDeDup/kmeans/pipeline chain names (q65/q101/q104/q106/
+      // s15/q75 — the next tier of the r17 oracle-cost sweep): e2 =
+      // salted vectors, a0/p/d/dc = assign/pairs/condemn, hits, n0 =
+      // kmeans seeds, fpp/l1/surv1/edges/lab/keep2/dup_near/surv2/q =
+      // the pipeline's multi-consumer stage frames (`reach` stays
+      // un-materialized — it is the RECURSIVE member)
+      "e2", "a0", "p", "d", "dc", "hits", "n0", "fpp", "k1", "l1",
+      "surv1", "edges", "lab", "q", "keep2", "dup_near", "surv2",
+      "h1", "h2", "b1", "b2", "store0", "store1", "adm1")
+    val rounds = (0 to 4).flatMap(r => Seq(s"book$r", s"tenc$r", s"tasg$r",
+      s"tsum$r", s"tcv$r", s"bookc$r", s"kv$r", s"ksc$r", s"ka$r",
+      s"kg$r", s"kc$r", s"kk$r",
+      s"a$r", s"n$r", s"sc$r", s"g$r", s"c$r", s"k$r", s"d$r"))
+    (base ++ Seq("book") ++ rounds).foldLeft(text) { (t, c) =>
+      t.replaceAll("(?m)^" + c + " AS \\(", c + " AS MATERIALIZED (")
+    }
+  }
+
   private def annIvfPqOracle(residual: Boolean = false,
                              trainRounds: Int = 0,
                              centRounds: Int = 0,
                              nProbe: Int = 4,
-                             rerank: Int = 32): String =
+                             rerank: Int = 32): String = materializeTrainedCtes(
     s"""${annIvfPqIndexCtes(residual, trainRounds, centRounds)},
        |${annIvfPqSearchCtes("", nProbe, rerank, residual)}
-       |SELECT * FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+       |SELECT * FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)
 
   /** q125: the serving frontier replayed — ONE shared trained index,
     * every (nProbe, rerank) config's full search chain suffixed _cN,
@@ -4215,18 +4328,10 @@ object SparkEntry {
     val searches = configs.zipWithIndex.map { case ((np, rr), i) =>
       annIvfPqSearchCtes(s"_c$i", np, rr, residual = true)
     }.mkString(",\n")
-    // MATERIALIZE the shared index + baseline CTEs: DuckDB inlines
-    // CTEs by default, and |configs| search chains re-expanding the
-    // whole two-loop training chain (plus per-arm re-expansion of the
-    // n² brute-force baseline) made the inlined statement effectively
-    // unplannable — measured 1.3 s materialized vs >240 s inlined at
-    // sf0.001 (the q123/q83 MATERIALIZED convention).
-    def materialize(text: String): String =
-      Seq("n", "cent", "sc", "asg", "sv", "bsrc", "book", "c2f", "ccn",
-        "encp", "codesl", "codesv", "adcp", "adc", "svr", "bfs", "bfr")
-        .foldLeft(text) { (t, c) =>
-          t.replaceAll("(?m)^" + c + " AS \\(", c + " AS MATERIALIZED (")
-        }
+    // MATERIALIZE the shared index + baseline CTEs — the hoisted
+    // [[materializeTrainedCtes]] (this oracle is where the 1.3 s
+    // materialized vs >240 s inlined number was first measured).
+    def materialize(text: String): String = materializeTrainedCtes(text)
     val arms = configs.zipWithIndex.map { case ((np, rr), i) =>
       s"""  SELECT $np AS n_probe, $rr AS rerank,
          |    (SELECT COUNT(*) FROM bfr) AS n_exact,

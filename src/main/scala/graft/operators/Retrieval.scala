@@ -256,11 +256,12 @@ object Retrieval {
   }
 
   /** Validated index handle: loud on missing pieces, mixed or drifted
-    * stamps. `nDocs`/`lTokens`/`avgdlQ` are collected scalars (one-row
-    * stats — the q101 centroid-table pattern); `lTokens` rides so an
-    * APPEND can merge stats associatively (q131). */
+    * stamps. `nDocs`/`lTokens`/`maxDl`/`avgdlQ` are collected scalars
+    * (one-row stats — the q101 centroid-table pattern); `lTokens` and
+    * `maxDl` ride so an APPEND can merge stats associatively (q131). */
   final case class Bm25Index(postings: DataFrame, lexicon: DataFrame,
-                             nDocs: Long, lTokens: Long, avgdlQ: Long)
+                             nDocs: Long, lTokens: Long, maxDl: Long,
+                             avgdlQ: Long)
 
   def readBm25Index(spark: org.apache.spark.sql.SparkSession,
                     path: String): Bm25Index = {
@@ -287,7 +288,75 @@ object Retrieval {
         lexicon.columns.mkString(", "))
     Bm25Index(postings, lexicon,
       st.getAs[Long]("n_docs"), st.getAs[Long]("l_tokens"),
-      st.getAs[Long]("avgdl_q"))
+      st.getAs[Long]("max_dl"), st.getAs[Long]("avgdl_q"))
+  }
+
+  /** q131: INCREMENTAL index append — the corpus-intake convention
+    * (q45's band index / q101's vector store / s08's admit loop)
+    * reaching the lexical leg (r16 verdict #4): production ingests a
+    * continuously-arriving corpus, and rebuilding the whole inverted
+    * index per intake batch re-pays the full-corpus shuffle for a
+    * fraction-of-a-percent delta. Append instead:
+    *
+    *  - `postings/` — the batch's (doc_id, term, tf, dl) rows APPENDED
+    *    shard-partitioned (dl is a per-DOC statistic, so batch-local
+    *    computation is already final — nothing existing is touched).
+    *  - `lexicon/` — df counts are ASSOCIATIVE (df = Σ per-batch df),
+    *    so old ∪ batch merges with one vocabulary-scale agg; idf_q is
+    *    then recomputed over the merged frame under the NEW n_docs —
+    *    a map-side pass over the lexicon, never a corpus re-scan.
+    *    (idf depends on n_docs, so every term's idf_q moves on every
+    *    append — which is exactly why idf lives in the lexicon and
+    *    not in the postings.)
+    *  - `stats/` — n_docs/l_tokens sum, max_dl maxes, avgdl_q is
+    *    re-derived from the merged exact integers; same overflow
+    *    fence as the build ([[MaxDlAvgdlBound]]), driver-side here.
+    *
+    * The merged lexicon/stats equal a from-scratch build EXACTLY
+    * (integer counts, no order dependence), so append ≡ rebuild is a
+    * hash-checked identity, not an approximation — the declared q131
+    * serves an appended index and shares q127's oracle verbatim.
+    *
+    * Intake contract (q45/s08's): batch doc_ids are NEW — re-ingesting
+    * an indexed document would double its postings (dedup the intake
+    * first; that is what the dedup family is for). */
+  def appendBm25Index(spark: org.apache.spark.sql.SparkSession,
+                      batch: DataFrame, path: String): Unit = {
+    val idx = readBm25Index(spark, path) // stamp-validates before touching anything
+    val tfd = postingsFrame(batch).localCheckpoint()
+    val bs = statsFrame(tfd).collect()
+    require(bs.length == 1 && bs.head.getAs[Long]("n_docs") > 0,
+      s"appendBm25Index: empty intake batch — nothing to append")
+    val b = bs.head
+    val nDocs = idx.nDocs + b.getAs[Long]("n_docs")
+    val lTokens = idx.lTokens + b.getAs[Long]("l_tokens")
+    val maxDl = math.max(idx.maxDl, b.getAs[Long]("max_dl"))
+    val avgdlQ = (lTokens * AvgdlQ) / nDocs
+    require(maxDl * avgdlQ <= MaxDlAvgdlBound,
+      s"appendBm25Index: merged max_dl*avgdl_q ($maxDl * $avgdlQ) exceeds " +
+        s"the int64 score-exactness bound $MaxDlAvgdlBound — the " +
+        "fixed-point contribution would wrap; truncate pathological " +
+        "documents or narrow Bm25FBits")
+    tfd.withColumn("_p_shard", pmod(xxhash64(col("term")), lit(IndexShards)))
+      .write.mode("append").partitionBy("_p_shard")
+      .parquet(s"$path/postings")
+    // merged lexicon materialized BEFORE the same-path overwrite (the
+    // q129 stamp-spec precedent: localCheckpoint detaches the frame
+    // from the files the write is about to replace)
+    val mergedLex = idx.lexicon.select(col("term"), col("df"))
+      .unionByName(tfd.groupBy("term").agg(count(lit(1)).as("df")))
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("idf_q", expr(idfExpr))
+      .select("term", "df", "idf_q")
+      .localCheckpoint()
+    mergedLex.write.mode("overwrite").parquet(s"$path/lexicon")
+    import spark.implicits._
+    Seq((nDocs, lTokens, maxDl, avgdlQ))
+      .toDF("n_docs", "l_tokens", "max_dl", "avgdl_q")
+      .withColumn("_p_fbits", lit(Bm25FBits))
+      .withColumn("_p_shards", lit(IndexShards))
+      .write.mode("overwrite").parquet(s"$path/stats")
   }
 
   /** Serve a query batch `(query_id, text)` against a persisted index:

@@ -608,21 +608,8 @@ object Similarity {
     val dim = 64
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     val cents = resolvedCentroids(embeddings, nCells, centroids)
-    val cellIds = lit(cents.map(_._1))
     val e = prepared(embeddings)
-
-    def dotD(a: Array[Double], b: Array[Double]): Double = dotArr(a, b)
-
-    // corpus cell assignment: the dual-shape argmax (literal array at
-    // test geometry, broadcast table past the ~32-centroid codegen
-    // window — the same cliff assignCells documents). The QUERY-side
-    // literal expressions below (probe scores, the 128 ADC dots) are
-    // exempt: they run on nQueries rows, where even an interpreted
-    // fallback is microseconds.
-    val assigned = assignCellsFull(e, cents)
 
     // PQ codebook: (s, code, slice, |c|²) — KBs, like the coarse
     // centroids. Default = the deterministic training-free seeds
@@ -649,25 +636,54 @@ object Similarity {
       bookRaw.map { case (s, code, cv) =>
         (s, code, cv, cv.foldLeft(0.0)((a, x) => a + x * x))
       }
-    val bookDf = book.toDF("s", "code", "cv", "c2")
-    // residual mode's constant cell tables: ccf = the (s, code)-flat
-    // dots of each cell centroid's slices against the codebook
-    // (corrects both the encode argmin and |v̂|²), c2c = |c_cell|²
-    val ccDf = broadcast(cents.toSeq.map { case (cellId, cvec) =>
-      val flat = book.sortBy(b => (b._1, b._2)).map { case (s, _, cb, _) =>
-        dotD(cvec.slice(s * dsub, (s + 1) * dsub), cb)
-      }.toArray
-      (cellId, flat, dotD(cvec, cvec))
-    }.toDF("cell", "ccf", "c2c"))
-    // flat (s, code)-ordered constant tables for the lookup chains
-    val c2flat = lit(book.sortBy(b => (b._1, b._2)).map(_._4).toArray)
-    // Σ_s arr[s·ks + codes[s] + 1] as a FIXED left-assoc chain — the
-    // same 8-term sum the oracle writes, bit-stable by construction
-    def lookupSum(arr: Column, codesCol: Column): Column =
-      (0 until m).map(s =>
-        element_at(arr, lit(s * ks + 1) + element_at(codesCol, s + 1)))
-        .reduce(_ + _)
+    val codes = pqEncode(e, cents, book, m, ks, dsub, residual)
+    pqSearch(codes, e, cents, book, m, ks, dsub, residual,
+      nQueries, k, nProbe, rerank, pruneAtScan = false)
+  }
 
+  /** Σ_s arr[s·ks + codes[s] + 1] as a FIXED left-assoc chain — the
+    * same 8-term sum the oracle writes, bit-stable by construction.
+    * Shared by the encode (|v̂|² stamps) and the search (ADC sums). */
+  private def pqLookupSum(arr: Column, codesCol: Column,
+                          m: Int, ks: Int): Column =
+    (0 until m).map(s =>
+      element_at(arr, lit(s * ks + 1) + element_at(codesCol, s + 1)))
+      .reduce(_ + _)
+
+  /** Residual mode's constant cell table: ccf = the (s, code)-flat
+    * dots of each cell centroid's slices against the codebook
+    * (corrects both the encode argmin and |v̂|²), c2c = |c_cell|². */
+  private def pqCellTable(cents: Array[(Long, Array[Double])],
+                          book: Seq[(Int, Int, Array[Double], Double)],
+                          dsub: Int, spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    broadcast(cents.toSeq.map { case (cellId, cvec) =>
+      val flat = book.sortBy(b => (b._1, b._2)).map { case (s, _, cb, _) =>
+        dotArr(cvec.slice(s * dsub, (s + 1) * dsub), cb)
+      }.toArray
+      (cellId, flat, dotArr(cvec, cvec))
+    }.toDF("cell", "ccf", "c2c"))
+  }
+
+  /** The PQ ENCODE half of [[annIvfPq]] — (vec_id, cell, codes, vn2)
+    * from the prepared corpus. Factored out so the persisted-index
+    * build (q130's [[writeAnnIndex]]) writes EXACTLY the codes the
+    * in-plan search computes — sharing the code is what makes the
+    * q130 ≡ q105 row-identity a structural guarantee, not a test
+    * coincidence. */
+  private[operators] def pqEncode(e: DataFrame,
+      cents: Array[(Long, Array[Double])],
+      book: Seq[(Int, Int, Array[Double], Double)],
+      m: Int, ks: Int, dsub: Int, residual: Boolean): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bookDf = book.toDF("s", "code", "cv", "c2")
+    val ccDf = pqCellTable(cents, book, dsub, spark)
+    val c2flat = lit(book.sortBy(b => (b._1, b._2)).map(_._4).toArray)
+    // corpus cell assignment: the dual-shape argmax (literal array at
+    // test geometry, broadcast table past the ~32-centroid codegen
+    // window — the same cliff assignCells documents).
+    val assigned = assignCellsFull(e, cents)
     // encode: per-subspace argmin over the broadcast codebook. ONE
     // shuffle: the m per-subspace argmins run as conditional
     // min(struct) aggregates of a single groupBy(vec_id), so the map
@@ -697,14 +713,35 @@ object Similarity {
         array((0 until m).map(s => col(s"b$s.code")): _*).as("codes"))
     // |v̂|²: raw — Σ|cb_code|²; residual — |c|² + 2Σ⟨c_sub,cb_code⟩ +
     // Σ|cb_code|² (v̂ = c + concat(cb codes))
-    val codes =
-      if (!residual) codes0.withColumn("vn2", lookupSum(c2flat, col("codes")))
-      else codes0.join(ccDf, Seq("cell"))
-        .withColumn("vn2", col("c2c") +
-          lit(2.0) * lookupSum(col("ccf"), col("codes")) +
-          lookupSum(c2flat, col("codes")))
+    if (!residual)
+      codes0.withColumn("vn2", pqLookupSum(c2flat, col("codes"), m, ks))
         .select("vec_id", "cell", "codes", "vn2")
+    else codes0.join(ccDf, Seq("cell"))
+      .withColumn("vn2", col("c2c") +
+        lit(2.0) * pqLookupSum(col("ccf"), col("codes"), m, ks) +
+        pqLookupSum(c2flat, col("codes"), m, ks))
+      .select("vec_id", "cell", "codes", "vn2")
+  }
 
+  /** The PQ SEARCH half of [[annIvfPq]] — probes, ADC scoring over a
+    * codes frame, exact re-rank against the float store `e`. With
+    * `pruneAtScan` the distinct probed cells are collected first
+    * (≤ nQueries·nProbe longs — index-metadata weight, the q129
+    * shard-probe convention) and pushed into the codes frame as an
+    * `isin` filter, so a PARQUET-BACKED cell-partitioned codes table
+    * prunes unprobed cells at the scan (partition pruning, spec-
+    * pinned) — the distributed analogue of reading only the probed
+    * inverted lists. The in-plan path skips the collect: its codes
+    * frame is not a scan, so there is nothing to prune. */
+  private[operators] def pqSearch(codes: DataFrame, e: DataFrame,
+      cents: Array[(Long, Array[Double])],
+      book: Seq[(Int, Int, Array[Double], Double)],
+      m: Int, ks: Int, dsub: Int, residual: Boolean,
+      nQueries: Int, k: Int, nProbe: Int, rerank: Int,
+      pruneAtScan: Boolean): DataFrame = {
+    val spark = e.sparkSession
+    val cellIds = lit(cents.map(_._1))
+    val ccDf = pqCellTable(cents, book, dsub, spark)
     // queries: probe list (q46's shape) + the ADC distance table
     val queries = e.filter(col("vec_id") < nQueries)
     val wq = Window.partitionBy("query_id").orderBy(col("score").desc, col("cell"))
@@ -726,6 +763,19 @@ object Similarity {
       array(book.sortBy(b => (b._1, b._2)).map { case (s, _, cv, _) =>
         Exprs.dot(slice(col("v"), s * dsub + 1, dsub), lit(cv))
       }: _*).as("adc"))
+    val candCodes =
+      if (!pruneAtScan) codes
+      else {
+        val probed = probes0.select("cell").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        // prune on the PARTITION column when the frame carries one
+        // (the artifact's _p_cell — q129's _p_shard convention); the
+        // cast-and-isin shape is what FileSourceScanExec's partition
+        // pruning consumes (selectedPartitions, spec-proven on q129)
+        val pc = if (codes.columns.contains("_p_cell"))
+          col("_p_cell").cast("long") else col("cell")
+        codes.filter(pc.isin(probed: _*))
+      }
 
     // approximate scoring: cell equi-join + m lookups per candidate.
     // The probe side (nQueries·nProbe rows carrying the ADC tables) is
@@ -733,9 +783,9 @@ object Similarity {
     // the hint Spark's unknown-size estimate picks a sort-merge join
     // that exchanges every vector's codes by cell.
     val numerator =
-      if (!residual) lookupSum(col("adc"), col("codes"))
-      else col("qcdot") + lookupSum(col("adc"), col("codes"))
-    val approx = codes.withColumnRenamed("vec_id", "neighbor_id")
+      if (!residual) pqLookupSum(col("adc"), col("codes"), m, ks)
+      else col("qcdot") + pqLookupSum(col("adc"), col("codes"), m, ks)
+    val approx = candCodes.withColumnRenamed("vec_id", "neighbor_id")
       .join(broadcast(probes.join(broadcast(adc), Seq("query_id"))), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("approx", numerator / (col("qn") * sqrt(col("vn2"))))
@@ -1139,6 +1189,135 @@ object Similarity {
       s"codebook at $path is corrupt: does not carry codes 0..${ks - 1} " +
         s"for every subspace 0..${m - 1}")
     rows.map(t => (t._1, t._2, t._3)).sortBy(t => (t._1, t._2))
+  }
+
+  /** q130: the PERSISTED trained ANN index — the q129 artifact
+    * convention applied to the q102/q105 trained IVF-PQ chain (r16
+    * verdict #3): until now the trained index was rebuilt per query;
+    * at 100 TB the index is an ARTIFACT — train and encode once,
+    * serve every query batch from the persisted codes without ever
+    * re-scanning (or re-training on) the corpus.
+    *
+    * Layout under `path`:
+    *  - `centroids/` — the Lloyd-trained coarse quantizer
+    *    ([[writeCentroids]], `_p_dim`-stamped).
+    *  - `codebook/` — the trained residual PQ codebooks
+    *    ([[writeCodebook]], `_p_m/_p_ks/_p_dsub`-stamped).
+    *  - `codes/` — (vec_id, cell, codes, vn2) PARTITIONED BY `_p_cell`
+    *    (a copy of cell — the q129 `_p_shard` convention, so the data
+    *    column keeps its exact LONG type while the partition column
+    *    prunes): a serve reads ONLY the cells its queries probe
+    *    (partition pruning, spec-pinned) — the distributed analogue
+    *    of reading just the probed inverted lists. vn2 is stamped at
+    *    encode (q69's convention) so scoring never touches floats.
+    *  - `stats/` — one row: geometry + residual-mode stamps and the
+    *    CENTROID DIGEST ([[centStamp]], q101's precedent). Codes
+    *    encoded under different centroids or a different book
+    *    geometry fail LOUD at read — a drifted index would silently
+    *    mis-assign probes and fail open.
+    *
+    * The float vectors for the exact re-rank stay in the CORPUS table
+    * (passed to [[annServeIndex]]) — production PQ serving reads the
+    * small code table hot and fetches only rerank·nQueries float rows
+    * from the cold store, which is the memory story that makes PQ
+    * worth persisting at all (Jégou et al. 2011). */
+  def writeAnnIndex(embeddings: DataFrame, path: String,
+                    nCells: Int = 16, m: Int = 8, ks: Int = 16,
+                    centRounds: Int = 2, trainRounds: Int = 2,
+                    residual: Boolean = true): Unit = {
+    val dim = 64
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = trainedCentroids(embeddings, nCells = nCells, rounds = centRounds)
+    val book = trainedCodebooks(embeddings, nCells = nCells, m = m, ks = ks,
+      rounds = trainRounds, residual = residual, centroids = Some(cents))
+    writeCentroids(cents, spark, s"$path/centroids")
+    writeCodebook(book, spark, s"$path/codebook")
+    val bookC2: Seq[(Int, Int, Array[Double], Double)] =
+      book.toSeq.map { case (s, code, cv) =>
+        (s, code, cv, cv.foldLeft(0.0)((a, x) => a + x * x))
+      }
+    pqEncode(prepared(embeddings), cents, bookC2, m, ks, dsub, residual)
+      .withColumn("_p_cell", col("cell"))
+      .write.mode("overwrite").partitionBy("_p_cell")
+      .parquet(s"$path/codes")
+    Seq((m, ks, dsub, cents.length, residual, centStamp(cents)))
+      .toDF("_p_m", "_p_ks", "_p_dsub", "_p_cells", "_p_residual",
+        "_p_cent_stamp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Validated handle on a persisted ANN index: centroids + codebook
+    * re-validated through their own readers, codes left as a LAZY
+    * cell-partitioned frame (the serve prunes it at the scan). */
+  final case class AnnIndex(cents: Array[(Long, Array[Double])],
+                            book: Array[(Int, Int, Array[Double])],
+                            codes: DataFrame,
+                            m: Int, ks: Int, dsub: Int, residual: Boolean)
+
+  def readAnnIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String, m: Int = 8, ks: Int = 16): AnnIndex = {
+    val stats = spark.read.parquet(s"$path/stats").collect()
+    require(stats.length == 1,
+      s"ann index at $path: stats must be ONE row, got ${stats.length}")
+    val st = stats.head
+    require(st.getAs[Int]("_p_m") == m && st.getAs[Int]("_p_ks") == ks,
+      s"ann index at $path was encoded at m=${st.getAs[Int]("_p_m")} " +
+        s"ks=${st.getAs[Int]("_p_ks")}, caller serves at m=$m ks=$ks — " +
+        "the flat ADC tables would mis-stride; rebuild the index")
+    val cents = readCentroids(spark, s"$path/centroids")
+    require(st.getAs[Int]("_p_cells") == cents.length,
+      s"ann index at $path: stats stamp ${st.getAs[Int]("_p_cells")} cells " +
+        s"but the centroid table holds ${cents.length}")
+    // the load-bearing consistency check: the CODES were encoded
+    // against exactly these centroids — a swapped/retrained centroid
+    // table would route probes into cells whose codes mean something
+    // else (fails open: silently wrong neighbors)
+    require(st.getAs[String]("_p_cent_stamp") == centStamp(cents),
+      s"ann index at $path: centroid table does not match the digest " +
+        "the codes were encoded under — rebuild the index (a probe " +
+        "against drifted centroids silently mis-ranks)")
+    val book = readCodebook(spark, s"$path/codebook", m, ks)
+    val dsub = st.getAs[Int]("_p_dsub")
+    require(book.head._3.length == dsub,
+      s"ann index at $path: codebook sub-dim ${book.head._3.length} vs " +
+        s"stats stamp $dsub")
+    val codes = spark.read.parquet(s"$path/codes")
+    require(Set("vec_id", "cell", "codes", "vn2", "_p_cell")
+      .subsetOf(codes.columns.toSet),
+      s"ann index at $path: codes lack expected columns, got " +
+        codes.columns.mkString(", "))
+    AnnIndex(cents, book, codes, m, ks, dsub,
+      st.getAs[Boolean]("_p_residual"))
+  }
+
+  /** Serve a query set against a persisted index: probes from the
+    * artifact's centroids, ADC over the artifact's codes (only the
+    * probed cells' partitions are READ — [[pqSearch]]'s pruneAtScan),
+    * exact re-rank against the float store `embeddings`. The declared
+    * q130 serves q105's configuration (nProbe=8, rerank=64) over the
+    * q102-trained artifact and is row-identical to q105 — shared
+    * oracle, the q126/q129 identity convention, driver-hash-checked
+    * every round. */
+  def annServeIndex(index: AnnIndex, embeddings: DataFrame,
+                    nQueries: Int = 10, k: Int = 5,
+                    nProbe: Int = 8, rerank: Int = 64): DataFrame = {
+    // same loud dimension check as resolvedCentroids (bypassed here —
+    // the centroids come from the artifact, not the corpus)
+    val corpusDim = embeddings.select(size(vecD(col("embedding"))))
+      .first().getInt(0)
+    require(index.cents.head._2.length == corpusDim,
+      s"ann index dimension ${index.cents.head._2.length} does not " +
+        s"match the corpus embedding dimension $corpusDim")
+    val bookC2: Seq[(Int, Int, Array[Double], Double)] =
+      index.book.toSeq.map { case (s, code, cv) =>
+        (s, code, cv, cv.foldLeft(0.0)((a, x) => a + x * x))
+      }
+    pqSearch(index.codes, prepared(embeddings), index.cents, bookC2,
+      index.m, index.ks, index.dsub, index.residual,
+      nQueries, k, nProbe, rerank, pruneAtScan = true)
   }
 
   /** Deterministic digest of a centroid table — the consistency stamp

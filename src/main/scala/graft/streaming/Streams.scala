@@ -446,6 +446,44 @@ object Streams {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** s21: STREAMING RETRIEVAL — micro-batch query serving against the
+    * persisted q129 BM25 index (r16 verdict #8: every other family
+    * has its s-form; this is the lexical leg's). Each micro-batch of
+    * (query_id, text) queries is served by
+    * [[graft.operators.Retrieval.bm25ServeIndex]] VERBATIM — the
+    * batch's lexicon slice broadcasts, only the posting shards the
+    * batch's terms hash into are read (partition pruning per batch,
+    * the s18 pattern: the reference artifact stays put, each batch
+    * probes its slice) — and the batch's ranked rows append to the
+    * sink.
+    *
+    * Per-query results are pure functions of (query text, index) —
+    * independent of batching — so the drained union over any batching
+    * of the q127 query set equals q127's batch output row-identically
+    * and q127's oracle applies verbatim (the one-drain delivery of
+    * the declared query makes that a single batch; the s18/s20
+    * convention). The index handle is validated ONCE at stream start
+    * (stamps don't drift mid-stream; a concurrent rebuild under a
+    * running stream is the caller's race to avoid — the q129 read
+    * guard still dies loudly on a geometry change at (re)start). */
+  def streamBm25Serve(queries: DataFrame, indexPath: String,
+                      outDir: String, checkpointDir: String,
+                      k: Int = 5, excludeId: Boolean = true,
+                      trigger: Option[Trigger] = None): StreamingQuery = {
+    val spark = queries.sparkSession
+    val index = graft.operators.Retrieval.readBm25Index(spark, indexPath)
+    val w = queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Retrieval
+          .bm25ServeIndex(index, batch, k = k, excludeId = excludeId)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
   /** s09: the CLOSED continuous-dedup loop — s08 plus per-batch
     * ADMISSION. s08 probes a static corpus index, so two intake
     * batches that duplicate EACH OTHER both pass; here every batch,

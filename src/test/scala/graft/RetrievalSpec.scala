@@ -146,6 +146,41 @@ class RetrievalSpec extends SparkSpec {
       Set(0L, 10L, 11L)
   }
 
+  test("q131 append ≡ rebuild: lexicon, stats and served rows are identical") {
+    val base = java.nio.file.Files.createTempDirectory("bm25idx_app").toString
+    val docsAll = tables.documents
+    // split: standing corpus vs intake batch (the declared q131 split)
+    Retrieval.writeBm25Index(docsAll.filter(col("doc_id") % 10 =!= 9), s"$base/inc")
+    Retrieval.appendBm25Index(spark, docsAll.filter(col("doc_id") % 10 === 9), s"$base/inc")
+    Retrieval.writeBm25Index(docsAll, s"$base/full")
+    val inc = Retrieval.readBm25Index(spark, s"$base/inc")
+    val full = Retrieval.readBm25Index(spark, s"$base/full")
+    // stats merge exactly (associative integer counts)
+    (inc.nDocs, inc.lTokens, inc.maxDl, inc.avgdlQ) shouldBe
+      ((full.nDocs, full.lTokens, full.maxDl, full.avgdlQ))
+    // lexicon: merged df + recomputed idf equal the from-scratch build
+    def lex(i: Retrieval.Bm25Index) = i.lexicon
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    lex(inc) shouldBe lex(full)
+    // the serve: row-identical over the q127 query set
+    def serve(i: Retrieval.Bm25Index) = Retrieval.bm25ServeIndex(i,
+        docsAll.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("query_id"), col("text")),
+        excludeId = true)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    serve(inc) shouldBe serve(full)
+  }
+
+  test("q131 append refuses an empty intake batch") {
+    val base = java.nio.file.Files.createTempDirectory("bm25idx_emp").toString
+    Retrieval.writeBm25Index(corpus, s"$base/idx")
+    val err = intercept[IllegalArgumentException] {
+      Retrieval.appendBm25Index(spark, corpus.filter(col("doc_id") < 0), s"$base/idx")
+    }
+    err.getMessage should include("empty intake")
+  }
+
   test("q129 read fails loud on a parameter-stamp drift") {
     val dir = java.nio.file.Files.createTempDirectory("bm25idx_stamp").toString
     Retrieval.writeBm25Index(corpus, s"$dir/index")

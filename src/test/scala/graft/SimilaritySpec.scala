@@ -479,6 +479,62 @@ class SimilaritySpec extends SparkSpec {
     pqFull shouldBe ivfExact
   }
 
+  test("q130 persisted-index serve is row-identical to the in-plan q105") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx_spec").toString
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint()
+    Similarity.writeAnnIndex(e, s"$dir/index")
+    val served = Similarity
+      .annServeIndex(Similarity.readAnnIndex(spark, s"$dir/index"), e)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val cents = Similarity.trainedCentroids(e, nCells = 16, rounds = 2)
+    val inplan = Similarity.annIvfPq(e, residual = true, nProbe = 8,
+        rerank = 64, centroids = Some(cents),
+        codebook = Some(Similarity.trainedCodebooks(e, rounds = 2,
+          residual = true, centroids = Some(cents))))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    served should contain theSameElementsInOrderAs inplan
+  }
+
+  test("q130 serve prunes unprobed cells at the codes scan") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx_prune").toString
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint()
+    Similarity.writeAnnIndex(e, s"$dir/index")
+    val idx = Similarity.readAnnIndex(spark, s"$dir/index")
+    // one query at nProbe=2 touches ≤ 2 of the 16 cell partitions —
+    // the executed scan node's selectedPartitions is the truth
+    // (inputFiles lists the base relation; the q129 spec convention)
+    val served = Similarity.annServeIndex(idx, e, nQueries = 1, nProbe = 2)
+    val written = new java.io.File(s"$dir/index/codes").listFiles()
+      .count(_.getName.startsWith("_p_cell="))
+    val scans = served.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("codes")) =>
+        f.selectedPartitions.partitionCount
+    }
+    scans should not be empty
+    scans.max should be <= 2
+    scans.max should be < written
+  }
+
+  test("q130 read fails loud when the centroid table drifts from the codes' digest") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx_stamp").toString
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint()
+    Similarity.writeAnnIndex(e, s"$dir/index")
+    // swap in a retrained-but-different centroid table (more rounds):
+    // the codes were encoded under the original digest, so the read
+    // must refuse rather than silently mis-route probes
+    Similarity.writeCentroids(
+      Similarity.trainedCentroids(e, nCells = 16, rounds = 3),
+      spark, s"$dir/index/centroids")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.readAnnIndex(spark, s"$dir/index")
+    }
+    err.getMessage should include("digest")
+  }
+
   test("q125 frontier: report shape exact, rerank tracks the pool, widest config tops the sweep") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val rows = Similarity.annServingFrontier(e).collect()
