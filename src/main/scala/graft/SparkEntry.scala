@@ -58,6 +58,10 @@ object SparkEntry {
     * never compounds across reps. */
   private lazy val bm25AppendDir: String = scratchDir("graft_bm25app")
 
+  /** q132's per-process index scratch — [[bm25AppendDir]]'s rationale
+    * on the ANN leg. */
+  private lazy val annAppendDir: String = scratchDir("graft_annapp")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Core ETL surface
     "q01_ingest_normalize"   -> ((s, d) => Etl.ingestNormalize(Tables(s, d).events)),
@@ -546,6 +550,22 @@ object SparkEntry {
       Similarity.writeAnnIndex(e, s"$dir/index")
       Similarity.annServeIndex(Similarity.readAnnIndex(s, s"$dir/index"), e)
     }),
+    // q132: INCREMENTAL ANN index append — the Faiss lifecycle's add()
+    // half (train once on a representative snapshot, add batches
+    // forever): quantizers train on the full corpus (q130/q105's
+    // chain), the base codes (vec_id ≢ 9 mod 10) write at build, the
+    // intake batch (≡ 9 — q45/q131's split) encodes under the FROZEN
+    // artifact quantizers and appends. Per-row encoding makes
+    // append ≡ rebuild exact, so the serve is row-identical to
+    // q130 ≡ q105 and shares q105's oracle verbatim.
+    "q132_ann_index_appended" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      val dir = annAppendDir
+      Similarity.writeAnnIndex(e, s"$dir/index",
+        encodeOnly = Some(e.filter(col("vec_id") % 10 =!= 9)))
+      Similarity.appendAnnIndex(s, e.filter(col("vec_id") % 10 === 9), s"$dir/index")
+      Similarity.annServeIndex(Similarity.readAnnIndex(s, s"$dir/index"), e)
+    }),
     "q57_semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(Tables(s, d).embeddings)),
     // q104: q57 under the TRAINED quantizer (declared r14) — the
     // production SemDeDup build order (the paper trains; the q93
@@ -696,6 +716,26 @@ object SparkEntry {
         .filter(col("doc_id") < 10)
         .select(col("doc_id").as("query_id"), col("text"))
       val q = Streams.streamBm25Serve(queries, s"$tmp/index",
+        s"$tmp/out", s"$tmp/cp",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination(); q.stop()
+      s.read.parquet(s"$tmp/out")
+    }),
+    // s22: streaming ANN serving — the q105 query set delivered as a
+    // micro-batch vector stream, each batch served against the
+    // persisted q130 index (per-batch probe-cell pruning, exact
+    // rerank against the float store); one AvailableNow drain = one
+    // batch, per-query results batching-independent → the drained
+    // union is q105's output verbatim (s21's rule on the ANN leg)
+    "s22_stream_ann_serve" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      val tmp = scratchDir("graft_s22_")
+      Similarity.writeAnnIndex(e, s"$tmp/index")
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val queries = s.readStream.schema(schema)
+        .parquet(Streams.asStreamPath(s"$d/embeddings.parquet"))
+        .filter(col("vec_id") < 10)
+      val q = Streams.streamAnnServe(queries, s"$tmp/index", e,
         s"$tmp/out", s"$tmp/cp",
         trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       q.awaitTermination(); q.stop()
@@ -2259,6 +2299,17 @@ object SparkEntry {
     // trained chain, same serving constants, search body SHARED in
     // code) — identity convention, oracle verbatim
     "q130_ann_index_served" ->
+      annIvfPqOracle(residual = true, trainRounds = 2, centRounds = 2,
+        nProbe = 8, rerank = 64),
+    // q132: append ≡ rebuild (per-row encoding under frozen
+    // quantizers) ≡ q130 ≡ q105 — one oracle, hash-checked
+    "q132_ann_index_appended" ->
+      annIvfPqOracle(residual = true, trainRounds = 2, centRounds = 2,
+        nProbe = 8, rerank = 64),
+    // s22: per-query results are batching-independent functions of
+    // (query vector, index, store); one-drain delivery of the q105
+    // query set → the drained union IS q105's output (s21's rule)
+    "s22_stream_ann_serve" ->
       annIvfPqOracle(residual = true, trainRounds = 2, centRounds = 2,
         nProbe = 8, rerank = 64),
     "q125_ann_frontier" ->

@@ -738,12 +738,17 @@ object Similarity {
       book: Seq[(Int, Int, Array[Double], Double)],
       m: Int, ks: Int, dsub: Int, residual: Boolean,
       nQueries: Int, k: Int, nProbe: Int, rerank: Int,
-      pruneAtScan: Boolean): DataFrame = {
+      pruneAtScan: Boolean,
+      queriesOverride: Option[DataFrame] = None): DataFrame = {
     val spark = e.sparkSession
     val cellIds = lit(cents.map(_._1))
     val ccDf = pqCellTable(cents, book, dsub, spark)
-    // queries: probe list (q46's shape) + the ADC distance table
-    val queries = e.filter(col("vec_id") < nQueries)
+    // queries: probe list (q46's shape) + the ADC distance table.
+    // Default = the corpus-member convention (nQueries lowest ids);
+    // queriesOverride = an EXTERNAL prepared (vec_id, v, nrm) frame —
+    // the streaming serve's shape (s22), same arithmetic verbatim
+    val queries = queriesOverride
+      .getOrElse(e.filter(col("vec_id") < nQueries))
     val wq = Window.partitionBy("query_id").orderBy(col("score").desc, col("cell"))
     // residual mode carries the raw query·centroid dot per probed
     // cell (score·|c| — the oracle writes the same re-multiplication)
@@ -1224,7 +1229,8 @@ object Similarity {
   def writeAnnIndex(embeddings: DataFrame, path: String,
                     nCells: Int = 16, m: Int = 8, ks: Int = 16,
                     centRounds: Int = 2, trainRounds: Int = 2,
-                    residual: Boolean = true): Unit = {
+                    residual: Boolean = true,
+                    encodeOnly: Option[DataFrame] = None): Unit = {
     val dim = 64
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
@@ -1239,7 +1245,15 @@ object Similarity {
       book.toSeq.map { case (s, code, cv) =>
         (s, code, cv, cv.foldLeft(0.0)((a, x) => a + x * x))
       }
-    pqEncode(prepared(embeddings), cents, bookC2, m, ks, dsub, residual)
+    // `encodeOnly` splits TRAIN from ADD (q132 — the production PQ
+    // lifecycle of the public Faiss API: train() on a representative
+    // snapshot once, add() batches forever): quantizers always train
+    // on `embeddings`, but only this subset's codes are written —
+    // later intake encodes under the SAME frozen quantizers via
+    // [[appendAnnIndex]], and codes(base) ∪ codes(intake) equals a
+    // full encode EXACTLY because encoding is per-row
+    pqEncode(prepared(encodeOnly.getOrElse(embeddings)),
+        cents, bookC2, m, ks, dsub, residual)
       .withColumn("_p_cell", col("cell"))
       .write.mode("overwrite").partitionBy("_p_cell")
       .parquet(s"$path/codes")
@@ -1247,6 +1261,36 @@ object Similarity {
       .toDF("_p_m", "_p_ks", "_p_dsub", "_p_cells", "_p_residual",
         "_p_cent_stamp")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** q132: INCREMENTAL ANN index append — q131's intake convention on
+    * the semantic leg, and the other half of the Faiss lifecycle
+    * [[writeAnnIndex]]'s `encodeOnly` models: the batch encodes under
+    * the artifact's FROZEN quantizers (read back stamp-validated —
+    * the digest guard makes encoding under drifted centroids
+    * impossible) and its codes append cell-partitioned. Nothing else
+    * in the artifact is corpus-dependent (stats hold geometry + the
+    * digest; vn2 rides each code row), so append needs NO merge step
+    * at all — the structural payoff of stamping per-row norms at
+    * encode (q69's vn2 convention). append ≡ rebuild EXACTLY because
+    * per-row encoding is independent of every other row.
+    *
+    * Intake contract (q45/q131's): batch vec_ids are NEW — dedup the
+    * intake first. */
+  def appendAnnIndex(spark: org.apache.spark.sql.SparkSession,
+                     batch: DataFrame, path: String): Unit = {
+    val idx = readAnnIndex(spark, path)
+    require(batch.limit(1).count() > 0,
+      "appendAnnIndex: empty intake batch — nothing to append")
+    val bookC2: Seq[(Int, Int, Array[Double], Double)] =
+      idx.book.toSeq.map { case (s, code, cv) =>
+        (s, code, cv, cv.foldLeft(0.0)((a, x) => a + x * x))
+      }
+    pqEncode(prepared(batch), idx.cents, bookC2,
+        idx.m, idx.ks, idx.dsub, idx.residual)
+      .withColumn("_p_cell", col("cell"))
+      .write.mode("append").partitionBy("_p_cell")
+      .parquet(s"$path/codes")
   }
 
   /** Validated handle on a persisted ANN index: centroids + codebook
@@ -1303,7 +1347,8 @@ object Similarity {
     * every round. */
   def annServeIndex(index: AnnIndex, embeddings: DataFrame,
                     nQueries: Int = 10, k: Int = 5,
-                    nProbe: Int = 8, rerank: Int = 64): DataFrame = {
+                    nProbe: Int = 8, rerank: Int = 64,
+                    queries: Option[DataFrame] = None): DataFrame = {
     // same loud dimension check as resolvedCentroids (bypassed here —
     // the centroids come from the artifact, not the corpus)
     val corpusDim = embeddings.select(size(vecD(col("embedding"))))
@@ -1315,9 +1360,12 @@ object Similarity {
       index.book.toSeq.map { case (s, code, cv) =>
         (s, code, cv, cv.foldLeft(0.0)((a, x) => a + x * x))
       }
+    // `queries` = an EXTERNAL (vec_id, embedding) query frame (the s22
+    // streaming batch shape); default = the corpus-member convention
     pqSearch(index.codes, prepared(embeddings), index.cents, bookC2,
       index.m, index.ks, index.dsub, index.residual,
-      nQueries, k, nProbe, rerank, pruneAtScan = true)
+      nQueries, k, nProbe, rerank, pruneAtScan = true,
+      queriesOverride = queries.map(prepared))
   }
 
   /** Deterministic digest of a centroid table — the consistency stamp

@@ -484,6 +484,39 @@ object Streams {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** s22: STREAMING ANN SERVING — s21's pattern on the semantic leg:
+    * micro-batch query vectors served against the persisted q130
+    * trained index. Each batch runs
+    * [[graft.operators.Similarity.annServeIndex]] VERBATIM with the
+    * batch as the external query frame — probes from the artifact's
+    * centroids, only the batch's probed cells READ from the
+    * cell-partitioned codes (partition pruning per batch), exact
+    * re-rank against the float store — and appends its ranked rows.
+    * Per-query results are pure functions of (query vector, index,
+    * store), batching-independent, so the drained union over any
+    * batching of the q105 query set equals q105's output
+    * row-identically (one-drain delivery in the declared query).
+    * Index handle validated once at stream start (s21's rule). */
+  def streamAnnServe(queries: DataFrame, indexPath: String,
+                     store: DataFrame,
+                     outDir: String, checkpointDir: String,
+                     k: Int = 5, nProbe: Int = 8, rerank: Int = 64,
+                     trigger: Option[Trigger] = None): StreamingQuery = {
+    val spark = queries.sparkSession
+    val index = graft.operators.Similarity.readAnnIndex(spark, indexPath)
+    val w = queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity
+          .annServeIndex(index, store, k = k, nProbe = nProbe,
+            rerank = rerank, queries = Some(batch))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
   /** s09: the CLOSED continuous-dedup loop — s08 plus per-batch
     * ADMISSION. s08 probes a static corpus index, so two intake
     * batches that duplicate EACH OTHER both pass; here every batch,

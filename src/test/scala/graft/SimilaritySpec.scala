@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** q24–q26 semantics on constructed vectors with known cosines, plus
   * LSH recall against the exact brute-force reference. */
@@ -516,6 +517,37 @@ class SimilaritySpec extends SparkSpec {
     scans should not be empty
     scans.max should be <= 2
     scans.max should be < written
+  }
+
+  test("q132 append ≡ rebuild: codes and served rows identical under frozen quantizers") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx_app").toString
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint()
+    // incremental: train on the full snapshot, write only base codes,
+    // append the intake batch under the frozen quantizers
+    Similarity.writeAnnIndex(e, s"$dir/inc",
+      encodeOnly = Some(e.filter(col("vec_id") % 10 =!= 9)))
+    Similarity.appendAnnIndex(spark, e.filter(col("vec_id") % 10 === 9), s"$dir/inc")
+    Similarity.writeAnnIndex(e, s"$dir/full")
+    def codes(p: String) = spark.read.parquet(s"$p/codes")
+      .select("vec_id", "cell", "codes", "vn2")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    codes(s"$dir/inc") shouldBe codes(s"$dir/full")
+    def serve(p: String) = Similarity
+      .annServeIndex(Similarity.readAnnIndex(spark, p), e)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    serve(s"$dir/inc") shouldBe serve(s"$dir/full")
+  }
+
+  test("q132 append refuses an empty intake batch") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx_emp").toString
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint()
+    Similarity.writeAnnIndex(e, s"$dir/index")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.appendAnnIndex(spark, e.filter(col("vec_id") < 0), s"$dir/index")
+    }
+    err.getMessage should include("empty intake")
   }
 
   test("q130 read fails loud when the centroid table drifts from the codes' digest") {
