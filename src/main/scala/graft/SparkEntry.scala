@@ -62,6 +62,9 @@ object SparkEntry {
     * on the ANN leg. */
   private lazy val annAppendDir: String = scratchDir("graft_annapp")
 
+  /** q133's per-process index scratch. */
+  private lazy val annDriftDir: String = scratchDir("graft_anndrift")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Core ETL surface
     "q01_ingest_normalize"   -> ((s, d) => Etl.ingestNormalize(Tables(s, d).events)),
@@ -566,6 +569,28 @@ object SparkEntry {
       Similarity.appendAnnIndex(s, e.filter(col("vec_id") % 10 === 9), s"$dir/index")
       Similarity.annServeIndex(Similarity.readAnnIndex(s, s"$dir/index"), e)
     }),
+    // q133: INDEX DRIFT REPORT — the retrain alarm the frozen-
+    // quantizer lifecycle (q130/q132) needs: exact quantization error
+    // |v − v̂|² per split under the artifact's quantizers. The intake
+    // split plays a DRIFTED crawl — vectors scaled 3× at an id offset,
+    // the classic unnormalized-new-encoder drift (cell ASSIGNMENT is
+    // scale-invariant, so the drift is invisible to routing while the
+    // residuals blow up ~9× — exactly the silent decay this monitor
+    // exists to catch). The scaling happens on the DOUBLE side in
+    // both engines (one IEEE multiply — bit-identical), so the alarm
+    // path FIRES and is hash-checked (the q101 salt convention).
+    "q133_ann_index_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions.expr
+      val e = Tables(s, d).embeddings
+      val dir = annDriftDir
+      Similarity.writeAnnIndex(e, s"$dir/index")
+      val intake = e.filter(col("vec_id") % 10 === 9)
+        .select((col("vec_id") + lit(900000L)).as("vec_id"),
+          expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x * 3.0D)")
+            .as("embedding"))
+      Similarity.annIndexDrift(Similarity.readAnnIndex(s, s"$dir/index"),
+        e.filter(col("vec_id") % 10 =!= 9), intake)
+    }),
     "q57_semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(Tables(s, d).embeddings)),
     // q104: q57 under the TRAINED quantizer (declared r14) — the
     // production SemDeDup build order (the paper trains; the q93
@@ -736,6 +761,39 @@ object SparkEntry {
         .parquet(Streams.asStreamPath(s"$d/embeddings.parquet"))
         .filter(col("vec_id") < 10)
       val q = Streams.streamAnnServe(queries, s"$tmp/index", e,
+        s"$tmp/out", s"$tmp/cp",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination(); q.stop()
+      s.read.parquet(s"$tmp/out")
+    }),
+    // s23: the closed intake loop on the lexical leg — the index is
+    // built once on the standing corpus (ids ≢ 8,9 mod 10), then two
+    // pinned-order intake batches (≡ 8, then ≡ 9 — s09's landing
+    // convention) each APPEND and emit the post-append index-health
+    // row; both emissions are associative integer merges of the
+    // batches so far, so the oracle replays each prefix exactly
+    "s23_stream_bm25_ingest" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val base = docs.filter(col("doc_id") % 10 =!= 8 && col("doc_id") % 10 =!= 9)
+      val tmp = scratchDir("graft_s23_")
+      Retrieval.writeBm25Index(base, s"$tmp/index")
+      def land(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+        val stage = s"$tmp/stage_$name"
+        df.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val dest = java.nio.file.Paths.get(s"$tmp/landing/$name.parquet")
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(part.toPath, dest)
+        require(dest.toFile.setLastModified(mtime),
+          s"could not pin mtime on $dest — s23 delivery order would be undefined")
+      }
+      land(docs.filter(col("doc_id") % 10 === 8), "b1", 1000000L)
+      land(docs.filter(col("doc_id") % 10 === 9), "b2", 2000000L)
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val intake = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
+      val q = Streams.streamBm25Ingest(intake, s"$tmp/index",
         s"$tmp/out", s"$tmp/cp",
         trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       q.awaitTermination(); q.stop()
@@ -2312,6 +2370,29 @@ object SparkEntry {
     "s22_stream_ann_serve" ->
       annIvfPqOracle(residual = true, trainRounds = 2, centRounds = 2,
         nProbe = 8, rerank = 64),
+    // q133: drift report — the trained-index CTEs (training only) +
+    // the drift target's exact error chain + fixed-point split means
+    "q133_ann_index_drift" -> annDriftOracle(120),
+    // s23: the two post-append index-health rows are associative
+    // integer merges of the delivered prefixes (base∪b1, then all),
+    // so the oracle computes each prefix's stats directly with the
+    // q127 tokenizer; rows key on the strictly-monotone n_docs
+    "s23_stream_bm25_ingest" -> {
+      val A = graft.operators.Retrieval.AvgdlQ
+      def prefix(where: String): String =
+        s"""SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |       CAST(SUM(tf) AS BIGINT) AS l_tokens,
+           |       CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+           |FROM tf $where""".stripMargin
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+         |p1 AS (${prefix("WHERE doc_id % 10 <> 9")}),
+         |p2 AS (${prefix("")})
+         |SELECT n_docs, l_tokens, (l_tokens * $A) // n_docs AS avgdl_q, n_terms FROM p1
+         |UNION ALL
+         |SELECT n_docs, l_tokens, (l_tokens * $A) // n_docs AS avgdl_q, n_terms FROM p2
+         |ORDER BY n_docs""".stripMargin
+    },
     "q125_ann_frontier" ->
       annFrontierOracle(Similarity.DefaultFrontier),
     "q34_dedup_embedding_lsh" -> embeddingDedupLshOracle,
@@ -4202,9 +4283,14 @@ object SparkEntry {
     * (possibly trained) coarse centroids, assignment, (possibly
     * trained, possibly residual) codebooks, encodes, per-query ADC
     * tables — everything [[annIvfPqSearchCtes]] probes. */
+  /** `withEncode = false` (q133) stops after the trained book + the
+    * residual cell tables — the drift oracle encodes its OWN target
+    * frame (base ∪ perturbed intake), so the corpus encode/ADC CTEs
+    * would be dead weight. */
   private def annIvfPqIndexCtes(residual: Boolean = false,
                                 trainRounds: Int = 0,
-                                centRounds: Int = 0): String = {
+                                centRounds: Int = 0,
+                                withEncode: Boolean = true): String = {
     val (m, ks, dsub) = (8, 16, 8)
     def dot8(a: String, b: String): String = pqDot8(a, b)
     def chain(arr: String, codes: String): String = pqChain(arr, codes)
@@ -4318,13 +4404,14 @@ object SparkEntry {
        |                sv AS cv, (${dot8("sv", "sv")}) AS c2
        |         FROM bsrc)$trainCtes,
        |book AS (SELECT s, code, cv, c2 FROM book$trainRounds),
-       |c2f AS (SELECT list(c2 ORDER BY s, code) AS arr FROM book)$ccTables,
+       |c2f AS (SELECT list(c2 ORDER BY s, code) AS arr FROM book)$ccTables""".stripMargin +
+      (if (!withEncode) "" else s""",
        |$encp,
        |$codesl,
        |$codesv,
        |adcp AS (SELECT t.vec_id AS query_id, t.s, b.code, (${dot8("t.sv", "b.cv")}) AS pd
        |         FROM sv t JOIN book b USING (s) WHERE t.vec_id < 10),
-       |adc AS (SELECT query_id, list(pd ORDER BY s, code) AS adc FROM adcp GROUP BY query_id)""".stripMargin
+       |adc AS (SELECT query_id, list(pd ORDER BY s, code) AS adc FROM adcp GROUP BY query_id)""".stripMargin)
   }
 
   /** Force-MATERIALIZE the shared/expensive CTEs of the trained-chain
@@ -4360,6 +4447,60 @@ object SparkEntry {
     (base ++ Seq("book") ++ rounds).foldLeft(text) { (t, c) =>
       t.replaceAll("(?m)^" + c + " AS \\(", c + " AS MATERIALIZED (")
     }
+  }
+
+  /** q133: the drift report replayed — the q102/q105 trained-index
+    * CTEs (training only — withEncode=false), then the drift target
+    * (base split ∪ id-offset reversed-vector intake), per-vector
+    * quantization error |v − v̂|² = |v − c|² + Σ_s err_s through the
+    * SAME assignment argmax and encode-argmin chains, and the split
+    * means through the 2²⁰ fixed-point discipline (exact long sums,
+    * integer-div means, integer alarm comparison). Every constant
+    * spliced from the operator defaults. */
+  private def annDriftOracle(alarmPct: Int): String = {
+    val (m, ks, dsub) = (8, 16, 8)
+    val fp = 1L << 20
+    val errs = (1 to m).map(i => s"l.arr[$i]").mkString(" + ")
+    materializeTrainedCtes(
+      s"""${annIvfPqIndexCtes(residual = true, trainRounds = 2,
+            centRounds = 2, withEncode = false)},
+       |tgt AS (SELECT vec_id, v, 'base' AS split FROM n WHERE vec_id % 10 <> 9
+       |        UNION ALL
+       |        SELECT vec_id + 900000, list_transform(v, x -> x * 3), 'intake'
+       |        FROM n WHERE vec_id % 10 = 9),
+       |dsc AS (SELECT t.vec_id, t.split, t.v, c.cell, (${sqlDot("t.v", "c.v")}) / c.nrm AS score
+       |        FROM tgt t CROSS JOIN cent c),
+       |da AS (SELECT vec_id, split, v, cell FROM (
+       |         SELECT vec_id, split, v, cell,
+       |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+       |         FROM dsc) t WHERE rn = 1),
+       |dvm AS (SELECT a.vec_id, a.split, a.cell,
+       |          (${sqlDot("a.v", "a.v")}) - 2*(${sqlDot("a.v", "c.v")}) + (${sqlDot("c.v", "c.v")}) AS eb
+       |        FROM da a JOIN cent c USING (cell)),
+       |dsv AS (SELECT a.vec_id, a.cell, r.s, a.v[(r.s*$dsub+1):(r.s*$dsub+$dsub)] AS sv
+       |        FROM da a CROSS JOIN range(0, $m) r(s)),
+       |den AS (SELECT t.vec_id, t.s, b.code,
+       |          (b.c2 - 2*(${pqDot8("t.sv", "b.cv")}) + 2*x.ccf[t.s*$ks + b.code + 1]) AS err
+       |        FROM dsv t JOIN ccn x ON x.cell = t.cell JOIN book b USING (s)),
+       |dme AS (SELECT vec_id, s, err FROM (
+       |          SELECT vec_id, s, err,
+       |                 ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY err, code) AS rn
+       |          FROM den) t WHERE rn = 1),
+       |dqe AS (SELECT v.vec_id, v.split, (v.eb + $errs) AS qerr
+       |        FROM dvm v JOIN (SELECT vec_id, list(err ORDER BY s) AS arr
+       |                         FROM dme GROUP BY 1) l USING (vec_id)),
+       |dag AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |          CAST(SUM(CAST(FLOOR(qerr * $fp.0 + 0.5) AS BIGINT)) AS BIGINT) AS sfp,
+       |          MAX(qerr) AS mx
+       |        FROM dqe GROUP BY 1),
+       |dfin AS (SELECT split, n_vecs, sfp // n_vecs AS mfp, mx FROM dag),
+       |dal AS (SELECT (i.mfp * 100 > b.mfp * $alarmPct) AS retrain_alarm
+       |        FROM dfin i, dfin b WHERE i.split = 'intake' AND b.split = 'base')
+       |SELECT f.split, f.n_vecs,
+       |  FLOOR((CAST(f.mfp AS DOUBLE) / $fp.0) * 10000 + 0.5) / 10000 AS mean_qerr,
+       |  FLOOR(f.mx * 10000 + 0.5) / 10000 AS max_qerr,
+       |  a.retrain_alarm
+       |FROM dfin f CROSS JOIN dal a ORDER BY f.split""".stripMargin)
   }
 
   private def annIvfPqOracle(residual: Boolean = false,

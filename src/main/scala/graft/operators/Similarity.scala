@@ -674,7 +674,8 @@ object Similarity {
   private[operators] def pqEncode(e: DataFrame,
       cents: Array[(Long, Array[Double])],
       book: Seq[(Int, Int, Array[Double], Double)],
-      m: Int, ks: Int, dsub: Int, residual: Boolean): DataFrame = {
+      m: Int, ks: Int, dsub: Int, residual: Boolean,
+      withError: Boolean = false): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val bookDf = book.toDF("s", "code", "cv", "c2")
@@ -683,7 +684,30 @@ object Similarity {
     // corpus cell assignment: the dual-shape argmax (literal array at
     // test geometry, broadcast table past the ~32-centroid codegen
     // window — the same cliff assignCells documents).
-    val assigned = assignCellsFull(e, cents)
+    val assigned0 = assignCellsFull(e, cents)
+    // `withError` (q133's drift report) rides the QUANTIZATION ERROR
+    // through the encode: |v − v̂|² decomposes per subspace as
+    // |r_s − cb_codes[s]|² = |r_s|² + err_s (err_s is the argmin key
+    // the encode already computes), so Σ_s = |v − c|² + Σ err_s —
+    // the exact per-vector error costs ONE extra |v−c|² expression
+    // and zero extra shuffles. Raw (non-residual) mode: v̂ has no
+    // centroid term, so the base is |v|² instead of |v − c|². The
+    // three dot chains mirror the oracle's sqlDot chains term for
+    // term (fixed left-assoc — the bit-stability discipline).
+    val assigned =
+      if (!withError) assigned0
+      else {
+        val centVec = broadcast(cents.toSeq.map { case (cid, cv) => (cid, cv) }
+          .toDF("cell", "cvec"))
+        if (residual)
+          assigned0.join(centVec, Seq("cell"))
+            .withColumn("eb",
+              Exprs.dot(col("v"), col("v")) -
+                lit(2.0) * Exprs.dot(col("v"), col("cvec")) +
+                Exprs.dot(col("cvec"), col("cvec")))
+            .drop("cvec")
+        else assigned0.withColumn("eb", Exprs.dot(col("v"), col("v")))
+      }
     // encode: per-subspace argmin over the broadcast codebook. ONE
     // shuffle: the m per-subspace argmins run as conditional
     // min(struct) aggregates of a single groupBy(vec_id), so the map
@@ -700,27 +724,42 @@ object Similarity {
       if (!residual) col("c2") - lit(2.0) * Exprs.dot(col("sub"), col("cv"))
       else col("c2") - lit(2.0) * Exprs.dot(col("sub"), col("cv")) +
         lit(2.0) * element_at(col("ccf"), col("s") * ks + col("code") + 1)
+    val baseCols =
+      if (withError) Seq(col("vec_id"), col("cell"), col("eb"))
+      else Seq(col("vec_id"), col("cell"))
     val subRows0 = assigned
-      .select(col("vec_id"), col("cell"), explode(sIdx).as("s"), col("v"))
+      .select(baseCols :+ explode(sIdx).as("s") :+ col("v"): _*)
       .withColumn("sub", slice(col("v"), col("s") * dsub + 1, lit(dsub)))
       .join(broadcast(bookDf), Seq("s"))
     val subRows = if (residual) subRows0.join(ccDf, Seq("cell")) else subRows0
-    val codes0 = subRows
+    val aggs =
+      if (withError) minAggs :+ max(col("eb")).as("eb")
+      else minAggs
+    val grouped = subRows
       .withColumn("err", errCol)
       .groupBy(col("vec_id"), col("cell"))
-      .agg(minAggs.head, minAggs.tail: _*)
-      .select(col("vec_id"), col("cell"),
+      .agg(aggs.head, aggs.tail: _*)
+    val codes0 =
+      if (!withError) grouped.select(col("vec_id"), col("cell"),
         array((0 until m).map(s => col(s"b$s.code")): _*).as("codes"))
+      else grouped.select(col("vec_id"), col("cell"),
+        array((0 until m).map(s => col(s"b$s.code")): _*).as("codes"),
+        // fixed left-assoc: eb + err_0 + err_1 + … — the oracle's
+        // explicit chain order
+        (Seq(col("eb")) ++ (0 until m).map(s => col(s"b$s.err")))
+          .reduce(_ + _).as("qerr"))
     // |v̂|²: raw — Σ|cb_code|²; residual — |c|² + 2Σ⟨c_sub,cb_code⟩ +
     // Σ|cb_code|² (v̂ = c + concat(cb codes))
+    val outCols = Seq("vec_id", "cell", "codes", "vn2") ++
+      (if (withError) Seq("qerr") else Nil)
     if (!residual)
       codes0.withColumn("vn2", pqLookupSum(c2flat, col("codes"), m, ks))
-        .select("vec_id", "cell", "codes", "vn2")
+        .select(outCols.map(col): _*)
     else codes0.join(ccDf, Seq("cell"))
       .withColumn("vn2", col("c2c") +
         lit(2.0) * pqLookupSum(col("ccf"), col("codes"), m, ks) +
         pqLookupSum(c2flat, col("codes"), m, ks))
-      .select("vec_id", "cell", "codes", "vn2")
+      .select(outCols.map(col): _*)
   }
 
   /** The PQ SEARCH half of [[annIvfPq]] — probes, ADC scoring over a
@@ -1291,6 +1330,62 @@ object Similarity {
       .withColumn("_p_cell", col("cell"))
       .write.mode("append").partitionBy("_p_cell")
       .parquet(s"$path/codes")
+  }
+
+  /** q133: INDEX DRIFT REPORT — the maintenance signal the frozen-
+    * quantizer lifecycle (q130 build / q132 add-forever) needs: when
+    * the intake distribution drifts from the training snapshot, the
+    * frozen centroids/codebooks quantize new vectors WORSE — recall
+    * quietly decays with no error anywhere. The standard production
+    * monitor (the "when to retrain" alarm of the public ANN-serving
+    * literature) is the QUANTIZATION ERROR |v − v̂|²: this report
+    * computes it exactly for a base split and an intake split under
+    * the artifact's frozen quantizers and fires a retrain alarm when
+    * the intake mean exceeds `alarmPct`% of the base mean.
+    *
+    * Exactness discipline: the per-vector error decomposes through
+    * the encode argmin as |v − c|² + Σ_s err_s (err_s is the key the
+    * encode already minimizes), so the report costs one extra
+    * expression per vector and NO extra shuffle ([[pqEncode]]'s
+    * withError). Per-row errors are IEEE doubles from fixed chains
+    * (bit-identical in both engines); the SPLIT MEANS go through the
+    * house fixed-point discipline — each error quantized to 2²⁰
+    * fixed point (floor(x·2²⁰ + 0.5), exact long), summed (order-
+    * independent), mean = sum div n (integer), so the alarm
+    * comparison `mean_fp(intake)·100 > mean_fp(base)·alarmPct` is
+    * integer-exact at ANY corpus size (no n² cross-product, no float
+    * summation order anywhere near the verdict). max is order-
+    * independent by definition. */
+  def annIndexDrift(index: AnnIndex, base: DataFrame, intake: DataFrame,
+                    alarmPct: Int = 120): DataFrame = {
+    require(alarmPct > 0, s"alarmPct must be positive, got $alarmPct")
+    val bookC2: Seq[(Int, Int, Array[Double], Double)] =
+      index.book.toSeq.map { case (s, code, cv) =>
+        (s, code, cv, cv.foldLeft(0.0)((a, x) => a + x * x))
+      }
+    def enc(df: DataFrame, split: String): DataFrame =
+      pqEncode(prepared(df), index.cents, bookC2,
+        index.m, index.ks, index.dsub, index.residual, withError = true)
+        .select(lit(split).as("split"), col("qerr"))
+    val qe = enc(base, "base").unionByName(enc(intake, "intake"))
+    val ag = qe.groupBy("split").agg(
+        count(lit(1)).as("n_vecs"),
+        sum(floor(col("qerr") * lit(1048576.0) + lit(0.5)).cast("long")).as("sfp"),
+        max(col("qerr")).as("mx"))
+      .withColumn("mfp", expr("sfp div n_vecs"))
+    // the alarm is ONE integer comparison over the two 1-row means —
+    // computed once, broadcast onto both report rows
+    val alarm = ag.agg(
+        max(when(col("split") === "intake", col("mfp"))).as("im"),
+        max(when(col("split") === "base", col("mfp"))).as("bm"))
+      .select((col("im") * lit(100L) > col("bm") * lit(alarmPct.toLong))
+        .as("retrain_alarm"))
+    ag.crossJoin(broadcast(alarm))
+      .select(col("split"), col("n_vecs"),
+        graft.Exact.dround(col("mfp").cast("double") / lit(1048576.0))
+          .as("mean_qerr"),
+        graft.Exact.dround(col("mx")).as("max_qerr"),
+        col("retrain_alarm"))
   }
 
   /** Validated handle on a persisted ANN index: centroids + codebook

@@ -484,6 +484,43 @@ object Streams {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** s23: STREAMING INDEX INGESTION — the CLOSED intake loop on the
+    * lexical leg (s09's lifecycle pattern): each micro-batch of new
+    * documents APPENDS to the persisted BM25 index
+    * ([[graft.operators.Retrieval.appendBm25Index]] verbatim — shard-
+    * partitioned postings append, associative lexicon/stats merge)
+    * and then emits ONE index-health row read back from the artifact:
+    * (n_docs, l_tokens, avgdl_q, n_terms) — the live "how big is the
+    * index and did the merge hold" meter an ingestion pipeline
+    * watches. Batches apply strictly in delivery order (foreachBatch
+    * is serial), and every emitted number is an associative integer
+    * merge of the batches so far, so a pinned delivery order makes
+    * the whole emission sequence deterministic and the oracle replays
+    * each prefix (the s09 batch-replay convention; rows key on
+    * n_docs, which is strictly monotone over batches). */
+  def streamBm25Ingest(intake: DataFrame, indexPath: String,
+                       outDir: String, checkpointDir: String,
+                       trigger: Option[Trigger] = None): StreamingQuery = {
+    val spark = intake.sparkSession
+    import spark.implicits._
+    val w = intake.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (batch.limit(1).count() > 0) {
+          val b = batch.localCheckpoint() // pin BEFORE the index mutation
+          graft.operators.Retrieval.appendBm25Index(spark, b, indexPath)
+          val idx = graft.operators.Retrieval.readBm25Index(spark, indexPath)
+          val nTerms = idx.lexicon.count()
+          Seq((idx.nDocs, idx.lTokens, idx.avgdlQ, nTerms))
+            .toDF("n_docs", "l_tokens", "avgdl_q", "n_terms")
+            .write.mode("append").parquet(outDir)
+        }
+        ()
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
   /** s22: STREAMING ANN SERVING — s21's pattern on the semantic leg:
     * micro-batch query vectors served against the persisted q130
     * trained index. Each batch runs

@@ -550,6 +550,38 @@ class SimilaritySpec extends SparkSpec {
     err.getMessage should include("empty intake")
   }
 
+  test("q133 drift report: undrifted intake stays quiet, scaled intake fires, assignment is scale-invariant") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx_drift").toString
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint()
+    Similarity.writeAnnIndex(e, s"$dir/index")
+    val idx = Similarity.readAnnIndex(spark, s"$dir/index")
+    val base = e.filter(col("vec_id") % 10 =!= 9)
+    val same = e.filter(col("vec_id") % 10 === 9)
+    def report(intake: org.apache.spark.sql.DataFrame) =
+      Similarity.annIndexDrift(idx, base, intake).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+        .toMap
+    // an iid (undrifted) intake slice quantizes like the base — quiet
+    val quiet = report(same)
+    quiet("intake")._4 shouldBe false
+    quiet("base")._4 shouldBe false
+    // the scaled intake (the declared q133 drift) fires on BOTH rows
+    // (the alarm is one index-level verdict, stamped on each row) and
+    // its mean error is far above base — the magnitude drift is
+    // invisible to routing (scale-invariant argmax) but not to errors
+    val scaled = report(same.select(col("vec_id"),
+      org.apache.spark.sql.functions.expr(
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x * 3.0D)").as("embedding")))
+    scaled("intake")._4 shouldBe true
+    scaled("base")._4 shouldBe true
+    scaled("intake")._2 should be > 2.0 * scaled("base")._2
+    // base-side stats are intake-independent (the split is computed
+    // under the same frozen quantizers both times)
+    scaled("base")._2 shouldBe quiet("base")._2
+    scaled("base")._3 shouldBe quiet("base")._3
+  }
+
   test("q130 read fails loud when the centroid table drifts from the codes' digest") {
     val dir = java.nio.file.Files.createTempDirectory("annidx_stamp").toString
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -614,6 +614,39 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(s"$tmp/out").count() shouldBe 2
   }
 
+  test("s23 streaming BM25 ingest: per-batch appends compose to a full rebuild; health rows are per-prefix exact") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = Seq((0L, "apple banana"), (1L, "apple zebra")).toDF("doc_id", "text")
+    val b1 = Seq((10L, "banana banana stop"))
+    val b2 = Seq((20L, "zebra stop"), (21L, "apple"))
+    val tmp = java.nio.file.Files.createTempDirectory("s23spec_").toString
+    graft.operators.Retrieval.writeBm25Index(base, s"$tmp/idx")
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.streamBm25Ingest(in.toDF().toDF("doc_id", "text"),
+      s"$tmp/idx", s"$tmp/out", s"$tmp/cp")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(s"$tmp/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // prefix 1 = base ∪ b1: 3 docs, 7 tokens, 4 distinct terms
+    rows(0) shouldBe ((3L, 7L, 7L * 8 / 3, 4L))
+    // prefix 2 = all: 5 docs, 10 tokens, 4 distinct terms
+    rows(1) shouldBe ((5L, 10L, 10L * 8 / 5, 4L))
+    // the closed-loop invariant: the final appended index serves
+    // row-identically to a from-scratch build over the union
+    val allDocs = base.unionByName((b1 ++ b2).toDF("doc_id", "text"))
+    graft.operators.Retrieval.writeBm25Index(allDocs, s"$tmp/full")
+    def serve(p: String) = graft.operators.Retrieval.bm25ServeIndex(
+        graft.operators.Retrieval.readBm25Index(spark, p),
+        allDocs.withColumnRenamed("doc_id", "query_id"), excludeId = true)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    serve(s"$tmp/idx") shouldBe serve(s"$tmp/full")
+  }
+
   test("s19 streaming domain quota: counters persist across batches, in-batch admission is doc_id-ordered") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
