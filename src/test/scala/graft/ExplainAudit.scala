@@ -25,7 +25,9 @@ import org.apache.spark.sql.SparkSession
   * provenance), q125 SMJ ×4 (one per serving config in the sweep:
   * the per-config left-semi of served neighbors against the shared
   * localCheckpointed exact baseline — size-unknown, AQE converts at
-  * runtime when small).
+  * runtime when small), q133 BNLJ (the ONE-ROW retrain-alarm verdict
+  * broadcast-crossJoined onto the two report rows — index-metadata
+  * weight by construction).
   *
   * Run: Test/runMain graft.ExplainAudit [sfDir]
   */
