@@ -359,6 +359,53 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Postings compaction — [[Dedup.compactBandIndex]]'s convention on
+    * the lexical artifact: every [[appendBm25Index]] adds one parquet
+    * file per touched shard, so after N intake batches a serve's
+    * pruned shard read opens O(N) small files (the 100 TB small-files
+    * problem). Rewrite the postings coalesced per shard (ONE
+    * repartition by the existing partition column — no new shuffle
+    * key), term-clustered within each shard so a serve's posting-list
+    * read is row-group-contiguous, through the shared crash-safe
+    * rewrite→validate→swap choreography ([[Dedup.compactSwap]]).
+    * Rows pass through unchanged — validation compares a CONTENT
+    * signature (count + order-free decimal sum of per-row xxhash64,
+    * [[Dedup.compactParquetStore]]'s check) and aborts loudly on any
+    * difference, live tree untouched. Lexicon/stats don't accumulate
+    * (each append rewrites them wholesale), so postings are the only
+    * leg that needs this. Offline-maintenance contract: quiesce
+    * appends/serves first (the band-index rule). Returns
+    * (files_before, files_after). */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       path: String,
+                       maxRecordsPerFile: Long = 0L): (Long, Long) = {
+    readBm25Index(spark, path) // stamp-validate before touching anything
+    val postings = spark.read.parquet(s"$path/postings")
+      .select("doc_id", "term", "tf", "dl", "_p_shard")
+    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        expr(s"sum(cast(xxhash64(${df.columns.map(c => s"`$c`").mkString(", ")}) " +
+          "as decimal(38,0)))")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    val want = sig(postings)
+    Dedup.compactSwap(spark, s"$path/postings", what = "bm25 postings")(tmp =>
+      postings
+        .repartition(col("_p_shard"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy("_p_shard").parquet(tmp)
+    ) { tmp =>
+      val got = sig(spark.read.parquet(tmp)
+        .select("doc_id", "term", "tf", "dl", "_p_shard"))
+      require(got == want,
+        s"compaction of $path/postings would change content ((rows, " +
+          s"checksum) $want -> $got) — aborting with the live index untouched")
+    }
+  }
+
   /** Serve a query batch `(query_id, text)` against a persisted index:
     * query terms → their lexicon slice (df-capped, broadcast) → ONLY
     * the posting shards those terms hash into (partition pruning) →

@@ -172,6 +172,27 @@ class RetrievalSpec extends SparkSpec {
     serve(inc) shouldBe serve(full)
   }
 
+  test("bm25 postings compaction: fewer files, serve identical, stamps survive") {
+    val base = java.nio.file.Files.createTempDirectory("bm25idx_cmp").toString
+    val docsAll = tables.documents
+    Retrieval.writeBm25Index(docsAll.filter(col("doc_id") % 10 =!= 9), s"$base/idx")
+    Retrieval.appendBm25Index(spark, docsAll.filter(col("doc_id") % 10 === 9), s"$base/idx")
+    def serve() = Retrieval.bm25ServeIndex(
+        Retrieval.readBm25Index(spark, s"$base/idx"),
+        docsAll.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("query_id"), col("text")),
+        excludeId = true)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val before = serve()
+    val (fb, fa) = Retrieval.compactBm25Index(spark, s"$base/idx")
+    fa should be < fb // the append's per-shard file growth collapses
+    serve() shouldBe before // rows pass through unchanged
+    // a second compaction is a no-op-shaped rewrite (still valid)
+    val (fb2, fa2) = Retrieval.compactBm25Index(spark, s"$base/idx")
+    fa2 should be <= fb2
+    serve() shouldBe before
+  }
+
   test("q131 append refuses an empty intake batch") {
     val base = java.nio.file.Files.createTempDirectory("bm25idx_emp").toString
     Retrieval.writeBm25Index(corpus, s"$base/idx")
