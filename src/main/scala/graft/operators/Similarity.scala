@@ -1432,6 +1432,49 @@ object Similarity {
       st.getAs[Boolean]("_p_residual"))
   }
 
+  /** Codes compaction — [[graft.operators.Retrieval.compactBm25Index]]'s
+    * sibling on the ANN artifact: every [[appendAnnIndex]] adds one
+    * parquet file per touched cell, so after N intake batches a
+    * serve's pruned cell read opens O(N) small files. Rewrite the
+    * codes coalesced per cell (repartition by the existing partition
+    * column — no new shuffle key), vec_id-clustered within each cell,
+    * through the shared crash-safe rewrite→validate→swap choreography
+    * ([[Dedup.compactSwap]]) with the content-signature check (count +
+    * order-free decimal xxhash64 sum — aborts loudly, live tree
+    * untouched). Centroids/codebook/stats never accumulate (one write
+    * each), so codes are the only leg that needs this. Offline-
+    * maintenance contract: quiesce appends/serves first. Returns
+    * (files_before, files_after). */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String,
+                      maxRecordsPerFile: Long = 0L): (Long, Long) = {
+    readAnnIndex(spark, path) // stamp-validate before touching anything
+    val codes = spark.read.parquet(s"$path/codes")
+      .select("vec_id", "cell", "codes", "vn2", "_p_cell")
+    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        expr(s"sum(cast(xxhash64(${df.columns.map(c => s"`$c`").mkString(", ")}) " +
+          "as decimal(38,0)))")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    val want = sig(codes)
+    Dedup.compactSwap(spark, s"$path/codes", what = "ann codes")(tmp =>
+      codes
+        .repartition(col("_p_cell"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy("_p_cell").parquet(tmp)
+    ) { tmp =>
+      val got = sig(spark.read.parquet(tmp)
+        .select("vec_id", "cell", "codes", "vn2", "_p_cell"))
+      require(got == want,
+        s"compaction of $path/codes would change content ((rows, " +
+          s"checksum) $want -> $got) — aborting with the live index untouched")
+    }
+  }
+
   /** Serve a query set against a persisted index: probes from the
     * artifact's centroids, ADC over the artifact's codes (only the
     * probed cells' partitions are READ — [[pqSearch]]'s pruneAtScan),

@@ -539,6 +539,22 @@ class SimilaritySpec extends SparkSpec {
     serve(s"$dir/inc") shouldBe serve(s"$dir/full")
   }
 
+  test("ann codes compaction: fewer files, serve identical, digest survives") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx_cmp").toString
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint()
+    Similarity.writeAnnIndex(e, s"$dir/idx",
+      encodeOnly = Some(e.filter(col("vec_id") % 10 =!= 9)))
+    Similarity.appendAnnIndex(spark, e.filter(col("vec_id") % 10 === 9), s"$dir/idx")
+    def serve() = Similarity
+      .annServeIndex(Similarity.readAnnIndex(spark, s"$dir/idx"), e)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val before = serve()
+    val (fb, fa) = Similarity.compactAnnIndex(spark, s"$dir/idx")
+    fa should be < fb // the append's per-cell file growth collapses
+    serve() shouldBe before // rows pass through unchanged
+  }
+
   test("q132 append refuses an empty intake batch") {
     val dir = java.nio.file.Files.createTempDirectory("annidx_emp").toString
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
