@@ -242,27 +242,53 @@ object Retrieval {
   def writeBm25Index(documents: DataFrame, path: String): Unit = {
     val tfd = postingsFrame(documents).localCheckpoint()
     tfd.withColumn("_p_shard", pmod(xxhash64(col("term")), lit(IndexShards)))
-      .write.mode("overwrite").partitionBy("_p_shard")
+      .withColumn("_b_epoch", lit(0L))
+      .write.mode("overwrite").partitionBy("_p_shard", "_b_epoch")
       .parquet(s"$path/postings")
     tfd.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(statsFrame(tfd)))
       .withColumn("idf_q", expr(idfExpr))
       .select("term", "df", "idf_q")
+      .withColumn("_l_epoch", lit(0L))
       .write.mode("overwrite").parquet(s"$path/lexicon")
     statsFrame(tfd)
       .withColumn("_p_fbits", lit(Bm25FBits))
       .withColumn("_p_shards", lit(IndexShards))
+      .withColumn("_p_epoch", lit(0L))
+      .withColumn("_p_batch_id", lit(-1L))
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
   /** Validated index handle: loud on missing pieces, mixed or drifted
     * stamps. `nDocs`/`lTokens`/`maxDl`/`avgdlQ` are collected scalars
     * (one-row stats — the q101 centroid-table pattern); `lTokens` and
-    * `maxDl` ride so an APPEND can merge stats associatively (q131). */
+    * `maxDl` ride so an APPEND can merge stats associatively (q131).
+    * `epoch` is the index's mutation counter ([[appendBm25Index]]
+    * bumps it; the EPOCH AGREEMENT of all three legs is what
+    * [[readBm25Index]] verifies); `batchId` is the last STREAMING
+    * batch applied (s23's replay fence; -1 = none). */
   final case class Bm25Index(postings: DataFrame, lexicon: DataFrame,
                              nDocs: Long, lTokens: Long, maxDl: Long,
-                             avgdlQ: Long)
+                             avgdlQ: Long, epoch: Long, batchId: Long)
 
+  /** Read + validate. Beyond the geometry stamps, this is the TORN-
+    * APPEND detector (r17 ADVICE): an append mutates three legs
+    * (postings append, lexicon swap, stats swap — stats LAST, the
+    * commit point), and a crash between any two leaves legs from
+    * different epochs. Every leg carries its epoch, so the read
+    * cross-checks all three and fails LOUD instead of serving
+    * silently mis-scored results:
+    *  - postings max(_b_epoch) — a PARTITION column, so the probe is
+    *    directory-listing weight, no data read — must equal the stats
+    *    epoch (orphan postings from an uncommitted append ⇒ greater);
+    *  - the lexicon's _l_epoch (constant column, one first()) must
+    *    equal the stats epoch (lexicon swapped but stats not ⇒ ahead);
+    *  - a torn stats swap itself reads as 0 or 2 rows ⇒ the existing
+    *    ONE-row require.
+    * Recovery from a torn state: re-run the failed append's intake
+    * (postings orphans at epoch E+1 are invisible to nothing — they
+    * are detected, not filtered — so the remedy is rebuild or restore
+    * the `__precompact` copy the swap choreography leaves behind). */
   def readBm25Index(spark: org.apache.spark.sql.SparkSession,
                     path: String): Bm25Index = {
     val stats = spark.read.parquet(s"$path/stats").collect()
@@ -277,18 +303,35 @@ object Retrieval {
       s"bm25 index at $path was sharded at ${st.getAs[Int]("_p_shards")}, " +
         s"caller prunes at $IndexShards — shard pruning would drop " +
         "posting lists and fail open; rebuild the index")
+    val epoch = st.getAs[Long]("_p_epoch")
     val postings = spark.read.parquet(s"$path/postings")
-    require(Set("doc_id", "term", "tf", "dl", "_p_shard")
+    require(Set("doc_id", "term", "tf", "dl", "_p_shard", "_b_epoch")
       .subsetOf(postings.columns.toSet),
       s"bm25 index at $path: postings lack expected columns, got " +
         postings.columns.mkString(", "))
+    // cast: partition-column type inference narrows small values to int
+    val maxBe = postings.agg(max(col("_b_epoch").cast("long"))).head().getLong(0)
+    require(maxBe == epoch,
+      s"bm25 index at $path is TORN: postings carry epoch $maxBe but " +
+        s"stats committed epoch $epoch — an append crashed between the " +
+        "postings write and the lexicon/stats swap; serving would " +
+        "silently mis-score (stale df/idf against appended postings). " +
+        "Re-run the append's intake after a rebuild, or restore the " +
+        "__precompact recovery copies")
     val lexicon = spark.read.parquet(s"$path/lexicon")
-    require(Set("term", "df", "idf_q").subsetOf(lexicon.columns.toSet),
+    require(Set("term", "df", "idf_q", "_l_epoch")
+      .subsetOf(lexicon.columns.toSet),
       s"bm25 index at $path: lexicon lacks expected columns, got " +
         lexicon.columns.mkString(", "))
+    val lexEpoch = lexicon.select(col("_l_epoch")).head().getLong(0)
+    require(lexEpoch == epoch,
+      s"bm25 index at $path is TORN: lexicon at epoch $lexEpoch vs stats " +
+        s"epoch $epoch — an append crashed between the lexicon swap and " +
+        "the stats commit; rebuild or restore the __precompact copy")
     Bm25Index(postings, lexicon,
       st.getAs[Long]("n_docs"), st.getAs[Long]("l_tokens"),
-      st.getAs[Long]("max_dl"), st.getAs[Long]("avgdl_q"))
+      st.getAs[Long]("max_dl"), st.getAs[Long]("avgdl_q"),
+      epoch, st.getAs[Long]("_p_batch_id"))
   }
 
   /** q131: INCREMENTAL index append — the corpus-intake convention
@@ -319,10 +362,32 @@ object Retrieval {
     *
     * Intake contract (q45/s08's): batch doc_ids are NEW — re-ingesting
     * an indexed document would double its postings (dedup the intake
-    * first; that is what the dedup family is for). */
+    * first; that is what the dedup family is for).
+    *
+    * Crash safety (r17 ADVICE): the three legs mutate in a COMMIT
+    * ORDER the reader can adjudicate. (1) the batch's postings append
+    * stamped with epoch E+1 (`_b_epoch` partition column); (2) the
+    * merged lexicon through the [[graft.operators.Dedup.compactSwap]]
+    * write→validate→rename choreography, stamped E+1; (3) stats LAST
+    * — the commit point — through the same choreography, epoch E+1.
+    * A crash between any two steps leaves legs at different epochs,
+    * which [[readBm25Index]] detects and refuses to serve (fail loud,
+    * never silently mis-score). The swap choreography additionally
+    * leaves a `__precompact` recovery copy so no crash window is
+    * destructive.
+    *
+    * Replay idempotency (r17 ADVICE): `batchId` is the streaming
+    * intake's fence — foreachBatch is at-least-once, and a restart
+    * replays the last uncommitted micro-batch. When `batchId` is
+    * given and not greater than the index's last-applied batch id,
+    * the append is a NO-OP (returns false): the replayed batch's
+    * postings are already in. Batch-mode callers (q131) omit it.
+    * Returns true when the append was applied. */
   def appendBm25Index(spark: org.apache.spark.sql.SparkSession,
-                      batch: DataFrame, path: String): Unit = {
+                      batch: DataFrame, path: String,
+                      batchId: Option[Long] = None): Boolean = {
     val idx = readBm25Index(spark, path) // stamp-validates before touching anything
+    if (batchId.exists(_ <= idx.batchId)) return false // at-least-once replay
     val tfd = postingsFrame(batch).localCheckpoint()
     val bs = statsFrame(tfd).collect()
     require(bs.length == 1 && bs.head.getAs[Long]("n_docs") > 0,
@@ -337,26 +402,49 @@ object Retrieval {
         s"the int64 score-exactness bound $MaxDlAvgdlBound — the " +
         "fixed-point contribution would wrap; truncate pathological " +
         "documents or narrow Bm25FBits")
+    val newEpoch = idx.epoch + 1L
     tfd.withColumn("_p_shard", pmod(xxhash64(col("term")), lit(IndexShards)))
-      .write.mode("append").partitionBy("_p_shard")
+      .withColumn("_b_epoch", lit(newEpoch))
+      .write.mode("append").partitionBy("_p_shard", "_b_epoch")
       .parquet(s"$path/postings")
-    // merged lexicon materialized BEFORE the same-path overwrite (the
+    // merged lexicon materialized BEFORE the same-path rewrite (the
     // q129 stamp-spec precedent: localCheckpoint detaches the frame
-    // from the files the write is about to replace)
+    // from the files the swap is about to replace)
     val mergedLex = idx.lexicon.select(col("term"), col("df"))
       .unionByName(tfd.groupBy("term").agg(count(lit(1)).as("df")))
       .groupBy("term").agg(sum(col("df")).as("df"))
       .withColumn("n_docs", lit(nDocs))
       .withColumn("idf_q", expr(idfExpr))
       .select("term", "df", "idf_q")
+      .withColumn("_l_epoch", lit(newEpoch))
       .localCheckpoint()
-    mergedLex.write.mode("overwrite").parquet(s"$path/lexicon")
+    val wantTerms = mergedLex.count()
+    Dedup.compactSwap(spark, s"$path/lexicon", what = "bm25 lexicon")(tmp =>
+      mergedLex.write.mode("overwrite").parquet(tmp)
+    ) { tmp =>
+      val got = spark.read.parquet(tmp)
+        .agg(count(lit(1)), max(col("_l_epoch"))).head()
+      require(got.getLong(0) == wantTerms && got.getLong(1) == newEpoch,
+        s"appendBm25Index: lexicon rewrite validation failed " +
+          s"(${got.getLong(0)} terms at epoch ${got.getLong(1)}, expected " +
+          s"$wantTerms at $newEpoch) — aborting with the live index intact")
+    }
     import spark.implicits._
-    Seq((nDocs, lTokens, maxDl, avgdlQ))
+    val newStats = Seq((nDocs, lTokens, maxDl, avgdlQ))
       .toDF("n_docs", "l_tokens", "max_dl", "avgdl_q")
       .withColumn("_p_fbits", lit(Bm25FBits))
       .withColumn("_p_shards", lit(IndexShards))
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .withColumn("_p_epoch", lit(newEpoch))
+      .withColumn("_p_batch_id", lit(batchId.getOrElse(idx.batchId)))
+    Dedup.compactSwap(spark, s"$path/stats", what = "bm25 stats")(tmp =>
+      newStats.coalesce(1).write.mode("overwrite").parquet(tmp)
+    ) { tmp =>
+      val got = spark.read.parquet(tmp).collect()
+      require(got.length == 1 && got.head.getAs[Long]("_p_epoch") == newEpoch,
+        s"appendBm25Index: stats rewrite validation failed — aborting " +
+          "with the live index intact")
+    }
+    true
   }
 
   /** Postings compaction — [[Dedup.compactBandIndex]]'s convention on
@@ -379,7 +467,9 @@ object Retrieval {
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
                        path: String,
                        maxRecordsPerFile: Long = 0L): (Long, Long) = {
-    readBm25Index(spark, path) // stamp-validate before touching anything
+    // stamp-validate before touching anything; the epoch cross-check
+    // also guarantees no orphan postings ride into the rewrite
+    val idx = readBm25Index(spark, path)
     val postings = spark.read.parquet(s"$path/postings")
       .select("doc_id", "term", "tf", "dl", "_p_shard")
     def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
@@ -390,13 +480,18 @@ object Retrieval {
         if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
     val want = sig(postings)
+    // epochs collapse to the committed one: the epoch column exists to
+    // adjudicate torn appends, and a validated compaction IS one
+    // consistent corpus — collapsing is what restores one-file-per-
+    // shard after N appends (epoch-preserving would keep O(N) dirs)
     Dedup.compactSwap(spark, s"$path/postings", what = "bm25 postings")(tmp =>
       postings
         .repartition(col("_p_shard"))
         .sortWithinPartitions("term", "doc_id")
+        .withColumn("_b_epoch", lit(idx.epoch))
         .write.mode("overwrite")
         .option("maxRecordsPerFile", maxRecordsPerFile)
-        .partitionBy("_p_shard").parquet(tmp)
+        .partitionBy("_p_shard", "_b_epoch").parquet(tmp)
     ) { tmp =>
       val got = sig(spark.read.parquet(tmp)
         .select("doc_id", "term", "tf", "dl", "_p_shard"))

@@ -636,9 +636,17 @@ object Similarity {
       bookRaw.map { case (s, code, cv) =>
         (s, code, cv, cv.foldLeft(0.0)((a, x) => a + x * x))
       }
-    val codes = pqEncode(e, cents, book, m, ks, dsub, residual)
+    // residual mode's constant cell table built ONCE and shared by
+    // both halves (r17 ADVICE: encode and search each built their own
+    // identical copy — one relation guarantees broadcast reuse)
+    val cellTab =
+      if (residual) Some(pqCellTable(cents, book, dsub, e.sparkSession))
+      else None
+    val codes = pqEncode(e, cents, book, m, ks, dsub, residual,
+      cellTable = cellTab)
     pqSearch(codes, e, cents, book, m, ks, dsub, residual,
-      nQueries, k, nProbe, rerank, pruneAtScan = false)
+      nQueries, k, nProbe, rerank, pruneAtScan = false,
+      cellTable = cellTab)
   }
 
   /** Σ_s arr[s·ks + codes[s] + 1] as a FIXED left-assoc chain — the
@@ -675,11 +683,15 @@ object Similarity {
       cents: Array[(Long, Array[Double])],
       book: Seq[(Int, Int, Array[Double], Double)],
       m: Int, ks: Int, dsub: Int, residual: Boolean,
-      withError: Boolean = false): DataFrame = {
+      withError: Boolean = false,
+      cellTable: Option[DataFrame] = None): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val bookDf = book.toDF("s", "code", "cv", "c2")
-    val ccDf = pqCellTable(cents, book, dsub, spark)
+    // residual mode's constant table — shared with the search half
+    // when the caller builds both (annIvfPq), so the broadcast plan
+    // is structurally ONE relation, not two identical copies
+    lazy val ccDf = cellTable.getOrElse(pqCellTable(cents, book, dsub, spark))
     val c2flat = lit(book.sortBy(b => (b._1, b._2)).map(_._4).toArray)
     // corpus cell assignment: the dual-shape argmax (literal array at
     // test geometry, broadcast table past the ~32-centroid codegen
@@ -778,10 +790,11 @@ object Similarity {
       m: Int, ks: Int, dsub: Int, residual: Boolean,
       nQueries: Int, k: Int, nProbe: Int, rerank: Int,
       pruneAtScan: Boolean,
-      queriesOverride: Option[DataFrame] = None): DataFrame = {
+      queriesOverride: Option[DataFrame] = None,
+      cellTable: Option[DataFrame] = None): DataFrame = {
     val spark = e.sparkSession
     val cellIds = lit(cents.map(_._1))
-    val ccDf = pqCellTable(cents, book, dsub, spark)
+    lazy val ccDf = cellTable.getOrElse(pqCellTable(cents, book, dsub, spark))
     // queries: probe list (q46's shape) + the ADC distance table.
     // Default = the corpus-member convention (nQueries lowest ids);
     // queriesOverride = an EXTERNAL prepared (vec_id, v, nrm) frame —
@@ -1363,9 +1376,14 @@ object Similarity {
       index.book.toSeq.map { case (s, code, cv) =>
         (s, code, cv, cv.foldLeft(0.0)((a, x) => a + x * x))
       }
+    val cellTab =
+      if (index.residual)
+        Some(pqCellTable(index.cents, bookC2, index.dsub, base.sparkSession))
+      else None
     def enc(df: DataFrame, split: String): DataFrame =
       pqEncode(prepared(df), index.cents, bookC2,
-        index.m, index.ks, index.dsub, index.residual, withError = true)
+        index.m, index.ks, index.dsub, index.residual, withError = true,
+        cellTable = cellTab)
         .select(lit(split).as("split"), col("qerr"))
     val qe = enc(base, "base").unionByName(enc(intake, "intake"))
     val ag = qe.groupBy("split").agg(
@@ -1373,19 +1391,24 @@ object Similarity {
         sum(floor(col("qerr") * lit(1048576.0) + lit(0.5)).cast("long")).as("sfp"),
         max(col("qerr")).as("mx"))
       .withColumn("mfp", expr("sfp div n_vecs"))
-    // the alarm is ONE integer comparison over the two 1-row means —
-    // computed once, broadcast onto both report rows
-    val alarm = ag.agg(
-        max(when(col("split") === "intake", col("mfp"))).as("im"),
-        max(when(col("split") === "base", col("mfp"))).as("bm"))
-      .select((col("im") * lit(100L) > col("bm") * lit(alarmPct.toLong))
-        .as("retrain_alarm"))
-    ag.crossJoin(broadcast(alarm))
+    // the alarm is ONE integer comparison over the two split means —
+    // computed by a GLOBAL WINDOW over the 2-row grouped frame (q78's
+    // totals convention): an `ag.agg → crossJoin(ag)` diamond would
+    // re-run the whole encode subtree (pqEncode of base AND intake —
+    // the dominant cost) a second time, doubling the monitor's corpus
+    // encode at any scale (r17 plan audit: scan=4 where this shape
+    // gives scan=2)
+    val all = Window.partitionBy()
+    ag.withColumn("im",
+        max(when(col("split") === "intake", col("mfp"))).over(all))
+      .withColumn("bm",
+        max(when(col("split") === "base", col("mfp"))).over(all))
       .select(col("split"), col("n_vecs"),
         graft.Exact.dround(col("mfp").cast("double") / lit(1048576.0))
           .as("mean_qerr"),
         graft.Exact.dround(col("mx")).as("max_qerr"),
-        col("retrain_alarm"))
+        (col("im") * lit(100L) > col("bm") * lit(alarmPct.toLong))
+          .as("retrain_alarm"))
   }
 
   /** Validated handle on a persisted ANN index: centroids + codebook
@@ -1486,11 +1509,21 @@ object Similarity {
   def annServeIndex(index: AnnIndex, embeddings: DataFrame,
                     nQueries: Int = 10, k: Int = 5,
                     nProbe: Int = 8, rerank: Int = 64,
-                    queries: Option[DataFrame] = None): DataFrame = {
-    // same loud dimension check as resolvedCentroids (bypassed here —
-    // the centroids come from the artifact, not the corpus)
-    val corpusDim = embeddings.select(size(vecD(col("embedding"))))
-      .first().getInt(0)
+                    queries: Option[DataFrame] = None,
+                    knownCorpusDim: Option[Int] = None): DataFrame = {
+    // index-internal geometry is free to check (the stamps carry it):
+    // centroid dim MUST equal m·dsub or the PQ slices mis-stride
+    require(index.cents.head._2.length == index.m * index.dsub,
+      s"ann index geometry is inconsistent: centroid dim " +
+        s"${index.cents.head._2.length} != m*dsub = " +
+        s"${index.m * index.dsub} — the artifact is corrupt")
+    // corpus-vs-index dimension check (graft_dot min-truncates, so a
+    // mismatch would fail OPEN): one first() job per STORE, not per
+    // call — a serving loop (s22) validates the store once at stream
+    // start and passes the dim down (r17 ADVICE: this job was running
+    // per micro-batch on the serving hot path)
+    val corpusDim = knownCorpusDim.getOrElse(
+      embeddings.select(size(vecD(col("embedding")))).first().getInt(0))
     require(index.cents.head._2.length == corpusDim,
       s"ann index dimension ${index.cents.head._2.length} does not " +
         s"match the corpus embedding dimension $corpusDim")

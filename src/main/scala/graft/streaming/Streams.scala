@@ -497,7 +497,20 @@ object Streams {
     * merge of the batches so far, so a pinned delivery order makes
     * the whole emission sequence deterministic and the oracle replays
     * each prefix (the s09 batch-replay convention; rows key on
-    * n_docs, which is strictly monotone over batches). */
+    * n_docs, which is strictly monotone over batches).
+    *
+    * At-least-once replay (r17 ADVICE): foreachBatch re-delivers the
+    * last micro-batch after a restart that crashed between the index
+    * mutation and the checkpoint commit. The batchId rides into
+    * [[graft.operators.Retrieval.appendBm25Index]], which persists
+    * the last-applied id in the stats row and makes the replayed
+    * append a NO-OP — postings can never double. The health row IS
+    * re-emitted on a replay: a replay only ever re-delivers the
+    * LATEST batch, so the index state it reads back equals the state
+    * after that batch, and the re-emitted row is content-identical
+    * to the one the crash may have lost (the standard at-least-once
+    * parquet-sink contract — a duplicate health row is idempotent
+    * content; a missing one would be a silent gap in the meter). */
   def streamBm25Ingest(intake: DataFrame, indexPath: String,
                        outDir: String, checkpointDir: String,
                        trigger: Option[Trigger] = None): StreamingQuery = {
@@ -506,10 +519,11 @@ object Streams {
     val w = intake.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batch.limit(1).count() > 0) {
           val b = batch.localCheckpoint() // pin BEFORE the index mutation
-          graft.operators.Retrieval.appendBm25Index(spark, b, indexPath)
+          graft.operators.Retrieval.appendBm25Index(spark, b, indexPath,
+            batchId = Some(batchId))
           val idx = graft.operators.Retrieval.readBm25Index(spark, indexPath)
           val nTerms = idx.lexicon.count()
           Seq((idx.nDocs, idx.lTokens, idx.avgdlQ, nTerms))
@@ -541,13 +555,20 @@ object Streams {
                      trigger: Option[Trigger] = None): StreamingQuery = {
     val spark = queries.sparkSession
     val index = graft.operators.Similarity.readAnnIndex(spark, indexPath)
+    // store-vs-index dimension validated ONCE here, not per batch —
+    // annServeIndex's corpus-dim first() job would otherwise run on
+    // every micro-batch of the serving hot path (r17 ADVICE)
+    val storeDim = store
+      .select(size(col("embedding").cast("array<double>")))
+      .first().getInt(0)
     val w = queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.Similarity
           .annServeIndex(index, store, k = k, nProbe = nProbe,
-            rerank = rerank, queries = Some(batch))
+            rerank = rerank, queries = Some(batch),
+            knownCorpusDim = Some(storeDim))
           .write.mode("append").parquet(outDir)
         ()
       }

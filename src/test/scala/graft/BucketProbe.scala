@@ -40,7 +40,10 @@ object BucketProbe {
     val st = hist.agg(
       count(lit(1)).as("n_buckets"),
       max(col("m")).as("max_m"),
-      sum(col("m") * (col("m") - 1) / 2).as("pairs"),
+      // integer end-to-end: Column `/` is DOUBLE division, which loses
+      // exactness past 2^53 — the super-linear regime this probe
+      // exists to adjudicate (r17 ADVICE)
+      sum(expr("m * (m - 1) div 2")).as("pairs"),
       expr("approx_percentile(m, 0.99)").as("p99_m")).head
     println(s"BUCKETPROBE dir=$dir n=$n bits=$bits tables=$tables " +
       s"n_buckets=${st.getLong(0)} max_m=${st.getLong(1)} " +

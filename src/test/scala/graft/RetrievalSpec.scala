@@ -202,6 +202,88 @@ class RetrievalSpec extends SparkSpec {
     err.getMessage should include("empty intake")
   }
 
+  test("bm25 overflow fence FIRES on a pathological max_dl·avgdl_q corpus") {
+    // one ~120k-token document: avgdl_q = 8·dl, so max_dl·avgdl_q =
+    // 8·dl² ≈ 1.15e11 > MaxDlAvgdlBound ≈ 1.0e11 — the in-plan
+    // raise_error must fire (a fence nobody has seen trip is one
+    // refactor away from silently not tripping; r17 verdict #7)
+    val giant = docs(0L -> Seq.fill(120000)("tok").mkString(" "))
+    val dir = java.nio.file.Files.createTempDirectory("bm25_fence").toString
+    val e = intercept[Exception] {
+      Retrieval.writeBm25Index(giant, s"$dir/idx")
+    }
+    // the raise_error fires inside a task, so the message may ride the
+    // cause chain of the job-failure wrapper
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    msgs should include("score-exactness")
+    // sanity: 8·dl² really is past the bound, so the test pins the
+    // fence's THRESHOLD, not just its existence
+    (8L * 120000L * 120000L) should be > Retrieval.MaxDlAvgdlBound
+  }
+
+  test("torn append fails loud at read: orphan postings beyond the stats epoch") {
+    val base = java.nio.file.Files.createTempDirectory("bm25_torn1").toString
+    Retrieval.writeBm25Index(corpus, s"$base/idx")
+    // simulate a crash AFTER the postings append, BEFORE the
+    // lexicon/stats swap: batch postings at epoch 1 land, stats stay 0
+    import spark.implicits._
+    Seq((99L, "orphan", 1L, 1L))
+      .toDF("doc_id", "term", "tf", "dl")
+      .withColumn("_p_shard", pmod(xxhash64(col("term")), lit(64)))
+      .withColumn("_b_epoch", lit(1L))
+      .write.mode("append").partitionBy("_p_shard", "_b_epoch")
+      .parquet(s"$base/idx/postings")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.readBm25Index(spark, s"$base/idx")
+    }
+    e.getMessage should include("TORN")
+    e.getMessage should include("postings carry epoch 1")
+  }
+
+  test("torn append fails loud at read: lexicon ahead of the stats commit") {
+    val base = java.nio.file.Files.createTempDirectory("bm25_torn2").toString
+    Retrieval.writeBm25Index(corpus, s"$base/idx")
+    // simulate a crash AFTER the lexicon swap, BEFORE the stats commit
+    spark.read.parquet(s"$base/idx/lexicon")
+      .withColumn("_l_epoch", lit(1L)).localCheckpoint()
+      .write.mode("overwrite").parquet(s"$base/idx/lexicon")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.readBm25Index(spark, s"$base/idx")
+    }
+    e.getMessage should include("TORN")
+    e.getMessage should include("lexicon at epoch 1")
+  }
+
+  test("s23 replay fence: an already-applied batchId is a no-op append") {
+    val base = java.nio.file.Files.createTempDirectory("bm25_replay").toString
+    val docsAll = tables.documents
+    Retrieval.writeBm25Index(docsAll.filter(col("doc_id") % 10 =!= 9), s"$base/idx")
+    val intake = docsAll.filter(col("doc_id") % 10 === 9)
+    Retrieval.appendBm25Index(spark, intake, s"$base/idx",
+      batchId = Some(0L)) shouldBe true
+    val after = Retrieval.readBm25Index(spark, s"$base/idx")
+    after.batchId shouldBe 0L
+    // the at-least-once replay: same batch re-delivered after a
+    // restart must NOT double its postings
+    Retrieval.appendBm25Index(spark, intake, s"$base/idx",
+      batchId = Some(0L)) shouldBe false
+    val replayed = Retrieval.readBm25Index(spark, s"$base/idx")
+    (replayed.nDocs, replayed.lTokens, replayed.epoch) shouldBe
+      ((after.nDocs, after.lTokens, after.epoch))
+    replayed.postings.count() shouldBe after.postings.count()
+    // the NEXT batch still applies
+    import spark.implicits._
+    Retrieval.appendBm25Index(spark,
+      Seq((990001L, "fresh tokens here")).toDF("doc_id", "text"),
+      s"$base/idx", batchId = Some(1L)) shouldBe true
+    val next = Retrieval.readBm25Index(spark, s"$base/idx")
+    next.nDocs shouldBe after.nDocs + 1
+    next.batchId shouldBe 1L
+    next.epoch shouldBe after.epoch + 1
+  }
+
   test("q129 read fails loud on a parameter-stamp drift") {
     val dir = java.nio.file.Files.createTempDirectory("bm25idx_stamp").toString
     Retrieval.writeBm25Index(corpus, s"$dir/index")
