@@ -65,6 +65,12 @@ object SparkEntry {
   /** q133's per-process index scratch. */
   private lazy val annDriftDir: String = scratchDir("graft_anndrift")
 
+  /** q134's per-process index scratch (both hybrid legs' artifacts). */
+  private lazy val hybridIdxDir: String = scratchDir("graft_hybrid")
+
+  /** q135's per-process index scratch. */
+  private lazy val bm25DriftDir: String = scratchDir("graft_bm25drift")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Core ETL surface
     "q01_ingest_normalize"   -> ((s, d) => Etl.ingestNormalize(Tables(s, d).events)),
@@ -382,6 +388,28 @@ object SparkEntry {
     // top-20), the standard two-list RRF combiner.
     "q128_rrf_fusion"        -> ((s, d) =>
       Retrieval.rrfFusion(Tables(s, d).documents)),
+    // q134: HYBRID retrieval served from the PERSISTED artifacts (r17
+    // verdict #4) — the production serving point: the lexical pool
+    // from the q129 BM25 index (shard-pruned serve, pool-identical to
+    // q128's lexical leg), the semantic pool from a q130-style
+    // trained IVF-PQ index over the SAME text embeddings (cell-pruned
+    // serve — the honest nProbe/rerank-bounded answer, q125's
+    // trade), fused by q128's RRF law. Own oracle: bm25 pool CTEs +
+    // text-embedding CTEs -> trained-index + search chain -> the same
+    // fusion SQL.
+    "q134_hybrid_index_served" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val dir = hybridIdxDir
+      Retrieval.writeBm25Index(docs, s"$dir/bm25")
+      val emb = TextOps.embedFrame(docs).localCheckpoint()
+      Similarity.writeAnnIndex(emb, s"$dir/ann")
+      Retrieval.rrfFusionServed(
+        Retrieval.readBm25Index(s, s"$dir/bm25"),
+        Similarity.readAnnIndex(s, s"$dir/ann"),
+        emb,
+        docs.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("query_id"), col("text")))
+    }),
     // q129: the PERSISTED inverted index — q127's production artifact
     // lifecycle (write postings/lexicon/stats → validated read →
     // shard-pruned serve), exercised end to end like q101's store;
@@ -552,6 +580,28 @@ object SparkEntry {
       val dir = annIdxDir
       Similarity.writeAnnIndex(e, s"$dir/index")
       Similarity.annServeIndex(Similarity.readAnnIndex(s, s"$dir/index"), e)
+    }),
+    // q135: LEXICAL DRIFT ALARM — q133's sibling on the BM25 leg: the
+    // index is built on the standing corpus (≢ 9 mod 10); the intake
+    // (≡ 9) plays a VOCABULARY-SHIFTED crawl — half the intake (ids ≡ 9 mod 10 are all odd, so the split
+    // is doc_id % 100 < 50) gets its tokens suffixed '_v2' (one string op, identical in both
+    // engines — the q133 salt convention), the classic
+    // new-tokenizer / new-source drift: ~half the intake's posting
+    // mass lands on terms the lexicon has never seen, and the head
+    // df-shares shift, so BOTH alarm inputs move and the alarm path
+    // is hash-checked. All outputs integer ppm.
+    "q135_bm25_index_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions.expr
+      val docs = Tables(s, d).documents
+      val dir = bm25DriftDir
+      Retrieval.writeBm25Index(docs.filter(col("doc_id") % 10 =!= 9), s"$dir/index")
+      val intake = docs.filter(col("doc_id") % 10 === 9)
+        .select(col("doc_id"),
+          expr("CASE WHEN doc_id % 100 < 50 THEN " +
+            "concat(replace(text, ' ', '_v2 '), '_v2') ELSE text END")
+            .as("text"))
+      Retrieval.bm25IndexDrift(
+        Retrieval.readBm25Index(s, s"$dir/index"), intake)
     }),
     // q132: INCREMENTAL ANN index append — the Faiss lifecycle's add()
     // half (train once on a representative snapshot, add batches
@@ -794,6 +844,43 @@ object SparkEntry {
       val intake = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
       val q = Streams.streamBm25Ingest(intake, s"$tmp/index",
+        s"$tmp/out", s"$tmp/cp",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination(); q.stop()
+      s.read.parquet(s"$tmp/out")
+    }),
+    // s24: the closed intake loop on the SEMANTIC leg — s23's sibling,
+    // completing the 2×2 serve/ingest matrix over both persisted
+    // artifacts. Quantizers train ONCE on the full corpus (q132's
+    // Faiss train/add split), the base codes (ids ≢ 8,9 mod 10) write
+    // at build, then two pinned-order intake batches (≡ 8, then ≡ 9)
+    // each APPEND under the frozen quantizers and emit the post-append
+    // health row: associatively-merged n_codes (strictly monotone —
+    // the row key), the batch's distinct cells touched, and its mean
+    // quantization error in 2²⁰ fixed point (integer-exact, q133's
+    // discipline) — the continuous retrain signal.
+    "s24_stream_ann_ingest" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      val base = e.filter(col("vec_id") % 10 =!= 8 && col("vec_id") % 10 =!= 9)
+      val tmp = scratchDir("graft_s24_")
+      Similarity.writeAnnIndex(e, s"$tmp/index", encodeOnly = Some(base))
+      def land(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+        val stage = s"$tmp/stage_$name"
+        df.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val dest = java.nio.file.Paths.get(s"$tmp/landing/$name.parquet")
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(part.toPath, dest)
+        require(dest.toFile.setLastModified(mtime),
+          s"could not pin mtime on $dest — s24 delivery order would be undefined")
+      }
+      land(e.filter(col("vec_id") % 10 === 8), "b1", 1000000L)
+      land(e.filter(col("vec_id") % 10 === 9), "b2", 2000000L)
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val intake = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
+      val q = Streams.streamAnnIngest(intake, s"$tmp/index",
         s"$tmp/out", s"$tmp/cp",
         trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       q.awaitTermination(); q.stop()
@@ -2373,6 +2460,10 @@ object SparkEntry {
     // q133: drift report — the trained-index CTEs (training only) +
     // the drift target's exact error chain + fixed-point split means
     "q133_ann_index_drift" -> annDriftOracle(120),
+    // s24: the two post-append health rows — trained-index CTEs, each
+    // intake batch through q133's exact error chain, n_codes as the
+    // associative prefix merge (rows key on the monotone n_codes)
+    "s24_stream_ann_ingest" -> annIngestOracle,
     // s23: the two post-append index-health rows are associative
     // integer merges of the delivered prefixes (base∪b1, then all),
     // so the oracle computes each prefix's stats directly with the
@@ -2428,6 +2519,12 @@ object SparkEntry {
     "q100_ann_text" -> annTextOracle,
     "q127_bm25_topk" -> bm25Oracle,
     "q128_rrf_fusion" -> rrfFusionOracle,
+    // q134: artifact-served hybrid — bm25 pool + text-embedding
+    // trained IVF-PQ serve pool + the q128 fusion SQL
+    "q134_hybrid_index_served" -> hybridServedOracle,
+    // q135: lexical drift alarm — base lexicon vs shifted intake,
+    // integer-ppm meters, alarm spliced from the operator defaults
+    "q135_bm25_index_drift" -> bm25DriftOracle,
     // identity with q127 by construction (build→read→serve changes the
     // execution shape, not the arithmetic) — one oracle, hash-checked
     "q129_bm25_index_served" -> bm25Oracle,
@@ -4146,6 +4243,84 @@ object SparkEntry {
        |SELECT * FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
   }
 
+  /** q135: the lexical drift alarm replayed — base-split lexicon
+    * (df = per-term doc count, the q127 tokenizer), the
+    * vocabulary-shifted intake through the same tokenizer, and the
+    * three integer-ppm meters + the alarm. Thresholds/head size
+    * spliced from the operator defaults (the splice rule). */
+  private def bm25DriftOracle: String = {
+    val R = graft.operators.Retrieval
+    s"""WITH btk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |          FROM documents WHERE doc_id % 10 <> 9),
+       |lex AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |        FROM btk GROUP BY 1),
+       |ltot AS (SELECT CAST(SUM(df) AS BIGINT) AS l_totdf FROM lex),
+       |topk AS (SELECT term, df FROM lex
+       |         ORDER BY df DESC, term LIMIT ${R.DefaultDriftTopK}),
+       |itext AS (SELECT doc_id,
+       |            CASE WHEN doc_id % 100 < 50
+       |              THEN replace(text, ' ', '_v2 ') || '_v2'
+       |              ELSE text END AS text
+       |          FROM documents WHERE doc_id % 10 = 9),
+       |itk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM itext),
+       |iterm AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS itok,
+       |            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ipost
+       |          FROM itk GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(i.itok) AS BIGINT) AS t_tok,
+       |          CAST(SUM(CASE WHEN l.term IS NULL THEN i.itok ELSE 0 END) AS BIGINT) AS oov_tok,
+       |          CAST(SUM(i.ipost) AS BIGINT) AS t_post,
+       |          CAST(SUM(CASE WHEN l.term IS NULL THEN i.ipost ELSE 0 END) AS BIGINT) AS new_post,
+       |          CAST(SUM(CASE WHEN l.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS new_terms
+       |        FROM iterm i LEFT JOIN lex l USING (term)),
+       |dr AS (SELECT CAST(SUM(ABS(t.df * 1000000 // x.l_totdf
+       |            - COALESCE(i.ipost, 0) * 1000000 // p.t_post)) AS BIGINT) AS topk_tvd_ppm
+       |       FROM topk t LEFT JOIN iterm i USING (term)
+       |       CROSS JOIN ltot x CROSS JOIN (SELECT t_post FROM tot) p)
+       |SELECT t.new_terms,
+       |  t.new_post * 1000000 // t.t_post AS new_post_ppm,
+       |  t.oov_tok * 1000000 // t.t_tok AS oov_token_ppm,
+       |  d.topk_tvd_ppm,
+       |  (t.oov_tok * 1000000 // t.t_tok > ${R.DefaultOovAlarmPpm}
+       |    OR d.topk_tvd_ppm > ${R.DefaultTvdAlarmPpm}) AS retrain_alarm
+       |FROM tot t CROSS JOIN dr d""".stripMargin
+  }
+
+  /** q134: the artifact-served hybrid replayed — q128's bm25 pool
+    * CTEs verbatim (the q129 serve is pool-identical to the ad-hoc
+    * leg), the TEXT-embedding chain feeding the full q102/q105
+    * trained IVF-PQ index + search CTEs (source-swapped
+    * [[annIvfPqIndexCtes]] — the semantic pool is the index's honest
+    * nProbe=8/rerank=64 serving answer, not q128's exact brute
+    * force), and the SAME RRF fusion SQL. */
+  private def hybridServedOracle: String = {
+    val R = graft.operators.Retrieval
+    val vlist = (0 until embedDim).map(d => s"CAST(e$d AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    val src = s"""${bm25Ctes(R.DefaultPoolK, "b")},
+       |$textEmbedCtes,
+       |e2 AS (SELECT doc_id AS vec_id, $vlist AS v FROM emb),
+       |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e2)""".stripMargin
+    materializeTrainedCtes(
+      s"""${annIvfPqIndexCtes(residual = true, trainRounds = 2,
+            centRounds = 2, source = src)},
+       |${annIvfPqSearchCtes("", nProbe = 8, rerank = 64, residual = true)},
+       |spool AS (SELECT query_id, neighbor_id AS doc_id, "rank"
+       |          FROM r WHERE "rank" <= ${R.DefaultPoolK}),
+       |fu AS (SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+       |         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       |         l."rank" AS r_lex, s."rank" AS r_sem,
+       |         COALESCE(1.0 / (${R.RrfK}.0 + CAST(l."rank" AS DOUBLE)), 0.0)
+       |           + COALESCE(1.0 / (${R.RrfK}.0 + CAST(s."rank" AS DOUBLE)), 0.0) AS rrf_raw
+       |       FROM bpool l FULL OUTER JOIN spool s
+       |         ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+       |rrfr AS (SELECT query_id, doc_id, r_lex, r_sem,
+       |        FLOOR(rrf_raw * 1000000 + 0.5) / 1000000 AS rrf,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY rrf_raw DESC, doc_id) AS INTEGER) AS "rank"
+       |      FROM fu)
+       |SELECT * FROM rrfr WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)
+  }
+
   /** q100: semantic text SEARCH — q92's embedding CTEs feeding q46's
     * IVF body verbatim (the search sibling of q93's dedup
     * composition): top-5 cosine neighbors per query document over the
@@ -4287,10 +4462,15 @@ object SparkEntry {
     * residual cell tables — the drift oracle encodes its OWN target
     * frame (base ∪ perturbed intake), so the corpus encode/ADC CTEs
     * would be dead weight. */
+  /** `source` swaps the vector origin (default: the embeddings-table
+    * [[vecCtes]]): q134 passes the text-embedding chain ending in the
+    * same `n(vec_id, v, nrm)` shape — everything downstream is
+    * source-agnostic. */
   private def annIvfPqIndexCtes(residual: Boolean = false,
                                 trainRounds: Int = 0,
                                 centRounds: Int = 0,
-                                withEncode: Boolean = true): String = {
+                                withEncode: Boolean = true,
+                                source: String = vecCtes): String = {
     val (m, ks, dsub) = (8, 16, 8)
     def dot8(a: String, b: String): String = pqDot8(a, b)
     def chain(arr: String, codes: String): String = pqChain(arr, codes)
@@ -4389,7 +4569,7 @@ object SparkEntry {
       if (centRounds == 0)
         "cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < 16)"
       else trainedCentCtes(centRounds)
-    s"""WITH $vecCtes,
+    s"""WITH $source,
        |$centCtes,
        |sc AS (SELECT x.vec_id, c.cell, (${sqlDot("x.v", "c.v")}) / c.nrm AS score
        |       FROM n x CROSS JOIN cent c),
@@ -4501,6 +4681,56 @@ object SparkEntry {
        |  FLOOR(f.mx * 10000 + 0.5) / 10000 AS max_qerr,
        |  a.retrain_alarm
        |FROM dfin f CROSS JOIN dal a ORDER BY f.split""".stripMargin)
+  }
+
+  /** s24: the streaming ANN ingest's two health rows replayed — the
+    * q102/q105 trained-index CTEs (training only), then each intake
+    * batch (ids ≡ 8, then ≡ 9 mod 10) through the SAME assignment
+    * argmax and encode-argmin error chains as q133's oracle:
+    * n_codes = base count + prefix batch counts (associative — a
+    * running window over the batch frame), cells_touched = the
+    * batch's distinct assigned cells, mean_qerr_fp = the 2²⁰
+    * fixed-point integer mean (sfp // n — exact at any scale, no
+    * float display discipline needed). */
+  private def annIngestOracle: String = {
+    val (m, ks, dsub) = (8, 16, 8)
+    val fp = 1L << 20
+    val errs = (1 to m).map(i => s"l.arr[$i]").mkString(" + ")
+    materializeTrainedCtes(
+      s"""${annIvfPqIndexCtes(residual = true, trainRounds = 2,
+            centRounds = 2, withEncode = false)},
+       |tgt AS (SELECT vec_id, v, CASE WHEN vec_id % 10 = 8 THEN 1 ELSE 2 END AS b
+       |        FROM n WHERE vec_id % 10 IN (8, 9)),
+       |dsc AS (SELECT t.vec_id, t.b, t.v, c.cell, (${sqlDot("t.v", "c.v")}) / c.nrm AS score
+       |        FROM tgt t CROSS JOIN cent c),
+       |da AS (SELECT vec_id, b, v, cell FROM (
+       |         SELECT vec_id, b, v, cell,
+       |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+       |         FROM dsc) t WHERE rn = 1),
+       |dvm AS (SELECT a.vec_id, a.b, a.cell,
+       |          (${sqlDot("a.v", "a.v")}) - 2*(${sqlDot("a.v", "c.v")}) + (${sqlDot("c.v", "c.v")}) AS eb
+       |        FROM da a JOIN cent c USING (cell)),
+       |dsv AS (SELECT a.vec_id, a.cell, r.s, a.v[(r.s*$dsub+1):(r.s*$dsub+$dsub)] AS sv
+       |        FROM da a CROSS JOIN range(0, $m) r(s)),
+       |den AS (SELECT t.vec_id, t.s, b.code,
+       |          (b.c2 - 2*(${pqDot8("t.sv", "b.cv")}) + 2*x.ccf[t.s*$ks + b.code + 1]) AS err
+       |        FROM dsv t JOIN ccn x ON x.cell = t.cell JOIN book b USING (s)),
+       |dme AS (SELECT vec_id, s, err FROM (
+       |          SELECT vec_id, s, err,
+       |                 ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY err, code) AS rn
+       |          FROM den) t WHERE rn = 1),
+       |dqe AS (SELECT v.vec_id, v.b, v.cell, (v.eb + $errs) AS qerr
+       |        FROM dvm v JOIN (SELECT vec_id, list(err ORDER BY s) AS arr
+       |                         FROM dme GROUP BY 1) l USING (vec_id)),
+       |bag AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nb,
+       |          CAST(COUNT(DISTINCT cell) AS BIGINT) AS cells_touched,
+       |          CAST(SUM(CAST(FLOOR(qerr * $fp.0 + 0.5) AS BIGINT)) AS BIGINT) AS sfp
+       |        FROM dqe GROUP BY 1),
+       |basen AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb
+       |          FROM n WHERE vec_id % 10 NOT IN (8, 9))
+       |SELECT (SELECT nb FROM basen) + SUM(nb) OVER (ORDER BY b) AS n_codes,
+       |       cells_touched, sfp // nb AS mean_qerr_fp
+       |FROM bag ORDER BY b""".stripMargin)
   }
 
   private def annIvfPqOracle(residual: Boolean = false,

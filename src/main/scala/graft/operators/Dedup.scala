@@ -40,7 +40,7 @@ object Dedup {
 
   /** Distinct word n-gram (shingle) set of `text` — see
     * [[graft.functions.Exprs.Shingles]] for the exact semantics. */
-  private[operators] def shingleSet(n: Int = 3): Column =
+  private[graft] def shingleSet(n: Int = 3): Column =
     Exprs.shingles(split(col("text"), " "), n)
 
   /** Shared: identical-formula Jaccard so Spark and DuckDB divide the

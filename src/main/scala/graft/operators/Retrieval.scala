@@ -68,6 +68,15 @@ object Retrieval {
     * the oracle. */
   private[graft] val DefaultMaxDfPpm: Long = 900000L
 
+  /** q135 drift-alarm defaults (spliced into the oracle — the house
+    * splice rule): head size for the df-share drift, and the two
+    * integer ppm alarm thresholds (20% OOV token mass / 20% head
+    * total-variation — past either, the built lexicon no longer
+    * describes the corpus being served; rebuild). */
+  private[graft] val DefaultDriftTopK: Int = 20
+  private[graft] val DefaultOovAlarmPpm: Long = 200000L
+  private[graft] val DefaultTvdAlarmPpm: Long = 200000L
+
   /** RRF's smoothing constant (Cormack et al.'s k = 60) and the
     * per-list pool depth feeding the fusion. Spliced into the oracle. */
   private[graft] val RrfK: Int = 60
@@ -586,6 +595,80 @@ object Retrieval {
         nQueries = nQueries, k = poolK)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("r_sem"))
+    rrfFuse(lex, sem, k)
+  }
+
+  /** q135: LEXICAL DRIFT ALARM — q133's sibling on the inverted-index
+    * leg (r17 verdict #5): appends keep the index CORRECT under new
+    * n_docs (idf recomputes per append), but nothing watched whether
+    * the intake's TERM DISTRIBUTION has drifted from the built
+    * lexicon — the "when to rebuild" signal (a drifted vocabulary
+    * degrades ranking quality: growing OOV mass scores as nothing,
+    * and the built df statistics stop describing the corpus being
+    * served). One report row, every number integer-exact (the q133
+    * fixed-point discipline — no float anywhere near the verdict):
+    *
+    *  - `new_terms` — intake terms absent from the lexicon;
+    *  - `new_post_ppm` — share of intake POSTINGS on new terms
+    *    (posting mass the index has no idf for), ppm;
+    *  - `oov_token_ppm` — share of intake TOKENS on new terms, ppm;
+    *  - `topk_tvd_ppm` — Σ |df-share(index) − posting-share(intake)|
+    *    over the lexicon's `topK` highest-df terms, ppm: the
+    *    head-of-distribution drift (a shifted topical mix moves the
+    *    head shares even when OOV stays low);
+    *  - `retrain_alarm` — `oov_token_ppm > oovAlarmPpm OR
+    *    topk_tvd_ppm > tvdAlarmPpm`, integer comparisons.
+    *
+    * Scale shape: the intake tokenizes ONCE ([[postingsFrame]],
+    * localCheckpointed — three consumers, zero re-tokenization); the
+    * lexicon legs are vocabulary-scale artifact reads; the top-K cut
+    * is orderBy+limit (TakeOrdered — distributed, never a
+    * single-partition window sort); the per-term share fan-in joins
+    * a K-row broadcast. Nothing corpus-scale runs twice (the q133
+    * diamond lesson, applied at build time). Share divisors are the
+    * intake's own totals, so int64 headroom is df·10⁶ ≤ n_docs·10⁶ —
+    * exact past any real corpus. */
+  def bm25IndexDrift(index: Bm25Index, intake: DataFrame,
+                     topK: Int = DefaultDriftTopK,
+                     oovAlarmPpm: Long = DefaultOovAlarmPpm,
+                     tvdAlarmPpm: Long = DefaultTvdAlarmPpm): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(oovAlarmPpm > 0 && tvdAlarmPpm > 0,
+      "alarm thresholds must be positive ppm values")
+    val iterm = postingsFrame(intake)
+      .groupBy("term")
+      .agg(sum(col("tf")).as("itok"), count(lit(1)).as("ipost"))
+      .localCheckpoint() // two consumers: the OOV totals + the top-K shares
+    val lex = index.lexicon.select(col("term"), col("df"))
+    val tot = iterm.join(lex, Seq("term"), "left")
+      .agg(sum(col("itok")).as("t_tok"),
+        sum(when(col("df").isNull, col("itok")).otherwise(0L)).as("oov_tok"),
+        sum(col("ipost")).as("t_post"),
+        sum(when(col("df").isNull, col("ipost")).otherwise(0L)).as("new_post"),
+        sum(when(col("df").isNull, lit(1L)).otherwise(0L)).as("new_terms"))
+      .localCheckpoint() // 1 row; two consumers (report + share divisor)
+    val lexTot = lex.agg(sum(col("df")).as("l_totdf"))
+    val top = lex.orderBy(col("df").desc, col("term")).limit(topK)
+    val drift = top
+      .join(iterm.select(col("term"), col("ipost")), Seq("term"), "left")
+      .crossJoin(broadcast(lexTot))
+      .crossJoin(broadcast(tot.select(col("t_post").as("tp"))))
+      .agg(sum(abs(
+        expr("df * 1000000L div l_totdf") -
+          expr("coalesce(ipost, 0L) * 1000000L div tp"))).as("topk_tvd_ppm"))
+    tot.crossJoin(broadcast(drift))
+      .select(col("new_terms"),
+        expr("new_post * 1000000L div t_post").as("new_post_ppm"),
+        expr("oov_tok * 1000000L div t_tok").as("oov_token_ppm"),
+        col("topk_tvd_ppm"),
+        (expr("oov_tok * 1000000L div t_tok") > lit(oovAlarmPpm) ||
+          col("topk_tvd_ppm") > lit(tvdAlarmPpm)).as("retrain_alarm"))
+  }
+
+  /** The RRF arithmetic shared by the ad-hoc (q128) and artifact-
+    * served (q134) forms: two pool frames in, the fixed two-division
+    * law, one KB-scale fusion window out. */
+  private def rrfFuse(lex: DataFrame, sem: DataFrame, k: Int): DataFrame = {
     val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("r_lex").cast("double")), lit(0.0)) +
@@ -597,5 +680,37 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("r_lex"), col("r_sem"),
         graft.Exact.dround(col("rrf"), 6).as("rrf"), col("rank"))
+  }
+
+  /** q134: HYBRID RETRIEVAL SERVED FROM THE PERSISTED ARTIFACTS — the
+    * production serving point of the hybrid leg (r17 verdict #4):
+    * q128's RRF law over a lexical pool served from the q129 BM25
+    * index and a semantic pool served from a q130-style trained ANN
+    * index built over the SAME text-embedding corpus. Production
+    * never re-derives its pools ad hoc per query — both legs read
+    * standing artifacts (shard-pruned posting reads, cell-pruned
+    * code reads), and the fusion itself stays the KB-scale
+    * [[rrfFuse]] window regardless of corpus size.
+    *
+    * The lexical pool is row-identical to q128's (the q129 ≡ q127
+    * serve identity, at pool depth). The semantic pool is the ANN
+    * index's honest serving answer (nProbe/rerank-bounded IVF-PQ with
+    * exact re-rank) rather than q128's exact brute-force pool — the
+    * production trade q125's frontier quantifies — so q134 carries
+    * its OWN oracle: the full trained-index + search chain over the
+    * text-embedding CTEs, fused by the same RRF SQL as q128's. */
+  def rrfFusionServed(bm25: Bm25Index, ann: Similarity.AnnIndex,
+                      store: DataFrame, queries: DataFrame,
+                      k: Int = 5, poolK: Int = DefaultPoolK,
+                      maxDfPpm: Long = DefaultMaxDfPpm,
+                      nProbe: Int = 8, rerank: Int = 64): DataFrame = {
+    val lex = bm25ServeIndex(bm25, queries, k = poolK,
+        maxDfPpm = maxDfPpm, excludeId = true)
+      .select(col("query_id"), col("doc_id"), col("rank").as("r_lex"))
+    val sem = Similarity.annServeIndex(ann, store, k = poolK,
+        nProbe = nProbe, rerank = rerank)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("r_sem"))
+    rrfFuse(lex, sem, k)
   }
 }

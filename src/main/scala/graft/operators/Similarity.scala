@@ -1304,14 +1304,19 @@ object Similarity {
     // later intake encodes under the SAME frozen quantizers via
     // [[appendAnnIndex]], and codes(base) ∪ codes(intake) equals a
     // full encode EXACTLY because encoding is per-row
-    pqEncode(prepared(encodeOnly.getOrElse(embeddings)),
-        cents, bookC2, m, ks, dsub, residual)
+    val toEncode = encodeOnly.getOrElse(embeddings)
+    pqEncode(prepared(toEncode), cents, bookC2, m, ks, dsub, residual)
       .withColumn("_p_cell", col("cell"))
-      .write.mode("overwrite").partitionBy("_p_cell")
+      .withColumn("_b_epoch", lit(0L))
+      .write.mode("overwrite").partitionBy("_p_cell", "_b_epoch")
       .parquet(s"$path/codes")
-    Seq((m, ks, dsub, cents.length, residual, centStamp(cents)))
+    // n_codes rides the stats so appends can merge it associatively
+    // and a serve never pays a codes count; encoding is 1:1 per
+    // vector, so the input count IS the code count
+    Seq((m, ks, dsub, cents.length, residual, centStamp(cents),
+        toEncode.count(), 0L, -1L))
       .toDF("_p_m", "_p_ks", "_p_dsub", "_p_cells", "_p_residual",
-        "_p_cent_stamp")
+        "_p_cent_stamp", "n_codes", "_p_epoch", "_p_batch_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
@@ -1328,21 +1333,97 @@ object Similarity {
     * per-row encoding is independent of every other row.
     *
     * Intake contract (q45/q131's): batch vec_ids are NEW — dedup the
-    * intake first. */
+    * intake first.
+    *
+    * Crash safety + replay idempotency ([[graft.operators.Retrieval
+    * .appendBm25Index]]'s armor on the semantic leg): the batch's
+    * codes append stamped with epoch E+1, then the stats row —
+    * n_codes merged associatively, epoch bumped — commits LAST
+    * through the crash-safe swap choreography. A crash between the
+    * two leaves codes beyond the committed epoch, which
+    * [[readAnnIndex]] detects and refuses to serve. `batchId` is the
+    * streaming intake's at-least-once fence (s24): a replayed batch
+    * is a no-op returning None.
+    *
+    * Returns the batch's INGEST HEALTH on an applied append — the
+    * numbers s24's per-batch meter emits, computed from the SAME
+    * pinned encode the write landed (one encode, zero extra
+    * shuffles): merged n_codes, the batch's distinct cells touched,
+    * and its mean quantization error under the frozen quantizers in
+    * 2²⁰ fixed point (q133's exact-integer mean discipline — THE
+    * retrain signal a continuous ingest watches). */
+  final case class AnnIngestHealth(nCodes: Long, cellsTouched: Long,
+                                   meanQerrFp: Long)
+
   def appendAnnIndex(spark: org.apache.spark.sql.SparkSession,
-                     batch: DataFrame, path: String): Unit = {
+                     batch: DataFrame, path: String,
+                     batchId: Option[Long] = None): Option[AnnIngestHealth] = {
     val idx = readAnnIndex(spark, path)
+    if (batchId.exists(_ <= idx.batchId)) return None // at-least-once replay
     require(batch.limit(1).count() > 0,
       "appendAnnIndex: empty intake batch — nothing to append")
     val bookC2: Seq[(Int, Int, Array[Double], Double)] =
       idx.book.toSeq.map { case (s, code, cv) =>
         (s, code, cv, cv.foldLeft(0.0)((a, x) => a + x * x))
       }
-    pqEncode(prepared(batch), idx.cents, bookC2,
-        idx.m, idx.ks, idx.dsub, idx.residual)
+    val newEpoch = idx.epoch + 1L
+    // ONE encode serves both the write and the health meter: pinned
+    // (localCheckpoint) so the two consumers cannot diverge, with the
+    // per-vector quantization error riding along (withError — one
+    // extra expression, no extra shuffle)
+    val enc = pqEncode(prepared(batch), idx.cents, bookC2,
+        idx.m, idx.ks, idx.dsub, idx.residual, withError = true)
       .withColumn("_p_cell", col("cell"))
-      .write.mode("append").partitionBy("_p_cell")
+      .localCheckpoint()
+    enc.drop("qerr")
+      .withColumn("_b_epoch", lit(newEpoch))
+      .write.mode("append").partitionBy("_p_cell", "_b_epoch")
       .parquet(s"$path/codes")
+    val h = enc.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("cell")).as("cells"),
+        sum(floor(col("qerr") * lit(1048576.0) + lit(0.5)).cast("long"))
+          .as("sfp")).head()
+    val nCodes = idx.nCodes + h.getAs[Long]("n")
+    import spark.implicits._
+    val newStats = Seq((idx.m, idx.ks, idx.dsub, idx.cents.length,
+        idx.residual, centStamp(idx.cents), nCodes, newEpoch,
+        batchId.getOrElse(idx.batchId)))
+      .toDF("_p_m", "_p_ks", "_p_dsub", "_p_cells", "_p_residual",
+        "_p_cent_stamp", "n_codes", "_p_epoch", "_p_batch_id")
+    Dedup.compactSwap(spark, s"$path/stats", what = "ann stats")(tmp =>
+      newStats.coalesce(1).write.mode("overwrite").parquet(tmp)
+    ) { tmp =>
+      val got = spark.read.parquet(tmp).collect()
+      require(got.length == 1 && got.head.getAs[Long]("_p_epoch") == newEpoch,
+        s"appendAnnIndex: stats rewrite validation failed — aborting " +
+          "with the live index intact")
+    }
+    Some(AnnIngestHealth(nCodes, h.getAs[Long]("cells"),
+      h.getAs[Long]("sfp") / h.getAs[Long]("n")))
+  }
+
+  /** Read-only recomputation of a batch's ingest-health numbers under
+    * an index's frozen quantizers — s24's REPLAY path: when
+    * [[appendAnnIndex]] skips an already-applied batch (at-least-once
+    * re-delivery), the append's effects are in the index but the
+    * health row the crash may have lost still needs emitting; a
+    * replay only ever re-delivers the LATEST batch, so the index's
+    * merged n_codes is exactly the post-batch value and the batch
+    * recomputes its own cells/qerr without touching the artifact. */
+  def annIngestHealthOf(idx: AnnIndex, batch: DataFrame): AnnIngestHealth = {
+    val bookC2: Seq[(Int, Int, Array[Double], Double)] =
+      idx.book.toSeq.map { case (s, code, cv) =>
+        (s, code, cv, cv.foldLeft(0.0)((a, x) => a + x * x))
+      }
+    val h = pqEncode(prepared(batch), idx.cents, bookC2,
+        idx.m, idx.ks, idx.dsub, idx.residual, withError = true)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("cell")).as("cells"),
+        sum(floor(col("qerr") * lit(1048576.0) + lit(0.5)).cast("long"))
+          .as("sfp")).head()
+    AnnIngestHealth(idx.nCodes, h.getAs[Long]("cells"),
+      h.getAs[Long]("sfp") / h.getAs[Long]("n"))
   }
 
   /** q133: INDEX DRIFT REPORT — the maintenance signal the frozen-
@@ -1413,11 +1494,17 @@ object Similarity {
 
   /** Validated handle on a persisted ANN index: centroids + codebook
     * re-validated through their own readers, codes left as a LAZY
-    * cell-partitioned frame (the serve prunes it at the scan). */
+    * cell-partitioned frame (the serve prunes it at the scan).
+    * `nCodes` is the stats-carried code count (appends merge it
+    * associatively — a serve never counts the codes); `epoch` is the
+    * mutation counter and `batchId` the last applied streaming batch
+    * (s24's replay fence; -1 = none) — the BM25 index's armor
+    * mirrored onto the semantic leg. */
   final case class AnnIndex(cents: Array[(Long, Array[Double])],
                             book: Array[(Int, Int, Array[Double])],
                             codes: DataFrame,
-                            m: Int, ks: Int, dsub: Int, residual: Boolean)
+                            m: Int, ks: Int, dsub: Int, residual: Boolean,
+                            nCodes: Long, epoch: Long, batchId: Long)
 
   def readAnnIndex(spark: org.apache.spark.sql.SparkSession,
                    path: String, m: Int = 8, ks: Int = 16): AnnIndex = {
@@ -1447,12 +1534,25 @@ object Similarity {
       s"ann index at $path: codebook sub-dim ${book.head._3.length} vs " +
         s"stats stamp $dsub")
     val codes = spark.read.parquet(s"$path/codes")
-    require(Set("vec_id", "cell", "codes", "vn2", "_p_cell")
+    require(Set("vec_id", "cell", "codes", "vn2", "_p_cell", "_b_epoch")
       .subsetOf(codes.columns.toSet),
       s"ann index at $path: codes lack expected columns, got " +
         codes.columns.mkString(", "))
+    // torn-append detector ([[graft.operators.Retrieval.readBm25Index]]'s
+    // convention): codes beyond the committed stats epoch mean an
+    // append crashed between the codes write and the stats commit —
+    // refuse to serve a partially-landed batch. _b_epoch is a
+    // PARTITION column, so the probe is directory-listing weight.
+    val epoch = st.getAs[Long]("_p_epoch")
+    val maxBe = codes.agg(max(col("_b_epoch").cast("long"))).head().getLong(0)
+    require(maxBe == epoch,
+      s"ann index at $path is TORN: codes carry epoch $maxBe but stats " +
+        s"committed epoch $epoch — an append crashed before its commit; " +
+        "re-run the intake after a rebuild, or restore the __precompact " +
+        "recovery copy")
     AnnIndex(cents, book, codes, m, ks, dsub,
-      st.getAs[Boolean]("_p_residual"))
+      st.getAs[Boolean]("_p_residual"),
+      st.getAs[Long]("n_codes"), epoch, st.getAs[Long]("_p_batch_id"))
   }
 
   /** Codes compaction — [[graft.operators.Retrieval.compactBm25Index]]'s
@@ -1471,7 +1571,9 @@ object Similarity {
   def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String,
                       maxRecordsPerFile: Long = 0L): (Long, Long) = {
-    readAnnIndex(spark, path) // stamp-validate before touching anything
+    // stamp-validate before touching anything; the epoch cross-check
+    // also guarantees no orphan codes ride into the rewrite
+    val idx = readAnnIndex(spark, path)
     val codes = spark.read.parquet(s"$path/codes")
       .select("vec_id", "cell", "codes", "vn2", "_p_cell")
     def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
@@ -1482,13 +1584,17 @@ object Similarity {
         if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
     val want = sig(codes)
+    // epochs collapse to the committed one (the BM25 compaction's
+    // rule): preserving them would keep O(appends) files per cell,
+    // defeating the compaction
     Dedup.compactSwap(spark, s"$path/codes", what = "ann codes")(tmp =>
       codes
         .repartition(col("_p_cell"))
         .sortWithinPartitions("vec_id")
+        .withColumn("_b_epoch", lit(idx.epoch))
         .write.mode("overwrite")
         .option("maxRecordsPerFile", maxRecordsPerFile)
-        .partitionBy("_p_cell").parquet(tmp)
+        .partitionBy("_p_cell", "_b_epoch").parquet(tmp)
     ) { tmp =>
       val got = sig(spark.read.parquet(tmp)
         .select("vec_id", "cell", "codes", "vn2", "_p_cell"))

@@ -575,6 +575,61 @@ object Streams {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** s24: STREAMING ANN INGESTION — s23's closed intake loop on the
+    * semantic leg, completing the 2×2 serve/ingest matrix over both
+    * persisted artifacts (s21/s22 serve, s23/s24 ingest): each
+    * micro-batch of new vectors APPENDS to the persisted q130 index
+    * ([[graft.operators.Similarity.appendAnnIndex]] verbatim — encode
+    * under the FROZEN quantizers, cell-partitioned codes append,
+    * associative n_codes merge, epoch-committed stats) and emits ONE
+    * index-health row: (n_codes, cells_touched, mean_qerr_fp) — how
+    * big the index is, how widely the batch scattered, and the
+    * batch's mean quantization error under the frozen quantizers in
+    * 2²⁰ fixed point (q133's exact-integer discipline). mean_qerr IS
+    * the continuous retrain signal: a drifting intake quantizes
+    * worse, and this meter shows it batch by batch, for free, from
+    * the same single encode the append already pays.
+    *
+    * Batches apply strictly in delivery order (foreachBatch is
+    * serial); n_codes is an associative merge so every emission is a
+    * prefix-exact integer, and mean_qerr_fp is a pure function of
+    * (batch, frozen quantizers) — a pinned delivery order makes the
+    * whole emission sequence deterministic and oracle-replayable per
+    * prefix (the s23 convention; rows key on the strictly monotone
+    * n_codes).
+    *
+    * At-least-once replay (the s23 fence, semantic leg): the batchId
+    * rides into appendAnnIndex, which persists the last-applied id —
+    * a replayed append is a no-op, and the health row is recomputed
+    * READ-ONLY ([[graft.operators.Similarity.annIngestHealthOf]]) and
+    * re-emitted, content-identical to the row the crash may have
+    * lost. */
+  def streamAnnIngest(intake: DataFrame, indexPath: String,
+                      outDir: String, checkpointDir: String,
+                      trigger: Option[Trigger] = None): StreamingQuery = {
+    val spark = intake.sparkSession
+    import spark.implicits._
+    val w = intake.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batch.limit(1).count() > 0) {
+          val b = batch.localCheckpoint() // pin BEFORE the index mutation
+          val h = graft.operators.Similarity
+            .appendAnnIndex(spark, b, indexPath, batchId = Some(batchId))
+            .getOrElse {
+              graft.operators.Similarity.annIngestHealthOf(
+                graft.operators.Similarity.readAnnIndex(spark, indexPath), b)
+            }
+          Seq((h.nCodes, h.cellsTouched, h.meanQerrFp))
+            .toDF("n_codes", "cells_touched", "mean_qerr_fp")
+            .write.mode("append").parquet(outDir)
+        }
+        ()
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
   /** s09: the CLOSED continuous-dedup loop — s08 plus per-batch
     * ADMISSION. s08 probes a static corpus index, so two intake
     * batches that duplicate EACH OTHER both pass; here every batch,

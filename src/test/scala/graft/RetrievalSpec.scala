@@ -284,6 +284,74 @@ class RetrievalSpec extends SparkSpec {
     next.epoch shouldBe after.epoch + 1
   }
 
+  test("q135 drift alarm: iid intake stays quiet; a vocabulary-shifted intake fires; thresholds are strict") {
+    val base = java.nio.file.Files.createTempDirectory("bm25_drift").toString
+    val docs = tables.documents
+    Retrieval.writeBm25Index(docs.filter(col("doc_id") % 10 =!= 9), s"$base/idx")
+    val idx = Retrieval.readBm25Index(spark, s"$base/idx")
+    val same = docs.filter(col("doc_id") % 10 === 9)
+    def report(intake: org.apache.spark.sql.DataFrame,
+               oovPpm: Long = Retrieval.DefaultOovAlarmPpm,
+               tvdPpm: Long = Retrieval.DefaultTvdAlarmPpm) =
+      Retrieval.bm25IndexDrift(idx, intake,
+        oovAlarmPpm = oovPpm, tvdAlarmPpm = tvdPpm).collect().head
+    // an iid (undrifted) slice of the same corpus: quiet
+    val quiet = report(same)
+    quiet.getAs[Boolean]("retrain_alarm") shouldBe false
+    quiet.getAs[Long]("oov_token_ppm") should be <
+      Retrieval.DefaultOovAlarmPpm
+    // a FULLY vocabulary-shifted intake (every token suffixed): every
+    // token is OOV — 10⁶ ppm exactly — and the alarm fires
+    val shifted = same.select(col("doc_id"),
+      expr("concat(replace(text, ' ', '_vx '), '_vx')").as("text"))
+    val fire = report(shifted)
+    fire.getAs[Boolean]("retrain_alarm") shouldBe true
+    fire.getAs[Long]("oov_token_ppm") shouldBe 1000000L
+    fire.getAs[Long]("new_post_ppm") shouldBe 1000000L
+    // threshold pinning: the comparisons are STRICT integer > — at
+    // thresholds equal to the measured values the alarm stays quiet,
+    // one ppm below it fires
+    val tvd = fire.getAs[Long]("topk_tvd_ppm")
+    report(shifted, oovPpm = 1000000L, tvdPpm = tvd)
+      .getAs[Boolean]("retrain_alarm") shouldBe false
+    report(shifted, oovPpm = 1000000L, tvdPpm = tvd - 1)
+      .getAs[Boolean]("retrain_alarm") shouldBe true
+  }
+
+  test("q134 artifact-served hybrid: pools are the two index serves' ranks, rrf law exact") {
+    val base = java.nio.file.Files.createTempDirectory("hybrid_idx").toString
+    val docs = tables.documents
+    Retrieval.writeBm25Index(docs, s"$base/bm25")
+    val emb = graft.operators.TextOps.embedFrame(docs).localCheckpoint()
+    Similarity.writeAnnIndex(emb, s"$base/ann")
+    val bm25 = Retrieval.readBm25Index(spark, s"$base/bm25")
+    val ann = Similarity.readAnnIndex(spark, s"$base/ann")
+    val queries = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val out = Retrieval.rrfFusionServed(bm25, ann, emb, queries).collect()
+    out should not be empty
+    // provenance: each leg's rank equals the standalone serve's rank
+    val lex = Retrieval.bm25ServeIndex(bm25, queries,
+        k = Retrieval.DefaultPoolK, excludeId = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(4)).toMap
+    val sem = Similarity.annServeIndex(ann, emb,
+        k = Retrieval.DefaultPoolK).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    def law(rl: Option[Int], rs: Option[Int]): Double = {
+      val raw = rl.map(r => 1.0 / (Retrieval.RrfK + r.toDouble)).getOrElse(0.0) +
+        rs.map(r => 1.0 / (Retrieval.RrfK + r.toDouble)).getOrElse(0.0)
+      math.floor(raw * 1000000 + 0.5) / 1000000
+    }
+    out.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val rl = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      val rs = if (r.isNullAt(3)) None else Some(r.getInt(3))
+      rl shouldBe lex.get(key)
+      rs shouldBe sem.get(key)
+      r.getDouble(4) shouldBe law(rl, rs)
+    }
+  }
+
   test("q129 read fails loud on a parameter-stamp drift") {
     val dir = java.nio.file.Files.createTempDirectory("bm25idx_stamp").toString
     Retrieval.writeBm25Index(corpus, s"$dir/index")

@@ -598,6 +598,24 @@ class SimilaritySpec extends SparkSpec {
     scaled("base")._3 shouldBe quiet("base")._3
   }
 
+  test("torn ANN append fails loud at read: codes beyond the stats epoch") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx_torn").toString
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint()
+    Similarity.writeAnnIndex(e, s"$dir/index")
+    // simulate a crash AFTER the codes append, BEFORE the stats
+    // commit: one batch's codes at epoch 1 land, stats stay 0
+    spark.read.parquet(s"$dir/index/codes").limit(1)
+      .withColumn("_b_epoch", org.apache.spark.sql.functions.lit(1L))
+      .localCheckpoint()
+      .write.mode("append").partitionBy("_p_cell", "_b_epoch")
+      .parquet(s"$dir/index/codes")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.readAnnIndex(spark, s"$dir/index")
+    }
+    err.getMessage should include("TORN")
+  }
+
   test("q130 read fails loud when the centroid table drifts from the codes' digest") {
     val dir = java.nio.file.Files.createTempDirectory("annidx_stamp").toString
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

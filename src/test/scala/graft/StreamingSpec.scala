@@ -647,6 +647,60 @@ class StreamingSpec extends SparkSpec {
     serve(s"$tmp/idx") shouldBe serve(s"$tmp/full")
   }
 
+  test("s24 streaming ANN ingest: appends compose to a full rebuild; health rows are prefix-exact; replay is fenced") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val e = tables.embeddings
+    val base = e.filter(col("vec_id") % 10 =!= 8 && col("vec_id") % 10 =!= 9)
+    val nBase = base.count()
+    val b1 = e.filter(col("vec_id") % 10 === 8)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+    val b2 = e.filter(col("vec_id") % 10 === 9)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+    val tmp = java.nio.file.Files.createTempDirectory("s24spec_").toString
+    graft.operators.Similarity.writeAnnIndex(e, s"$tmp/idx",
+      encodeOnly = Some(base))
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Streams.streamAnnIngest(in.toDF().toDF("vec_id", "embedding"),
+      s"$tmp/idx", s"$tmp/out", s"$tmp/cp")
+    try {
+      in.addData(b1.toSeq: _*); q.processAllAvailable()
+      in.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(s"$tmp/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    rows should have length 2
+    // n_codes is the associative prefix merge — independent counts
+    rows(0)._1 shouldBe nBase + b1.length
+    rows(1)._1 shouldBe nBase + b1.length + b2.length
+    rows.foreach { case (_, cells, qerr) =>
+      cells should be >= 1L
+      qerr should be >= 0L
+    }
+    // the replay path emits a row content-identical to the appended
+    // emission (the at-least-once re-delivery contract): a replayed
+    // batchId is a no-op append, and the read-only recomputation
+    // equals the last emitted health row
+    val idx = graft.operators.Similarity.readAnnIndex(spark, s"$tmp/idx")
+    idx.batchId shouldBe 1L
+    graft.operators.Similarity.appendAnnIndex(spark,
+      b2.toSeq.toDF("vec_id", "embedding"), s"$tmp/idx",
+      batchId = Some(1L)) shouldBe None
+    val h = graft.operators.Similarity.annIngestHealthOf(idx,
+      b2.toSeq.toDF("vec_id", "embedding"))
+    (h.nCodes, h.cellsTouched, h.meanQerrFp) shouldBe rows(1)
+    // the closed-loop invariant: the final appended index serves
+    // row-identically to a from-scratch full build (append ≡ rebuild)
+    graft.operators.Similarity.writeAnnIndex(e, s"$tmp/full")
+    def serve(p: String) = graft.operators.Similarity.annServeIndex(
+        graft.operators.Similarity.readAnnIndex(spark, p), e)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    serve(s"$tmp/idx") shouldBe serve(s"$tmp/full")
+  }
+
   test("s19 streaming domain quota: counters persist across batches, in-batch admission is doc_id-ordered") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
