@@ -25,9 +25,14 @@ import org.apache.spark.sql.SparkSession
   * provenance), q125 SMJ ×4 (one per serving config in the sweep:
   * the per-config left-semi of served neighbors against the shared
   * localCheckpointed exact baseline — size-unknown, AQE converts at
-  * runtime when small), q133 BNLJ (the ONE-ROW retrain-alarm verdict
-  * broadcast-crossJoined onto the two report rows — index-metadata
-  * weight by construction).
+  * runtime when small), q134 SMJ (q128's full-outer fusion join over
+  * the two nQueries·poolK pools — full outer cannot broadcast, both
+  * sides KB at any corpus size), q135 BNLJ ×3 (the one-row intake
+  * totals, lexicon-total and head-TVD frames broadcast-crossJoined
+  * onto each other — index-metadata weight by construction). q133's
+  * former BNLJ is gone as of r18: the retrain alarm now rides a
+  * global window over the 2-row grouped frame (scan 4 → 2 — the
+  * encode subtree runs once).
   *
   * Run: Test/runMain graft.ExplainAudit [sfDir]
   */
