@@ -886,6 +886,31 @@ object SparkEntry {
       q.awaitTermination(); q.stop()
       s.read.parquet(s"$tmp/out")
     }),
+    // s25: STREAMING HYBRID SERVING — the serving matrix's last cell
+    // (ad-hoc q128, artifact-served q134, streaming s25): micro-batch
+    // queries served against BOTH persisted artifacts, the semantic
+    // leg embedding each batch's own query texts (pure per-row
+    // embedding ⇒ batch vectors ≡ corpus-member vectors). One-drain
+    // delivery of the q134 query set ⇒ drained union IS q134's
+    // output — shares its oracle verbatim (the s21/s22 identity
+    // convention).
+    "s25_stream_hybrid_serve" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val tmp = scratchDir("graft_s25_")
+      Retrieval.writeBm25Index(docs, s"$tmp/bm25")
+      val emb = TextOps.embedFrame(docs).localCheckpoint()
+      Similarity.writeAnnIndex(emb, s"$tmp/ann")
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val queries = s.readStream.schema(schema)
+        .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val q = Streams.streamHybridServe(queries, s"$tmp/bm25",
+        s"$tmp/ann", emb, s"$tmp/out", s"$tmp/cp",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination(); q.stop()
+      s.read.parquet(s"$tmp/out")
+    }),
     // s09: the closed admit loop — batch1 (ids ≡ 8 mod 10) probes the
     // corpus index and admits its survivors; batch2 (ids ≡ 9) then
     // dedups against corpus AND those survivors. Delivery order is
@@ -1117,10 +1142,19 @@ object SparkEntry {
         docsS.filter(col("doc_id") % 21 === 0)
           .withColumn("doc_id", col("doc_id") + lit(300000L)))
       val media = Multimodal.encodePng(Multimodal.imageMedia(unionS))
+      // per-CELL state (one membership list per quantizer cell, and
+      // |cells| = cents.length is already known here) → size the
+      // store count from the key volume like s13 (the r16 structural
+      // fix, which s14 never received): at gate SFs this lands on
+      // the floor, cutting 32 RocksDB instances per trigger to 4.
+      // Decode parallelism is scan-side (file splits) and unaffected.
       Streams.scopedStateStoreConf(s) {
-        Streams.runToMemory(
-          Streams.streamImageSemanticDedup(media, cents, tau = 0.9).toDF,
-          "s14_stream_image_semantic_dedup")
+        Streams.scopedShufflePartitions(s,
+          Streams.suggestStatePartitions(cents.length.toLong)) {
+          Streams.runToMemory(
+            Streams.streamImageSemanticDedup(media, cents, tau = 0.9).toDF,
+            "s14_stream_image_semantic_dedup")
+        }
       }
     }),
     // s11: q76 through the streaming loop — the previous snapshot is
@@ -2525,6 +2559,10 @@ object SparkEntry {
     // q135: lexical drift alarm — base lexicon vs shifted intake,
     // integer-ppm meters, alarm spliced from the operator defaults
     "q135_bm25_index_drift" -> bm25DriftOracle,
+    // s25: per-query fused rows are batching-independent functions of
+    // (query text, the two artifacts, store); one-drain delivery of
+    // the q134 query set → the drained union IS q134's output
+    "s25_stream_hybrid_serve" -> hybridServedOracle,
     // identity with q127 by construction (build→read→serve changes the
     // execution shape, not the arithmetic) — one oracle, hash-checked
     "q129_bm25_index_served" -> bm25Oracle,

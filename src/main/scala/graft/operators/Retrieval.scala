@@ -699,16 +699,26 @@ object Retrieval {
     * production trade q125's frontier quantifies — so q134 carries
     * its OWN oracle: the full trained-index + search chain over the
     * text-embedding CTEs, fused by the same RRF SQL as q128's. */
+  /** `semQueries` = an EXTERNAL (vec_id, embedding) query frame for
+    * the semantic leg (the s25 streaming-batch shape — each batch
+    * embeds its own query texts through the same pure per-row
+    * embedding, so batch-embedded vectors equal the corpus-member
+    * ones and the drained union stays q134-row-identical); default =
+    * the corpus-member convention. `knownCorpusDim` is the
+    * once-per-store validation pass-through (s22's rule). */
   def rrfFusionServed(bm25: Bm25Index, ann: Similarity.AnnIndex,
                       store: DataFrame, queries: DataFrame,
                       k: Int = 5, poolK: Int = DefaultPoolK,
                       maxDfPpm: Long = DefaultMaxDfPpm,
-                      nProbe: Int = 8, rerank: Int = 64): DataFrame = {
+                      nProbe: Int = 8, rerank: Int = 64,
+                      semQueries: Option[DataFrame] = None,
+                      knownCorpusDim: Option[Int] = None): DataFrame = {
     val lex = bm25ServeIndex(bm25, queries, k = poolK,
         maxDfPpm = maxDfPpm, excludeId = true)
       .select(col("query_id"), col("doc_id"), col("rank").as("r_lex"))
     val sem = Similarity.annServeIndex(ann, store, k = poolK,
-        nProbe = nProbe, rerank = rerank)
+        nProbe = nProbe, rerank = rerank, queries = semQueries,
+        knownCorpusDim = knownCorpusDim)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("r_sem"))
     rrfFuse(lex, sem, k)

@@ -630,6 +630,53 @@ object Streams {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** s25: STREAMING HYBRID SERVING — the serving matrix's last cell:
+    * each micro-batch of (query_id, text) queries is served against
+    * BOTH persisted artifacts at once
+    * ([[graft.operators.Retrieval.rrfFusionServed]] verbatim): the
+    * lexical pool from the BM25 index (shard-pruned posting reads),
+    * the semantic pool from the trained ANN index with the batch's
+    * OWN embedded query texts as the external query frame (the
+    * embedding is a pure per-row function, so batch-embedded vectors
+    * equal the corpus-member ones), fused by q128's RRF law. Both
+    * handles validate ONCE at stream start (the s21/s22 rule; the
+    * store dimension too — no per-batch first() on the hot path).
+    *
+    * Per-query fused rows are pure functions of (query text, the two
+    * artifacts, store) — each query's two pools never see other
+    * queries — so results are batching-independent and the drained
+    * union over one-delivery of the q134 query set equals q134's
+    * output row-identically: s25 shares q134's oracle verbatim (the
+    * q129/q130/s21/s22 identity convention). */
+  def streamHybridServe(queries: DataFrame, bm25Path: String,
+                        annPath: String, store: DataFrame,
+                        outDir: String, checkpointDir: String,
+                        k: Int = 5,
+                        trigger: Option[Trigger] = None): StreamingQuery = {
+    val spark = queries.sparkSession
+    val bm25 = graft.operators.Retrieval.readBm25Index(spark, bm25Path)
+    val ann = graft.operators.Similarity.readAnnIndex(spark, annPath)
+    val storeDim = store
+      .select(size(col("embedding").cast("array<double>")))
+      .first().getInt(0)
+    val w = queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // two consumers (the lexical text leg + the embedded semantic
+        // leg) — pin the batch once
+        val b = batch.localCheckpoint()
+        graft.operators.Retrieval.rrfFusionServed(bm25, ann, store, b,
+            k = k,
+            semQueries = Some(graft.operators.TextOps.embedFrame(
+              b.select(col("query_id").as("doc_id"), col("text")))),
+            knownCorpusDim = Some(storeDim))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
   /** s09: the CLOSED continuous-dedup loop — s08 plus per-batch
     * ADMISSION. s08 probes a static corpus index, so two intake
     * batches that duplicate EACH OTHER both pass; here every batch,

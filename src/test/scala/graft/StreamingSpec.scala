@@ -647,6 +647,39 @@ class StreamingSpec extends SparkSpec {
     serve(s"$tmp/idx") shouldBe serve(s"$tmp/full")
   }
 
+  test("s25 streaming hybrid serve: a two-batch split of the query set drains row-identically to batch q134") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val docs = tables.documents
+    val tmp = java.nio.file.Files.createTempDirectory("s25spec_").toString
+    graft.operators.Retrieval.writeBm25Index(docs, s"$tmp/bm25")
+    val emb = graft.operators.TextOps.embedFrame(docs).localCheckpoint()
+    graft.operators.Similarity.writeAnnIndex(emb, s"$tmp/ann")
+    val qdocs = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    // deliver the query set SPLIT across two micro-batches — the
+    // batching-independence claim the one-drain oracle can't see
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.streamHybridServe(
+      in.toDF().toDF("query_id", "text"),
+      s"$tmp/bm25", s"$tmp/ann", emb, s"$tmp/out", s"$tmp/cp")
+    try {
+      in.addData(qdocs.take(4).toSeq: _*); q.processAllAvailable()
+      in.addData(qdocs.drop(4).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val drained = spark.read.parquet(s"$tmp/out")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val batch = graft.operators.Retrieval.rrfFusionServed(
+        graft.operators.Retrieval.readBm25Index(spark, s"$tmp/bm25"),
+        graft.operators.Similarity.readAnnIndex(spark, s"$tmp/ann"),
+        emb,
+        docs.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("query_id"), col("text")))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    drained shouldBe batch
+  }
+
   test("s24 streaming ANN ingest: appends compose to a full rebuild; health rows are prefix-exact; replay is fenced") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
