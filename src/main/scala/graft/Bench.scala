@@ -209,6 +209,40 @@ object Bench {
       case (k, v) if standingFloors.get(k).exists(f => f > 0 && v > 2 * f) =>
         k -> (v / standingFloors(k))
     }
+    // Self-adjudication (round-19; r18 verdict #2 — three straight
+    // rounds of MANUAL ambient-flag adjudication): the artifact now
+    // carries the r18 chain-median method itself.
+    // `median_inflation_vs_standing` = median of floor/standing over
+    // every gated cell — the chain's ambient temperature (a quiet
+    // chain reads ~1.0; the r18 driver chain read 1.52-1.56 and its
+    // 11 flags were simply that distribution's tail). Each flag gets
+    // a `flag_class`: code_changed vs code_identical (from
+    // bench_changed.json — a plain JSON array of query keys whose
+    // implementation changed since the standing floors were pinned,
+    // maintained as part of the round-close discipline) crossed with
+    // ambient (flag ratio <= 2x the chain median — the r18 rule: all
+    // 11 driver flags sat at 1.3-2.0x a 1.56 median) vs outlier
+    // (stands out even against a hot chain). The house protocol:
+    // code_identical_ambient needs no extra runs; code_changed or
+    // *_outlier needs the A/B-at-boundary-commit treatment.
+    val inflations = floors.flatMap { case (k, v) =>
+      standingFloors.get(k).filter(_ > 0).map(f => v / f)
+    }.toSeq.sorted
+    val medianInflation =
+      if (inflations.isEmpty) 0.0
+      else if (inflations.size % 2 == 1) inflations(inflations.size / 2)
+      else (inflations(inflations.size / 2 - 1) + inflations(inflations.size / 2)) / 2
+    val changedKeys: Set[String] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_changed.json")), "UTF-8")
+      "\"([^\"]+)\"".r.findAllMatchIn(txt).map(_.group(1)).toSet
+    } catch { case _: Throwable => Set.empty }
+    val flagClass: scala.collection.Map[String, String] = flagged.map { case (k, ratio) =>
+      val code = if (changedKeys(k)) "code_changed" else "code_identical"
+      val band = if (medianInflation > 0 && ratio <= 2.0 * medianInflation)
+        "ambient" else "outlier"
+      k -> s"${code}_$band"
+    }
     def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     val qs = floors.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -218,12 +252,14 @@ object Bench {
       .mkString("{", ",", "}")
     val fl = flagged.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val fc = flagClass.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = floors.values.sum
     val sampleTotal = samples.values.sum
     val rpe = reprobeErrors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","kind":"floor","sample_total":${r3(sampleTotal)},"n_ok":${floors.size},"n_err":${errors.size},"n_flagged":${flagged.size},"flagged_vs_standing":$fl,"reprobe_errors":$rpe,"queries":$qs,"samples":$ss,"errors":$es,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","kind":"floor","sample_total":${r3(sampleTotal)},"n_ok":${floors.size},"n_err":${errors.size},"n_flagged":${flagged.size},"median_inflation_vs_standing":${r3(medianInflation)},"flag_class":$fc,"flagged_vs_standing":$fl,"reprobe_errors":$rpe,"queries":$qs,"samples":$ss,"errors":$es,"sf":"${esc(sfDir)}"}"""
     // Full-name line goes to the file (and stdout, for humans/greps)...
     println(line)
     try java.nio.file.Files.writeString(
@@ -259,16 +295,19 @@ object Bench {
       .mkString("{", ",", "}")
     val flC = flagged.map { case (k, v) => "\"" + key(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val fcC = flagClass.map { case (k, v) => "\"" + key(k) + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     def summaryLine(withFlags: Boolean): String = {
-      val flagsPart = if (withFlags) s""","flagged_vs_standing":$flC""" else ""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","kind":"floor","sample_total":${r3(sampleTotal)},"n_ok":${floors.size},"n_err":${errors.size},"n_flagged":${flagged.size},"n_reprobe_err":${reprobeErrors.size}$flagsPart,"sf":"${esc(sfDir)}","queries_file":"bench_metric.json"}"""
+      val flagsPart = if (withFlags)
+        s""","flagged_vs_standing":$flC,"flag_class":$fcC""" else ""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","kind":"floor","sample_total":${r3(sampleTotal)},"n_ok":${floors.size},"n_err":${errors.size},"n_flagged":${flagged.size},"median_inflation_vs_standing":${r3(medianInflation)},"n_reprobe_err":${reprobeErrors.size}$flagsPart,"sf":"${esc(sfDir)}","queries_file":"bench_metric.json"}"""
     }
     // 2000-char driver window minus sbt's ~120-char closing line and
     // slack: the last printed line must stay under this or its HEAD
     // (with the JSON opener) is what gets cut.
     val TailBudget = 1600
     val compactLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","kind":"floor","sample_total":${r3(sampleTotal)},"n_ok":${floors.size},"n_err":${errors.size},"n_flagged":${flagged.size},"flagged_vs_standing":$flC,"queries":$qsC,"errors":$esC,"sf":"${esc(sfDir)}","full_names":"bench_metric.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","kind":"floor","sample_total":${r3(sampleTotal)},"n_ok":${floors.size},"n_err":${errors.size},"n_flagged":${flagged.size},"median_inflation_vs_standing":${r3(medianInflation)},"flag_class":$fcC,"flagged_vs_standing":$flC,"queries":$qsC,"errors":$esC,"sf":"${esc(sfDir)}","full_names":"bench_metric.json"}"""
     val lastLine =
       if (compactLine.length <= TailBudget) compactLine
       else if (summaryLine(withFlags = true).length <= TailBudget) summaryLine(withFlags = true)

@@ -71,6 +71,60 @@ object SparkEntry {
   /** q135's per-process index scratch. */
   private lazy val bm25DriftDir: String = scratchDir("graft_bm25drift")
 
+  /** q136's per-process index scratch. */
+  private lazy val annRotateDir: String = scratchDir("graft_annrotate")
+
+  /** q137's per-process index scratch. */
+  private lazy val annFilterDir: String = scratchDir("graft_annfilter")
+
+  /** q137's two serving filters — (label, modulus): neighbor vec_id ≡
+    * 0 (mod m), a 50% (non-selective) and a 10% (selective) stratum.
+    * One constant list, spliced into the declared query AND the
+    * oracle (the house splice rule). */
+  private val FilteredServeLegs: Seq[(String, Long)] =
+    Seq(("decile", 10L), ("even", 2L))
+
+  /** q136's drift population: a per-coordinate TRANSLATION of the
+    * re-crawled slice — off-distribution under the frozen quantizers
+    * (the alarm fires) but congruent to the base population, so
+    * retraining over the union absorbs it (the alarm clears). One
+    * constant, spliced into the declared query AND the oracle (the
+    * house splice rule); 0.25 is exactly representable, so the
+    * translated coordinates stay bit-identical across engines. */
+  private val RotateDriftOffset = "0.25"
+
+  /** STRUCTURAL delivery-order pinning for the multi-batch intake
+    * streams (s09/s15/s23/s24): land ONE batch file, drain the stream
+    * to completion (Trigger.AvailableNow + awaitTermination against
+    * the stream's standing checkpoint), then land the next and drain
+    * again — micro-batch order is now program-structural (batch N is
+    * the ONLY unprocessed file when drain N starts; the checkpoint's
+    * seen-files log carries across drains, so drain N+1 picks up
+    * exactly the new file). Until r18 these queries pinned order by
+    * FILE MTIME (maxFilesPerTrigger=1 over a pre-landed directory),
+    * hanging gate correctness off FileStreamSource's listing order —
+    * fragile by construction, and the r18 driver's one red row (s24,
+    * 2 rows / schema ok / hash off) is exactly the b1/b2-swap
+    * signature. `mkQuery` must build a FRESH query over the landing
+    * dir with the SAME checkpoint dir each call. Delivery-order
+    * immunity is spec-pinned in StreamingSpec (adversarially inverted
+    * mtimes cannot reorder structurally-drained batches). */
+  private def drainInOrder(landing: String,
+      batches: Seq[(String, DataFrame)])
+      (mkQuery: () => org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    batches.foreach { case (name, df) =>
+      val stage = s"${landing}_stage_$name"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part file staged under $stage"))
+      val dest = java.nio.file.Paths.get(s"$landing/$name.parquet")
+      java.nio.file.Files.createDirectories(dest.getParent)
+      java.nio.file.Files.move(part.toPath, dest)
+      val q = mkQuery()
+      q.awaitTermination(); q.stop()
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Core ETL surface
     "q01_ingest_normalize"   -> ((s, d) => Etl.ingestNormalize(Tables(s, d).events)),
@@ -641,6 +695,67 @@ object SparkEntry {
       Similarity.annIndexDrift(Similarity.readAnnIndex(s, s"$dir/index"),
         e.filter(col("vec_id") % 10 =!= 9), intake)
     }),
+    // q136: RETRAIN-ROTATE — the operator that CONSUMES the drift
+    // alarm (r18 verdict #4, the lifecycle loop's last edge): build
+    // the index on the corpus, append a TRANSLATED full re-crawl
+    // (off-distribution under the frozen quantizers), watch the q133
+    // drift report fire the alarm — then rotateAnnIndex retrains both
+    // quantizers over base ∪ intake, re-encodes, swaps the artifact
+    // in place (crash-safe, stats last), and the SAME report re-run
+    // against the rotated index shows the alarm CLEARED. Output =
+    // both reports phase-labeled; the oracle replays each phase's
+    // full trained chain (before: trained on base; after: trained on
+    // the union — rotate ≡ from-scratch rebuild by determinism).
+    // The intake is the WHOLE corpus re-crawled (not a slice): the
+    // alarm compares per-population mean qerr, and a small population
+    // inherently quantizes coarser than the base even after a perfect
+    // retrain (RotateProbe measured the 10% slice stuck at 122-172%
+    // vs the 120 threshold across offsets, while the full re-crawl
+    // reads 98-100% at all three gate SFs with before at 627-685%) —
+    // the operator contract is honest only for comparably-sized
+    // populations, and the probe is the committed evidence.
+    "q136_ann_index_rotate" -> ((s, d) => {
+      import org.apache.spark.sql.functions.expr
+      val e = Tables(s, d).embeddings
+      val dir = annRotateDir
+      Similarity.writeAnnIndex(e, s"$dir/index")
+      val intake = e
+        .select((col("vec_id") + lit(900000L)).as("vec_id"),
+          expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+            s"x -> x + ${RotateDriftOffset}D)").as("embedding"))
+        .localCheckpoint() // two consumers: the append and the reports
+      Similarity.appendAnnIndex(s, intake, s"$dir/index")
+      def report(phase: String) =
+        Similarity.annIndexDrift(Similarity.readAnnIndex(s, s"$dir/index"),
+            e, intake)
+          .withColumn("phase", lit(phase))
+          .select("phase", "split", "n_vecs", "mean_qerr", "max_qerr",
+            "retrain_alarm")
+      val before = report("before").localCheckpoint() // pin: rotate replaces the files below
+      Similarity.rotateAnnIndex(s, s"$dir/index",
+        e.select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("embedding")).unionByName(intake))
+      before.unionByName(report("after")).orderBy("phase", "split")
+    }),
+    // q137: FILTERED ANN SERVING — top-k WITHIN a predicate over the
+    // persisted trained index (how every production vector store
+    // serves: lang = X, source = Y). Two strata over the q130
+    // artifact — a selective (10%) and a non-selective (50%) filter —
+    // each the annServeIndexFiltered path: predicate ON the code
+    // scan, composed with probed-cell partition pruning, below the
+    // rerank; exact re-rank unchanged. Plan-pinned in SimilaritySpec
+    // (filter below rerank, pruned scan, TRUE-predicate identity).
+    "q137_ann_filtered_serve" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      val dir = annFilterDir
+      Similarity.writeAnnIndex(e, s"$dir/index")
+      val idx = Similarity.readAnnIndex(s, s"$dir/index")
+      FilteredServeLegs.map { case (name, m) =>
+        Similarity.annServeIndexFiltered(idx, e, col("vec_id") % m === 0)
+          .withColumn("filt", lit(name))
+          .select("filt", "query_id", "neighbor_id", "cos_sim", "rank")
+      }.reduce(_.unionByName(_)).orderBy("filt", "query_id", "rank")
+    }),
     "q57_semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(Tables(s, d).embeddings)),
     // q104: q57 under the TRAINED quantizer (declared r14) — the
     // production SemDeDup build order (the paper trains; the q93
@@ -818,72 +933,57 @@ object SparkEntry {
     }),
     // s23: the closed intake loop on the lexical leg — the index is
     // built once on the standing corpus (ids ≢ 8,9 mod 10), then two
-    // pinned-order intake batches (≡ 8, then ≡ 9 — s09's landing
-    // convention) each APPEND and emit the post-append index-health
-    // row; both emissions are associative integer merges of the
-    // batches so far, so the oracle replays each prefix exactly
+    // intake batches (≡ 8, then ≡ 9) each APPEND and emit the
+    // post-append index-health row; both emissions are associative
+    // integer merges of the batches so far, so the oracle replays
+    // each prefix exactly. Delivery order is STRUCTURAL (land →
+    // drain → land → drain, [[drainInOrder]]) — not mtime-dependent.
     "s23_stream_bm25_ingest" -> ((s, d) => {
       val docs = Tables(s, d).documents
       val base = docs.filter(col("doc_id") % 10 =!= 8 && col("doc_id") % 10 =!= 9)
       val tmp = scratchDir("graft_s23_")
       Retrieval.writeBm25Index(base, s"$tmp/index")
-      def land(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-        val stage = s"$tmp/stage_$name"
-        df.coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-        val dest = java.nio.file.Paths.get(s"$tmp/landing/$name.parquet")
-        java.nio.file.Files.createDirectories(dest.getParent)
-        java.nio.file.Files.move(part.toPath, dest)
-        require(dest.toFile.setLastModified(mtime),
-          s"could not pin mtime on $dest — s23 delivery order would be undefined")
-      }
-      land(docs.filter(col("doc_id") % 10 === 8), "b1", 1000000L)
-      land(docs.filter(col("doc_id") % 10 === 9), "b2", 2000000L)
       val schema = s.read.parquet(s"$d/documents.parquet").schema
-      val intake = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
-      val q = Streams.streamBm25Ingest(intake, s"$tmp/index",
-        s"$tmp/out", s"$tmp/cp",
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
-      q.awaitTermination(); q.stop()
+      drainInOrder(s"$tmp/landing", Seq(
+        "b1" -> docs.filter(col("doc_id") % 10 === 8),
+        "b2" -> docs.filter(col("doc_id") % 10 === 9))) { () =>
+        val intake = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
+        Streams.streamBm25Ingest(intake, s"$tmp/index",
+          s"$tmp/out", s"$tmp/cp",
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      }
       s.read.parquet(s"$tmp/out")
     }),
     // s24: the closed intake loop on the SEMANTIC leg — s23's sibling,
     // completing the 2×2 serve/ingest matrix over both persisted
     // artifacts. Quantizers train ONCE on the full corpus (q132's
     // Faiss train/add split), the base codes (ids ≢ 8,9 mod 10) write
-    // at build, then two pinned-order intake batches (≡ 8, then ≡ 9)
-    // each APPEND under the frozen quantizers and emit the post-append
-    // health row: associatively-merged n_codes (strictly monotone —
-    // the row key), the batch's distinct cells touched, and its mean
+    // at build, then two intake batches (≡ 8, then ≡ 9) each APPEND
+    // under the frozen quantizers and emit the post-append health
+    // row: associatively-merged n_codes (strictly monotone — the row
+    // key), the batch's distinct cells touched, and its mean
     // quantization error in 2²⁰ fixed point (integer-exact, q133's
-    // discipline) — the continuous retrain signal.
+    // discipline) — the continuous retrain signal. Delivery order is
+    // STRUCTURAL (land → drain → land → drain, [[drainInOrder]]): the
+    // r18 driver's one red row was this query's emission reordered by
+    // FileStreamSource's mtime listing — the order is now program
+    // shape, immune to listing behavior.
     "s24_stream_ann_ingest" -> ((s, d) => {
       val e = Tables(s, d).embeddings
       val base = e.filter(col("vec_id") % 10 =!= 8 && col("vec_id") % 10 =!= 9)
       val tmp = scratchDir("graft_s24_")
       Similarity.writeAnnIndex(e, s"$tmp/index", encodeOnly = Some(base))
-      def land(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-        val stage = s"$tmp/stage_$name"
-        df.coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-        val dest = java.nio.file.Paths.get(s"$tmp/landing/$name.parquet")
-        java.nio.file.Files.createDirectories(dest.getParent)
-        java.nio.file.Files.move(part.toPath, dest)
-        require(dest.toFile.setLastModified(mtime),
-          s"could not pin mtime on $dest — s24 delivery order would be undefined")
-      }
-      land(e.filter(col("vec_id") % 10 === 8), "b1", 1000000L)
-      land(e.filter(col("vec_id") % 10 === 9), "b2", 2000000L)
       val schema = s.read.parquet(s"$d/embeddings.parquet").schema
-      val intake = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
-      val q = Streams.streamAnnIngest(intake, s"$tmp/index",
-        s"$tmp/out", s"$tmp/cp",
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
-      q.awaitTermination(); q.stop()
+      drainInOrder(s"$tmp/landing", Seq(
+        "b1" -> e.filter(col("vec_id") % 10 === 8),
+        "b2" -> e.filter(col("vec_id") % 10 === 9))) { () =>
+        val intake = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
+        Streams.streamAnnIngest(intake, s"$tmp/index",
+          s"$tmp/out", s"$tmp/cp",
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      }
       s.read.parquet(s"$tmp/out")
     }),
     // s25: STREAMING HYBRID SERVING — the serving matrix's last cell
@@ -914,37 +1014,24 @@ object SparkEntry {
     // s09: the closed admit loop — batch1 (ids ≡ 8 mod 10) probes the
     // corpus index and admits its survivors; batch2 (ids ≡ 9) then
     // dedups against corpus AND those survivors. Delivery order is
-    // pinned: one file per micro-batch (maxFilesPerTrigger=1), file
-    // mtimes force batch1 before batch2 — the batch-replay oracle
-    // depends on exactly this batching.
+    // STRUCTURAL (land → drain → land → drain, [[drainInOrder]]) —
+    // the batch-replay oracle depends on exactly this batching, so
+    // it must not hang off FileStreamSource's mtime listing.
     "s09_stream_dedup_admit" -> ((s, d) => {
       val docs = Tables(s, d).documents
       val corpus = docs.filter(col("doc_id") % 10 =!= 8 && col("doc_id") % 10 =!= 9)
       val tmp = scratchDir("graft_s09_")
       Dedup.writeBandIndex(corpus, s"$tmp/index")
-      def land(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-        val stage = s"$tmp/stage_$name"
-        df.coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-        val dest = java.nio.file.Paths.get(s"$tmp/landing/$name.parquet")
-        java.nio.file.Files.createDirectories(dest.getParent)
-        java.nio.file.Files.move(part.toPath, dest)
-        // the mtime IS the delivery order the oracle replays — a
-        // filesystem that refuses the stamp must fail loudly here,
-        // not as an inexplicable oracle mismatch downstream
-        require(dest.toFile.setLastModified(mtime),
-          s"could not pin mtime on $dest — s09 delivery order would be undefined")
-      }
-      land(docs.filter(col("doc_id") % 10 === 8), "b1", 1000000L)
-      land(docs.filter(col("doc_id") % 10 === 9), "b2", 2000000L)
       val schema = s.read.parquet(s"$d/documents.parquet").schema
-      val intake = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
-      val q = Streams.streamIncrementalDedupAdmit(intake, s"$tmp/index", corpus,
-        s"$tmp/admitted", s"$tmp/out", s"$tmp/cp",
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
-      q.awaitTermination(); q.stop()
+      drainInOrder(s"$tmp/landing", Seq(
+        "b1" -> docs.filter(col("doc_id") % 10 === 8),
+        "b2" -> docs.filter(col("doc_id") % 10 === 9))) { () =>
+        val intake = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
+        Streams.streamIncrementalDedupAdmit(intake, s"$tmp/index", corpus,
+          s"$tmp/admitted", s"$tmp/out", s"$tmp/cp",
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      }
       s.read.parquet(s"$tmp/out")
     }),
     // s15: the closed admit loop for the SEMANTIC family (s09's
@@ -954,41 +1041,29 @@ object SparkEntry {
     // copies of batch1's ORGANIC members at +600000) then dedups
     // against the corpus AND those survivors — the +600000 copies can
     // only be condemned if batch1's admissions actually landed.
-    // Delivery order pinned as in s09: one file per micro-batch,
-    // mtimes force batch1 first; the oracle replays both probes with
-    // store1 = store0 ∪ (batch1 ∖ hits1).
+    // Delivery order STRUCTURAL as in s09 ([[drainInOrder]]); the
+    // oracle replays both probes with store1 = store0 ∪ (batch1 ∖
+    // hits1).
     "s15_stream_semantic_dedup_admit" -> ((s, d) => {
       val e = Tables(s, d).embeddings
       val store = e.filter(col("vec_id") % 10 =!= 8 && col("vec_id") % 10 =!= 9)
       val cents = Similarity.seedCentroids(store, 16)
       val tmp = scratchDir("graft_s15_")
       Similarity.writeSemanticStore(store, s"$tmp/store", cents)
-      def land(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-        val stage = s"$tmp/stage_$name"
-        df.coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-        val dest = java.nio.file.Paths.get(s"$tmp/landing/$name.parquet")
-        java.nio.file.Files.createDirectories(dest.getParent)
-        java.nio.file.Files.move(part.toPath, dest)
-        require(dest.toFile.setLastModified(mtime),
-          s"could not pin mtime on $dest — s15 delivery order would be undefined")
-      }
       val b1 = e.filter(col("vec_id") % 10 === 8).unionByName(
         store.filter(col("vec_id") % 50 === 0)
           .withColumn("vec_id", col("vec_id") + lit(300000L)))
       val b2 = e.filter(col("vec_id") % 10 === 9).unionByName(
         e.filter(col("vec_id") % 10 === 8)
           .withColumn("vec_id", col("vec_id") + lit(600000L)))
-      land(b1, "b1", 1000000L)
-      land(b2, "b2", 2000000L)
       val schema = s.read.parquet(s"$d/embeddings.parquet").schema
-      val intake = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
-      val q = Streams.streamSemanticDedupAdmit(intake, s"$tmp/store", cents,
-        s"$tmp/out", s"$tmp/cp",
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
-      q.awaitTermination(); q.stop()
+      drainInOrder(s"$tmp/landing", Seq("b1" -> b1, "b2" -> b2)) { () =>
+        val intake = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
+        Streams.streamSemanticDedupAdmit(intake, s"$tmp/store", cents,
+          s"$tmp/out", s"$tmp/cp",
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      }
       s.read.parquet(s"$tmp/out")
     }),
     // s12: q88's token accounting as the ingest loop's live meter —
@@ -2494,6 +2569,14 @@ object SparkEntry {
     // q133: drift report — the trained-index CTEs (training only) +
     // the drift target's exact error chain + fixed-point split means
     "q133_ann_index_drift" -> annDriftOracle(120),
+    // q136: the drift report twice — before under base-trained
+    // quantizers (alarm fires), after under union-trained quantizers
+    // (rotate ≡ from-scratch rebuild; alarm clears)
+    "q136_ann_index_rotate" -> annRotateOracle,
+    // q137: the q105 search chain per filter stratum, the candidate
+    // predicate in the ap CTE's WHERE — exactly where the Spark plan
+    // applies it (below the rerank cut)
+    "q137_ann_filtered_serve" -> annFilteredOracle,
     // s24: the two post-append health rows — trained-index CTEs, each
     // intake batch through q133's exact error chain, n_codes as the
     // associative prefix merge (rows key on the monotone n_codes)
@@ -4453,7 +4536,11 @@ object SparkEntry {
     * scoring, the rerank cut, exact re-rank, top-5. Suffix every CTE
     * so multiple configs coexist in one statement (q125). */
   private def annIvfPqSearchCtes(sfx: String, nProbe: Int, rerank: Int,
-                                 residual: Boolean): String = {
+                                 residual: Boolean,
+                                 candWhere: String = ""): String = {
+    // q137: a candidate predicate lands in the SAME place the Spark
+    // plan applies it — on the candidate rows, before the rerank cut
+    val cw = if (candWhere.isEmpty) "" else s" AND ($candWhere)"
     val ap =
       if (!residual)
         s"""ap$sfx AS (SELECT p.query_id, a.neighbor_id,
@@ -4462,7 +4549,7 @@ object SparkEntry {
            |       JOIN codesv cv ON cv.vec_id = a.neighbor_id
            |       JOIN adc d ON d.query_id = p.query_id
            |       JOIN n q ON q.vec_id = p.query_id
-           |       WHERE a.neighbor_id <> p.query_id)""".stripMargin
+           |       WHERE a.neighbor_id <> p.query_id$cw)""".stripMargin
       else
         s"""ap$sfx AS (SELECT p.query_id, a.neighbor_id,
            |         ( ((${sqlDot("q.v", "c.v")}) / c.nrm) * sqrt(x.c2c)
@@ -4473,7 +4560,7 @@ object SparkEntry {
            |       JOIN n q ON q.vec_id = p.query_id
            |       JOIN cent c ON c.cell = p.cell
            |       JOIN ccn x ON x.cell = p.cell
-           |       WHERE a.neighbor_id <> p.query_id)""".stripMargin
+           |       WHERE a.neighbor_id <> p.query_id$cw)""".stripMargin
     s"""probes$sfx AS (SELECT vec_id AS query_id, cell FROM (
        |          SELECT vec_id, cell,
        |                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
@@ -4675,17 +4762,22 @@ object SparkEntry {
     * means through the 2²⁰ fixed-point discipline (exact long sums,
     * integer-div means, integer alarm comparison). Every constant
     * spliced from the operator defaults. */
-  private def annDriftOracle(alarmPct: Int): String = {
+  /** The drift statement over ANY (corpus source, target frame) pair
+    * — factored (r19) so the q136 rotate oracle can replay the SAME
+    * report twice: once under quantizers trained on the base corpus
+    * (before) and once under quantizers trained on base ∪ intake
+    * (after). `source` must end defining `n(vec_id, v, nrm)` (the
+    * annIvfPqIndexCtes contract); `tgtSql` must select
+    * (vec_id, v, split). */
+  private def annDriftStmt(source: String, tgtSql: String,
+                           alarmPct: Int): String = {
     val (m, ks, dsub) = (8, 16, 8)
     val fp = 1L << 20
     val errs = (1 to m).map(i => s"l.arr[$i]").mkString(" + ")
     materializeTrainedCtes(
       s"""${annIvfPqIndexCtes(residual = true, trainRounds = 2,
-            centRounds = 2, withEncode = false)},
-       |tgt AS (SELECT vec_id, v, 'base' AS split FROM n WHERE vec_id % 10 <> 9
-       |        UNION ALL
-       |        SELECT vec_id + 900000, list_transform(v, x -> x * 3), 'intake'
-       |        FROM n WHERE vec_id % 10 = 9),
+            centRounds = 2, withEncode = false, source = source)},
+       |tgt AS ($tgtSql),
        |dsc AS (SELECT t.vec_id, t.split, t.v, c.cell, (${sqlDot("t.v", "c.v")}) / c.nrm AS score
        |        FROM tgt t CROSS JOIN cent c),
        |da AS (SELECT vec_id, split, v, cell FROM (
@@ -4708,7 +4800,7 @@ object SparkEntry {
        |        FROM dvm v JOIN (SELECT vec_id, list(err ORDER BY s) AS arr
        |                         FROM dme GROUP BY 1) l USING (vec_id)),
        |dag AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       |          CAST(SUM(CAST(FLOOR(qerr * $fp.0 + 0.5) AS BIGINT)) AS BIGINT) AS sfp,
+       |          CAST(SUM(GREATEST(CAST(FLOOR(qerr * $fp.0 + 0.5) AS BIGINT), 0)) AS BIGINT) AS sfp,
        |          MAX(qerr) AS mx
        |        FROM dqe GROUP BY 1),
        |dfin AS (SELECT split, n_vecs, sfp // n_vecs AS mfp, mx FROM dag),
@@ -4719,6 +4811,57 @@ object SparkEntry {
        |  FLOOR(f.mx * 10000 + 0.5) / 10000 AS max_qerr,
        |  a.retrain_alarm
        |FROM dfin f CROSS JOIN dal a ORDER BY f.split""".stripMargin)
+  }
+
+  private def annDriftOracle(alarmPct: Int): String =
+    annDriftStmt(vecCtes,
+      """SELECT vec_id, v, 'base' AS split FROM n WHERE vec_id % 10 <> 9
+        |        UNION ALL
+        |        SELECT vec_id + 900000, list_transform(v, x -> x * 3), 'intake'
+        |        FROM n WHERE vec_id % 10 = 9""".stripMargin,
+      alarmPct)
+
+  /** q136: the rotate lifecycle replayed — the SAME drift report
+    * statement twice ([[annDriftStmt]]), phase 'before' under
+    * quantizers trained on the base corpus (the live index the
+    * intake drifted away from) and phase 'after' under quantizers
+    * trained on base ∪ intake (what [[Similarity.rotateAnnIndex]]
+    * deterministically retrains — rotate ≡ from-scratch rebuild, so
+    * the oracle trains from scratch). The intake is a TRANSLATED
+    * population (x + offset per coordinate): off-distribution under
+    * the frozen quantizers (alarm fires), congruent to the base once
+    * cells are retrained over the union (alarm clears) — the drift
+    * class rotation can actually repair, unlike q133's ×3 scale
+    * whose spread survives retraining. Offset spliced from the
+    * declared query's constant (the house splice rule). */
+  private def annRotateOracle: String = {
+    val off = RotateDriftOffset
+    val ink =
+      s"""ink AS (SELECT vec_id + 900000 AS vec_id,
+         |          list_transform(v, x -> x + $off) AS v
+         |        FROM e)""".stripMargin
+    val srcBefore =
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$ink,
+         |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e)""".stripMargin
+    val srcAfter =
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$ink,
+         |u AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM ink),
+         |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM u)""".stripMargin
+    val tgt =
+      """SELECT vec_id, v, 'base' AS split FROM e
+        |        UNION ALL
+        |        SELECT vec_id, v, 'intake' AS split FROM ink""".stripMargin
+    s"""SELECT * FROM (
+       |SELECT 'before' AS phase, t.* FROM (
+       |${annDriftStmt(srcBefore, tgt, 120)}
+       |) t
+       |UNION ALL
+       |SELECT 'after' AS phase, t.* FROM (
+       |${annDriftStmt(srcAfter, tgt, 120)}
+       |) t
+       |) ORDER BY phase, split""".stripMargin
   }
 
   /** s24: the streaming ANN ingest's two health rows replayed — the
@@ -4762,13 +4905,34 @@ object SparkEntry {
        |                         FROM dme GROUP BY 1) l USING (vec_id)),
        |bag AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nb,
        |          CAST(COUNT(DISTINCT cell) AS BIGINT) AS cells_touched,
-       |          CAST(SUM(CAST(FLOOR(qerr * $fp.0 + 0.5) AS BIGINT)) AS BIGINT) AS sfp
+       |          CAST(SUM(GREATEST(CAST(FLOOR(qerr * $fp.0 + 0.5) AS BIGINT), 0)) AS BIGINT) AS sfp
        |        FROM dqe GROUP BY 1),
        |basen AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb
        |          FROM n WHERE vec_id % 10 NOT IN (8, 9))
        |SELECT (SELECT nb FROM basen) + SUM(nb) OVER (ORDER BY b) AS n_codes,
        |       cells_touched, sfp // nb AS mean_qerr_fp
        |FROM bag ORDER BY b""".stripMargin)
+  }
+
+  /** q137: one full search chain per filter stratum over the SHARED
+    * trained index CTEs, each with its candidate predicate in the ap
+    * WHERE ([[annIvfPqSearchCtes]]'s candWhere — the same below-the-
+    * rerank placement as the Spark plan), results stacked with the
+    * stratum label. Moduli spliced from [[FilteredServeLegs]]. */
+  private def annFilteredOracle: String = {
+    val searches = FilteredServeLegs.zipWithIndex.map { case ((_, m), i) =>
+      annIvfPqSearchCtes(s"_f$i", 8, 64, residual = true,
+        candWhere = s"a.neighbor_id % $m = 0")
+    }.mkString(",\n")
+    val arms = FilteredServeLegs.zipWithIndex.map { case ((name, _), i) =>
+      s"""SELECT '$name' AS filt, query_id, neighbor_id, cos_sim, "rank" FROM r_f$i WHERE "rank" <= 5"""
+    }.mkString("\nUNION ALL\n")
+    materializeTrainedCtes(
+      s"""${annIvfPqIndexCtes(residual = true, trainRounds = 2,
+            centRounds = 2)},
+         |$searches
+         |$arms
+         |ORDER BY filt, query_id, "rank"""".stripMargin)
   }
 
   private def annIvfPqOracle(residual: Boolean = false,

@@ -332,9 +332,17 @@ object Retrieval {
       .subsetOf(lexicon.columns.toSet),
       s"bm25 index at $path: lexicon lacks expected columns, got " +
         lexicon.columns.mkString(", "))
-    val lexEpoch = lexicon.select(col("_l_epoch")).head().getLong(0)
-    require(lexEpoch == epoch,
-      s"bm25 index at $path is TORN: lexicon at epoch $lexEpoch vs stats " +
+    // aggregate BOTH bounds, not a sampled head() row: a mixed-epoch
+    // lexicon directory (torn swap leaving old+new files) would pass
+    // a single-row probe whenever the sampled row happens to carry
+    // the committed epoch (r18 ADVICE) — the postings check above
+    // already aggregates; this is the same metadata-weight scan over
+    // a constant column
+    val lexE = lexicon.agg(min(col("_l_epoch").cast("long")),
+      max(col("_l_epoch").cast("long"))).head()
+    require(lexE.getLong(0) == epoch && lexE.getLong(1) == epoch,
+      s"bm25 index at $path is TORN: lexicon epochs span " +
+        s"[${lexE.getLong(0)}, ${lexE.getLong(1)}] vs stats " +
         s"epoch $epoch — an append crashed between the lexicon swap and " +
         "the stats commit; rebuild or restore the __precompact copy")
     Bm25Index(postings, lexicon,
@@ -433,10 +441,18 @@ object Retrieval {
     ) { tmp =>
       val got = spark.read.parquet(tmp)
         .agg(count(lit(1)), max(col("_l_epoch"))).head()
+      // the batch's postings are already appended at epoch $newEpoch
+      // by this point, so failing here leaves the index TORN
+      // (readBm25Index refuses the postings/stats epoch mismatch) —
+      // the message must say so, not claim the live index is intact
+      // (r18 ADVICE: a misleading recovery message is an operator trap)
       require(got.getLong(0) == wantTerms && got.getLong(1) == newEpoch,
         s"appendBm25Index: lexicon rewrite validation failed " +
           s"(${got.getLong(0)} terms at epoch ${got.getLong(1)}, expected " +
-          s"$wantTerms at $newEpoch) — aborting with the live index intact")
+          s"$wantTerms at $newEpoch) — the index is left TORN (postings " +
+          s"appended at epoch $newEpoch, stats at ${idx.epoch}); " +
+          "readBm25Index will refuse it. Rebuild, or restore the " +
+          "lexicon/stats __precompact recovery copies and re-run the append")
     }
     import spark.implicits._
     val newStats = Seq((nDocs, lTokens, maxDl, avgdlQ))
@@ -450,8 +466,11 @@ object Retrieval {
     ) { tmp =>
       val got = spark.read.parquet(tmp).collect()
       require(got.length == 1 && got.head.getAs[Long]("_p_epoch") == newEpoch,
-        s"appendBm25Index: stats rewrite validation failed — aborting " +
-          "with the live index intact")
+        s"appendBm25Index: stats rewrite validation failed — the index " +
+          s"is left TORN (postings and lexicon already at epoch " +
+          s"$newEpoch, stats at ${idx.epoch}); readBm25Index will " +
+          "refuse it. Rebuild, or restore the stats __precompact " +
+          "recovery copy and re-run the append")
     }
     true
   }
@@ -704,8 +723,11 @@ object Retrieval {
     * embeds its own query texts through the same pure per-row
     * embedding, so batch-embedded vectors equal the corpus-member
     * ones and the drained union stays q134-row-identical); default =
-    * the corpus-member convention. `knownCorpusDim` is the
-    * once-per-store validation pass-through (s22's rule). */
+    * the store rows whose vec_id appears in `queries.query_id` — the
+    * corpus-member convention DERIVED from the lexical leg's frame,
+    * so the two legs cannot silently serve different query sets.
+    * `knownCorpusDim` is the once-per-store validation pass-through
+    * (s22's rule). */
   def rrfFusionServed(bm25: Bm25Index, ann: Similarity.AnnIndex,
                       store: DataFrame, queries: DataFrame,
                       k: Int = 5, poolK: Int = DefaultPoolK,
@@ -716,8 +738,19 @@ object Retrieval {
     val lex = bm25ServeIndex(bm25, queries, k = poolK,
         maxDfPpm = maxDfPpm, excludeId = true)
       .select(col("query_id"), col("doc_id"), col("rank").as("r_lex"))
+    // the semantic leg's query frame is DERIVED from the lexical
+    // leg's when the caller doesn't supply one: the store rows whose
+    // vec_id appears in `queries.query_id` (corpus-member convention,
+    // a broadcast semi-join — `queries` is a KB-scale query batch).
+    // Falling through to annServeIndex's own default (the nQueries
+    // lowest corpus vec_ids) would silently decouple the two legs for
+    // any caller whose query set isn't exactly that convention —
+    // one-legged fusion rows with no error (r18 ADVICE).
+    val semQ = semQueries.getOrElse(
+      store.join(broadcast(queries.select(col("query_id").as("vec_id"))),
+        Seq("vec_id"), "left_semi"))
     val sem = Similarity.annServeIndex(ann, store, k = poolK,
-        nProbe = nProbe, rerank = rerank, queries = semQueries,
+        nProbe = nProbe, rerank = rerank, queries = Some(semQ),
         knownCorpusDim = knownCorpusDim)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("r_sem"))

@@ -500,6 +500,46 @@ object Similarity {
     } yield (s, code, v.slice(s * dsub, (s + 1) * dsub))
   }
 
+  /** Session-scoped deterministic training cache (r18 verdict #3):
+    * at the r18 surface, twelve declared queries each retrained
+    * IDENTICAL quantizers on IDENTICAL corpora every chain
+    * (q102/q104/q105/q106/q125/q130/q132/q133/q134/s22/s24/s25 —
+    * ~60-90 s/chain of redundant deterministic Lloyd rounds).
+    * Training is a pure function of (corpus content, geometry,
+    * rounds), so sharing is SOUND: the cache key is the corpus
+    * content digest (count + order-independent xxhash64 sum — the
+    * [[compactAnnIndex]] sig() discipline) crossed with every
+    * training parameter, and a hit returns bit-identical arrays.
+    * This is also the production shape — train once, serve
+    * everywhere (the Faiss train/add contract q132 models). Scope is
+    * the JVM session (Verify/Bench/tests): each declared query stays
+    * self-contained for the DuckDB oracle, which replays training
+    * in-SQL regardless. Entries are KB-scale driver arrays (the q46
+    * collect rationale), bounded by the distinct (corpus, geometry)
+    * pairs a session touches. `SPARK_GRAFT_NO_TRAIN_CACHE=1`
+    * bypasses it (A/B probes of the un-cached cost). */
+  private val trainCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def cachedTrain[T <: AnyRef](key: String)(train: => T): T =
+    if (sys.env.get("SPARK_GRAFT_NO_TRAIN_CACHE").contains("1")) train
+    else trainCache.computeIfAbsent(key, _ => train).asInstanceOf[T]
+
+  /** Deterministic content digest of a training corpus: row count +
+    * an order-independent sum of per-row xxhash64 over (vec_id, v).
+    * One scan with partial aggs, no shuffle beyond the final combine
+    * — metadata-weight next to even a single Lloyd round, and two
+    * frames with equal content digest equal (up to xxhash collision)
+    * regardless of how they were computed. */
+  private def corpusDigest(embeddings: DataFrame): String = {
+    val r = prepared(embeddings).select(col("vec_id"), col("v"))
+      .agg(count(lit(1)),
+        expr("sum(cast(xxhash64(vec_id, v) as decimal(38,0)))")).head()
+    val n = r.getLong(0)
+    val h = if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString
+    s"$n:$h"
+  }
+
   /** q94: LLOYD-TRAINED PQ codebooks — the round-12 verdict's recall
     * lever made first-class: q65's fixed-point k-means machinery
     * applied PER SUBVECTOR SPACE (m small k-means problems over the
@@ -531,6 +571,17 @@ object Similarity {
                        m: Int = 8, ks: Int = 16, rounds: Int = 2,
                        residual: Boolean = false,
                        centroids: Option[Array[(Long, Array[Double])]] = None)
+      : Array[(Int, Int, Array[Double])] =
+    cachedTrain("book:" + corpusDigest(embeddings) +
+        s":$nCells:$m:$ks:$rounds:$residual:" +
+        centroids.map(centStamp).getOrElse("seed")) {
+      trainCodebooksNow(embeddings, nCells, m, ks, rounds, residual, centroids)
+    }
+
+  private def trainCodebooksNow(embeddings: DataFrame, nCells: Int,
+                                m: Int, ks: Int, rounds: Int,
+                                residual: Boolean,
+                                centroids: Option[Array[(Long, Array[Double])]])
       : Array[(Int, Int, Array[Double])] = {
     require(rounds >= 0, "rounds must be >= 0")
     val dim = 64
@@ -791,7 +842,8 @@ object Similarity {
       nQueries: Int, k: Int, nProbe: Int, rerank: Int,
       pruneAtScan: Boolean,
       queriesOverride: Option[DataFrame] = None,
-      cellTable: Option[DataFrame] = None): DataFrame = {
+      cellTable: Option[DataFrame] = None,
+      candFilter: Option[Column] = None): DataFrame = {
     val spark = e.sparkSession
     val cellIds = lit(cents.map(_._1))
     lazy val ccDf = cellTable.getOrElse(pqCellTable(cents, book, dsub, spark))
@@ -820,7 +872,7 @@ object Similarity {
       array(book.sortBy(b => (b._1, b._2)).map { case (s, _, cv, _) =>
         Exprs.dot(slice(col("v"), s * dsub + 1, dsub), lit(cv))
       }: _*).as("adc"))
-    val candCodes =
+    val candCodes0 =
       if (!pruneAtScan) codes
       else {
         val probed = probes0.select("cell").distinct()
@@ -833,6 +885,12 @@ object Similarity {
           col("_p_cell").cast("long") else col("cell")
         codes.filter(pc.isin(probed: _*))
       }
+    // q137: the serve-time candidate predicate sits ON THE CODE SCAN
+    // — below ADC, below the rerank cut — composed with the partition
+    // pruning above, so a filtered serve reads the probed cells'
+    // codes, drops non-matching candidates before any scoring, and
+    // never touches the store outside the shortlist re-rank
+    val candCodes = candFilter.fold(candCodes0)(candCodes0.filter)
 
     // approximate scoring: cell equi-join + m lookups per candidate.
     // The probe side (nQueries·nProbe rows carrying the ADC tables) is
@@ -1087,7 +1145,15 @@ object Similarity {
     * as the q65 scaladoc below. */
   def trainedCentroids(embeddings: DataFrame, nCells: Int = 16,
                        rounds: Int = 3,
-                       tol: Double = 0.0): Array[(Long, Array[Double])] = {
+                       tol: Double = 0.0): Array[(Long, Array[Double])] =
+    cachedTrain("cents:" + corpusDigest(embeddings) +
+        s":$nCells:$rounds:$tol") {
+      trainCentroidsNow(embeddings, nCells, rounds, tol)
+    }
+
+  private def trainCentroidsNow(embeddings: DataFrame, nCells: Int,
+                                rounds: Int,
+                                tol: Double): Array[(Long, Array[Double])] = {
     require(rounds >= 1, "rounds must be >= 1")
     val scale = 1L << 20
     val spark = embeddings.sparkSession
@@ -1379,10 +1445,16 @@ object Similarity {
       .withColumn("_b_epoch", lit(newEpoch))
       .write.mode("append").partitionBy("_p_cell", "_b_epoch")
       .parquet(s"$path/codes")
+    // per-row fixed point clamped at 0 (here and in the health/drift
+    // twins): FP cancellation can make a ~0 qerr minutely negative,
+    // and a negative SUM would make Scala Long `/` (truncates) and
+    // the oracle's DuckDB `//` (floors) diverge — clamped on BOTH
+    // sides, truncation ≡ floor is provable (r18 ADVICE)
     val h = enc.agg(
         count(lit(1)).as("n"),
         countDistinct(col("cell")).as("cells"),
-        sum(floor(col("qerr") * lit(1048576.0) + lit(0.5)).cast("long"))
+        sum(greatest(floor(col("qerr") * lit(1048576.0) + lit(0.5))
+            .cast("long"), lit(0L)))
           .as("sfp")).head()
     val nCodes = idx.nCodes + h.getAs[Long]("n")
     import spark.implicits._
@@ -1395,9 +1467,16 @@ object Similarity {
       newStats.coalesce(1).write.mode("overwrite").parquet(tmp)
     ) { tmp =>
       val got = spark.read.parquet(tmp).collect()
+      // the batch's codes are already appended at epoch $newEpoch, so
+      // failing here leaves the index TORN (readAnnIndex refuses the
+      // epoch mismatch) — say so; "live index intact" would mislead
+      // an operator about the recovery state (r18 ADVICE, bm25 twin)
       require(got.length == 1 && got.head.getAs[Long]("_p_epoch") == newEpoch,
-        s"appendAnnIndex: stats rewrite validation failed — aborting " +
-          "with the live index intact")
+        s"appendAnnIndex: stats rewrite validation failed — the index " +
+          s"is left TORN (codes appended at epoch $newEpoch, stats at " +
+          s"${idx.epoch}); readAnnIndex will refuse it. Rebuild, or " +
+          "restore the stats __precompact recovery copy and re-run " +
+          "the append")
     }
     Some(AnnIngestHealth(nCodes, h.getAs[Long]("cells"),
       h.getAs[Long]("sfp") / h.getAs[Long]("n")))
@@ -1420,10 +1499,107 @@ object Similarity {
         idx.m, idx.ks, idx.dsub, idx.residual, withError = true)
       .agg(count(lit(1)).as("n"),
         countDistinct(col("cell")).as("cells"),
-        sum(floor(col("qerr") * lit(1048576.0) + lit(0.5)).cast("long"))
+        sum(greatest(floor(col("qerr") * lit(1048576.0) + lit(0.5))
+            .cast("long"), lit(0L)))
           .as("sfp")).head()
     AnnIngestHealth(idx.nCodes, h.getAs[Long]("cells"),
       h.getAs[Long]("sfp") / h.getAs[Long]("n"))
+  }
+
+  /** q136: RETRAIN-ROTATE — the operator that CONSUMES the alarm the
+    * drift reports fire (r18 verdict #4: the lifecycle family had
+    * build/serve/append/drift on both legs, but nothing closed the
+    * loop): retrain BOTH quantizers over the rotation corpus
+    * (geometry preserved from the live stats — same cells/m/ks/
+    * residual), re-encode the corpus under them, and ROTATE the
+    * artifact IN PLACE through the shared crash-safe
+    * rewrite→validate→swap choreography ([[Dedup.compactSwap]]) —
+    * codes, then centroids, then codebook, stats LAST. Training is
+    * deterministic ([[trainedCentroids]]/[[trainedCodebooks]]), so
+    * rotate ≡ a from-scratch [[writeAnnIndex]] over the same corpus
+    * EXACTLY (spec-pinned serve-identity); the in-place swap is what
+    * production wants — the artifact keeps its path, readers never
+    * re-point.
+    *
+    * Torn-rotate windows all fail LOUD at read, never open: a crash
+    * after the codes swap leaves codes at epoch E+1 vs stats at E
+    * (readAnnIndex's torn-append detector refuses); after the
+    * centroid swap, the stats `_p_cent_stamp` no longer matches the
+    * centroid table (the stamp guard refuses); after the codebook
+    * swap, same stamp guard. Only the final stats commit makes the
+    * rotated index servable. Offline-maintenance contract (the
+    * compaction rule): quiesce appends/serves first. */
+  def rotateAnnIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String, corpus: DataFrame,
+                     centRounds: Int = 2, trainRounds: Int = 2): Unit = {
+    val idx = readAnnIndex(spark, path) // stamp-validate before touching anything
+    val newEpoch = idx.epoch + 1L
+    val cents = trainedCentroids(corpus, nCells = idx.cents.length,
+      rounds = centRounds)
+    val book = trainedCodebooks(corpus, nCells = idx.cents.length,
+      m = idx.m, ks = idx.ks, rounds = trainRounds,
+      residual = idx.residual, centroids = Some(cents))
+    val bookC2: Seq[(Int, Int, Array[Double], Double)] =
+      book.toSeq.map { case (s, code, cv) =>
+        (s, code, cv, cv.foldLeft(0.0)((a, x) => a + x * x))
+      }
+    // pinned so the count and the swap write are ONE encode, and so
+    // the write cannot re-list the code files its own swap replaces
+    val newCodes = pqEncode(prepared(corpus), cents, bookC2,
+        idx.m, idx.ks, idx.dsub, idx.residual)
+      .withColumn("_p_cell", col("cell"))
+      .withColumn("_b_epoch", lit(newEpoch))
+      .localCheckpoint()
+    val nCodes = newCodes.count()
+    Dedup.compactSwap(spark, s"$path/codes", what = "ann codes (rotate)")(tmp =>
+      newCodes.write.mode("overwrite")
+        .partitionBy("_p_cell", "_b_epoch").parquet(tmp)
+    ) { tmp =>
+      val got = spark.read.parquet(tmp)
+        .agg(count(lit(1)), max(col("_b_epoch").cast("long"))).head()
+      require(got.getLong(0) == nCodes && got.getLong(1) == newEpoch,
+        s"rotateAnnIndex: re-encode validation failed (${got.getLong(0)} " +
+          s"codes at epoch ${got.getLong(1)}, expected $nCodes at " +
+          s"$newEpoch) — aborting with the live index intact")
+    }
+    Dedup.compactSwap(spark, s"$path/centroids",
+        what = "ann centroids (rotate)")(tmp =>
+      writeCentroids(cents, spark, tmp)
+    ) { tmp =>
+      require(centStamp(readCentroids(spark, tmp)) == centStamp(cents),
+        s"rotateAnnIndex: centroid rewrite validation failed — the " +
+          s"index is left TORN (codes already rotated to epoch " +
+          s"$newEpoch); readAnnIndex will refuse it. Rebuild, or " +
+          "restore the __precompact recovery copies")
+    }
+    Dedup.compactSwap(spark, s"$path/codebook",
+        what = "ann codebook (rotate)")(tmp =>
+      writeCodebook(book, spark, tmp)
+    ) { tmp =>
+      val got = readCodebook(spark, tmp, idx.m, idx.ks)
+      require(got.length == book.length &&
+        got.zip(book.sortBy(t => (t._1, t._2))).forall { case (a, b) =>
+          a._1 == b._1 && a._2 == b._2 && a._3.sameElements(b._3) },
+        s"rotateAnnIndex: codebook rewrite validation failed — the " +
+          s"index is left TORN (codes and centroids already rotated); " +
+          "readAnnIndex will refuse it. Rebuild, or restore the " +
+          "__precompact recovery copies")
+    }
+    import spark.implicits._
+    val newStats = Seq((idx.m, idx.ks, idx.dsub, cents.length,
+        idx.residual, centStamp(cents), nCodes, newEpoch, idx.batchId))
+      .toDF("_p_m", "_p_ks", "_p_dsub", "_p_cells", "_p_residual",
+        "_p_cent_stamp", "n_codes", "_p_epoch", "_p_batch_id")
+    Dedup.compactSwap(spark, s"$path/stats", what = "ann stats (rotate)")(tmp =>
+      newStats.coalesce(1).write.mode("overwrite").parquet(tmp)
+    ) { tmp =>
+      val got = spark.read.parquet(tmp).collect()
+      require(got.length == 1 && got.head.getAs[Long]("_p_epoch") == newEpoch,
+        s"rotateAnnIndex: stats rewrite validation failed — the index " +
+          s"is left TORN at the final commit; readAnnIndex will refuse " +
+          "it. Restore the stats __precompact recovery copy to complete " +
+          "the rotation")
+    }
   }
 
   /** q133: INDEX DRIFT REPORT — the maintenance signal the frozen-
@@ -1469,7 +1645,8 @@ object Similarity {
     val qe = enc(base, "base").unionByName(enc(intake, "intake"))
     val ag = qe.groupBy("split").agg(
         count(lit(1)).as("n_vecs"),
-        sum(floor(col("qerr") * lit(1048576.0) + lit(0.5)).cast("long")).as("sfp"),
+        sum(greatest(floor(col("qerr") * lit(1048576.0) + lit(0.5))
+            .cast("long"), lit(0L))).as("sfp"),
         max(col("qerr")).as("mx"))
       .withColumn("mfp", expr("sfp div n_vecs"))
     // the alarm is ONE integer comparison over the two split means —
@@ -1643,6 +1820,54 @@ object Similarity {
       index.m, index.ks, index.dsub, index.residual,
       nQueries, k, nProbe, rerank, pruneAtScan = true,
       queriesOverride = queries.map(prepared))
+  }
+
+  /** q137: FILTERED ANN SERVING — top-k WITHIN a predicate, how every
+    * production vector store actually serves (lang = X, source = Y,
+    * date range): the same persisted-index serve as [[annServeIndex]]
+    * with `pred` applied to the CANDIDATE code rows — on the code
+    * scan itself, composed with the probed-cell partition pruning,
+    * BELOW the ADC scoring and the rerank cut (plan-pinned in
+    * SimilaritySpec). The exact re-rank is unchanged and only ever
+    * sees matching survivors, so every returned neighbor satisfies
+    * the predicate by construction and per-query cost still scales
+    * with nProbe·cell + rerank, corpus-free. `pred` is evaluated
+    * against the code-row columns (`vec_id`, and any metadata columns
+    * an extended artifact carries).
+    *
+    * Recall contract, per filter selectivity s: the shortlist is the
+    * top-`rerank` ADC candidates AMONG matches in the probed cells,
+    * so with the pool shrunk ~s× a fixed rerank covers MORE of the
+    * filtered pool (recall@k vs the filtered exact top-k rises
+    * toward 1 as s falls) — but matches whose cells the probe never
+    * visits stay invisible exactly as in the unfiltered serve; at
+    * very low s, raise nProbe, not rerank (the q125 frontier trade
+    * restricted to the filtered stratum). A TRUE predicate serves
+    * row-identically to [[annServeIndex]] (spec-pinned). */
+  def annServeIndexFiltered(index: AnnIndex, embeddings: DataFrame,
+                            pred: Column,
+                            nQueries: Int = 10, k: Int = 5,
+                            nProbe: Int = 8, rerank: Int = 64,
+                            queries: Option[DataFrame] = None,
+                            knownCorpusDim: Option[Int] = None): DataFrame = {
+    require(index.cents.head._2.length == index.m * index.dsub,
+      s"ann index geometry is inconsistent: centroid dim " +
+        s"${index.cents.head._2.length} != m*dsub = " +
+        s"${index.m * index.dsub} — the artifact is corrupt")
+    val corpusDim = knownCorpusDim.getOrElse(
+      embeddings.select(size(vecD(col("embedding")))).first().getInt(0))
+    require(index.cents.head._2.length == corpusDim,
+      s"ann index dimension ${index.cents.head._2.length} does not " +
+        s"match the corpus embedding dimension $corpusDim")
+    val bookC2: Seq[(Int, Int, Array[Double], Double)] =
+      index.book.toSeq.map { case (s, code, cv) =>
+        (s, code, cv, cv.foldLeft(0.0)((a, x) => a + x * x))
+      }
+    pqSearch(index.codes, prepared(embeddings), index.cents, bookC2,
+      index.m, index.ks, index.dsub, index.residual,
+      nQueries, k, nProbe, rerank, pruneAtScan = true,
+      queriesOverride = queries.map(prepared),
+      candFilter = Some(pred))
   }
 
   /** Deterministic digest of a centroid table — the consistency stamp

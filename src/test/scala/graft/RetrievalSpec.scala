@@ -253,7 +253,26 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.readBm25Index(spark, s"$base/idx")
     }
     e.getMessage should include("TORN")
-    e.getMessage should include("lexicon at epoch 1")
+    e.getMessage should include("lexicon epochs span [1, 1]")
+  }
+
+  test("torn lexicon detector aggregates BOTH bounds: a mixed-epoch lexicon cannot pass on a lucky sampled row") {
+    // r18 ADVICE: the old detector read _l_epoch from head() — a torn
+    // swap that left OLD rows alongside new ones passed whenever the
+    // sampled row carried the committed epoch. Mix epochs so that
+    // some rows DO carry the committed epoch 0; the min/max aggregate
+    // must still refuse.
+    val base = java.nio.file.Files.createTempDirectory("bm25_torn3").toString
+    Retrieval.writeBm25Index(corpus, s"$base/idx")
+    val lex = spark.read.parquet(s"$base/idx/lexicon").localCheckpoint()
+    lex.unionByName(lex.limit(1).withColumn("_l_epoch", lit(1L)))
+      .localCheckpoint()
+      .write.mode("overwrite").parquet(s"$base/idx/lexicon")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.readBm25Index(spark, s"$base/idx")
+    }
+    e.getMessage should include("TORN")
+    e.getMessage should include("lexicon epochs span [0, 1]")
   }
 
   test("s23 replay fence: an already-applied batchId is a no-op append") {

@@ -519,6 +519,46 @@ class SimilaritySpec extends SparkSpec {
     scans.max should be < written
   }
 
+  test("q137 filtered serve: predicate holds on every neighbor, TRUE predicate is identity, filter sits on the pruned code scan below the rerank") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx_filt").toString
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint()
+    Similarity.writeAnnIndex(e, s"$dir/index")
+    val idx = Similarity.readAnnIndex(spark, s"$dir/index")
+    // every returned neighbor satisfies the predicate by construction
+    val sel = Similarity.annServeIndexFiltered(idx, e, col("vec_id") % 10 === 0)
+    val rows = sel.collect()
+    rows should not be empty
+    all(rows.map(_.getLong(1) % 10)) shouldBe 0L
+    // a TRUE predicate serves row-identically to the unfiltered path —
+    // the filtered serve is the SAME machinery, not a fork
+    val t = Similarity.annServeIndexFiltered(idx, e,
+        org.apache.spark.sql.functions.lit(true))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val u = Similarity.annServeIndex(idx, e)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    t shouldBe u
+    // plan pin: the predicate composes WITH the probed-cell partition
+    // pruning (scan still pruned, never all cells), and the vec_id
+    // filter sits at/below the code scan — before ADC and the rerank
+    // window — never as a post-rerank residue
+    val one = Similarity.annServeIndexFiltered(idx, e,
+      col("vec_id") % 10 === 0, nQueries = 1, nProbe = 2)
+    val written = new java.io.File(s"$dir/index/codes").listFiles()
+      .count(_.getName.startsWith("_p_cell="))
+    val scans = one.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("codes")) =>
+        f
+    }
+    scans should not be empty
+    scans.map(_.selectedPartitions.partitionCount).max should be <= 2
+    scans.map(_.selectedPartitions.partitionCount).max should be < written
+    // the modulo predicate rides the scan node's data filters — the
+    // candidate rows are dropped AT the read, below everything else
+    scans.exists(_.dataFilters.exists(_.toString.contains("% 10"))) shouldBe true
+  }
+
   test("q132 append ≡ rebuild: codes and served rows identical under frozen quantizers") {
     val dir = java.nio.file.Files.createTempDirectory("annidx_app").toString
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -596,6 +636,53 @@ class SimilaritySpec extends SparkSpec {
     // under the same frozen quantizers both times)
     scaled("base")._2 shouldBe quiet("base")._2
     scaled("base")._3 shouldBe quiet("base")._3
+  }
+
+  test("q136 rotate: alarm fires, rotate clears it, rotated index serves identically to a from-scratch rebuild, torn rotate fails loud") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx_rot").toString
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .localCheckpoint()
+    Similarity.writeAnnIndex(e, s"$dir/index")
+    // the WHOLE corpus re-crawled translated — a small slice cannot
+    // clear the alarm even after a perfect retrain (RotateProbe: a
+    // 10% population quantizes coarser than base under any shared
+    // cell budget; the full re-crawl reads 98-100% vs threshold 120)
+    val intake = e
+      .select((col("vec_id") + org.apache.spark.sql.functions.lit(900000L)).as("vec_id"),
+        org.apache.spark.sql.functions.expr(
+          "transform(embedding, x -> x + 0.25D)").as("embedding"))
+      .localCheckpoint()
+    Similarity.appendAnnIndex(spark, intake, s"$dir/index")
+    def report() =
+      Similarity.annIndexDrift(Similarity.readAnnIndex(spark, s"$dir/index"),
+          e, intake)
+        .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    // the translated population quantizes badly under the frozen
+    // quantizers — the alarm the rotate consumes
+    report() shouldBe Map("base" -> true, "intake" -> true)
+    val union = e.unionByName(intake)
+    // keep a copy of the pre-rotate stats to simulate the torn window
+    val preStats = spark.read.parquet(s"$dir/index/stats").localCheckpoint()
+    Similarity.rotateAnnIndex(spark, s"$dir/index", union)
+    // the alarm CLEARS: the translated population is congruent to the
+    // base, so union-trained cells quantize both splits alike
+    report() shouldBe Map("base" -> false, "intake" -> false)
+    // rotate ≡ from-scratch rebuild (deterministic training): the
+    // rotated artifact serves row-identically to writeAnnIndex(union)
+    Similarity.writeAnnIndex(union, s"$dir/scratch")
+    def serve(p: String) = Similarity
+      .annServeIndex(Similarity.readAnnIndex(spark, p), union)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    serve(s"$dir/index") shouldBe serve(s"$dir/scratch")
+    // torn-rotate window: a crash BEFORE the final stats commit leaves
+    // pre-rotate stats against rotated codes/centroids — read refuses
+    // (stale cent stamp), never serves the half-rotated artifact
+    preStats.write.mode("overwrite").parquet(s"$dir/index/stats")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.readAnnIndex(spark, s"$dir/index")
+    }
+    err.getMessage should (include("does not match the digest") or include("TORN"))
   }
 
   test("torn ANN append fails loud at read: codes beyond the stats epoch") {

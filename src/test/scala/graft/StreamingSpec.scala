@@ -734,6 +734,72 @@ class StreamingSpec extends SparkSpec {
     serve(s"$tmp/idx") shouldBe serve(s"$tmp/full")
   }
 
+  test("s24 delivery permutation: land→drain→land→drain is immune to adversarial mtimes; a single pre-landed drain is mtime-ordered (the r18 red-row mechanism)") {
+    import spark.implicits._
+    val e = tables.embeddings
+    val base = e.filter(col("vec_id") % 10 =!= 8 && col("vec_id") % 10 =!= 9)
+    val nBase = base.count()
+    // two intake batches of DIFFERENT sizes, so the first emitted
+    // n_codes identifies WHICH batch was applied first
+    val pool = e.filter(col("vec_id") % 10 === 8 || col("vec_id") % 10 === 9)
+      .select("vec_id").as[Long].collect().sorted
+    assume(pool.length >= 5)
+    val ids1 = pool.take(2)
+    val ids2 = pool.drop(2)
+    val b1 = e.filter(col("vec_id").isin(ids1: _*))
+    val b2 = e.filter(col("vec_id").isin(ids2: _*))
+    (ids1.length.toLong) should not be (ids2.length.toLong)
+    val schema = e.schema
+
+    def land(tmp: String, df: org.apache.spark.sql.DataFrame,
+             name: String, mtime: Long): Unit = {
+      val stage = s"$tmp/stage_$name"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$tmp/landing/$name.parquet")
+      java.nio.file.Files.createDirectories(dest.getParent)
+      java.nio.file.Files.move(part.toPath, dest)
+      require(dest.toFile.setLastModified(mtime), s"mtime pin failed on $dest")
+    }
+    def drain(tmp: String): Unit = {
+      val intake = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
+      val q = Streams.streamAnnIngest(intake, s"$tmp/idx",
+        s"$tmp/out", s"$tmp/cp", trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination(); q.stop()
+    }
+    // application order read back from the emissions: n_codes is the
+    // strictly monotone associative merge, so ascending n_codes IS
+    // application order and the first value names the first batch
+    def applied(tmp: String): Seq[Long] =
+      spark.read.parquet(s"$tmp/out").select("n_codes").as[Long]
+        .collect().sorted.toSeq
+
+    // (a) STRUCTURAL pinning (the declared s24 shape since r19):
+    // b1 lands with the LATER mtime, b2 with the EARLIER — if order
+    // hung off mtimes at all, b2 would apply first; structurally it
+    // cannot, because b1's drain completes before b2 exists
+    val tA = java.nio.file.Files.createTempDirectory("s24permA_").toString
+    graft.operators.Similarity.writeAnnIndex(e, s"$tA/idx",
+      encodeOnly = Some(base))
+    land(tA, b1, "b1", 2000000L); drain(tA)
+    land(tA, b2, "b2", 1000000L); drain(tA)
+    applied(tA) shouldBe Seq(nBase + ids1.length, nBase + pool.length)
+
+    // (b) the r18 mechanism, pinned: both files pre-landed, ONE drain
+    // with maxFilesPerTrigger=1 — FileStreamSource batches in mtime
+    // order, so the b2-earlier stamp REORDERS delivery (2 rows, same
+    // schema, different content: exactly the red row's signature)
+    val tB = java.nio.file.Files.createTempDirectory("s24permB_").toString
+    graft.operators.Similarity.writeAnnIndex(e, s"$tB/idx",
+      encodeOnly = Some(base))
+    land(tB, b1, "b1", 2000000L)
+    land(tB, b2, "b2", 1000000L)
+    drain(tB)
+    applied(tB) shouldBe Seq(nBase + ids2.length, nBase + pool.length)
+  }
+
   test("s19 streaming domain quota: counters persist across batches, in-batch admission is doc_id-ordered") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
