@@ -454,9 +454,17 @@ object SparkEntry {
     "q134_hybrid_index_served" -> ((s, d) => {
       val docs = Tables(s, d).documents
       val dir = hybridIdxDir
-      Retrieval.writeBm25Index(docs, s"$dir/bm25")
+      // the two artifact builds are INDEPENDENT (different inputs,
+      // different dirs) — overlap them so the ANN build's jobs
+      // back-fill executors the BM25 build's tail leaves idle (guide
+      // §2.6: actions are only sequential because driver code calls
+      // them sequentially). Results are byte-identical to the
+      // sequential build; only wall-clock changes.
+      val bmF = concurrent.Future(Retrieval.writeBm25Index(docs, s"$dir/bm25"))(
+        concurrent.ExecutionContext.global)
       val emb = TextOps.embedFrame(docs).localCheckpoint()
       Similarity.writeAnnIndex(emb, s"$dir/ann")
+      concurrent.Await.result(bmF, concurrent.duration.Duration.Inf)
       Retrieval.rrfFusionServed(
         Retrieval.readBm25Index(s, s"$dir/bm25"),
         Similarity.readAnnIndex(s, s"$dir/ann"),
@@ -826,17 +834,37 @@ object SparkEntry {
       Streams.runToMemory(
         Streams.manifestBatcher(files, partialTimeoutMs = 0).toDF, "s03_stream_batcher")
     }),
-    "s05_stream_join"        -> ((s, d) =>
-      Streams.runToMemory(
-        Streams.errorCauseJoin(Streams.readEventStream(s, s"$d/events.parquet")),
-        "s05_stream_join")),
+    // s05: stream-stream interval join — state partitions sized to
+    // STATE VOLUME (r19; the s12/s14 rule reaching the join class): a
+    // stream-stream join keeps FOUR state stores per shuffle partition
+    // (keyed/numValues per side), so the session-wide 32 partitions
+    // cost 128 store open/commit/checkpoint cycles per trigger while
+    // the watermark-bounded state is KB-scale. Keys in state ≈ rows
+    // inside the watermark window; the finite drain bounds that by the
+    // corpus count (one metadata-weight count — the AutoGeometry
+    // sizing convention). Join rows are key-determined, so the
+    // partition count never reaches the output.
+    "s05_stream_join"        -> ((s, d) => {
+      val nRows = s.read.parquet(s"$d/events.parquet").count()
+      Streams.scopedShufflePartitions(s, Streams.suggestStatePartitions(nRows)) {
+        Streams.runToMemory(
+          Streams.errorCauseJoin(Streams.readEventStream(s, s"$d/events.parquet")),
+          "s05_stream_join")
+      }
+    }),
     // s07: engine-native session windows; complete-mode drain (update
     // is unsupported over session windows, and append would hold back
     // every user's last session — see sessionWindows' scaladoc)
-    "s07_stream_session"     -> ((s, d) =>
-      Streams.runToMemory(
-        Streams.sessionWindows(Streams.readEventStream(s, s"$d/events.parquet")),
-        "s07_stream_session", OutputMode.Complete())),
+    "s07_stream_session"     -> ((s, d) => {
+      // per-key state (one session buffer per user within the gap) —
+      // sized from key volume like s05/s13 (r19)
+      val nKeys = s.read.parquet(s"$d/events.parquet").count()
+      Streams.scopedShufflePartitions(s, Streams.suggestStatePartitions(nKeys)) {
+        Streams.runToMemory(
+          Streams.sessionWindows(Streams.readEventStream(s, s"$d/events.parquet")),
+          "s07_stream_session", OutputMode.Complete())
+      }
+    }),
     // s06: event time derived deterministically from doc_id; output
     // projected to the key column only (the surviving carrier row is
     // arrival-order-dependent, the key set is not).
@@ -847,12 +875,17 @@ object SparkEntry {
         .select(TextOps.fingerprintCol.as("fingerprint"),
           timestamp_seconds(col("doc_id") + lit(1600000000L)).as("ts"))
       // scoped: the dedup query gets its RocksDB default without the
-      // session keeping it for later non-dedup streams
+      // session keeping it for later non-dedup streams; per-key state
+      // (one row per fingerprint inside the TTL) → store count sized
+      // from key volume, s04/s13's convention (r19)
+      val nKeys = s.read.parquet(s"$d/documents.parquet").count()
       Streams.scopedStateStoreConf(s) {
-        Streams.runToMemory(
-          Streams.streamDedupTtl(docs, "ts", Seq("fingerprint"), "1 hour")
-            .select("fingerprint"),
-          "s06_stream_dedup_ttl")
+        Streams.scopedShufflePartitions(s, Streams.suggestStatePartitions(nKeys)) {
+          Streams.runToMemory(
+            Streams.streamDedupTtl(docs, "ts", Seq("fingerprint"), "1 hour")
+              .select("fingerprint"),
+            "s06_stream_dedup_ttl")
+        }
       }
     }),
     // s08: q45's split (intake = doc_id ≡ 9 mod 10) through the real
@@ -868,10 +901,22 @@ object SparkEntry {
       val intake = s.readStream.schema(schema)
         .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
         .filter(col("doc_id") % 10 === 9)
-      val q = Streams.streamIncrementalDedup(intake, index, existing,
-        s"$tmp/out", s"$tmp/cp",
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
-      q.awaitTermination(); q.stop()
+      // foreachBatch loops carry no engine state stores, but every
+      // batch-land shuffle (probe joins, pair expansions) and every
+      // per-batch parquet APPEND inherits the session's 32 shuffle
+      // partitions — 32-way tiny exchanges and ≤32 KB-sized files
+      // appended per batch that the NEXT batch then re-lists. Size
+      // them to BATCH volume (one metadata count; production sizes
+      // from the intake rate) — the s12/s13 state rule carried to the
+      // intake-loop class (r19). Probe verdicts are key-determined,
+      // so partitioning never reaches the emitted rows.
+      val nKeys = s.read.parquet(s"$d/documents.parquet").count()
+      Streams.scopedShufflePartitions(s, Streams.suggestStatePartitions(nKeys)) {
+        val q = Streams.streamIncrementalDedup(intake, index, existing,
+          s"$tmp/out", s"$tmp/cp",
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        q.awaitTermination(); q.stop()
+      }
       s.read.parquet(s"$tmp/out")
     }),
     // s18: streaming decontamination — the eval-set bloom + exact
@@ -944,14 +989,20 @@ object SparkEntry {
       val tmp = scratchDir("graft_s23_")
       Retrieval.writeBm25Index(base, s"$tmp/index")
       val schema = s.read.parquet(s"$d/documents.parquet").schema
-      drainInOrder(s"$tmp/landing", Seq(
-        "b1" -> docs.filter(col("doc_id") % 10 === 8),
-        "b2" -> docs.filter(col("doc_id") % 10 === 9))) { () =>
-        val intake = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
-        Streams.streamBm25Ingest(intake, s"$tmp/index",
-          s"$tmp/out", s"$tmp/cp",
-          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      // batch-volume-sized shuffle partitions for the per-batch append
+      // jobs (s08/s09's r19 rationale; each append's postings/lexicon
+      // writes and the next batch's index re-read both shrink)
+      val nKeys = s.read.parquet(s"$d/documents.parquet").count()
+      Streams.scopedShufflePartitions(s, Streams.suggestStatePartitions(nKeys)) {
+        drainInOrder(s"$tmp/landing", Seq(
+          "b1" -> docs.filter(col("doc_id") % 10 === 8),
+          "b2" -> docs.filter(col("doc_id") % 10 === 9))) { () =>
+          val intake = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
+          Streams.streamBm25Ingest(intake, s"$tmp/index",
+            s"$tmp/out", s"$tmp/cp",
+            trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        }
       }
       s.read.parquet(s"$tmp/out")
     }),
@@ -975,14 +1026,19 @@ object SparkEntry {
       val tmp = scratchDir("graft_s24_")
       Similarity.writeAnnIndex(e, s"$tmp/index", encodeOnly = Some(base))
       val schema = s.read.parquet(s"$d/embeddings.parquet").schema
-      drainInOrder(s"$tmp/landing", Seq(
-        "b1" -> e.filter(col("vec_id") % 10 === 8),
-        "b2" -> e.filter(col("vec_id") % 10 === 9))) { () =>
-        val intake = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
-        Streams.streamAnnIngest(intake, s"$tmp/index",
-          s"$tmp/out", s"$tmp/cp",
-          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      // batch-volume-sized shuffle partitions for the per-batch encode
+      // + append jobs (s08/s09/s23's r19 rationale)
+      val nKeys = s.read.parquet(s"$d/embeddings.parquet").count()
+      Streams.scopedShufflePartitions(s, Streams.suggestStatePartitions(nKeys)) {
+        drainInOrder(s"$tmp/landing", Seq(
+          "b1" -> e.filter(col("vec_id") % 10 === 8),
+          "b2" -> e.filter(col("vec_id") % 10 === 9))) { () =>
+          val intake = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
+          Streams.streamAnnIngest(intake, s"$tmp/index",
+            s"$tmp/out", s"$tmp/cp",
+            trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        }
       }
       s.read.parquet(s"$tmp/out")
     }),
@@ -997,9 +1053,12 @@ object SparkEntry {
     "s25_stream_hybrid_serve" -> ((s, d) => {
       val docs = Tables(s, d).documents
       val tmp = scratchDir("graft_s25_")
-      Retrieval.writeBm25Index(docs, s"$tmp/bm25")
+      // independent artifact builds overlapped — q134's r19 rationale
+      val bmF = concurrent.Future(Retrieval.writeBm25Index(docs, s"$tmp/bm25"))(
+        concurrent.ExecutionContext.global)
       val emb = TextOps.embedFrame(docs).localCheckpoint()
       Similarity.writeAnnIndex(emb, s"$tmp/ann")
+      concurrent.Await.result(bmF, concurrent.duration.Duration.Inf)
       val schema = s.read.parquet(s"$d/documents.parquet").schema
       val queries = s.readStream.schema(schema)
         .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
@@ -1023,14 +1082,22 @@ object SparkEntry {
       val tmp = scratchDir("graft_s09_")
       Dedup.writeBandIndex(corpus, s"$tmp/index")
       val schema = s.read.parquet(s"$d/documents.parquet").schema
-      drainInOrder(s"$tmp/landing", Seq(
-        "b1" -> docs.filter(col("doc_id") % 10 === 8),
-        "b2" -> docs.filter(col("doc_id") % 10 === 9))) { () =>
-        val intake = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
-        Streams.streamIncrementalDedupAdmit(intake, s"$tmp/index", corpus,
-          s"$tmp/admitted", s"$tmp/out", s"$tmp/cp",
-          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      // batch-volume-sized shuffle partitions for the foreachBatch
+      // probe/append jobs — s08's r19 rationale (this loop additionally
+      // re-READS its own appends: admitted-store and band-index files
+      // from batch N are listed by batch N+1, so the file-count cut
+      // pays twice)
+      val nKeys = s.read.parquet(s"$d/documents.parquet").count()
+      Streams.scopedShufflePartitions(s, Streams.suggestStatePartitions(nKeys)) {
+        drainInOrder(s"$tmp/landing", Seq(
+          "b1" -> docs.filter(col("doc_id") % 10 === 8),
+          "b2" -> docs.filter(col("doc_id") % 10 === 9))) { () =>
+          val intake = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
+          Streams.streamIncrementalDedupAdmit(intake, s"$tmp/index", corpus,
+            s"$tmp/admitted", s"$tmp/out", s"$tmp/cp",
+            trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        }
       }
       s.read.parquet(s"$tmp/out")
     }),
@@ -1057,12 +1124,16 @@ object SparkEntry {
         e.filter(col("vec_id") % 10 === 8)
           .withColumn("vec_id", col("vec_id") + lit(600000L)))
       val schema = s.read.parquet(s"$d/embeddings.parquet").schema
-      drainInOrder(s"$tmp/landing", Seq("b1" -> b1, "b2" -> b2)) { () =>
-        val intake = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
-        Streams.streamSemanticDedupAdmit(intake, s"$tmp/store", cents,
-          s"$tmp/out", s"$tmp/cp",
-          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      // batch-volume-sized shuffle partitions (s08/s09's r19 rationale)
+      val nKeys = s.read.parquet(s"$d/embeddings.parquet").count()
+      Streams.scopedShufflePartitions(s, Streams.suggestStatePartitions(nKeys)) {
+        drainInOrder(s"$tmp/landing", Seq("b1" -> b1, "b2" -> b2)) { () =>
+          val intake = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
+          Streams.streamSemanticDedupAdmit(intake, s"$tmp/store", cents,
+            s"$tmp/out", s"$tmp/cp",
+            trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        }
       }
       s.read.parquet(s"$tmp/out")
     }),
@@ -1163,8 +1234,14 @@ object SparkEntry {
         .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
         .select(TextOps.fingerprintCol.as("fingerprint"), col("doc_id"))
         .as[Streams.DocFp]
+      // per-key state (one row per distinct fingerprint) → store count
+      // sized from expected key volume, s13's convention (r19: s04 was
+      // the one per-key dedup stream still at the session-wide 32)
+      val nKeys = s.read.parquet(s"$d/documents.parquet").count()
       Streams.scopedStateStoreConf(s) {
-        Streams.runToMemory(Streams.streamDedup(docs).toDF, "s04_stream_dedup")
+        Streams.scopedShufflePartitions(s, Streams.suggestStatePartitions(nKeys)) {
+          Streams.runToMemory(Streams.streamDedup(docs).toDF, "s04_stream_dedup")
+        }
       }
     }),
     // s13: continuous PERCEPTUAL image dedup — m07's dHash riding each

@@ -546,11 +546,16 @@ object Retrieval {
     val shards = qterms
       .select(pmod(xxhash64(col("term")), lit(IndexShards)).as("sh"))
       .distinct().collect().map(_.getLong(0)).toSeq
+    // ONE broadcast join attaches query_ids and prunes the lexicon in
+    // the same pass (r19: the former shape joined a distinct-term
+    // probe first and then re-joined qterms to fan back out — two
+    // broadcasts and an extra join stage for identical rows; qterms
+    // is nQueries·|terms| — KB at any corpus size, so the fan-out
+    // the two-step shape avoided never mattered)
     val qidf = index.lexicon
-      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
-      .filter(col("df") * lit(1000000L) <= lit(maxDfPpm) * lit(index.nDocs))
-      .select(col("term"), col("idf_q"))
       .join(broadcast(qterms), Seq("term"))
+      .filter(col("df") * lit(1000000L) <= lit(maxDfPpm) * lit(index.nDocs))
+      .select(col("term"), col("query_id"), col("idf_q"))
     val pruned = index.postings
       .filter(col("_p_shard").cast("long").isin(shards: _*))
     val joined = pruned.join(broadcast(qidf), Seq("term"))
@@ -746,9 +751,15 @@ object Retrieval {
     // lowest corpus vec_ids) would silently decouple the two legs for
     // any caller whose query set isn't exactly that convention —
     // one-legged fusion rows with no error (r18 ADVICE).
+    // localCheckpoint: the serve consumes its query frame in THREE
+    // plan subtrees (probe list, ADC tables, exact-rerank query
+    // vectors — pqSearch's shape), so an un-pinned semi-join here
+    // re-executes store-scan + join once per subtree (r19 plan audit:
+    // q134 read scan=6/ex=21 against r18's 3/18 — the q75/q93 diamond
+    // rule). The frame is nQueries rows — KB at any corpus size.
     val semQ = semQueries.getOrElse(
       store.join(broadcast(queries.select(col("query_id").as("vec_id"))),
-        Seq("vec_id"), "left_semi"))
+        Seq("vec_id"), "left_semi").localCheckpoint())
     val sem = Similarity.annServeIndex(ann, store, k = poolK,
         nProbe = nProbe, rerank = rerank, queries = Some(semQ),
         knownCorpusDim = knownCorpusDim)

@@ -135,14 +135,31 @@ object Similarity {
     // diamond rule
     val e = embeddings.localCheckpoint()
     val cents = trainedCentroids(e, nCells = 16, rounds = 2)
-    val book = trainedCodebooks(e, rounds = 2, residual = true,
+    val bookRaw = trainedCodebooks(e, rounds = 2, residual = true,
       centroids = Some(cents))
     val exact = annBruteForce(e, nQueries, k)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint()
     val nExact = exact.count()
+    // ENCODE ONCE, search per config (r19): the configs differ only in
+    // (nProbe, rerank) — serve-side knobs — so the corpus PQ codes are
+    // identical across all of them, yet the annIvfPq composition
+    // re-encoded the corpus inside every config's subtree (the r19
+    // plan audit read ex=60 ≈ 4 encode+search chains). One pinned
+    // encode is exactly the artifact the persisted-index family
+    // (q130) serves from; the per-config searches are byte-identical
+    // search bodies over it (pqSearch — the q105 shared-body rule).
+    val dim = 64; val m = 8; val ks = 16; val dsub = dim / m
+    val book: Seq[(Int, Int, Array[Double], Double)] =
+      bookRaw.toSeq.map { case (s, code, cv) =>
+        (s, code, cv, cv.foldLeft(0.0)((a, x) => a + x * x))
+      }
+    val ep = prepared(e)
+    val cellTab = Some(pqCellTable(cents, book, dsub, e.sparkSession))
+    val codes = pqEncode(ep, cents, book, m, ks, dsub, residual = true,
+      cellTable = cellTab).localCheckpoint()
     configs.map { case (np, rr) =>
-      annIvfPq(e, nProbe = np, rerank = rr, nQueries = nQueries, k = k,
-        residual = true, centroids = Some(cents), codebook = Some(book))
+      pqSearch(codes, ep, cents, book, m, ks, dsub, residual = true,
+        nQueries, k, np, rr, pruneAtScan = false, cellTable = cellTab)
         .select(col("query_id"), col("neighbor_id"))
         .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("n_hit"))
@@ -531,6 +548,14 @@ object Similarity {
     * — metadata-weight next to even a single Lloyd round, and two
     * frames with equal content digest equal (up to xxhash collision)
     * regardless of how they were computed. */
+  /** `digestHint` (r19): [[writeAnnIndex]]/[[rotateAnnIndex]] train
+    * BOTH quantizers on the SAME corpus, and each cachedTrain key used
+    * to recompute this digest — two identical full-corpus scans per
+    * artifact build across the nine index-lifecycle queries. The
+    * caller computes the digest once and passes it down; the contract
+    * is strict: the hint MUST be [[corpusDigest]] of the same frame
+    * (a wrong hint aliases cache entries and serves wrong quantizers),
+    * so only the artifact builders that own both train calls use it. */
   private def corpusDigest(embeddings: DataFrame): String = {
     val r = prepared(embeddings).select(col("vec_id"), col("v"))
       .agg(count(lit(1)),
@@ -570,9 +595,10 @@ object Similarity {
   def trainedCodebooks(embeddings: DataFrame, nCells: Int = 16,
                        m: Int = 8, ks: Int = 16, rounds: Int = 2,
                        residual: Boolean = false,
-                       centroids: Option[Array[(Long, Array[Double])]] = None)
+                       centroids: Option[Array[(Long, Array[Double])]] = None,
+                       digestHint: Option[String] = None)
       : Array[(Int, Int, Array[Double])] =
-    cachedTrain("book:" + corpusDigest(embeddings) +
+    cachedTrain("book:" + digestHint.getOrElse(corpusDigest(embeddings)) +
         s":$nCells:$m:$ks:$rounds:$residual:" +
         centroids.map(centStamp).getOrElse("seed")) {
       trainCodebooksNow(embeddings, nCells, m, ks, rounds, residual, centroids)
@@ -1145,8 +1171,9 @@ object Similarity {
     * as the q65 scaladoc below. */
   def trainedCentroids(embeddings: DataFrame, nCells: Int = 16,
                        rounds: Int = 3,
-                       tol: Double = 0.0): Array[(Long, Array[Double])] =
-    cachedTrain("cents:" + corpusDigest(embeddings) +
+                       tol: Double = 0.0,
+                       digestHint: Option[String] = None): Array[(Long, Array[Double])] =
+    cachedTrain("cents:" + digestHint.getOrElse(corpusDigest(embeddings)) +
         s":$nCells:$rounds:$tol") {
       trainCentroidsNow(embeddings, nCells, rounds, tol)
     }
@@ -1354,9 +1381,15 @@ object Similarity {
     val dsub = dim / m
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents = trainedCentroids(embeddings, nCells = nCells, rounds = centRounds)
+    // ONE digest for both train-cache keys (see corpusDigest's
+    // digestHint contract) — the second full-corpus digest scan per
+    // build was pure duplication
+    val dig = corpusDigest(embeddings)
+    val cents = trainedCentroids(embeddings, nCells = nCells, rounds = centRounds,
+      digestHint = Some(dig))
     val book = trainedCodebooks(embeddings, nCells = nCells, m = m, ks = ks,
-      rounds = trainRounds, residual = residual, centroids = Some(cents))
+      rounds = trainRounds, residual = residual, centroids = Some(cents),
+      digestHint = Some(dig))
     writeCentroids(cents, spark, s"$path/centroids")
     writeCodebook(book, spark, s"$path/codebook")
     val bookC2: Seq[(Int, Int, Array[Double], Double)] =
@@ -1534,11 +1567,14 @@ object Similarity {
                      centRounds: Int = 2, trainRounds: Int = 2): Unit = {
     val idx = readAnnIndex(spark, path) // stamp-validate before touching anything
     val newEpoch = idx.epoch + 1L
+    // one digest for both train keys (writeAnnIndex's r19 convention)
+    val dig = corpusDigest(corpus)
     val cents = trainedCentroids(corpus, nCells = idx.cents.length,
-      rounds = centRounds)
+      rounds = centRounds, digestHint = Some(dig))
     val book = trainedCodebooks(corpus, nCells = idx.cents.length,
       m = idx.m, ks = idx.ks, rounds = trainRounds,
-      residual = idx.residual, centroids = Some(cents))
+      residual = idx.residual, centroids = Some(cents),
+      digestHint = Some(dig))
     val bookC2: Seq[(Int, Int, Array[Double], Double)] =
       book.toSeq.map { case (s, code, cv) =>
         (s, code, cv, cv.foldLeft(0.0)((a, x) => a + x * x))
