@@ -901,22 +901,18 @@ object SparkEntry {
       val intake = s.readStream.schema(schema)
         .parquet(Streams.asStreamPath(s"$d/documents.parquet"))
         .filter(col("doc_id") % 10 === 9)
-      // foreachBatch loops carry no engine state stores, but every
-      // batch-land shuffle (probe joins, pair expansions) and every
-      // per-batch parquet APPEND inherits the session's 32 shuffle
-      // partitions — 32-way tiny exchanges and ≤32 KB-sized files
-      // appended per batch that the NEXT batch then re-lists. Size
-      // them to BATCH volume (one metadata count; production sizes
-      // from the intake rate) — the s12/s13 state rule carried to the
-      // intake-loop class (r19). Probe verdicts are key-determined,
-      // so partitioning never reaches the emitted rows.
-      val nKeys = s.read.parquet(s"$d/documents.parquet").count()
-      Streams.scopedShufflePartitions(s, Streams.suggestStatePartitions(nKeys)) {
-        val q = Streams.streamIncrementalDedup(intake, index, existing,
-          s"$tmp/out", s"$tmp/cp",
-          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
-        q.awaitTermination(); q.stop()
-      }
+      // NOT partition-scoped (r19, measured): foreachBatch loops carry
+      // no engine state stores — their batch-land shuffles are ordinary
+      // batch jobs AQE already right-sizes, while hard-pinning the
+      // session to a batch-sized constant throttles the CPU-dense
+      // probe verify (shingle intersection) to that many cores. The
+      // A/B read s08 4.46→5.00 / s09 13.6→14.6 scoped vs flat
+      // unscoped — the state-store rule (s04/s05/s06/s07) does NOT
+      // transfer to this class.
+      val q = Streams.streamIncrementalDedup(intake, index, existing,
+        s"$tmp/out", s"$tmp/cp",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination(); q.stop()
       s.read.parquet(s"$tmp/out")
     }),
     // s18: streaming decontamination — the eval-set bloom + exact
@@ -989,20 +985,16 @@ object SparkEntry {
       val tmp = scratchDir("graft_s23_")
       Retrieval.writeBm25Index(base, s"$tmp/index")
       val schema = s.read.parquet(s"$d/documents.parquet").schema
-      // batch-volume-sized shuffle partitions for the per-batch append
-      // jobs (s08/s09's r19 rationale; each append's postings/lexicon
-      // writes and the next batch's index re-read both shrink)
-      val nKeys = s.read.parquet(s"$d/documents.parquet").count()
-      Streams.scopedShufflePartitions(s, Streams.suggestStatePartitions(nKeys)) {
-        drainInOrder(s"$tmp/landing", Seq(
-          "b1" -> docs.filter(col("doc_id") % 10 === 8),
-          "b2" -> docs.filter(col("doc_id") % 10 === 9))) { () =>
-          val intake = s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
-          Streams.streamBm25Ingest(intake, s"$tmp/index",
-            s"$tmp/out", s"$tmp/cp",
-            trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
-        }
+      // not partition-scoped — s08's r19 measured rationale (A/B flat
+      // here: the appends were never file-count-bound)
+      drainInOrder(s"$tmp/landing", Seq(
+        "b1" -> docs.filter(col("doc_id") % 10 === 8),
+        "b2" -> docs.filter(col("doc_id") % 10 === 9))) { () =>
+        val intake = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
+        Streams.streamBm25Ingest(intake, s"$tmp/index",
+          s"$tmp/out", s"$tmp/cp",
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       }
       s.read.parquet(s"$tmp/out")
     }),
@@ -1026,19 +1018,17 @@ object SparkEntry {
       val tmp = scratchDir("graft_s24_")
       Similarity.writeAnnIndex(e, s"$tmp/index", encodeOnly = Some(base))
       val schema = s.read.parquet(s"$d/embeddings.parquet").schema
-      // batch-volume-sized shuffle partitions for the per-batch encode
-      // + append jobs (s08/s09/s23's r19 rationale)
-      val nKeys = s.read.parquet(s"$d/embeddings.parquet").count()
-      Streams.scopedShufflePartitions(s, Streams.suggestStatePartitions(nKeys)) {
-        drainInOrder(s"$tmp/landing", Seq(
-          "b1" -> e.filter(col("vec_id") % 10 === 8),
-          "b2" -> e.filter(col("vec_id") % 10 === 9))) { () =>
-          val intake = s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
-          Streams.streamAnnIngest(intake, s"$tmp/index",
-            s"$tmp/out", s"$tmp/cp",
-            trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
-        }
+      // not partition-scoped — s08's r19 measured rationale (A/B flat;
+      // the per-batch pqEncode is exactly the CPU-dense stage the
+      // throttle would hurt at scale)
+      drainInOrder(s"$tmp/landing", Seq(
+        "b1" -> e.filter(col("vec_id") % 10 === 8),
+        "b2" -> e.filter(col("vec_id") % 10 === 9))) { () =>
+        val intake = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
+        Streams.streamAnnIngest(intake, s"$tmp/index",
+          s"$tmp/out", s"$tmp/cp",
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       }
       s.read.parquet(s"$tmp/out")
     }),
@@ -1082,22 +1072,16 @@ object SparkEntry {
       val tmp = scratchDir("graft_s09_")
       Dedup.writeBandIndex(corpus, s"$tmp/index")
       val schema = s.read.parquet(s"$d/documents.parquet").schema
-      // batch-volume-sized shuffle partitions for the foreachBatch
-      // probe/append jobs — s08's r19 rationale (this loop additionally
-      // re-READS its own appends: admitted-store and band-index files
-      // from batch N are listed by batch N+1, so the file-count cut
-      // pays twice)
-      val nKeys = s.read.parquet(s"$d/documents.parquet").count()
-      Streams.scopedShufflePartitions(s, Streams.suggestStatePartitions(nKeys)) {
-        drainInOrder(s"$tmp/landing", Seq(
-          "b1" -> docs.filter(col("doc_id") % 10 === 8),
-          "b2" -> docs.filter(col("doc_id") % 10 === 9))) { () =>
-          val intake = s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
-          Streams.streamIncrementalDedupAdmit(intake, s"$tmp/index", corpus,
-            s"$tmp/admitted", s"$tmp/out", s"$tmp/cp",
-            trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
-        }
+      // not partition-scoped — s08's r19 measured rationale (the
+      // CPU-dense probe verify loses cores; AQE right-sizes the rest)
+      drainInOrder(s"$tmp/landing", Seq(
+        "b1" -> docs.filter(col("doc_id") % 10 === 8),
+        "b2" -> docs.filter(col("doc_id") % 10 === 9))) { () =>
+        val intake = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
+        Streams.streamIncrementalDedupAdmit(intake, s"$tmp/index", corpus,
+          s"$tmp/admitted", s"$tmp/out", s"$tmp/cp",
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       }
       s.read.parquet(s"$tmp/out")
     }),
@@ -1124,16 +1108,13 @@ object SparkEntry {
         e.filter(col("vec_id") % 10 === 8)
           .withColumn("vec_id", col("vec_id") + lit(600000L)))
       val schema = s.read.parquet(s"$d/embeddings.parquet").schema
-      // batch-volume-sized shuffle partitions (s08/s09's r19 rationale)
-      val nKeys = s.read.parquet(s"$d/embeddings.parquet").count()
-      Streams.scopedShufflePartitions(s, Streams.suggestStatePartitions(nKeys)) {
-        drainInOrder(s"$tmp/landing", Seq("b1" -> b1, "b2" -> b2)) { () =>
-          val intake = s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
-          Streams.streamSemanticDedupAdmit(intake, s"$tmp/store", cents,
-            s"$tmp/out", s"$tmp/cp",
-            trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
-        }
+      // not partition-scoped — s08's r19 measured rationale
+      drainInOrder(s"$tmp/landing", Seq("b1" -> b1, "b2" -> b2)) { () =>
+        val intake = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
+        Streams.streamSemanticDedupAdmit(intake, s"$tmp/store", cents,
+          s"$tmp/out", s"$tmp/cp",
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       }
       s.read.parquet(s"$tmp/out")
     }),

@@ -829,6 +829,160 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** One-pass IVF-PQ encoder (r19, guide §2.4/§4): cell assignment +
+    * per-subspace code argmin + |v̂|² (+ exact quantization error) for
+    * ONE vector, all quantizer tables riding as expression constants.
+    *
+    * Why: the `functions._` composition of the same semantics
+    * (explode to m subspaces → broadcast-join the m·ks codebook →
+    * min(struct) partial agg keyed (vec_id, cell)) materializes
+    * m·ks = 128 scored rows per vector and pays one Exchange of agg
+    * buffers per corpus encode — per encode instance, across the
+    * seventeen ANN-family queries that encode. This kernel is the
+    * same arithmetic as one fused per-row loop: the encode becomes a
+    * ZERO-SHUFFLE map riding the scan (q81's graft_bpe story on the
+    * semantic leg), and the 128-row blowup never exists.
+    *
+    * Bit-stability contract (the oracle replays every step in SQL):
+    *  - cell scores: dot(v, c_i)/√(c_i·c_i), ascending-index loops —
+    *    exactly `seedCellScores`' per-element chains; argmax keeps the
+    *    FIRST maximum (strict primitive `>`), which equals the literal
+    *    branch's array_position(array_max) for finite scores and the
+    *    broadcast branch's max(struct(score, -cell, cell)) tie-break
+    *    (cents are required sorted by cell id);
+    *  - code argmin: err = (c2 − 2.0·dot(sub, cb)) + 2.0·ccf[s·ks+code]
+    *    (residual) / c2 − 2.0·dot(sub, cb) (raw) — the same left-assoc
+    *    shape as the expression chain; initialized from code 0 and
+    *    compared with java.lang.Double.compare, so ties keep the
+    *    smaller code and NaN sorts greatest — min(struct(err, code))'s
+    *    total order exactly;
+    *  - qerr: ((eb + err_0) + err_1) + … in subspace order, eb =
+    *    (v·v − 2.0·v·c) + c·c (residual) / v·v (raw);
+    *  - vn2: left-assoc lookup chains in subspace order; residual =
+    *    (c2c + 2.0·Σccf) + Σc2 — `pqLookupSum`'s association.
+    * All constants (cnorms, c2c, ccf) are precomputed with the same
+    * ascending-index loop ([[graft.operators.Similarity]]'s dotArr),
+    * so where they are computed cannot change their bits. */
+  case class PqEncodeVec(child: Expression,
+                         cellIds: Array[Long],
+                         cents: Array[Array[Double]],
+                         cnorms: Array[Double],
+                         c2c: Array[Double],
+                         bookCv: Array[Array[Double]],
+                         bookC2: Array[Double],
+                         ccf: Array[Array[Double]],
+                         m: Int, ks: Int, dsub: Int,
+                         residual: Boolean, withError: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    require(cellIds.nonEmpty && cellIds.length == cents.length &&
+      cnorms.length == cents.length && c2c.length == cents.length,
+      "graft_pq_encode: centroid tables must be non-empty and aligned")
+    require(cellIds.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+      "graft_pq_encode: cells must be sorted ascending by id (the " +
+        "tie-break contract)")
+    require(bookCv.length == m * ks && bookC2.length == m * ks,
+      s"graft_pq_encode: codebook must carry m*ks=${m * ks} entries")
+    require(!residual || ccf.length == cents.length,
+      "graft_pq_encode: residual mode needs one ccf row per cell")
+
+    override def dataType: DataType = StructType(
+      Seq(StructField("cell", LongType, nullable = false),
+        StructField("codes", ArrayType(IntegerType, containsNull = false),
+          nullable = false),
+        StructField("vn2", DoubleType, nullable = false)) ++
+        (if (withError) Seq(StructField("qerr", DoubleType, nullable = false))
+         else Nil))
+    override def prettyName: String = "graft_pq_encode"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectTypes(prettyName, Seq("array<double>" -> isDoubleArray),
+        Seq(child.dataType))
+
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(in: Any): Any = {
+      val ad = in.asInstanceOf[ArrayData]
+      val dim = m * dsub
+      val v = new Array[Double](dim)
+      var d = 0
+      val nIn = math.min(dim, ad.numElements())
+      while (d < nIn) { v(d) = ad.getDouble(d); d += 1 }
+      // cell assignment: first max of dot(v, c_i)/|c_i|
+      val nc = cents.length
+      var best = Double.NegativeInfinity
+      var bi = 0
+      var i = 0
+      while (i < nc) {
+        val c = cents(i)
+        var s = 0.0
+        var t = 0
+        while (t < dim) { s += v(t) * c(t); t += 1 }
+        val sc = s / cnorms(i)
+        if (sc > best) { best = sc; bi = i }
+        i += 1
+      }
+      // eb (withError): |v|² raw, |v − c|² expanded residual
+      var q = 0.0
+      if (withError) {
+        var vv = 0.0
+        var t = 0
+        while (t < dim) { vv += v(t) * v(t); t += 1 }
+        if (residual) {
+          val c = cents(bi)
+          var vc = 0.0
+          t = 0
+          while (t < dim) { vc += v(t) * c(t); t += 1 }
+          q = (vv - 2.0 * vc) + c2c(bi)
+        } else q = vv
+      }
+      // per-subspace argmin (code 0 seeds; Double.compare = the
+      // min(struct) total order, ties keep the smaller code)
+      val cellCcf = if (residual) ccf(bi) else null
+      val codes = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        val off = s * dsub
+        var bestE = 0.0
+        var bc = 0
+        var code = 0
+        while (code < ks) {
+          val j = s * ks + code
+          val cb = bookCv(j)
+          var ds = 0.0
+          var t = 0
+          while (t < dsub) { ds += v(off + t) * cb(t); t += 1 }
+          var er = bookC2(j) - 2.0 * ds
+          if (residual) er = er + 2.0 * cellCcf(j)
+          if (code == 0 || java.lang.Double.compare(er, bestE) < 0) {
+            bestE = er; bc = code
+          }
+          code += 1
+        }
+        codes(s) = bc
+        if (withError) q = q + bestE
+        s += 1
+      }
+      // vn2 lookup chains (left-assoc in subspace order)
+      var sumC2 = 0.0
+      s = 0
+      while (s < m) { sumC2 = sumC2 + bookC2(s * ks + codes(s)); s += 1 }
+      val vn2 =
+        if (!residual) sumC2
+        else {
+          var sumCcf = 0.0
+          s = 0
+          while (s < m) { sumCcf = sumCcf + cellCcf(s * ks + codes(s)); s += 1 }
+          (c2c(bi) + 2.0 * sumCcf) + sumC2
+        }
+      val vals: Array[Any] =
+        if (withError) Array(cellIds(bi), new GenericArrayData(codes), vn2, q)
+        else Array(cellIds(bi), new GenericArrayData(codes), vn2)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ----- Column-level wrappers ----------------------------------------
 
   def dot(a: Column, b: Column): Column =
@@ -867,6 +1021,15 @@ object Exprs {
 
   def bfdPack(shardDocs: Column, budget: Long): Column =
     GraftShim.column(BfdPack(GraftShim.expression(shardDocs), budget))
+
+  def pqEncodeVec(v: Column, cellIds: Array[Long],
+                  cents: Array[Array[Double]], cnorms: Array[Double],
+                  c2c: Array[Double], bookCv: Array[Array[Double]],
+                  bookC2: Array[Double], ccf: Array[Array[Double]],
+                  m: Int, ks: Int, dsub: Int,
+                  residual: Boolean, withError: Boolean): Column =
+    GraftShim.column(PqEncodeVec(GraftShim.expression(v), cellIds, cents,
+      cnorms, c2c, bookCv, bookC2, ccf, m, ks, dsub, residual, withError))
 
   def bloomMightContain(c: Column,
                         bloom: org.apache.spark.util.sketch.BloomFilter): Column = {

@@ -254,13 +254,17 @@ object Retrieval {
       .withColumn("_b_epoch", lit(0L))
       .write.mode("overwrite").partitionBy("_p_shard", "_b_epoch")
       .parquet(s"$path/postings")
+    // ONE stats aggregation, pinned (r19): the 1-row frame feeds both
+    // the lexicon's idf crossJoin and the stats leg — un-pinned it
+    // re-aggregated the postings per consumer
+    val st = statsFrame(tfd).localCheckpoint()
     tfd.groupBy("term").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(statsFrame(tfd)))
+      .crossJoin(broadcast(st))
       .withColumn("idf_q", expr(idfExpr))
       .select("term", "df", "idf_q")
       .withColumn("_l_epoch", lit(0L))
       .write.mode("overwrite").parquet(s"$path/lexicon")
-    statsFrame(tfd)
+    st
       .withColumn("_p_fbits", lit(Bm25FBits))
       .withColumn("_p_shards", lit(IndexShards))
       .withColumn("_p_epoch", lit(0L))

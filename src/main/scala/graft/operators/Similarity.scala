@@ -762,93 +762,46 @@ object Similarity {
       m: Int, ks: Int, dsub: Int, residual: Boolean,
       withError: Boolean = false,
       cellTable: Option[DataFrame] = None): DataFrame = {
-    val spark = e.sparkSession
-    import spark.implicits._
-    val bookDf = book.toDF("s", "code", "cv", "c2")
-    // residual mode's constant table — shared with the search half
-    // when the caller builds both (annIvfPq), so the broadcast plan
-    // is structurally ONE relation, not two identical copies
-    lazy val ccDf = cellTable.getOrElse(pqCellTable(cents, book, dsub, spark))
-    val c2flat = lit(book.sortBy(b => (b._1, b._2)).map(_._4).toArray)
-    // corpus cell assignment: the dual-shape argmax (literal array at
-    // test geometry, broadcast table past the ~32-centroid codegen
-    // window — the same cliff assignCells documents).
-    val assigned0 = assignCellsFull(e, cents)
-    // `withError` (q133's drift report) rides the QUANTIZATION ERROR
-    // through the encode: |v − v̂|² decomposes per subspace as
-    // |r_s − cb_codes[s]|² = |r_s|² + err_s (err_s is the argmin key
-    // the encode already computes), so Σ_s = |v − c|² + Σ err_s —
-    // the exact per-vector error costs ONE extra |v−c|² expression
-    // and zero extra shuffles. Raw (non-residual) mode: v̂ has no
-    // centroid term, so the base is |v|² instead of |v − c|². The
-    // three dot chains mirror the oracle's sqlDot chains term for
-    // term (fixed left-assoc — the bit-stability discipline).
-    val assigned =
-      if (!withError) assigned0
-      else {
-        val centVec = broadcast(cents.toSeq.map { case (cid, cv) => (cid, cv) }
-          .toDF("cell", "cvec"))
-        if (residual)
-          assigned0.join(centVec, Seq("cell"))
-            .withColumn("eb",
-              Exprs.dot(col("v"), col("v")) -
-                lit(2.0) * Exprs.dot(col("v"), col("cvec")) +
-                Exprs.dot(col("cvec"), col("cvec")))
-            .drop("cvec")
-        else assigned0.withColumn("eb", Exprs.dot(col("v"), col("v")))
+    // r19 (guide §2.4/§4): the encode is ONE native per-row kernel
+    // ([[graft.functions.Exprs.PqEncodeVec]]) riding the scan — a
+    // ZERO-SHUFFLE map. The previous `functions._` composition
+    // (assignCellsFull → explode to m subspaces → broadcast-join the
+    // m·ks codebook → min(struct) partial agg keyed (vec_id, cell))
+    // materialized m·ks = 128 scored rows per vector and paid one
+    // Exchange of aggregation buffers per corpus encode, in every one
+    // of the seventeen ANN-family queries that encode. The kernel
+    // reproduces the exact same arithmetic (argmax/argmin tie-breaks,
+    // left-assoc dot and sum chains — the bit-stability contract is
+    // spelled out at the expression) so every consumer, and the
+    // DuckDB oracle replay, sees identical bits; SimilaritySpec's
+    // recall/identity suites and the 172-query oracle gate pin it.
+    // `cellTable` stays in the signature for the SEARCH half's callers
+    // (pqSearch still broadcasts the cell table for probes); the
+    // encode itself now carries the cell constants in the expression.
+    val _ = cellTable // encode no longer consumes the broadcast table
+    val sortedBook = book.sortBy(b => (b._1, b._2))
+    val bookCv = sortedBook.map(_._3).toArray
+    val bookC2 = sortedBook.map(_._4).toArray
+    val sortedCents = cents.sortBy(_._1)
+    val cellIds = sortedCents.map(_._1)
+    val centVecs = sortedCents.map(_._2)
+    val cnorms = centVecs.map(c => math.sqrt(dotArr(c, c)))
+    val c2cArr = centVecs.map(c => dotArr(c, c))
+    // per-cell (s, code)-flat ⟨c_sub, cb⟩ — pqCellTable's rows as
+    // kernel constants, computed with the same ascending-index dotArr
+    val ccfArr: Array[Array[Double]] =
+      if (!residual) Array.empty
+      else centVecs.map { cv =>
+        sortedBook.map { case (s, _, cb, _) =>
+          dotArr(cv.slice(s * dsub, (s + 1) * dsub), cb)
+        }.toArray
       }
-    // encode: per-subspace argmin over the broadcast codebook. ONE
-    // shuffle: the m per-subspace argmins run as conditional
-    // min(struct) aggregates of a single groupBy(vec_id), so the map
-    // side collapses each vector's m·ks scored rows straight to one
-    // row of m codes — no intermediate (vec, s)-keyed exchange.
-    // Residual mode never materializes a residual vector: the argmin
-    // of |cb|² − 2·⟨v−c, cb⟩ expands to the raw-dot term plus the
-    // constant 2·⟨c_sub, cb⟩ from the cell table — same codegen'd
-    // fused loop, one extra array lookup.
-    val sIdx = array((0 until m).map(lit): _*)
-    val minAggs = (0 until m).map(s =>
-      min(when(col("s") === s, struct(col("err"), col("code")))).as(s"b$s"))
-    val errCol =
-      if (!residual) col("c2") - lit(2.0) * Exprs.dot(col("sub"), col("cv"))
-      else col("c2") - lit(2.0) * Exprs.dot(col("sub"), col("cv")) +
-        lit(2.0) * element_at(col("ccf"), col("s") * ks + col("code") + 1)
-    val baseCols =
-      if (withError) Seq(col("vec_id"), col("cell"), col("eb"))
-      else Seq(col("vec_id"), col("cell"))
-    val subRows0 = assigned
-      .select(baseCols :+ explode(sIdx).as("s") :+ col("v"): _*)
-      .withColumn("sub", slice(col("v"), col("s") * dsub + 1, lit(dsub)))
-      .join(broadcast(bookDf), Seq("s"))
-    val subRows = if (residual) subRows0.join(ccDf, Seq("cell")) else subRows0
-    val aggs =
-      if (withError) minAggs :+ max(col("eb")).as("eb")
-      else minAggs
-    val grouped = subRows
-      .withColumn("err", errCol)
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(aggs.head, aggs.tail: _*)
-    val codes0 =
-      if (!withError) grouped.select(col("vec_id"), col("cell"),
-        array((0 until m).map(s => col(s"b$s.code")): _*).as("codes"))
-      else grouped.select(col("vec_id"), col("cell"),
-        array((0 until m).map(s => col(s"b$s.code")): _*).as("codes"),
-        // fixed left-assoc: eb + err_0 + err_1 + … — the oracle's
-        // explicit chain order
-        (Seq(col("eb")) ++ (0 until m).map(s => col(s"b$s.err")))
-          .reduce(_ + _).as("qerr"))
-    // |v̂|²: raw — Σ|cb_code|²; residual — |c|² + 2Σ⟨c_sub,cb_code⟩ +
-    // Σ|cb_code|² (v̂ = c + concat(cb codes))
-    val outCols = Seq("vec_id", "cell", "codes", "vn2") ++
-      (if (withError) Seq("qerr") else Nil)
-    if (!residual)
-      codes0.withColumn("vn2", pqLookupSum(c2flat, col("codes"), m, ks))
-        .select(outCols.map(col): _*)
-    else codes0.join(ccDf, Seq("cell"))
-      .withColumn("vn2", col("c2c") +
-        lit(2.0) * pqLookupSum(col("ccf"), col("codes"), m, ks) +
-        pqLookupSum(c2flat, col("codes"), m, ks))
-      .select(outCols.map(col): _*)
+    val enc = Exprs.pqEncodeVec(col("v"), cellIds, centVecs, cnorms,
+      c2cArr, bookCv, bookC2, ccfArr, m, ks, dsub, residual, withError)
+    val outCols = Seq(col("vec_id"), col("_enc.cell").as("cell"),
+      col("_enc.codes").as("codes"), col("_enc.vn2").as("vn2")) ++
+      (if (withError) Seq(col("_enc.qerr").as("qerr")) else Nil)
+    e.select(col("vec_id"), enc.as("_enc")).select(outCols: _*)
   }
 
   /** The PQ SEARCH half of [[annIvfPq]] — probes, ADC scoring over a

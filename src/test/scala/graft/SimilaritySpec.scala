@@ -1219,4 +1219,107 @@ class SimilaritySpec extends SparkSpec {
     }
     out.filter(_.getInt(2) == 1).foreach(r => r.isNullAt(3) shouldBe true)
   }
+
+  // r19: pqEncode became one native per-row kernel (PqEncodeVec — the
+  // zero-shuffle encode). These pins are the kernel's regression guard:
+  // an INDEPENDENT replay of the encode arithmetic (plain Scala, the
+  // exact left-assoc chains and tie-breaks the scaladoc contracts) must
+  // match the kernel bit-for-bit on the real corpus, in both residual
+  // and raw modes, with and without the qerr rider.
+  private def replayEncode(v: Array[Double],
+                           cents: Array[(Long, Array[Double])],
+                           book: Seq[(Int, Int, Array[Double], Double)],
+                           m: Int, ks: Int, dsub: Int, residual: Boolean)
+      : (Long, Array[Int], Double, Double) = {
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val sorted = cents.sortBy(_._1)
+    val sb = book.sortBy(b => (b._1, b._2)).toArray
+    // first-max cell by dot(v,c)/|c|
+    var best = Double.NegativeInfinity; var bi = 0
+    sorted.indices.foreach { i =>
+      val sc = dotA(v, sorted(i)._2) / math.sqrt(dotA(sorted(i)._2, sorted(i)._2))
+      if (sc > best) { best = sc; bi = i }
+    }
+    val cvec = sorted(bi)._2
+    val eb =
+      if (residual) (dotA(v, v) - 2.0 * dotA(v, cvec)) + dotA(cvec, cvec)
+      else dotA(v, v)
+    val ccf = sb.map { case (s, _, cb, _) =>
+      dotA(cvec.slice(s * dsub, (s + 1) * dsub), cb) }
+    var q = eb
+    val codes = Array.tabulate(m) { s =>
+      var bestE = 0.0; var bc = 0
+      (0 until ks).foreach { code =>
+        val j = s * ks + code
+        var er = sb(j)._4 - 2.0 * dotA(v.slice(s * dsub, (s + 1) * dsub), sb(j)._3)
+        if (residual) er = er + 2.0 * ccf(j)
+        if (code == 0 || java.lang.Double.compare(er, bestE) < 0) {
+          bestE = er; bc = code
+        }
+      }
+      q = q + bestE
+      bc
+    }
+    var sumC2 = 0.0; var sumCcf = 0.0
+    (0 until m).foreach { s =>
+      sumC2 = sumC2 + sb(s * ks + codes(s))._4
+      sumCcf = sumCcf + ccf(s * ks + codes(s))
+    }
+    val vn2 =
+      if (!residual) sumC2
+      else (dotA(cvec, cvec) + 2.0 * sumCcf) + sumC2
+    (sorted(bi)._1, codes, vn2, q)
+  }
+
+  test("r19 pq-encode kernel: bit-identical to an independent replay, both modes") {
+    import org.apache.spark.sql.functions.{col, size}
+    val e = tables.embeddings
+    val raw = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    for (residual <- Seq(true, false)) {
+      val cents = Similarity.seedCentroids(e, 16)
+      val book = Similarity.trainedCodebooks(e, rounds = 1,
+          residual = residual, centroids = Some(cents))
+        .map { case (s, c, cv) => (s, c, cv, cv.foldLeft(0.0)((a, x) => a + x * x)) }
+        .toSeq
+      val prepared = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val got = Similarity.pqEncode(prepared, cents, book, 8, 16, 8,
+          residual = residual, withError = true).collect()
+      got.length shouldBe raw.size
+      got.foreach { r =>
+        val (cell, codes, vn2, qerr) =
+          replayEncode(raw(r.getLong(0)), cents, book, 8, 16, 8, residual)
+        r.getLong(1) shouldBe cell
+        r.getSeq[Int](2).toArray shouldBe codes
+        // bit-identity, not tolerance: the oracle replays these doubles
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)) shouldBe
+          java.lang.Double.doubleToRawLongBits(vn2)
+        java.lang.Double.doubleToRawLongBits(r.getDouble(4)) shouldBe
+          java.lang.Double.doubleToRawLongBits(qerr)
+      }
+    }
+  }
+
+  test("r19 pq-encode kernel: the encode subtree is a zero-shuffle map on the scan") {
+    import org.apache.spark.sql.functions.col
+    val e = tables.embeddings
+    val cents = Similarity.seedCentroids(e, 16)
+    val book = Similarity.trainedCodebooks(e, rounds = 1, residual = true,
+        centroids = Some(cents))
+      .map { case (s, c, cv) => (s, c, cv, cv.foldLeft(0.0)((a, x) => a + x * x)) }
+      .toSeq
+    val prepared = e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val plan = Similarity.pqEncode(prepared, cents, book, 8, 16, 8,
+      residual = true).queryExecution.executedPlan.toString
+    plan should include ("graft_pq_encode")
+    plan should not include "Exchange"     // the whole point of the kernel
+    plan should not include "Join"         // codebook rides as constants
+  }
 }
