@@ -758,8 +758,13 @@ object SparkEntry {
       val dir = annFilterDir
       Similarity.writeAnnIndex(e, s"$dir/index")
       val idx = Similarity.readAnnIndex(s, s"$dir/index")
+      // one corpus-dim validation probe shared by both legs (the s22
+      // once-per-store rule — each leg ran its own first() job)
+      val dim = e.select(org.apache.spark.sql.functions.size(
+        col("embedding").cast("array<double>"))).first().getInt(0)
       FilteredServeLegs.map { case (name, m) =>
-        Similarity.annServeIndexFiltered(idx, e, col("vec_id") % m === 0)
+        Similarity.annServeIndexFiltered(idx, e, col("vec_id") % m === 0,
+            knownCorpusDim = Some(dim))
           .withColumn("filt", lit(name))
           .select("filt", "query_id", "neighbor_id", "cos_sim", "rank")
       }.reduce(_.unionByName(_)).orderBy("filt", "query_id", "rank")

@@ -544,12 +544,21 @@ object Retrieval {
                      maxDfPpm: Long = DefaultMaxDfPpm,
                      excludeId: Boolean = false,
                      rankShards: Int = 32): DataFrame = {
-    val qterms = queries
+    // ONE job materializes the query-term frame AND its shard probe
+    // (r19: this was a localCheckpoint job followed by a collect job).
+    // The frame is nQueries·|query terms| — KB at any corpus size by
+    // the serving contract, the same cardinality the shard collect
+    // already pulled to the driver; it re-enters the plan as a local
+    // relation, so the serve's joins read no query-side scan at all.
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qtRows = queries
       .select(col("query_id"), explode(toks).as("term")).distinct()
-      .localCheckpoint() // consumed by the shard probe AND two joins
-    val shards = qterms
-      .select(pmod(xxhash64(col("term")), lit(IndexShards)).as("sh"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+      .withColumn("sh", pmod(xxhash64(col("term")), lit(IndexShards)))
+      .collect()
+    val shards = qtRows.map(_.getLong(2)).distinct.toSeq
+    val qterms = qtRows.map(r => (r.getLong(0), r.getString(1))).toSeq
+      .toDF("query_id", "term")
     // ONE broadcast join attaches query_ids and prunes the lexicon in
     // the same pass (r19: the former shape joined a distinct-term
     // probe first and then re-joined qterms to fan back out — two
