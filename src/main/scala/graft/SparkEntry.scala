@@ -1001,7 +1001,9 @@ object SparkEntry {
           s"$tmp/out", s"$tmp/cp",
           trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       }
-      s.read.parquet(s"$tmp/out")
+      // ORDER PIN (r20, verdict #1 — the s24 rule on the lexical leg):
+      // n_docs is strictly monotone over batches ≡ the oracle's ORDER BY
+      s.read.parquet(s"$tmp/out").orderBy("n_docs")
     }),
     // s24: the closed intake loop on the SEMANTIC leg — s23's sibling,
     // completing the 2×2 serve/ingest matrix over both persisted
@@ -1035,7 +1037,12 @@ object SparkEntry {
           s"$tmp/out", s"$tmp/cp",
           trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       }
-      s.read.parquet(s"$tmp/out")
+      // ORDER PIN (r20, verdict #1): the sink dir holds one file per
+      // drained batch and a bare read's row order hangs off the file
+      // listing (split ordering is size-then-path — host-sensitive for
+      // near-equal files). n_codes is strictly monotone over batches,
+      // so this is the oracle's ORDER BY b — same rows, pinned order.
+      s.read.parquet(s"$tmp/out").orderBy("n_codes")
     }),
     // s25: STREAMING HYBRID SERVING — the serving matrix's last cell
     // (ad-hoc q128, artifact-served q134, streaming s25): micro-batch
@@ -1088,7 +1095,9 @@ object SparkEntry {
           s"$tmp/admitted", s"$tmp/out", s"$tmp/cp",
           trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       }
-      s.read.parquet(s"$tmp/out")
+      // ORDER PIN (r20, verdict #1): one sink file per batch — pin to
+      // the oracle's ORDER BY new_doc, dup_of (same rows, pinned order)
+      s.read.parquet(s"$tmp/out").orderBy("new_doc", "dup_of")
     }),
     // s15: the closed admit loop for the SEMANTIC family (s09's
     // lifecycle over q101's vector store) — batch1 (ids ≡ 8 mod 10,
@@ -1121,7 +1130,9 @@ object SparkEntry {
           s"$tmp/out", s"$tmp/cp",
           trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       }
-      s.read.parquet(s"$tmp/out")
+      // ORDER PIN (r20, verdict #1): one sink file per batch — pin to
+      // the oracle's ORDER BY vec_id (same rows, pinned order)
+      s.read.parquet(s"$tmp/out").orderBy("vec_id")
     }),
     // s12: q88's token accounting as the ingest loop's live meter —
     // stateful streaming agg, one row of state per (source, lang),

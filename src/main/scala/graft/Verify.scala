@@ -20,10 +20,24 @@ object Verify {
     // local-iteration filter (same contract as Bench's): the driver
     // never sets it, so driver runs always dump the full surface
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // r20 (verdict #1b): the multi-batch intake streams' emissions are
+    // tiny (2-64 rows) and s24's driver row has been red two rounds
+    // with no captured value-diff — dump their ACTUAL rows to stderr so
+    // a red hash-only row localizes the differing value instead of
+    // forcing another blind round.
+    val watch = Set("s09_stream_dedup_admit", "s15_stream_semantic_dedup_admit",
+      "s23_stream_bm25_ingest", "s24_stream_ann_ingest")
     SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        if (watch(name)) {
+          val rows = spark.read.parquet(s"$outDir/$name").collect()
+          System.err.println(s"[verify] $name rows (${rows.length}):")
+          rows.take(100).foreach(r => System.err.println(s"[verify]   $r"))
+        }
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
