@@ -343,8 +343,9 @@ object Dedup {
     * corpus once, write its index, and every later intake batch probes
     * the FILES instead of re-signaturing the corpus. Partitioned by a
     * bucket-prefix so a probe's scan prunes to the band-key ranges it
-    * actually touches (`bk` is an md5 hex digest — the 2-hex-char
-    * prefix gives 256 balanced partitions at any corpus size).
+    * actually touches (`bk` is an md5 hex digest, so any prefix width
+    * gives balanced partitions; the width is corpus-sized —
+    * [[suggestBandPrefixWidth]]).
     *
     * The signature parameters (n, numHashes, bands) travel WITH the
     * index as constant columns: a probe signatured with different
@@ -353,9 +354,13 @@ object Dedup {
     * duplicates passing undetected (fails open). [[readBandIndex]] and
     * [[incrementalProbeIndex]] validate them and fail loudly instead. */
   def writeBandIndex(documents: DataFrame, path: String, n: Int = 3,
-                     numHashes: Int = 16, bands: Int = 4): Unit =
-    bandIndexRows(documents, n, numHashes, bands)
+                     numHashes: Int = 16, bands: Int = 4): Unit = {
+    // one metadata-weight count sizes the prefix width to the corpus
+    // (the AutoGeometry convention — index-build cost, paid once)
+    val width = suggestBandPrefixWidth(documents.count())
+    bandIndexRows(documents, n, numHashes, bands, width)
       .write.mode("overwrite").partitionBy("bk_prefix").parquet(path)
+  }
 
   /** Admit a new batch into an EXISTING band index — the write half of
     * the continuous intake loop ([[incrementalProbeIndex]] / s08 is
@@ -388,9 +393,18 @@ object Dedup {
   private[graft] def appendToBandIndexValidated(documents: DataFrame,
                                                 path: String, n: Int,
                                                 numHashes: Int,
-                                                bands: Int): Unit =
-    bandIndexRows(documents, n, numHashes, bands)
+                                                bands: Int): Unit = {
+    // the layout is the INDEX's, not the batch's: appends must land in
+    // the same prefix geometry the build chose (detected from the tree
+    // — driver-side listing, no job); an empty tree — a zero-row build
+    // — gets the batch-sized width, the first real write fixing the
+    // geometry for all later appends
+    val spark = documents.sparkSession
+    val width = detectBandPrefixWidth(spark, path)
+      .getOrElse(suggestBandPrefixWidth(documents.count()))
+    bandIndexRows(documents, n, numHashes, bands, width)
       .write.mode("append").partitionBy("bk_prefix").parquet(path)
+  }
 
   /** Compact an append-grown band index in place — the maintenance
     * half of the s09 admit loop: [[appendToBandIndex]] adds one small
@@ -422,9 +436,12 @@ object Dedup {
                        bands: Int = 4,
                        maxRecordsPerFile: Long = 0L): (Long, Long) = {
     val index = readBandIndex(spark, path, n, numHashes, bands)
+    // preserve the live tree's prefix geometry (legacy trees predate
+    // width detection at constant 2)
+    val pfxWidth = detectBandPrefixWidth(spark, path).getOrElse(2)
     compactSwap(spark, path, what = "index")(tmp =>
       index.select(col("doc_id"), col("bk")).distinct()
-        .withColumn("bk_prefix", substring(col("bk"), 1, 2))
+        .withColumn("bk_prefix", substring(col("bk"), 1, pfxWidth))
         .select(col("*") +: stampCols(n, numHashes, bands): _*)
         .repartition(col("bk_prefix"))
         .sortWithinPartitions("bk", "doc_id")
@@ -913,12 +930,50 @@ object Dedup {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Shared index-row shape for [[writeBandIndex]]/[[appendToBandIndex]]:
-    * (doc_id, bk, stamps) under the 2-hex-char bucket-prefix partition. */
+    * (doc_id, bk, stamps) under a `width`-hex-char bucket-prefix
+    * partition ([[suggestBandPrefixWidth]]). */
   private def bandIndexRows(documents: DataFrame, n: Int,
-                            numHashes: Int, bands: Int): DataFrame =
+                            numHashes: Int, bands: Int,
+                            width: Int): DataFrame =
     minhashBandIndex(documents, n, numHashes, bands)
-      .withColumn("bk_prefix", substring(col("bk"), 1, 2))
+      .withColumn("bk_prefix", substring(col("bk"), 1, width))
       .select(col("*") +: stampCols(n, numHashes, bands): _*)
+
+  /** Scale-derived bucket-prefix WIDTH (hex chars) for the band-index
+    * tree — the suggestBits/AutoGeometry convention applied to the
+    * artifact LAYOUT (r20, guide §6): every write (build, and one per
+    * admitted intake batch) creates one file per touched prefix
+    * directory, so 16^width directories must each be worth a file.
+    * The old constant width 2 (256 dirs) made every probe-scale append
+    * a 256-file create+commit — measured at ~4 s of s09's ~12 s floor
+    * per append, with 16 B of band rows per file. Width grows one hex
+    * char per 16x past 2^20 docs: 16 dirs to ~1M docs, 256 to ~16M,
+    * 4096 to ~268M, 65536 beyond — at 10^12 docs (the 100 TB shape)
+    * that is ~60M band rows (~3 GB) per directory, bounded per file by
+    * compaction's maxRecordsPerFile. Probes never read bk_prefix (the
+    * bk equi-join carries the candidates), so width is pure layout:
+    * the value each index USES is detected from its own tree
+    * ([[detectBandPrefixWidth]]) — appends and compaction always agree
+    * with the build, whatever scale either ran at. */
+  private[graft] def suggestBandPrefixWidth(nDocs: Long): Int = {
+    var w = 1
+    var cap = 1L << 20
+    while (w < 4 && nDocs > cap) { w += 1; cap = cap << 4 }
+    w
+  }
+
+  /** The prefix width an EXISTING index tree was written with, read
+    * from its partition directory names — one driver-side root listing,
+    * no Spark job, no footer read. None for an empty/absent tree. */
+  private[graft] def detectBandPrefixWidth(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try fs.listStatus(p).map(_.getPath.getName)
+      .find(_.startsWith("bk_prefix="))
+      .map(_.length - "bk_prefix=".length)
+    catch { case _: java.io.FileNotFoundException => None }
+  }
 
   /** The `_p_*` parameter stamps, carried BOTH as constant column
     * values (probe-time check on any non-empty frame, even a raw

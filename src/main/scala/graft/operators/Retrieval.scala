@@ -249,6 +249,7 @@ object Retrieval {
     * `maxDfPpm` filters the broadcast lexicon slice), so one index
     * serves any pruning policy. */
   def writeBm25Index(documents: DataFrame, path: String): Unit = {
+    ArtifactCache.invalidate(bm25CacheKey(path)) // rebuild = new state
     val tfd = postingsFrame(documents).localCheckpoint()
     tfd.withColumn("_p_shard", pmod(xxhash64(col("term")), lit(IndexShards)))
       .withColumn("_b_epoch", lit(0L))
@@ -270,6 +271,15 @@ object Retrieval {
       .withColumn("_p_epoch", lit(0L))
       .withColumn("_p_batch_id", lit(-1L))
       .write.mode("overwrite").parquet(s"$path/stats")
+    // stats is the LAST leg written = the commit point — install the
+    // build's own state so the first read (the very next append or
+    // serve) skips revalidating what this build just wrote (r20; the
+    // 1-row collect is on the pinned stats frame, not a re-aggregation)
+    val sr = st.collect().head
+    ArtifactCache.install(documents.sparkSession, bm25CacheKey(path),
+      bm25FpDirs(path),
+      Bm25Meta(sr.getAs[Long]("n_docs"), sr.getAs[Long]("l_tokens"),
+        sr.getAs[Long]("max_dl"), sr.getAs[Long]("avgdl_q"), 0L, -1L))
   }
 
   /** Validated index handle: loud on missing pieces, mixed or drifted
@@ -302,8 +312,36 @@ object Retrieval {
     * (postings orphans at epoch E+1 are invisible to nothing — they
     * are detected, not filtered — so the remedy is rebuild or restore
     * the `__precompact` copy the swap choreography leaves behind). */
+  /** The validated scalar state a [[readBm25Index]] collects — the
+    * [[ArtifactCache]] payload (frames are re-created per read). */
+  private final case class Bm25Meta(nDocs: Long, lTokens: Long, maxDl: Long,
+                                    avgdlQ: Long, epoch: Long, batchId: Long)
+  private def bm25CacheKey(path: String) = s"bm25:$path"
+  private def bm25FpDirs(path: String) = Seq(s"$path/stats", s"$path/lexicon")
+
   def readBm25Index(spark: org.apache.spark.sql.SparkSession,
                     path: String): Bm25Index = {
+    // r20 (verdict #2a/#6): one full stamp-and-torn-state validation
+    // per committed artifact state per JVM — the validation jobs (stats
+    // collect + two per-leg epoch aggregations) re-ran on EVERY read,
+    // and the intake loops read per micro-batch. Cache hit = fingerprint
+    // match on the commit legs; the postings/lexicon frames are always
+    // re-created from parquet (metadata cache, never a result cache).
+    val cached = ArtifactCache.lookup[Bm25Meta](spark, bm25CacheKey(path),
+      bm25FpDirs(path))
+    // the postings leg is not fingerprinted, so the torn-append
+    // detector stays live on the hit path as a driver-side epoch-dir
+    // walk (orphan postings always land under a fresh _b_epoch=E+1
+    // directory); any disagreement falls through to full validation,
+    // which fails loud with the torn-state message
+    if (cached.isDefined &&
+        ArtifactCache.maxEpochDir(spark, s"$path/postings")
+          .contains(cached.get.epoch)) {
+      val m = cached.get
+      return Bm25Index(spark.read.parquet(s"$path/postings"),
+        spark.read.parquet(s"$path/lexicon"),
+        m.nDocs, m.lTokens, m.maxDl, m.avgdlQ, m.epoch, m.batchId)
+    }
     val stats = spark.read.parquet(s"$path/stats").collect()
     require(stats.length == 1,
       s"bm25 index at $path: stats must be ONE row, got ${stats.length}")
@@ -349,10 +387,14 @@ object Retrieval {
         s"[${lexE.getLong(0)}, ${lexE.getLong(1)}] vs stats " +
         s"epoch $epoch — an append crashed between the lexicon swap and " +
         "the stats commit; rebuild or restore the __precompact copy")
-    Bm25Index(postings, lexicon,
+    val idx = Bm25Index(postings, lexicon,
       st.getAs[Long]("n_docs"), st.getAs[Long]("l_tokens"),
       st.getAs[Long]("max_dl"), st.getAs[Long]("avgdl_q"),
       epoch, st.getAs[Long]("_p_batch_id"))
+    ArtifactCache.install(spark, bm25CacheKey(path), bm25FpDirs(path),
+      Bm25Meta(idx.nDocs, idx.lTokens, idx.maxDl, idx.avgdlQ,
+        idx.epoch, idx.batchId))
+    idx
   }
 
   /** q131: INCREMENTAL index append — the corpus-intake convention
@@ -401,14 +443,28 @@ object Retrieval {
     * intake's fence — foreachBatch is at-least-once, and a restart
     * replays the last uncommitted micro-batch. When `batchId` is
     * given and not greater than the index's last-applied batch id,
-    * the append is a NO-OP (returns false): the replayed batch's
+    * the append is a NO-OP (returns None): the replayed batch's
     * postings are already in. Batch-mode callers (q131) omit it.
-    * Returns true when the append was applied. */
+    *
+    * Returns the post-append INDEX HEALTH on an applied append (r20 —
+    * [[graft.operators.Similarity.appendAnnIndex]]'s convention on the
+    * lexical leg): the append already computed every number s23's
+    * per-batch meter emits (merged n_docs/l_tokens/avgdl_q are its own
+    * arithmetic, n_terms is the merged lexicon's validated count), so
+    * the streaming ingest loop need not re-read and re-validate the
+    * artifact it just committed. */
+  final case class Bm25IngestHealth(nDocs: Long, lTokens: Long,
+                                    avgdlQ: Long, nTerms: Long)
+
   def appendBm25Index(spark: org.apache.spark.sql.SparkSession,
                       batch: DataFrame, path: String,
-                      batchId: Option[Long] = None): Boolean = {
+                      batchId: Option[Long] = None): Option[Bm25IngestHealth] = {
     val idx = readBm25Index(spark, path) // stamp-validates before touching anything
-    if (batchId.exists(_ <= idx.batchId)) return false // at-least-once replay
+    if (batchId.exists(_ <= idx.batchId)) return None // at-least-once replay
+    // cache entry dropped BEFORE the first mutating write: a crash
+    // anywhere in the three-leg choreography must leave the next read
+    // on the full torn-state detection path (ArtifactCache's contract)
+    ArtifactCache.invalidate(bm25CacheKey(path))
     val tfd = postingsFrame(batch).localCheckpoint()
     val bs = statsFrame(tfd).collect()
     require(bs.length == 1 && bs.head.getAs[Long]("n_docs") > 0,
@@ -476,7 +532,13 @@ object Retrieval {
           "refuse it. Rebuild, or restore the stats __precompact " +
           "recovery copy and re-run the append")
     }
-    true
+    // commit point passed — install the post-append state so the next
+    // read (the very next micro-batch, or this batch's health emission)
+    // skips revalidation of a state this append just proved
+    ArtifactCache.install(spark, bm25CacheKey(path), bm25FpDirs(path),
+      Bm25Meta(nDocs, lTokens, maxDl, avgdlQ, newEpoch,
+        batchId.getOrElse(idx.batchId)))
+    Some(Bm25IngestHealth(nDocs, lTokens, avgdlQ, wantTerms))
   }
 
   /** Postings compaction — [[Dedup.compactBandIndex]]'s convention on
@@ -502,6 +564,9 @@ object Retrieval {
     // stamp-validate before touching anything; the epoch cross-check
     // also guarantees no orphan postings ride into the rewrite
     val idx = readBm25Index(spark, path)
+    // the postings leg is NOT fingerprinted (stats/lexicon are the
+    // commit legs), so its rewrite must drop the entry itself
+    ArtifactCache.invalidate(bm25CacheKey(path))
     val postings = spark.read.parquet(s"$path/postings")
       .select("doc_id", "term", "tf", "dl", "_p_shard")
     def sig(df: DataFrame): (Long, java.math.BigDecimal) = {

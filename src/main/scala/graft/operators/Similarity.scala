@@ -1334,6 +1334,7 @@ object Similarity {
     val dsub = dim / m
     val spark = embeddings.sparkSession
     import spark.implicits._
+    ArtifactCache.invalidate(annCacheKey(path)) // rebuild = new state
     // ONE digest for both train-cache keys (see corpusDigest's
     // digestHint contract) — the second full-corpus digest scan per
     // build was pure duplication
@@ -1365,11 +1366,18 @@ object Similarity {
     // n_codes rides the stats so appends can merge it associatively
     // and a serve never pays a codes count; encoding is 1:1 per
     // vector, so the input count IS the code count
+    val nCodes = toEncode.count()
     Seq((m, ks, dsub, cents.length, residual, centStamp(cents),
-        toEncode.count(), 0L, -1L))
+        nCodes, 0L, -1L))
       .toDF("_p_m", "_p_ks", "_p_dsub", "_p_cells", "_p_residual",
         "_p_cent_stamp", "n_codes", "_p_epoch", "_p_batch_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    // stats is the LAST leg = the commit point — install the build's
+    // own state so the first read (append or serve) skips revalidating
+    // what this build just wrote (the writeBm25Index rule)
+    ArtifactCache.install(spark, annCacheKey(path), annFpDirs(path),
+      AnnMeta(cents, book.sortBy(t => (t._1, t._2)), m, ks, dsub,
+        residual, nCodes, 0L, -1L))
   }
 
   /** q132: INCREMENTAL ANN index append — q131's intake convention on
@@ -1414,6 +1422,10 @@ object Similarity {
     if (batchId.exists(_ <= idx.batchId)) return None // at-least-once replay
     require(batch.limit(1).count() > 0,
       "appendAnnIndex: empty intake batch — nothing to append")
+    // cache entry dropped BEFORE the first mutating write (the
+    // appendBm25Index rule): a crash between the codes append and the
+    // stats commit must leave the next read on the torn-state detector
+    ArtifactCache.invalidate(annCacheKey(path))
     val bookC2: Seq[(Int, Int, Array[Double], Double)] =
       idx.book.toSeq.map { case (s, code, cv) =>
         (s, code, cv, cv.foldLeft(0.0)((a, x) => a + x * x))
@@ -1464,6 +1476,11 @@ object Similarity {
           "restore the stats __precompact recovery copy and re-run " +
           "the append")
     }
+    // commit point passed — install the post-append state (quantizers
+    // FROZEN by the append contract, so cents/book carry over)
+    ArtifactCache.install(spark, annCacheKey(path), annFpDirs(path),
+      AnnMeta(idx.cents, idx.book, idx.m, idx.ks, idx.dsub, idx.residual,
+        nCodes, newEpoch, batchId.getOrElse(idx.batchId)))
     Some(AnnIngestHealth(nCodes, h.getAs[Long]("cells"),
       h.getAs[Long]("sfp") / h.getAs[Long]("n")))
   }
@@ -1540,6 +1557,10 @@ object Similarity {
       .withColumn("_b_epoch", lit(newEpoch))
       .localCheckpoint()
     val nCodes = newCodes.count()
+    // cache entry dropped before the FIRST swap (the append rule): a
+    // crash anywhere in the four-swap choreography leaves the next
+    // read on the full torn-state detection path
+    ArtifactCache.invalidate(annCacheKey(path))
     Dedup.compactSwap(spark, s"$path/codes", what = "ann codes (rotate)")(tmp =>
       newCodes.write.mode("overwrite")
         .partitionBy("_p_cell", "_b_epoch").parquet(tmp)
@@ -1672,8 +1693,43 @@ object Similarity {
                             m: Int, ks: Int, dsub: Int, residual: Boolean,
                             nCodes: Long, epoch: Long, batchId: Long)
 
+  /** The validated state a [[readAnnIndex]] collects — the
+    * [[ArtifactCache]] payload (KB-scale quantizer arrays + scalars;
+    * the codes frame is re-created from parquet on every read). */
+  private final case class AnnMeta(cents: Array[(Long, Array[Double])],
+                                   book: Array[(Int, Int, Array[Double])],
+                                   m: Int, ks: Int, dsub: Int,
+                                   residual: Boolean, nCodes: Long,
+                                   epoch: Long, batchId: Long)
+  private def annCacheKey(path: String) = s"ann:$path"
+  private def annFpDirs(path: String) =
+    Seq(s"$path/stats", s"$path/centroids", s"$path/codebook")
+
   def readAnnIndex(spark: org.apache.spark.sql.SparkSession,
                    path: String, m: Int = 8, ks: Int = 16): AnnIndex = {
+    // r20 (verdict #2a/#6): one full stamp/digest/torn-state validation
+    // per committed artifact state per JVM (the readBm25Index rule on
+    // the semantic leg) — a cold read pays stats collect + centroid and
+    // codebook collects + digest + the codes epoch aggregation; the
+    // intake loop (s24) and the build→append→serve chains re-read per
+    // batch/phase. The caller-geometry check stays on the hit path.
+    val cachedAnn = ArtifactCache.lookup[AnnMeta](spark, annCacheKey(path),
+      annFpDirs(path))
+    // torn-append detector on the hit path: the codes leg is not
+    // fingerprinted, but orphan codes land under a fresh _b_epoch=E+1
+    // directory — a driver-side walk sees them; disagreement falls
+    // through to the full validation's loud torn-state failure
+    if (cachedAnn.isDefined &&
+        ArtifactCache.maxEpochDir(spark, s"$path/codes")
+          .contains(cachedAnn.get.epoch)) {
+      val c = cachedAnn.get
+      require(c.m == m && c.ks == ks,
+        s"ann index at $path was encoded at m=${c.m} ks=${c.ks}, caller " +
+          s"serves at m=$m ks=$ks — the flat ADC tables would " +
+          "mis-stride; rebuild the index")
+      return AnnIndex(c.cents, c.book, spark.read.parquet(s"$path/codes"),
+        c.m, c.ks, c.dsub, c.residual, c.nCodes, c.epoch, c.batchId)
+    }
     val stats = spark.read.parquet(s"$path/stats").collect()
     require(stats.length == 1,
       s"ann index at $path: stats must be ONE row, got ${stats.length}")
@@ -1716,9 +1772,13 @@ object Similarity {
         s"committed epoch $epoch — an append crashed before its commit; " +
         "re-run the intake after a rebuild, or restore the __precompact " +
         "recovery copy")
-    AnnIndex(cents, book, codes, m, ks, dsub,
+    val idx = AnnIndex(cents, book, codes, m, ks, dsub,
       st.getAs[Boolean]("_p_residual"),
       st.getAs[Long]("n_codes"), epoch, st.getAs[Long]("_p_batch_id"))
+    ArtifactCache.install(spark, annCacheKey(path), annFpDirs(path),
+      AnnMeta(cents, book, m, ks, dsub, idx.residual, idx.nCodes,
+        idx.epoch, idx.batchId))
+    idx
   }
 
   /** Codes compaction — [[graft.operators.Retrieval.compactBm25Index]]'s
@@ -1740,6 +1800,9 @@ object Similarity {
     // stamp-validate before touching anything; the epoch cross-check
     // also guarantees no orphan codes ride into the rewrite
     val idx = readAnnIndex(spark, path)
+    // the codes leg is NOT fingerprinted (stats/centroids/codebook are
+    // the commit legs), so its rewrite must drop the entry itself
+    ArtifactCache.invalidate(annCacheKey(path))
     val codes = spark.read.parquet(s"$path/codes")
       .select("vec_id", "cell", "codes", "vn2", "_p_cell")
     def sig(df: DataFrame): (Long, java.math.BigDecimal) = {

@@ -522,11 +522,20 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batch.limit(1).count() > 0) {
           val b = batch.localCheckpoint() // pin BEFORE the index mutation
-          graft.operators.Retrieval.appendBm25Index(spark, b, indexPath,
-            batchId = Some(batchId))
-          val idx = graft.operators.Retrieval.readBm25Index(spark, indexPath)
-          val nTerms = idx.lexicon.count()
-          Seq((idx.nDocs, idx.lTokens, idx.avgdlQ, nTerms))
+          // r20: the applied append RETURNS the health row's numbers
+          // (its own associative merges + the validated merged-lexicon
+          // count) — re-reading and re-counting the artifact it just
+          // committed was one full readBm25Index + a lexicon count per
+          // micro-batch. The replay path (None) recomputes read-only,
+          // content-identical (the appendAnnIndex/s24 convention).
+          val h = graft.operators.Retrieval.appendBm25Index(spark, b,
+              indexPath, batchId = Some(batchId))
+            .getOrElse {
+              val idx = graft.operators.Retrieval.readBm25Index(spark, indexPath)
+              graft.operators.Retrieval.Bm25IngestHealth(
+                idx.nDocs, idx.lTokens, idx.avgdlQ, idx.lexicon.count())
+            }
+          Seq((h.nDocs, h.lTokens, h.avgdlQ, h.nTerms))
             .toDF("n_docs", "l_tokens", "avgdl_q", "n_terms")
             .write.mode("append").parquet(outDir)
         }

@@ -250,6 +250,42 @@ class DedupSpec extends SparkSpec {
     rows shouldBe Array((2L, 5L, 2L, 1L))
   }
 
+  test("r20 band-index prefix width: corpus-sized at build, appends " +
+    "and compaction follow the tree's width, probes unchanged") {
+    import org.apache.spark.sql.functions.col
+    // the width law itself
+    Dedup.suggestBandPrefixWidth(10000L) shouldBe 1
+    Dedup.suggestBandPrefixWidth(1L << 20) shouldBe 1
+    Dedup.suggestBandPrefixWidth((1L << 20) + 1) shouldBe 2
+    Dedup.suggestBandPrefixWidth(1L << 24) shouldBe 2
+    Dedup.suggestBandPrefixWidth(1L << 27) shouldBe 3
+    Dedup.suggestBandPrefixWidth(Long.MaxValue) shouldBe 4
+    val docs = tables.documents
+    val existing = docs.filter(col("doc_id") % 10 =!= 9)
+    val incoming = docs.filter(col("doc_id") % 10 === 9)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pfx").toString + "/idx"
+    Dedup.writeBandIndex(existing, dir)
+    // probe-scale corpus → width 1 → at most 16 prefix directories
+    Dedup.detectBandPrefixWidth(spark, dir) shouldBe Some(1)
+    new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("bk_prefix=")) should be <= 16
+    // appends land in the SAME geometry, and the probe result is the
+    // layout-independent truth (equals the inline recompute)
+    Dedup.appendToBandIndex(incoming, dir)
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("bk_prefix="))
+      .foreach(_.getName.length shouldBe "bk_prefix=".length + 1)
+    // compaction preserves the tree's width
+    Dedup.compactBandIndex(spark, dir)
+    Dedup.detectBandPrefixWidth(spark, dir) shouldBe Some(1)
+    val fromDisk = Dedup.incrementalProbeIndex(
+      Dedup.readBandIndex(spark, dir), existing, incoming)
+    // the index now CONTAINS the incoming batch (appended above), so
+    // probing incoming against it yields at least the inline pairs
+    val inline = Dedup.incrementalMinhashPairs(existing, incoming)
+    inline.exceptAll(fromDisk).count() shouldBe 0L
+  }
+
   test("q45 persisted band index round-trips: disk-probe equals inline-probe") {
     import org.apache.spark.sql.functions.col
     val docs = tables.documents

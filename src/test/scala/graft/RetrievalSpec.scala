@@ -281,13 +281,13 @@ class RetrievalSpec extends SparkSpec {
     Retrieval.writeBm25Index(docsAll.filter(col("doc_id") % 10 =!= 9), s"$base/idx")
     val intake = docsAll.filter(col("doc_id") % 10 === 9)
     Retrieval.appendBm25Index(spark, intake, s"$base/idx",
-      batchId = Some(0L)) shouldBe true
+      batchId = Some(0L)).isDefined shouldBe true
     val after = Retrieval.readBm25Index(spark, s"$base/idx")
     after.batchId shouldBe 0L
     // the at-least-once replay: same batch re-delivered after a
     // restart must NOT double its postings
     Retrieval.appendBm25Index(spark, intake, s"$base/idx",
-      batchId = Some(0L)) shouldBe false
+      batchId = Some(0L)) shouldBe None
     val replayed = Retrieval.readBm25Index(spark, s"$base/idx")
     (replayed.nDocs, replayed.lTokens, replayed.epoch) shouldBe
       ((after.nDocs, after.lTokens, after.epoch))
@@ -296,7 +296,7 @@ class RetrievalSpec extends SparkSpec {
     import spark.implicits._
     Retrieval.appendBm25Index(spark,
       Seq((990001L, "fresh tokens here")).toDF("doc_id", "text"),
-      s"$base/idx", batchId = Some(1L)) shouldBe true
+      s"$base/idx", batchId = Some(1L)).isDefined shouldBe true
     val next = Retrieval.readBm25Index(spark, s"$base/idx")
     next.nDocs shouldBe after.nDocs + 1
     next.batchId shouldBe 1L
@@ -391,5 +391,35 @@ class RetrievalSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
     plan should not include "CartesianProduct"
     plan should not include "SortMergeJoin"
+  }
+
+  test("r20 revalidation cache: hit state identical to cold read; " +
+    "external stats swap falls back to full validation") {
+    val base = java.nio.file.Files.createTempDirectory("bm25_cache").toString
+    Retrieval.writeBm25Index(corpus, s"$base/idx")
+    // warm (build-installed) vs forced-cold read must agree on every
+    // validated scalar — the cache is metadata memoization, not state
+    val warm = Retrieval.readBm25Index(spark, s"$base/idx")
+    // poke the commit leg the way an EXTERNAL writer would (touch a
+    // file: new mtime): the fingerprint must miss and the full
+    // validation must re-run — and still agree, since nothing changed
+    val f = new java.io.File(s"$base/idx/stats").listFiles()
+      .find(_.getName.startsWith("part-")).get
+    java.nio.file.Files.setLastModifiedTime(f.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 5000))
+    val cold = Retrieval.readBm25Index(spark, s"$base/idx")
+    (cold.nDocs, cold.lTokens, cold.maxDl, cold.avgdlQ, cold.epoch,
+      cold.batchId) shouldBe
+      ((warm.nDocs, warm.lTokens, warm.maxDl, warm.avgdlQ, warm.epoch,
+        warm.batchId))
+    // append then read: the installed post-append state equals a
+    // from-scratch validated read (cache bypassed via the env knob is
+    // covered by the torn tests, which mutate behind the cache's back)
+    Retrieval.appendBm25Index(spark,
+      docs(990001L -> "fresh cache tokens"), s"$base/idx")
+    val hit = Retrieval.readBm25Index(spark, s"$base/idx")
+    hit.nDocs shouldBe warm.nDocs + 1
+    hit.epoch shouldBe warm.epoch + 1
   }
 }
