@@ -154,18 +154,87 @@ object Similarity {
         (s, code, cv, cv.foldLeft(0.0)((a, x) => a + x * x))
       }
     val ep = prepared(e)
-    val cellTab = Some(pqCellTable(cents, book, dsub, e.sparkSession))
-    val codes = pqEncode(ep, cents, book, m, ks, dsub, residual = true,
-      cellTable = cellTab).localCheckpoint()
-    configs.map { case (np, rr) =>
-      pqSearch(codes, ep, cents, book, m, ks, dsub, residual = true,
-        nQueries, k, np, rr, pruneAtScan = false, cellTable = cellTab)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hit"))
-        .select(lit(np).as("n_probe"), lit(rr).as("rerank"),
-          lit(nExact).as("n_exact"), col("n_hit"))
-    }.reduce(_ unionByName _)
+    val cellTab = pqCellTable(cents, book, dsub, e.sparkSession)
+    val codes = pqEncode(ep, cents, book, m, ks, dsub, residual = true)
+      .localCheckpoint()
+    // SEARCH ONCE at max(nProbe), rank per config (r20, verdict #3 —
+    // §2.4 applied to the search half the way r19 did the encode
+    // half): the configs differ only in serve-side knobs, and a
+    // candidate's approx score is config-independent (each code row
+    // lives in ONE cell, so the probe join yields at most one scored
+    // row per (query, neighbor) — identical for every config that
+    // probes that cell). One probe window at maxNp CARRIES the probe
+    // rank `pr`; a config's candidate set is exactly pr <= nProbe; one
+    // per-(query, config) window replays each config's shortlist cut;
+    // exact cosines are computed once per DISTINCT shortlisted pair
+    // and re-ranked per config. Every expression below is pqSearch's
+    // verbatim (same windows, same tie-breaks, same rounding point),
+    // so per-config rows are identical by construction — and the
+    // oracle gate checks the composition end to end. The former shape
+    // ran |configs| FULL search bodies: 4x the probe/ADC/shortlist
+    // subtrees (plan: ex=44, win=36 -> well under half that).
+    val spark = e.sparkSession
+    import spark.implicits._
+    val maxNp = configs.map(_._1).max
+    val cellIds = lit(cents.map(_._1))
+    val queries = ep.filter(col("vec_id") < nQueries)
+    val wq = Window.partitionBy("query_id").orderBy(col("score").desc, col("cell"))
+    val probes0 = queries
+      .select(col("vec_id").as("query_id"), posexplode(seedCellScores(cents)(col("v"))))
+      .select(col("query_id"),
+        element_at(cellIds, col("pos").cast("int") + 1).as("cell"), col("col").as("score"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= maxNp)
+    val probes = probes0.join(cellTab, Seq("cell"))
+      .select(col("query_id"), col("cell"), col("pr"),
+        (col("score") * sqrt(col("c2c"))).as("qcdot"))
+    val adc = queries.select(col("vec_id").as("query_id"), col("nrm").as("qn"),
+      array(book.sortBy(b => (b._1, b._2)).map { case (s, _, cv, _) =>
+        Exprs.dot(slice(col("v"), s * dsub + 1, dsub), lit(cv))
+      }: _*).as("adc"))
+    val numerator = col("qcdot") + pqLookupSum(col("adc"), col("codes"), m, ks)
+    val scored = codes.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(probes.join(broadcast(adc), Seq("query_id"))), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx", numerator / (col("qn") * sqrt(col("vn2"))))
+      .select("query_id", "neighbor_id", "approx", "pr")
+    // the config frame is |configs| literal rows; the pr <= n_probe
+    // attach is a broadcast NLJ BOUNDED by that literal count — the
+    // q135 one-row-frame class, never corpus-scaled
+    val cfg = configs.toDF("n_probe", "rerank")
+    val perCfg = scored.join(broadcast(cfg), col("pr") <= col("n_probe"))
+    val wr = Window.partitionBy("query_id", "n_probe", "rerank")
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val short = perCfg.withColumn("ar", row_number().over(wr))
+      .filter(col("ar") <= col("rerank"))
+      .select("n_probe", "rerank", "query_id", "neighbor_id")
+    // exact re-rank: one cosine per DISTINCT shortlisted pair, shared
+    // by every config that shortlists it (values identical — the
+    // rounding sits exactly where pqSearch puts it)
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val nv = ep.select(col("vec_id").as("neighbor_id"),
+      col("v").as("nv"), col("nrm").as("nn"))
+    val pairCos = nv
+      .join(broadcast(short.select("query_id", "neighbor_id").distinct()),
+        Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos_sim",
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
+      .select("query_id", "neighbor_id", "cos_sim")
+    val wf = Window.partitionBy("query_id", "n_probe", "rerank")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val topk = short.join(broadcast(pairCos), Seq("query_id", "neighbor_id"))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+    // per-config hit counts against the shared exact baseline; a
+    // zero-hit config must still emit its row (left join, 0 fill)
+    val hits = topk.select("n_probe", "rerank", "query_id", "neighbor_id")
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("n_probe", "rerank").agg(count(lit(1)).as("n_hit"))
+    cfg.join(hits, Seq("n_probe", "rerank"), "left")
+      .select(col("n_probe"), col("rerank"), lit(nExact).as("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
       .select(col("n_probe"), col("rerank"), col("n_exact"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_exact").cast("double"))
           .as("recall5"))
