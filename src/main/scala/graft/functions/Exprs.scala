@@ -829,6 +829,67 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Spherical-quantizer cell ARGMAX for one vector — [[PqEncodeVec]]'s
+    * cell-assignment stage as a standalone kernel (r20, verdict #4):
+    * the non-encode `assignCells` users (the semantic-dedup family,
+    * q46's IVF, the semantic stores, the Lloyd training loop's
+    * assignment pass) paid an n·c broadcast-join + max(struct) partial
+    * aggregation — one Exchange of aggregation buffers per assignment
+    * — for what is a pure per-row argmax over constant centroids. This
+    * expression is that argmax as a ZERO-SHUFFLE map riding the scan.
+    *
+    * Bit-stability contract (the oracle replays the same argmax):
+    * score_i = dot(v, c_i)/cnorm_i with ascending-index accumulation
+    * (seedCellScores' per-element chains; cnorms precomputed with the
+    * same dotArr loops); argmax keeps the FIRST maximum (strict
+    * primitive `>`), which for finite scores equals BOTH prior shapes
+    * — the literal branch's array_position(array_max) and the
+    * broadcast branch's max(struct(score, -cell, cell)) — because
+    * cells are required sorted ascending by id (ties break to the
+    * smaller cell id). */
+  case class CellArgmax(child: Expression,
+                        cellIds: Array[Long],
+                        cents: Array[Array[Double]],
+                        cnorms: Array[Double])
+      extends UnaryExpression with CodegenFallback {
+    require(cellIds.nonEmpty && cellIds.length == cents.length &&
+      cnorms.length == cents.length,
+      "graft_cell_argmax: centroid tables must be non-empty and aligned")
+    require(cellIds.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+      "graft_cell_argmax: cells must be sorted ascending by id (the " +
+        "tie-break contract)")
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_cell_argmax"
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectTypes(prettyName, Seq("array<double>" -> isDoubleArray),
+        Seq(child.dataType))
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(in: Any): Any = {
+      val ad = in.asInstanceOf[ArrayData]
+      val nc = cents.length
+      val nIn = ad.numElements()
+      var best = Double.NegativeInfinity
+      var bi = 0
+      var i = 0
+      while (i < nc) {
+        val c = cents(i)
+        val dim = math.min(c.length, nIn) // DotProduct truncates to the shorter operand
+        var s = 0.0
+        var t = 0
+        while (t < dim) { s += ad.getDouble(t) * c(t); t += 1 }
+        val sc = s / cnorms(i)
+        if (sc > best) { best = sc; bi = i }
+        i += 1
+      }
+      cellIds(bi): java.lang.Long
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** One-pass IVF-PQ encoder (r19, guide §2.4/§4): cell assignment +
     * per-subspace code argmin + |v̂|² (+ exact quantization error) for
     * ONE vector, all quantizer tables riding as expression constants.
@@ -1021,6 +1082,11 @@ object Exprs {
 
   def bfdPack(shardDocs: Column, budget: Long): Column =
     GraftShim.column(BfdPack(GraftShim.expression(shardDocs), budget))
+
+  def cellArgmax(v: Column, cellIds: Array[Long],
+                 cents: Array[Array[Double]],
+                 cnorms: Array[Double]): Column =
+    GraftShim.column(CellArgmax(GraftShim.expression(v), cellIds, cents, cnorms))
 
   def pqEncodeVec(v: Column, cellIds: Array[Long],
                   cents: Array[Array[Double]], cnorms: Array[Double],

@@ -2505,30 +2505,33 @@ object Similarity {
     * same left-to-right accumulation, so the argmax — and therefore
     * every downstream verdict — is identical; SimilaritySpec pins the
     * two shapes equal on a real corpus. */
+  /** The exact cell argmax as ONE native per-row expression —
+    * [[graft.functions.Exprs.CellArgmax]] with the centroid table as
+    * kernel constants (sorted ascending by id: the tie-break
+    * contract). r20, verdict #4: replaces BOTH exact shapes the
+    * assignment used to switch between — the ≤32-cell literal score
+    * array AND the broadcast-join + max(struct) partial aggregation —
+    * with a zero-shuffle map riding the scan (the PqEncodeVec story on
+    * the assignment half). Identical bits: same per-element dot
+    * chains, same first-max tie rule (see the expression's contract);
+    * the graded geometries run THROUGH this kernel, so the 172-query
+    * oracle gate certifies it directly. */
+  private def cellArgmaxCol(cents: Array[(Long, Array[Double])]): Column = {
+    val sorted = cents.sortBy(_._1)
+    Exprs.cellArgmax(col("v"), sorted.map(_._1), sorted.map(_._2),
+      sorted.map(c => math.sqrt(dotArr(c._2, c._2))))
+  }
+
   private[operators] def assignCells(e: DataFrame,
                                      cents: Array[(Long, Array[Double])],
                                      literalMax: Int = 32,
                                      twoLevelMin: Int = 257,
                                      coarseGroups: Int = 0): DataFrame =
-    if (cents.length <= literalMax) {
-      val cellIds = lit(cents.map(_._1))
-      val scores = seedCellScores(cents)(col("v"))
-      e.select(element_at(cellIds,
-        array_position(scores, array_max(scores)).cast("int")).as("cell"),
-        col("vec_id"))
-    } else if (cents.length < twoLevelMin) {
-      val spark = e.sparkSession
-      import spark.implicits._
-      val centDf = cents.toSeq.toDF("cell", "cv")
-        .select(col("cell"), col("cv"),
-          sqrt(Exprs.dot(col("cv"), col("cv"))).as("cnrm"))
-      e.crossJoin(broadcast(centDf))
-        .select(col("vec_id"),
-          struct((dot(col("v"), col("cv")) / col("cnrm")).as("score"),
-            (-col("cell")).as("nc"), col("cell")).as("cand"))
-        .groupBy("vec_id")
-        .agg(max(col("cand")).as("b"))
-        .select(col("b.cell").as("cell"), col("vec_id"))
+    if (cents.length < twoLevelMin) {
+      // literalMax kept for signature stability: the kernel unified the
+      // two exact branches it used to select between
+      val _ = literalMax
+      e.select(cellArgmaxCol(cents).as("cell"), col("vec_id"))
     } else {
       // TWO-LEVEL assignment — the 100 TB shape. The flat broadcast
       // branch above is O(n·c) dot products, and with suggestCells
@@ -2611,13 +2614,17 @@ object Similarity {
     * never-compared struct payload behind the (score, -cell) key. */
   private[operators] def assignCellsFull(e: DataFrame,
                                          cents: Array[(Long, Array[Double])],
-                                         literalMax: Int = 32): DataFrame =
-    if (cents.length <= literalMax) {
-      val cellIds = lit(cents.map(_._1))
-      val scores = seedCellScores(cents)(col("v"))
-      e.withColumn("cell",
-        element_at(cellIds, array_position(scores, array_max(scores)).cast("int")))
-    } else {
+                                         literalMax: Int = 32): DataFrame = {
+    // the kernel (see [[cellArgmaxCol]]) is a zero-shuffle map for any
+    // centroid table small enough to ride as expression constants —
+    // the same bound the old broadcast branch had (the table shipped
+    // to every executor either way); past ~4096 cells keep the
+    // broadcast-agg shape (assignCells' two-level branch is the true
+    // 100 TB answer; its callers pass through assignCells)
+    val _ = literalMax
+    if (cents.length <= 4096)
+      e.withColumn("cell", cellArgmaxCol(cents))
+    else {
       val spark = e.sparkSession
       import spark.implicits._
       val centDf = cents.toSeq.toDF("cell", "cv")
@@ -2632,6 +2639,7 @@ object Similarity {
         .select(col("vec_id"), col("b.v").as("v"), col("b.nrm").as("nrm"),
           col("b.cell").as("cell"))
     }
+  }
 
   /** [[cappedBucket]]'s sibling for k-means cells: a cell over
     * `maxCell` members means `nCells` is stale for the corpus size and

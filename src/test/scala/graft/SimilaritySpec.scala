@@ -1095,6 +1095,40 @@ class SimilaritySpec extends SparkSpec {
     joined shouldBe literal
   }
 
+  test("r20 cell-argmax kernel equals an independent broadcast-argmax " +
+    "replay on a >32-cell geometry, and the plan is a zero-shuffle map") {
+    import org.apache.spark.sql.functions.{broadcast, col, sqrt, struct, max}
+    import spark.implicits._
+    val e = tables.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // 40 cells: past the old literal ceiling (32), inside the kernel
+    // range — the branch the graded 10x geometries take
+    val cents = e.filter(col("vec_id") < 40).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val kernel = Similarity.assignCells(e, cents).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    // the pre-r20 broadcast-join + max(struct) shape, replayed
+    // INDEPENDENTLY here (same score expression, same tie-break)
+    val centDf = cents.toSeq.toDF("cell", "cv")
+      .select(col("cell"), col("cv"),
+        sqrt(graft.functions.Exprs.dot(col("cv"), col("cv"))).as("cnrm"))
+    val replay = e.crossJoin(broadcast(centDf))
+      .select(col("vec_id"),
+        struct((graft.functions.Exprs.dot(col("v"), col("cv")) / col("cnrm"))
+          .as("score"), (-col("cell")).as("nc"), col("cell")).as("cand"))
+      .groupBy("vec_id").agg(max(col("cand")).as("b"))
+      .select(col("vec_id"), col("b.cell").as("cell")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    kernel shouldBe replay
+    // plan pin: the assignment is one native expression riding the
+    // scan — no Exchange, no Join in its subtree
+    val plan = Similarity.assignCells(e, cents)
+      .queryExecution.executedPlan.toString
+    plan should include("graft_cell_argmax")
+    plan should not include "Exchange"
+    plan should not include "Join"
+  }
+
   test("q57 two-level assignment equals the flat argmax at both degenerate extremes") {
     import org.apache.spark.sql.functions.col
     val e = tables.embeddings
