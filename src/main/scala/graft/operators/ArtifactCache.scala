@@ -97,7 +97,7 @@ private[operators] object ArtifactCache {
           val nm = st.getPath.getName
           if (nm.startsWith("_b_epoch="))
             Iterator.single(nm.substring("_b_epoch=".length).toLong)
-          else if (st.isDirectory && !nm.startsWith("_") && nm.contains("="))
+          else if (st.isDirectory && nm.contains("="))
             epochsUnder(st.getPath) // one more partition level (_p_shard/_p_cell)
           else Iterator.empty
         }

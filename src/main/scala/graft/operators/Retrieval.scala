@@ -251,10 +251,17 @@ object Retrieval {
   def writeBm25Index(documents: DataFrame, path: String): Unit = {
     ArtifactCache.invalidate(bm25CacheKey(path)) // rebuild = new state
     val tfd = postingsFrame(documents).localCheckpoint()
-    tfd.withColumn("_p_shard", pmod(xxhash64(col("term")), lit(IndexShards)))
-      .withColumn("_b_epoch", lit(0L))
-      .write.mode("overwrite").partitionBy("_p_shard", "_b_epoch")
-      .parquet(s"$path/postings")
+    // postings and lexicon are INDEPENDENT legs over the pinned tfd
+    // into different directories, both ahead of the stats commit point
+    // — overlap them (guide §2.6; r20): a crash with either leg
+    // missing/partial is the same pre-commit torn state the epoch
+    // cross-checks already refuse
+    val postingsF = concurrent.Future {
+      tfd.withColumn("_p_shard", pmod(xxhash64(col("term")), lit(IndexShards)))
+        .withColumn("_b_epoch", lit(0L))
+        .write.mode("overwrite").partitionBy("_p_shard", "_b_epoch")
+        .parquet(s"$path/postings")
+    }(concurrent.ExecutionContext.global)
     // ONE stats aggregation, pinned (r19): the 1-row frame feeds both
     // the lexicon's idf crossJoin and the stats leg — un-pinned it
     // re-aggregated the postings per consumer
@@ -265,6 +272,7 @@ object Retrieval {
       .select("term", "df", "idf_q")
       .withColumn("_l_epoch", lit(0L))
       .write.mode("overwrite").parquet(s"$path/lexicon")
+    concurrent.Await.result(postingsF, concurrent.duration.Duration.Inf)
     st
       .withColumn("_p_fbits", lit(Bm25FBits))
       .withColumn("_p_shards", lit(IndexShards))
@@ -313,9 +321,14 @@ object Retrieval {
     * are detected, not filtered — so the remedy is rebuild or restore
     * the `__precompact` copy the swap choreography leaves behind). */
   /** The validated scalar state a [[readBm25Index]] collects — the
-    * [[ArtifactCache]] payload (frames are re-created per read). */
+    * [[ArtifactCache]] payload (frames are re-created per read; their
+    * RESOLVED schemas ride along so a hit's reads skip the schema-
+    * inference/footer jobs — absent right after a build, captured and
+    * re-installed on the first hit). */
   private final case class Bm25Meta(nDocs: Long, lTokens: Long, maxDl: Long,
-                                    avgdlQ: Long, epoch: Long, batchId: Long)
+      avgdlQ: Long, epoch: Long, batchId: Long,
+      postingsSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      lexiconSchema: Option[org.apache.spark.sql.types.StructType] = None)
   private def bm25CacheKey(path: String) = s"bm25:$path"
   private def bm25FpDirs(path: String) = Seq(s"$path/stats", s"$path/lexicon")
 
@@ -338,8 +351,15 @@ object Retrieval {
         ArtifactCache.maxEpochDir(spark, s"$path/postings")
           .contains(cached.get.epoch)) {
       val m = cached.get
-      return Bm25Index(spark.read.parquet(s"$path/postings"),
-        spark.read.parquet(s"$path/lexicon"),
+      def rd(dir: String, sch: Option[org.apache.spark.sql.types.StructType]) =
+        sch.fold(spark.read)(spark.read.schema).parquet(dir)
+      val postings = rd(s"$path/postings", m.postingsSchema)
+      val lexicon = rd(s"$path/lexicon", m.lexiconSchema)
+      if (m.postingsSchema.isEmpty) // upgrade: next hit skips inference
+        ArtifactCache.install(spark, bm25CacheKey(path), bm25FpDirs(path),
+          m.copy(postingsSchema = Some(postings.schema),
+            lexiconSchema = Some(lexicon.schema)))
+      return Bm25Index(postings, lexicon,
         m.nDocs, m.lTokens, m.maxDl, m.avgdlQ, m.epoch, m.batchId)
     }
     val stats = spark.read.parquet(s"$path/stats").collect()
@@ -393,7 +413,8 @@ object Retrieval {
       epoch, st.getAs[Long]("_p_batch_id"))
     ArtifactCache.install(spark, bm25CacheKey(path), bm25FpDirs(path),
       Bm25Meta(idx.nDocs, idx.lTokens, idx.maxDl, idx.avgdlQ,
-        idx.epoch, idx.batchId))
+        idx.epoch, idx.batchId,
+        Some(postings.schema), Some(lexicon.schema)))
     idx
   }
 
@@ -480,13 +501,22 @@ object Retrieval {
         "fixed-point contribution would wrap; truncate pathological " +
         "documents or narrow Bm25FBits")
     val newEpoch = idx.epoch + 1L
-    tfd.withColumn("_p_shard", pmod(xxhash64(col("term")), lit(IndexShards)))
-      .withColumn("_b_epoch", lit(newEpoch))
-      .write.mode("append").partitionBy("_p_shard", "_b_epoch")
-      .parquet(s"$path/postings")
+    // the batch's postings append and the lexicon merge are independent
+    // work over the pinned tfd, both ahead of the stats commit point —
+    // overlap them (guide §2.6; r20). Awaited before the stats swap:
+    // the commit order's only load-bearing edge is "stats LAST".
+    val postingsF = concurrent.Future {
+      tfd.withColumn("_p_shard", pmod(xxhash64(col("term")), lit(IndexShards)))
+        .withColumn("_b_epoch", lit(newEpoch))
+        .write.mode("append").partitionBy("_p_shard", "_b_epoch")
+        .parquet(s"$path/postings")
+    }(concurrent.ExecutionContext.global)
     // merged lexicon materialized BEFORE the same-path rewrite (the
     // q129 stamp-spec precedent: localCheckpoint detaches the frame
-    // from the files the swap is about to replace)
+    // from the files the swap is about to replace). LAZY checkpoint +
+    // count = ONE materialization job (r20) — the count both pins the
+    // frame (before the swap replaces its input files) and is the
+    // rewrite validation's expected term count.
     val mergedLex = idx.lexicon.select(col("term"), col("df"))
       .unionByName(tfd.groupBy("term").agg(count(lit(1)).as("df")))
       .groupBy("term").agg(sum(col("df")).as("df"))
@@ -494,7 +524,7 @@ object Retrieval {
       .withColumn("idf_q", expr(idfExpr))
       .select("term", "df", "idf_q")
       .withColumn("_l_epoch", lit(newEpoch))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val wantTerms = mergedLex.count()
     Dedup.compactSwap(spark, s"$path/lexicon", what = "bm25 lexicon")(tmp =>
       mergedLex.write.mode("overwrite").parquet(tmp)
@@ -514,6 +544,8 @@ object Retrieval {
           "readBm25Index will refuse it. Rebuild, or restore the " +
           "lexicon/stats __precompact recovery copies and re-run the append")
     }
+    // both pre-commit legs must be fully landed before the commit point
+    concurrent.Await.result(postingsF, concurrent.duration.Duration.Inf)
     import spark.implicits._
     val newStats = Seq((nDocs, lTokens, maxDl, avgdlQ))
       .toDF("n_docs", "l_tokens", "max_dl", "avgdl_q")
@@ -537,7 +569,8 @@ object Retrieval {
     // skips revalidation of a state this append just proved
     ArtifactCache.install(spark, bm25CacheKey(path), bm25FpDirs(path),
       Bm25Meta(nDocs, lTokens, maxDl, avgdlQ, newEpoch,
-        batchId.getOrElse(idx.batchId)))
+        batchId.getOrElse(idx.batchId),
+        Some(idx.postings.schema), Some(idx.lexicon.schema)))
     Some(Bm25IngestHealth(nDocs, lTokens, avgdlQ, wantTerms))
   }
 

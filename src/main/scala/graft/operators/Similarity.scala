@@ -1413,8 +1413,6 @@ object Similarity {
     val book = trainedCodebooks(embeddings, nCells = nCells, m = m, ks = ks,
       rounds = trainRounds, residual = residual, centroids = Some(cents),
       digestHint = Some(dig))
-    writeCentroids(cents, spark, s"$path/centroids")
-    writeCodebook(book, spark, s"$path/codebook")
     val bookC2: Seq[(Int, Int, Array[Double], Double)] =
       book.toSeq.map { case (s, code, cv) =>
         (s, code, cv, cv.foldLeft(0.0)((a, x) => a + x * x))
@@ -1427,15 +1425,24 @@ object Similarity {
     // [[appendAnnIndex]], and codes(base) ∪ codes(intake) equals a
     // full encode EXACTLY because encoding is per-row
     val toEncode = encodeOnly.getOrElse(embeddings)
-    pqEncode(prepared(toEncode), cents, bookC2, m, ks, dsub, residual)
-      .withColumn("_p_cell", col("cell"))
-      .withColumn("_b_epoch", lit(0L))
-      .write.mode("overwrite").partitionBy("_p_cell", "_b_epoch")
-      .parquet(s"$path/codes")
+    // the corpus encode+write is the build's long pole and is
+    // independent of the KB-scale centroid/codebook writes and the
+    // n_codes count — overlap them (guide §2.6; r20), all awaited
+    // before the stats commit point
+    val codesF = concurrent.Future {
+      pqEncode(prepared(toEncode), cents, bookC2, m, ks, dsub, residual)
+        .withColumn("_p_cell", col("cell"))
+        .withColumn("_b_epoch", lit(0L))
+        .write.mode("overwrite").partitionBy("_p_cell", "_b_epoch")
+        .parquet(s"$path/codes")
+    }(concurrent.ExecutionContext.global)
+    writeCentroids(cents, spark, s"$path/centroids")
+    writeCodebook(book, spark, s"$path/codebook")
     // n_codes rides the stats so appends can merge it associatively
     // and a serve never pays a codes count; encoding is 1:1 per
     // vector, so the input count IS the code count
     val nCodes = toEncode.count()
+    concurrent.Await.result(codesF, concurrent.duration.Duration.Inf)
     Seq((m, ks, dsub, cents.length, residual, centStamp(cents),
         nCodes, 0L, -1L))
       .toDF("_p_m", "_p_ks", "_p_dsub", "_p_cells", "_p_residual",
@@ -1508,10 +1515,15 @@ object Similarity {
         idx.m, idx.ks, idx.dsub, idx.residual, withError = true)
       .withColumn("_p_cell", col("cell"))
       .localCheckpoint()
-    enc.drop("qerr")
-      .withColumn("_b_epoch", lit(newEpoch))
-      .write.mode("append").partitionBy("_p_cell", "_b_epoch")
-      .parquet(s"$path/codes")
+    // the codes append and the health aggregation are independent
+    // consumers of the pinned encode, both ahead of the stats commit
+    // point — overlap them (guide §2.6; r20), awaited before the swap
+    val codesF = concurrent.Future {
+      enc.drop("qerr")
+        .withColumn("_b_epoch", lit(newEpoch))
+        .write.mode("append").partitionBy("_p_cell", "_b_epoch")
+        .parquet(s"$path/codes")
+    }(concurrent.ExecutionContext.global)
     // per-row fixed point clamped at 0 (here and in the health/drift
     // twins): FP cancellation can make a ~0 qerr minutely negative,
     // and a negative SUM would make Scala Long `/` (truncates) and
@@ -1523,6 +1535,7 @@ object Similarity {
         sum(greatest(floor(col("qerr") * lit(1048576.0) + lit(0.5))
             .cast("long"), lit(0L)))
           .as("sfp")).head()
+    concurrent.Await.result(codesF, concurrent.duration.Duration.Inf)
     val nCodes = idx.nCodes + h.getAs[Long]("n")
     import spark.implicits._
     val newStats = Seq((idx.m, idx.ks, idx.dsub, idx.cents.length,
@@ -1549,7 +1562,8 @@ object Similarity {
     // FROZEN by the append contract, so cents/book carry over)
     ArtifactCache.install(spark, annCacheKey(path), annFpDirs(path),
       AnnMeta(idx.cents, idx.book, idx.m, idx.ks, idx.dsub, idx.residual,
-        nCodes, newEpoch, batchId.getOrElse(idx.batchId)))
+        nCodes, newEpoch, batchId.getOrElse(idx.batchId),
+        Some(idx.codes.schema)))
     Some(AnnIngestHealth(nCodes, h.getAs[Long]("cells"),
       h.getAs[Long]("sfp") / h.getAs[Long]("n")))
   }
@@ -1766,10 +1780,11 @@ object Similarity {
     * [[ArtifactCache]] payload (KB-scale quantizer arrays + scalars;
     * the codes frame is re-created from parquet on every read). */
   private final case class AnnMeta(cents: Array[(Long, Array[Double])],
-                                   book: Array[(Int, Int, Array[Double])],
-                                   m: Int, ks: Int, dsub: Int,
-                                   residual: Boolean, nCodes: Long,
-                                   epoch: Long, batchId: Long)
+      book: Array[(Int, Int, Array[Double])],
+      m: Int, ks: Int, dsub: Int,
+      residual: Boolean, nCodes: Long,
+      epoch: Long, batchId: Long,
+      codesSchema: Option[org.apache.spark.sql.types.StructType] = None)
   private def annCacheKey(path: String) = s"ann:$path"
   private def annFpDirs(path: String) =
     Seq(s"$path/stats", s"$path/centroids", s"$path/codebook")
@@ -1796,7 +1811,12 @@ object Similarity {
         s"ann index at $path was encoded at m=${c.m} ks=${c.ks}, caller " +
           s"serves at m=$m ks=$ks — the flat ADC tables would " +
           "mis-stride; rebuild the index")
-      return AnnIndex(c.cents, c.book, spark.read.parquet(s"$path/codes"),
+      val codes = c.codesSchema.fold(spark.read)(spark.read.schema)
+        .parquet(s"$path/codes")
+      if (c.codesSchema.isEmpty) // upgrade: next hit skips inference
+        ArtifactCache.install(spark, annCacheKey(path), annFpDirs(path),
+          c.copy(codesSchema = Some(codes.schema)))
+      return AnnIndex(c.cents, c.book, codes,
         c.m, c.ks, c.dsub, c.residual, c.nCodes, c.epoch, c.batchId)
     }
     val stats = spark.read.parquet(s"$path/stats").collect()
@@ -1846,7 +1866,7 @@ object Similarity {
       st.getAs[Long]("n_codes"), epoch, st.getAs[Long]("_p_batch_id"))
     ArtifactCache.install(spark, annCacheKey(path), annFpDirs(path),
       AnnMeta(cents, book, m, ks, dsub, idx.residual, idx.nCodes,
-        idx.epoch, idx.batchId))
+        idx.epoch, idx.batchId, Some(codes.schema)))
     idx
   }
 
