@@ -2036,6 +2036,7 @@ object Similarity {
   def writeSemanticStore(embeddings: DataFrame, path: String,
                          cents: Array[(Long, Array[Double])]): Unit = {
     require(cents.nonEmpty, "writeSemanticStore needs a centroid table")
+    ArtifactCache.invalidate(semCacheKey(path)) // rebuild = new state
     semanticStoreRows(embeddings, cents)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
@@ -2081,9 +2082,30 @@ object Similarity {
     * same-centroids read in hand. */
   private[graft] def appendToSemanticStoreValidated(
       embeddings: DataFrame, path: String,
-      cents: Array[(Long, Array[Double])]): Unit =
+      cents: Array[(Long, Array[Double])]): Unit = {
+    // r20: the read guard's all-rows-dim-match invariant is kept
+    // COMPOSITIONALLY — valid store + valid batch ⇒ valid union — by
+    // checking the BATCH's vector sizes here (batch-sized aggregate;
+    // strictly earlier failure than the old next-read detection, which
+    // only noticed a short vector after it had poisoned the store).
+    // The cached-read path (readSemanticStore) relies on this.
+    val dim = cents.head._2.length
+    val sz = embeddings
+      .agg(min(size(vecD(col("embedding")))).as("lo"),
+        max(size(vecD(col("embedding")))).as("hi")).first()
+    require(sz.getInt(0) == dim && sz.getInt(1) == dim,
+      s"appendToSemanticStore: batch vector sizes span " +
+        s"[${sz.getInt(0)}, ${sz.getInt(1)}] but the store is dim $dim — " +
+        "a short vector would silently mis-score (DotProduct " +
+        "truncates); fix the intake")
+    ArtifactCache.invalidate(semCacheKey(path))
     semanticStoreRows(embeddings, cents)
       .write.mode("append").partitionBy("cell").parquet(path)
+    // post-append state is valid by composition; schema captured on
+    // the next read's first hit (the Bm25Meta upgrade convention)
+    ArtifactCache.install(embeddings.sparkSession, semCacheKey(path),
+      Seq(path), SemMeta(dim, centStamp(cents), None))
+  }
 
   /** Compact an append-grown semantic store in place —
     * [[graft.operators.Dedup.compactBandIndex]]'s contract for the
@@ -2103,6 +2125,7 @@ object Similarity {
                            cents: Array[(Long, Array[Double])],
                            maxRecordsPerFile: Long = 0L): (Long, Long) = {
     val store = readSemanticStore(spark, path, cents)
+    ArtifactCache.invalidate(semCacheKey(path)) // rewrite in flight
     graft.operators.Dedup.compactSwap(spark, path, what = "semantic store")(
       tmp =>
         store.distinct()
@@ -2132,9 +2155,41 @@ object Similarity {
     * (round-13 advice: DotProduct truncates to the shorter operand,
     * so a short vector would otherwise silently mis-score every
     * probe against its cell). */
+  /** Validated semantic-store state — the [[ArtifactCache]] payload
+    * (r20): dim + centroid stamp + the resolved schema. The store has
+    * no separate commit leg, so the fingerprint is the ROOT listing —
+    * a cell directory's mtime changes when an append lands a file in
+    * it, so any committed mutation is visible there. */
+  private final case class SemMeta(dim: Int, stamp: String,
+      schema: Option[org.apache.spark.sql.types.StructType])
+  private def semCacheKey(path: String) = s"sem:$path"
+
   def readSemanticStore(spark: org.apache.spark.sql.SparkSession,
                         path: String,
                         cents: Array[(Long, Array[Double])]): DataFrame = {
+    // r20: one full stamp/size validation per committed store state
+    // per JVM (the readBm25Index rule) — the size aggregate scans the
+    // WHOLE store's offsets and s15 re-read it per micro-batch. The
+    // caller-centroids check stays on the hit path; appends keep the
+    // invariant compositionally (appendToSemanticStoreValidated
+    // validates ITS batch before writing).
+    val cached = ArtifactCache.lookup[SemMeta](spark, semCacheKey(path),
+      Seq(path))
+    if (cached.isDefined) {
+      val m = cached.get
+      require(m.dim == cents.head._2.length,
+        s"semantic store at $path was built at dim ${m.dim}, " +
+          s"caller's centroids are dim ${cents.head._2.length}")
+      require(m.stamp == centStamp(cents),
+        s"semantic store at $path was built with a DIFFERENT centroid " +
+          "table — probing would route intake into the wrong cells and " +
+          "fail open; rebuild the store or load its centroids")
+      val full = m.schema.fold(spark.read)(spark.read.schema).parquet(path)
+      if (m.schema.isEmpty) // upgrade: next hit skips inference
+        ArtifactCache.install(spark, semCacheKey(path), Seq(path),
+          m.copy(schema = Some(full.schema)))
+      return full.select("cell", "vec_id", "v", "nrm2")
+    }
     val df = spark.read.parquet(path)
     require(Set("cell", "vec_id", "v", "nrm2", "_p_dim", "_p_cent")
       .subsetOf(df.columns.toSet),
@@ -2158,6 +2213,9 @@ object Similarity {
         s"[${sz.getInt(0)}, ${sz.getInt(1)}] but the _p_dim stamp says " +
         s"${stamps.head.getInt(0)} — a short vector would silently " +
         "mis-score (DotProduct truncates); rebuild the store")
+    ArtifactCache.install(spark, semCacheKey(path), Seq(path),
+      SemMeta(stamps.head.getInt(0), stamps.head.getString(1),
+        Some(df.schema)))
     df.select("cell", "vec_id", "v", "nrm2")
   }
 
