@@ -851,9 +851,16 @@ object Retrieval {
                       nProbe: Int = 8, rerank: Int = 64,
                       semQueries: Option[DataFrame] = None,
                       knownCorpusDim: Option[Int] = None): DataFrame = {
-    val lex = bm25ServeIndex(bm25, queries, k = poolK,
-        maxDfPpm = maxDfPpm, excludeId = true)
-      .select(col("query_id"), col("doc_id"), col("rank").as("r_lex"))
+    // the two legs' CONSTRUCTION each runs driver-side collect jobs
+    // before the fused plan exists (the lexical qterm/shard collect;
+    // the semantic query-frame pin + probe-cell collect) — they are
+    // independent, so build the legs concurrently (guide §2.6; r20):
+    // the fused plan itself is unchanged, only the pre-jobs overlap
+    val lexF = concurrent.Future {
+      bm25ServeIndex(bm25, queries, k = poolK,
+          maxDfPpm = maxDfPpm, excludeId = true)
+        .select(col("query_id"), col("doc_id"), col("rank").as("r_lex"))
+    }(concurrent.ExecutionContext.global)
     // the semantic leg's query frame is DERIVED from the lexical
     // leg's when the caller doesn't supply one: the store rows whose
     // vec_id appears in `queries.query_id` (corpus-member convention,
@@ -876,6 +883,7 @@ object Retrieval {
         knownCorpusDim = knownCorpusDim)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("r_sem"))
+    val lex = concurrent.Await.result(lexF, concurrent.duration.Duration.Inf)
     rrfFuse(lex, sem, k)
   }
 }
